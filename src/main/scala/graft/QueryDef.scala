@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One contract entry: a DataFrame builder plus (usually) the equivalent
+  * DuckDB SQL the driver hash-compares against (SURVEY.md §2).
+  */
+final case class QueryDef(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Cross-engine determinism helpers (SURVEY.md §2.1 rules D1–D8).
+  *
+  * D1: every query ends in a total order with explicit null placement —
+  *     Spark ASC defaults to NULLS FIRST, DuckDB to NULLS LAST, so the
+  *     oracle SQL must always spell it out; we mirror that explicitness
+  *     on the Spark side via ascf/descl.
+  * D2: double accumulation is order-dependent under parallelism — cast to
+  *     DECIMAL(18,2) before sum/avg (verified exact parity with DuckDB).
+  */
+object Dsl {
+  val Money: DecimalType = DecimalType(18, 2)
+
+  /** Exact money arithmetic: cast BEFORE any aggregation (rule D2). */
+  def dec(c: Column): Column = c.cast(Money)
+
+  /** Narrower money type so decimal products stay under precision 38
+    * (Spark silently drops scale on decimal-precision overflow, which
+    * would diverge from DuckDB). Source prices are exact 2-dp values.
+    */
+  def dec12(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Hundredth-valued factor (discount/tax ∈ 0.00–0.99) as DECIMAL(3,2).
+    * Casting each FACTOR to decimal before multiplying keeps the whole
+    * product exact — casting a double PRODUCT to decimal hits engine-
+    * specific tie-rounding (verified divergent) and is forbidden.
+    */
+  def pct(c: Column): Column = c.cast(DecimalType(3, 2))
+
+  /** Exact decimal (1 - c) for hundredth-valued c. */
+  def oneMinus(c: Column): Column = lit(1).cast(DecimalType(3, 2)) - pct(c)
+
+  /** Exact decimal (1 + c) for hundredth-valued c. */
+  def onePlus(c: Column): Column = lit(1).cast(DecimalType(3, 2)) + pct(c)
+
+  /** Timestamp out as epoch-µs BIGINT (rule D5); parquet NTZ needs a cast
+    * to TIMESTAMP first, value-preserving under the UTC session TZ.
+    */
+  def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** ASC NULLS FIRST — matches `ASC NULLS FIRST` in oracle SQL (D1). */
+  def ascf(c: Column): Column = c.asc_nulls_first
+  def ascf(name: String): Column = col(name).asc_nulls_first
+
+  /** DESC NULLS LAST — matches `DESC NULLS LAST` in oracle SQL (D1). */
+  def descl(c: Column): Column = c.desc_nulls_last
+  def descl(name: String): Column = col(name).desc_nulls_last
+}
+
+/** Single source of truth for the SparkEntry contract maps: a key can never
+  * exist in `queries` but not `oracleSql` unintentionally (SURVEY.md §7.1).
+  */
+object Registry {
+  def all: Seq[QueryDef] =
+    ops.Relational.defs ++
+      ops.Aggregates.defs ++
+      ops.Windows.defs ++
+      ops.SetOps.defs ++
+      ops.Scalars.defs ++
+      ops.Text.defs ++
+      ops.Similarity.defs ++
+      ops.Streaming.defs ++
+      ops.Udx.defs
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.build).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

@@ -1,0 +1,214 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.Dsl._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregations (SURVEY.md §2.5).
+  *
+  * Determinism: every money sum goes through DECIMAL(18,2) (rule D2 —
+  * double accumulation is order-dependent under parallel partial
+  * aggregation; decimal sums are exact and verified equal to DuckDB).
+  * Derived statistics (stddev/corr) are computed from exact decimal
+  * moments and converted to double only at the very end (q_agg_stats).
+  *
+  * Scale: groupBy on low-cardinality keys is a map-side partial aggregate
+  * (HashAggregateExec partial → exchange → final) — the shuffle carries
+  * one row per (key × partition), not per input row, so these plans are
+  * flat in input size.
+  */
+object Aggregates {
+
+  /** avg as round(exact_decimal_sum / count, 4) — identical formula in the
+    * oracle SQL so both engines divide the same exact numerator.
+    */
+  private def avg4(sumDec: org.apache.spark.sql.Column,
+                   cnt: org.apache.spark.sql.Column) =
+    round(sumDec.cast("double") / cnt, 4)
+
+  private val aggQ1 = QueryDef(
+    "q_agg_q1",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          sum(dec12(col("l_extendedprice")) * oneMinus(col("l_discount")))
+            .as("sum_disc_price"),
+          sum(dec12(col("l_extendedprice")) * oneMinus(col("l_discount"))
+            * onePlus(col("l_tax"))).as("sum_charge"),
+          avg4(sum(dec(col("l_quantity"))), count(lit(1))).as("avg_qty"),
+          avg4(sum(dec(col("l_extendedprice"))), count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(ascf("l_returnflag"), ascf("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           |  sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS sum_disc_price,
+           |  sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+           |    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS sum_charge,
+           |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+           |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+           |  count(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
+
+  private val aggGlobal = QueryDef(
+    "q_agg_global",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          count(lit(1)).as("cnt"),
+          count(col("l_quantity")).as("cnt_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          sum(dec(col("l_extendedprice"))).as("sum_price"),
+          avg4(sum(dec(col("l_extendedprice"))), count(lit(1))).as("avg_price")),
+    Some("""SELECT count(*) AS cnt, count(l_quantity) AS cnt_qty,
+           |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+           |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+           |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price
+           |FROM lineitem""".stripMargin))
+
+  private val aggDistinct = QueryDef(
+    "q_agg_distinct",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("dist_parts"),
+          countDistinct(col("l_suppkey")).as("dist_supps"),
+          count(lit(1)).as("cnt"))
+        .orderBy(ascf("l_returnflag")),
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS dist_parts,
+           |  count(DISTINCT l_suppkey) AS dist_supps, count(*) AS cnt
+           |FROM lineitem GROUP BY l_returnflag
+           |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin))
+
+  private val aggHaving = QueryDef(
+    "q_agg_having",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("order_cnt"),
+          sum(dec(col("o_totalprice"))).as("total_spent"))
+        .filter(col("order_cnt") >= 12)
+        .orderBy(ascf("o_custkey")),
+    Some("""SELECT o_custkey, count(*) AS order_cnt,
+           |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent
+           |FROM orders GROUP BY o_custkey
+           |HAVING count(*) >= 12
+           |ORDER BY o_custkey ASC NULLS FIRST""".stripMargin))
+
+  private val aggRollup = QueryDef(
+    "q_agg_rollup",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(ascf("l_returnflag"), ascf("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS cnt
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
+
+  private val aggCube = QueryDef(
+    "q_agg_cube",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(ascf("l_returnflag"), ascf("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS cnt
+           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
+
+  private val aggGsets = QueryDef(
+    "q_agg_gsets",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(ascf("l_returnflag"), ascf("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS cnt
+           |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
+
+  /** stddev/variance/correlation from EXACT decimal moments (rule D2):
+    * builtin stddev accumulates doubles in partition order and would
+    * diverge from DuckDB; the moment sums are exact, so the final double
+    * formula is bit-identical on both engines. x = l_quantity (integral),
+    * y = l_discount (hundredths) keep the moments small and exact.
+    */
+  private val aggStats = QueryDef(
+    "q_agg_stats",
+    (s, d) => {
+      val dec4 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 4))
+      val x = col("l_quantity"); val y = col("l_discount")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(x)).cast("double").as("sx"),
+          sum(dec4(x * x)).cast("double").as("sxx"),
+          sum(dec4(y)).cast("double").as("sy"),
+          sum(dec4(y * y)).cast("double").as("syy"),
+          sum(dec4(x * y)).cast("double").as("sxy"))
+        .select(
+          col("l_returnflag"), col("n"),
+          round((col("sxx") - col("sx") * col("sx") / col("n"))
+            / (col("n") - 1), 4).as("var_qty"),
+          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+            / (col("n") - 1)), 4).as("stddev_qty"),
+          round((col("sxy") - col("sx") * col("sy") / col("n"))
+            / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+              * (col("syy") - col("sy") * col("sy") / col("n"))), 4)
+            .as("corr_qty_disc"))
+        .orderBy(ascf("l_returnflag"))
+    },
+    Some("""WITH m AS (
+           |  SELECT l_returnflag, count(*) AS n,
+           |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+           |    CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+           |    CAST(sum(CAST(l_discount * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+           |    CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+           |  FROM lineitem GROUP BY l_returnflag)
+           |SELECT l_returnflag, n,
+           |  round((sxx - sx * sx / n) / (n - 1), 4) AS var_qty,
+           |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_qty,
+           |  round((sxy - sx * sy / n)
+           |    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 4) AS corr_qty_disc
+           |FROM m
+           |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin))
+
+  /** HLL sketch — no oracle (sketch implementations are engine-specific);
+    * exactness bounds are asserted in ApproxSpec instead (SURVEY.md §5.3).
+    */
+  private val aggApproxDistinct = QueryDef(
+    "q_agg_approx_distinct",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy(ascf("l_returnflag")),
+    None)
+
+  def defs: Seq[QueryDef] = Seq(
+    aggQ1, aggGlobal, aggDistinct, aggHaving,
+    aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct)
+}

@@ -1,0 +1,308 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.Dsl._
+import org.apache.spark.sql.functions._
+
+/** Scans, filters, joins (SURVEY.md §2.2–§2.4).
+  *
+  * Scale notes (100 TB): every scan goes through [[graft.Tables]] so filters
+  * and projections sit directly on the parquet relation — Catalyst pushes
+  * them into the scan (`PushedFilters` / `ReadSchema`, asserted in
+  * PlanSpec). Joins keyed on the TPC-H-ish foreign keys shuffle both sides
+  * by the key; dimension joins (region/nation/part/supplier) stay under the
+  * broadcast threshold at any SF because dimensions grow sub-linearly.
+  */
+object Relational {
+
+  // ---------------------------------------------------------------- scans
+
+  // NOTE: (l_orderkey, l_linenumber) is NOT unique in the synthetic
+  // fixtures (verified: 11785 dup pairs at sf0.01) — lineitem detail
+  // queries therefore order by EVERY output column for a total order (D1).
+  private val scanProject = QueryDef(
+    "q_scan_project",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"),
+          (dec12(col("l_extendedprice")) * oneMinus(col("l_discount")))
+            .as("revenue"))
+        .orderBy(ascf("l_orderkey"), ascf("l_linenumber"),
+          ascf("l_quantity"), ascf("l_extendedprice"), ascf("revenue")),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           |CAST(l_extendedprice AS DECIMAL(12,2))
+           |  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS revenue
+           |FROM lineitem
+           |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+           |  l_quantity ASC NULLS FIRST, l_extendedprice ASC NULLS FIRST,
+           |  revenue ASC NULLS FIRST""".stripMargin))
+
+  private val scanPushdown = QueryDef(
+    "q_scan_pushdown",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 45 &&
+          col("l_shipdate") >= lit("2000-01-01").cast("timestamp_ntz"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(ascf("l_orderkey"), ascf("l_linenumber"), ascf("l_quantity")),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity
+           |FROM lineitem
+           |WHERE l_quantity >= 45 AND l_shipdate >= TIMESTAMP '2000-01-01'
+           |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+           |  l_quantity ASC NULLS FIRST""".stripMargin))
+
+  private val scanEventsNs = QueryDef(
+    "q_scan_events_ns",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        .orderBy(ascf("event_id")),
+    Some("""SELECT event_id, epoch_us(ts) AS ts_us
+           |FROM events
+           |ORDER BY event_id ASC NULLS FIRST""".stripMargin))
+
+  // -------------------------------------------------------------- filters
+
+  private val filterCompound = QueryDef(
+    "q_filter_compound",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(
+          col("l_returnflag").isin("A", "N") &&
+            col("l_quantity").between(10, 20) &&
+            (col("l_linestatus") === "F" || col("l_tax") > 0.05) &&
+            !(col("l_discount") < 0.02) &&
+            col("l_shipdate").isNotNull)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), col("l_linestatus"))
+        .orderBy(ascf("l_orderkey"), ascf("l_linenumber"), ascf("l_quantity"),
+          ascf("l_returnflag"), ascf("l_linestatus")),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
+           |FROM lineitem
+           |WHERE l_returnflag IN ('A','N')
+           |  AND l_quantity BETWEEN 10 AND 20
+           |  AND (l_linestatus = 'F' OR l_tax > 0.05)
+           |  AND NOT (l_discount < 0.02)
+           |  AND l_shipdate IS NOT NULL
+           |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+           |  l_quantity ASC NULLS FIRST, l_returnflag ASC NULLS FIRST,
+           |  l_linestatus ASC NULLS FIRST""".stripMargin))
+
+  private val filterExpr = QueryDef(
+    "q_filter_expr",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("revenue",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .filter(col("revenue") > 30000 && year(col("l_shipdate")) === 1999)
+        .select(col("l_orderkey"), col("l_linenumber"), col("revenue"))
+        .orderBy(ascf("l_orderkey"), ascf("l_linenumber"), ascf("revenue")),
+    Some("""SELECT l_orderkey, l_linenumber,
+           |       l_extendedprice * (1.0 - l_discount) AS revenue
+           |FROM lineitem
+           |WHERE l_extendedprice * (1.0 - l_discount) > 30000
+           |  AND extract(year FROM l_shipdate) = 1999
+           |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+           |  revenue ASC NULLS FIRST""".stripMargin))
+
+  // ---------------------------------------------------------------- joins
+
+  private val joinInner = QueryDef(
+    "q_join_inner",
+    (s, d) => {
+      val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+          col("o_totalprice"))
+        .orderBy(ascf("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, c_custkey, c_name, o_totalprice
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin))
+
+  // Outer joins run against the 'P'-status order slice so both directions
+  // genuinely produce unmatched (null-extended) rows in the fixtures.
+  private val joinLeft = QueryDef(
+    "q_join_left",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(ascf("c_custkey"), ascf("o_orderkey"))
+    },
+    Some("""SELECT c_custkey, c_name, o_orderkey, o_totalprice
+           |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+           |  ON c_custkey = o_custkey
+           |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin))
+
+  private val joinRight = QueryDef(
+    "q_join_right",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(ascf("c_custkey"), ascf("o_orderkey"))
+    },
+    Some("""SELECT c_custkey, c_name, o_orderkey, o_totalprice
+           |FROM (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+           |  RIGHT JOIN customer ON o_custkey = c_custkey
+           |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin))
+
+  private val joinFull = QueryDef(
+    "q_join_full",
+    (s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_acctbal") > 0)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "full")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(ascf("c_custkey"), ascf("o_orderkey"))
+    },
+    Some("""SELECT c_custkey, c_name, o_orderkey, o_totalprice
+           |FROM (SELECT * FROM customer WHERE c_acctbal > 0) c
+           |  FULL JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+           |  ON c_custkey = o_custkey
+           |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin))
+
+  private val joinSemi = QueryDef(
+    "q_join_semi",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(ascf("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+           |WHERE EXISTS (SELECT 1 FROM orders
+           |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+           |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin))
+
+  private val joinAnti = QueryDef(
+    "q_join_anti",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(ascf("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders
+           |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+           |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin))
+
+  private val joinCross = QueryDef(
+    "q_join_cross",
+    (s, d) =>
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(ascf("r_name"), ascf("n_name")),
+    Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+           |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin))
+
+  private val joinTheta = QueryDef(
+    "q_join_theta",
+    (s, d) => {
+      val sup = Tables.supplier(s, d); val c = Tables.customer(s, d)
+      sup.join(c,
+          sup("s_nationkey") === c("c_nationkey") &&
+            sup("s_acctbal") > c("c_acctbal"))
+        .select(col("s_suppkey"), col("c_custkey"), col("s_acctbal"),
+          col("c_acctbal"))
+        .orderBy(ascf("s_suppkey"), ascf("c_custkey"))
+    },
+    Some("""SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+           |FROM supplier JOIN customer
+           |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+           |ORDER BY s_suppkey ASC NULLS FIRST, c_custkey ASC NULLS FIRST""".stripMargin))
+
+  // Range join: equi-key (user_id) drives the shuffle; the time predicate
+  // is a post-join filter, so cost is O(events_per_user · window) not O(n²).
+  private val joinRange = QueryDef(
+    "q_join_range",
+    (s, d) => {
+      val e1 = Tables.events(s, d).select(col("user_id"),
+        col("event_id").as("id1"), col("ts").as("ts1"))
+      val e2 = Tables.events(s, d).select(col("user_id").as("u2"),
+        col("event_id").as("id2"), col("ts").as("ts2"))
+      e1.join(e2,
+          col("user_id") === col("u2") &&
+            col("ts2") >= col("ts1") &&
+            col("ts2") <= col("ts1") + expr("INTERVAL 10 MINUTES") &&
+            col("id1") < col("id2"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("pair_cnt"))
+        .orderBy(ascf("user_id"))
+    },
+    Some("""SELECT e1.user_id, count(*) AS pair_cnt
+           |FROM events e1 JOIN events e2
+           |  ON e1.user_id = e2.user_id
+           | AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+           | AND e1.event_id < e2.event_id
+           |GROUP BY e1.user_id
+           |ORDER BY e1.user_id ASC NULLS FIRST""".stripMargin))
+
+  // TPC-H Q3 shape: dimension-filtered star join, top-10 revenue groups.
+  private val joinStar = QueryDef(
+    "q_join_star",
+    (s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp_ntz"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(dec12(col("l_extendedprice")) * oneMinus(col("l_discount")))
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          epochUs(col("o_orderdate")).as("o_orderdate_us"),
+          col("o_orderpriority"))
+        .orderBy(descl("revenue"), ascf("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey,
+           |  sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS revenue,
+           |  epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
+           |FROM customer JOIN orders ON c_custkey = o_custkey
+           |  JOIN lineitem ON o_orderkey = l_orderkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND o_orderdate < TIMESTAMP '1998-01-01'
+           |  AND l_shipdate > TIMESTAMP '1998-01-01'
+           |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+           |ORDER BY revenue DESC NULLS LAST, l_orderkey ASC NULLS FIRST
+           |LIMIT 10""".stripMargin))
+
+  private val joinBroadcast = QueryDef(
+    "q_join_broadcast",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d).filter(col("p_type") === "PROMO")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
+          count(lit(1)).as("line_cnt"))
+        .orderBy(ascf("p_brand"))
+    },
+    Some("""SELECT p_brand, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           |       count(*) AS line_cnt
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE p_type = 'PROMO'
+           |GROUP BY p_brand
+           |ORDER BY p_brand ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(
+    scanProject, scanPushdown, scanEventsNs,
+    filterCompound, filterExpr,
+    joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
+    joinCross, joinTheta, joinRange, joinStar, joinBroadcast)
+}

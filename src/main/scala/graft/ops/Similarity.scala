@@ -1,0 +1,7 @@
+package graft.ops
+
+import graft.QueryDef
+
+object Similarity {
+  def defs: Seq[QueryDef] = Seq.empty
+}
