@@ -41,6 +41,13 @@ for name in sorted(oracle):
         missing.append(name)
         continue
     sql = oracle[name]
+    # Logical types matter: the driver's hash failed 7 round-1 queries whose
+    # values were identical but whose decimal widths differed (ADVICE r01) —
+    # compare DuckDB's view of both schemas, not just values.
+    stypes = dict(
+        (r[0], r[1]) for r in
+        con.execute(f"DESCRIBE SELECT * FROM read_parquet('{spark_glob[0]}')").fetchall())
+    otypes = dict((r[0], r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall())
     srel = con.execute(f"SELECT * FROM read_parquet('{spark_glob[0]}')")
     scols = [d[0] for d in srel.description]
     srows = srel.fetchall()
@@ -48,6 +55,9 @@ for name in sorted(oracle):
     ocols = [d[0] for d in orel.description]
     orows = orel.fetchall()
     errs = []
+    for c in sorted(set(stypes) & set(otypes)):
+        if stypes[c] != otypes[c]:
+            errs.append(f"type of {c} differs: spark={stypes[c]} oracle={otypes[c]}")
     if sorted(scols) != sorted(ocols):
         errs.append(f"column names differ: spark={sorted(scols)} oracle={sorted(ocols)}")
     elif len(srows) != len(orows):

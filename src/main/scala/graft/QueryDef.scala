@@ -51,6 +51,19 @@ object Dsl {
     */
   def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
 
+  /** Rule D9 (ADVICE r01): the driver's hash compare is sensitive to the
+    * decimal RESULT TYPE, and the engines infer different widths for the
+    * same arithmetic (Spark sum(DECIMAL(18,2)) → DECIMAL(28,2), DuckDB →
+    * DECIMAL(38,2); products differ too). Every decimal OUTPUT column must
+    * therefore be pinned to a fixed DECIMAL(38,s) here AND via
+    * `CAST(... AS DECIMAL(38,s))` in the oracle SQL. Value-preserving:
+    * both engines cap precision at 38 and the pinned scale always ≥ the
+    * computed scale.
+    */
+  def pin2(c: Column): Column = c.cast(DecimalType(38, 2))
+  def pin4(c: Column): Column = c.cast(DecimalType(38, 4))
+  def pin6(c: Column): Column = c.cast(DecimalType(38, 6))
+
   /** ASC NULLS FIRST — matches `ASC NULLS FIRST` in oracle SQL (D1). */
   def ascf(c: Column): Column = c.asc_nulls_first
   def ascf(name: String): Column = col(name).asc_nulls_first
@@ -64,16 +77,23 @@ object Dsl {
   * exist in `queries` but not `oracleSql` unintentionally (SURVEY.md §7.1).
   */
 object Registry {
-  def all: Seq[QueryDef] =
-    ops.Relational.defs ++
-      ops.Aggregates.defs ++
-      ops.Windows.defs ++
-      ops.SetOps.defs ++
-      ops.Scalars.defs ++
-      ops.Text.defs ++
-      ops.Similarity.defs ++
-      ops.Streaming.defs ++
-      ops.Udx.defs
+  def all: Seq[QueryDef] = {
+    val defs =
+      ops.Relational.defs ++
+        ops.Aggregates.defs ++
+        ops.Windows.defs ++
+        ops.SetOps.defs ++
+        ops.Scalars.defs ++
+        ops.Text.defs ++
+        ops.Similarity.defs ++
+        ops.Streaming.defs ++
+        ops.Udx.defs
+    // toMap would silently keep only the last entry on a name collision,
+    // shrinking the graded surface with no error (ADVICE r01).
+    val dup = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
+    require(dup.isEmpty, s"duplicate query names: ${dup.mkString(", ")}")
+    defs
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.build).toMap

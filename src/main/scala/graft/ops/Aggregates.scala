@@ -3,7 +3,6 @@ package graft.ops
 import graft.{QueryDef, Tables}
 import graft.Dsl._
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Aggregations (SURVEY.md §2.5).
   *
@@ -34,24 +33,24 @@ object Aggregates {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec12(col("l_extendedprice")) * oneMinus(col("l_discount")))
+          pin2(sum(dec(col("l_quantity")))).as("sum_qty"),
+          pin2(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          pin4(sum(dec12(col("l_extendedprice")) * oneMinus(col("l_discount"))))
             .as("sum_disc_price"),
-          sum(dec12(col("l_extendedprice")) * oneMinus(col("l_discount"))
-            * onePlus(col("l_tax"))).as("sum_charge"),
+          pin6(sum(dec12(col("l_extendedprice")) * oneMinus(col("l_discount"))
+            * onePlus(col("l_tax")))).as("sum_charge"),
           avg4(sum(dec(col("l_quantity"))), count(lit(1))).as("avg_qty"),
           avg4(sum(dec(col("l_extendedprice"))), count(lit(1))).as("avg_price"),
           count(lit(1)).as("count_order"))
         .orderBy(ascf("l_returnflag"), ascf("l_linestatus")),
     Some("""SELECT l_returnflag, l_linestatus,
-           |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           |  sum(CAST(l_extendedprice AS DECIMAL(12,2))
-           |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS sum_disc_price,
-           |  sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
            |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
-           |    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS sum_charge,
+           |    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DECIMAL(38,6)) AS sum_charge,
            |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
            |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
            |  count(*) AS count_order
@@ -69,11 +68,11 @@ object Aggregates {
           count(col("l_quantity")).as("cnt_qty"),
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price"),
-          sum(dec(col("l_extendedprice"))).as("sum_price"),
+          pin2(sum(dec(col("l_extendedprice")))).as("sum_price"),
           avg4(sum(dec(col("l_extendedprice"))), count(lit(1))).as("avg_price")),
     Some("""SELECT count(*) AS cnt, count(l_quantity) AS cnt_qty,
            |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
-           |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
            |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price
            |FROM lineitem""".stripMargin))
 
@@ -98,11 +97,11 @@ object Aggregates {
       Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("order_cnt"),
-          sum(dec(col("o_totalprice"))).as("total_spent"))
+          pin2(sum(dec(col("o_totalprice")))).as("total_spent"))
         .filter(col("order_cnt") >= 12)
         .orderBy(ascf("o_custkey")),
     Some("""SELECT o_custkey, count(*) AS order_cnt,
-           |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spent
            |FROM orders GROUP BY o_custkey
            |HAVING count(*) >= 12
            |ORDER BY o_custkey ASC NULLS FIRST""".stripMargin))
@@ -112,11 +111,11 @@ object Aggregates {
     (s, d) =>
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
+        .agg(pin2(sum(dec(col("l_quantity")))).as("sum_qty"),
           count(lit(1)).as("cnt"))
         .orderBy(ascf("l_returnflag"), ascf("l_linestatus")),
     Some("""SELECT l_returnflag, l_linestatus,
-           |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS cnt
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty, count(*) AS cnt
            |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
 
@@ -125,11 +124,11 @@ object Aggregates {
     (s, d) =>
       Tables.lineitem(s, d)
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
+        .agg(pin2(sum(dec(col("l_quantity")))).as("sum_qty"),
           count(lit(1)).as("cnt"))
         .orderBy(ascf("l_returnflag"), ascf("l_linestatus")),
     Some("""SELECT l_returnflag, l_linestatus,
-           |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS cnt
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty, count(*) AS cnt
            |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
 
@@ -140,11 +139,11 @@ object Aggregates {
         .groupingSets(
           Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
           col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
+        .agg(pin2(sum(dec(col("l_quantity")))).as("sum_qty"),
           count(lit(1)).as("cnt"))
         .orderBy(ascf("l_returnflag"), ascf("l_linestatus")),
     Some("""SELECT l_returnflag, l_linestatus,
-           |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS cnt
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty, count(*) AS cnt
            |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
 
@@ -157,17 +156,20 @@ object Aggregates {
   private val aggStats = QueryDef(
     "q_agg_stats",
     (s, d) => {
-      val dec4 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 4))
-      val x = col("l_quantity"); val y = col("l_discount")
+      // Factors cast to decimal BEFORE multiplying (never double-product →
+      // decimal: that cast hits engine-specific tie-rounding, ADVICE r01).
+      // The decimal sums are exact, so the double conversion and the final
+      // formula are bit-identical on both engines.
+      val x = dec12(col("l_quantity")); val y = pct(col("l_discount"))
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          sum(dec(x)).cast("double").as("sx"),
-          sum(dec4(x * x)).cast("double").as("sxx"),
-          sum(dec4(y)).cast("double").as("sy"),
-          sum(dec4(y * y)).cast("double").as("syy"),
-          sum(dec4(x * y)).cast("double").as("sxy"))
+          sum(x).cast("double").as("sx"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(y).cast("double").as("sy"),
+          sum(y * y).cast("double").as("syy"),
+          sum(x * y).cast("double").as("sxy"))
         .select(
           col("l_returnflag"), col("n"),
           round((col("sxx") - col("sx") * col("sx") / col("n"))
@@ -180,14 +182,19 @@ object Aggregates {
             .as("corr_qty_disc"))
         .orderBy(ascf("l_returnflag"))
     },
-    Some("""WITH m AS (
+    Some("""WITH f AS (
+           |  SELECT l_returnflag,
+           |    CAST(l_quantity AS DECIMAL(12,2)) AS x,
+           |    CAST(l_discount AS DECIMAL(3,2)) AS y
+           |  FROM lineitem),
+           |m AS (
            |  SELECT l_returnflag, count(*) AS n,
-           |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-           |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
-           |    CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-           |    CAST(sum(CAST(l_discount * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS syy,
-           |    CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sxy
-           |  FROM lineitem GROUP BY l_returnflag)
+           |    CAST(sum(x) AS DOUBLE) AS sx,
+           |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+           |    CAST(sum(y) AS DOUBLE) AS sy,
+           |    CAST(sum(y * y) AS DOUBLE) AS syy,
+           |    CAST(sum(x * y) AS DOUBLE) AS sxy
+           |  FROM f GROUP BY l_returnflag)
            |SELECT l_returnflag, n,
            |  round((sxx - sx * sx / n) / (n - 1), 4) AS var_qty,
            |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_qty,

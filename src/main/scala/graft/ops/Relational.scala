@@ -27,13 +27,13 @@ object Relational {
         .select(
           col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"), col("l_extendedprice"),
-          (dec12(col("l_extendedprice")) * oneMinus(col("l_discount")))
+          pin4(dec12(col("l_extendedprice")) * oneMinus(col("l_discount")))
             .as("revenue"))
         .orderBy(ascf("l_orderkey"), ascf("l_linenumber"),
           ascf("l_quantity"), ascf("l_extendedprice"), ascf("revenue")),
     Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-           |CAST(l_extendedprice AS DECIMAL(12,2))
-           |  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS revenue
+           |CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+           |  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS revenue
            |FROM lineitem
            |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
            |  l_quantity ASC NULLS FIRST, l_extendedprice ASC NULLS FIRST,
@@ -261,7 +261,7 @@ object Relational {
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(dec12(col("l_extendedprice")) * oneMinus(col("l_discount")))
+        .agg(pin4(sum(dec12(col("l_extendedprice")) * oneMinus(col("l_discount"))))
           .as("revenue"))
         .select(col("l_orderkey"), col("revenue"),
           epochUs(col("o_orderdate")).as("o_orderdate_us"),
@@ -270,8 +270,8 @@ object Relational {
         .limit(10)
     },
     Some("""SELECT l_orderkey,
-           |  sum(CAST(l_extendedprice AS DECIMAL(12,2))
-           |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS revenue,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS revenue,
            |  epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
            |FROM customer JOIN orders ON c_custkey = o_custkey
            |  JOIN lineitem ON o_orderkey = l_orderkey
@@ -289,11 +289,11 @@ object Relational {
       val p = Tables.part(s, d).filter(col("p_type") === "PROMO")
       l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
+        .agg(pin2(sum(dec(col("l_quantity")))).as("sum_qty"),
           count(lit(1)).as("line_cnt"))
         .orderBy(ascf("p_brand"))
     },
-    Some("""SELECT p_brand, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+    Some("""SELECT p_brand, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
            |       count(*) AS line_cnt
            |FROM lineitem JOIN part ON l_partkey = p_partkey
            |WHERE p_type = 'PROMO'
