@@ -1,7 +1,225 @@
 package graft.ops
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.Dsl._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Window functions + sort/limit/top-k (SURVEY.md §2.6–§2.7).
+  *
+  * Determinism: every window ORDER BY carries a unique tiebreaker column
+  * (rule D1 applies inside frames too — ntile/row_number/first_value are
+  * row-order-dependent), and every frame is spelled out explicitly because
+  * default frames differ per function. Frame sums go through DECIMAL
+  * (rule D2) and outputs are pinned (rule D9).
+  *
+  * Scale: partition keys are chosen with bounded partition sizes
+  * (custkey ~10 orders, nationkey ~1/25 of customers, brand ~1/25 of
+  * parts) so WindowExec's per-partition sort never sees a giant
+  * partition; the exchange hashes on the partition key exactly like a
+  * groupBy shuffle. Global sorts (q_sort_nulls, q_limit_offset) use
+  * Spark's range partitioning — a sampled range exchange, not a
+  * single-node sort, so they survive a 100× scale-up.
+  */
 object Windows {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  // ---------------------------------------------------------------- §2.6
+
+  private val winRank = QueryDef(
+    "q_win_rank",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(descl("c_acctbal"), ascf("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          // ranking fns are INT in Spark, BIGINT in DuckDB — pin to BIGINT
+          row_number().over(w).cast("bigint").as("rn"),
+          rank().over(w).cast("bigint").as("rnk"),
+          dense_rank().over(w).cast("bigint").as("drnk"))
+        .orderBy(ascf("c_nationkey"), ascf("rn"))
+    },
+    Some("""SELECT c_nationkey, c_custkey, c_acctbal,
+           |  row_number() OVER w AS rn,
+           |  rank() OVER w AS rnk,
+           |  dense_rank() OVER w AS drnk
+           |FROM customer
+           |WINDOW w AS (PARTITION BY c_nationkey
+           |             ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC NULLS FIRST)
+           |ORDER BY c_nationkey ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin))
+
+  private val winRunning = QueryDef(
+    "q_win_running",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(ascf("o_orderdate"), ascf("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          epochUs(col("o_orderdate")).as("o_date_us"),
+          pin2(sum(dec(col("o_totalprice"))).over(w)).as("running_spend"))
+        .orderBy(ascf("o_custkey"), ascf("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS o_date_us,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           |    PARTITION BY o_custkey
+           |    ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    AS DECIMAL(38,2)) AS running_spend
+           |FROM orders
+           |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin))
+
+  private val winLeadLag = QueryDef(
+    "q_win_lead_lag",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(ascf("o_orderdate"), ascf("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("ts_us", epochUs(col("o_orderdate")))
+        .select(col("o_custkey"), col("o_orderkey"), col("ts_us"),
+          lag(col("ts_us"), 1).over(w).as("prev_us"),
+          lead(col("ts_us"), 1).over(w).as("next_us"),
+          (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"))
+        .orderBy(ascf("o_custkey"), ascf("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, ts_us,
+           |  lag(ts_us, 1) OVER w AS prev_us,
+           |  lead(ts_us, 1) OVER w AS next_us,
+           |  ts_us - lag(ts_us, 1) OVER w AS gap_us
+           |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+           |             epoch_us(o_orderdate) AS ts_us FROM orders)
+           |WINDOW w AS (PARTITION BY o_custkey
+           |             ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)
+           |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin))
+
+  /** RANGE frame needs a single numeric sort key; o_totalprice is an exact
+    * 2-dp value, so round(x*100) → BIGINT cents is exact on both engines
+    * (plain CAST would diverge: Spark truncates double→bigint, DuckDB
+    * rounds). The ±1000.00 frame is value-based, so rows with equal cents
+    * share a frame and the result is order-independent per row.
+    */
+  private val winRangeFrame = QueryDef(
+    "q_win_range_frame",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("cents"))
+        .rangeBetween(-100000L, 100000L)
+      Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("bigint"))
+        .select(col("o_custkey"), col("o_orderkey"), col("cents"),
+          count(lit(1)).over(w).as("near_cnt"),
+          pin2(sum(dec(col("o_totalprice"))).over(w)).as("near_sum"))
+        .orderBy(ascf("o_custkey"), ascf("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, cents,
+           |  count(*) OVER w AS near_cnt,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS near_sum
+           |FROM (SELECT *, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders)
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY cents ASC
+           |             RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING)
+           |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin))
+
+  private val winNtilePct = QueryDef(
+    "q_win_ntile_pct",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(ascf("c_acctbal"), ascf("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"),
+          ntile(4).over(w).cast("bigint").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(ascf("c_nationkey"), ascf("c_custkey"))
+    },
+    Some("""SELECT c_nationkey, c_custkey,
+           |  ntile(4) OVER w AS quartile,
+           |  round(percent_rank() OVER w, 6) AS pct_rank,
+           |  round(cume_dist() OVER w, 6) AS cume
+           |FROM customer
+           |WINDOW w AS (PARTITION BY c_nationkey
+           |             ORDER BY c_acctbal ASC NULLS FIRST, c_custkey ASC NULLS FIRST)
+           |ORDER BY c_nationkey ASC NULLS FIRST, c_custkey ASC NULLS FIRST""".stripMargin))
+
+  /** first/last/nth need the full-partition frame pinned explicitly —
+    * the default frame (unbounded-preceding..current-row) silently makes
+    * last_value = current row.
+    */
+  private val winFirstLast = QueryDef(
+    "q_win_first_last",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(descl("c_acctbal"), ascf("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"),
+          first(col("c_custkey")).over(w).as("richest"),
+          last(col("c_custkey")).over(w).as("poorest"),
+          nth_value(col("c_custkey"), 3).over(w).as("third"))
+        .orderBy(ascf("c_nationkey"), ascf("c_custkey"))
+    },
+    Some("""SELECT c_nationkey, c_custkey,
+           |  first_value(c_custkey) OVER w AS richest,
+           |  last_value(c_custkey) OVER w AS poorest,
+           |  nth_value(c_custkey, 3) OVER w AS third
+           |FROM customer
+           |WINDOW w AS (PARTITION BY c_nationkey
+           |             ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC NULLS FIRST
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           |ORDER BY c_nationkey ASC NULLS FIRST, c_custkey ASC NULLS FIRST""".stripMargin))
+
+  // ---------------------------------------------------------------- §2.7
+
+  /** D1 showcase: Spark ASC defaults to NULLS FIRST, DuckDB to NULLS LAST —
+    * every sort key spells out its null placement on both sides.
+    */
+  private val sortNulls = QueryDef(
+    "q_sort_nulls",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_tax"), lit(0.0)).as("tax_n"))
+        .orderBy(descl("tax_n"), ascf("l_orderkey"), ascf("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber, nullif(l_tax, 0.0) AS tax_n
+           |FROM lineitem
+           |ORDER BY tax_n DESC NULLS LAST, l_orderkey ASC NULLS FIRST,
+           |  l_linenumber ASC NULLS FIRST""".stripMargin))
+
+  private val limitOffset = QueryDef(
+    "q_limit_offset",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(ascf("o_orderkey"))
+        .offset(100)
+        .limit(50),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM orders
+           |ORDER BY o_orderkey ASC NULLS FIRST
+           |LIMIT 50 OFFSET 100""".stripMargin))
+
+  /** Top-k per group via row_number — the scalable top-k idiom: the rank
+    * filter cuts each partition to k rows before any global collection
+    * (vs a global sort + per-group limit, which would shuffle everything).
+    */
+  private val topkGroup = QueryDef(
+    "q_topk_group",
+    (s, d) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(descl("p_retailprice"), ascf("p_partkey"))
+      Tables.part(s, d)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          row_number().over(w).cast("bigint").as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(ascf("p_brand"), ascf("rn"))
+    },
+    Some("""SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+           |  SELECT p_brand, p_partkey, p_retailprice,
+           |    row_number() OVER (PARTITION BY p_brand
+           |      ORDER BY p_retailprice DESC NULLS LAST, p_partkey ASC NULLS FIRST) AS rn
+           |  FROM part)
+           |WHERE rn <= 3
+           |ORDER BY p_brand ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(
+    winRank, winRunning, winLeadLag, winRangeFrame, winNtilePct, winFirstLast,
+    sortNulls, limitOffset, topkGroup)
 }
