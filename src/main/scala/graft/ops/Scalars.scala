@@ -1,7 +1,273 @@
 package graft.ops
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.Dsl._
+import org.apache.spark.sql.functions._
 
+/** Scalar functions + array/map/explode (SURVEY.md §2.9–§2.10).
+  *
+  * All expressions here are Catalyst builtins (whole-stage-codegen'd) —
+  * no UDFs in the hot path. Cross-engine type traps handled per the
+  * probe run against DuckDB 1.0:
+  *   - length/strpos/year/ranking are BIGINT in DuckDB, INT in Spark → cast
+  *   - floor/ceil are DOUBLE in DuckDB, BIGINT in Spark → cast both
+  *   - sign is TINYINT in DuckDB, DOUBLE in Spark → cast both
+  *   - DuckDB regexp_replace is first-match unless the 'g' flag is given
+  *     (Spark is always global)
+  *   - DuckDB map[key] yields a LIST → the map oracle states the expected
+  *     scalars directly instead of indexing a map
+  * ln/exp/power go through round(,4) (rule D3 — libm last-ulp drift).
+  */
 object Scalars {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  // ---------------------------------------------------------------- §2.9
+
+  private val fnString = QueryDef(
+    "q_fn_string",
+    (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          substring(col("p_name"), 1, 5).as("sub5"),
+          lpad(trim(col("p_name")), 20, "*").as("padded"),
+          expr("replace(p_name, 'widget', 'gear')").as("rep"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("cw"),
+          length(col("p_name")).cast("bigint").as("len"),
+          instr(col("p_name"), "e").cast("bigint").as("pos_e"))
+        .orderBy(ascf("p_partkey")),
+    Some("""SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+           |  substring(p_name, 1, 5) AS sub5,
+           |  lpad(trim(p_name), 20, '*') AS padded,
+           |  replace(p_name, 'widget', 'gear') AS rep,
+           |  concat_ws('-', p_brand, p_type) AS cw,
+           |  length(p_name) AS len,
+           |  strpos(p_name, 'e') AS pos_e
+           |FROM part ORDER BY p_partkey ASC NULLS FIRST""".stripMargin))
+
+  /** Rule D6: Java regex vs RE2 — shared subset only (classes, +*?,
+    * anchors, alternation; no backrefs/lookaround).
+    */
+  private val fnRegex = QueryDef(
+    "q_fn_regex",
+    (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_name").rlike("w[a-z]*t"))
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"))
+        .orderBy(ascf("p_partkey")),
+    Some("""SELECT p_partkey,
+           |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel
+           |FROM part WHERE regexp_matches(p_name, 'w[a-z]*t')
+           |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin))
+
+  /** Rule D7: no dayofweek (Spark 1=Sunday, DuckDB 0=Sunday) — year/month/
+    * day, date_trunc, interval arithmetic and day-diffs only.
+    */
+  private val fnDate = QueryDef(
+    "q_fn_date",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          year(col("l_shipdate")).cast("bigint").as("yr"),
+          month(col("l_shipdate")).cast("bigint").as("mo"),
+          dayofmonth(col("l_shipdate")).cast("bigint").as("dy"),
+          epochUs(date_trunc("month", col("l_shipdate"))).as("trunc_mo_us"),
+          epochUs(col("l_shipdate") + expr("INTERVAL 3 DAYS")).as("plus3_us"),
+          datediff(col("l_shipdate").cast("date"),
+            lit("1995-01-01").cast("date")).cast("bigint").as("days_since"))
+        .orderBy(ascf("l_orderkey"), ascf("l_linenumber"), ascf("plus3_us"),
+          ascf("yr"), ascf("mo"), ascf("dy"), ascf("trunc_mo_us"),
+          ascf("days_since")),
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  year(l_shipdate) AS yr, month(l_shipdate) AS mo,
+           |  CAST(day(l_shipdate) AS BIGINT) AS dy,
+           |  epoch_us(date_trunc('month', l_shipdate)) AS trunc_mo_us,
+           |  epoch_us(l_shipdate + INTERVAL 3 DAY) AS plus3_us,
+           |  datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS days_since
+           |FROM lineitem
+           |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+           |  plus3_us ASC NULLS FIRST, yr ASC NULLS FIRST, mo ASC NULLS FIRST,
+           |  dy ASC NULLS FIRST, trunc_mo_us ASC NULLS FIRST,
+           |  days_since ASC NULLS FIRST""".stripMargin))
+
+  private val fnMath = QueryDef(
+    "q_fn_math",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          round(col("l_extendedprice"), 1).as("r1"),
+          floor(col("l_extendedprice")).cast("bigint").as("fl"),
+          ceil(col("l_extendedprice")).cast("bigint").as("ce"),
+          abs(col("l_extendedprice") - 50000.0).as("ab"),
+          (col("l_orderkey") % 7).as("md"),
+          signum(col("l_extendedprice") - 50000.0).cast("bigint").as("sg"),
+          round(sqrt(col("l_extendedprice")), 4).as("sq"),
+          round(pow(col("l_quantity"), 2.0), 4).as("pw"),
+          round(log(col("l_extendedprice")), 4).as("lg"),
+          round(exp(col("l_quantity") / 10.0), 4).as("ex"))
+        .orderBy(ascf("l_orderkey"), ascf("l_linenumber"),
+          ascf("l_extendedprice"), ascf("pw"), ascf("ex")),
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice,
+           |  round(l_extendedprice, 1) AS r1,
+           |  CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+           |  CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+           |  abs(l_extendedprice - 50000.0) AS ab,
+           |  l_orderkey % 7 AS md,
+           |  CAST(sign(l_extendedprice - 50000.0) AS BIGINT) AS sg,
+           |  round(sqrt(l_extendedprice), 4) AS sq,
+           |  round(pow(l_quantity, 2.0), 4) AS pw,
+           |  round(ln(l_extendedprice), 4) AS lg,
+           |  round(exp(l_quantity / 10.0), 4) AS ex
+           |FROM lineitem
+           |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+           |  l_extendedprice ASC NULLS FIRST, pw ASC NULLS FIRST, ex ASC NULLS FIRST""".stripMargin))
+
+  private val fnCond = QueryDef(
+    "q_fn_cond",
+    (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          when(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"), "core")
+            .when(col("c_acctbal") > 5000, "rich")
+            .otherwise("other").as("seg_class"),
+          coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")),
+            lit("redacted")).as("seg_co"),
+          greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+          least(col("c_acctbal"), lit(1000.0)).as("bal_cap"))
+        .orderBy(ascf("c_custkey")),
+    Some("""SELECT c_custkey,
+           |  CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE') THEN 'core'
+           |       WHEN c_acctbal > 5000 THEN 'rich'
+           |       ELSE 'other' END AS seg_class,
+           |  coalesce(nullif(c_mktsegment, 'MACHINERY'), 'redacted') AS seg_co,
+           |  greatest(c_acctbal, 0.0) AS bal_floor,
+           |  least(c_acctbal, 1000.0) AS bal_cap
+           |FROM customer ORDER BY c_custkey ASC NULLS FIRST""".stripMargin))
+
+  /** Rule D4: never double→string (formatting differs). double→bigint is
+    * also avoided (Spark truncates, DuckDB rounds) — exact-2dp doubles go
+    * through decimal instead.
+    */
+  private val fnCast = QueryDef(
+    "q_fn_cast",
+    (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_orderkey").cast("string").as("key_str"),
+          col("o_orderkey").cast("string").cast("bigint").as("key_back"),
+          col("o_custkey").cast("double").as("cust_dbl"),
+          pin2(dec(col("o_totalprice"))).as("price_dec"),
+          (col("o_orderkey") % 100).cast("int").as("key_mod_i32"),
+          epochUs(col("o_orderdate")).as("odate_us"))
+        .orderBy(ascf("o_orderkey")),
+    Some("""SELECT o_orderkey,
+           |  CAST(o_orderkey AS VARCHAR) AS key_str,
+           |  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_back,
+           |  CAST(o_custkey AS DOUBLE) AS cust_dbl,
+           |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS price_dec,
+           |  CAST(o_orderkey % 100 AS INTEGER) AS key_mod_i32,
+           |  epoch_us(o_orderdate) AS odate_us
+           |FROM orders ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin))
+
+  private val fnJson = QueryDef(
+    "q_fn_json",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k_num"))
+        .orderBy(ascf("event_id")),
+    Some("""SELECT event_id,
+           |  json_extract_string(props, '$.k') AS k_str,
+           |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+           |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin))
+
+  // --------------------------------------------------------------- §2.10
+
+  /** Rule D8: 1-based element access on both engines (verified); float
+    * elements widen to double (exact) before any rounding.
+    */
+  private val arrFuncs = QueryDef(
+    "q_arr_funcs",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(col("embedding")).cast("bigint").as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
+          transform(slice(col("embedding"), 1, 3),
+            x => round(x.cast("double"), 4)).as("head3"))
+        .orderBy(ascf("vec_id")),
+    Some("""SELECT vec_id, len(embedding) AS dim,
+           |  round(CAST(embedding[1] AS DOUBLE), 4) AS e1,
+           |  list_transform(embedding[1:3],
+           |    x -> round(CAST(x AS DOUBLE), 4)) AS head3
+           |FROM embeddings ORDER BY vec_id ASC NULLS FIRST""".stripMargin))
+
+  /** Per-position stats over exploded vectors. Spark posexplode is
+    * 0-based; the oracle reconstructs the same 0-based position via a
+    * range(64) join (dim is fixed at 64 — FIXTURES.md). Float values are
+    * scaled to exact integers (round(x·1e6)) so the per-position sums are
+    * exact BIGINT arithmetic, not order-dependent double accumulation.
+    */
+  private val arrExplode = QueryDef(
+    "q_arr_explode",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 20)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v_e6",
+          round(col("v").cast("double") * 1000000, 0).cast("bigint"))
+        .groupBy(col("pos").cast("bigint").as("pos"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("v_e6")).as("sum_e6"),
+          min(col("v_e6")).as("min_e6"),
+          max(col("v_e6")).as("max_e6"))
+        .orderBy(ascf("pos")),
+    Some("""SELECT CAST(i AS BIGINT) AS pos, count(*) AS cnt,
+           |  CAST(sum(CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_e6,
+           |  min(CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS min_e6,
+           |  max(CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000, 0) AS BIGINT)) AS max_e6
+           |FROM embeddings, range(64) t(i)
+           |WHERE vec_id < 20
+           |GROUP BY i ORDER BY pos ASC NULLS FIRST""".stripMargin))
+
+  private val arrAgg = QueryDef(
+    "q_arr_agg",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(array_sort(collect_set(col("source"))).as("srcs"),
+          size(collect_set(col("source"))).cast("bigint").as("n_src"))
+        .orderBy(ascf("lang")),
+    Some("""SELECT lang, list_sort(list(DISTINCT source)) AS srcs,
+           |  count(DISTINCT source) AS n_src
+           |FROM documents GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
+  /** MapType exercised on the Spark side (construct → element_at → size);
+    * DuckDB map indexing yields a LIST in 1.0, so the oracle states the
+    * expected scalars directly — the contract is the scalar output.
+    */
+  private val mapFuncs = QueryDef(
+    "q_map_funcs",
+    (s, d) => {
+      val m = map_from_arrays(
+        array(lit("brand"), lit("type")),
+        array(col("p_brand"), col("p_type")))
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          element_at(m, "brand").as("m_brand"),
+          element_at(m, "type").as("m_type"),
+          size(m).cast("bigint").as("m_card"))
+        .orderBy(ascf("p_partkey"))
+    },
+    Some("""SELECT p_partkey, p_brand AS m_brand, p_type AS m_type,
+           |  CAST(2 AS BIGINT) AS m_card
+           |FROM part ORDER BY p_partkey ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(
+    fnString, fnRegex, fnDate, fnMath, fnCond, fnCast, fnJson,
+    arrFuncs, arrExplode, arrAgg, mapFuncs)
 }
