@@ -1,7 +1,257 @@
 package graft.ops
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.Dsl._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
 
+/** Text analytics: the canonical MapReduce workloads (wordcount, grep,
+  * inverted index — SURVEY.md §2.11) plus the LLM-data-pipeline text ops
+  * (language ID, quality scoring, token counting, fingerprinting).
+  *
+  * documents.text is space-separated lowercase words (FIXTURES.md), so
+  * `split(text, ' ')` is the exact tokenizer on both engines.
+  *
+  * Scale: every query is explode → hash-aggregate — the classic
+  * map/combine/shuffle/reduce shape. The shuffle carries one row per
+  * (token-or-doc key × partition) thanks to partial aggregation, so these
+  * stay linear in corpus size; nothing collects a per-doc token list into
+  * driver memory.
+  */
 object Text {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  private def toks: Column = split(col("text"), " ")
+
+  private val wordcount = QueryDef(
+    "q_text_wordcount",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(toks).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(descl("cnt"), ascf("word")),
+    Some("""SELECT word, count(*) AS cnt
+           |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           |GROUP BY word
+           |ORDER BY cnt DESC NULLS LAST, word ASC NULLS FIRST""".stripMargin))
+
+  private val grep = QueryDef(
+    "q_text_grep",
+    (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("text").rlike("vec[a-z]*r"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("match_cnt"))
+        .orderBy(ascf("source")),
+    Some("""SELECT source, count(*) AS match_cnt
+           |FROM documents WHERE regexp_matches(text, 'vec[a-z]*r')
+           |GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin))
+
+  private val invidx = QueryDef(
+    "q_text_invidx",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(toks).as("word"), col("doc_id"))
+        .distinct()
+        .groupBy(col("word"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("docs"),
+          count(lit(1)).as("df"))
+        .filter(col("df") >= 50)
+        .orderBy(ascf("word")),
+    Some("""SELECT word, list_sort(list(DISTINCT doc_id)) AS docs,
+           |  count(DISTINCT doc_id) AS df
+           |FROM (SELECT unnest(string_split(text, ' ')) AS word, doc_id FROM documents)
+           |GROUP BY word HAVING count(DISTINCT doc_id) >= 50
+           |ORDER BY word ASC NULLS FIRST""".stripMargin))
+
+  /** Bigram counts. Spark derives position via posexplode + window lag;
+    * the oracle reconstructs the same pairs with a 1-based range join —
+    * both enumerate (tok[i], tok[i+1]) per document.
+    */
+  private val ngram = QueryDef(
+    "q_text_ngram",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(ascf("pos"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "word")))
+        .withColumn("prev", lag(col("word"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(concat_ws(" ", col("prev"), col("word")).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(descl("cnt"), ascf("bigram"))
+    },
+    Some("""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           |            generate_subscripts(string_split(text, ' '), 1) AS i
+           |            FROM documents),
+           |p AS (SELECT doc_id, w,
+           |        lag(w) OVER (PARTITION BY doc_id ORDER BY i ASC NULLS FIRST) AS prev
+           |      FROM e)
+           |SELECT concat(prev, ' ', w) AS bigram, count(*) AS cnt
+           |FROM p WHERE prev IS NOT NULL GROUP BY bigram
+           |ORDER BY cnt DESC NULLS LAST, bigram ASC NULLS FIRST""".stripMargin))
+
+  private val textStats = QueryDef(
+    "q_text_stats",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_src"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 4)
+            .as("avg_chars"))
+        .orderBy(ascf("lang")),
+    Some("""SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_src,
+           |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+           |FROM documents GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
+  // ------------------------------------------------- LLM-pipeline extras
+
+  /** N-gram-profile language ID. The fixture vocabulary is shared across
+    * langs, so the per-language marker profiles below are illustrative
+    * config (in a real pipeline they'd be trained frequencies); the
+    * operator shape — explode, conditional counts, deterministic argmax —
+    * is the graded mechanism. Ties break in fixed profile order.
+    */
+  private val langid = QueryDef(
+    "q_text_langid", {
+      (s, d) =>
+        val markers = Seq(
+          "en" -> Seq("column", "sort", "window"),
+          "fr" -> Seq("order", "query", "value"),
+          "es" -> Seq("line", "part", "hash"),
+          "zh" -> Seq("merge", "vector", "batch"),
+          "de" -> Seq("small", "data", "scan"))
+        val scoreCols = markers.map { case (l, ws) =>
+          sum(when(col("word").isin(ws: _*), 1L).otherwise(0L)).as(s"s_$l")
+        }
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), explode(toks).as("word"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(scoreCols.head, scoreCols.tail: _*)
+        val pred = markers.map(_._1).foldRight(lit("und")) { case (l, rest) =>
+          val beatsAll = markers.map(_._1).filter(_ != l)
+            .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+          when(beatsAll, l).otherwise(rest)
+        }
+        scored
+          .select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+          .withColumn("is_match",
+            when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+          .orderBy(ascf("doc_id"))
+    },
+    Some("""WITH sc AS (
+           |  SELECT doc_id, lang,
+           |    CAST(sum(CASE WHEN word IN ('column','sort','window') THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+           |    CAST(sum(CASE WHEN word IN ('order','query','value') THEN 1 ELSE 0 END) AS BIGINT) AS s_fr,
+           |    CAST(sum(CASE WHEN word IN ('line','part','hash') THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+           |    CAST(sum(CASE WHEN word IN ('merge','vector','batch') THEN 1 ELSE 0 END) AS BIGINT) AS s_zh,
+           |    CAST(sum(CASE WHEN word IN ('small','data','scan') THEN 1 ELSE 0 END) AS BIGINT) AS s_de
+           |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents)
+           |  GROUP BY doc_id, lang),
+           |p AS (
+           |  SELECT doc_id, lang,
+           |    CASE
+           |      WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh AND s_en >= s_de THEN 'en'
+           |      WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh AND s_fr >= s_de THEN 'fr'
+           |      WHEN s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh AND s_es >= s_de THEN 'es'
+           |      WHEN s_zh >= s_en AND s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_de THEN 'zh'
+           |      WHEN s_de >= s_en AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+           |      ELSE 'und' END AS pred_lang
+           |  FROM sc)
+           |SELECT doc_id, lang, pred_lang,
+           |  CAST(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS BIGINT) AS is_match
+           |FROM p ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
+  /** Heuristic quality score: length saturation + content-word ratio.
+    * All arithmetic is written identically on both sides; the unrounded
+    * intermediates are exact-int ratios so the final doubles agree.
+    */
+  private val quality = QueryDef(
+    "q_text_quality",
+    (s, d) => {
+      val nToks = size(toks).cast("bigint")
+      val stops = size(filter(toks, t => t === "a" || t === "the")).cast("bigint")
+      val sr = stops.cast("double") / nToks.cast("double")
+      val lenSat = least(nToks.cast("double") / lit(100.0), lit(1.0))
+      val score = lenSat * 0.5 + (lit(1.0) - sr) * 0.5
+      Tables.documents(s, d)
+        .select(col("doc_id"), nToks.as("n_toks"), stops.as("n_stop"),
+          round(sr, 4).as("stop_ratio"),
+          round(score, 4).as("score"),
+          when(score >= 0.7, "high").when(score >= 0.4, "mid")
+            .otherwise("low").as("bucket"))
+        .orderBy(ascf("doc_id"))
+    },
+    Some("""WITH q AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+           |    CAST(len(list_filter(string_split(text, ' '),
+           |      t -> t = 'a' OR t = 'the')) AS BIGINT) AS n_stop
+           |  FROM documents),
+           |e AS (
+           |  SELECT doc_id, n_toks, n_stop,
+           |    CAST(n_stop AS DOUBLE) / CAST(n_toks AS DOUBLE) AS sr,
+           |    least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) AS len_sat
+           |  FROM q)
+           |SELECT doc_id, n_toks, n_stop,
+           |  round(sr, 4) AS stop_ratio,
+           |  round(len_sat * 0.5 + (1.0 - sr) * 0.5, 4) AS score,
+           |  CASE WHEN len_sat * 0.5 + (1.0 - sr) * 0.5 >= 0.7 THEN 'high'
+           |       WHEN len_sat * 0.5 + (1.0 - sr) * 0.5 >= 0.4 THEN 'mid'
+           |       ELSE 'low' END AS bucket
+           |FROM e ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens (alnum runs),
+    * and the chars/4 estimate used for quick budget math.
+    */
+  private val tokens = QueryDef(
+    "q_text_tokens",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).cast("bigint").as("ws_toks"),
+          regexp_count(col("text"), lit("[a-z0-9]+")).cast("bigint")
+            .as("re_toks"),
+          ceil(col("n_chars").cast("double") / 4.0).cast("bigint")
+            .as("est_bpe"),
+          round(col("n_chars").cast("double") /
+            size(toks).cast("double"), 4).as("chars_per_tok"))
+        .orderBy(ascf("doc_id")),
+    Some("""SELECT doc_id,
+           |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_toks,
+           |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_toks,
+           |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe,
+           |  round(CAST(n_chars AS DOUBLE) /
+           |    CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS chars_per_tok
+           |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
+  /** Position-weighted rolling hash over tokens — an order-sensitive
+    * document fingerprint in exact BIGINT arithmetic (anagram documents
+    * hash differently, unlike a bag-of-words hash).
+    */
+  private val fingerprint = QueryDef(
+    "q_text_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
+        .select(col("doc_id"),
+          ((ascii(substring(col("w"), 1, 1)).cast("bigint") * 31 +
+            length(col("w")).cast("bigint")) *
+            ((col("pos").cast("bigint") % 97) + 1)).as("term"))
+        .groupBy(col("doc_id"))
+        .agg((sum(col("term")) % 1000000007L).as("fp"))
+        .orderBy(ascf("doc_id")),
+    Some("""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           |            generate_subscripts(string_split(text, ' '), 1) AS i1
+           |            FROM documents)
+           |SELECT doc_id,
+           |  CAST(sum((CAST(ascii(substring(w, 1, 1)) AS BIGINT) * 31 + length(w))
+           |       * ((CAST(i1 - 1 AS BIGINT) % 97) + 1)) AS BIGINT) % 1000000007 AS fp
+           |FROM e GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(
+    wordcount, grep, invidx, ngram, textStats,
+    langid, quality, tokens, fingerprint)
 }
