@@ -3,13 +3,18 @@
 
 Usage: parity.py <sfdir> <verify_outdir> [query ...]
 
-Reads each Spark result parquet written by graft.Verify, runs the matching
-oracle SQL from oracle_sql.json in DuckDB over the same source tables, and
-diffs values cell-by-cell after sorting columns by name (mimicking the
-driver's hash compare). Exit 1 on any mismatch.
+Reproduces the DRIVER'S ingestion paths exactly (ADVICE r02):
+  - Spark side: pandas.read_parquet of the Verify output — parquet DECIMAL
+    columns stay scale-preserving decimal.Decimal objects ('138014.00').
+  - Oracle side: duckdb .df() — DECIMAL results become float64 ('138014.0').
+Then sorts columns by name, sorts rows by all columns (the driver's
+sort_values — this is also what crashes on list/ndarray cells, so that
+crash reproduces here too), and compares the RENDERED (str) cell values.
+Any divergence the driver would hash-fail shows up as a cell diff here.
+Exit 1 on any mismatch.
 """
-import duckdb, json, glob, os, sys, math
-from decimal import Decimal
+import duckdb, json, glob, os, sys
+import pandas as pd
 
 sf, out = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3:])
@@ -21,15 +26,10 @@ for f in glob.glob(os.path.join(sf, "*.parquet")):
 
 oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
 
-def cells_eq(a, b):
-    if a is None or b is None:
-        return a is None and b is None
-    if isinstance(a, float) or isinstance(b, float):
-        if isinstance(a, Decimal): a = float(a)
-        if isinstance(b, Decimal): b = float(b)
-        if math.isnan(a) and math.isnan(b): return True
-        return a == b  # exact: engines must agree bit-for-bit per D2/D3
-    return a == b
+def render(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df.astype(str)
 
 n_pass = n_fail = 0
 missing = []
@@ -40,38 +40,34 @@ for name in sorted(oracle):
     if not spark_glob:
         missing.append(name)
         continue
-    sql = oracle[name]
-    # Logical types matter: the driver's hash failed 7 round-1 queries whose
-    # values were identical but whose decimal widths differed (ADVICE r01) —
-    # compare DuckDB's view of both schemas, not just values.
-    stypes = dict(
-        (r[0], r[1]) for r in
-        con.execute(f"DESCRIBE SELECT * FROM read_parquet('{spark_glob[0]}')").fetchall())
-    otypes = dict((r[0], r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall())
-    srel = con.execute(f"SELECT * FROM read_parquet('{spark_glob[0]}')")
-    scols = [d[0] for d in srel.description]
-    srows = srel.fetchall()
-    orel = con.execute(sql)
-    ocols = [d[0] for d in orel.description]
-    orows = orel.fetchall()
     errs = []
-    for c in sorted(set(stypes) & set(otypes)):
-        if stypes[c] != otypes[c]:
-            errs.append(f"type of {c} differs: spark={stypes[c]} oracle={otypes[c]}")
-    if sorted(scols) != sorted(ocols):
-        errs.append(f"column names differ: spark={sorted(scols)} oracle={sorted(ocols)}")
-    elif len(srows) != len(orows):
-        errs.append(f"row count differs: spark={len(srows)} oracle={len(orows)}")
-    else:
-        sidx = [scols.index(c) for c in sorted(scols)]
-        oidx = [ocols.index(c) for c in sorted(ocols)]
-        for i, (sr, orow) in enumerate(zip(srows, orows)):
-            for si, oi in zip(sidx, oidx):
-                if not cells_eq(sr[si], orow[oi]):
-                    errs.append(
-                        f"row {i} col {scols[si]}: spark={sr[si]!r} oracle={orow[oi]!r}")
-                    if len(errs) >= 5: break
-            if len(errs) >= 5: break
+    try:
+        sdf = pd.read_parquet(spark_glob[0])          # driver path: pyarrow
+        odf = con.execute(oracle[name]).df()          # driver path: duckdb .df()
+        if sorted(sdf.columns) != sorted(odf.columns):
+            errs.append(f"column names differ: spark={sorted(sdf.columns)} "
+                        f"oracle={sorted(odf.columns)}")
+        elif len(sdf) != len(odf):
+            errs.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
+        else:
+            sr, orr = render(sdf), render(odf)
+            # dtype drift is what made round-2 decimals render apart — surface it
+            for c in sr.columns:
+                if str(sdf[c].dtype) != str(odf[c].dtype):
+                    errs.append(f"dtype of {c}: spark={sdf[c].dtype} "
+                                f"oracle={odf[c].dtype}")
+            neq = (sr != orr)
+            if neq.any().any():
+                for c in sr.columns:
+                    bad = neq[c]
+                    if bad.any():
+                        i = int(bad.idxmax())
+                        errs.append(f"row {i} col {c}: spark={sr[c][i]!r} "
+                                    f"oracle={orr[c][i]!r} "
+                                    f"({int(bad.sum())} cells differ)")
+            errs = errs[:6]
+    except Exception as e:
+        errs.append(f"driver-path crash: {type(e).__name__}: {e}")
     if errs:
         n_fail += 1
         print(f"FAIL {name}")
@@ -79,7 +75,7 @@ for name in sorted(oracle):
             print(f"     {e}")
     else:
         n_pass += 1
-        print(f"ok   {name} ({len(srows)} rows)")
+        print(f"ok   {name} ({len(sdf)} rows)")
 
 if missing:
     print(f"missing spark output (declared in oracle_sql.json): {missing}")

@@ -51,18 +51,20 @@ object Dsl {
     */
   def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
 
-  /** Rule D9 (ADVICE r01): the driver's hash compare is sensitive to the
-    * decimal RESULT TYPE, and the engines infer different widths for the
-    * same arithmetic (Spark sum(DECIMAL(18,2)) → DECIMAL(28,2), DuckDB →
-    * DECIMAL(38,2); products differ too). Every decimal OUTPUT column must
-    * therefore be pinned to a fixed DECIMAL(38,s) here AND via
-    * `CAST(... AS DECIMAL(38,s))` in the oracle SQL. Value-preserving:
-    * both engines cap precision at 38 and the pinned scale always ≥ the
-    * computed scale.
+  /** Rule D9 (ADVICE r02): decimal OUTPUT columns are ungradeable — the
+    * driver reads the Spark parquet via pandas (decimals stay
+    * scale-preserving `Decimal('138014.00')`) but the DuckDB oracle via
+    * `.df()` (decimals become float64 `138014.0`), so any value with a
+    * trailing zero renders differently and hash-mismatches. Fix: keep all
+    * INTERNAL math exact-decimal (rule D2), then cast the FINAL output to
+    * DOUBLE on both sides (`CAST(... AS DOUBLE)` in the oracle). Both
+    * engines correctly-round the same exact decimal to the nearest
+    * float64 (unscaled values ≪ 2^53 at verify scale), so the doubles are
+    * bit-identical; pandas then sees float64 on both paths.
     */
-  def pin2(c: Column): Column = c.cast(DecimalType(38, 2))
-  def pin4(c: Column): Column = c.cast(DecimalType(38, 4))
-  def pin6(c: Column): Column = c.cast(DecimalType(38, 6))
+  def pin2(c: Column): Column = c.cast("double")
+  def pin4(c: Column): Column = c.cast("double")
+  def pin6(c: Column): Column = c.cast("double")
 
   /** ASC NULLS FIRST — matches `ASC NULLS FIRST` in oracle SQL (D1). */
   def ascf(c: Column): Column = c.asc_nulls_first

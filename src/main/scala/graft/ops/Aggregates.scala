@@ -44,13 +44,13 @@ object Aggregates {
           count(lit(1)).as("count_order"))
         .orderBy(ascf("l_returnflag"), ascf("l_linestatus")),
     Some("""SELECT l_returnflag, l_linestatus,
-           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
            |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-           |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+           |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
            |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
            |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
-           |    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DECIMAL(38,6)) AS sum_charge,
+           |    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
            |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
            |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
            |  count(*) AS count_order
@@ -72,7 +72,7 @@ object Aggregates {
           avg4(sum(dec(col("l_extendedprice"))), count(lit(1))).as("avg_price")),
     Some("""SELECT count(*) AS cnt, count(l_quantity) AS cnt_qty,
            |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
-           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
            |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price
            |FROM lineitem""".stripMargin))
 
@@ -101,7 +101,7 @@ object Aggregates {
         .filter(col("order_cnt") >= 12)
         .orderBy(ascf("o_custkey")),
     Some("""SELECT o_custkey, count(*) AS order_cnt,
-           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spent
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
            |FROM orders GROUP BY o_custkey
            |HAVING count(*) >= 12
            |ORDER BY o_custkey ASC NULLS FIRST""".stripMargin))
@@ -115,7 +115,7 @@ object Aggregates {
           count(lit(1)).as("cnt"))
         .orderBy(ascf("l_returnflag"), ascf("l_linestatus")),
     Some("""SELECT l_returnflag, l_linestatus,
-           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty, count(*) AS cnt
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS cnt
            |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
 
@@ -128,7 +128,7 @@ object Aggregates {
           count(lit(1)).as("cnt"))
         .orderBy(ascf("l_returnflag"), ascf("l_linestatus")),
     Some("""SELECT l_returnflag, l_linestatus,
-           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty, count(*) AS cnt
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS cnt
            |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
 
@@ -143,7 +143,7 @@ object Aggregates {
           count(lit(1)).as("cnt"))
         .orderBy(ascf("l_returnflag"), ascf("l_linestatus")),
     Some("""SELECT l_returnflag, l_linestatus,
-           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty, count(*) AS cnt
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS cnt
            |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
 

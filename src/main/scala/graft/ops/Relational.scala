@@ -33,7 +33,7 @@ object Relational {
           ascf("l_quantity"), ascf("l_extendedprice"), ascf("revenue")),
     Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
            |CAST(CAST(l_extendedprice AS DECIMAL(12,2))
-           |  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS revenue
+           |  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
            |FROM lineitem
            |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
            |  l_quantity ASC NULLS FIRST, l_extendedprice ASC NULLS FIRST,
@@ -271,7 +271,7 @@ object Relational {
     },
     Some("""SELECT l_orderkey,
            |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-           |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS revenue,
+           |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
            |  epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
            |FROM customer JOIN orders ON c_custkey = o_custkey
            |  JOIN lineitem ON o_orderkey = l_orderkey
@@ -293,7 +293,7 @@ object Relational {
           count(lit(1)).as("line_cnt"))
         .orderBy(ascf("p_brand"))
     },
-    Some("""SELECT p_brand, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+    Some("""SELECT p_brand, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            |       count(*) AS line_cnt
            |FROM lineitem JOIN part ON l_partkey = p_partkey
            |WHERE p_type = 'PROMO'

@@ -167,7 +167,7 @@ object Scalars {
            |  CAST(o_orderkey AS VARCHAR) AS key_str,
            |  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_back,
            |  CAST(o_custkey AS DOUBLE) AS cust_dbl,
-           |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS price_dec,
+           |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
            |  CAST(o_orderkey % 100 AS INTEGER) AS key_mod_i32,
            |  epoch_us(o_orderdate) AS odate_us
            |FROM orders ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin))
@@ -180,30 +180,38 @@ object Scalars {
           get_json_object(col("props"), "$.k").as("k_str"),
           get_json_object(col("props"), "$.k").cast("bigint").as("k_num"))
         .orderBy(ascf("event_id")),
+    // TRY_CAST mirrors Spark's null-on-failure cast (ADVICE r02): a plain
+    // CAST would hard-error the whole oracle on any non-numeric k.
     Some("""SELECT event_id,
            |  json_extract_string(props, '$.k') AS k_str,
-           |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+           |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
            |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin))
 
   // --------------------------------------------------------------- §2.10
 
   /** Rule D8: 1-based element access on both engines (verified); float
-    * elements widen to double (exact) before any rounding.
+    * elements widen to double (exact) before any rounding. List-typed
+    * outputs are ungradeable (the driver's pandas sort crashes on ndarray
+    * cells — ADVICE r02), so the slice is emitted as three scalar columns.
     */
   private val arrFuncs = QueryDef(
     "q_arr_funcs",
-    (s, d) =>
+    (s, d) => {
+      def el(i: Int) = round(element_at(col("embedding"), i).cast("double"), 4)
       Tables.embeddings(s, d)
         .select(col("vec_id"),
           size(col("embedding")).cast("bigint").as("dim"),
-          round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
-          transform(slice(col("embedding"), 1, 3),
-            x => round(x.cast("double"), 4)).as("head3"))
-        .orderBy(ascf("vec_id")),
+          el(1).as("e1"), el(2).as("e2"), el(3).as("e3"),
+          round(aggregate(slice(col("embedding"), 1, 3),
+            lit(0.0), (acc, x) => acc + x.cast("double")), 4).as("head3_sum"))
+        .orderBy(ascf("vec_id"))
+    },
     Some("""SELECT vec_id, len(embedding) AS dim,
            |  round(CAST(embedding[1] AS DOUBLE), 4) AS e1,
-           |  list_transform(embedding[1:3],
-           |    x -> round(CAST(x AS DOUBLE), 4)) AS head3
+           |  round(CAST(embedding[2] AS DOUBLE), 4) AS e2,
+           |  round(CAST(embedding[3] AS DOUBLE), 4) AS e3,
+           |  round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+           |    + CAST(embedding[3] AS DOUBLE), 4) AS head3_sum
            |FROM embeddings ORDER BY vec_id ASC NULLS FIRST""".stripMargin))
 
   /** Per-position stats over exploded vectors. Spark posexplode is
@@ -234,15 +242,19 @@ object Scalars {
            |WHERE vec_id < 20
            |GROUP BY i ORDER BY pos ASC NULLS FIRST""".stripMargin))
 
+  /** Collected list emitted as a joined string (list cells are ungradeable
+    * — ADVICE r02); sort before join pins element order (D8).
+    */
   private val arrAgg = QueryDef(
     "q_arr_agg",
     (s, d) =>
       Tables.documents(s, d)
         .groupBy(col("lang"))
-        .agg(array_sort(collect_set(col("source"))).as("srcs"),
+        .agg(array_join(array_sort(collect_set(col("source"))), ",").as("srcs"),
           size(collect_set(col("source"))).cast("bigint").as("n_src"))
         .orderBy(ascf("lang")),
-    Some("""SELECT lang, list_sort(list(DISTINCT source)) AS srcs,
+    Some("""SELECT lang,
+           |  array_to_string(list_sort(list(DISTINCT source)), ',') AS srcs,
            |  count(DISTINCT source) AS n_src
            |FROM documents GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin))
 

@@ -54,11 +54,15 @@ object Text {
         .select(explode(toks).as("word"), col("doc_id"))
         .distinct()
         .groupBy(col("word"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("docs"),
+        // posting list as a joined string: list cells are ungradeable
+        // (driver's pandas sort crashes on ndarray — ADVICE r02)
+        .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string")), ",").as("docs"),
           count(lit(1)).as("df"))
         .filter(col("df") >= 50)
         .orderBy(ascf("word")),
-    Some("""SELECT word, list_sort(list(DISTINCT doc_id)) AS docs,
+    Some("""SELECT word,
+           |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS docs,
            |  count(DISTINCT doc_id) AS df
            |FROM (SELECT unnest(string_split(text, ' ')) AS word, doc_id FROM documents)
            |GROUP BY word HAVING count(DISTINCT doc_id) >= 50

@@ -64,7 +64,7 @@ object Windows {
            |    PARTITION BY o_custkey
            |    ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           |    AS DECIMAL(38,2)) AS running_spend
+           |    AS DOUBLE) AS running_spend
            |FROM orders
            |ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin))
 
@@ -112,7 +112,7 @@ object Windows {
     },
     Some("""SELECT o_custkey, o_orderkey, cents,
            |  count(*) OVER w AS near_cnt,
-           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS near_sum
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS near_sum
            |FROM (SELECT *, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders)
            |WINDOW w AS (PARTITION BY o_custkey ORDER BY cents ASC
            |             RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING)
