@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import graft.Dsl._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scans, filters, joins (SURVEY.md §2.2–§2.4).
@@ -249,6 +250,50 @@ object Relational {
            |GROUP BY e1.user_id
            |ORDER BY e1.user_id ASC NULLS FIRST""".stripMargin))
 
+  /** As-of join — Spark has no native operator, so this is the canonical
+    * union-tag + running `last_value` rewrite: interleave purchases and
+    * clicks on one per-user timeline, carry the latest purchase forward
+    * with an ignore-nulls last() window, keep the click rows. At equal
+    * timestamps the purchase sorts first (tag 0 < 1), giving inclusive
+    * `click.ts >= purchase.ts` — exactly DuckDB's ASOF JOIN semantics.
+    * Scale: one shuffle on user_id + one sort, vs. the O(n·m) range join
+    * a naive inequality join would plan; this is the shape that survives
+    * 100 TB (and what AsofSpec pins). The oracle casts ts::TIMESTAMP so
+    * both engines compare at µs (SURVEY.md §1.3).
+    */
+  private val joinAsof = QueryDef(
+    "q_join_asof",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(0).as("tag"),
+          col("event_id").as("purchase_id"), lit(null).cast("long").as("click_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("tag"),
+          lit(null).cast("long").as("purchase_id"), col("event_id").as("click_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(ascf(col("ts")), ascf(col("tag")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.unionByName(clicks)
+        .withColumn("asof_purchase_id",
+          last(col("purchase_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_pts",
+          last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("click_id"), col("asof_purchase_id").as("purchase_id"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_pts"))).as("gap_us"))
+        .orderBy(ascf("click_id"))
+    },
+    Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           |  epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+           |FROM (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events
+           |      WHERE event_type = 'click') c
+           |ASOF LEFT JOIN
+           |     (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events
+           |      WHERE event_type = 'purchase') p
+           |  ON c.user_id = p.user_id AND c.ts >= p.ts
+           |ORDER BY click_id ASC NULLS FIRST""".stripMargin))
+
   // TPC-H Q3 shape: dimension-filtered star join, top-10 revenue groups.
   private val joinStar = QueryDef(
     "q_join_star",
@@ -304,5 +349,5 @@ object Relational {
     scanProject, scanPushdown, scanEventsNs,
     filterCompound, filterExpr,
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
-    joinCross, joinTheta, joinRange, joinStar, joinBroadcast)
+    joinCross, joinTheta, joinRange, joinAsof, joinStar, joinBroadcast)
 }

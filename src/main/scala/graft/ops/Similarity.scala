@@ -1,7 +1,237 @@
 package graft.ops
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.Dsl._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Dedup & similarity — the LLM-data-pipeline operators (SURVEY.md §2.12).
+  *
+  * Float determinism (rule D3): every vector is quantized to exact
+  * integers (round(x·1e6) as BIGINT) before any arithmetic, so dot
+  * products and norms are EXACT int64 sums — order-independent under
+  * parallel aggregation and bit-identical across engines. Only the final
+  * cosine (two exact ints through sqrt/divide) is double, and both sides
+  * spell out the identical formula.
+  *
+  * Scale (100 TB): similarity self-joins are never all-pairs — they are
+  * bucketed (lang / label / LSH band) so candidate counts stay ~linear;
+  * the exact confirm runs only on candidates. Token-set intersection is
+  * computed via an exploded postings join (shuffle on token), which is
+  * the scalable plan — no per-row array UDFs over a cross join.
+  */
 object Similarity {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  /** Quantize a float column to exact 1e-6-resolution BIGINT (D3). */
+  private def e6(c: Column): Column =
+    round(c.cast("double") * 1000000, 0).cast("long")
+
+  /** embeddings with v = quantized vector, nn = exact int self-dot. */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => e6(x)).as("v"))
+      .withColumn("nn",
+        aggregate(transform(col("v"), x => x * x), lit(0L), (a, x) => a + x))
+
+  /** Exact int64 dot product of two quantized vectors. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** cosine from exact int dot/norms — identical formula in the oracle. */
+  private def cosine(dotc: Column, na: Column, nb: Column): Column =
+    dotc.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  private val oracleQuantized =
+    """WITH e AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000, 0) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |  CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS nn FROM e)""".stripMargin
+
+  /** Exact dedup by normalized key (lower/trim, first-5-token prefix —
+    * the corpus has no full-text duplicates, FIXTURES.md): survivor = min
+    * doc_id per key. One shuffle on the key; at 100 TB the key hash
+    * distributes uniformly, and the window is a per-key top-1 (no sort of
+    * the whole partition beyond the grouped keys).
+    */
+  private val dedupExact = QueryDef(
+    "q_dedup_exact",
+    (s, d) => {
+      val nk = array_join(slice(split(lower(trim(col("text"))), " "), 1, 5), " ")
+      val w = Window.partitionBy("nk").orderBy(ascf("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("nk", nk)
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("rn") === 1, lit(1))).as("n_survivors"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH k AS (SELECT doc_id, lang,
+           |  array_to_string(string_split(lower(trim(text)), ' ')[1:5], ' ') AS nk
+           |  FROM documents),
+           |r AS (SELECT lang,
+           |  row_number() OVER (PARTITION BY nk ORDER BY doc_id ASC) AS rn FROM k)
+           |SELECT lang, count(*) AS n_docs,
+           |  count(*) FILTER (WHERE rn = 1) AS n_survivors
+           |FROM r GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
+  /** Exact token-set Jaccard for same-lang pairs at ≥ 0.95, via a postings
+    * join: |∩| = join exploded distinct tokens on (lang, token), set sizes
+    * from per-doc distinct counts. Sub-quadratic: work is Σ_token df² per
+    * lang, not n² — the scalable shape (common-token df capping is the
+    * 100 TB refinement). Jaccard = exact-int division in double.
+    */
+  private val simJaccard = QueryDef(
+    "q_sim_jaccard_pairs",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(split(col("text"), " "))).as("w"))
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = toks.alias("a")
+        .join(toks.alias("b"),
+          col("a.lang") === col("b.lang") && col("a.w") === col("b.w") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+        .withColumn("jac",
+          col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jac") >= 0.95)
+        .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
+        .orderBy(ascf("d1"), ascf("d2"))
+    },
+    Some("""WITH t AS (SELECT doc_id, lang,
+           |  unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+           |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+           |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+           |      FROM t a JOIN t b
+           |        ON a.lang = b.lang AND a.w = b.w AND a.doc_id < b.doc_id
+           |      GROUP BY 1, 2)
+           |SELECT d1, d2,
+           |  round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 4) AS jaccard
+           |FROM p JOIN sz s1 ON p.d1 = s1.doc_id JOIN sz s2 ON p.d2 = s2.doc_id
+           |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.95
+           |ORDER BY d1 ASC NULLS FIRST, d2 ASC NULLS FIRST""".stripMargin))
+
+  /** Brute-force cosine top-k of probe vec_id=0 — the ANN baseline. The
+    * 1-row probe is broadcast; the scan side never shuffles. Ordered by
+    * the ROUNDED cosine + vec_id tiebreak so the top-10 cut is stable.
+    */
+  private val simCosineTopk = QueryDef(
+    "q_sim_cosine_topk",
+    (s, d) => {
+      val emb = quantized(s, d)
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("v").as("pv"), col("nn").as("pnn"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          round(cosine(dot(col("v"), col("pv")), col("nn"), col("pnn")), 6)
+            .as("cos"))
+        .orderBy(descl("cos"), ascf("vec_id"))
+        .limit(10)
+    },
+    Some(oracleQuantized +
+      """,
+        |p AS (SELECT v, nn FROM n WHERE vec_id = 0)
+        |SELECT a.vec_id,
+        |  round(CAST(list_sum(list_transform(range(1, 65), k -> a.v[k] * p.v[k])) AS DOUBLE)
+        |    / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(p.nn AS DOUBLE))), 6) AS cos
+        |FROM n a, p WHERE a.vec_id <> 0
+        |ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST
+        |LIMIT 10""".stripMargin))
+
+  /** Same-label pairwise cosine with a threshold count — label-bucketed
+    * self-join (≈ n²/L pairs instead of n²); all 10 labels stay in the
+    * output because the threshold is a conditional count, not a filter.
+    */
+  private val simThresholdJoin = QueryDef(
+    "q_sim_threshold_join",
+    (s, d) => {
+      val emb = quantized(s, d)
+      val a = emb.select(col("label"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("nn").as("na"))
+      val b = emb.select(col("label"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("nn").as("nb"))
+      a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+        .withColumn("cos", cosine(dot(col("va"), col("vb")), col("na"), col("nb")))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("cos") >= 0.3, lit(1))).as("n_close"))
+        .orderBy(ascf("label"))
+    },
+    Some(oracleQuantized +
+      """
+        |SELECT a.label, count(*) AS n_pairs,
+        |  count(*) FILTER (WHERE
+        |    CAST(list_sum(list_transform(range(1, 65), k -> a.v[k] * b.v[k])) AS DOUBLE)
+        |      / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE))) >= 0.3)
+        |    AS n_close
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |GROUP BY a.label ORDER BY a.label ASC NULLS FIRST""".stripMargin))
+
+  /** MinHash + LSH near-dup detection (no oracle — hash choices are
+    * engine-specific; property-tested in MinHashSpec instead).
+    *
+    * Pipeline: 3-token shingles → 32 minhashes (xxhash64 with fixed seed
+    * column) → 4 bands × 8 rows → band-bucket self-join for candidates →
+    * confirm by signature agreement ≥ 26/32 (est. Jaccard ≥ ~0.8).
+    * Buckets are capped at 50 docs (skew guard: a degenerate bucket would
+    * otherwise go quadratic — the standard LSH practice at scale; this
+    * corpus is pathologically self-similar, FIXTURES.md).
+    * Candidate counts stay ~linear in docs: that is the whole point of
+    * banding vs the n² exact join at 100 TB.
+    */
+  private val dedupMinhash = QueryDef(
+    "q_dedup_fuzzy_minhash",
+    (s, d) => {
+      val nHashes = 32; val bands = 4; val rows = 8
+      val docs = Tables.documents(s, d)
+      val shingles = docs
+        .select(col("doc_id"),
+          explode(expr(
+            "array_distinct(transform(sequence(0, greatest(size(split(text,' '))-3, 0)), " +
+              "i -> concat_ws(' ', slice(split(text,' '), i+1, 3))))")).as("sh"))
+      val sig = shingles
+        .groupBy(col("doc_id"))
+        .agg(array((0 until nHashes).map(i =>
+          min(xxhash64(lit(i), col("sh")))): _*).as("sig"))
+      val banded = sig.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b) +: (0 until rows).map(r =>
+            element_at(col("sig"), b * rows + r + 1)): _*)): _*))
+          .as(Seq("band", "bucket")))
+      val buckets = banded
+        .groupBy(col("band"), col("bucket"))
+        .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
+        .filter(size(col("ds")).between(2, 50))
+      val cand = buckets
+        .select(explode(expr(
+          """flatten(transform(ds, a ->
+            |  filter(transform(ds, b -> struct(a.doc_id as d1, b.doc_id as d2,
+            |    a.sig as s1, b.sig as s2)), p -> p.d1 < p.d2)))""".stripMargin))
+          .as("p"))
+        .select(col("p.*")).distinct()
+      val confirmed = cand
+        .withColumn("agree",
+          aggregate(zip_with(col("s1"), col("s2"),
+            (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x))
+      val langOf = docs.select(col("doc_id"), col("lang"))
+      confirmed
+        .join(langOf.withColumnRenamed("doc_id", "d1"), "d1")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_candidates"),
+          count(when(col("agree") >= 26, lit(1))).as("n_confirmed"))
+        .orderBy(ascf("lang"))
+    },
+    None)
+
+  def defs: Seq[QueryDef] = Seq(
+    dedupExact, simJaccard, simCosineTopk, simThresholdJoin, dedupMinhash)
 }

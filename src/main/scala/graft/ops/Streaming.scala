@@ -1,7 +1,138 @@
 package graft.ops
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.Dsl._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Streaming semantics over `events` (SURVEY.md §2.13).
+  *
+  * Each operator is declared by its batch-equivalent query on the bounded
+  * events table — exactly Structured Streaming's prefix-consistency
+  * contract (the streaming run must equal the batch query on the
+  * data-so-far). StreamingSpec replays the same computations through
+  * `readStream` + `Trigger.AvailableNow` and asserts identical results;
+  * at 100 TB these run with watermarks bounding StateStore size.
+  *
+  * Determinism: event values are quantized to exact BIGINT (no double
+  * accumulation); window starts go out as epoch-µs (rule D5). The oracle
+  * casts `ts::TIMESTAMP` so DuckDB truncates ns→µs exactly like our
+  * events loader (SURVEY.md §1.3).
+  */
 object Streaming {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  /** Tumbling 1-hour windows (epoch-aligned, = date_trunc('hour')). */
+  private val tumbling = QueryDef(
+    "q_stream_tumbling",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 1000000, 0).cast("long")).as("sum_e6"))
+        .select(unix_micros(col("w.start")).as("win_us"), col("event_type"),
+          col("cnt"), col("sum_e6"))
+        .orderBy(ascf("win_us"), ascf("event_type")),
+    Some("""SELECT epoch_us(date_trunc('hour', ts::TIMESTAMP)) AS win_us,
+           |  event_type, count(*) AS cnt,
+           |  CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_e6
+           |FROM events GROUP BY 1, 2
+           |ORDER BY win_us ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin))
+
+  /** Sliding 1-hour windows every 15 min — each event lands in exactly 4
+    * windows. The oracle reconstructs the same epoch-aligned window set by
+    * sliding the 15-min bucket back k ∈ 0..3 steps (DuckDB time_bucket's
+    * 2000-01-01 origin is 15-min-aligned to the epoch, so buckets agree).
+    */
+  private val sliding = QueryDef(
+    "q_stream_sliding",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_micros(col("w.start")).as("win_us"), col("event_type"),
+          col("cnt"))
+        .orderBy(ascf("win_us"), ascf("event_type")),
+    Some("""WITH b AS (SELECT
+           |    time_bucket(INTERVAL '15 minutes', ts::TIMESTAMP) AS tb, event_type
+           |  FROM events)
+           |SELECT epoch_us(tb - k.k * INTERVAL '15 minutes') AS win_us,
+           |  event_type, count(*) AS cnt
+           |FROM b, range(0, 4) k(k)
+           |GROUP BY 1, 2
+           |ORDER BY win_us ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin))
+
+  /** Per-user session windows, 30-min gap, via gaps-and-islands on exact
+    * epoch-µs (identical construction both sides). Boundary semantics are
+    * pinned to Spark's `session_window`: a gap of EXACTLY 30 min starts a
+    * NEW session (windows are half-open [start, last+gap)) — hence `>=`.
+    * StreamingSpec asserts this batch query equals the real
+    * `session_window` streaming run.
+    */
+  private val session = QueryDef(
+    "q_stream_session",
+    (s, d) => {
+      val gapUs = 30L * 60 * 1000000
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(ascf("us"), ascf("event_id"))
+      val sess = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("new_s",
+          when(col("us") - lag(col("us"), 1).over(w) >= gapUs, 1)
+            .otherwise(0))
+        .withColumn("sid",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      sess.groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_ev"),
+          (max(col("us")) - min(col("us"))).as("dur_us"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_ev")).as("n_events"),
+          max(col("n_ev")).as("max_session_len"),
+          sum(col("dur_us")).as("total_dur_us"))
+        .orderBy(ascf("user_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id,
+           |    epoch_us(ts::TIMESTAMP) AS us FROM events),
+           |g AS (SELECT user_id, event_id, us,
+           |    CASE WHEN us - lag(us) OVER
+           |      (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+           |      >= 1800000000 THEN 1 ELSE 0 END AS new_s
+           |  FROM e),
+           |si AS (SELECT user_id, us,
+           |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+           |      ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM g),
+           |sess AS (SELECT user_id, sid, count(*) AS n_ev,
+           |    max(us) - min(us) AS dur_us
+           |  FROM si GROUP BY user_id, sid)
+           |SELECT user_id, count(*) AS n_sessions,
+           |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+           |  CAST(max(n_ev) AS BIGINT) AS max_session_len,
+           |  CAST(sum(dur_us) AS BIGINT) AS total_dur_us
+           |FROM sess GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""".stripMargin))
+
+  /** Keyed dedup (models streaming dropDuplicates-within-watermark):
+    * survivor = first event per (user_id, event_type); deterministic
+    * summary per type (min-id survivor set checksum), never an arbitrary
+    * surviving row.
+    */
+  private val dedup = QueryDef(
+    "q_stream_dedup",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("event_id")).as("first_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("first_id")).as("id_checksum"))
+        .orderBy(ascf("event_type")),
+    Some("""WITH f AS (SELECT user_id, event_type, min(event_id) AS first_id
+           |  FROM events GROUP BY user_id, event_type)
+           |SELECT event_type, count(*) AS n_keys,
+           |  CAST(sum(first_id) AS BIGINT) AS id_checksum
+           |FROM f GROUP BY event_type
+           |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(tumbling, sliding, session, dedup)
 }

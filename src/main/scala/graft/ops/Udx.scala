@@ -1,7 +1,99 @@
 package graft.ops
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.Dsl._
+import graft.functions.Tokenize
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
 
+/** UDF / UDAF / UDTF surface (SURVEY.md §2.14).
+  *
+  * Each of the three extension mechanisms is exercised once: a Scala
+  * scalar `udf` (q_udf_scalar), a typed `Aggregator` registered via
+  * `udaf` (q_udaf_geomean), and a custom Catalyst `Generator`
+  * (q_udtf_tokenize — graft.functions.Tokenize). Scalar UDFs and UDAFs
+  * break a whole-stage-codegen span, which is why the rest of the engine
+  * prefers builtins (SURVEY.md §4) — these queries exist to prove the
+  * extension points, with determinism handled the same way as builtins.
+  */
 object Udx {
-  def defs: Seq[QueryDef] = Seq.empty
+
+  /** Deterministic ln-sum: quantize ln(x) to exact 1e-12-resolution
+    * BIGINT so partial aggregation order cannot change the sum (the same
+    * D2/D3 trick as the decimal moments — a raw double ln-sum is
+    * partition-order-dependent). Sub-ulp libm drift between engines is
+    * absorbed by the final round(…, 4).
+    */
+  private final case class LnAcc(var sumLnE12: Long, var n: Long)
+
+  private object GeoMean extends Aggregator[Double, LnAcc, Double] {
+    override def zero: LnAcc = LnAcc(0L, 0L)
+    override def reduce(b: LnAcc, x: Double): LnAcc = {
+      b.sumLnE12 += math.round(math.log(x) * 1e12); b.n += 1; b
+    }
+    override def merge(a: LnAcc, b: LnAcc): LnAcc = {
+      a.sumLnE12 += b.sumLnE12; a.n += b.n; a
+    }
+    override def finish(r: LnAcc): Double =
+      if (r.n == 0) Double.NaN
+      else math.exp(r.sumLnE12.toDouble / 1e12 / r.n)
+    override def bufferEncoder: Encoder[LnAcc] = Encoders.product[LnAcc]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  private val udfScalar = QueryDef(
+    "q_udf_scalar",
+    (s, d) => {
+      val discountClass = udf((disc: Double) =>
+        if (disc < 0.03) "low" else if (disc < 0.07) "mid" else "high")
+      Tables.lineitem(s, d)
+        .select(discountClass(col("l_discount")).as("disc_class"),
+          col("l_quantity"))
+        .groupBy(col("disc_class"))
+        .agg(count(lit(1)).as("cnt"),
+          pin2(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy(ascf("disc_class"))
+    },
+    Some("""SELECT CASE WHEN l_discount < 0.03 THEN 'low'
+           |            WHEN l_discount < 0.07 THEN 'mid'
+           |            ELSE 'high' END AS disc_class,
+           |  count(*) AS cnt,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           |FROM lineitem GROUP BY 1
+           |ORDER BY disc_class ASC NULLS FIRST""".stripMargin))
+
+  private val udafGeomean = QueryDef(
+    "q_udaf_geomean",
+    (s, d) => {
+      val gm = udaf(GeoMean)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(gm(col("l_extendedprice")), 4).as("geomean_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy(ascf("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+           |  round(exp(CAST(sum(CAST(round(ln(l_extendedprice) * 1000000000000, 0)
+           |      AS BIGINT)) AS DOUBLE) / 1000000000000 / count(*)), 4)
+           |    AS geomean_price,
+           |  count(*) AS cnt
+           |FROM lineitem GROUP BY l_returnflag
+           |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin))
+
+  private val udtfTokenize = QueryDef(
+    "q_udtf_tokenize",
+    (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), Tokenize.of(col("text")).as(Seq("pos", "token")))
+        .orderBy(ascf("doc_id"), ascf("pos")),
+    Some("""WITH t AS (SELECT doc_id,
+           |    unnest(string_split(text, ' ')) AS token,
+           |    generate_subscripts(string_split(text, ' '), 1) AS i
+           |  FROM documents WHERE doc_id < 50)
+           |SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, token FROM t
+           |ORDER BY doc_id ASC NULLS FIRST, pos ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(udfScalar, udafGeomean, udtfTokenize)
 }
