@@ -78,31 +78,108 @@ object Similarity {
            |  count(*) FILTER (WHERE rn = 1) AS n_survivors
            |FROM r GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
-  /** Exact token-set Jaccard for same-lang pairs at ≥ 0.95, via a postings
-    * join: |∩| = join exploded distinct tokens on (lang, token), set sizes
-    * from per-doc distinct counts. Sub-quadratic: work is Σ_token df² per
-    * lang, not n² — the scalable shape (common-token df capping is the
-    * 100 TB refinement). Jaccard = exact-int division in double.
+  /** Exact token-set Jaccard for same-lang pairs at ≥ 0.95, via PREFIX
+    * FILTERING (the PPJoin family): under a global token order (df asc,
+    * token asc), two sets with overlap ≥ α must share a token within
+    * their first |s|−α+1 tokens, and J ≥ t implies overlap ≥ ⌈t·|s|⌉ for
+    * each side — so joining only the short prefixes yields a guaranteed
+    * superset of qualifying pairs. A naive full-postings join is Σ df²
+    * per token, which explodes on this small-vocabulary corpus (23 s at
+    * sf0.1, ~200M join rows); prefixes are ~⌈0.05·|s|⌉+1 ≈ 4 rare tokens
+    * per doc. Candidates are then verified exactly with array_intersect.
+    * This is THE scalable exact-similarity-join shape at 100 TB.
     */
   private val simJaccard = QueryDef(
     "q_sim_jaccard_pairs",
     (s, d) => {
-      val toks = Tables.documents(s, d)
+      val t = 0.95
+      // Dedup-to-set-groups first: many docs share an identical token SET
+      // (4,266 groups from 5,000 docs at sf0.1), so all pair math runs on
+      // groups and doc pairs are expanded at the end.
+      val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          explode(array_distinct(split(col("text"), " "))).as("w"))
-      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = toks.alias("a")
-        .join(toks.alias("b"),
+          array_sort(array_distinct(split(col("text"), " "))).as("st"))
+      val groups = docs.groupBy(col("lang"), col("st"))
+        .agg(min(col("doc_id")).as("gid"),
+          sort_array(collect_list(col("doc_id"))).as("ids"),
+          count(lit(1)).as("c"))
+        .withColumn("n", size(col("st")))
+
+      // J ≥ t forces |aΔb| ≤ floor(|a∩b|·(1-t)/t); with i ≤ 37 (at t=.95)
+      // that bound is ≤ 1, so qualifying small-set pairs are exactly
+      // "identical or one-element-superset" — found by joining DELETION
+      // NEIGHBORHOODS (each set keyed by itself and by itself-minus-one-
+      // element). That is O(n) keys per group vs the Σdf² postings join
+      // that took 27 s on this tiny-vocab corpus. Large sets (min side
+      // > 37, where diff can exceed 1) go through a PPJoin-style rare-
+      // token prefix join instead — empty here, but it keeps the operator
+      // exact on any corpus. Both paths only generate CANDIDATES; every
+      // pair is verified with an exact intersect before output.
+      val smallDiffMax = (1.0 / (1.0 / t - 1.0)).floor.toLong // i ≤ 19 ⇒ diff ≤ 1 at t=.95
+      val small = groups.filter(col("n") <= 2 * smallDiffMax - 1)
+      val keys = small.select(col("lang"), col("gid"),
+        explode(concat(
+          array(xxhash64(col("lang"), concat_ws("\u0001", col("st")))),
+          transform(sequence(lit(1), size(col("st"))), i =>
+            xxhash64(col("lang"), concat_ws("\u0001", array_except(
+              col("st"), array(element_at(col("st"), i)))))))).as("k"))
+      val candSmall = keys.alias("a")
+        .join(keys.alias("b"),
+          col("a.k") === col("b.k") && col("a.gid") < col("b.gid"))
+        .select(col("a.gid").as("g1"), col("b.gid").as("g2"))
+
+      val big = groups.filter(col("n") > 2 * smallDiffMax - 1)
+      val bigToks = big.select(col("lang"), col("gid"),
+        explode(col("st")).as("w"))
+      val dfreq = bigToks.groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("df"))
+      val wG = Window.partitionBy(col("gid"))
+      val prefix = bigToks.join(dfreq, Seq("lang", "w"))
+        .withColumn("pos", row_number().over(wG.orderBy(ascf("df"), ascf("w"))))
+        .withColumn("n", count(lit(1)).over(wG))
+        .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
+      val candBig = prefix.alias("a")
+        .join(prefix.alias("b"),
           col("a.lang") === col("b.lang") && col("a.w") === col("b.w") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+            col("a.gid") < col("b.gid"))
+        .select(col("a.gid").as("g1"), col("b.gid").as("g2"))
+      // small×big pairs: min side ≤ 37 ⇒ diff ≤ 1 ⇒ covered by candSmall
+      // only if the big side emitted deletion keys too — handle by
+      // joining small keys against big full-keys (subset-of-big case).
+      val bigKeys = big.select(col("gid"),
+        explode(concat(
+          array(xxhash64(col("lang"), concat_ws("\u0001", col("st")))),
+          transform(sequence(lit(1), size(col("st"))), i =>
+            xxhash64(col("lang"), concat_ws("\u0001", array_except(
+              col("st"), array(element_at(col("st"), i)))))))).as("k"))
+      val candMixed = keys.alias("a")
+        .join(bigKeys.alias("b"), col("a.k") === col("b.k"))
+        .select(least(col("a.gid"), col("b.gid")).as("g1"),
+          greatest(col("a.gid"), col("b.gid")).as("g2"))
+
+      val cand = candSmall.union(candBig).union(candMixed).distinct()
+      val ga = groups.select(col("gid").as("g1"), col("st").as("st1"),
+        col("ids").as("ids1"), col("n").as("n1"))
+      val gb = groups.select(col("gid").as("g2"), col("st").as("st2"),
+        col("ids").as("ids2"), col("n").as("n2"))
+      val crossPairs = cand.join(ga, "g1").join(gb, "g2")
+        .withColumn("inter", size(array_intersect(col("st1"), col("st2"))))
         .withColumn("jac",
           col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
-        .filter(col("jac") >= 0.95)
+        .filter(col("jac") >= t)
+        .select(explode(expr(
+          """flatten(transform(ids1, i ->
+            |  transform(ids2, j -> struct(least(i, j) as d1,
+            |    greatest(i, j) as d2))))""".stripMargin)).as("p"), col("jac"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("jac"))
+      val samePairs = groups.filter(col("c") >= 2)
+        .select(explode(expr(
+          """flatten(transform(ids, a ->
+            |  filter(transform(ids, b -> struct(a as d1, b as d2)),
+            |    p -> p.d1 < p.d2)))""".stripMargin)).as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+          lit(1.0).as("jac"))
+      samePairs.union(crossPairs)
         .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
         .orderBy(ascf("d1"), ascf("d2"))
     },
@@ -198,27 +275,37 @@ object Similarity {
           explode(expr(
             "array_distinct(transform(sequence(0, greatest(size(split(text,' '))-3, 0)), " +
               "i -> concat_ws(' ', slice(split(text,' '), i+1, 3))))")).as("sh"))
+      // One 64-bit hash per shingle STRING, then 32 derived hashes over
+      // that fixed-width long (xxhash64(h, seed_i)) — the affine-permute
+      // trick without mod-2^64 multiplies (ANSI mode rejects the
+      // wraparound), and ~32× cheaper than re-hashing the string per
+      // seed: the hot loop hashes 8 bytes, not a ~20-char UTF8 shingle.
       val sig = shingles
+        .withColumn("h", xxhash64(col("sh")))
         .groupBy(col("doc_id"))
         .agg(array((0 until nHashes).map(i =>
-          min(xxhash64(lit(i), col("sh")))): _*).as("sig"))
-      val banded = sig.select(col("doc_id"), col("sig"),
+          min(xxhash64(col("h"), lit(i)))): _*).as("sig"))
+      val banded = sig.select(col("doc_id"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(lit(b) +: (0 until rows).map(r =>
             element_at(col("sig"), b * rows + r + 1)): _*)): _*))
           .as(Seq("band", "bucket")))
+      // candidates carry only (d1, d2) through the distinct — signatures
+      // (32×8 B each) rejoin AFTER dedup, so the heavy shuffle moves ids,
+      // not payloads (this was an 11 s → ~2 s fix at sf0.1).
       val buckets = banded
         .groupBy(col("band"), col("bucket"))
-        .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
+        .agg(collect_list(col("doc_id")).as("ds"))
         .filter(size(col("ds")).between(2, 50))
       val cand = buckets
         .select(explode(expr(
           """flatten(transform(ds, a ->
-            |  filter(transform(ds, b -> struct(a.doc_id as d1, b.doc_id as d2,
-            |    a.sig as s1, b.sig as s2)), p -> p.d1 < p.d2)))""".stripMargin))
-          .as("p"))
+            |  filter(transform(ds, b -> struct(a as d1, b as d2)),
+            |    p -> p.d1 < p.d2)))""".stripMargin)).as("p"))
         .select(col("p.*")).distinct()
       val confirmed = cand
+        .join(sig.select(col("doc_id").as("d1"), col("sig").as("s1")), "d1")
+        .join(sig.select(col("doc_id").as("d2"), col("sig").as("s2")), "d2")
         .withColumn("agree",
           aggregate(zip_with(col("s1"), col("s2"),
             (x, y) => when(x === y, 1).otherwise(0)), lit(0), (a, x) => a + x))
