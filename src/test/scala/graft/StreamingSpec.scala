@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming equivalence (SURVEY.md §5.4): each §2.13 operator's batch
+  * definition must equal the same computation run through Structured
+  * Streaming (readStream → Trigger.AvailableNow → memory sink) — the
+  * prefix-consistency contract made executable. Streaming queries keep to
+  * ONE stateful operator each (Spark's chained-stateful restriction);
+  * any second aggregation level runs batch-side on the sink table.
+  */
+class StreamingSpec extends SparkSpec {
+
+  /** events fixture re-staged as a µs-timestamp parquet dir (readStream
+    * needs a directory source, and the ns source needs the §1.3 loader).
+    */
+  private lazy val stagedDir: String = {
+    val dir = Files.createTempDirectory("graft_stream_events").toString
+    Tables.events(spark, sfDir).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def streamOf(mode: String)(transform: DataFrame => DataFrame): DataFrame = {
+    val name = s"sink_${System.nanoTime()}"
+    val q = transform(
+      spark.readStream
+        .schema(Tables.events(spark, sfDir).schema)
+        .parquet(stagedDir))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def assertSame(batch: DataFrame, streamed: DataFrame): Unit = {
+    val b = batch.collect().toSet
+    val s = streamed.collect().toSet
+    assert(b == s, s"batch(${b.size}) != streamed(${s.size}); " +
+      s"missing=${(b -- s).take(3)} extra=${(s -- b).take(3)}")
+  }
+
+  test("tumbling window agg: streaming equals batch") {
+    val agg = (df: DataFrame) =>
+      df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 1000000, 0).cast("long")).as("sum_e6"))
+        .select(unix_micros(col("window.start")).as("win_us"),
+          col("event_type"), col("cnt"), col("sum_e6"))
+    assertSame(agg(Tables.events(spark, sfDir)), streamOf("complete")(agg))
+  }
+
+  test("sliding window counts: streaming equals batch") {
+    val agg = (df: DataFrame) =>
+      df.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_micros(col("window.start")).as("win_us"),
+          col("event_type"), col("cnt"))
+    assertSame(agg(Tables.events(spark, sfDir)), streamOf("complete")(agg))
+  }
+
+  test("session_window matches the gaps-and-islands batch definition") {
+    // the real session_window operator, streamed (single stateful agg)...
+    val sessions = streamOf("complete")(df =>
+      df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_ev")))
+    val streamed = sessions.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_ev")).as("n_events"))
+    // ...must agree with q_stream_session's window-function construction
+    val batch = Registry.queries("q_stream_session")(spark, sfDir)
+      .select(col("user_id"), col("n_sessions"), col("n_events"))
+    assertSame(batch, streamed)
+  }
+
+  test("streaming dropDuplicates equals batch keyed dedup counts") {
+    val deduped = streamOf("append")(df =>
+      df.dropDuplicates("user_id", "event_type"))
+    val streamed = deduped.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_keys"))
+    val batch = Registry.queries("q_stream_dedup")(spark, sfDir)
+      .select(col("event_type"), col("n_keys"))
+    assertSame(batch, streamed)
+  }
+}
