@@ -88,6 +88,8 @@ object Registry {
         ops.Scalars.defs ++
         ops.Text.defs ++
         ops.Similarity.defs ++
+        ops.Pipeline.defs ++
+        ops.Multimodal.defs ++
         ops.Streaming.defs ++
         ops.Udx.defs
     // toMap would silently keep only the last entry on a name collision,

@@ -1,0 +1,199 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.Dsl._
+import org.apache.spark.sql.functions._
+
+/** Additional large-scale training-data pipeline operators beyond the
+  * SURVEY.md §2.12 core: SimHash near-dup, character-n-gram Jaccard
+  * near-dup, embedding-cosine near-dup, and LSH-bucketed approximate
+  * nearest neighbors. Together with §2.12 these cover the standard
+  * dedup/similarity toolbox of an LLM data pipeline.
+  *
+  * Scale discipline is the same throughout: never an unbucketed n² —
+  * SimHash pairs come from 16-bit band buckets (pigeonhole: hamming ≤ 3
+  * over 4 bands ⇒ one band equal), ANN candidates from 4-bit hyperplane
+  * band buckets; exact verification only touches candidates.
+  */
+object Pipeline {
+  import VecOps._
+
+  /** 64-bit SimHash near-dup detection (no oracle — xxhash64 is
+    * engine-specific; SimHashSpec property-tests recall on planted dups).
+    * sig bit i = sign of Σ_tokens (±1 by bit i of xxhash64(token));
+    * near-dup ⇔ hamming(sig1, sig2) ≤ 3. Candidates via 4×16-bit band
+    * buckets — exact recall for hamming ≤ 3 by pigeonhole, ~n/65536
+    * expected bucket sizes at scale instead of n² pairs.
+    */
+  private val dedupSimhash = QueryDef(
+    "q_dedup_simhash",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(split(col("text"), " "))).as("w"))
+        .withColumn("h", xxhash64(col("w")))
+      val bitAggs = (0 until 64).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"b$i"))
+      val bitSums = toks.groupBy(col("doc_id"), col("lang"))
+        .agg(bitAggs.head, bitAggs.tail: _*)
+      val sig = bitSums.select(col("doc_id"), col("lang"),
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sig"))
+      val banded = sig.select(col("doc_id"), col("lang"), col("sig"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "bv")))
+      val cand = banded.alias("a")
+        .join(banded.alias("b"),
+          col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+            col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.lang").as("lang"), col("a.doc_id").as("d1"),
+          col("b.doc_id").as("d2"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("ham"))
+        .distinct()
+      cand.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_candidates"),
+          count(when(col("ham") <= 3, lit(1))).as("n_dup_pairs"))
+        .orderBy(ascf("lang"))
+    },
+    None)
+
+  /** Character-3-gram Jaccard near-dup pairs (bounded id slice so the
+    * all-pairs verify stays small; the scalable candidate paths —
+    * prefix-filter and deletion-neighborhood — are exercised by
+    * q_sim_jaccard_pairs, and this query is the n-gram VARIANT of the
+    * same semantics, oracle-checked end to end).
+    */
+  private val dedupNgram = QueryDef(
+    "q_dedup_ngram",
+    (s, d) => {
+      val g = Tables.documents(s, d)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("lang"),
+          expr("array_distinct(transform(sequence(1, length(text) - 2), " +
+            "i -> substring(text, i, 3)))").as("gs"))
+        .withColumn("n", size(col("gs")))
+      val a = g.select(col("lang"), col("doc_id").as("d1"),
+        col("gs").as("g1"), col("n").as("n1"))
+      val b = g.select(col("lang"), col("doc_id").as("d2"),
+        col("gs").as("g2"), col("n").as("n2"))
+      a.join(b, Seq("lang")).filter(col("d1") < col("d2"))
+        .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
+        .withColumn("jac",
+          col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("jac") >= 0.9, lit(1))).as("n_near"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH g AS (SELECT doc_id, lang,
+           |    list_distinct(list_transform(range(1, len(text) - 1),
+           |      i -> substring(text, i, 3))) AS gs
+           |  FROM documents WHERE doc_id < 300),
+           |n AS (SELECT doc_id, lang, gs, len(gs) AS n FROM g),
+           |p AS (SELECT a.lang,
+           |    len(list_intersect(a.gs, b.gs)) AS inter, a.n AS n1, b.n AS n2
+           |  FROM n a JOIN n b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+           |SELECT lang, count(*) AS n_pairs,
+           |  count(*) FILTER (WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter)
+           |    >= 0.9) AS n_near
+           |FROM p GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
+  /** Embedding-cosine near-dup: label-bucketed pairs at quantized cosine
+    * ≥ 0.99; survivors keep the smaller vec_id. All 10 labels stay in the
+    * output via a left join from per-label counts.
+    */
+  private val dedupEmbed = QueryDef(
+    "q_dedup_embed",
+    (s, d) => {
+      val emb = quantized(s, d)
+      val base = emb.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+      val a = emb.select(col("label"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("nn").as("na"))
+      val b = emb.select(col("label"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("nn").as("nb"))
+      val dups = a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+        .withColumn("cos", cosine(dot(col("va"), col("vb")), col("na"), col("nb")))
+        .filter(col("cos") >= 0.99)
+      val removed = dups.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_dup_pairs"),
+          countDistinct(col("id_b")).as("n_removed"))
+      base.join(removed, Seq("label"), "left")
+        .select(col("label"), col("n_vecs"),
+          coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+          (col("n_vecs") - coalesce(col("n_removed"), lit(0L))).as("n_survivors"))
+        .orderBy(ascf("label"))
+    },
+    Some(oracleQuantized +
+      s""",
+         |p AS (SELECT a.label, b.vec_id AS rid FROM n a JOIN n b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${oracleCosine("a", "b")} >= 0.99),
+         |st AS (SELECT label, count(*) AS n_dup_pairs,
+         |    count(DISTINCT rid) AS n_removed FROM p GROUP BY label),
+         |base AS (SELECT label, count(*) AS n_vecs FROM n GROUP BY label)
+         |SELECT base.label AS label, base.n_vecs,
+         |  CAST(coalesce(st.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+         |  CAST(base.n_vecs - coalesce(st.n_removed, 0) AS BIGINT) AS n_survivors
+         |FROM base LEFT JOIN st ON base.label = st.label
+         |ORDER BY label ASC NULLS FIRST""".stripMargin))
+
+  /** LSH-bucketed approximate nearest neighbors (the scale path next to
+    * q_sim_cosine_topk's brute-force baseline): a 16-bit random-
+    * hyperplane signature (hyperplane components ±1 from a deterministic
+    * LCG-style formula, identical in the oracle), candidates = vectors
+    * sharing any 4-bit band with the probe, exact quantized-cosine
+    * rerank, top-10. At 100 TB the band join prunes the scan to
+    * ~4·n/16 expected candidates instead of n distance computations.
+    */
+  private val simAnnLsh = QueryDef(
+    "q_sim_ann_lsh",
+    (s, d) => {
+      def bitExpr(j: Int): String =
+        s"(CASE WHEN aggregate(transform(sequence(0, 63), k -> " +
+          s"element_at(v, k + 1) * (CASE WHEN ((${j}L * 1103515245L + k * 12345L) % 65536) % 2 = 0 " +
+          s"THEN 1L ELSE -1L END)), 0L, (acc, x) -> acc + x) > 0 THEN ${1 << j}L ELSE 0L END)"
+      val sigExpr = (0 until 16).map(bitExpr).mkString(" + ")
+      val emb = quantized(s, d).withColumn("sig", expr(sigExpr))
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("v").as("pv"), col("nn").as("pnn"), col("sig").as("psig"))
+      val bandMatch = (0 until 4).map(bnd =>
+        shiftright(col("sig"), 4 * bnd).bitwiseAND(lit(15L)) ===
+          shiftright(col("psig"), 4 * bnd).bitwiseAND(lit(15L)))
+        .reduce(_ || _)
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .filter(bandMatch)
+        .select(col("vec_id"),
+          round(cosine(dot(col("v"), col("pv")), col("nn"), col("pnn")), 6)
+            .as("cos"))
+        .orderBy(descl("cos"), ascf("vec_id"))
+        .limit(10)
+    },
+    Some {
+      def bitSql(j: Int): String =
+        s"(CASE WHEN list_sum(list_transform(range(1, 65), k -> " +
+          s"v[k] * (CASE WHEN ((${j}::BIGINT * 1103515245 + (k - 1) * 12345) % 65536) % 2 = 0 " +
+          s"THEN 1 ELSE -1 END))) > 0 THEN ${1 << j} ELSE 0 END)"
+      val sigSql = (0 until 16).map(bitSql).mkString(" + ")
+      oracleQuantized +
+        s""",
+           |sg AS (SELECT vec_id, v, nn, $sigSql AS sig FROM n),
+           |p AS (SELECT v AS pv, nn AS pnn, sig AS psig FROM sg WHERE vec_id = 0)
+           |SELECT a.vec_id,
+           |  round(CAST(list_sum(list_transform(range(1, 65), k -> a.v[k] * p.pv[k])) AS DOUBLE)
+           |    / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(p.pnn AS DOUBLE))), 6) AS cos
+           |FROM sg a, p
+           |WHERE a.vec_id <> 0 AND (
+           |  ((a.sig // 1) % 16) = ((p.psig // 1) % 16) OR
+           |  ((a.sig // 16) % 16) = ((p.psig // 16) % 16) OR
+           |  ((a.sig // 256) % 16) = ((p.psig // 256) % 16) OR
+           |  ((a.sig // 4096) % 16) = ((p.psig // 4096) % 16))
+           |ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST
+           |LIMIT 10""".stripMargin
+    })
+
+  def defs: Seq[QueryDef] = Seq(dedupSimhash, dedupNgram, dedupEmbed, simAnnLsh)
+}

@@ -22,33 +22,7 @@ import org.apache.spark.sql.functions._
   * the scalable plan — no per-row array UDFs over a cross join.
   */
 object Similarity {
-
-  /** Quantize a float column to exact 1e-6-resolution BIGINT (D3). */
-  private def e6(c: Column): Column =
-    round(c.cast("double") * 1000000, 0).cast("long")
-
-  /** embeddings with v = quantized vector, nn = exact int self-dot. */
-  private def quantized(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => e6(x)).as("v"))
-      .withColumn("nn",
-        aggregate(transform(col("v"), x => x * x), lit(0L), (a, x) => a + x))
-
-  /** Exact int64 dot product of two quantized vectors. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-
-  /** cosine from exact int dot/norms — identical formula in the oracle. */
-  private def cosine(dotc: Column, na: Column, nb: Column): Column =
-    dotc.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
-
-  private val oracleQuantized =
-    """WITH e AS (SELECT vec_id, label,
-      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000, 0) AS BIGINT)) AS v
-      |  FROM embeddings),
-      |n AS (SELECT vec_id, label, v,
-      |  CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS nn FROM e)""".stripMargin
+  import VecOps.{quantized, dot, cosine, oracleQuantized}
 
   /** Exact dedup by normalized key (lower/trim, first-5-token prefix —
     * the corpus has no full-text duplicates, FIXTURES.md): survivor = min
