@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+
+/** Physical-plan assertions (SURVEY.md §4): the optimizations we rely on
+  * at 100 TB must actually appear in the executed plans — predicate
+  * pushdown reaching the parquet scan, column pruning in ReadSchema,
+  * broadcast joins for sub-threshold dims, and whole-stage codegen in
+  * the hot paths.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(name: String): SparkPlan = {
+    val df = Registry.queries(name)(spark, sfDir)
+    // collect() executes THIS QueryExecution so AQE finalizes in place
+    // (count() would wrap it in a new plan and leave this one unexecuted)
+    df.collect()
+    df.queryExecution.executedPlan
+  }
+
+  /** Full traversal incl. AQE wrappers — QueryStageExec hides its
+    * subtree behind `plan` (children is empty at stage boundaries).
+    */
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val nested = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case w: WholeStageCodegenExec => Seq(w.child)
+      case _ => Seq.empty
+    }
+    Seq(p) ++ (p.children ++ nested).flatMap(collectAll)
+  }
+
+  private def planString(name: String): String = {
+    val df = Registry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q_scan_pushdown pushes its predicates into the parquet scan") {
+    val p = planString("q_scan_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    // the quantity/shipdate range predicates must reach the scan
+    assert(p.contains("GreaterThanOrEqual(l_quantity") &&
+      p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q_scan_project prunes to the referenced columns only") {
+    val p = planString("q_scan_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // projection + derived revenue needs 4 columns, not all 16
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"),
+      readSchema)
+  }
+
+  test("q_join_broadcast plans a broadcast hash join, not a shuffle") {
+    val nodes = collectAll(executedPlan("q_join_broadcast"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      nodes.map(_.nodeName).distinct.mkString(", "))
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "small-dim join fell back to sort-merge")
+  }
+
+  test("flagship aggregation runs inside whole-stage codegen") {
+    val nodes = collectAll(executedPlan("q_agg_q1"))
+    assert(nodes.exists(_.isInstanceOf[WholeStageCodegenExec]),
+      nodes.map(_.nodeName).distinct.mkString(", "))
+  }
+
+  test("partial (map-side) aggregation precedes the shuffle in q_agg_q1") {
+    val p = planString("q_agg_q1")
+    // two HashAggregate rounds around one Exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("Exchange"), p.take(2000))
+  }
+}
