@@ -10,12 +10,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup outside the timed loop: first action pays JVM/codegen/scan
-    // init (~1-2 s) that would otherwise be billed to an arbitrary query.
+    // Warmup outside the timed loop: the first actions pay JVM/codegen/
+    // scan init plus ~8 s of one-time JIT for the higher-order-function
+    // and object-hash-aggregate paths (measured: whichever HOF-heavy
+    // similarity query ran first absorbed it). Touch those engine paths
+    // on a 64-row slice so no timed query is billed for infrastructure.
     try {
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy(col("l_returnflag")).count().count()
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(0, 3), i -> substring(text, i + 1, 3))")).as("sh"))
+        .withColumn("h", xxhash64(col("sh")))
+        .groupBy(col("doc_id")).agg(collect_list(col("h")).as("hs"))
+        .select(expr("aggregate(transform(sequence(0, 7), " +
+          "i -> array_min(transform(hs, h -> xxhash64(h, i)))), " +
+          "bigint(0), (acc, x) -> acc + x)").as("w"))
+        .count()
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -28,19 +28,23 @@ object Pipeline {
   private val dedupSimhash = QueryDef(
     "q_dedup_simhash",
     (s, d) => {
+      // One collect_list agg + array lambdas instead of 64 wide agg
+      // columns: a 64-buffer HashAggregate generates pathological codegen
+      // (~10 s one-time compile per session — dominated bench). Majority
+      // vote per bit over the per-doc token-hash list; disjoint bit
+      // contributions sum to the signature.
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           explode(array_distinct(split(col("text"), " "))).as("w"))
         .withColumn("h", xxhash64(col("w")))
-      val bitAggs = (0 until 64).map(i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
-          .otherwise(-1)).as(s"b$i"))
-      val bitSums = toks.groupBy(col("doc_id"), col("lang"))
-        .agg(bitAggs.head, bitAggs.tail: _*)
-      val sig = bitSums.select(col("doc_id"), col("lang"),
-        (0 until 64).map(i =>
-          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _).as("sig"))
+      val sig = toks.groupBy(col("doc_id"), col("lang"))
+        .agg(collect_list(col("h")).as("hs"))
+        .select(col("doc_id"), col("lang"), expr(
+          """aggregate(transform(sequence(0, 63), i ->
+            |  CASE WHEN 2 * size(filter(hs, h -> (shiftright(h, i) & 1) = 1))
+            |         > size(hs)
+            |       THEN shiftleft(bigint(1), i) ELSE bigint(0) END),
+            |  bigint(0), (acc, x) -> acc + x)""".stripMargin).as("sig"))
       val banded = sig.select(col("doc_id"), col("lang"), col("sig"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*))

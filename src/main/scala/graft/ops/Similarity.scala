@@ -244,21 +244,29 @@ object Similarity {
     (s, d) => {
       val nHashes = 32; val bands = 4; val rows = 8
       val docs = Tables.documents(s, d)
+      // tokens hoisted to a column: referencing split(text) inside the
+      // lambda would re-split the document once per shingle (O(len²))
       val shingles = docs
+        .withColumn("tk", split(col("text"), " "))
         .select(col("doc_id"),
           explode(expr(
-            "array_distinct(transform(sequence(0, greatest(size(split(text,' '))-3, 0)), " +
-              "i -> concat_ws(' ', slice(split(text,' '), i+1, 3))))")).as("sh"))
+            "array_distinct(transform(sequence(0, greatest(size(tk)-3, 0)), " +
+              "i -> concat_ws(' ', slice(tk, i+1, 3))))")).as("sh"))
       // One 64-bit hash per shingle STRING, then 32 derived hashes over
       // that fixed-width long (xxhash64(h, seed_i)) — the affine-permute
       // trick without mod-2^64 multiplies (ANSI mode rejects the
       // wraparound), and ~32× cheaper than re-hashing the string per
-      // seed: the hot loop hashes 8 bytes, not a ~20-char UTF8 shingle.
+      // seed. Shaped as ONE collect_list agg + array lambdas rather than
+      // 32 wide min() aggregates: a 32-buffer HashAggregate generates
+      // pathological whole-stage codegen (~10 s one-time compile per
+      // session, which dominated a single-shot bench run).
       val sig = shingles
         .withColumn("h", xxhash64(col("sh")))
         .groupBy(col("doc_id"))
-        .agg(array((0 until nHashes).map(i =>
-          min(xxhash64(col("h"), lit(i)))): _*).as("sig"))
+        .agg(collect_list(col("h")).as("hs"))
+        .select(col("doc_id"), expr(
+          s"transform(sequence(0, ${nHashes - 1}), " +
+            "i -> array_min(transform(hs, h -> xxhash64(h, i))))").as("sig"))
       val banded = sig.select(col("doc_id"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(lit(b) +: (0 until rows).map(r =>
