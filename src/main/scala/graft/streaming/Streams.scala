@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming runtime wiring (SURVEY.md §3.3, §7.5): the
+  * product-side API for running the §2.13 computations as real streams.
+  *
+  * Design at 100 TB:
+  *   - file-source directory listing per micro-batch with
+  *     `maxFilesPerTrigger` back-pressure;
+  *   - WATERMARKS bound StateStore size: a `withWatermark(ts, slack)`
+  *     window agg drops state for windows older than the watermark and
+  *     discards later-than-slack events (the late-data policy is the
+  *     watermark, not an operator flag) — StreamsSpec pins the
+  *     drop-late-row behavior;
+  *   - checkpointing to a per-query location makes restarts exactly-once
+  *     for the stateful operators.
+  */
+object Streams {
+
+  /** Stage the ns-timestamp events fixture as a µs-timestamp streaming
+    * source directory (readStream cannot apply the §1.3 ns-as-long
+    * conversion schema-lessly) and return a streaming view of it.
+    */
+  def stageEvents(spark: SparkSession, sfDir: String,
+      stagedDir: String): DataFrame = {
+    val batch = Tables.events(spark, sfDir)
+    batch.write.mode("overwrite").parquet(stagedDir)
+    stream(spark, stagedDir, batch.schema)
+  }
+
+  /** Streaming view over a parquet directory with a known schema;
+    * `maxFilesPerTrigger` is the file-source back-pressure knob.
+    */
+  def stream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    var r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r = r.option("maxFilesPerTrigger", n))
+    r.parquet(dir)
+  }
+
+  /** Tumbling per-type counts with a watermark: events later than
+    * `lateness` behind the max seen ts are dropped, and window state
+    * older than the watermark is evicted (bounded state at 100 TB).
+    */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("win_us"),
+        col("event_type"), col("cnt"))
+
+  /** Drain a bounded source completely into an in-memory table and stop
+    * (test/backfill mode; memory sink cannot resume from a checkpoint).
+    */
+  def runAvailableNow(df: DataFrame, sinkTable: String,
+      outputMode: String = "append"): StreamingQuery = {
+    val q = df.writeStream
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode(outputMode)
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Drain into a parquet sink with a checkpoint — the restartable,
+    * exactly-once production path (watermark + source offsets persist in
+    * the checkpoint across runs).
+    */
+  def runAvailableNowToParquet(df: DataFrame, outPath: String,
+      checkpoint: String): StreamingQuery = {
+    val q = df.writeStream
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

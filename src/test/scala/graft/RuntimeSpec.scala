@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.plans.SaltedJoin
+import graft.sources.Lake
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+/** Runtime-module specs: partition pruning in the lake layout, salted
+  * join semantics, and watermark late-data policy (SURVEY.md §5.4, §7.5).
+  */
+class RuntimeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("date-partitioned lake write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft_lake").toString
+    Lake.writeDatePartitioned(Tables.events(spark, sfDir), "ts", dir)
+    val day = Lake.readDay(spark, dir, "2024-01-02")
+    // the predicate must become a PartitionFilter, not a data Filter
+    val plan = day.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("p_date")), plan)
+    // and the rows must be exactly that day's events
+    val expected = Tables.events(spark, sfDir)
+      .filter(to_date(col("ts")) === lit("2024-01-02").cast("date")).count()
+    assert(day.count() == expected && expected > 0)
+  }
+
+  test("salted join equals the plain inner join") {
+    val orders = Tables.orders(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(customer, Seq("o_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_name"))
+      .collect().toSet
+    val salted = SaltedJoin.inner(orders, customer, "o_custkey", salts = 8)
+      .select(col("o_orderkey"), col("c_name"))
+      .collect().toSet
+    assert(salted == plain)
+  }
+
+  test("watermark drops a too-late row; on-time rows aggregate") {
+    // Two query RUNS over one checkpoint: the watermark advances in run 1
+    // and persists, so run 2's older-than-watermark row is dropped (file
+    // ordering within a single run is not a reliable late-data fixture).
+    val dir = Files.createTempDirectory("graft_wm").toString
+    val ckpt = Files.createTempDirectory("graft_wm_ckpt").toString
+    val schema = Seq.empty[(Timestamp, String)].toDF("ts", "event_type").schema
+    def write(rows: Seq[(String, String)]): Unit =
+      rows.map { case (t, e) => (Timestamp.valueOf(t), e) }
+        .toDF("ts", "event_type")
+        .coalesce(1).write.mode("append").parquet(dir)
+    val outDir = Files.createTempDirectory("graft_wm_out").toString
+    def drain(): Set[String] = {
+      Streams.runAvailableNowToParquet(
+        Streams.tumblingCounts(Streams.stream(spark, dir, schema),
+          window_ = "1 hour", lateness = "10 minutes"),
+        outDir, ckpt)
+      spark.read.parquet(outDir)
+        .select(col("event_type")).as[String].collect().toSet
+    }
+    // run 1: watermark advances to 13:00 − 10min = 12:50; the closed
+    // 10:00–11:00 window emits
+    write(Seq(("2024-01-01 10:05:00", "click"),
+      ("2024-01-01 13:00:00", "click")))
+    val run1 = drain()
+    assert(run1.contains("click"), run1.mkString(","))
+    // run 2: a 10:07 row is far behind the persisted 12:50 watermark —
+    // it must be discarded, emitting nothing
+    write(Seq(("2024-01-01 10:07:00", "late_click")))
+    val run2 = drain()
+    assert(!run2.contains("late_click"), run2.mkString(","))
+  }
+}
