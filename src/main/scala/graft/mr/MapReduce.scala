@@ -1,0 +1,58 @@
+package graft.mr
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, KeyValueGroupedDataset}
+
+/** The classic MapReduce programming model (Dean & Ghemawat, OSDI 2004
+  * §2 — the semantics every "MapReduce-Server" implements), re-expressed
+  * as a thin veneer over typed Datasets so legacy map/reduce jobs port
+  * verbatim while EXECUTING as Catalyst plans:
+  *
+  *   map:     `(K1,V1) → list(K2,V2)`  — `flatMap`
+  *   combine: map-side partial reduce  — automatic in `reduceGroups`
+  *                                        (partial aggregation before the
+  *                                        shuffle — the combiner is not a
+  *                                        user concern on Spark)
+  *   shuffle: `hash(K2) mod R`         — the exchange on the group key
+  *   reduce:  `(K2, list(V2)) → V3`    — `groupByKey.reduceGroups` /
+  *                                        `mapGroups`
+  *
+  * Prefer the DataFrame operators in `graft.ops` for anything relational
+  * — they stay inside whole-stage codegen, while typed lambdas here pay
+  * serialization at each boundary. This module exists for genuinely
+  * imperative per-record logic and for porting reference jobs 1:1
+  * (MapReduceSpec proves wordcount through this API equals the
+  * DataFrame wordcount query).
+  */
+object MapReduce {
+
+  /** map: one input record → any number of (key, value) pairs. */
+  def map[I, K: Encoder, V: Encoder](input: Dataset[I])(
+      f: I => IterableOnce[(K, V)]): Dataset[(K, V)] = {
+    implicit val kv: Encoder[(K, V)] =
+      Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[V]])
+    input.flatMap(f)
+  }
+
+  /** shuffle: group by K2 — the hash exchange. */
+  def shuffle[K: Encoder, V](pairs: Dataset[(K, V)])
+      : KeyValueGroupedDataset[K, (K, V)] =
+    pairs.groupByKey(_._1)
+
+  /** reduce with an associative combiner — runs map-side partially
+    * (Spark plans a partial aggregate before the exchange, exactly the
+    * OSDI §4.3 combiner optimization, without user wiring).
+    */
+  def reduce[K: Encoder, V: Encoder](pairs: Dataset[(K, V)])(
+      combine: (V, V) => V): Dataset[(K, V)] = {
+    implicit val kv: Encoder[(K, V)] =
+      Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[V]])
+    shuffle(pairs).reduceGroups((a, b) => (a._1, combine(a._2, b._2)))
+      .map { case (_, kvPair) => kvPair }
+  }
+
+  /** Full job: map → shuffle → reduce. */
+  def run[I, K: Encoder, V: Encoder](input: Dataset[I])(
+      mapper: I => IterableOnce[(K, V)])(
+      combiner: (V, V) => V): Dataset[(K, V)] =
+    reduce(map(input)(mapper))(combiner)
+}

@@ -215,7 +215,32 @@ object Aggregates {
         .orderBy(ascf("l_returnflag")),
     None)
 
+  /** Exact interpolated percentiles: Spark `percentile` and DuckDB
+    * `quantile_cont` both sort and linearly interpolate — on the
+    * small-integer-valued quantity column the interpolation arithmetic
+    * is exact, and round(4) absorbs any last-ulp formula difference.
+    */
+  private val aggPercentile = QueryDef(
+    "q_agg_percentile",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_quantity, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("cnt"))
+        .orderBy(ascf("l_returnflag")),
+    Some("""SELECT l_returnflag,
+           |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+           |  round(quantile_cont(l_quantity, 0.99), 4) AS p99,
+           |  count(*) AS cnt
+           |FROM lineitem GROUP BY l_returnflag
+           |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggGlobal, aggDistinct, aggHaving,
-    aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct)
+    aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
+    aggPercentile)
 }

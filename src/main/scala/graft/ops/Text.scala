@@ -255,7 +255,42 @@ object Text {
            |       * ((CAST(i1 - 1 AS BIGINT) % 97) + 1)) AS BIGINT) % 1000000007 AS fp
            |FROM e GROUP BY doc_id ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
 
+  /** Edit-distance near-dup probe: Levenshtein over 60-char prefixes of
+    * same-lang doc pairs in a bounded id slice (unit-cost edit distance
+    * is definitionally identical on both engines → exact int oracle).
+    * O(60²) per pair × ~190 pairs/lang keeps the dynamic program cheap;
+    * at scale this runs only on candidate pairs from the LSH stages, not
+    * all pairs.
+    */
+  private val levenshteinPairs = QueryDef(
+    "q_text_levenshtein",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 60).as("head60"))
+      val a = docs.select(col("lang"), col("doc_id").as("d1"),
+        col("head60").as("t1"))
+      val b = docs.select(col("lang"), col("doc_id").as("d2"),
+        col("head60").as("t2"))
+      a.join(b, Seq("lang")).filter(col("d1") < col("d2"))
+        .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("bigint"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("dist")).as("min_dist"),
+          count(when(col("dist") <= 20, lit(1))).as("n_close"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH h AS (SELECT doc_id, lang, substring(text, 1, 60) AS head60
+           |  FROM documents WHERE doc_id < 100),
+           |p AS (SELECT a.lang,
+           |    CAST(levenshtein(a.head60, b.head60) AS BIGINT) AS dist
+           |  FROM h a JOIN h b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+           |SELECT lang, count(*) AS n_pairs, min(dist) AS min_dist,
+           |  count(*) FILTER (WHERE dist <= 20) AS n_close
+           |FROM p GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,
-    langid, quality, tokens, fingerprint)
+    langid, quality, tokens, fingerprint, levenshteinPairs)
 }
