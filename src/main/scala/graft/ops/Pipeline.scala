@@ -155,12 +155,16 @@ object Pipeline {
   private val simAnnLsh = QueryDef(
     "q_sim_ann_lsh",
     (s, d) => {
-      def bitExpr(j: Int): String =
-        s"(CASE WHEN aggregate(transform(sequence(0, 63), k -> " +
-          s"element_at(v, k + 1) * (CASE WHEN ((${j}L * 1103515245L + k * 12345L) % 65536) % 2 = 0 " +
-          s"THEN 1L ELSE -1L END)), 0L, (acc, x) -> acc + x) > 0 THEN ${1 << j}L ELSE 0L END)"
-      val sigExpr = (0 until 16).map(bitExpr).mkString(" + ")
-      val emb = quantized(s, d).withColumn("sig", expr(sigExpr))
+      // hyperplanes precomputed in Scala from the same deterministic
+      // formula the oracle spells out, shipped as array literals; each
+      // sign bit is then one codegen'd native dot product
+      def plane(j: Int): Seq[Long] = (0 until 64).map(k =>
+        if ((j.toLong * 1103515245L + k * 12345L) % 65536 % 2 == 0) 1L else -1L)
+      val sigCol = (0 until 16).map(j =>
+        when(graft.functions.DotLongArrays.of(col("v"),
+          typedlit(plane(j))) > 0, lit((1L << j))).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val emb = quantized(s, d).withColumn("sig", sigCol)
       val probe = emb.filter(col("vec_id") === 0)
         .select(col("v").as("pv"), col("nn").as("pnn"), col("sig").as("psig"))
       val bandMatch = (0 until 4).map(bnd =>

@@ -21,12 +21,14 @@ private[ops] object VecOps {
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => e6(x)).as("v"))
-      .withColumn("nn",
-        aggregate(transform(col("v"), x => x * x), lit(0L), (a, x) => a + x))
+      .withColumn("nn", dot(col("v"), col("v")))
 
-  /** Exact int64 dot product of two quantized vectors. */
+  /** Exact int64 dot product of two quantized vectors — the native
+    * codegen'd expression (ascending-index summation, bit-identical to
+    * the aggregate/zip_with HOF formulation it replaced).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.DotLongArrays.of(a, b)
 
   /** cosine from exact int dot/norms — identical formula in the oracle. */
   def cosine(dotc: Column, na: Column, nb: Column): Column =
