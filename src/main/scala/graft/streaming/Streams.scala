@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured Streaming runtime wiring (SURVEY.md §3.3, §7.5): the
   * product-side API for running the §2.13 computations as real streams.
@@ -55,6 +55,41 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
       .select(unix_micros(col("window.start")).as("win_us"),
         col("event_type"), col("cnt"))
+
+  /** Per-user session state carried across micro-batches. */
+  final case class SessionState(lastUs: Long, nSessions: Long, nEvents: Long)
+  final case class UserSessionCounts(user_id: Long, n_sessions: Long,
+      n_events: Long)
+
+  /** Custom arbitrary-state streaming operator (SURVEY.md §2.13 /
+    * KeyValueGroupedDataset.flatMapGroupsWithState): per-user
+    * sessionization with the same ≥30-min-gap semantics as
+    * q_stream_session, but expressed as explicit per-key state that the
+    * StateStore checkpoints between micro-batches. Each batch folds its
+    * (event-time-sorted) rows into the carried state — this is the
+    * extension point for state machines the windowed operators can't
+    * express. StreamsSpec asserts equality with the batch definition.
+    */
+  def sessionCounts(events: DataFrame,
+      gapUs: Long = 30L * 60 * 1000000): Dataset[UserSessionCounts] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[SessionState]) => {
+          val sorted = rows.map(_._2).toArray.sorted
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { us =>
+            val newSession = st.lastUs == Long.MinValue || us - st.lastUs >= gapUs
+            st = SessionState(us,
+              st.nSessions + (if (newSession) 1L else 0L), st.nEvents + 1L)
+          }
+          state.update(st)
+          Iterator(UserSessionCounts(uid, st.nSessions, st.nEvents))
+        })
+  }
 
   /** Drain a bounded source completely into an in-memory table and stop
     * (test/backfill mode; memory sink cannot resume from a checkpoint).

@@ -78,6 +78,25 @@ class StreamingSpec extends SparkSpec {
     assertSame(batch, streamed)
   }
 
+  test("flatMapGroupsWithState sessionizer equals the batch definition") {
+    val streamed = graft.streaming.Streams.sessionCounts(
+      spark.readStream
+        .schema(Tables.events(spark, sfDir).schema)
+        .parquet(stagedDir))
+    val name = s"sess_${System.nanoTime()}"
+    val q = streamed.writeStream
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName(name).outputMode("append").start()
+    q.awaitTermination()
+    val got = spark.table(name)
+      .select(col("user_id"), col("n_sessions"), col("n_events"))
+      .collect().toSet
+    val batch = Registry.queries("q_stream_session")(spark, sfDir)
+      .select(col("user_id"), col("n_sessions"), col("n_events"))
+      .collect().toSet
+    assert(got == batch)
+  }
+
   test("streaming dropDuplicates equals batch keyed dedup counts") {
     val deduped = streamOf("append")(df =>
       df.dropDuplicates("user_id", "event_type"))
