@@ -1,0 +1,25 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.001"
+    val out = new StringBuilder
+    for (q <- Seq("q_agg_q1", "q_join_star", "q_join_broadcast",
+        "q_join_asof", "q_sim_jaccard_pairs", "q_stream_tumbling")) {
+      val p = Registry.queries(q)(spark, d).queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      out.append(s"##### $q\n```\n")
+      out.append(p.linesIterator.takeWhile(_.nonEmpty).mkString("\n"))
+      out.append("\n```\n\n")
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/plans_raw.md"), out.toString)
+    spark.stop()
+  }
+}

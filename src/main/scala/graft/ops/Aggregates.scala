@@ -239,8 +239,31 @@ object Aggregates {
            |FROM lineitem GROUP BY l_returnflag
            |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin))
 
+  /** Pivot: one output column per pinned pivot value (explicit value
+    * list keeps the schema static — at scale an un-pinned pivot would
+    * need a driver-side distinct pass first). The oracle states the
+    * equivalent conditional aggregation, which is also exactly how
+    * Spark plans a pivot internally.
+    */
+  private val aggPivot = QueryDef(
+    "q_agg_pivot",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(pin2(sum(dec(col("l_quantity")))))
+        .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+        .orderBy(ascf("l_returnflag")),
+    Some("""SELECT l_returnflag,
+           |  CAST(sum(CASE WHEN l_linestatus = 'F'
+           |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+           |  CAST(sum(CASE WHEN l_linestatus = 'O'
+           |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+           |FROM lineitem GROUP BY l_returnflag
+           |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
-    aggPercentile)
+    aggPercentile, aggPivot)
 }
