@@ -19,7 +19,7 @@ object Pipeline {
   import VecOps._
 
   /** 64-bit SimHash near-dup detection (no oracle — xxhash64 is
-    * engine-specific; SimHashSpec property-tests recall on planted dups).
+    * engine-specific; MinHashSpec property-tests planted-dup recall).
     * sig bit i = sign of Σ_tokens (±1 by bit i of xxhash64(token));
     * near-dup ⇔ hamming(sig1, sig2) ≤ 3. Candidates via 4×16-bit band
     * buckets — exact recall for hamming ≤ 3 by pigeonhole, ~n/65536

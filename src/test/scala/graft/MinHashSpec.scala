@@ -40,6 +40,28 @@ class MinHashSpec extends SparkSpec {
     }
   }
 
+  test("simhash flags reordered-copy near-dups and not unrelated docs") {
+    // same token SET, different order → identical 64-bit signature
+    // (hamming 0); docs over a disjoint vocabulary land far apart
+    val rnd = new scala.util.Random(11)
+    val va = (0 until 150).map(i => s"a$i")
+    val rows = (0 until 40).flatMap { b =>
+      val base = rnd.shuffle(va).take(40)
+      Seq((b * 2L, base.mkString(" "), "en", "srcA", 1L),
+        (b * 2L + 1, rnd.shuffle(base).mkString(" "), "en", "srcA", 1L))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_simhash").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Registry.queries("q_dedup_simhash")(spark, dir).collect()
+    val confirmed = out.map(_.getAs[Long]("n_dup_pairs")).sum
+    // all 40 reordered-copy pairs have hamming 0 → found via bands
+    assert(confirmed >= 40, s"only $confirmed of 40 planted pairs flagged")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_candidates") >= r.getAs[Long]("n_dup_pairs"))
+    }
+  }
+
   test("dedup is idempotent: re-running exact dedup changes nothing") {
     val q = Registry.queries("q_dedup_exact")
     val once = q(spark, sfDir).collect()
