@@ -203,5 +203,62 @@ object Pipeline {
            |LIMIT 10""".stripMargin
     })
 
-  def defs: Seq[QueryDef] = Seq(dedupSimhash, dedupNgram, dedupEmbed, simAnnLsh)
+  /** Per-label centroids via exact integer moments — SURVEY §2.12 had
+    * DROPPED this operator ("centroid = order-dependent double mean per
+    * dimension"); the 1e-6 quantization dissolves that objection: the
+    * per-dimension sums are exact int64, so the centroid (and any
+    * distance to it) is deterministic. Emits per-label moment summaries
+    * plus the quantized cosine between the label centroid and the global
+    * centroid — a real clustering-flavored computation, fully
+    * oracle-checked. Shape: posexplode → (label, pos) partial-agg — one
+    * shuffle carrying 10 labels × 64 dims rows.
+    */
+  private val simCentroid = QueryDef(
+    "q_sim_centroid",
+    (s, d) => {
+      val byDim = quantized(s, d)
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+      val global = byDim.groupBy(col("pos"))
+        .agg(sum(col("sx")).as("gx"), sum(col("cnt")).as("gn"))
+      byDim.join(global, "pos")
+        .groupBy(col("label"))
+        // all moment sums stay EXACT int64 (a double dot summed across
+        // partitions would be order-dependent — rule D2); the cosine
+        // formula runs on the aggregated exact ints only
+        .agg(
+          first(col("cnt")).as("n_vecs"),
+          sum(col("sx")).as("moment1"),
+          sum(col("sx") * col("sx")).as("m_ss"),
+          sum(col("sx") * col("gx")).as("m_sg"),
+          sum(col("gx") * col("gx")).as("m_gg"))
+        .select(col("label"), col("n_vecs"), col("moment1"),
+          col("m_ss").as("moment2"),
+          round(col("m_sg").cast("double")
+            / (sqrt(col("m_ss").cast("double"))
+              * sqrt(col("m_gg").cast("double"))), 6).as("cos_to_global"))
+        .orderBy(ascf("label"))
+    },
+    Some(VecOps.oracleQuantized +
+      """,
+        |bd AS (SELECT label, k - 1 AS pos,
+        |    CAST(sum(v[k]) AS BIGINT) AS sx, count(*) AS cnt
+        |  FROM n, range(1, 65) t(k) GROUP BY label, k),
+        |g AS (SELECT pos, CAST(sum(sx) AS BIGINT) AS gx FROM bd GROUP BY pos),
+        |m AS (SELECT bd.label AS label,
+        |    CAST(any_value(bd.cnt) AS BIGINT) AS n_vecs,
+        |    CAST(sum(bd.sx) AS BIGINT) AS moment1,
+        |    CAST(sum(bd.sx * bd.sx) AS BIGINT) AS m_ss,
+        |    CAST(sum(bd.sx * g.gx) AS BIGINT) AS m_sg,
+        |    CAST(sum(g.gx * g.gx) AS BIGINT) AS m_gg
+        |  FROM bd JOIN g ON bd.pos = g.pos GROUP BY bd.label)
+        |SELECT label, n_vecs, moment1, m_ss AS moment2,
+        |  round(CAST(m_sg AS DOUBLE)
+        |    / (sqrt(CAST(m_ss AS DOUBLE)) * sqrt(CAST(m_gg AS DOUBLE))), 6)
+        |    AS cos_to_global
+        |FROM m ORDER BY label ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(
+    dedupSimhash, dedupNgram, dedupEmbed, simAnnLsh, simCentroid)
 }

@@ -97,6 +97,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    // clicks ⋈ purchases per user within [pts, pts+30min) — both sides
+    // watermarked so the join state is bounded (the production shape)
+    def sides(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"),
+          col("event_id").as("click_id")),
+      df.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"),
+          col("event_id").as("purchase_id")))
+    val cond = col("cu") === col("pu") &&
+      col("cts") >= col("pts") &&
+      col("cts") < col("pts") + expr("INTERVAL 30 MINUTES")
+    val (bc, bp) = sides(Tables.events(spark, sfDir))
+    val batch = bc.join(bp, cond)
+      .select(col("click_id"), col("purchase_id")).collect().toSet
+    val stream = () => {
+      val (sc, sp) = sides(spark.readStream
+        .schema(Tables.events(spark, sfDir).schema).parquet(stagedDir))
+      sc.withWatermark("cts", "1 hour")
+        .join(sp.withWatermark("pts", "1 hour"), cond)
+        .select(col("click_id"), col("purchase_id"))
+    }
+    val name = s"ssj_${System.nanoTime()}"
+    val q = stream().writeStream
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName(name).outputMode("append").start()
+    q.awaitTermination()
+    val streamed = spark.table(name).collect().toSet
+    assert(streamed == batch,
+      s"batch=${batch.size} streamed=${streamed.size}")
+  }
+
   test("streaming dropDuplicates equals batch keyed dedup counts") {
     val deduped = streamOf("append")(df =>
       df.dropDuplicates("user_id", "event_type"))
