@@ -176,10 +176,10 @@ object Aggregates {
             / (col("n") - 1), 4).as("var_qty"),
           round(sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
             / (col("n") - 1)), 4).as("stddev_qty"),
-          round((col("sxy") - col("sx") * col("sy") / col("n"))
+          (round((col("sxy") - col("sx") * col("sy") / col("n"))
             / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
               * (col("syy") - col("sy") * col("sy") / col("n"))), 4)
-            .as("corr_qty_disc"))
+            + lit(0.0)).as("corr_qty_disc"))
         .orderBy(ascf("l_returnflag"))
     },
     Some("""WITH f AS (
@@ -199,7 +199,7 @@ object Aggregates {
            |  round((sxx - sx * sx / n) / (n - 1), 4) AS var_qty,
            |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_qty,
            |  round((sxy - sx * sy / n)
-           |    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 4) AS corr_qty_disc
+           |    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 4) + 0.0 AS corr_qty_disc
            |FROM m
            |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin))
 

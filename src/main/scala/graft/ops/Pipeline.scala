@@ -175,8 +175,8 @@ object Pipeline {
         .crossJoin(broadcast(probe))
         .filter(bandMatch)
         .select(col("vec_id"),
-          round(cosine(dot(col("v"), col("pv")), col("nn"), col("pnn")), 6)
-            .as("cos"))
+          (round(cosine(dot(col("v"), col("pv")), col("nn"), col("pnn")), 6)
+            + lit(0.0)).as("cos"))
         .orderBy(descl("cos"), ascf("vec_id"))
         .limit(10)
     },
@@ -192,7 +192,7 @@ object Pipeline {
            |p AS (SELECT v AS pv, nn AS pnn, sig AS psig FROM sg WHERE vec_id = 0)
            |SELECT a.vec_id,
            |  round(CAST(list_sum(list_transform(range(1, 65), k -> a.v[k] * p.pv[k])) AS DOUBLE)
-           |    / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(p.pnn AS DOUBLE))), 6) AS cos
+           |    / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(p.pnn AS DOUBLE))), 6) + 0.0 AS cos
            |FROM sg a, p
            |WHERE a.vec_id <> 0 AND (
            |  ((a.sig // 1) % 16) = ((p.psig // 1) % 16) OR
@@ -235,9 +235,10 @@ object Pipeline {
           sum(col("gx") * col("gx")).as("m_gg"))
         .select(col("label"), col("n_vecs"), col("moment1"),
           col("m_ss").as("moment2"),
-          round(col("m_sg").cast("double")
+          (round(col("m_sg").cast("double")
             / (sqrt(col("m_ss").cast("double"))
-              * sqrt(col("m_gg").cast("double"))), 6).as("cos_to_global"))
+              * sqrt(col("m_gg").cast("double"))), 6) + lit(0.0))
+            .as("cos_to_global"))
         .orderBy(ascf("label"))
     },
     Some(VecOps.oracleQuantized +
@@ -255,7 +256,7 @@ object Pipeline {
         |  FROM bd JOIN g ON bd.pos = g.pos GROUP BY bd.label)
         |SELECT label, n_vecs, moment1, m_ss AS moment2,
         |  round(CAST(m_sg AS DOUBLE)
-        |    / (sqrt(CAST(m_ss AS DOUBLE)) * sqrt(CAST(m_gg AS DOUBLE))), 6)
+        |    / (sqrt(CAST(m_ss AS DOUBLE)) * sqrt(CAST(m_gg AS DOUBLE))), 6) + 0.0
         |    AS cos_to_global
         |FROM m ORDER BY label ASC NULLS FIRST""".stripMargin))
 

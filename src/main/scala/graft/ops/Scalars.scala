@@ -197,21 +197,26 @@ object Scalars {
   private val arrFuncs = QueryDef(
     "q_arr_funcs",
     (s, d) => {
-      def el(i: Int) = round(element_at(col("embedding"), i).cast("double"), 4)
+      // + 0.0 normalizes negative zero: rounding a tiny negative to 0
+      // yields 0.0 in Spark (string-based round) but -0.0 in DuckDB
+      // (binary round) — they render apart (sf0.1 parity sweep)
+      def el(i: Int) =
+        round(element_at(col("embedding"), i).cast("double"), 4) + lit(0.0)
       Tables.embeddings(s, d)
         .select(col("vec_id"),
           size(col("embedding")).cast("bigint").as("dim"),
           el(1).as("e1"), el(2).as("e2"), el(3).as("e3"),
-          round(aggregate(slice(col("embedding"), 1, 3),
-            lit(0.0), (acc, x) => acc + x.cast("double")), 4).as("head3_sum"))
+          (round(aggregate(slice(col("embedding"), 1, 3),
+            lit(0.0), (acc, x) => acc + x.cast("double")), 4) + lit(0.0))
+            .as("head3_sum"))
         .orderBy(ascf("vec_id"))
     },
     Some("""SELECT vec_id, len(embedding) AS dim,
-           |  round(CAST(embedding[1] AS DOUBLE), 4) AS e1,
-           |  round(CAST(embedding[2] AS DOUBLE), 4) AS e2,
-           |  round(CAST(embedding[3] AS DOUBLE), 4) AS e3,
+           |  round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS e1,
+           |  round(CAST(embedding[2] AS DOUBLE), 4) + 0.0 AS e2,
+           |  round(CAST(embedding[3] AS DOUBLE), 4) + 0.0 AS e3,
            |  round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
-           |    + CAST(embedding[3] AS DOUBLE), 4) AS head3_sum
+           |    + CAST(embedding[3] AS DOUBLE), 4) + 0.0 AS head3_sum
            |FROM embeddings ORDER BY vec_id ASC NULLS FIRST""".stripMargin))
 
   /** Per-position stats over exploded vectors. Spark posexplode is

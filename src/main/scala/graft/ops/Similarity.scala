@@ -183,8 +183,8 @@ object Similarity {
       emb.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(probe))
         .select(col("vec_id"),
-          round(cosine(dot(col("v"), col("pv")), col("nn"), col("pnn")), 6)
-            .as("cos"))
+          (round(cosine(dot(col("v"), col("pv")), col("nn"), col("pnn")), 6)
+            + lit(0.0)).as("cos"))
         .orderBy(descl("cos"), ascf("vec_id"))
         .limit(10)
     },
@@ -193,7 +193,7 @@ object Similarity {
         |p AS (SELECT v, nn FROM n WHERE vec_id = 0)
         |SELECT a.vec_id,
         |  round(CAST(list_sum(list_transform(range(1, 65), k -> a.v[k] * p.v[k])) AS DOUBLE)
-        |    / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(p.nn AS DOUBLE))), 6) AS cos
+        |    / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(p.nn AS DOUBLE))), 6) + 0.0 AS cos
         |FROM n a, p WHERE a.vec_id <> 0
         |ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST
         |LIMIT 10""".stripMargin))

@@ -130,10 +130,16 @@ object Windows {
           round(cume_dist().over(w), 6).as("cume"))
         .orderBy(ascf("c_nationkey"), ascf("c_custkey"))
     },
+    // rank ratios k/n can land EXACTLY on a decimal rounding tie (e.g.
+    // 333/640 = 0.5203125) where Spark's round — which rounds the
+    // shortest decimal string — goes up, but DuckDB rounds the binary
+    // double (just below the tie) down. The DECIMAL(18,12) intermediate
+    // recovers the intended short decimal before the 6-digit round,
+    // reproducing Spark's semantics (caught by the sf0.1 parity sweep).
     Some("""SELECT c_nationkey, c_custkey,
            |  ntile(4) OVER w AS quartile,
-           |  round(percent_rank() OVER w, 6) AS pct_rank,
-           |  round(cume_dist() OVER w, 6) AS cume
+           |  round(CAST(percent_rank() OVER w AS DECIMAL(18,12)), 6) + 0.0 AS pct_rank,
+           |  round(CAST(cume_dist() OVER w AS DECIMAL(18,12)), 6) + 0.0 AS cume
            |FROM customer
            |WINDOW w AS (PARTITION BY c_nationkey
            |             ORDER BY c_acctbal ASC NULLS FIRST, c_custkey ASC NULLS FIRST)
