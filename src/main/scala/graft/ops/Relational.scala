@@ -345,9 +345,70 @@ object Relational {
            |GROUP BY p_brand
            |ORDER BY p_brand ASC NULLS FIRST""".stripMargin))
 
+  /** Correlated scalar subquery, through the SQL entry point (SURVEY.md
+    * §3.2): Catalyst decorrelates it into an aggregate + join
+    * (RewriteCorrelatedScalarSubquery) — at scale this plans exactly like
+    * the hand-written two-pass aggregate join, no per-row re-execution.
+    * The threshold average is an exact decimal sum divided in double
+    * (the avg4 pattern) so the intermediate type is identical on both
+    * engines — Spark's avg(DECIMAL) stays decimal while DuckDB's goes
+    * double, which could flip boundary rows.
+    */
+  private val subqScalar = QueryDef(
+    "q_subq_scalar",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT o_custkey, count(*) AS n_big,
+              |  CAST(max(o_totalprice) AS DOUBLE) AS max_price
+              |FROM orders o
+              |WHERE o_totalprice > (
+              |  SELECT 1.5 * (CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |                / count(*))
+              |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+              |GROUP BY o_custkey
+              |ORDER BY o_custkey ASC NULLS FIRST""".stripMargin)
+    },
+    Some("""SELECT o_custkey, count(*) AS n_big,
+           |  CAST(max(o_totalprice) AS DOUBLE) AS max_price
+           |FROM orders o
+           |WHERE o_totalprice > (
+           |  SELECT 1.5 * (CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |                / count(*))
+           |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+           |GROUP BY o_custkey
+           |ORDER BY o_custkey ASC NULLS FIRST""".stripMargin))
+
+  /** EXISTS + NOT IN subqueries via SQL — decorrelated to semi/anti
+    * joins by RewritePredicateSubquery (verified in the plan; the same
+    * physical shape as q_join_semi/q_join_anti).
+    */
+  private val subqExists = QueryDef(
+    "q_subq_exists",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT c_custkey, c_mktsegment
+              |FROM customer c
+              |WHERE EXISTS (SELECT 1 FROM orders o
+              |              WHERE o.o_custkey = c.c_custkey
+              |                AND o.o_orderstatus = 'F')
+              |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+              |                        WHERE o_totalprice > 400000)
+              |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin)
+    },
+    Some("""SELECT c_custkey, c_mktsegment
+           |FROM customer c
+           |WHERE EXISTS (SELECT 1 FROM orders o
+           |              WHERE o.o_custkey = c.c_custkey
+           |                AND o.o_orderstatus = 'F')
+           |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+           |                        WHERE o_totalprice > 400000)
+           |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     scanProject, scanPushdown, scanEventsNs,
     filterCompound, filterExpr,
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
-    joinCross, joinTheta, joinRange, joinAsof, joinStar, joinBroadcast)
+    joinCross, joinTheta, joinRange, joinAsof, joinStar, joinBroadcast,
+    subqScalar, subqExists)
 }
