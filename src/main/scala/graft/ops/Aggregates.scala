@@ -262,8 +262,43 @@ object Aggregates {
            |FROM lineitem GROUP BY l_returnflag
            |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin))
 
+  /** Unpivot (melt) — the inverse of q_agg_pivot: three measure columns
+    * become (metric, value) rows. Raw values only, so no rounding rules
+    * apply; the oracle is the dialect-safe UNION ALL expansion (which is
+    * also how Spark's Expand operator executes it — one pass, no shuffle
+    * until the final sort).
+    */
+  private val aggUnpivot = QueryDef(
+    "q_agg_unpivot",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")),
+          variableColumnName = "metric",
+          valueColumnName = "value")
+        .orderBy(ascf("l_orderkey"), ascf("l_linenumber"),
+          ascf("metric"), ascf("value")),
+    Some("""SELECT l_orderkey, l_linenumber, metric, value FROM (
+           |  SELECT l_orderkey, l_linenumber,
+           |    'l_quantity' AS metric, l_quantity AS value
+           |  FROM lineitem WHERE l_orderkey < 1000
+           |  UNION ALL
+           |  SELECT l_orderkey, l_linenumber,
+           |    'l_extendedprice', l_extendedprice
+           |  FROM lineitem WHERE l_orderkey < 1000
+           |  UNION ALL
+           |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+           |  FROM lineitem WHERE l_orderkey < 1000)
+           |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
+           |  metric ASC NULLS FIRST, value ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
-    aggPercentile, aggPivot)
+    aggPercentile, aggPivot, aggUnpivot)
 }
