@@ -49,6 +49,7 @@ object Pipeline {
         posexplode(array((0 until 4).map(b =>
           shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
           .as(Seq("band", "bv")))
+        .persist() // self-joined: avoids recomputing the sig pipeline twice
       val cand = banded.alias("a")
         .join(banded.alias("b"),
           col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&

@@ -73,11 +73,15 @@ object Similarity {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           array_sort(array_distinct(split(col("text"), " "))).as("st"))
+      // persisted: six downstream branches (keys, big, candidate joins,
+      // same-set pairs) would otherwise re-run the groupBy each — the
+      // relation is tiny (4,266 rows at sf0.1, session-lifetime cache)
       val groups = docs.groupBy(col("lang"), col("st"))
         .agg(min(col("doc_id")).as("gid"),
           sort_array(collect_list(col("doc_id"))).as("ids"),
           count(lit(1)).as("c"))
         .withColumn("n", size(col("st")))
+        .persist()
 
       // J ≥ t forces |aΔb| ≤ floor(|a∩b|·(1-t)/t); with i ≤ 37 (at t=.95)
       // that bound is ≤ 1, so qualifying small-set pairs are exactly
@@ -267,6 +271,7 @@ object Similarity {
         .select(col("doc_id"), expr(
           s"transform(sequence(0, ${nHashes - 1}), " +
             "i -> array_min(transform(hs, h -> xxhash64(h, i))))").as("sig"))
+        .persist() // 3 consumers (banding + both signature rejoins)
       val banded = sig.select(col("doc_id"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(lit(b) +: (0 until rows).map(r =>
