@@ -297,8 +297,29 @@ object Aggregates {
            |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST,
            |  metric ASC NULLS FIRST, value ASC NULLS FIRST""".stripMargin))
 
+  /** grouping()/grouping_id exposure: disambiguates "NULL because
+    * subtotal row" from "NULL because the data was NULL" in rollups —
+    * part of the grouping-set surface a reference user relies on.
+    */
+  private val aggGrouping = QueryDef(
+    "q_agg_grouping",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          grouping(col("l_returnflag")).cast("bigint").as("g_rf"),
+          grouping(col("l_linestatus")).cast("bigint").as("g_ls"))
+        .orderBy(ascf("g_rf"), ascf("g_ls"),
+          ascf("l_returnflag"), ascf("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+           |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           |ORDER BY g_rf ASC NULLS FIRST, g_ls ASC NULLS FIRST,
+           |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
-    aggPercentile, aggPivot, aggUnpivot)
+    aggPercentile, aggPivot, aggUnpivot, aggGrouping)
 }
