@@ -16,9 +16,9 @@ class RegistrySpec extends SparkSpec {
   test("registry has no duplicate names and covers all op families") {
     val names = Registry.all.map(_.name)
     assert(names.distinct.size == names.size)
-    val families = Seq("q_scan_", "q_filter_", "q_join_", "q_agg_", "q_win_",
-      "q_sort_", "q_union_", "q_fn_", "q_arr_", "q_map_", "q_text_",
-      "q_dedup_", "q_sim_", "q_stream_", "q_ud")
+    val families = Seq("q_scan_", "q_filter_", "q_join_", "q_subq_", "q_agg_",
+      "q_win_", "q_sort_", "q_union_", "q_fn_", "q_arr_", "q_map_", "q_text_",
+      "q_dedup_", "q_sim_", "q_mm_", "q_stream_", "q_ud")
     families.foreach { f =>
       assert(names.exists(_.startsWith(f)), s"no queries in family $f")
     }
