@@ -284,7 +284,61 @@ object Scalars {
            |  CAST(2 AS BIGINT) AS m_card
            |FROM part ORDER BY p_partkey ASC NULLS FIRST""".stripMargin))
 
+  /** StructType exercised end-to-end: build a struct, access fields,
+    * nest it, emit scalars (struct columns themselves never go to
+    * parquet output — same rule as maps/lists, D9).
+    */
+  private val fnStruct = QueryDef(
+    "q_fn_struct",
+    (s, d) => {
+      val pt = struct(col("p_brand").as("brand"), col("p_size").as("sz"),
+        struct(col("p_type").as("t")).as("inner"))
+      Tables.part(s, d)
+        .select(col("p_partkey"), pt.as("ps"))
+        .select(col("p_partkey"),
+          col("ps.brand").as("brand"),
+          (col("ps.sz") + 1).cast("bigint").as("sz1"),
+          col("ps.inner.t").as("inner_type"))
+        .orderBy(ascf("p_partkey"))
+    },
+    Some("""WITH t AS (SELECT p_partkey,
+           |    struct_pack(brand := p_brand, sz := p_size,
+           |      inner_s := struct_pack(t := p_type)) AS ps
+           |  FROM part)
+           |SELECT p_partkey, ps.brand AS brand,
+           |  CAST(ps.sz + 1 AS BIGINT) AS sz1,
+           |  ps.inner_s.t AS inner_type
+           |FROM t ORDER BY p_partkey ASC NULLS FIRST""".stripMargin))
+
+  /** Array higher-order functions: filter / exists / forall / reduce
+    * over the quantized embedding (exact ints — D3), scalar outputs.
+    */
+  private val arrHof = QueryDef(
+    "q_arr_hof",
+    (s, d) => {
+      val v = transform(col("embedding"),
+        x => round(x.cast("double") * 1000000, 0).cast("long"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(filter(v, x => x > 0)).cast("bigint").as("n_pos"),
+          exists(v, x => x > 300000).as("any_big"),
+          forall(v, x => x > -2000000).as("all_sane"),
+          aggregate(filter(v, x => x > 0), lit(0L), (a, x) => a + x)
+            .as("pos_sum"))
+        .orderBy(ascf("vec_id"))
+    },
+    Some("""WITH q AS (SELECT vec_id,
+           |    list_transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v
+           |  FROM embeddings)
+           |SELECT vec_id,
+           |  CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+           |  CAST(len(list_filter(v, x -> x > 300000)) AS BIGINT) > 0 AS any_big,
+           |  CAST(len(list_filter(v, x -> x <= -2000000)) AS BIGINT) = 0 AS all_sane,
+           |  coalesce(CAST(list_sum(list_filter(v, x -> x > 0)) AS BIGINT), 0) AS pos_sum
+           |FROM q ORDER BY vec_id ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     fnString, fnRegex, fnDate, fnMath, fnCond, fnCast, fnJson,
-    arrFuncs, arrExplode, arrAgg, mapFuncs)
+    arrFuncs, arrExplode, arrAgg, mapFuncs, fnStruct, arrHof)
 }
