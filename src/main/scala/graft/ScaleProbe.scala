@@ -1,0 +1,54 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+/** One-off 10x scale probe: replicate sf0.1 with shifted keys to /tmp and
+  * time the headline queries — evidence the plans scale ~linearly. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    val dst = "/tmp/graft_sf1"
+    val copies = 10
+    val off = 1000000000L
+    if (!new java.io.File(s"$dst/_done").exists()) {
+      def rep(name: String, shifts: Map[String, Boolean]): Unit = {
+        val base =
+          if (name == "events") {
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.read.parquet(s"$src/$name.parquet") // ts stays raw long ns
+          } else spark.read.parquet(s"$src/$name.parquet")
+        val out = (0 until copies).map { i =>
+          shifts.foldLeft(base) { case (df, (c, shift)) =>
+            if (shift) df.withColumn(c, col(c) + lit(i * off)) else df
+          }
+        }.reduce(_ unionByName _)
+        out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+        println(s"staged $name: ${out.count()}")
+      }
+      rep("lineitem", Map("l_orderkey" -> true))
+      rep("orders", Map("o_orderkey" -> true))          // o_custkey kept: fan-out
+      rep("customer", Map.empty)
+      rep("part", Map.empty); rep("supplier", Map.empty)
+      rep("nation", Map.empty); rep("region", Map.empty)
+      rep("events", Map("event_id" -> true, "user_id" -> true))
+      rep("documents", Map("doc_id" -> true))
+      rep("embeddings", Map("vec_id" -> true))
+      // keep one probe vector at vec_id=0 only (copy 0 keeps ids)
+      new java.io.File(s"$dst/_done").createNewFile()
+    }
+    // warmup (mirrors Bench)
+    spark.read.parquet(s"$dst/lineitem.parquet").groupBy(col("l_returnflag")).count().count()
+    for (q <- Seq("q_agg_q1", "q_join_star", "q_join_range", "q_agg_having",
+        "q_text_wordcount", "q_dedup_fuzzy_minhash", "q_sim_cosine_topk",
+        "q_stream_session")) {
+      val t0 = System.nanoTime()
+      val n = Registry.queries(q)(spark, dst).count()
+      println(f"SCALE10 $q: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
+    }
+    spark.stop()
+  }
+}
