@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generated properties (SURVEY.md §5.3): algebra that must
+  * hold for ANY input, not just the fixtures — the running-sum/group-
+  * total identity, set-operation containment, and windowed-count
+  * conservation. Generators are driven directly with fixed seeds (the
+  * scalatest-scalacheck bridge isn't in the offline cache), so runs are
+  * deterministic; samples stay small (one Spark job per sample).
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(Int, Long)]] =
+    Gen.listOf(Gen.zip(Gen.choose(0, 3), Gen.choose(-100L, 100L)))
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("running window sum ends at the exact group total") {
+    samples(rowsGen, 5).filter(_.nonEmpty).foreach { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "v", "id")
+      val w = Window.partitionBy("k").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val lastRunning = df
+        .withColumn("run", sum(col("v")).over(w))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("k").orderBy(col("id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("k"), col("run"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val totals = df.groupBy("k").agg(sum("v")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(lastRunning == totals, s"rows=$rows")
+    }
+  }
+
+  test("set-operation algebra: (A ∪ B) except B ⊆ A; intersect ⊆ both") {
+    samples(Gen.zip(rowsGen, rowsGen), 5).foreach { case (ra, rb) =>
+      val a = ra.toDF("k", "v"); val b = rb.toDF("k", "v")
+      val aSet = a.distinct().collect().toSet
+      val bSet = b.distinct().collect().toSet
+      val unionExcept = a.union(b).except(b).collect().toSet
+      assert(unionExcept.subsetOf(aSet))
+      val inter = a.intersect(b).collect().toSet
+      assert(inter.subsetOf(aSet) && inter.subsetOf(bSet))
+      assert(inter == (aSet & bSet))
+    }
+  }
+
+  test("tumbling window counts sum to the input count") {
+    samples(Gen.nonEmptyListOf(Gen.choose(0L, 72L * 3600)), 5).foreach { offsets =>
+      val df = offsets
+        .map(o => new java.sql.Timestamp(1704067200000L + o * 1000))
+        .toDF("ts")
+      val windowed = df.groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("cnt"))
+      val total = windowed.agg(sum("cnt")).head.getLong(0)
+      assert(total == offsets.size.toLong)
+      // each event lands in exactly one tumbling window
+      assert(windowed.agg(count(lit(1))).head.getLong(0) <= 73)
+    }
+  }
+}
