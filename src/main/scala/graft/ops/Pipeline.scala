@@ -261,6 +261,71 @@ object Pipeline {
         |    AS cos_to_global
         |FROM m ORDER BY label ASC NULLS FIRST""".stripMargin))
 
+  /** IVF-style ANN (the second scale path the pipeline mandate names,
+    * next to the LSH variant): cells = per-label exact-integer centroids
+    * (q_sim_centroid's moments), the probe ranks cells by exact
+    * squared distance — Σ_k (c·p_k − sx_k)² is an exact int64 (scaled by
+    * the cell count c; divided back in double deterministically) — scans
+    * only the nprobe=3 nearest cells' members, and reranks them with the
+    * exact quantized cosine. At 100 TB the cell assignment prunes the
+    * scan to nprobe/cells of the corpus before any distance math, and
+    * the centroid table is a broadcast.
+    */
+  private val simAnnIvf = QueryDef(
+    "q_sim_ann_ivf",
+    (s, d) => {
+      val emb = quantized(s, d)
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("v").as("pv"), col("nn").as("pnn"))
+      val byDim = emb
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
+      val cellDist = byDim
+        .crossJoin(broadcast(probe.select(col("pv"))))
+        .withColumn("pk", element_at(col("pv"), (col("pos") + 1).cast("int")))
+        .groupBy(col("label"))
+        .agg(sum((col("c") * col("pk") - col("sx")) *
+          (col("c") * col("pk") - col("sx"))).as("num"),
+          first(col("c")).as("c"))
+        .withColumn("dist2",
+          col("num").cast("double") / (col("c") * col("c")).cast("double"))
+      val nearCells = cellDist
+        .orderBy(ascf("dist2"), ascf("label"))
+        .limit(3)
+        .select(col("label"))
+      emb.filter(col("vec_id") =!= 0)
+        .join(broadcast(nearCells), Seq("label"), "left_semi")
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+          (round(cosine(dot(col("v"), col("pv")), col("nn"), col("pnn")), 6)
+            + lit(0.0)).as("cos"))
+        .orderBy(descl("cos"), ascf("vec_id"))
+        .limit(10)
+    },
+    Some(oracleQuantized +
+      """,
+        |p AS (SELECT v AS pv, nn AS pnn FROM n WHERE vec_id = 0),
+        |bd AS (SELECT label, k AS pos,
+        |    CAST(sum(v[k]) AS BIGINT) AS sx, count(*) AS c
+        |  FROM n, range(1, 65) t(k) GROUP BY label, k),
+        |cd AS (SELECT bd.label AS label,
+        |    CAST(sum((bd.c * p.pv[bd.pos] - bd.sx)
+        |      * (bd.c * p.pv[bd.pos] - bd.sx)) AS BIGINT) AS num,
+        |    CAST(any_value(bd.c) AS BIGINT) AS c
+        |  FROM bd, p GROUP BY bd.label),
+        |near AS (SELECT label,
+        |    CAST(num AS DOUBLE) / CAST(c * c AS DOUBLE) AS dist2
+        |  FROM cd
+        |  ORDER BY dist2 ASC NULLS FIRST, label ASC NULLS FIRST LIMIT 3)
+        |SELECT a.vec_id,
+        |  round(CAST(list_sum(list_transform(range(1, 65), k -> a.v[k] * p.pv[k])) AS DOUBLE)
+        |    / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(p.pnn AS DOUBLE))), 6) + 0.0 AS cos
+        |FROM n a, p
+        |WHERE a.vec_id <> 0 AND a.label IN (SELECT label FROM near)
+        |ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST
+        |LIMIT 10""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
-    dedupSimhash, dedupNgram, dedupEmbed, simAnnLsh, simCentroid)
+    dedupSimhash, dedupNgram, dedupEmbed, simAnnLsh, simCentroid, simAnnIvf)
 }
