@@ -34,6 +34,90 @@ private[ops] object VecOps {
   def cosine(dotc: Column, na: Column, nb: Column): Column =
     dotc.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
+  // ---- 16-bit random-hyperplane LSH signature (shared by q_sim_ann_lsh
+  // and the band-candidate pair generators q_sim_threshold_join /
+  // q_dedup_embed). Hyperplane j component k is ±1 from a deterministic
+  // LCG-style formula, spelled out identically in the oracle SQL.
+
+  def hyperPlane(j: Int): Seq[Long] = (0 until 64).map(k =>
+    if ((j.toLong * 1103515245L + k * 12345L) % 65536 % 2 == 0) 1L else -1L)
+
+  /** Signature bit j = sign of v·plane(j); planes are precomputed in
+    * Scala and shipped as array literals, each sign bit one codegen'd
+    * native dot product.
+    */
+  def hyperSig(v: Column): Column = (0 until 16).map(j =>
+    when(graft.functions.DotLongArrays.of(v, typedlit(hyperPlane(j))) > 0,
+      lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+
+  /** The four 4-bit bands of a signature, as an array column. */
+  def sigBands(sig: Column): Column =
+    array((0 until 4).map(b =>
+      shiftright(sig, 4 * b).bitwiseAND(lit(15L))): _*)
+
+  /** DuckDB expression computing the identical signature from `v`. */
+  val oracleHyperSig: String = {
+    def bitSql(j: Int): String =
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), k -> " +
+        s"v[k] * (CASE WHEN ((${j}::BIGINT * 1103515245 + (k - 1) * 12345) % 65536) % 2 = 0 " +
+        s"THEN 1 ELSE -1 END))) > 0 THEN ${1 << j} ELSE 0 END)"
+    (0 until 16).map(bitSql).mkString(" + ")
+  }
+
+  /** DuckDB predicate: rows `a`/`b` (each with a `sig` column) share at
+    * least one 4-bit band — the oracle twin of the banded self-join.
+    */
+  def oracleBandMatch(a: String, b: String): String =
+    (0 until 4).map(bnd =>
+      s"(($a.sig // ${1 << (4 * bnd)}) % 16) = (($b.sig // ${1 << (4 * bnd)}) % 16)")
+      .mkString(" OR ")
+
+  /** Same-label LSH band candidate pairs with their exact quantized
+    * cosine: (label, id_a, id_b, cos), id_a < id_b, one row per pair
+    * regardless of how many bands agree.
+    *
+    * This is the scale-safe replacement for an all-pairs-within-label
+    * self-join: the candidate join is keyed on (label, band, band-value)
+    * — expected bucket size n/16 per band at scale, never n — and only
+    * ids travel through the pair distinct; the 64-element vectors rejoin
+    * AFTER dedup (same payload discipline as the minhash pipeline).
+    */
+  def bandCandidatesWithCos(s: SparkSession, d: String): DataFrame = {
+    val emb = quantized(s, d)
+    val banded = emb
+      .select(col("label"), col("vec_id"),
+        posexplode(sigBands(hyperSig(col("v")))).as(Seq("band", "bv")))
+      .persist() // self-joined: avoids recomputing the 16-dot signature twice
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.label") === col("b.label") && col("a.band") === col("b.band") &&
+          col("a.bv") === col("b.bv") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"), col("a.vec_id").as("id_a"),
+        col("b.vec_id").as("id_b"))
+      .distinct()
+    val va = emb.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nn").as("na"))
+    val vb = emb.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nn").as("nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .select(col("label"), col("id_a"), col("id_b"),
+        cosine(dot(col("va"), col("vb")), col("na"), col("nb")).as("cos"))
+  }
+
+  /** DuckDB CTEs mirroring `bandCandidatesWithCos`: appends `sg` (vec
+    * signatures), `cand` (band-sharing same-label pairs) and `ver`
+    * (pairs with exact cosine) to the `oracleQuantized` prefix.
+    */
+  val oracleBandCandidates: String =
+    s""",
+       |sg AS (SELECT vec_id, label, $oracleHyperSig AS sig FROM n),
+       |cand AS (SELECT a.label AS label, a.vec_id AS ia, b.vec_id AS ib
+       |  FROM sg a JOIN sg b ON a.label = b.label AND a.vec_id < b.vec_id
+       |    AND (${oracleBandMatch("a", "b")})),
+       |ver AS (SELECT c.label AS label, c.ia AS ia, c.ib AS ib,
+       |    ${oracleCosine("x", "y")} AS cos
+       |  FROM cand c JOIN n x ON c.ia = x.vec_id JOIN n y ON c.ib = y.vec_id)""".stripMargin
+
   /** DuckDB CTE mirroring `quantized` — prepend to vector oracles. */
   val oracleQuantized: String =
     """WITH e AS (SELECT vec_id, label,

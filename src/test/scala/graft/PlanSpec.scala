@@ -71,6 +71,36 @@ class PlanSpec extends SparkSpec {
       nodes.map(_.nodeName).distinct.mkString(", "))
   }
 
+  test("cosine pair generation joins on LSH band buckets, never label alone") {
+    // VERDICT r3 #1: the exact-threshold pair ops must generate
+    // candidates from the hyperplane-band buckets; an equi-join keyed on
+    // `label` alone would be the quadratic all-pairs shape at 100 TB.
+    for (q <- Seq("q_sim_threshold_join", "q_dedup_embed")) {
+      // pre-AQE physical plan: at sf0.01 q_dedup_embed finds zero dup
+      // pairs, and AQE's empty-relation propagation would prune the
+      // whole candidate-join subtree from the executed plan
+      val nodes = collectAll(
+        Registry.queries(q)(spark, sfDir).queryExecution.sparkPlan)
+      val joins = nodes.collect {
+        case j: SortMergeJoinExec => (j.joinType, j.leftKeys)
+        case j: BroadcastHashJoinExec => (j.joinType, j.leftKeys)
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          (j.joinType, j.leftKeys)
+      }
+      assert(joins.exists { case (_, ks) =>
+        ks.exists(_.toString.contains("band")) &&
+          ks.exists(_.toString.contains("bv")) },
+        s"$q: no join carries the (band, bv) bucket key: " +
+          joins.map(_._2.mkString("[", ",", "]")).mkString("; "))
+      // the tiny per-label summary LEFT join is fine; what must not
+      // exist is an INNER pair-generating join keyed on label alone
+      assert(!joins.exists { case (t, ks) =>
+        t == org.apache.spark.sql.catalyst.plans.Inner &&
+          ks.length == 1 && ks.head.toString.contains("label") },
+        s"$q: found an inner self-join keyed on label alone")
+    }
+  }
+
   test("partial (map-side) aggregation precedes the shuffle in q_agg_q1") {
     val p = planString("q_agg_q1")
     // two HashAggregate rounds around one Exchange = partial + final
