@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import graft.Dsl._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Additional large-scale training-data pipeline operators beyond the
@@ -65,46 +66,94 @@ object Pipeline {
     },
     None)
 
-  /** Character-3-gram Jaccard near-dup pairs (bounded id slice so the
-    * all-pairs verify stays small; the scalable candidate paths —
-    * prefix-filter and deletion-neighborhood — are exercised by
-    * q_sim_jaccard_pairs, and this query is the n-gram VARIANT of the
-    * same semantics, oracle-checked end to end).
+  /** Character-3-gram Jaccard near-dup counts over ALL same-lang pairs
+    * (no id slice — VERDICT r3 #2): total pair counts are arithmetic
+    * (n·(n−1)/2), and near pairs (J ≥ 0.9) come from a PPJoin-style
+    * prefix-filter candidate join — a LOSSLESS superset (two sets with
+    * J ≥ t must share a gram among their (n − ⌈t·n⌉ + 1) rarest grams
+    * under a global (df, gram) order), each candidate verified with an
+    * exact array_intersect. Docs are first deduped to identical-gram-SET
+    * groups (the corpus is pathologically self-similar, FIXTURES.md):
+    * intra-group pairs are J = 1 by definition and counted
+    * arithmetically, so a 1000-doc duplicate cluster costs one group
+    * row, not 10⁶ candidate pairs — the same group trick as
+    * q_sim_jaccard_pairs. Short-text guard (ADVICE r3): sequence(1,
+    * len−2) would run DESCENDING for len < 3, so grams are generated to
+    * greatest(len−2, 1) and non-3-char tails filtered; len < 3 ⇒ empty
+    * set ⇒ J undefined ⇒ excluded on both engines (the oracle's
+    * range(1, len−1) is empty there, and empty-set groups are skipped
+    * in the arithmetic near count).
     */
   private val dedupNgram = QueryDef(
     "q_dedup_ngram",
     (s, d) => {
+      val t = 0.9
       val g = Tables.documents(s, d)
-        .filter(col("doc_id") < 300)
         .select(col("doc_id"), col("lang"),
-          expr("array_distinct(transform(sequence(1, length(text) - 2), " +
-            "i -> substring(text, i, 3)))").as("gs"))
+          expr("array_distinct(filter(transform(" +
+            "sequence(1, greatest(length(text) - 2, 1)), " +
+            "i -> substring(text, i, 3)), x -> length(x) = 3))").as("gs"))
+      val groups = g.groupBy(col("lang"), col("gs"))
+        .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("c"))
         .withColumn("n", size(col("gs")))
-      val a = g.select(col("lang"), col("doc_id").as("d1"),
-        col("gs").as("g1"), col("n").as("n1"))
-      val b = g.select(col("lang"), col("doc_id").as("d2"),
-        col("gs").as("g2"), col("n").as("n2"))
-      a.join(b, Seq("lang")).filter(col("d1") < col("d2"))
-        .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
-        .withColumn("jac",
-          col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+        .persist() // 4 consumers: base counts, postings, both verify sides
+      val base = groups.groupBy(col("lang"))
+        .agg(sum(col("c")).as("nd"),
+          sum(expr("CASE WHEN n > 0 THEN c * (c - 1) DIV 2 ELSE 0 END"))
+            .as("same_near"))
+      val toks = groups.select(col("lang"), col("gid"), col("n"),
+        explode(col("gs")).as("w"))
+      val dfreq = toks.groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("df"))
+      val wG = Window.partitionBy(col("gid"))
+      val prefix = toks.join(dfreq, Seq("lang", "w"))
+        .withColumn("pos", row_number().over(wG.orderBy(ascf("df"), ascf("w"))))
+        .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
+      val cand = prefix.alias("a")
+        .join(prefix.alias("b"),
+          col("a.lang") === col("b.lang") && col("a.w") === col("b.w") &&
+            col("a.gid") < col("b.gid"))
+        .select(col("a.lang").as("lang"), col("a.gid").as("g1"),
+          col("b.gid").as("g2"))
+        .distinct()
+      val ga = groups.select(col("gid").as("g1"), col("gs").as("s1"),
+        col("n").as("n1"), col("c").as("c1"))
+      val gb = groups.select(col("gid").as("g2"), col("gs").as("s2"),
+        col("n").as("n2"), col("c").as("c2"))
+      val crossNear = cand.join(ga, "g1").join(gb, "g2")
+        .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+        .filter(col("inter").cast("double")
+          / (col("n1") + col("n2") - col("inter")) >= t)
         .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_pairs"),
-          count(when(col("jac") >= 0.9, lit(1))).as("n_near"))
+        .agg(sum(col("c1") * col("c2")).as("cross_near"))
+      base.join(crossNear, Seq("lang"), "left")
+        .select(col("lang"),
+          expr("CAST(nd * (nd - 1) DIV 2 AS BIGINT)").as("n_pairs"),
+          (col("same_near") + coalesce(col("cross_near"), lit(0L)))
+            .cast("bigint").as("n_near"))
         .orderBy(ascf("lang"))
     },
     Some("""WITH g AS (SELECT doc_id, lang,
            |    list_distinct(list_transform(range(1, len(text) - 1),
            |      i -> substring(text, i, 3))) AS gs
-           |  FROM documents WHERE doc_id < 300),
-           |n AS (SELECT doc_id, lang, gs, len(gs) AS n FROM g),
-           |p AS (SELECT a.lang,
-           |    len(list_intersect(a.gs, b.gs)) AS inter, a.n AS n1, b.n AS n2
-           |  FROM n a JOIN n b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-           |SELECT lang, count(*) AS n_pairs,
-           |  count(*) FILTER (WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter)
-           |    >= 0.9) AS n_near
-           |FROM p GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin))
+           |  FROM documents),
+           |nn AS (SELECT doc_id, lang, gs, len(gs) AS n FROM g),
+           |base AS (SELECT lang, count(*) AS nd FROM nn GROUP BY lang),
+           |t AS (SELECT doc_id, lang, unnest(gs) AS w FROM g),
+           |p AS (SELECT a.lang AS lang, a.doc_id AS d1, b.doc_id AS d2,
+           |    count(*) AS inter
+           |  FROM t a JOIN t b ON a.lang = b.lang AND a.w = b.w
+           |    AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2, 3),
+           |nr AS (SELECT p.lang AS lang, count(*) AS n_near
+           |  FROM p JOIN nn n1 ON p.d1 = n1.doc_id JOIN nn n2 ON p.d2 = n2.doc_id
+           |  WHERE CAST(p.inter AS DOUBLE) / (n1.n + n2.n - p.inter) >= 0.9
+           |  GROUP BY p.lang)
+           |SELECT base.lang AS lang,
+           |  CAST(base.nd * (base.nd - 1) // 2 AS BIGINT) AS n_pairs,
+           |  CAST(coalesce(nr.n_near, 0) AS BIGINT) AS n_near
+           |FROM base LEFT JOIN nr ON base.lang = nr.lang
+           |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
   /** Embedding-cosine near-dup at quantized cosine ≥ 0.99, with pairs
     * generated from the shared hyperplane-LSH band buckets

@@ -62,10 +62,13 @@ object Similarity {
     * sf0.1, ~200M join rows); prefixes are ~⌈0.05·|s|⌉+1 ≈ 4 rare tokens
     * per doc. Candidates are then verified exactly with array_intersect.
     * This is THE scalable exact-similarity-join shape at 100 TB.
+    *
+    * Returns the doc-level pair relation (d1 < d2, same lang, exact
+    * jac) — shared by q_sim_jaccard_pairs (which emits the pairs) and
+    * q_text_levenshtein (which runs edit distance on them — the "exact
+    * verify on candidates" composition VERDICT r3 #2 asked for).
     */
-  private val simJaccard = QueryDef(
-    "q_sim_jaccard_pairs",
-    (s, d) => {
+  private[ops] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
       val t = 0.95
       // Dedup-to-set-groups first: many docs share an identical token SET
       // (4,266 groups from 5,000 docs at sf0.1), so all pair math runs on
@@ -158,21 +161,34 @@ object Similarity {
         .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
           lit(1.0).as("jac"))
       samePairs.union(crossPairs)
+  }
+
+  /** DuckDB CTE chain computing the same ≥ 0.95 pair set, ending in
+    * `jp(d1, d2, jac)` — shared by the two oracles.
+    */
+  private[ops] val oracleJaccardCte: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |  unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+      |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |      FROM t a JOIN t b
+      |        ON a.lang = b.lang AND a.w = b.w AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |jp AS (SELECT d1, d2,
+      |    CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jac
+      |  FROM p JOIN sz s1 ON p.d1 = s1.doc_id JOIN sz s2 ON p.d2 = s2.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.95)""".stripMargin
+
+  private val simJaccard = QueryDef(
+    "q_sim_jaccard_pairs",
+    (s, d) =>
+      jaccardPairs(s, d)
         .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
-        .orderBy(ascf("d1"), ascf("d2"))
-    },
-    Some("""WITH t AS (SELECT doc_id, lang,
-           |  unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
-           |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
-           |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-           |      FROM t a JOIN t b
-           |        ON a.lang = b.lang AND a.w = b.w AND a.doc_id < b.doc_id
-           |      GROUP BY 1, 2)
-           |SELECT d1, d2,
-           |  round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 4) AS jaccard
-           |FROM p JOIN sz s1 ON p.d1 = s1.doc_id JOIN sz s2 ON p.d2 = s2.doc_id
-           |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.95
-           |ORDER BY d1 ASC NULLS FIRST, d2 ASC NULLS FIRST""".stripMargin))
+        .orderBy(ascf("d1"), ascf("d2")),
+    Some(oracleJaccardCte +
+      """
+        |SELECT d1, d2, round(jac, 4) AS jaccard FROM jp
+        |ORDER BY d1 ASC NULLS FIRST, d2 ASC NULLS FIRST""".stripMargin))
 
   /** Brute-force cosine top-k of probe vec_id=0 — the ANN baseline. The
     * 1-row probe is broadcast; the scan side never shuffles. Ordered by
