@@ -134,5 +134,43 @@ object Streaming {
            |FROM f GROUP BY event_type
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(tumbling, sliding, session, dedup)
+  /** Stream-stream interval join (batch-equivalent declaration): clicks
+    * ⋈ purchases per user within [purchase_ts, purchase_ts + 30 min).
+    * StreamingSpec replays this as a real watermarked stream-stream join
+    * (both sides `withWatermark`, bounded state) and asserts it equals
+    * this batch query — Structured Streaming's prefix-consistency
+    * contract, same as the window aggs above. Scale: the join is an
+    * EQUI-join on user_id with a range residual, so it shuffles both
+    * sides once on a high-cardinality key — never a cross product.
+    */
+  private val streamJoin = QueryDef(
+    "q_stream_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("cus"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("pus"))
+      c.join(p, col("user_id") === col("pu") &&
+          col("cus") >= col("pus") &&
+          col("cus") < col("pus") + lit(1800000000L))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (col("cus") - col("pus")).as("lag_us"))
+        .orderBy(ascf("click_id"), ascf("purchase_id"))
+    },
+    Some("""WITH c AS (SELECT user_id, event_id AS click_id,
+           |    epoch_us(ts::TIMESTAMP) AS cus
+           |  FROM events WHERE event_type = 'click'),
+           |p AS (SELECT user_id, event_id AS purchase_id,
+           |    epoch_us(ts::TIMESTAMP) AS pus
+           |  FROM events WHERE event_type = 'purchase')
+           |SELECT c.user_id, c.click_id, p.purchase_id,
+           |  CAST(c.cus - p.pus AS BIGINT) AS lag_us
+           |FROM c JOIN p ON c.user_id = p.user_id
+           |  AND c.cus >= p.pus AND c.cus < p.pus + 1800000000
+           |ORDER BY click_id ASC NULLS FIRST, purchase_id ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(tumbling, sliding, session, dedup, streamJoin)
 }

@@ -110,8 +110,9 @@ class StreamingSpec extends SparkSpec {
     val cond = col("cu") === col("pu") &&
       col("cts") >= col("pts") &&
       col("cts") < col("pts") + expr("INTERVAL 30 MINUTES")
-    val (bc, bp) = sides(Tables.events(spark, sfDir))
-    val batch = bc.join(bp, cond)
+    // batch side = the q_stream_join contract key (prefix-consistency:
+    // the streaming run must equal the declared batch query)
+    val batch = Registry.queries("q_stream_join")(spark, sfDir)
       .select(col("click_id"), col("purchase_id")).collect().toSet
     val stream = () => {
       val (sc, sp) = sides(spark.readStream
