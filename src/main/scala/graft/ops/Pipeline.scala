@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.Dsl._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Additional large-scale training-data pipeline operators beyond the
   * SURVEY.md §2.12 core: SimHash near-dup, character-n-gram Jaccard
@@ -262,17 +263,21 @@ object Pipeline {
         .agg(sum(col("sx")).as("gx"), sum(col("cnt")).as("gn"))
       byDim.join(global, "pos")
         .groupBy(col("label"))
-        // all moment sums stay EXACT int64 (a double dot summed across
-        // partitions would be order-dependent — rule D2); the cosine
-        // formula runs on the aggregated exact ints only
+        // first moments stay exact int64 (|Σ components| ≤ n·64·1e6 —
+        // safe for n ≤ 1.4e11 vectors); SECOND moments aggregate in
+        // DECIMAL(38,0) / HUGEINT (ADVICE r3: sx·gx products reach
+        // ~1e30 at 1e9 rows and int64 would wrap silently in Spark
+        // while DuckDB widens), then round to DOUBLE at the output —
+        // both engines round the same exact integer to the same
+        // float64, so the result stays deterministic and hash-equal
         .agg(
           first(col("cnt")).as("n_vecs"),
           sum(col("sx")).as("moment1"),
-          sum(col("sx") * col("sx")).as("m_ss"),
-          sum(col("sx") * col("gx")).as("m_sg"),
-          sum(col("gx") * col("gx")).as("m_gg"))
+          sum(col("sx").cast(DecimalType(38, 0)) * col("sx")).as("m_ss"),
+          sum(col("sx").cast(DecimalType(38, 0)) * col("gx")).as("m_sg"),
+          sum(col("gx").cast(DecimalType(38, 0)) * col("gx")).as("m_gg"))
         .select(col("label"), col("n_vecs"), col("moment1"),
-          col("m_ss").as("moment2"),
+          col("m_ss").cast("double").as("moment2"),
           (round(col("m_sg").cast("double")
             / (sqrt(col("m_ss").cast("double"))
               * sqrt(col("m_gg").cast("double"))), 6) + lit(0.0))
@@ -288,51 +293,57 @@ object Pipeline {
         |m AS (SELECT bd.label AS label,
         |    CAST(any_value(bd.cnt) AS BIGINT) AS n_vecs,
         |    CAST(sum(bd.sx) AS BIGINT) AS moment1,
-        |    CAST(sum(bd.sx * bd.sx) AS BIGINT) AS m_ss,
-        |    CAST(sum(bd.sx * g.gx) AS BIGINT) AS m_sg,
-        |    CAST(sum(g.gx * g.gx) AS BIGINT) AS m_gg
+        |    sum(CAST(bd.sx AS HUGEINT) * bd.sx) AS m_ss,
+        |    sum(CAST(bd.sx AS HUGEINT) * g.gx) AS m_sg,
+        |    sum(CAST(g.gx AS HUGEINT) * g.gx) AS m_gg
         |  FROM bd JOIN g ON bd.pos = g.pos GROUP BY bd.label)
-        |SELECT label, n_vecs, moment1, m_ss AS moment2,
+        |SELECT label, n_vecs, moment1, CAST(m_ss AS DOUBLE) AS moment2,
         |  round(CAST(m_sg AS DOUBLE)
         |    / (sqrt(CAST(m_ss AS DOUBLE)) * sqrt(CAST(m_gg AS DOUBLE))), 6) + 0.0
         |    AS cos_to_global
         |FROM m ORDER BY label ASC NULLS FIRST""".stripMargin))
 
   /** IVF-style ANN (the second scale path the pipeline mandate names,
-    * next to the LSH variant): cells = per-label exact-integer centroids
-    * (q_sim_centroid's moments), the probe ranks cells by exact
-    * squared distance — Σ_k (c·p_k − sx_k)² is an exact int64 (scaled by
-    * the cell count c; divided back in double deterministically) — scans
-    * only the nprobe=3 nearest cells' members, and reranks them with the
-    * exact quantized cosine. At 100 TB the cell assignment prunes the
-    * scan to nprobe/cells of the corpus before any distance math, and
-    * the centroid table is a broadcast.
+    * next to the LSH variant): cells = the 5-bit SIGN PATTERN of the
+    * first five quantized dimensions — up to 32 data-derived grid cells
+    * (~√n at verify scale; VERDICT r3 #7 — the previous version reused
+    * the 10 class labels, making "IVF" a k=10 lookup). The probe ranks
+    * cells by exact squared distance to the cell centroid —
+    * Σ_k (c·p_k − sx_k)², aggregated in DECIMAL(38,0)/HUGEINT so the
+    * ~(n_cell·1e6)² products can't wrap int64 (ADVICE r3), divided back
+    * in double deterministically — scans only the nprobe=3 nearest
+    * cells' members, and reranks them with the exact quantized cosine.
+    * At 100 TB the cell assignment prunes the scan to ~nprobe/cells of
+    * the corpus before any distance math, and the centroid table is a
+    * broadcast.
     */
   private val simAnnIvf = QueryDef(
     "q_sim_ann_ivf",
     (s, d) => {
-      val emb = quantized(s, d)
+      val cellCol = (0 until 5).map(k =>
+        when(element_at(col("v"), k + 1) > 0, lit(1L << k)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val emb = quantized(s, d).withColumn("cell", cellCol)
       val probe = emb.filter(col("vec_id") === 0)
         .select(col("v").as("pv"), col("nn").as("pnn"))
       val byDim = emb
-        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("label"), col("pos"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
+      val dx = col("c").cast(DecimalType(38, 0)) * col("pk") - col("sx")
       val cellDist = byDim
         .crossJoin(broadcast(probe.select(col("pv"))))
         .withColumn("pk", element_at(col("pv"), (col("pos") + 1).cast("int")))
-        .groupBy(col("label"))
-        .agg(sum((col("c") * col("pk") - col("sx")) *
-          (col("c") * col("pk") - col("sx"))).as("num"),
-          first(col("c")).as("c"))
-        .withColumn("dist2",
-          col("num").cast("double") / (col("c") * col("c")).cast("double"))
+        .groupBy(col("cell"))
+        .agg(sum(dx * dx).as("num"), first(col("c")).as("c"))
+        .withColumn("dist2", col("num").cast("double")
+          / (col("c").cast("double") * col("c").cast("double")))
       val nearCells = cellDist
-        .orderBy(ascf("dist2"), ascf("label"))
+        .orderBy(ascf("dist2"), ascf("cell"))
         .limit(3)
-        .select(col("label"))
+        .select(col("cell"))
       emb.filter(col("vec_id") =!= 0)
-        .join(broadcast(nearCells), Seq("label"), "left_semi")
+        .join(broadcast(nearCells), Seq("cell"), "left_semi")
         .crossJoin(broadcast(probe))
         .select(col("vec_id"),
           (round(cosine(dot(col("v"), col("pv")), col("nn"), col("pnn")), 6)
@@ -340,28 +351,36 @@ object Pipeline {
         .orderBy(descl("cos"), ascf("vec_id"))
         .limit(10)
     },
-    Some(oracleQuantized +
-      """,
-        |p AS (SELECT v AS pv, nn AS pnn FROM n WHERE vec_id = 0),
-        |bd AS (SELECT label, k AS pos,
-        |    CAST(sum(v[k]) AS BIGINT) AS sx, count(*) AS c
-        |  FROM n, range(1, 65) t(k) GROUP BY label, k),
-        |cd AS (SELECT bd.label AS label,
-        |    CAST(sum((bd.c * p.pv[bd.pos] - bd.sx)
-        |      * (bd.c * p.pv[bd.pos] - bd.sx)) AS BIGINT) AS num,
-        |    CAST(any_value(bd.c) AS BIGINT) AS c
-        |  FROM bd, p GROUP BY bd.label),
-        |near AS (SELECT label,
-        |    CAST(num AS DOUBLE) / CAST(c * c AS DOUBLE) AS dist2
-        |  FROM cd
-        |  ORDER BY dist2 ASC NULLS FIRST, label ASC NULLS FIRST LIMIT 3)
-        |SELECT a.vec_id,
-        |  round(CAST(list_sum(list_transform(range(1, 65), k -> a.v[k] * p.pv[k])) AS DOUBLE)
-        |    / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(p.pnn AS DOUBLE))), 6) + 0.0 AS cos
-        |FROM n a, p
-        |WHERE a.vec_id <> 0 AND a.label IN (SELECT label FROM near)
-        |ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST
-        |LIMIT 10""".stripMargin))
+    Some {
+      val cellSql = (0 until 5).map(k =>
+        s"(CASE WHEN v[${k + 1}] > 0 THEN ${1L << k} ELSE 0 END)")
+        .mkString(" + ")
+      oracleQuantized +
+        s""",
+           |cl AS (SELECT vec_id, v, nn, $cellSql AS cell FROM n),
+           |p AS (SELECT v AS pv, nn AS pnn FROM n WHERE vec_id = 0),
+           |bd AS (SELECT cell, k AS pos,
+           |    CAST(sum(v[k]) AS BIGINT) AS sx, count(*) AS c
+           |  FROM cl, range(1, 65) t(k) GROUP BY cell, k),
+           |cd0 AS (SELECT bd.cell AS cell, bd.c AS c,
+           |    CAST(bd.c AS HUGEINT) * p.pv[bd.pos] - bd.sx AS dx
+           |  FROM bd, p),
+           |cd AS (SELECT cell, sum(dx * dx) AS num,
+           |    CAST(any_value(c) AS BIGINT) AS c
+           |  FROM cd0 GROUP BY cell),
+           |near AS (SELECT cell,
+           |    CAST(num AS DOUBLE) / (CAST(c AS DOUBLE) * CAST(c AS DOUBLE))
+           |      AS dist2
+           |  FROM cd
+           |  ORDER BY dist2 ASC NULLS FIRST, cell ASC NULLS FIRST LIMIT 3)
+           |SELECT a.vec_id,
+           |  round(CAST(list_sum(list_transform(range(1, 65), k -> a.v[k] * p.pv[k])) AS DOUBLE)
+           |    / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(p.pnn AS DOUBLE))), 6) + 0.0 AS cos
+           |FROM cl a, p
+           |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM near)
+           |ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST
+           |LIMIT 10""".stripMargin
+    })
 
   def defs: Seq[QueryDef] = Seq(
     dedupSimhash, dedupNgram, dedupEmbed, simAnnLsh, simCentroid, simAnnIvf)
