@@ -30,7 +30,10 @@ case class Tokenize(child: Expression)
     val v = child.eval(input)
     if (v == null) Nil
     else {
-      val toks = v.asInstanceOf[UTF8String].toString.split(' ')
+      // limit -1 keeps trailing empty tokens — split(' ') (limit 0)
+      // would drop them, diverging from posexplode(split(text, ' '))
+      // on any text with trailing spaces (ADVICE r3)
+      val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
       toks.indices.map(i => InternalRow(i, UTF8String.fromString(toks(i))))
     }
   }

@@ -204,7 +204,7 @@ object Aggregates {
            |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin))
 
   /** HLL sketch — no oracle (sketch implementations are engine-specific);
-    * exactness bounds are asserted in ApproxSpec instead (SURVEY.md §5.3).
+    * exactness bounds are asserted in MinHashSpec instead (SURVEY.md §5.3).
     */
   private val aggApproxDistinct = QueryDef(
     "q_agg_approx_distinct",

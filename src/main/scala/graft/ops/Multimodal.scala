@@ -100,8 +100,8 @@ object Multimodal {
            |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
            |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
            |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           |    CAST(list_sum(list_transform(range(1, len(text) + 1),
-           |      i -> ascii(substring(text, i, 1)))) AS BIGINT) AS byte_sum,
+           |    CAST(coalesce(list_sum(list_transform(range(1, len(text) + 1),
+           |      i -> ascii(substring(text, i, 1)))), 0) AS BIGINT) AS byte_sum,
            |    CAST(len(list_filter(list_transform(range(1, len(text) + 1),
            |      i -> ascii(substring(text, i, 1))), x -> x < 100)) AS BIGINT)
            |      AS n_dark

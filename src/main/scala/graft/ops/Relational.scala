@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import graft.Dsl._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -269,13 +270,10 @@ object Relational {
     * `click.ts >= purchase.ts` — exactly DuckDB's ASOF JOIN semantics.
     * Scale: one shuffle on user_id + one sort, vs. the O(n·m) range join
     * a naive inequality join would plan; this is the shape that survives
-    * 100 TB (and what AsofSpec pins). The oracle casts ts::TIMESTAMP so
-    * both engines compare at µs (SURVEY.md §1.3).
+    * 100 TB (and what RuntimeSpec's tiebreak test pins). The oracle
+    * casts ts::TIMESTAMP so both engines compare at µs (SURVEY.md §1.3).
     */
-  private val joinAsof = QueryDef(
-    "q_join_asof",
-    (s, d) => {
-      val ev = Tables.events(s, d)
+  private[graft] def asofClickPurchase(ev: DataFrame): DataFrame = {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), lit(0).as("tag"),
           col("event_id").as("purchase_id"), lit(null).cast("long").as("click_id"))
@@ -294,7 +292,11 @@ object Relational {
         .select(col("click_id"), col("asof_purchase_id").as("purchase_id"),
           (unix_micros(col("ts")) - unix_micros(col("asof_pts"))).as("gap_us"))
         .orderBy(ascf("click_id"))
-    },
+  }
+
+  private val joinAsof = QueryDef(
+    "q_join_asof",
+    (s, d) => asofClickPurchase(Tables.events(s, d)),
     Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
            |  epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
            |FROM (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events

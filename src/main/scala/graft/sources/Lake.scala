@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * Writing date-partitioned parquet (`partitionBy`) turns time-range
   * predicates into PARTITION PRUNING — the scan lists only matching
   * directories, so a one-day query over a 3-year lake touches ~0.1% of
-  * files before a single row is read. LakeSpec asserts the executed scan
+  * files before a single row is read. RuntimeSpec asserts the executed scan
   * carries PartitionFilters and reads only the matching partition.
   */
 object Lake {

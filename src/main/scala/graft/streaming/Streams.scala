@@ -14,7 +14,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *   - WATERMARKS bound StateStore size: a `withWatermark(ts, slack)`
   *     window agg drops state for windows older than the watermark and
   *     discards later-than-slack events (the late-data policy is the
-  *     watermark, not an operator flag) — StreamsSpec pins the
+  *     watermark, not an operator flag) — StreamingSpec pins the
   *     drop-late-row behavior;
   *   - checkpointing to a per-query location makes restarts exactly-once
   *     for the stateful operators.
@@ -68,7 +68,7 @@ object Streams {
     * StateStore checkpoints between micro-batches. Each batch folds its
     * (event-time-sorted) rows into the carried state — this is the
     * extension point for state machines the windowed operators can't
-    * express. StreamsSpec asserts equality with the batch definition.
+    * express. StreamingSpec asserts equality with the batch definition.
     */
   def sessionCounts(events: DataFrame,
       gapUs: Long = 30L * 60 * 1000000): Dataset[UserSessionCounts] = {

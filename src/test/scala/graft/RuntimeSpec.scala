@@ -42,6 +42,39 @@ class RuntimeSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("salted join resolves shared non-key column names (ADVICE r3)") {
+    // both sides carry a column literally named "v" — output resolution
+    // must be side-qualified, not bare-name (which threw ambiguous-ref)
+    val l = Seq((1L, "lv1"), (1L, "lv2"), (2L, "lv3")).toDF("k", "v")
+    val r = Seq((1L, "rv1"), (2L, "rv2")).toDF("k", "v")
+    val out = SaltedJoin.inner(l, r, "k", salts = 4)
+    assert(out.columns.toSeq == Seq("k", "v", "v"))
+    val got = out.toDF("k", "lv", "rv")
+      .select(col("k"), col("lv"), col("rv")).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2))).toSet
+    assert(got == Set((1L, "lv1", "rv1"), (1L, "lv2", "rv1"),
+      (2L, "lv3", "rv2")))
+  }
+
+  test("asof join matches the equal-timestamp purchase (tag-0-first tiebreak)") {
+    // VERDICT r3 #4: only the oracle covered the equal-ts edge — pin the
+    // inclusive `click.ts >= purchase.ts` semantics (purchase tag 0
+    // sorts before click tag 1 at the same timestamp, DuckDB ASOF-style)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:10:00")
+    val ev = Seq(
+      (1L, 10L, "purchase", t0),
+      (1L, 20L, "click", t0), // equal ts → must match purchase 10, gap 0
+      (1L, 11L, "purchase", t1), // later purchase must not match click 20
+      (2L, 21L, "click", t0) // user with no purchase → null asof
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = ops.Relational.asofClickPurchase(ev)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((20L, 10L, 0L), (21L, -1L, -1L)))
+  }
+
   test("watermark drops a too-late row; on-time rows aggregate") {
     // Two query RUNS over one checkpoint: the watermark advances in run 1
     // and persists, so run 2's older-than-watermark row is dropped (file

@@ -31,6 +31,23 @@ class TokenizeSpec extends SparkSpec {
     assert(rows == Set((1L, 0, "solo"), (2L, 0, "")))
   }
 
+  test("Tokenize keeps trailing and consecutive empty tokens (split limit -1)") {
+    // ADVICE r3: Java split with limit 0 drops trailing empties — 'a '
+    // must yield 2 rows and '  ' must yield 3, exactly like
+    // posexplode(split(text, ' '))
+    val df = Seq((1L, "a "), (2L, "  "), (3L, "a  b")).toDF("id", "text")
+    val viaGen = df
+      .select(col("id"), Tokenize.of(col("text")).as(Seq("pos", "token")))
+      .collect().toSet
+    val viaBuiltin = df
+      .select(col("id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .collect().toSet
+    assert(viaGen == viaBuiltin)
+    assert(viaGen.count(_.getLong(0) == 1L) == 2)
+    assert(viaGen.count(_.getLong(0) == 2L) == 3)
+  }
+
   test("CSV and JSON sources read (declared capability, SURVEY.md §2.2)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
