@@ -11,7 +11,8 @@ object PlanDump {
     val d = "/root/testdata/sf0.001"
     val out = new StringBuilder
     for (q <- Seq("q_agg_q1", "q_join_star", "q_join_broadcast",
-        "q_join_asof", "q_join_range", "q_sim_jaccard_pairs", "q_stream_tumbling")) {
+        "q_join_asof", "q_join_range", "q_sim_jaccard_pairs", "q_stream_tumbling",
+        "q_sim_threshold_join", "q_dedup_ngram")) {
       val p = Registry.queries(q)(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       out.append(s"##### $q\n```\n")
