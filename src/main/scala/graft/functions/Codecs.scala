@@ -1,0 +1,96 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** REAL (pure-JVM) binary media codecs for the codec-free formats — the
+  * multimodal decode paths that need no external libraries:
+  *
+  *  - `Wav`: RIFF/WAVE container with 16-bit little-endian PCM mono
+  *    audio — a full header writer/parser (RIFF size, fmt chunk with
+  *    audio-format/channels/rates, data chunk), not a stub.
+  *  - `GrayImage`: raw 8-bit grayscale raster with a fixed 12-byte
+  *    header (magic + little-endian width/height).
+  *
+  * Compressed formats (JPEG/MP3/H.264) would slot behind the same
+  * decode signatures but require codec libraries absent from this
+  * container — `Multimodal.fakeDecode` remains the clearly-marked stand-
+  * in for those. Decoders here VALIDATE structure and throw on
+  * malformed input: a parsing bug cannot silently pass the oracle.
+  */
+object Codecs {
+
+  object Wav {
+    /** 44-byte canonical PCM WAV header + LE16 samples, mono. */
+    def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2) // block align
+        .putShort(16) // bits per sample
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    /** Parse the RIFF container back: returns (sampleRate, samples).
+      * Validates every magic and the fixed PCM16-mono layout.
+      */
+    def decode(bytes: Array[Byte]): (Int, Array[Short]) = {
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def tag(expect: String): Unit = {
+        val t = new Array[Byte](4); bb.get(t)
+        require(new String(t, "US-ASCII") == expect, s"bad chunk: want $expect")
+      }
+      tag("RIFF")
+      val riffLen = bb.getInt
+      require(riffLen == bytes.length - 8, s"RIFF length $riffLen mismatch")
+      tag("WAVE"); tag("fmt ")
+      require(bb.getInt == 16, "unexpected fmt chunk size")
+      require(bb.getShort == 1, "not PCM")
+      require(bb.getShort == 1, "not mono")
+      val sampleRate = bb.getInt
+      require(bb.getInt == sampleRate * 2, "byte rate mismatch")
+      require(bb.getShort == 2, "block align mismatch")
+      require(bb.getShort == 16, "not 16-bit")
+      tag("data")
+      val dataLen = bb.getInt
+      require(dataLen == bytes.length - 44 && dataLen % 2 == 0, "data length")
+      val out = new Array[Short](dataLen / 2)
+      var i = 0
+      while (i < out.length) { out(i) = bb.getShort; i += 1 }
+      (sampleRate, out)
+    }
+  }
+
+  object GrayImage {
+    val Magic = "GIM8"
+
+    /** 12-byte header (magic, LE width, LE height) + row-major pixels. */
+    def encode(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+      require(pixels.length == width * height, "pixel count != w*h")
+      val bb = ByteBuffer.allocate(12 + pixels.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(Magic.getBytes("US-ASCII")).putInt(width).putInt(height)
+        .put(pixels)
+      bb.array()
+    }
+
+    /** Returns (width, height, pixels); validates magic + dimensions. */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val t = new Array[Byte](4); bb.get(t)
+      require(new String(t, "US-ASCII") == Magic, "bad image magic")
+      val w = bb.getInt; val h = bb.getInt
+      require(w >= 0 && h >= 0 && bytes.length == 12 + w * h,
+        s"dimension/payload mismatch: ${w}x$h vs ${bytes.length - 12} bytes")
+      val px = new Array[Byte](w * h); bb.get(px)
+      (w, h, px)
+    }
+  }
+}

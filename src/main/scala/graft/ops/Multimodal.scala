@@ -7,16 +7,24 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: media as opaque `binary` payloads with typed
   * metadata, processed in distributed per-partition batches.
   *
-  * The fixtures ship no real image/audio bytes, so the payload is the
-  * document's UTF-8 bytes and the DECODER IS A STUB — `fakeDecode` below
-  * stands in for an image/audio codec (the real one would live behind
-  * the same signature). Everything around it is the real Spark plumbing
-  * this pipeline needs at 100 TB: a fixed media schema (id, kind, binary
-  * payload, metadata), `mapPartitions` batch iteration over the binary
-  * column (the JVM analogue of the Arrow-batched mapInPandas path — one
-  * decoder instance per partition, streaming through rows, never
-  * collecting to the driver), and scalar feature outputs that aggregate
-  * exactly. q_mm_binary proves binary round-tripping against the oracle
+  * Two tiers of decoder (round 4):
+  *  - REAL decoders for the codec-free formats — RIFF/PCM16 WAV audio
+  *    (q_mm_audio_pcm) and raw grayscale rasters (q_mm_image_gray),
+  *    implemented as full header writer/parsers in
+  *    `graft.functions.Codecs` with structural validation; the oracle
+  *    recomputes expected sample/pixel stats from the source characters,
+  *    so a parse bug breaks the hash match.
+  *  - A clearly-marked STUB (`fakeDecode` below) standing in for
+  *    compressed-format codecs (JPEG/MP3/H.264), which need libraries
+  *    absent from this container; the real one would live behind the
+  *    same signature.
+  * Everything around them is the real Spark plumbing this pipeline needs
+  * at 100 TB: a fixed media schema (id, kind, binary payload, metadata),
+  * `mapPartitions` batch iteration over the binary column (the JVM
+  * analogue of the Arrow-batched mapInPandas path — one decoder instance
+  * per partition, streaming through rows, never collecting to the
+  * driver), and scalar feature outputs that aggregate exactly.
+  * q_mm_binary proves binary round-tripping against the oracle
   * byte-for-byte via md5; q_mm_features runs the decode stub end-to-end
   * (oracle recomputes the same bytes with SQL ascii sums — the payload
   * is pure ASCII by construction, FIXTURES.md).
@@ -112,5 +120,125 @@ object Multimodal {
            |  CAST(sum(n_dark) AS BIGINT) AS n_dark_total
            |FROM f GROUP BY kind ORDER BY kind ASC NULLS FIRST""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(mmBinary, mmFeatures)
+  // ---- REAL decoders (round 4): WAV/PCM16 audio and raw grayscale
+  // images are codec-free formats, so their decode paths are genuinely
+  // implemented (graft.functions.Codecs — full header parse +
+  // validation), not stubbed. The payloads are synthesized
+  // deterministically from document text, so the DuckDB oracle can
+  // recompute the expected sample/pixel statistics straight from the
+  // characters: any header/endianness/offset bug in the parser breaks
+  // the hash match. Only compressed formats (JPEG/MP3/…) remain behind
+  // the fakeDecode stub above.
+
+  final case class AudioClip(media_id: Long, payload: Array[Byte])
+  final case class AudioFeatures(media_id: Long, sample_rate: Int,
+      n_samples: Long, sum_abs: Long, peak: Long)
+
+  /** PCM16 audio pipeline: synth WAV bytes (sample i = (ascii(char_i) −
+    * 78)·256, rate = 8000 + (id%8)·1000 Hz) → a real binary column →
+    * mapPartitions RIFF/PCM parse → exact per-rate aggregation.
+    */
+  private val mmAudioPcm = QueryDef(
+    "q_mm_audio_pcm",
+    (s, d) => {
+      import s.implicits._
+      val clips = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val samples = new Array[Short](text.length)
+          var i = 0
+          while (i < text.length) {
+            samples(i) = ((text.charAt(i).toInt - 78) * 256).toShort
+            i += 1
+          }
+          AudioClip(id, graft.functions.Codecs.Wav.encode(
+            8000 + (id % 8).toInt * 1000, samples))
+        })
+      val feats = clips.mapPartitions(_.map { c =>
+        val (sr, samples) = graft.functions.Codecs.Wav.decode(c.payload)
+        var sumAbs = 0L; var peak = 0L; var i = 0
+        while (i < samples.length) {
+          val a = math.abs(samples(i).toLong)
+          sumAbs += a; if (a > peak) peak = a; i += 1
+        }
+        AudioFeatures(c.media_id, sr, samples.length.toLong, sumAbs, peak)
+      })
+      feats.groupBy(col("sample_rate"))
+        .agg(count(lit(1)).as("n_clips"),
+          sum(col("n_samples")).as("total_samples"),
+          sum(col("sum_abs")).as("amp_checksum"),
+          max(col("peak")).as("max_peak"))
+        .orderBy(ascf("sample_rate"))
+    },
+    Some("""WITH f AS (SELECT
+           |    8000 + CAST(doc_id % 8 AS INTEGER) * 1000 AS sample_rate,
+           |    CAST(len(text) AS BIGINT) AS n_samples,
+           |    CAST(coalesce(list_sum(list_transform(range(1, len(text) + 1),
+           |      i -> abs((ascii(substring(text, i, 1)) - 78) * 256))), 0)
+           |      AS BIGINT) AS sum_abs,
+           |    CAST(coalesce(list_max(list_transform(range(1, len(text) + 1),
+           |      i -> abs((ascii(substring(text, i, 1)) - 78) * 256))), 0)
+           |      AS BIGINT) AS peak
+           |  FROM documents)
+           |SELECT sample_rate, count(*) AS n_clips,
+           |  CAST(sum(n_samples) AS BIGINT) AS total_samples,
+           |  CAST(sum(sum_abs) AS BIGINT) AS amp_checksum,
+           |  CAST(max(peak) AS BIGINT) AS max_peak
+           |FROM f GROUP BY sample_rate
+           |ORDER BY sample_rate ASC NULLS FIRST""".stripMargin))
+
+  final case class ImageRec(media_id: Long, payload: Array[Byte])
+  final case class ImageFeatures(media_id: Long, width: Int, height: Int,
+      pixel_sum: Long, n_dark: Long)
+
+  /** Raw-grayscale image pipeline: synth a GIM8 raster (width = 8 +
+    * id%9, height = ⌊len/width⌋, pixels = leading text bytes) → binary
+    * column → mapPartitions header parse → per-width brightness stats.
+    */
+  private val mmImageGray = QueryDef(
+    "q_mm_image_gray",
+    (s, d) => {
+      import s.implicits._
+      val imgs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val w = 8 + (id % 9).toInt
+          val h = text.length / w
+          val px = text.substring(0, w * h).getBytes("US-ASCII")
+          ImageRec(id, graft.functions.Codecs.GrayImage.encode(w, h, px))
+        })
+      val feats = imgs.mapPartitions(_.map { r =>
+        val (w, h, px) = graft.functions.Codecs.GrayImage.decode(r.payload)
+        var sum = 0L; var dark = 0L; var i = 0
+        while (i < px.length) {
+          val b = px(i) & 0xFF
+          sum += b; if (b < 100) dark += 1; i += 1
+        }
+        ImageFeatures(r.media_id, w, h, sum, dark)
+      })
+      feats.groupBy(col("width"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("height")).as("total_rows"),
+          sum(col("pixel_sum")).as("brightness_checksum"),
+          sum(col("n_dark")).as("dark_total"))
+        .orderBy(ascf("width"))
+    },
+    Some("""WITH d0 AS (SELECT doc_id, text,
+           |    8 + CAST(doc_id % 9 AS INTEGER) AS width FROM documents),
+           |d1 AS (SELECT doc_id, text, width,
+           |    CAST(len(text) // width AS INTEGER) AS height FROM d0),
+           |f AS (SELECT width, height,
+           |    CAST(coalesce(list_sum(list_transform(range(1, width * height + 1),
+           |      i -> ascii(substring(text, i, 1)))), 0) AS BIGINT) AS pixel_sum,
+           |    CAST(coalesce(len(list_filter(list_transform(range(1, width * height + 1),
+           |      i -> ascii(substring(text, i, 1))), x -> x < 100)), 0) AS BIGINT)
+           |      AS n_dark
+           |  FROM d1)
+           |SELECT width, count(*) AS n_images,
+           |  CAST(sum(height) AS BIGINT) AS total_rows,
+           |  CAST(sum(pixel_sum) AS BIGINT) AS brightness_checksum,
+           |  CAST(sum(n_dark) AS BIGINT) AS dark_total
+           |FROM f GROUP BY width ORDER BY width ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(mmBinary, mmFeatures, mmAudioPcm, mmImageGray)
 }

@@ -39,4 +39,31 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(_.isNullAt(0)).toSeq
     assert(withNull == Seq(true, true))
   }
+
+  test("WAV codec round-trips PCM16 and rejects malformed containers") {
+    import graft.functions.Codecs.Wav
+    val samples = Array[Short](0, 1, -1, Short.MaxValue, Short.MinValue, 12345)
+    val bytes = Wav.encode(44100, samples)
+    assert(bytes.length == 44 + samples.length * 2)
+    val (sr, back) = Wav.decode(bytes)
+    assert(sr == 44100 && back.sameElements(samples))
+    // empty clip round-trips too
+    assert(Wav.decode(Wav.encode(8000, Array.empty[Short]))._2.isEmpty)
+    // corrupt the RIFF magic → the parser must refuse, not mis-read
+    val bad = bytes.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Wav.decode(bad))
+    // truncated data chunk
+    intercept[IllegalArgumentException](Wav.decode(bytes.dropRight(1)))
+  }
+
+  test("GrayImage codec round-trips and validates dimensions") {
+    import graft.functions.Codecs.GrayImage
+    val px = Array.tabulate(12)(i => (i * 20).toByte)
+    val bytes = GrayImage.encode(4, 3, px)
+    val (w, h, back) = GrayImage.decode(bytes)
+    assert(w == 4 && h == 3 && back.sameElements(px))
+    val bad = bytes.clone(); bad(1) = 'x'.toByte
+    intercept[IllegalArgumentException](GrayImage.decode(bad))
+    intercept[IllegalArgumentException](GrayImage.decode(bytes ++ Array(0.toByte)))
+  }
 }
