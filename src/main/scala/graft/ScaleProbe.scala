@@ -44,7 +44,12 @@ object ScaleProbe {
     spark.read.parquet(s"$dst/lineitem.parquet").groupBy(col("l_returnflag")).count().count()
     for (q <- Seq("q_agg_q1", "q_join_star", "q_join_range", "q_agg_having",
         "q_text_wordcount", "q_dedup_fuzzy_minhash", "q_sim_cosine_topk",
-        "q_stream_session")) {
+        "q_stream_session",
+        // round-4 rewrites: band-candidate cosine pairs, total ngram /
+        // levenshtein dedup, grid-cell IVF, stream join, PCM decode
+        "q_sim_threshold_join", "q_dedup_embed", "q_dedup_ngram",
+        "q_text_levenshtein", "q_sim_jaccard_pairs", "q_sim_ann_ivf",
+        "q_stream_join", "q_mm_audio_pcm")) {
       val t0 = System.nanoTime()
       val n = Registry.queries(q)(spark, dst).count()
       println(f"SCALE10 $q: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
