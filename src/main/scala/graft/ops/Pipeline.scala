@@ -382,6 +382,62 @@ object Pipeline {
            |LIMIT 10""".stripMargin
     })
 
+  /** End-to-end training-data prep composition (round 4): quality
+    * filter (≥ 5 tokens, ≤ 400 chars) → exact near-dup removal
+    * (normalized 5-token-prefix key, min-doc_id survivor — the
+    * q_dedup_exact rule) → per-lang yield report with surviving token
+    * volume. One query showing the stages compose without intermediate
+    * materialization: filter pushes into the scan, dedup is one window
+    * over the normalized key, and every count is a partial agg. This is
+    * the shape of a real corpus-prep job at 100 TB.
+    */
+  private val pipelineE2e = QueryDef(
+    "q_pipeline_e2e",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("ntok", size(split(col("text"), " ")))
+      val base = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_input"))
+      val kept = docs.filter(col("ntok") >= 5 && col("n_chars") <= 400)
+      val nk = array_join(slice(split(lower(trim(col("text"))), " "), 1, 5), " ")
+      val surv = kept.withColumn("nk", nk)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("nk")).orderBy(ascf("doc_id"))))
+        .filter(col("rn") === 1)
+      val keptAgg = kept.groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      val survAgg = surv.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(col("ntok").cast("long")).as("surviving_tokens"))
+      base.join(keptAgg, Seq("lang"), "left")
+        .join(survAgg, Seq("lang"), "left")
+        .select(col("lang"), col("n_input"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
+          coalesce(col("surviving_tokens"), lit(0L)).as("surviving_tokens"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH d0 AS (SELECT doc_id, lang, text, n_chars,
+           |    len(string_split(text, ' ')) AS ntok FROM documents),
+           |base AS (SELECT lang, count(*) AS n_input FROM d0 GROUP BY lang),
+           |kept AS (SELECT *,
+           |    array_to_string(string_split(lower(trim(text)), ' ')[1:5], ' ')
+           |      AS nk
+           |  FROM d0 WHERE ntok >= 5 AND n_chars <= 400),
+           |surv AS (SELECT lang, ntok,
+           |    row_number() OVER (PARTITION BY nk ORDER BY doc_id ASC) AS rn
+           |  FROM kept),
+           |ka AS (SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang),
+           |sa AS (SELECT lang, count(*) AS n_survivors,
+           |    CAST(sum(ntok) AS BIGINT) AS surviving_tokens
+           |  FROM surv WHERE rn = 1 GROUP BY lang)
+           |SELECT base.lang AS lang, base.n_input,
+           |  CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+           |  CAST(coalesce(sa.n_survivors, 0) AS BIGINT) AS n_survivors,
+           |  CAST(coalesce(sa.surviving_tokens, 0) AS BIGINT) AS surviving_tokens
+           |FROM base LEFT JOIN ka ON base.lang = ka.lang
+           |  LEFT JOIN sa ON base.lang = sa.lang
+           |ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
-    dedupSimhash, dedupNgram, dedupEmbed, simAnnLsh, simCentroid, simAnnIvf)
+    dedupSimhash, dedupNgram, dedupEmbed, simAnnLsh, simCentroid, simAnnIvf,
+    pipelineE2e)
 }

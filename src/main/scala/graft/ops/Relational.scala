@@ -358,6 +358,74 @@ object Relational {
            |GROUP BY p_brand
            |ORDER BY p_brand ASC NULLS FIRST""".stripMargin))
 
+  /** TPC-H Q5 shape (round 4): a 6-table snowflake — lineitem ⋈ orders ⋈
+    * customer ⋈ supplier ⋈ nation ⋈ region with the local-supplier
+    * constraint (c_nationkey = s_nationkey) and a selective region/date
+    * slice. The interesting planning property at 100 TB: the two big
+    * fact-side joins (orders, supplier) shuffle on their keys while the
+    * tiny nation/region dims broadcast, and the date filter pushes into
+    * the orders scan before any join.
+    */
+  private val joinQ5 = QueryDef(
+    "q_join_q5",
+    (s, d) => {
+      val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val orders = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      Tables.lineitem(s, d)
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(pin2(sum(dec12(col("l_extendedprice")) * oneMinus(col("l_discount"))))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(ascf("n_name"))
+    },
+    Some("""SELECT n_name,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+           |  count(*) AS n_items
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |  JOIN nation ON s_nationkey = n_nationkey
+           |  JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+           |  AND o_orderdate < TIMESTAMP '1997-01-01'
+           |GROUP BY n_name ORDER BY n_name ASC NULLS FIRST""".stripMargin))
+
+  /** The explicit skew-salting path as a graded key (round 4): the
+    * orders ⋈ customer join runs through graft.plans.SaltedJoin (8
+    * salts — hot keys spread over 8 tasks), whose semantics are exactly
+    * the plain inner join the oracle states. At 100 TB this is the
+    * fallback when a key is skewed beyond what AQE's skew-join splitting
+    * rebalances.
+    */
+  private val joinSalted = QueryDef(
+    "q_join_salted",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .withColumnRenamed("c_custkey", "o_custkey")
+      graft.plans.SaltedJoin.inner(Tables.orders(s, d), cust, "o_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          pin2(sum(dec(col("o_totalprice")))).as("total_price"))
+        .orderBy(ascf("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_orders,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin))
+
   /** Correlated scalar subquery, through the SQL entry point (SURVEY.md
     * §3.2): Catalyst decorrelates it into an aggregate + join
     * (RewriteCorrelatedScalarSubquery) — at scale this plans exactly like
@@ -423,5 +491,5 @@ object Relational {
     filterCompound, filterExpr,
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
     joinCross, joinTheta, joinRange, joinAsof, joinStar, joinBroadcast,
-    subqScalar, subqExists)
+    joinQ5, joinSalted, subqScalar, subqExists)
 }
