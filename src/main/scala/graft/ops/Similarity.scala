@@ -259,6 +259,51 @@ object Similarity {
         |FROM base LEFT JOIN ct ON base.label = ct.label
         |ORDER BY label ASC NULLS FIRST""".stripMargin))
 
+  /** k-NN JOIN (round 4): top-3 neighbors by exact quantized cosine for
+    * EVERY probe in a probe set (vec_id < 10), not just one — the batch
+    * similarity-search shape (embed a query batch, retrieve neighbors
+    * for all of them in one job). The probe set broadcasts and the
+    * corpus scans once: cost is |probes|·n distance computations with no
+    * shuffle before the per-probe top-k (window over rounded cosine with
+    * vec_id tiebreak). At 100 TB the same plan holds — probes stay
+    * broadcast, rank runs partial-topk per partition under AQE — or the
+    * scan side drops to an IVF/LSH candidate set exactly as in
+    * q_sim_ann_{ivf,lsh}.
+    */
+  private val simKnnJoin = QueryDef(
+    "q_sim_knn_join",
+    (s, d) => {
+      val emb = quantized(s, d)
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("nn").as("pnn"))
+      val scored = emb.filter(col("vec_id") >= 10)
+        .crossJoin(broadcast(probes))
+        .select(col("probe_id"), col("vec_id"),
+          (round(cosine(dot(col("v"), col("pv")), col("nn"), col("pnn")), 6)
+            + lit(0.0)).as("cos"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(descl("cos"), ascf("vec_id"))
+      scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("probe_id"), col("rnk"), col("vec_id"), col("cos"))
+        .orderBy(ascf("probe_id"), ascf("rnk"))
+    },
+    Some(oracleQuantized +
+      """,
+        |p AS (SELECT vec_id AS probe_id, v AS pv, nn AS pnn FROM n
+        |  WHERE vec_id < 10),
+        |sc AS (SELECT p.probe_id, a.vec_id,
+        |    round(CAST(list_sum(list_transform(range(1, 65), k -> a.v[k] * p.pv[k])) AS DOUBLE)
+        |      / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(p.pnn AS DOUBLE))), 6) + 0.0 AS cos
+        |  FROM n a, p WHERE a.vec_id >= 10),
+        |r AS (SELECT probe_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos DESC NULLS LAST, vec_id ASC) AS rnk
+        |  FROM sc)
+        |SELECT probe_id, rnk, vec_id, cos FROM r WHERE rnk <= 3
+        |ORDER BY probe_id ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin))
+
   /** MinHash + LSH near-dup detection (no oracle — hash choices are
     * engine-specific; property-tested in MinHashSpec instead).
     *
@@ -335,5 +380,6 @@ object Similarity {
     None)
 
   def defs: Seq[QueryDef] = Seq(
-    dedupExact, simJaccard, simCosineTopk, simThresholdJoin, dedupMinhash)
+    dedupExact, simJaccard, simCosineTopk, simThresholdJoin, simKnnJoin,
+    dedupMinhash)
 }
