@@ -101,6 +101,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_join_q5 pushes the date slice into the orders scan") {
+    val p = planString("q_join_q5")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") &&
+      p.contains("LessThan(o_orderdate"), p.take(2000))
+    // at verify scale every dim fits the broadcast threshold — the fact
+    // side must not be exchanged for the joins
+    val nodes = collectAll(executedPlan("q_join_q5"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      nodes.map(_.nodeName).distinct.mkString(", "))
+  }
+
   test("partial (map-side) aggregation precedes the shuffle in q_agg_q1") {
     val p = planString("q_agg_q1")
     // two HashAggregate rounds around one Exchange = partial + final
