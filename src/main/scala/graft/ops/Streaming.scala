@@ -172,5 +172,69 @@ object Streaming {
            |  AND c.cus >= p.pus AND c.cus < p.pus + 1800000000
            |ORDER BY click_id ASC NULLS FIRST, purchase_id ASC NULLS FIRST""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(tumbling, sliding, session, dedup, streamJoin)
+  /** Stream-static enrichment join (round 4): each event enriched with
+    * a small static dimension (nation keyed by user_id mod 25 — the
+    * synthetic "home region" of the user) and aggregated per dim value.
+    * In Structured Streaming a static side needs no watermark and stays
+    * a broadcast against every micro-batch — the standard dimension-
+    * enrichment shape; StreamingSpec replays it under readStream and
+    * asserts batch parity.
+    */
+  private val streamEnrich = QueryDef(
+    "q_stream_enrich",
+    (s, d) => {
+      val dim = Tables.nation(s, d)
+      Tables.events(s, d)
+        .withColumn("nk", pmod(col("user_id"), lit(25L)))
+        .join(broadcast(dim), col("nk") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 1000000, 0).cast("long")).as("sum_e6"))
+        .orderBy(ascf("n_name"))
+    },
+    Some("""SELECT n_name, count(*) AS n_events,
+           |  CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+           |    AS sum_e6
+           |FROM events JOIN nation ON user_id % 25 = n_nationkey
+           |GROUP BY n_name ORDER BY n_name ASC NULLS FIRST""".stripMargin))
+
+  /** Click→purchase conversion funnel per hour (round 4): the interval-
+    * join pairs from q_stream_join, aggregated into purchase-hour
+    * buckets with distinct converting users — the composed streaming-
+    * analytics shape (interval join feeding a windowed distinct agg).
+    */
+  private val streamFunnel = QueryDef(
+    "q_stream_funnel",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("cus"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("pus"))
+      val hourUs = 3600L * 1000000
+      c.join(p, col("user_id") === col("pu") &&
+          col("cus") >= col("pus") &&
+          col("cus") < col("pus") + lit(1800000000L))
+        .withColumn("win_us", (col("pus") - pmod(col("pus"), lit(hourUs))))
+        .groupBy(col("win_us"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(ascf("win_us"))
+    },
+    Some("""WITH c AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS cus
+           |  FROM events WHERE event_type = 'click'),
+           |p AS (SELECT user_id, event_id AS purchase_id,
+           |    epoch_us(ts::TIMESTAMP) AS pus
+           |  FROM events WHERE event_type = 'purchase'),
+           |j AS (SELECT c.user_id AS user_id,
+           |    p.pus - (p.pus % 3600000000) AS win_us
+           |  FROM c JOIN p ON c.user_id = p.user_id
+           |    AND c.cus >= p.pus AND c.cus < p.pus + 1800000000)
+           |SELECT win_us, count(*) AS n_pairs,
+           |  count(DISTINCT user_id) AS n_users
+           |FROM j GROUP BY win_us ORDER BY win_us ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(tumbling, sliding, session, dedup, streamJoin,
+    streamEnrich, streamFunnel)
 }

@@ -3,6 +3,7 @@ package graft.ops
 import graft.{QueryDef, Tables}
 import graft.Dsl._
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analytics: the canonical MapReduce workloads (wordcount, grep,
@@ -307,7 +308,59 @@ object Text {
         |FROM base LEFT JOIN ag ON base.lang = ag.lang
         |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** TF-IDF top terms per lang (round 4) — the canonical relevance
+    * scoring over the corpus, in DRIFT-PROOF arithmetic: the idf
+    * (ln(N/df)) is the only transcendental, and it is quantized to
+    * 1e-6-resolution BIGINT immediately (the GeoMean trick), so the
+    * per-term score Σ_docs tf · idf_e6 = total_tf · idf_e6 is an EXACT
+    * int64 — ranking and ties (term asc) are deterministic across
+    * engines and partition orders; only the display value divides back
+    * to double. Shape: two partial-agg shuffles (tf, then df) + a tiny
+    * per-lang doc-count broadcast + per-lang window top-5.
+    */
+  private val tfidf = QueryDef(
+    "q_text_tfidf",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+      val tf = toks.groupBy(col("lang"), col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      val nd = Tables.documents(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("nd"))
+      val sc = dfq.join(broadcast(nd), "lang")
+        .withColumn("score_e6", col("total_tf") *
+          round(log(col("nd").cast("double") / col("df").cast("double"))
+            * 1000000, 0).cast("long"))
+      val win = Window.partitionBy(col("lang"))
+        .orderBy(descl("score_e6"), ascf("w"))
+      sc.withColumn("rnk", row_number().over(win).cast("bigint"))
+        .filter(col("rnk") <= 5)
+        .select(col("lang"), col("rnk"), col("w").as("term"),
+          (round(col("score_e6").cast("double") / 1000000, 4) + lit(0.0))
+            .as("tfidf"))
+        .orderBy(ascf("lang"), ascf("rnk"))
+    },
+    Some("""WITH t AS (SELECT doc_id, lang,
+           |    unnest(string_split(text, ' ')) AS w FROM documents),
+           |tf AS (SELECT lang, doc_id, w, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+           |dfq AS (SELECT lang, w, count(*) AS df,
+           |    CAST(sum(tf) AS BIGINT) AS total_tf FROM tf GROUP BY 1, 2),
+           |nd AS (SELECT lang, count(*) AS nd FROM documents GROUP BY lang),
+           |sc AS (SELECT dfq.lang AS lang, w, total_tf *
+           |    CAST(round(ln(CAST(nd.nd AS DOUBLE) / CAST(df AS DOUBLE))
+           |      * 1000000, 0) AS BIGINT) AS score_e6
+           |  FROM dfq JOIN nd ON dfq.lang = nd.lang),
+           |r AS (SELECT lang, w, score_e6, row_number() OVER (PARTITION BY lang
+           |    ORDER BY score_e6 DESC, w ASC) AS rnk FROM sc)
+           |SELECT lang, CAST(rnk AS BIGINT) AS rnk, w AS term,
+           |  round(CAST(score_e6 AS DOUBLE) / 1000000, 4) + 0.0 AS tfidf
+           |FROM r WHERE rnk <= 5
+           |ORDER BY lang ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,
-    langid, quality, tokens, fingerprint, levenshteinPairs)
+    langid, quality, tokens, fingerprint, levenshteinPairs, tfidf)
 }

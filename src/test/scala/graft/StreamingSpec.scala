@@ -131,6 +131,20 @@ class StreamingSpec extends SparkSpec {
       s"batch=${batch.size} streamed=${streamed.size}")
   }
 
+  test("stream-static enrichment join equals the q_stream_enrich batch key") {
+    // static dimension side: no watermark, broadcast into every batch
+    val dim = Tables.nation(spark, sfDir)
+    val streamed = streamOf("complete")(df =>
+      df.withColumn("nk", pmod(col("user_id"), lit(25L)))
+        .join(dim, col("nk") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 1000000, 0).cast("long")).as("sum_e6")))
+    val batch = Registry.queries("q_stream_enrich")(spark, sfDir)
+      .select(col("n_name"), col("n_events"), col("sum_e6"))
+    assertSame(batch, streamed)
+  }
+
   test("streaming dropDuplicates equals batch keyed dedup counts") {
     val deduped = streamOf("append")(df =>
       df.dropDuplicates("user_id", "event_type"))
