@@ -67,13 +67,14 @@ object Similarity {
     * jac) — shared by q_sim_jaccard_pairs (which emits the pairs) and
     * q_text_levenshtein (which runs edit distance on them — the "exact
     * verify on candidates" composition VERDICT r3 #2 asked for).
+    * Takes any (doc_id, lang, text) relation so PropertiesSpec can
+    * brute-force-check the candidate generation on random corpora.
     */
-  private[ops] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-      val t = 0.95
+  private[graft] def jaccardPairs(docsIn: DataFrame, t: Double = 0.95): DataFrame = {
       // Dedup-to-set-groups first: many docs share an identical token SET
       // (4,266 groups from 5,000 docs at sf0.1), so all pair math runs on
       // groups and doc pairs are expanded at the end.
-      val docs = Tables.documents(s, d)
+      val docs = docsIn
         .select(col("doc_id"), col("lang"),
           array_sort(array_distinct(split(col("text"), " "))).as("st"))
       // persisted: six downstream branches (keys, big, candidate joins,
@@ -182,7 +183,7 @@ object Similarity {
   private val simJaccard = QueryDef(
     "q_sim_jaccard_pairs",
     (s, d) =>
-      jaccardPairs(s, d)
+      jaccardPairs(Tables.documents(s, d))
         .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
         .orderBy(ascf("d1"), ascf("d2")),
     Some(oracleJaccardCte +

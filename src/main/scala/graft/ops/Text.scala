@@ -274,7 +274,7 @@ object Text {
       val base = docs.select(col("lang")).distinct()
       val h = docs.select(col("doc_id"), col("lang"),
         substring(col("text"), 1, 60).as("head60"))
-      val agg = Similarity.jaccardPairs(s, d)
+      val agg = Similarity.jaccardPairs(Tables.documents(s, d))
         .join(h.select(col("doc_id").as("d1"), col("lang"),
           col("head60").as("t1")), "d1")
         .join(h.select(col("doc_id").as("d2"), col("head60").as("t2")), "d2")

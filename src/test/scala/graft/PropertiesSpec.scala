@@ -67,4 +67,34 @@ class PropertiesSpec extends SparkSpec {
       assert(windowed.agg(count(lit(1))).head.getLong(0) <= 73)
     }
   }
+
+  test("jaccardPairs candidate generation is LOSSLESS vs brute force") {
+    // The prefix-filter + deletion-neighborhood generator must find
+    // EVERY pair with J >= t on any corpus — the losslessness claim the
+    // exact-similarity-join rests on. Small vocab forces collisions;
+    // duplicate texts force the same-set group path.
+    val vocabGen = Gen.choose(2, 6)
+    val corpusGen: Gen[List[String]] = for {
+      v <- vocabGen
+      docs <- Gen.listOfN(14, Gen.nonEmptyListOf(
+        Gen.choose(0, v).map(i => s"w$i")).map(_.mkString(" ")))
+    } yield docs
+    for (t <- Seq(0.95, 0.8); corpus <- samples(corpusGen, 3)) {
+      val df = corpus.zipWithIndex
+        .map { case (text, i) => (i.toLong, "en", text) }
+        .toDF("doc_id", "lang", "text")
+      val got = ops.Similarity.jaccardPairs(df, t)
+        .select(col("d1"), col("d2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = corpus.map(_.split(" ").toSet).zipWithIndex
+      val want = (for {
+        (s1, i) <- sets; (s2, j) <- sets if i < j
+        inter = (s1 & s2).size
+        if inter > 0 &&
+          inter.toDouble / (s1.size + s2.size - inter) >= t
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got == want,
+        s"t=$t missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
 }
