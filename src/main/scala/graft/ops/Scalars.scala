@@ -338,7 +338,32 @@ object Scalars {
            |  coalesce(CAST(list_sum(list_filter(v, x -> x > 0)) AS BIGINT), 0) AS pos_sum
            |FROM q ORDER BY vec_id ASC NULLS FIRST""".stripMargin))
 
+  /** Bitwise function family (round 4): and/or/xor masks, shifts, and
+    * popcount over event ids — exact int64 on both engines, the last
+    * scalar family the inventory lacked.
+    */
+  private val fnBitwise = QueryDef(
+    "q_fn_bitwise",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          col("event_id").bitwiseAND(lit(255L)).as("lo_byte"),
+          col("event_id").bitwiseOR(lit(4096L)).as("with_flag"),
+          col("event_id").bitwiseXOR(col("user_id")).as("mixed"),
+          bit_count(col("event_id")).cast("bigint").as("popcount"),
+          shiftleft(col("event_id"), 3).as("shl3"),
+          shiftright(col("event_id"), 2).as("shr2"))
+        .orderBy(ascf("event_id")),
+    Some("""SELECT event_id,
+           |  event_id & 255 AS lo_byte,
+           |  event_id | 4096 AS with_flag,
+           |  xor(event_id, user_id) AS mixed,
+           |  CAST(bit_count(event_id) AS BIGINT) AS popcount,
+           |  event_id << 3 AS shl3,
+           |  event_id >> 2 AS shr2
+           |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     fnString, fnRegex, fnDate, fnMath, fnCond, fnCast, fnJson,
-    arrFuncs, arrExplode, arrAgg, mapFuncs, fnStruct, arrHof)
+    arrFuncs, arrExplode, arrAgg, mapFuncs, fnStruct, arrHof, fnBitwise)
 }
