@@ -34,16 +34,24 @@ object Bench {
     } catch { case _: Throwable => }
     // name-sorted: Map iteration order is hash-random, which made
     // per-round per-query timing comparisons noisy
-    def runAll(): Seq[(String, Double)] =
+    def runAll(dropCacheAfterEach: Boolean): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // a few operators persist() intermediates internally; in the
+        // cold pass those must not warm a later query (or the cold
+        // per-query numbers become execution-order-dependent)
+        if (dropCacheAfterEach) {
+          try spark.catalog.clearCache() catch { case _: Throwable => }
+        }
+        name -> dt
       }
     // Pass 1 — COLD: every query plans its own parquet scans (no table
-    // cache), so scan-bound cost is visible and the shared-scan reuse
-    // below can't flatter the headline number.
-    val coldResults = runAll()
+    // cache, cache dropped between queries), so scan-bound cost is
+    // visible and the shared-scan reuse below can't flatter the
+    // headline number.
+    val coldResults = runAll(dropCacheAfterEach = true)
     // Pass 2 — WARM: shared-scan reuse across the recurring workload
     // (SURVEY.md §7.5): cache the source tables once; every query's
     // identical scan plan is substituted from the in-memory columnar
@@ -57,7 +65,7 @@ object Bench {
           Tables.embeddings, Tables.events)
           .foreach(t => t(spark, sfDir).cache().count())
       } catch { case _: Throwable => }
-      runAll()
+      runAll(dropCacheAfterEach = false)
     }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }

@@ -87,7 +87,10 @@ object Codecs {
       val t = new Array[Byte](4); bb.get(t)
       require(new String(t, "US-ASCII") == Magic, "bad image magic")
       val w = bb.getInt; val h = bb.getInt
-      require(w >= 0 && h >= 0 && bytes.length == 12 + w * h,
+      // Long math: w*h in Int can overflow to a small value and let a
+      // crafted header pass the length check (review r4)
+      require(w >= 0 && h >= 0 &&
+        bytes.length.toLong == 12L + w.toLong * h.toLong,
         s"dimension/payload mismatch: ${w}x$h vs ${bytes.length - 12} bytes")
       val px = new Array[Byte](w * h); bb.get(px)
       (w, h, px)

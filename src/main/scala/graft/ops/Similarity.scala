@@ -236,27 +236,32 @@ object Similarity {
     (s, d) => {
       val base = quantized(s, d).groupBy(col("label"))
         .agg(count(lit(1)).as("nv"))
+      // column is named n_close_CAND: at threshold 0.3 the 4-band recall
+      // is only ~0.4, so this is honestly "close pairs AMONG candidates"
+      // — the count a production LSH pipeline reports — not an exact
+      // threshold count (review r4; contrast q_dedup_embed, where the
+      // 0.99 threshold makes band recall ~0.999)
       val counts = VecOps.bandCandidatesWithCos(s, d)
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_cand"),
-          count(when(col("cos") >= 0.3, lit(1))).as("n_close"))
+          count(when(col("cos") >= 0.3, lit(1))).as("n_close_cand"))
       base.join(counts, Seq("label"), "left")
         .select(col("label"),
           expr("CAST(nv * (nv - 1) DIV 2 AS BIGINT)").as("n_pairs"),
           coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-          coalesce(col("n_close"), lit(0L)).as("n_close"))
+          coalesce(col("n_close_cand"), lit(0L)).as("n_close_cand"))
         .orderBy(ascf("label"))
     },
     Some(oracleQuantized + VecOps.oracleBandCandidates +
       """,
         |ct AS (SELECT label, count(*) AS n_cand,
-        |    count(*) FILTER (WHERE cos >= 0.3) AS n_close
+        |    count(*) FILTER (WHERE cos >= 0.3) AS n_close_cand
         |  FROM ver GROUP BY label),
         |base AS (SELECT label, count(*) AS nv FROM n GROUP BY label)
         |SELECT base.label AS label,
         |  CAST(base.nv * (base.nv - 1) // 2 AS BIGINT) AS n_pairs,
         |  CAST(coalesce(ct.n_cand, 0) AS BIGINT) AS n_cand,
-        |  CAST(coalesce(ct.n_close, 0) AS BIGINT) AS n_close
+        |  CAST(coalesce(ct.n_close_cand, 0) AS BIGINT) AS n_close_cand
         |FROM base LEFT JOIN ct ON base.label = ct.label
         |ORDER BY label ASC NULLS FIRST""".stripMargin))
 

@@ -143,23 +143,33 @@ object Streaming {
     * EQUI-join on user_id with a range residual, so it shuffles both
     * sides once on a high-cardinality key — never a cross product.
     */
+  /** Shared interval-pair relation: clicks ⋈ purchases per user within
+    * [pus, pus + 30 min) on epoch-µs — (user_id, click_id, purchase_id,
+    * cus, pus). One builder so q_stream_join and q_stream_funnel cannot
+    * drift on the bound or endpoint semantics (review r4).
+    */
+  private[graft] def clickPurchasePairs(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("cus"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("pus"))
+    c.join(p, col("user_id") === col("pu") &&
+        col("cus") >= col("pus") &&
+        col("cus") < col("pus") + lit(1800000000L))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("cus"), col("pus"))
+  }
+
   private val streamJoin = QueryDef(
     "q_stream_join",
-    (s, d) => {
-      val ev = Tables.events(s, d)
-      val c = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"),
-          unix_micros(col("ts")).as("cus"))
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
-          unix_micros(col("ts")).as("pus"))
-      c.join(p, col("user_id") === col("pu") &&
-          col("cus") >= col("pus") &&
-          col("cus") < col("pus") + lit(1800000000L))
+    (s, d) =>
+      clickPurchasePairs(Tables.events(s, d))
         .select(col("user_id"), col("click_id"), col("purchase_id"),
           (col("cus") - col("pus")).as("lag_us"))
-        .orderBy(ascf("click_id"), ascf("purchase_id"))
-    },
+        .orderBy(ascf("click_id"), ascf("purchase_id")),
     Some("""WITH c AS (SELECT user_id, event_id AS click_id,
            |    epoch_us(ts::TIMESTAMP) AS cus
            |  FROM events WHERE event_type = 'click'),
@@ -206,17 +216,9 @@ object Streaming {
   private val streamFunnel = QueryDef(
     "q_stream_funnel",
     (s, d) => {
-      val ev = Tables.events(s, d)
-      val c = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), unix_micros(col("ts")).as("cus"))
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
-          unix_micros(col("ts")).as("pus"))
       val hourUs = 3600L * 1000000
-      c.join(p, col("user_id") === col("pu") &&
-          col("cus") >= col("pus") &&
-          col("cus") < col("pus") + lit(1800000000L))
-        .withColumn("win_us", (col("pus") - pmod(col("pus"), lit(hourUs))))
+      clickPurchasePairs(Tables.events(s, d))
+        .withColumn("win_us", col("pus") - pmod(col("pus"), lit(hourUs)))
         .groupBy(col("win_us"))
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("user_id")).as("n_users"))

@@ -65,5 +65,11 @@ class FunctionsSpec extends SparkSpec {
     val bad = bytes.clone(); bad(1) = 'x'.toByte
     intercept[IllegalArgumentException](GrayImage.decode(bad))
     intercept[IllegalArgumentException](GrayImage.decode(bytes ++ Array(0.toByte)))
+    // w*h overflowing Int32 to 0 must not slip past the length check
+    val overflow = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(GrayImage.Magic.getBytes("US-ASCII")).putInt(65536).putInt(65536)
+      .array()
+    intercept[IllegalArgumentException](GrayImage.decode(overflow))
   }
 }

@@ -73,13 +73,30 @@ class PropertiesSpec extends SparkSpec {
     // EVERY pair with J >= t on any corpus — the losslessness claim the
     // exact-similarity-join rests on. Small vocab forces collisions;
     // duplicate texts force the same-set group path.
-    val vocabGen = Gen.choose(2, 6)
-    val corpusGen: Gen[List[String]] = for {
-      v <- vocabGen
+    // two regimes: tiny vocab (sets of ≤7 tokens → the deletion-
+    // neighborhood "small" path) AND wide sets of 40–60 tokens from an
+    // 80-word vocab — above the small-path bound 2·⌊t/(1−t)⌋−1 (37 at
+    // t=0.95, 7 at t=0.8) so the PPJoin prefix branch and the
+    // small×big mixed branch actually execute (review r4: the original
+    // generator never left the small path)
+    val smallCorpusGen: Gen[List[String]] = for {
+      v <- Gen.choose(2, 6)
       docs <- Gen.listOfN(14, Gen.nonEmptyListOf(
         Gen.choose(0, v).map(i => s"w$i")).map(_.mkString(" ")))
     } yield docs
-    for (t <- Seq(0.95, 0.8); corpus <- samples(corpusGen, 3)) {
+    val bigCorpusGen: Gen[List[String]] = {
+      // near-dup pairs by construction: base sets of 40–60 words, plus a
+      // mutated copy (one word swapped) and an exact copy of each
+      val baseGen = Gen.choose(40, 60).flatMap(n =>
+        Gen.pick(n, 0 until 80).map(_.toList.sorted.map(i => s"w$i")))
+      Gen.listOfN(4, baseGen).map(_.flatMap { base =>
+        val mutated = (s"w${99}" :: base.tail).distinct
+        List(base.mkString(" "), mutated.mkString(" "), base.mkString(" "))
+      })
+    }
+    val corpora = Seq(0.95, 0.8).flatMap(t =>
+      (samples(smallCorpusGen, 3) ++ samples(bigCorpusGen, 2)).map(t -> _))
+    for ((t, corpus) <- corpora) {
       val df = corpus.zipWithIndex
         .map { case (text, i) => (i.toLong, "en", text) }
         .toDF("doc_id", "lang", "text")
