@@ -49,7 +49,9 @@ object ScaleProbe {
         // levenshtein dedup, grid-cell IVF, stream join, PCM decode
         "q_sim_threshold_join", "q_dedup_embed", "q_dedup_ngram",
         "q_text_levenshtein", "q_sim_jaccard_pairs", "q_sim_ann_ivf",
-        "q_stream_join", "q_mm_audio_pcm")) {
+        "q_stream_join", "q_mm_audio_pcm",
+        "q_join_q5", "q_join_salted", "q_sim_knn_join", "q_text_tfidf",
+        "q_pipeline_e2e", "q_stream_funnel")) {
       val t0 = System.nanoTime()
       val n = Registry.queries(q)(spark, dst).count()
       println(f"SCALE10 $q: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
