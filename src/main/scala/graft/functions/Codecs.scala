@@ -73,7 +73,12 @@ object Codecs {
 
     /** 12-byte header (magic, LE width, LE height) + row-major pixels. */
     def encode(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
-      require(pixels.length == width * height, "pixel count != w*h")
+      // Long math mirrors decode: w*h in Int overflows for dimensions
+      // like 65536x65536 and would let encode emit bytes its own
+      // decoder rejects (review r4)
+      require(width >= 0 && height >= 0 &&
+        pixels.length.toLong == width.toLong * height.toLong,
+        "pixel count != w*h")
       val bb = ByteBuffer.allocate(12 + pixels.length)
         .order(ByteOrder.LITTLE_ENDIAN)
       bb.put(Magic.getBytes("US-ASCII")).putInt(width).putInt(height)

@@ -71,5 +71,8 @@ class FunctionsSpec extends SparkSpec {
       .put(GrayImage.Magic.getBytes("US-ASCII")).putInt(65536).putInt(65536)
       .array()
     intercept[IllegalArgumentException](GrayImage.decode(overflow))
+    // ...and encode must refuse to produce those bytes in the first place
+    intercept[IllegalArgumentException](
+      GrayImage.encode(65536, 65536, Array.empty[Byte]))
   }
 }

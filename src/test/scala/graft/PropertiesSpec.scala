@@ -94,8 +94,22 @@ class PropertiesSpec extends SparkSpec {
         List(base.mkString(" "), mutated.mkString(" "), base.mkString(" "))
       })
     }
+    // deterministic straddle corpus per threshold: a qualifying pair with
+    // one side AT the small-path bound and the other just above it, so
+    // the small×big MIXED branch (candMixed) must fire — deleting that
+    // branch fails this case (review r4: random generators never put the
+    // two regimes in one corpus)
+    def mixedCorpus(t: Double): List[String] = {
+      val smallN = (2 * math.floor(1.0 / (1.0 / t - 1.0)) - 1).toInt
+      val big = (0 to smallN).map(i => s"m$i").toList // n = smallN + 1 → big path
+      val small = big.tail // n = smallN → small path; J = smallN/(smallN+1) ≥ t
+      List(big.mkString(" "), small.mkString(" "),
+        (0 until 5).map(i => s"z$i").mkString(" "),
+        (100 to 160).map(i => s"q$i").mkString(" "))
+    }
     val corpora = Seq(0.95, 0.8).flatMap(t =>
-      (samples(smallCorpusGen, 3) ++ samples(bigCorpusGen, 2)).map(t -> _))
+      (samples(smallCorpusGen, 3) ++ samples(bigCorpusGen, 2) ++
+        Seq(mixedCorpus(t))).map(t -> _))
     for ((t, corpus) <- corpora) {
       val df = corpus.zipWithIndex
         .map { case (text, i) => (i.toLong, "en", text) }
