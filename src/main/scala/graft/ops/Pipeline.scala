@@ -437,7 +437,78 @@ object Pipeline {
            |  LEFT JOIN sa ON base.lang = sa.lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** Transitive near-dup clustering (round 4): connected components over
+    * the exact-Jaccard ≥ 0.95 pair graph, via K = 6 rounds of min-label
+    * propagation — the Pregel-style iterative shape a 100 TB dedup
+    * pipeline needs for CLUSTER-level survivor selection (pairwise dedup
+    * alone double-counts overlapping pairs). Both engines run exactly K
+    * identical iterations, so parity holds by construction regardless of
+    * graph diameter (on these fixtures K = 6 reaches the fixpoint; at
+    * scale each iteration is one shuffle and the frame is checkpointed
+    * per round to cut lineage). Output: per-lang component census —
+    * cluster count, largest cluster, docs in multi-doc clusters.
+    */
+  private val dedupComponents = QueryDef(
+    "q_dedup_components",
+    (s, d) => {
+      val iterations = 6
+      val docs = Tables.documents(s, d)
+      val pairs = Similarity.jaccardPairs(docs).select(col("d1"), col("d2"))
+        .persist() // reused by all K propagation rounds
+      val edges = pairs.union(
+        pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      var labels = docs.select(col("doc_id").as("id"),
+        col("doc_id").as("root"))
+      for (_ <- 1 to iterations) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("b2"), col("root").as("nroot")),
+            col("d2") === col("b2"))
+          .groupBy(col("d1")).agg(min(col("nroot")).as("nroot"))
+        labels = labels
+          .join(nbrMin, labels("id") === nbrMin("d1"), "left")
+          .select(col("id"),
+            least(col("root"), coalesce(col("nroot"), col("root")))
+              .as("root"))
+          // labels feeds BOTH sides of the next round — without lineage
+          // truncation the plan doubles per iteration (2^K blowup); at
+          // cluster scale this would be a reliable checkpoint() per round
+          .localCheckpoint(true)
+      }
+      val clusters = labels
+        .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+        .groupBy(col("lang"), col("root"))
+        .agg(count(lit(1)).as("csize"))
+      clusters.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_components"),
+          max(col("csize")).as("largest_cluster"),
+          sum(when(col("csize") >= 2, col("csize")).otherwise(lit(0L)))
+            .as("docs_in_clusters"))
+        .orderBy(ascf("lang"))
+    },
+    Some {
+      val step = (k: Int) =>
+        s"""l$k AS (SELECT l.id AS id,
+           |    least(l.root, coalesce(m.nroot, l.root)) AS root
+           |  FROM l${k - 1} l LEFT JOIN (SELECT e.a AS a, min(p.root) AS nroot
+           |    FROM e JOIN l${k - 1} p ON e.b = p.id GROUP BY e.a) m
+           |  ON l.id = m.a)""".stripMargin
+      Similarity.oracleJaccardCte +
+        s""",
+           |e AS (SELECT d1 AS a, d2 AS b FROM jp
+           |  UNION ALL SELECT d2 AS a, d1 AS b FROM jp),
+           |l0 AS (SELECT doc_id AS id, doc_id AS root FROM documents),
+           |${(1 to 6).map(step).mkString(",\n")},
+           |cl AS (SELECT d.lang AS lang, l6.root AS root, count(*) AS csize
+           |  FROM l6 JOIN documents d ON l6.id = d.doc_id
+           |  GROUP BY d.lang, l6.root)
+           |SELECT lang, count(*) AS n_components,
+           |  CAST(max(csize) AS BIGINT) AS largest_cluster,
+           |  CAST(sum(CASE WHEN csize >= 2 THEN csize ELSE 0 END) AS BIGINT)
+           |    AS docs_in_clusters
+           |FROM cl GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(
     dedupSimhash, dedupNgram, dedupEmbed, simAnnLsh, simCentroid, simAnnIvf,
-    pipelineE2e)
+    pipelineE2e, dedupComponents)
 }
