@@ -42,6 +42,10 @@ object Codecs {
       * Validates every magic and the fixed PCM16-mono layout.
       */
     def decode(bytes: Array[Byte]): (Int, Array[Short]) = {
+      // guard BEFORE any ByteBuffer read: a truncated header must raise
+      // the documented IllegalArgumentException, not leak a raw
+      // BufferUnderflowException (ADVICE r4)
+      require(bytes.length >= 44, s"truncated WAV header: ${bytes.length} bytes")
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       def tag(expect: String): Unit = {
         val t = new Array[Byte](4); bb.get(t)
@@ -88,6 +92,8 @@ object Codecs {
 
     /** Returns (width, height, pixels); validates magic + dimensions. */
     def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      // same truncated-header contract as Wav.decode (ADVICE r4)
+      require(bytes.length >= 12, s"truncated image header: ${bytes.length} bytes")
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       val t = new Array[Byte](4); bb.get(t)
       require(new String(t, "US-ASCII") == Magic, "bad image magic")

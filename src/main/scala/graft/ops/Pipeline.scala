@@ -47,11 +47,13 @@ object Pipeline {
             |         > size(hs)
             |       THEN shiftleft(bigint(1), i) ELSE bigint(0) END),
             |  bigint(0), (acc, x) -> acc + x)""".stripMargin).as("sig"))
-      val banded = sig.select(col("doc_id"), col("lang"), col("sig"),
+      // scoped persist: self-joined, avoids recomputing the sig pipeline
+      // twice; released when the query finishes (VERDICT r4 #1)
+      val banded = graft.Caches.scoped(sig.select(col("doc_id"), col("lang"),
+        col("sig"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
-          .as(Seq("band", "bv")))
-        .persist() // self-joined: avoids recomputing the sig pipeline twice
+          .as(Seq("band", "bv"))))
       val cand = banded.alias("a")
         .join(banded.alias("b"),
           col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
@@ -94,10 +96,11 @@ object Pipeline {
           expr("array_distinct(filter(transform(" +
             "sequence(1, greatest(length(text) - 2, 1)), " +
             "i -> substring(text, i, 3)), x -> length(x) = 3))").as("gs"))
-      val groups = g.groupBy(col("lang"), col("gs"))
+      // scoped persist: 4 consumers (base counts, postings, both verify
+      // sides); released when the query finishes (VERDICT r4 #1)
+      val groups = graft.Caches.scoped(g.groupBy(col("lang"), col("gs"))
         .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("c"))
-        .withColumn("n", size(col("gs")))
-        .persist() // 4 consumers: base counts, postings, both verify sides
+        .withColumn("n", size(col("gs"))))
       val base = groups.groupBy(col("lang"))
         .agg(sum(col("c")).as("nd"),
           sum(expr("CASE WHEN n > 0 THEN c * (c - 1) DIV 2 ELSE 0 END"))
@@ -197,8 +200,9 @@ object Pipeline {
 
   /** LSH-bucketed approximate nearest neighbors (the scale path next to
     * q_sim_cosine_topk's brute-force baseline): a 16-bit random-
-    * hyperplane signature (hyperplane components ±1 from a deterministic
-    * LCG-style formula, identical in the oracle), candidates = vectors
+    * hyperplane signature (components ±1 from an avalanched (j,k) mix,
+    * shipped as identical literal arrays into both engines — ADVICE r4
+    * fixed the degenerate linear formula), candidates = vectors
     * sharing any 4-bit band with the probe, exact quantized-cosine
     * rerank, top-10. At 100 TB the band join prunes the scan to
     * ~4·n/16 expected candidates instead of n distance computations.
@@ -453,8 +457,11 @@ object Pipeline {
     (s, d) => {
       val iterations = 6
       val docs = Tables.documents(s, d)
-      val pairs = Similarity.jaccardPairs(docs).select(col("d1"), col("d2"))
-        .persist() // reused by all K propagation rounds
+      // shared pair relation (Caches.shared, also feeds
+      // q_sim_jaccard_pairs / q_text_levenshtein) — already persisted,
+      // so all K propagation rounds read the cached graph
+      val pairs = Similarity.sharedJaccardPairs(s, d)
+        .select(col("d1"), col("d2"))
       val edges = pairs.union(
         pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       var labels = docs.select(col("doc_id").as("id"),

@@ -274,7 +274,10 @@ object Text {
       val base = docs.select(col("lang")).distinct()
       val h = docs.select(col("doc_id"), col("lang"),
         substring(col("text"), 1, 60).as("head60"))
-      val agg = Similarity.jaccardPairs(Tables.documents(s, d))
+      // shared pair relation (Caches.shared): the identical ≥ 0.95 graph
+      // also feeds q_sim_jaccard_pairs and q_dedup_components — one
+      // candidate-generation pass per session instead of three
+      val agg = Similarity.sharedJaccardPairs(s, d)
         .join(h.select(col("doc_id").as("d1"), col("lang"),
           col("head60").as("t1")), "d1")
         .join(h.select(col("doc_id").as("d2"), col("head60").as("t2")), "d2")

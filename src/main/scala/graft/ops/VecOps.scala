@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * (two exact ints through sqrt/divide) is double, and the oracle spells
   * out the identical formula.
   */
-private[ops] object VecOps {
+private[graft] object VecOps {
 
   /** Quantize a float column to exact 1e-6-resolution BIGINT. */
   def e6(c: Column): Column = round(c.cast("double") * 1000000, 0).cast("long")
@@ -36,11 +36,20 @@ private[ops] object VecOps {
 
   // ---- 16-bit random-hyperplane LSH signature (shared by q_sim_ann_lsh
   // and the band-candidate pair generators q_sim_threshold_join /
-  // q_dedup_embed). Hyperplane j component k is ±1 from a deterministic
-  // LCG-style formula, spelled out identically in the oracle SQL.
+  // q_dedup_embed). Hyperplane j component k is ±1 from an AVALANCHED
+  // mix of (j, k) — the low bit of a parity-of-a-linear-form like
+  // (j·odd + k·odd) mod 2 collapses all 16 planes onto ±plane0 (ADVICE
+  // r4 medium: candidates degenerated back to ~n²/4 per label). The
+  // planes are precomputed in Scala and shipped as LITERAL ±1 arrays
+  // into both engines, so cross-engine identity holds by construction
+  // (no arithmetic re-derivation in SQL to keep in sync); FunctionsSpec
+  // pins pairwise non-collinearity, PropertiesSpec measures band recall.
 
-  def hyperPlane(j: Int): Seq[Long] = (0 until 64).map(k =>
-    if ((j.toLong * 1103515245L + k * 12345L) % 65536 % 2 == 0) 1L else -1L)
+  def hyperPlane(j: Int): Seq[Long] = (0 until 64).map { k =>
+    var h = j.toLong * 0x9E3779B97F4A7C15L + (k.toLong + 1) * 0xC2B2AE3D27D4EB4FL
+    h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+    if ((h & 1L) == 0L) 1L else -1L
+  }
 
   /** Signature bit j = sign of v·plane(j); planes are precomputed in
     * Scala and shipped as array literals, each sign bit one codegen'd
@@ -55,12 +64,16 @@ private[ops] object VecOps {
     array((0 until 4).map(b =>
       shiftright(sig, 4 * b).bitwiseAND(lit(15L))): _*)
 
-  /** DuckDB expression computing the identical signature from `v`. */
+  /** DuckDB expression computing the identical signature from `v`: each
+    * plane is injected as the SAME ±1 literal array Scala computed, so
+    * the two engines cannot drift on the mixing arithmetic.
+    */
   val oracleHyperSig: String = {
-    def bitSql(j: Int): String =
+    def bitSql(j: Int): String = {
+      val plane = hyperPlane(j).mkString("[", ", ", "]")
       s"(CASE WHEN list_sum(list_transform(range(1, 65), k -> " +
-        s"v[k] * (CASE WHEN ((${j}::BIGINT * 1103515245 + (k - 1) * 12345) % 65536) % 2 = 0 " +
-        s"THEN 1 ELSE -1 END))) > 0 THEN ${1 << j} ELSE 0 END)"
+        s"v[k] * ($plane)[k])) > 0 THEN ${1 << j} ELSE 0 END)"
+    }
     (0 until 16).map(bitSql).mkString(" + ")
   }
 
@@ -81,13 +94,23 @@ private[ops] object VecOps {
     * — expected bucket size n/16 per band at scale, never n — and only
     * ids travel through the pair distinct; the 64-element vectors rejoin
     * AFTER dedup (same payload discipline as the minhash pipeline).
+    *
+    * Computed ONCE per (session, dir) and cached (Caches.shared): both
+    * q_sim_threshold_join and q_dedup_embed consume the identical
+    * relation, and at 100 TB recomputing it is a full extra corpus pass.
     */
-  def bandCandidatesWithCos(s: SparkSession, d: String): DataFrame = {
+  def bandCandidatesWithCos(s: SparkSession, d: String): DataFrame =
+    graft.Caches.shared(s"bandcand:${System.identityHashCode(s)}:$d") {
+      bandCandidatesWithCosRaw(s, d)
+    }
+
+  private def bandCandidatesWithCosRaw(s: SparkSession, d: String): DataFrame = {
     val emb = quantized(s, d)
-    val banded = emb
+    val banded = graft.Caches.scoped(emb
       .select(col("label"), col("vec_id"),
-        posexplode(sigBands(hyperSig(col("v")))).as(Seq("band", "bv")))
-      .persist() // self-joined: avoids recomputing the 16-dot signature twice
+        posexplode(sigBands(hyperSig(col("v")))).as(Seq("band", "bv"))))
+      // scoped persist: self-joined below, avoids recomputing the 16-dot
+      // signature twice; released when the consuming query finishes
     val cand = banded.alias("a")
       .join(banded.alias("b"),
         col("a.label") === col("b.label") && col("a.band") === col("b.band") &&

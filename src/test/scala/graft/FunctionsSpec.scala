@@ -75,4 +75,37 @@ class FunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       GrayImage.encode(65536, 65536, Array.empty[Byte]))
   }
+
+  test("codecs reject shorter-than-header payloads with the documented exception") {
+    // ADVICE r4: truncated headers used to leak BufferUnderflowException
+    import graft.functions.Codecs.{GrayImage, Wav}
+    for (n <- Seq(0, 1, 11, 43)) {
+      intercept[IllegalArgumentException](Wav.decode(new Array[Byte](n)))
+    }
+    for (n <- Seq(0, 1, 11)) {
+      intercept[IllegalArgumentException](GrayImage.decode(new Array[Byte](n)))
+    }
+  }
+
+  test("the 16 LSH hyperplanes are pairwise non-collinear and balanced") {
+    // ADVICE r4 medium: the old (j·odd + k·odd) mod 2 formula collapsed
+    // all 16 planes onto ±plane0, degenerating band candidates back to
+    // ~n²/4 per label. For ±1 vectors collinearity means equality or
+    // negation — assert neither holds for any pair, and that each plane
+    // is roughly balanced (a constant plane would make its bit useless).
+    val planes = (0 until 16).map(graft.ops.VecOps.hyperPlane)
+    for (i <- 0 until 16; j <- (i + 1) until 16) {
+      assert(planes(i) != planes(j), s"plane $i == plane $j")
+      assert(planes(i) != planes(j).map(-_), s"plane $i == -plane $j")
+    }
+    planes.zipWithIndex.foreach { case (p, i) =>
+      val pos = p.count(_ == 1L)
+      assert(pos >= 16 && pos <= 48, s"plane $i unbalanced: $pos/64 positive")
+    }
+    // and the oracle injects the SAME literals Scala computed
+    (0 until 16).foreach { j =>
+      assert(graft.ops.VecOps.oracleHyperSig
+        .contains(graft.ops.VecOps.hyperPlane(j).mkString("[", ", ", "]")))
+    }
+  }
 }

@@ -30,6 +30,11 @@ class PlanSpec extends SparkSpec {
       case q: QueryStageExec => Seq(q.plan)
       case r: ReusedExchangeExec => Seq(r.child)
       case w: WholeStageCodegenExec => Seq(w.child)
+      // Caches.shared persists the band-candidate / pair relations, so
+      // consumers see an InMemoryTableScan — the pinned join shape lives
+      // inside the cached plan; recurse into it
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(m.relation.cachedPlan)
       case _ => Seq.empty
     }
     Seq(p) ++ (p.children ++ nested).flatMap(collectAll)
@@ -98,6 +103,31 @@ class PlanSpec extends SparkSpec {
         t == org.apache.spark.sql.catalyst.plans.Inner &&
           ks.length == 1 && ks.head.toString.contains("label") },
         s"$q: found an inner self-join keyed on label alone")
+    }
+  }
+
+  test("stream interval join carries the 30-min cell bucket key") {
+    // VERDICT r4 #2: an equi-join on user_id alone is per-user all-pairs
+    // — quadratic on a skewed user. The shared clickPurchasePairs must
+    // join on (user_id, cell); both consumers inherit the shape.
+    for (q <- Seq("q_stream_join", "q_stream_funnel")) {
+      val nodes = collectAll(
+        Registry.queries(q)(spark, sfDir).queryExecution.sparkPlan)
+      val joins = nodes.collect {
+        case j: SortMergeJoinExec => (j.joinType, j.leftKeys)
+        case j: BroadcastHashJoinExec => (j.joinType, j.leftKeys)
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          (j.joinType, j.leftKeys)
+      }
+      assert(joins.exists { case (_, ks) =>
+        ks.exists(_.toString.contains("user_id")) &&
+          ks.exists(_.toString.contains("cell")) },
+        s"$q: no join carries the (user_id, cell) bucket key: " +
+          joins.map(_._2.mkString("[", ",", "]")).mkString("; "))
+      assert(!joins.exists { case (t, ks) =>
+        t == org.apache.spark.sql.catalyst.plans.Inner &&
+          ks.length == 1 && ks.head.toString.contains("user_id") },
+        s"$q: found an inner join keyed on user_id alone")
     }
   }
 

@@ -128,4 +128,49 @@ class PropertiesSpec extends SparkSpec {
         s"t=$t missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     }
   }
+
+  test("hyperplane band recall ≥ 0.98 at cos ≥ 0.99, and random pairs stay pruned") {
+    // Measured recall for the fixed-plane LSH (ADVICE r4): with 16
+    // INDEPENDENT planes, P(bit agrees) = 1 − θ/π, so a cos ≥ 0.99 pair
+    // (θ ≤ 0.142) shares a 4-bit band with prob ≈ 1−(1−0.955⁴)⁴ ≈ 0.999,
+    // while an uncorrelated pair collides only ≈ 1−(15/16)⁴ ≈ 0.23. The
+    // old degenerate formula (all planes ±plane0) failed BOTH bounds:
+    // near-dup recall ~0.95 and random-pair collision ~0.5. Pure-Scala
+    // mirror of VecOps.hyperSig on deterministic vectors.
+    val rnd = new scala.util.Random(20260812L)
+    def randVec(): Array[Long] =
+      Array.fill(64)(math.round(rnd.nextGaussian() * 1e5))
+    def perturb(v: Array[Long]): Array[Long] =
+      v.map(x => x + math.round(rnd.nextGaussian() * x.abs.max(1000) * 0.01))
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (k <- 0 until 64) {
+        d += a(k).toDouble * b(k); na += a(k).toDouble * a(k)
+        nb += b(k).toDouble * b(k)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val planes = (0 until 16).map(j => graft.ops.VecOps.hyperPlane(j).toArray)
+    def sig(v: Array[Long]): Int = (0 until 16).map { j =>
+      var s = 0L; for (k <- 0 until 64) s += v(k) * planes(j)(k)
+      if (s > 0) 1 << j else 0
+    }.sum
+    def shareBand(sa: Int, sb: Int): Boolean =
+      (0 until 4).exists(b => ((sa >> (4 * b)) & 15) == ((sb >> (4 * b)) & 15))
+    // 400 near-dup pairs (tiny relative perturbation → cos ≈ 0.9999)
+    val nearPairs = (1 to 400).map { _ =>
+      val v = randVec(); (v, perturb(v))
+    }.filter { case (a, b) => cos(a, b) >= 0.99 }
+    assert(nearPairs.size >= 350, s"generator sanity: ${nearPairs.size}")
+    val recall = nearPairs.count { case (a, b) =>
+      shareBand(sig(a), sig(b))
+    }.toDouble / nearPairs.size
+    assert(recall >= 0.98, s"band recall $recall at cos ≥ 0.99")
+    // independent vectors must mostly NOT collide (degeneracy detector)
+    val rand = (1 to 300).map(_ => sig(randVec()))
+    val collide = (for (i <- rand.indices; j <- (i + 1) until rand.size)
+      yield shareBand(rand(i), rand(j)))
+    val rate = collide.count(identity).toDouble / collide.size
+    assert(rate < 0.35, s"random-pair band collision rate $rate")
+  }
 }
