@@ -91,7 +91,8 @@ object Registry {
         ops.Pipeline.defs ++
         ops.Multimodal.defs ++
         ops.Streaming.defs ++
-        ops.Udx.defs
+        ops.Udx.defs ++
+        ops.Sources.defs
     // toMap would silently keep only the last entry on a name collision,
     // shrinking the graded surface with no error (ADVICE r01).
     val dup = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }

@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.Dsl._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Graded file-format sources (SURVEY.md §2.2, VERDICT r4 missing #3):
+  * CSV and JSON-lines round-trips on the contract surface, not just unit
+  * tests. The driver ships parquet fixtures only, so each key SELF-STAGES
+  * its format (write the documents table out, read it back with an
+  * EXPLICIT schema — never inferSchema, which would both scan twice and
+  * let type drift pass silently) and aggregates the read-back; the
+  * oracle computes the identical census from the PARQUET documents table
+  * — ground truth, not the staged bytes — so the whole write→read cycle
+  * is graded against what the data was BEFORE it ever touched the
+  * format: a quoting, escaping, type-mapping or null-vs-empty bug on
+  * either the write or the read side diverges the census and breaks the
+  * hash. (Grading against the staged files themselves was the first
+  * design; it let a matched writer/reader bug cancel out, and made the
+  * grade depend on whichever build staged last.)
+  *
+  * Escaping is pinned to RFC 4180 (`escape = "` → embedded quotes double
+  * as `""`): Spark's default backslash-escape is a writer-side dialect
+  * most CSV readers do not speak. At 100 TB the same pair of writers/
+  * readers shards per-partition part files in one distributed pass —
+  * exactly what these stage here (the read side globs the part files).
+  */
+object Sources {
+
+  // stage path keyed by the input dir, so builds at different scale
+  // factors (tests at sf0.001, verify at sf0.01, bench at sf0.1) never
+  // clobber each other's staged data mid-read
+  private def stage(d: String, fmt: String): String =
+    s"/tmp/graft_stage/${d.replaceAll("[^A-Za-z0-9._-]", "_")}/documents_$fmt"
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Shared read-back aggregate: per (lang, source) census with a
+    * doc_id checksum AND a text-length sum — the latter fails loudly if
+    * round-tripped text is corrupted (truncation, quote mangling,
+    * null-vs-empty drift), not just if rows go missing.
+    */
+  private def census(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text"))).as("sum_text_len"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy(ascf("lang"), ascf("source"))
+
+  // the oracle reads the untouched parquet table: round-trip fidelity is
+  // graded as "census after write→read == census of the source data"
+  private val censusSql: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      |FROM documents GROUP BY lang, source
+      |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin
+
+  private val sourceCsv = QueryDef(
+    "q_source_csv",
+    (s, d) => {
+      val path = stage(d, "csv")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(path)
+      census(s.read.schema(docSchema)
+        .option("header", "true").option("escape", "\"")
+        .csv(path))
+    },
+    Some(censusSql))
+
+  private val sourceJson = QueryDef(
+    "q_source_json",
+    (s, d) => {
+      val path = stage(d, "json")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .write.mode("overwrite")
+        .json(path)
+      census(s.read.schema(docSchema).json(path))
+    },
+    Some(censusSql))
+
+  def defs: Seq[QueryDef] = Seq(sourceCsv, sourceJson)
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.server.JobServer
+
+/** The job-server veneer must behave like a resident master: concurrent
+  * submissions complete independently, results land at per-job paths,
+  * bad input fails the right way (unknown name at submit time, runtime
+  * breakage as a Failed status — never a hung or poisoned server).
+  */
+class ServerSpec extends SparkSpec {
+
+  test("two concurrent submissions both complete with results") {
+    val out = java.nio.file.Files.createTempDirectory("jobsrv").toString
+    val srv = new JobServer(spark, out, parallelism = 2)
+    try {
+      val a = srv.submit("q_agg_global", sfDir)
+      val b = srv.submit("q_union_all", sfDir)
+      (srv.await(a), srv.await(b)) match {
+        case (da: srv.Done, db: srv.Done) =>
+          assert(da.rows > 0 && db.rows > 0)
+          assert(da.resultPath != db.resultPath)
+          // the result parquet is real and re-readable
+          assert(spark.read.parquet(da.resultPath).count() == da.rows)
+        case other => fail(s"expected two Done, got $other")
+      }
+    } finally srv.shutdown()
+  }
+
+  test("unknown query names are rejected at submit; runtime errors become Failed") {
+    val out = java.nio.file.Files.createTempDirectory("jobsrv").toString
+    val srv = new JobServer(spark, out, parallelism = 1)
+    try {
+      intercept[IllegalArgumentException](srv.submit("q_no_such_query", sfDir))
+      // bad input dir: the build succeeds lazily, the job itself fails —
+      // and the server keeps serving afterwards
+      val bad = srv.submit("q_agg_global", "/no/such/dir")
+      assert(srv.await(bad).isInstanceOf[srv.Failed])
+      val ok = srv.submit("q_agg_global", sfDir)
+      assert(srv.await(ok).isInstanceOf[srv.Done])
+      intercept[NoSuchElementException](srv.status(99999L))
+    } finally srv.shutdown()
+  }
+}
