@@ -312,18 +312,23 @@ object Text {
         |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
   /** TF-IDF top terms per lang (round 4) — the canonical relevance
-    * scoring over the corpus, in DRIFT-PROOF arithmetic: the idf
-    * (ln(N/df)) is the only transcendental, and it is quantized to
-    * 1e-6-resolution BIGINT immediately (the GeoMean trick), so the
-    * per-term score Σ_docs tf · idf_e6 = total_tf · idf_e6 is an EXACT
-    * int64 — ranking and ties (term asc) are deterministic across
-    * engines and partition orders; only the display value divides back
-    * to double. Shape: two partial-agg shuffles (tf, then df) + a tiny
-    * per-lang doc-count broadcast + per-lang window top-5.
+    * scoring over the corpus, in DRIFT-PROOF arithmetic: since r5 the
+    * idf ln runs through `DetMath.lnInt` — a deterministic integer-
+    * seeded construction both engines evaluate bit-identically (ADVICE
+    * r4: library `ln` ulp drift near a 0.5·1e-6 boundary could flip the
+    * quantized idf; now NO transcendental library call remains anywhere
+    * on the graded surface). idf_e6 = round((ln nd − ln df)·1e6) is the
+    * same BIGINT on both engines for every input, so the per-term score
+    * total_tf · idf_e6 is an EXACT int64 — ranking and ties (term asc)
+    * are deterministic across engines and partition orders; only the
+    * display value divides back to double. Shape: two partial-agg
+    * shuffles (tf, then df) + a tiny per-lang doc-count broadcast +
+    * per-lang window top-5.
     */
   private val tfidf = QueryDef(
     "q_text_tfidf",
     (s, d) => {
+      import graft.functions.DetMath
       val toks = Tables.documents(s, d)
         .select(col("lang"), col("doc_id"),
           explode(split(col("text"), " ")).as("w"))
@@ -335,7 +340,7 @@ object Text {
         .agg(count(lit(1)).as("nd"))
       val sc = dfq.join(broadcast(nd), "lang")
         .withColumn("score_e6", col("total_tf") *
-          round(log(col("nd").cast("double") / col("df").cast("double"))
+          round((DetMath.lnInt(col("nd")) - DetMath.lnInt(col("df")))
             * 1000000, 0).cast("long"))
       val win = Window.partitionBy(col("lang"))
         .orderBy(descl("score_e6"), ascf("w"))
@@ -346,22 +351,38 @@ object Text {
             .as("tfidf"))
         .orderBy(ascf("lang"), ascf("rnk"))
     },
-    Some("""WITH t AS (SELECT doc_id, lang,
-           |    unnest(string_split(text, ' ')) AS w FROM documents),
-           |tf AS (SELECT lang, doc_id, w, count(*) AS tf FROM t GROUP BY 1, 2, 3),
-           |dfq AS (SELECT lang, w, count(*) AS df,
-           |    CAST(sum(tf) AS BIGINT) AS total_tf FROM tf GROUP BY 1, 2),
-           |nd AS (SELECT lang, count(*) AS nd FROM documents GROUP BY lang),
-           |sc AS (SELECT dfq.lang AS lang, w, total_tf *
-           |    CAST(round(ln(CAST(nd.nd AS DOUBLE) / CAST(df AS DOUBLE))
-           |      * 1000000, 0) AS BIGINT) AS score_e6
-           |  FROM dfq JOIN nd ON dfq.lang = nd.lang),
-           |r AS (SELECT lang, w, score_e6, row_number() OVER (PARTITION BY lang
-           |    ORDER BY score_e6 DESC, w ASC) AS rnk FROM sc)
-           |SELECT lang, CAST(rnk AS BIGINT) AS rnk, w AS term,
-           |  round(CAST(score_e6 AS DOUBLE) / 1000000, 4) + 0.0 AS tfidf
-           |FROM r WHERE rnk <= 5
-           |ORDER BY lang ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin))
+    Some {
+      import graft.functions.DetMath._
+      // ln staged through CTE columns (k/p2 ladders → mantissa → z →
+      // z² → Horner) so the generated SQL stays linear-size; every
+      // stage's expression comes from the same generator as the Column
+      // tree, pinning the operation order equal by construction
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    unnest(string_split(text, ' ')) AS w FROM documents),
+         |tf AS (SELECT lang, doc_id, w, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+         |dfq AS (SELECT lang, w, count(*) AS df,
+         |    CAST(sum(tf) AS BIGINT) AS total_tf FROM tf GROUP BY 1, 2),
+         |nd AS (SELECT lang, count(*) AS nd FROM documents GROUP BY lang),
+         |j AS (SELECT dfq.lang AS lang, w, total_tf, df, nd.nd AS nd
+         |  FROM dfq JOIN nd ON dfq.lang = nd.lang),
+         |r1 AS (SELECT *, ${kSql("nd")} AS knd, ${p2Sql("nd")} AS pnd,
+         |    ${kSql("df")} AS kdf, ${p2Sql("df")} AS pdf FROM j),
+         |r2 AS (SELECT *, CAST(nd AS DOUBLE) / pnd AS mnd,
+         |    CAST(df AS DOUBLE) / pdf AS mdf FROM r1),
+         |r3 AS (SELECT *, ${zSql("mnd")} AS znd, ${zSql("mdf")} AS zdf FROM r2),
+         |r4 AS (SELECT *, znd * znd AS z2nd, zdf * zdf AS z2df FROM r3),
+         |r5 AS (SELECT *, ${hornerSql("z2nd")} AS hnd,
+         |    ${hornerSql("z2df")} AS hdf FROM r4),
+         |sc AS (SELECT lang, w, total_tf * CAST(round(
+         |    (${lnSql("knd", "znd", "hnd")} - ${lnSql("kdf", "zdf", "hdf")})
+         |      * 1000000, 0) AS BIGINT) AS score_e6 FROM r5),
+         |r AS (SELECT lang, w, score_e6, row_number() OVER (PARTITION BY lang
+         |    ORDER BY score_e6 DESC, w ASC) AS rnk FROM sc)
+         |SELECT lang, CAST(rnk AS BIGINT) AS rnk, w AS term,
+         |  round(CAST(score_e6 AS DOUBLE) / 1000000, 4) + 0.0 AS tfidf
+         |FROM r WHERE rnk <= 5
+         |ORDER BY lang ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin
+    })
 
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,

@@ -87,6 +87,26 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("DetMath.lnInt matches its scalar replica bit-for-bit and real ln to 1e-14") {
+    import graft.functions.DetMath
+    val ns = ((1L to 256L) ++ Seq(1000L, 4096L, 65535L, 65536L, 1000000L,
+      (1L << 40) - 1, 1L << 40, (1L << 62) + 5)).toSeq
+    val got = ns.toDF("n")
+      .select(col("n"), DetMath.lnInt(col("n")).as("ln"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ns.foreach { n =>
+      // the Column tree and the scalar replica are the same construction
+      // — any codegen/optimizer reassociation would break bit-equality
+      assert(java.lang.Double.doubleToLongBits(got(n)) ==
+        java.lang.Double.doubleToLongBits(DetMath.lnIntScalar(n)),
+        s"n=$n col=${got(n)} scalar=${DetMath.lnIntScalar(n)}")
+      val rel = math.abs(got(n) - math.log(n.toDouble)) /
+        math.max(math.abs(math.log(n.toDouble)), 1e-300)
+      assert(n == 1 || rel < 1e-14, s"n=$n rel=$rel")
+    }
+    assert(got(1L) == 0.0)
+  }
+
   test("the 16 LSH hyperplanes are pairwise non-collinear and balanced") {
     // ADVICE r4 medium: the old (j·odd + k·odd) mod 2 formula collapsed
     // all 16 planes onto ±plane0, degenerating band candidates back to
