@@ -92,7 +92,8 @@ object Registry {
         ops.Multimodal.defs ++
         ops.Streaming.defs ++
         ops.Udx.defs ++
-        ops.Sources.defs
+        ops.Sources.defs ++
+        ops.Sampling.defs
     // toMap would silently keep only the last entry on a name collision,
     // shrinking the graded surface with no error (ADVICE r01).
     val dup = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }

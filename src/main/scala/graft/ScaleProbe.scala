@@ -51,10 +51,17 @@ object ScaleProbe {
         "q_text_levenshtein", "q_sim_jaccard_pairs", "q_sim_ann_ivf",
         "q_stream_join", "q_mm_audio_pcm",
         "q_join_q5", "q_join_salted", "q_sim_knn_join", "q_text_tfidf",
-        "q_pipeline_e2e", "q_stream_funnel")) {
+        "q_pipeline_e2e", "q_stream_funnel",
+        // round-5: independent hyperplanes (real band pruning), shared
+        // pair graph for components, bucketed stream join, samplers,
+        // file-format round-trips
+        "q_sim_ann_lsh", "q_dedup_components", "q_sample_hash",
+        "q_sample_stratified", "q_split_train_val", "q_source_csv",
+        "q_source_json")) {
       val t0 = System.nanoTime()
       val n = Registry.queries(q)(spark, dst).count()
       println(f"SCALE10 $q: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
+      graft.Caches.releaseScoped()
     }
     spark.stop()
   }

@@ -1,0 +1,130 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.Dsl._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting (round 5) — the missing third leg
+  * of the training-data-pipeline triad (dedup, quality, SAMPLE): every
+  * large corpus job ends in "take a reproducible X% / exactly-k-per-
+  * stratum / train-val-test cut", and it must be DETERMINISTIC (same
+  * doc → same side on every run, engine, and partitioning — a random()
+  * sample is neither reproducible nor oracle-able).
+  *
+  * The splitting hash is a 32-bit multiplicative mix computed in plain
+  * BIGINT arithmetic: h = (id·2654435761 + 1013904223) mod 2^32, bucket
+  * = h·100 div 2^32 (the HIGH bits — the low bits of an LCG-style mix
+  * are weak). Products stay < 2^63 for any id < 2^31·, so the identical
+  * expression runs on both engines with no wrapping semantics to
+  * reconcile (DuckDB errors on BIGINT overflow; Java wraps — avoiding
+  * overflow entirely is the only portable contract). At 100 TB the
+  * hash is one codegen'd projection — no shuffle, no state — and the
+  * per-stratum variant is a single window top-k per group.
+  */
+object Sampling {
+
+  /** Knuth multiplicative constant + LCG increment, mod 2^32. */
+  private val MixMul = 2654435761L
+  private val MixAdd = 1013904223L
+  private val Mod32 = 4294967296L
+
+  /** 0..99 bucket from the high bits of the mixed id — Column side.
+    * `h·100 div 2^32` is a shiftright, NOT `/` (Spark's `/` on longs is
+    * double division; the shift keeps everything in exact int64).
+    */
+  private def bucket(id: Column): Column =
+    shiftright(((id * lit(MixMul) + lit(MixAdd)) % lit(Mod32)) * lit(100L), 32)
+
+  /** The same bucket in DuckDB SQL (integer div via //). */
+  private def bucketSql(id: String): String =
+    s"((($id * $MixMul + $MixAdd) % $Mod32) * 100) // $Mod32"
+
+  /** Raw 32-bit mix (for smallest-k ordering) — Column + SQL twins. */
+  private def mix(id: Column): Column =
+    (id * lit(MixMul) + lit(MixAdd)) % lit(Mod32)
+  private def mixSql(id: String): String =
+    s"(($id * $MixMul + $MixAdd) % $Mod32)"
+
+  /** 10% reproducible sample of documents: census of the kept rows.
+    * The checksum pins EXACTLY which rows were kept, not just how many.
+    */
+  private val sampleHash = QueryDef(
+    "q_sample_hash",
+    (s, d) =>
+      Tables.documents(s, d)
+        .filter(bucket(col("doc_id")) < 10)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy(ascf("lang")),
+    Some(s"""SELECT lang, count(*) AS n_docs,
+            |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+            |FROM documents WHERE ${bucketSql("doc_id")} < 10
+            |GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
+  /** Exactly-k-per-stratum sample: the 20 smallest-mix docs per lang
+    * (ties broken by doc_id — the mix is injective mod 2^32 only for
+    * ids < 2^32, so the tiebreak keeps the order total regardless).
+    * This is the distributed form of per-stratum reservoir sampling
+    * with a fixed seed: one window top-k per group, no global sort.
+    */
+  private val sampleStratified = QueryDef(
+    "q_sample_stratified",
+    (s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(ascf(col("h")), ascf(col("doc_id")))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          mix(col("doc_id")).as("h"))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 20)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_checksum"),
+          min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+        .orderBy(ascf("lang"))
+    },
+    Some(s"""WITH h AS (SELECT lang, doc_id, n_chars,
+            |    ${mixSql("doc_id")} AS h FROM documents),
+            |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+            |    ORDER BY h ASC, doc_id ASC) AS rnk FROM h)
+            |SELECT lang, count(*) AS n_docs,
+            |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+            |  CAST(min(h) AS BIGINT) AS min_h, CAST(max(h) AS BIGINT) AS max_h
+            |FROM r WHERE rnk <= 20
+            |GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
+  /** Reproducible 90/5/5 train/val/test split: per (lang, split) census.
+    * The same hash bucket that drives q_sample_hash routes each doc, so
+    * sample and split decisions compose consistently across jobs.
+    */
+  private val splitTrainVal = QueryDef(
+    "q_split_train_val",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(bucket(col("doc_id")) < 90, lit("train"))
+            .when(bucket(col("doc_id")) < 95, lit("val"))
+            .otherwise(lit("test")))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy(ascf("lang"), ascf("split")),
+    Some(s"""WITH b AS (SELECT lang, n_chars, doc_id,
+            |    CASE WHEN ${bucketSql("doc_id")} < 90 THEN 'train'
+            |         WHEN ${bucketSql("doc_id")} < 95 THEN 'val'
+            |         ELSE 'test' END AS split
+            |  FROM documents)
+            |SELECT lang, split, count(*) AS n_docs,
+            |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+            |FROM b GROUP BY lang, split
+            |ORDER BY lang ASC NULLS FIRST, split ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(sampleHash, sampleStratified, splitTrainVal)
+}
