@@ -93,7 +93,8 @@ object Registry {
         ops.Streaming.defs ++
         ops.Udx.defs ++
         ops.Sources.defs ++
-        ops.Sampling.defs
+        ops.Sampling.defs ++
+        ops.Curation.defs
     // toMap would silently keep only the last entry on a name collision,
     // shrinking the graded surface with no error (ADVICE r01).
     val dup = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }

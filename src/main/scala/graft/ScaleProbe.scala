@@ -57,7 +57,7 @@ object ScaleProbe {
         // file-format round-trips
         "q_sim_ann_lsh", "q_dedup_components", "q_sample_hash",
         "q_sample_stratified", "q_split_train_val", "q_source_csv",
-        "q_source_json")) {
+        "q_source_json", "q_pack_sequences", "q_text_contamination")) {
       val t0 = System.nanoTime()
       val n = Registry.queries(q)(spark, dst).count()
       println(f"SCALE10 $q: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
