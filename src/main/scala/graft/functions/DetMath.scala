@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * only operations IEEE 754 fully determines (integer compares, and
   * correctly-rounded double +, −, ×, ÷):
   *
-  *   1. range-reduce n = 2^k · m with k from a 62-branch integer CASE
-  *      ladder (exact) and m = n / 2^k ∈ [1, 2) — an EXACT double
-  *      division by a power of two;
+  *   1. range-reduce n = 2^k · m with k = bitlength(n) − 1 (exact
+  *      integer, via the length of the binary-digit string — `bin()` in
+  *      Spark, `printf('%b')` in DuckDB; a 62-branch CASE ladder gave
+  *      the same k but broke whole-stage codegen and tripled the tfidf
+  *      bench time) and m = n / 2^k ∈ [1, 2) — an EXACT double division
+  *      by a power of two (2^k via integer shift, never `pow`);
   *   2. z = (m−1)/(m+1) ∈ [0, 1/3); ln(m) = 2·atanh(z) by a FIXED
   *      16-term Horner series (truncation error < 1e-16 relative — and
   *      truncation is identical on both engines, so it cannot drift);
@@ -31,7 +34,6 @@ import org.apache.spark.sql.functions._
 object DetMath {
 
   private val Ln2 = "0.6931471805599453" // nearest double to ln 2
-  private val MaxK = 62
   /** Odd reciprocals 31, 29, …, 1 — Horner from the smallest term. */
   private val HornerDenoms: Seq[Int] = 31 to 1 by -2
 
@@ -39,36 +41,27 @@ object DetMath {
 
   /** Deterministic ln(n) as a Column, for an integer column n ≥ 1. */
   def lnInt(n: Column): Column = {
-    var kc = when(n >= lit(1L << MaxK), lit(MaxK.toDouble))
-    var pc = when(n >= lit(1L << MaxK), lit((1L << MaxK).toDouble))
-    for (i <- (MaxK - 1) to 1 by -1) {
-      kc = kc.when(n >= lit(1L << i), lit(i.toDouble))
-      pc = pc.when(n >= lit(1L << i), lit((1L << i).toDouble))
-    }
-    val k = kc.otherwise(lit(0.0))
-    val m = n.cast("double") / pc.otherwise(lit(1.0))
+    val k = length(bin(n)) - lit(1) // floor(log2 n), exact int
+    val p2 = call_function("shiftleft", lit(1L), k) // 2^k, exact long
+    val m = n.cast("double") / p2.cast("double")
     val z = (m - lit(1.0)) / (m + lit(1.0))
     val z2 = z * z
     var h: Column = lit(1.0) / lit(HornerDenoms.head.toDouble)
     for (dnm <- HornerDenoms.tail)
       h = lit(1.0) / lit(dnm.toDouble) + z2 * h
-    k * lit(Ln2.toDouble) + lit(2.0) * z * h
+    k.cast("double") * lit(Ln2.toDouble) + lit(2.0) * z * h
   }
 
   // ---- DuckDB side (same structure, staged through named columns so the
   // SQL stays linear-size — callers splice these into chained CTEs) ------
 
-  /** CASE ladder: floor(log2(e)) as DOUBLE. */
+  /** floor(log2(e)) as BIGINT: binary-digit-string length − 1. */
   def kSql(e: String): String =
-    (MaxK to 1 by -1)
-      .map(i => s"WHEN $e >= ${1L << i} THEN CAST($i AS DOUBLE)")
-      .mkString("CASE ", " ", " ELSE CAST(0 AS DOUBLE) END")
+    s"(CAST(length(printf('%b', $e)) AS BIGINT) - 1)"
 
-  /** CASE ladder: 2^floor(log2(e)) as DOUBLE (each power exact). */
-  def p2Sql(e: String): String =
-    (MaxK to 1 by -1)
-      .map(i => s"WHEN $e >= ${1L << i} THEN CAST(${1L << i} AS DOUBLE)")
-      .mkString("CASE ", " ", " ELSE CAST(1 AS DOUBLE) END")
+  /** Exact mantissa from (value, staged-k columns): e / 2^k. */
+  def mSql(e: String, k: String): String =
+    s"(CAST($e AS DOUBLE) / CAST((CAST(1 AS BIGINT) << $k) AS DOUBLE))"
 
   /** z from a mantissa column m: (m−1)/(m+1), doubles throughout (bare
     * `1.0` would be DECIMAL in DuckDB and change the arithmetic).
@@ -94,7 +87,7 @@ object DetMath {
 
   def lnIntScalar(n: Long): Double = {
     require(n >= 1)
-    val k = (MaxK to 1 by -1).find(i => n >= (1L << i)).getOrElse(0)
+    val k = 63 - java.lang.Long.numberOfLeadingZeros(n)
     val m = n.toDouble / (1L << k).toDouble
     val z = (m - 1.0) / (m + 1.0)
     val z2 = z * z

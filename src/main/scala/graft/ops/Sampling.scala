@@ -14,14 +14,17 @@ import org.apache.spark.sql.functions._
   * sample is neither reproducible nor oracle-able).
   *
   * The splitting hash is a 32-bit multiplicative mix computed in plain
-  * BIGINT arithmetic: h = (id·2654435761 + 1013904223) mod 2^32, bucket
-  * = h·100 div 2^32 (the HIGH bits — the low bits of an LCG-style mix
-  * are weak). Products stay < 2^63 for any id < 2^31·, so the identical
-  * expression runs on both engines with no wrapping semantics to
-  * reconcile (DuckDB errors on BIGINT overflow; Java wraps — avoiding
-  * overflow entirely is the only portable contract). At 100 TB the
-  * hash is one codegen'd projection — no shuffle, no state — and the
-  * per-stratum variant is a single window top-k per group.
+  * BIGINT arithmetic: h = ((id mod 2^31)·2654435761 + 1013904223) mod
+  * 2^32, bucket = h·100 div 2^32 (the HIGH bits — the low bits of an
+  * LCG-style mix are weak). The id pre-folds into 2^31 BEFORE the
+  * multiply, so the product is < 2^62 for ANY non-negative int64 id —
+  * without the fold, ids ≥ ~3.5e9 overflow the multiply, which DuckDB
+  * rejects and Spark's ANSI mode throws on (the 10× ScaleProbe's
+  * shifted ids found exactly that; avoiding overflow entirely is the
+  * only portable contract). Ids congruent mod 2^31 share a bucket —
+  * fine for sampling, stated for the record. At 100 TB the hash is one
+  * codegen'd projection — no shuffle, no state — and the per-stratum
+  * variant is a single window top-k per group.
   */
 object Sampling {
 
@@ -29,23 +32,24 @@ object Sampling {
   private val MixMul = 2654435761L
   private val MixAdd = 1013904223L
   private val Mod32 = 4294967296L
+  private val Fold31 = 2147483648L
 
   /** 0..99 bucket from the high bits of the mixed id — Column side.
     * `h·100 div 2^32` is a shiftright, NOT `/` (Spark's `/` on longs is
     * double division; the shift keeps everything in exact int64).
     */
   private def bucket(id: Column): Column =
-    shiftright(((id * lit(MixMul) + lit(MixAdd)) % lit(Mod32)) * lit(100L), 32)
+    shiftright(mix(id) * lit(100L), 32)
 
   /** The same bucket in DuckDB SQL (integer div via //). */
   private def bucketSql(id: String): String =
-    s"((($id * $MixMul + $MixAdd) % $Mod32) * 100) // $Mod32"
+    s"(${mixSql(id)} * 100) // $Mod32"
 
   /** Raw 32-bit mix (for smallest-k ordering) — Column + SQL twins. */
   private def mix(id: Column): Column =
-    (id * lit(MixMul) + lit(MixAdd)) % lit(Mod32)
+    ((id % lit(Fold31)) * lit(MixMul) + lit(MixAdd)) % lit(Mod32)
   private def mixSql(id: String): String =
-    s"(($id * $MixMul + $MixAdd) % $Mod32)"
+    s"((($id % $Fold31) * $MixMul + $MixAdd) % $Mod32)"
 
   /** 10% reproducible sample of documents: census of the kept rows.
     * The checksum pins EXACTLY which rows were kept, not just how many.

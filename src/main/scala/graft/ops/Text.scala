@@ -365,10 +365,9 @@ object Text {
          |nd AS (SELECT lang, count(*) AS nd FROM documents GROUP BY lang),
          |j AS (SELECT dfq.lang AS lang, w, total_tf, df, nd.nd AS nd
          |  FROM dfq JOIN nd ON dfq.lang = nd.lang),
-         |r1 AS (SELECT *, ${kSql("nd")} AS knd, ${p2Sql("nd")} AS pnd,
-         |    ${kSql("df")} AS kdf, ${p2Sql("df")} AS pdf FROM j),
-         |r2 AS (SELECT *, CAST(nd AS DOUBLE) / pnd AS mnd,
-         |    CAST(df AS DOUBLE) / pdf AS mdf FROM r1),
+         |r1 AS (SELECT *, ${kSql("nd")} AS knd, ${kSql("df")} AS kdf FROM j),
+         |r2 AS (SELECT *, ${mSql("nd", "knd")} AS mnd,
+         |    ${mSql("df", "kdf")} AS mdf FROM r1),
          |r3 AS (SELECT *, ${zSql("mnd")} AS znd, ${zSql("mdf")} AS zdf FROM r2),
          |r4 AS (SELECT *, znd * znd AS z2nd, zdf * zdf AS z2df FROM r3),
          |r5 AS (SELECT *, ${hornerSql("z2nd")} AS hnd,
