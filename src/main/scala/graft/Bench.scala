@@ -41,7 +41,12 @@ object Bench {
     def runAll(cold: Boolean): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          // never silent (review r5): a throwing query records its
+          // time-to-exception, which reads as an IMPROVEMENT in the
+          // totals unless the failure is visible
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // release each query's scoped intermediates the moment it
         // finishes — the r4 lesson: six never-unpersisted internal

@@ -59,6 +59,14 @@ object Caches {
     })
   }
 
+  /** Stable per-session cache-key prefix: the Spark application id (one
+    * per SparkContext) — NOT System.identityHashCode, which can collide
+    * across a stopped-and-recreated session and hand a later session a
+    * DataFrame bound to a dead context (review r5).
+    */
+  def sessionKey(s: org.apache.spark.sql.SparkSession): String =
+    s"${s.sparkContext.applicationId}:${s.sparkContext.startTime}"
+
   def releaseShared(): Unit = synchronized {
     sharedLive.values.foreach(df =>
       try df.unpersist(blocking = false)

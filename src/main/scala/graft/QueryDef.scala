@@ -66,6 +66,18 @@ object Dsl {
   def pin4(c: Column): Column = c.cast("double")
   def pin6(c: Column): Column = c.cast("double")
 
+  /** Exact FLOOR division of a BIGINT column by a positive literal:
+    * `(c − pmod(c, m)) / m` — the numerator is an exact multiple of m
+    * (pmod is non-negative), so the double division is exact and the
+    * cast loses nothing. A bare `/` + cast rounds toward ZERO, which
+    * mis-buckets negative values (pre-epoch timestamps) by one cell
+    * relative to the pure-range semantics the oracles state (review
+    * r5; latent on the 2024-only fixtures, wrong the day a negative
+    * timestamp appears).
+    */
+  def floorDiv(c: Column, m: Long): Column =
+    ((c - pmod(c, lit(m))) / lit(m)).cast("long")
+
   /** ASC NULLS FIRST — matches `ASC NULLS FIRST` in oracle SQL (D1). */
   def ascf(c: Column): Column = c.asc_nulls_first
   def ascf(name: String): Column = col(name).asc_nulls_first

@@ -61,7 +61,13 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val n = Registry.queries(q)(spark, dst).count()
       println(f"SCALE10 $q: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
+      // release BOTH lifetimes between probed queries (review r5): with
+      // shared relations resident, the first consumer would be billed
+      // for the whole shared build and later consumers would time a
+      // cache read — order-dependent numbers, not per-operator evidence
+      // (Bench's cold pass does the same)
       graft.Caches.releaseScoped()
+      graft.Caches.releaseShared()
     }
     spark.stop()
   }

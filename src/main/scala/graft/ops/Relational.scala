@@ -238,13 +238,16 @@ object Relational {
     "q_join_range",
     (s, d) => {
       val bucketUs = 10L * 60 * 1000000
+      // floorDiv (r5): `/`+cast truncates toward zero and mis-buckets
+      // pre-epoch timestamps — latent on these fixtures, but the bucket
+      // assignment must match floor semantics for any input
       val e1 = Tables.events(s, d).select(col("user_id"),
         col("event_id").as("id1"), col("ts").as("ts1"),
-        (unix_micros(col("ts")) / bucketUs).cast("long").as("b1"))
+        floorDiv(unix_micros(col("ts")), bucketUs).as("b1"))
       val e2 = Tables.events(s, d).select(col("user_id").as("u2"),
         col("event_id").as("id2"), col("ts").as("ts2"),
-        explode(array((unix_micros(col("ts")) / bucketUs).cast("long"),
-          (unix_micros(col("ts")) / bucketUs).cast("long") - 1)).as("jb"))
+        explode(array(floorDiv(unix_micros(col("ts")), bucketUs),
+          floorDiv(unix_micros(col("ts")), bucketUs) - 1)).as("jb"))
       e1.join(e2,
           col("user_id") === col("u2") && col("b1") === col("jb") &&
             col("ts2") >= col("ts1") &&

@@ -175,7 +175,7 @@ object Similarity {
     * consumers read it from.
     */
   private[graft] def sharedJaccardPairs(s: SparkSession, d: String): DataFrame =
-    graft.Caches.shared(s"jaccard:${System.identityHashCode(s)}:$d") {
+    graft.Caches.shared(s"jaccard:${graft.Caches.sessionKey(s)}:$d") {
       jaccardPairs(Tables.documents(s, d))
     }
 

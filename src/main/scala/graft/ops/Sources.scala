@@ -28,11 +28,15 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object Sources {
 
-  // stage path keyed by the input dir, so builds at different scale
-  // factors (tests at sf0.001, verify at sf0.01, bench at sf0.1) never
-  // clobber each other's staged data mid-read
+  // stage path keyed by input dir AND a per-build unique suffix: two
+  // concurrent executions of the same query (JobServer's default
+  // surface) must never overwrite a directory the other is mid-read on
+  // (review r5). The staged copies are small (~15 MB at sf0.1) and live
+  // under /tmp; each build writes its own directory and leaves it for
+  // the OS tmp reaper rather than racing a delete against a lazy read.
   private def stage(d: String, fmt: String): String =
-    s"/tmp/graft_stage/${d.replaceAll("[^A-Za-z0-9._-]", "_")}/documents_$fmt"
+    s"/tmp/graft_stage/${d.replaceAll("[^A-Za-z0-9._-]", "_")}/" +
+      s"documents_${fmt}_${java.util.UUID.randomUUID.toString.take(8)}"
 
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType),

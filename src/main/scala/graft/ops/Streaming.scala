@@ -163,16 +163,19 @@ object Streaming {
   private[graft] def clickPurchasePairs(
       ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val cellUs = 1800000000L // 30 min, = the interval width
+    // floorDiv, not `/`+cast: truncation mis-buckets pre-epoch
+    // timestamps and would silently drop boundary pairs the pure-range
+    // oracle keeps (review r5)
     val c = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         unix_micros(col("ts")).as("cus"))
       .select(col("user_id"), col("click_id"), col("cus"),
-        explode(array((col("cus") / cellUs).cast("long"),
-          (col("cus") / cellUs).cast("long") - 1)).as("cell"))
+        explode(array(floorDiv(col("cus"), cellUs),
+          floorDiv(col("cus"), cellUs) - 1)).as("cell"))
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
         unix_micros(col("ts")).as("pus"))
-      .withColumn("pcell", (col("pus") / cellUs).cast("long"))
+      .withColumn("pcell", floorDiv(col("pus"), cellUs))
     c.join(p, col("user_id") === col("pu") && col("cell") === col("pcell") &&
         col("cus") >= col("pus") &&
         col("cus") < col("pus") + lit(cellUs))

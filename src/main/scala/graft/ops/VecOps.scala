@@ -100,7 +100,7 @@ private[graft] object VecOps {
     * relation, and at 100 TB recomputing it is a full extra corpus pass.
     */
   def bandCandidatesWithCos(s: SparkSession, d: String): DataFrame =
-    graft.Caches.shared(s"bandcand:${System.identityHashCode(s)}:$d") {
+    graft.Caches.shared(s"bandcand:${graft.Caches.sessionKey(s)}:$d") {
       bandCandidatesWithCosRaw(s, d)
     }
 

