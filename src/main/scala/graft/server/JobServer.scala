@@ -27,7 +27,7 @@ import java.util.concurrent.atomic.AtomicLong
   * relations across jobs — the recurring-workload win of SURVEY §7.5.
   */
 final class JobServer(spark: SparkSession, outRoot: String,
-    parallelism: Int = 4) {
+    parallelism: Int = 4, retainTerminal: Int = 1024) {
 
   sealed trait Status
   case object Queued extends Status
@@ -39,11 +39,9 @@ final class JobServer(spark: SparkSession, outRoot: String,
   private val jobs = new ConcurrentHashMap[Long, Status]()
   private val done = new ConcurrentHashMap[Long, CountDownLatch]()
   private val pool: ExecutorService = Executors.newFixedThreadPool(parallelism)
-  /** A resident server must not grow per-submission state forever:
-    * terminal entries beyond this many are pruned oldest-first on each
-    * submit (ids are monotone). In-flight jobs are never pruned.
-    */
-  private val retainTerminal = 1024
+  // A resident server must not grow per-submission state forever:
+  // terminal entries beyond `retainTerminal` are pruned oldest-first on
+  // each submit (ids are monotone). In-flight jobs are never pruned.
 
   /** Enqueue a registry query against `sfDir`; returns the job id.
     * Unknown names fail HERE (the submitter's bug), not in the worker.

@@ -40,4 +40,19 @@ class ServerSpec extends SparkSpec {
       intercept[NoSuchElementException](srv.status(99999L))
     } finally srv.shutdown()
   }
+
+  test("terminal job records are pruned beyond the retention cap") {
+    val out = java.nio.file.Files.createTempDirectory("jobsrv").toString
+    val srv = new JobServer(spark, out, parallelism = 1, retainTerminal = 2)
+    try {
+      val ids = (1 to 4).map(_ => srv.submit("q_agg_global", sfDir))
+      ids.foreach(srv.await(_))
+      // one more submit triggers the prune of all but the 2 newest
+      // terminal records; the new job itself must be unaffected
+      val last = srv.submit("q_agg_global", sfDir)
+      assert(srv.await(last).isInstanceOf[srv.Done])
+      intercept[NoSuchElementException](srv.status(ids.head))
+      assert(srv.status(last).isInstanceOf[srv.Done])
+    } finally srv.shutdown()
+  }
 }
