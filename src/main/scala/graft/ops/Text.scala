@@ -316,8 +316,10 @@ object Text {
     * idf ln runs through `DetMath.lnInt` — a deterministic integer-
     * seeded construction both engines evaluate bit-identically (ADVICE
     * r4: library `ln` ulp drift near a 0.5·1e-6 boundary could flip the
-    * quantized idf; now NO transcendental library call remains anywhere
-    * on the graded surface). idf_e6 = round((ln nd − ln df)·1e6) is the
+    * quantized idf; no RANKING or quantized-score path depends on libm
+    * any more — the remaining libm calls are the q_fn_math /
+    * q_udaf_geomean display exhibits, see SURVEY D12).
+    * idf_e6 = round((ln nd − ln df)·1e6) is the
     * same BIGINT on both engines for every input, so the per-term score
     * total_tf · idf_e6 is an EXACT int64 — ranking and ties (term asc)
     * are deterministic across engines and partition orders; only the
