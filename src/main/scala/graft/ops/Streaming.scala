@@ -257,6 +257,38 @@ object Streaming {
            |  count(DISTINCT user_id) AS n_users
            |FROM j GROUP BY win_us ORDER BY win_us ASC NULLS FIRST""".stripMargin))
 
+  /** Windowed top-k (round 5): the 2 busiest event types per hour with a
+    * deterministic (cnt desc, type asc) rank — the "trending items per
+    * window" shape. In Structured Streaming the windowed count is the
+    * single stateful operator and the rank runs batch-side on the sink
+    * (Spark's chained-stateful restriction; StreamingSpec replays
+    * exactly that split and asserts it equals this batch declaration).
+    */
+  private val streamTopk = QueryDef(
+    "q_stream_topk",
+    (s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_micros(col("w.start")).as("win_us"),
+          col("event_type"), col("cnt"))
+      val rk = Window.partitionBy(col("win_us"))
+        .orderBy(descl("cnt"), ascf("event_type"))
+      counts.withColumn("rnk", row_number().over(rk).cast("bigint"))
+        .filter(col("rnk") <= 2)
+        .orderBy(ascf("win_us"), ascf("rnk"))
+    },
+    Some("""WITH c AS (SELECT epoch_us(date_trunc('hour', ts::TIMESTAMP))
+           |    AS win_us, event_type, count(*) AS cnt
+           |  FROM events GROUP BY 1, 2),
+           |r AS (SELECT win_us, event_type, cnt,
+           |    row_number() OVER (PARTITION BY win_us
+           |      ORDER BY cnt DESC, event_type ASC) AS rnk
+           |  FROM c)
+           |SELECT win_us, event_type, cnt, CAST(rnk AS BIGINT) AS rnk
+           |FROM r WHERE rnk <= 2
+           |ORDER BY win_us ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, session, dedup, streamJoin,
-    streamEnrich, streamFunnel)
+    streamEnrich, streamFunnel, streamTopk)
 }

@@ -65,6 +65,27 @@ class StreamingSpec extends SparkSpec {
     assertSame(agg(Tables.events(spark, sfDir)), streamOf("complete")(agg))
   }
 
+  test("windowed top-k: streamed counts + sink-side rank equal the batch key") {
+    // the windowed count is the streaming query's single stateful op;
+    // the rank runs batch-side on the sink table — the split the
+    // q_stream_topk doc states
+    val counts = streamOf("complete")(df =>
+      df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_micros(col("window.start")).as("win_us"),
+          col("event_type"), col("cnt")))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("win_us"))
+      .orderBy(col("cnt").desc_nulls_last, col("event_type").asc_nulls_first)
+    val streamed = counts
+      .withColumn("rnk", row_number().over(rk).cast("bigint"))
+      .filter(col("rnk") <= 2)
+      .select(col("win_us"), col("event_type"), col("cnt"), col("rnk"))
+    val batch = Registry.queries("q_stream_topk")(spark, sfDir)
+      .select(col("win_us"), col("event_type"), col("cnt"), col("rnk"))
+    assertSame(batch, streamed)
+  }
+
   test("session_window matches the gaps-and-islands batch definition") {
     // the real session_window operator, streamed (single stateful agg)...
     val sessions = streamOf("complete")(df =>
