@@ -13,7 +13,8 @@ object PlanDump {
     for (q <- Seq("q_agg_q1", "q_join_star", "q_join_broadcast",
         "q_join_asof", "q_join_range", "q_sim_jaccard_pairs", "q_stream_tumbling",
         "q_sim_threshold_join", "q_dedup_ngram", "q_join_q5", "q_sim_knn_join",
-        "q_stream_join", "q_sample_hash")) {
+        "q_stream_join", "q_sample_hash", "q_win_sessionize",
+        "q_source_partitioned", "q_dedup_incremental")) {
       val p = Registry.queries(q)(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       out.append(s"##### $q\n```\n")

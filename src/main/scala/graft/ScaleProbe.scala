@@ -57,7 +57,11 @@ object ScaleProbe {
         // file-format round-trips
         "q_sim_ann_lsh", "q_dedup_components", "q_sample_hash",
         "q_sample_stratified", "q_split_train_val", "q_source_csv",
-        "q_source_json", "q_pack_sequences", "q_text_contamination")) {
+        "q_source_json", "q_pack_sequences", "q_text_contamination",
+        // round-5 second batch: sessionization, curation, lake layout
+        "q_win_sessionize", "q_text_repetition", "q_dedup_incremental",
+        "q_mix_weighted", "q_profile_hist", "q_source_orc",
+        "q_source_partitioned")) {
       val t0 = System.nanoTime()
       val n = Registry.queries(q)(spark, dst).count()
       println(f"SCALE10 $q: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")

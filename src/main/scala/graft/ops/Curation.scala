@@ -136,5 +136,187 @@ object Curation {
            |FROM base LEFT JOIN hit ON base.lang = hit.lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(packSequences, contamination)
+  /** Repetition / lexical-diversity filter (r5): the quality gate that
+    * catches boilerplate and generator loops — per doc, the distinct-
+    * token ratio and the count of ADJACENT duplicate tokens (the
+    * stutter signature). Flags at two thresholds (ratio < 0.5 and
+    * < 0.3) so the censored mass is visible, with an id checksum
+    * pinning exactly WHICH docs each threshold drops. All ratios are
+    * exact integer cross-multiplications (u·2 < n, u·10 < n·3) — no
+    * division, no rounding, no D11 exposure. Scale: a pure per-row
+    * projection + one partial agg, no shuffle before the 5-group
+    * rollup.
+    */
+  private val repetition = QueryDef(
+    "q_text_repetition",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("long"))
+        // adjacent-duplicate positions: pair each token with its successor
+        // via two slices (empty for 1-token docs — no sequence() call, so
+        // Spark's descending-sequence-for-empty-ranges quirk never bites)
+        .withColumn("n_adj", expr(
+          """aggregate(zip_with(slice(toks, 1, int(n_tok) - 1),
+            |  slice(toks, 2, int(n_tok) - 1),
+            |  (a, b) -> IF(a = b, 1L, 0L)), 0L, (acc, x) -> acc + x)"""
+            .stripMargin))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tok"),
+          sum(col("n_uniq")).as("sum_uniq"),
+          sum(col("n_adj")).as("sum_adj_dups"),
+          count(when(col("n_uniq") * 2 < col("n_tok"), lit(1))).as("n_flag50"),
+          sum(when(col("n_uniq") * 2 < col("n_tok"), col("doc_id"))
+            .otherwise(lit(0L))).as("flag50_id_checksum"),
+          count(when(col("n_uniq") * 10 < col("n_tok") * 3, lit(1))).as("n_flag30"),
+          sum(when(col("n_uniq") * 10 < col("n_tok") * 3, col("doc_id"))
+            .otherwise(lit(0L))).as("flag30_id_checksum"))
+        .orderBy(ascf("lang")),
+    Some("""WITH t AS (SELECT lang, doc_id, string_split(text, ' ') AS toks
+           |  FROM documents),
+           |m AS (SELECT lang, doc_id,
+           |    CAST(length(toks) AS BIGINT) AS n_tok,
+           |    CAST(length(list_distinct(toks)) AS BIGINT) AS n_uniq,
+           |    CAST(length([i FOR i IN range(1, CAST(length(toks) AS BIGINT))
+           |      IF toks[i] = toks[i + 1]]) AS BIGINT) AS n_adj
+           |  FROM t)
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           |  CAST(sum(n_uniq) AS BIGINT) AS sum_uniq,
+           |  CAST(sum(n_adj) AS BIGINT) AS sum_adj_dups,
+           |  count(*) FILTER (WHERE n_uniq * 2 < n_tok) AS n_flag50,
+           |  CAST(coalesce(sum(doc_id) FILTER (WHERE n_uniq * 2 < n_tok), 0)
+           |    AS BIGINT) AS flag50_id_checksum,
+           |  count(*) FILTER (WHERE n_uniq * 10 < n_tok * 3) AS n_flag30,
+           |  CAST(coalesce(sum(doc_id) FILTER (WHERE n_uniq * 10 < n_tok * 3), 0)
+           |    AS BIGINT) AS flag30_id_checksum
+           |FROM m GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
+  /** Incremental (new-batch-vs-corpus) dedup (r5): the production shape
+    * of exact dedup — a 10% "incoming" slice (the SAME deterministic
+    * hash bucket that drives q_sample_hash / q_split_train_val, so
+    * batch membership is reproducible and composes with sampling
+    * decisions) is deduped against the resident 90% on the normalized
+    * key q_dedup_exact uses (lower/trim, first-5-token prefix). Census:
+    * per-lang incoming count, how many collide with the corpus, how
+    * many are genuinely new, with id checksums pinning the exact
+    * partition. Scale: one hash shuffle on the key; the incoming side
+    * is small by construction, the corpus side streams through — the
+    * same cost as one exact-dedup pass regardless of history size.
+    */
+  private val dedupIncremental = QueryDef(
+    "q_dedup_incremental",
+    (s, d) => {
+      val keyed = Tables.documents(s, d)
+        .withColumn("nk",
+          array_join(slice(split(lower(trim(col("text"))), " "), 1, 5), " "))
+        .withColumn("b", Sampling.bucket(col("doc_id")))
+      val incoming = keyed.filter(col("b") >= 90)
+        .select(col("lang"), col("doc_id"), col("nk"))
+      val existing = keyed.filter(col("b") < 90).select(col("nk")).distinct()
+      val dup = incoming.join(existing, Seq("nk"), "left_semi")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_dup"), sum(col("doc_id")).as("dup_id_checksum"))
+      incoming.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_incoming"),
+          sum(col("doc_id")).as("incoming_id_checksum"))
+        .join(dup, Seq("lang"), "left")
+        .select(col("lang"), col("n_incoming"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          (col("n_incoming") - coalesce(col("n_dup"), lit(0L))).as("n_new"),
+          col("incoming_id_checksum"),
+          coalesce(col("dup_id_checksum"), lit(0L)).as("dup_id_checksum"))
+        .orderBy(ascf("lang"))
+    },
+    Some(s"""WITH k AS (SELECT lang, doc_id,
+            |    array_to_string(string_split(lower(trim(text)), ' ')[1:5], ' ')
+            |      AS nk,
+            |    ${Sampling.bucketSql("doc_id")} AS b
+            |  FROM documents),
+            |inc AS (SELECT lang, doc_id, nk FROM k WHERE b >= 90),
+            |ex AS (SELECT DISTINCT nk FROM k WHERE b < 90),
+            |dup AS (SELECT lang, count(*) AS n_dup,
+            |    CAST(sum(doc_id) AS BIGINT) AS dup_id_checksum
+            |  FROM inc WHERE nk IN (SELECT nk FROM ex) GROUP BY lang),
+            |base AS (SELECT lang, count(*) AS n_incoming,
+            |    CAST(sum(doc_id) AS BIGINT) AS incoming_id_checksum
+            |  FROM inc GROUP BY lang)
+            |SELECT base.lang AS lang, base.n_incoming,
+            |  CAST(coalesce(dup.n_dup, 0) AS BIGINT) AS n_dup,
+            |  CAST(base.n_incoming - coalesce(dup.n_dup, 0) AS BIGINT) AS n_new,
+            |  base.incoming_id_checksum,
+            |  CAST(coalesce(dup.dup_id_checksum, 0) AS BIGINT) AS dup_id_checksum
+            |FROM base LEFT JOIN dup ON base.lang = dup.lang
+            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
+  /** Weighted corpus mixing (r5): every training run re-weights its
+    * sources (upsample quality, downsample boilerplate); this key keeps
+    * a per-lang fraction via the SAME deterministic bucket — en 100%,
+    * zh 50%, de 40%, es 25%, fr 10% — so the mixture is reproducible
+    * doc-by-doc, composes with the split/sample keys, and is exactly
+    * checkable (kept-id checksums, not just counts). Scale: a codegen'd
+    * projection + filter, no shuffle before the 5-group rollup.
+    */
+  private val mixWeighted = QueryDef(
+    "q_mix_weighted",
+    (s, d) => {
+      val weight = when(col("lang") === "en", lit(100L))
+        .when(col("lang") === "zh", lit(50L))
+        .when(col("lang") === "de", lit(40L))
+        .when(col("lang") === "es", lit(25L))
+        .otherwise(lit(10L))
+      Tables.documents(s, d)
+        .withColumn("w", weight)
+        .withColumn("kept",
+          (Sampling.bucket(col("doc_id")) < col("w")).cast("long"))
+        .groupBy(col("lang"))
+        .agg(max(col("w")).as("weight_pct"),
+          count(lit(1)).as("n_total"),
+          sum(col("kept")).as("n_kept"),
+          sum(col("kept") * col("n_chars")).as("kept_chars"),
+          sum(col("kept") * col("doc_id")).as("kept_id_checksum"))
+        .orderBy(ascf("lang"))
+    },
+    Some(s"""WITH t AS (SELECT lang, doc_id, n_chars,
+            |    CASE lang WHEN 'en' THEN 100 WHEN 'zh' THEN 50
+            |      WHEN 'de' THEN 40 WHEN 'es' THEN 25 ELSE 10 END AS w,
+            |    CASE WHEN ${Sampling.bucketSql("doc_id")} <
+            |      CASE lang WHEN 'en' THEN 100 WHEN 'zh' THEN 50
+            |        WHEN 'de' THEN 40 WHEN 'es' THEN 25 ELSE 10 END
+            |      THEN 1 ELSE 0 END AS kept
+            |  FROM documents)
+            |SELECT lang, CAST(max(w) AS BIGINT) AS weight_pct,
+            |  count(*) AS n_total,
+            |  CAST(sum(kept) AS BIGINT) AS n_kept,
+            |  CAST(sum(kept * n_chars) AS BIGINT) AS kept_chars,
+            |  CAST(sum(kept * doc_id) AS BIGINT) AS kept_id_checksum
+            |FROM t GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
+  /** Corpus profiling histogram (r5): fixed-width length histogram over
+    * documents (bucket = n_chars div 64 — a shift, exact int64), the
+    * data-profiling pass every ingestion pipeline runs first. Output is
+    * one row per occupied bucket with a doc-id checksum. Scale: partial
+    * agg straight on the scan, ~max(n_chars)/64 groups regardless of
+    * corpus size.
+    */
+  private val lengthHist = QueryDef(
+    "q_profile_hist",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bucket_lo", shiftleft(shiftright(col("n_chars"), 6), 6))
+        .groupBy(col("bucket_lo"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy(ascf("bucket_lo")),
+    Some("""SELECT (n_chars // 64) * 64 AS bucket_lo, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+           |FROM documents GROUP BY 1 ORDER BY bucket_lo ASC NULLS FIRST"""
+      .stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(packSequences, contamination, repetition,
+    dedupIncremental, mixWeighted, lengthHist)
 }

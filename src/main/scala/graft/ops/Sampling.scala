@@ -38,17 +38,17 @@ object Sampling {
     * `h·100 div 2^32` is a shiftright, NOT `/` (Spark's `/` on longs is
     * double division; the shift keeps everything in exact int64).
     */
-  private def bucket(id: Column): Column =
+  private[ops] def bucket(id: Column): Column =
     shiftright(mix(id) * lit(100L), 32)
 
   /** The same bucket in DuckDB SQL (integer div via //). */
-  private def bucketSql(id: String): String =
+  private[ops] def bucketSql(id: String): String =
     s"(${mixSql(id)} * 100) // $Mod32"
 
   /** Raw 32-bit mix (for smallest-k ordering) — Column + SQL twins. */
-  private def mix(id: Column): Column =
+  private[ops] def mix(id: Column): Column =
     ((id % lit(Fold31)) * lit(MixMul) + lit(MixAdd)) % lit(Mod32)
-  private def mixSql(id: String): String =
+  private[ops] def mixSql(id: String): String =
     s"((($id % $Fold31) * $MixMul + $MixAdd) % $Mod32)"
 
   /** 10% reproducible sample of documents: census of the kept rows.

@@ -97,5 +97,53 @@ object Sources {
     },
     Some(censusSql))
 
-  def defs: Seq[QueryDef] = Seq(sourceCsv, sourceJson)
+  /** ORC round-trip (r5): the third major columnar format next to the
+    * parquet fixtures — same census-against-parquet-ground-truth grading
+    * as CSV/JSON, so a type-mapping or stripe-encoding bug on either
+    * side of the ORC cycle breaks the hash.
+    */
+  private val sourceOrc = QueryDef(
+    "q_source_orc",
+    (s, d) => {
+      val path = stage(d, "orc")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .write.mode("overwrite").orc(path)
+      census(s.read.schema(docSchema).orc(path))
+    },
+    Some(censusSql))
+
+  /** Partition-pruned lake round-trip (r5): write documents partitioned
+    * BY LANG (the Hive directory layout `graft.sources.Lake` uses), read
+    * back with a two-language filter, census. The filter must resolve at
+    * PLANNING time into directory pruning — PlanSpec pins
+    * `PartitionFilters` on this exact plan so a regression to a full
+    * scan fails the build, not just the wall-clock. The oracle computes
+    * the same census from the unpartitioned parquet ground truth, so
+    * partition-column round-trip fidelity (lang moves into directory
+    * names and back) is part of the grade. At 100 TB this layout is the
+    * difference between scanning 2/5 of the corpus and all of it.
+    */
+  private val sourcePartitioned = QueryDef(
+    "q_source_partitioned",
+    (s, d) => {
+      val path = stage(d, "part")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"),
+          col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(path)
+      census(s.read.schema(docSchema).parquet(path)
+        .filter(col("lang").isin("en", "fr")))
+    },
+    Some("""SELECT lang, source, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+           |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+           |FROM documents WHERE lang IN ('en', 'fr') GROUP BY lang, source
+           |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST"""
+      .stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(sourceCsv, sourceJson, sourceOrc,
+    sourcePartitioned)
 }

@@ -225,7 +225,56 @@ object Windows {
            |WHERE rn <= 3
            |ORDER BY p_brand ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin))
 
+  /** Batch sessionization over events (r5): the window-function twin of
+    * q_stream_session — a session closes after a 30-minute inactivity
+    * gap. lag + a running sum of session-start flags assigns the session
+    * index in ONE window pass (no iterative state), then two grouped
+    * aggregations produce the per-user session census. All time math is
+    * exact epoch-µs int64 (rule D5). Scale: everything is partitioned by
+    * user_id — the same hash shuffle as a groupBy, per-user event counts
+    * bounded — the standard distributed sessionization shape at 100 TB.
+    */
+  private val winSessionize = QueryDef(
+    "q_win_sessionize",
+    (s, d) => {
+      val gapUs = 1800000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(ascf("e"), ascf("event_id"))
+      val sess = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("e"))
+        .withColumn("prev", lag(col("e"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("e") - col("prev") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sid",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      sess.groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("ne"),
+          (max(col("e")) - min(col("e"))).as("span"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("ne")).as("n_events"),
+          max(col("ne")).as("max_session_events"),
+          sum(col("span")).as("sum_span_us"))
+        .orderBy(ascf("user_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS e FROM events),
+           |l AS (SELECT *, lag(e) OVER (PARTITION BY user_id
+           |    ORDER BY e ASC, event_id ASC) AS prev FROM e),
+           |f AS (SELECT *, CASE WHEN prev IS NULL OR e - prev > 1800000000
+           |    THEN 1 ELSE 0 END AS new_s FROM l),
+           |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+           |    ORDER BY e ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM f),
+           |g AS (SELECT user_id, sid, count(*) AS ne, max(e) - min(e) AS span
+           |  FROM s GROUP BY user_id, sid)
+           |SELECT user_id, count(*) AS n_sessions,
+           |  CAST(sum(ne) AS BIGINT) AS n_events,
+           |  CAST(max(ne) AS BIGINT) AS max_session_events,
+           |  CAST(sum(span) AS BIGINT) AS sum_span_us
+           |FROM g GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     winRank, winRunning, winLeadLag, winRangeFrame, winNtilePct, winFirstLast,
-    sortNulls, limitOffset, topkGroup)
+    sortNulls, limitOffset, topkGroup, winSessionize)
 }

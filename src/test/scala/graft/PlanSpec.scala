@@ -148,4 +148,14 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
     assert(p.contains("Exchange"), p.take(2000))
   }
+
+  test("q_source_partitioned prunes lake partitions at the scan") {
+    // the lang filter must resolve into directory pruning (a
+    // PartitionFilters entry on the read), not a post-scan Filter —
+    // at 100 TB that is scanning 2/5 of the corpus vs all of it
+    val p = planString("q_source_partitioned")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters: ["))
+      .mkString("\n")
+    assert(pf.contains("lang"), s"no partition filter on lang:\n${p.take(2000)}")
+  }
 }
