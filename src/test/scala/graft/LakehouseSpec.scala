@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+
+/** Round-5 lakehouse / graph / time-series operator tests: the semantic
+  * invariants the DuckDB oracle can't see (plan shape, bucket layout on
+  * disk) plus merge/fill sanity on the smoke fixtures.
+  */
+class LakehouseSpec extends SparkSpec {
+
+  test("q_lake_merge: updates replace, inserts add, residents survive") {
+    val out = Registry.queries("q_lake_merge")(spark, sfDir).collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val total = docs.count()
+    // merged rows = residents (updates replace in place) + inserts
+    assert(out.map(_.getAs[Long]("n_rows")).sum >
+      0, "merge produced no rows")
+    val nUpd = out.map(_.getAs[Long]("n_updated")).sum
+    val nIns = out.map(_.getAs[Long]("n_inserted")).sum
+    assert(out.map(_.getAs[Long]("n_rows")).sum == total + nIns,
+      s"row conservation: ${out.map(_.getAs[Long]("n_rows")).sum} != $total + $nIns")
+    // the 10% bucket slice is non-empty at every sf, as is the 2% insert
+    assert(nUpd > 0 && nIns > 0, s"vacuous merge: upd=$nUpd ins=$nIns")
+    // every updated row's n_chars moved by +7: check via total drift
+    val baseChars = docs.agg(sum(col("n_chars"))).head.getLong(0)
+    // same 0..99 bucket arithmetic as ops.Sampling (private[ops])
+    val bucket = expr("shiftright(((doc_id % 2147483648) * 2654435761 + " +
+      "1013904223) % 4294967296 * 100, 32)")
+    val insChars = docs.filter(bucket >= 10 && bucket < 12)
+      .agg(sum(col("n_chars"))).head.getLong(0)
+    assert(out.map(_.getAs[Long]("sum_chars")).sum ==
+      baseChars + insChars + 7 * nUpd, "n_chars drift != +7 per update")
+  }
+
+  test("q_join_bucketed: both scans expose bucketing; join has no shuffle") {
+    // broadcast off so the bucketed sort-merge path (the 100 TB shape)
+    // is what the assertion sees, not a small-fixture broadcast plan
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Registry.queries("q_join_bucketed")(spark, sfDir)
+      df.collect()
+      def all(p: SparkPlan): Seq[SparkPlan] = {
+        val nested = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => Seq.empty
+        }
+        Seq(p) ++ (p.children ++ nested).flatMap(all)
+      }
+      val nodes = all(df.queryExecution.executedPlan)
+      val smj = nodes.collect { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, "expected a sort-merge join over bucketed scans")
+      // the join subtree must contain NO shuffle: bucket layout IS the
+      // partitioning. (The post-join groupBy aggregation may shuffle.)
+      val joinSubtree = all(smj.head)
+      assert(!joinSubtree.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        "bucketed join re-shuffled its inputs")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q_win_gapfill: grid covers every hour span; fill is complete") {
+    val out = Registry.queries("q_win_gapfill")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val hours = r.getAs[Long]("n_hours")
+      val obs = r.getAs[Long]("n_observed")
+      val filled = r.getAs[Long]("n_filled")
+      assert(hours == obs + filled, s"partition of grid broken: $r")
+      assert(obs >= 1, s"user with no observations in grid: $r")
+    }
+    // the grid genuinely densifies: more hours than raw observed cells
+    assert(out.map(_.getAs[Long]("n_hours")).sum >
+      out.map(_.getAs[Long]("n_observed")).sum, "gap-fill was vacuous")
+  }
+
+  test("q_graph_pagerank: ranks bounded, mass sane, deterministic") {
+    val a = Registry.queries("q_graph_pagerank")(spark, sfDir).collect()
+    val b = Registry.queries("q_graph_pagerank")(spark, sfDir).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "pagerank not run-to-run deterministic")
+    val ranks = a.map(_.getAs[Long]("rank_e6"))
+    assert(ranks.forall(_ >= 150000L), "rank below teleport floor")
+    // total mass can't exceed the initial mass (floors only lose mass)
+    assert(ranks.sum <= a.length * 1000000L + a.length * 150000L,
+      s"rank mass blew up: ${ranks.sum}")
+    // the graph is non-trivial: ranks differentiate across nations
+    assert(ranks.distinct.length > 1, "all ranks identical — vacuous graph")
+  }
+}
