@@ -109,7 +109,8 @@ object Registry {
         ops.Curation.defs ++
         ops.Graph.defs ++
         ops.TimeSeries.defs ++
-        ops.Lakehouse.defs
+        ops.Lakehouse.defs ++
+        ops.Incremental.defs
     // toMap would silently keep only the last entry on a name collision,
     // shrinking the graded surface with no error (ADVICE r01).
     val dup = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }

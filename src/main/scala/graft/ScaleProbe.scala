@@ -61,7 +61,11 @@ object ScaleProbe {
         // round-5 second batch: sessionization, curation, lake layout
         "q_win_sessionize", "q_text_repetition", "q_dedup_incremental",
         "q_mix_weighted", "q_profile_hist", "q_source_orc",
-        "q_source_partitioned")) {
+        "q_source_partitioned",
+        // round-5 third batch: iterative graph, time-series fill,
+        // upsert merge, bucketed co-located join
+        "q_graph_pagerank", "q_win_gapfill", "q_lake_merge",
+        "q_join_bucketed", "q_agg_incremental", "q_ts_anomaly")) {
       val t0 = System.nanoTime()
       val n = Registry.queries(q)(spark, dst).count()
       println(f"SCALE10 $q: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")

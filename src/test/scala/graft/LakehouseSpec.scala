@@ -78,6 +78,33 @@ class LakehouseSpec extends SparkSpec {
       out.map(_.getAs[Long]("n_observed")).sum, "gap-fill was vacuous")
   }
 
+  test("q_agg_incremental: partial-merge result equals a direct full agg") {
+    val out = Registry.queries("q_agg_incremental")(spark, sfDir)
+    // independent full recompute through a DIFFERENT plan (no partials)
+    val full = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) / 86400000000")
+          .cast("long").as("day"),
+        floor(col("value") * lit(1000000.0)).cast("long").as("v_e6"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("day")).as("n_days"),
+        count(lit(1)).as("n_events"),
+        sum(col("v_e6")).as("sum_v_e6"),
+        max(col("v_e6")).as("max_v_e6"))
+    assert(out.exceptAll(full).isEmpty && full.exceptAll(out).isEmpty,
+      "merge(partial(old), partial(new)) != full recompute")
+  }
+
+  test("q_ts_anomaly: anomalies are non-vacuous and bounded by the grid") {
+    val out = Registry.queries("q_ts_anomaly")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_anomalous") <= r.getAs[Long]("n_hours"), r.toString)
+    }
+    assert(out.map(_.getAs[Long]("n_anomalous")).sum > 0,
+      "no anomalies anywhere — threshold test is vacuous")
+  }
+
   test("q_graph_pagerank: ranks bounded, mass sane, deterministic") {
     val a = Registry.queries("q_graph_pagerank")(spark, sfDir).collect()
     val b = Registry.queries("q_graph_pagerank")(spark, sfDir).collect()
