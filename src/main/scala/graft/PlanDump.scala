@@ -14,7 +14,9 @@ object PlanDump {
         "q_join_asof", "q_join_range", "q_sim_jaccard_pairs", "q_stream_tumbling",
         "q_sim_threshold_join", "q_dedup_ngram", "q_join_q5", "q_sim_knn_join",
         "q_stream_join", "q_sample_hash", "q_win_sessionize",
-        "q_source_partitioned", "q_dedup_incremental")) {
+        "q_source_partitioned", "q_dedup_incremental",
+        "q_graph_pagerank", "q_join_bucketed", "q_win_gapfill",
+        "q_lake_merge", "q_agg_incremental", "q_ts_anomaly")) {
       val p = Registry.queries(q)(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       out.append(s"##### $q\n```\n")

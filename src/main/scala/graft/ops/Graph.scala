@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{QueryDef, Tables}
+import graft.{Caches, QueryDef, Tables}
 import graft.Dsl._
 import org.apache.spark.sql.functions._
 
@@ -43,7 +43,11 @@ object Graph {
         .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
         .agg(count(lit(1)).as("w"))
       val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-      val ew = edges.join(outw, "src")
+      // scoped persist: WITHOUT it each unrolled iteration re-derives the
+      // edge relation from the fact table — 3 full corpus passes for a
+      // ≤ n²-row relation (seen in the r5 plan dump). Cached, the fact
+      // table is read once and iterations touch only node-sized data.
+      val ew = Caches.scoped(edges.join(outw, "src"))
       val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
       var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
       for (_ <- 1 to 3) {
