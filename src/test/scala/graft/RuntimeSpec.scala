@@ -29,6 +29,29 @@ class RuntimeSpec extends SparkSpec {
     assert(day.count() == expected && expected > 0)
   }
 
+  test("lake compaction collapses to one file per date and preserves rows") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/lake"
+    // fragment deliberately: many small files per partition (the
+    // micro-batch-sink pathology compact exists for)
+    Tables.events(spark, sfDir).repartition(7)
+      .withColumn("p_date", to_date(col("ts")))
+      .write.partitionBy("p_date").parquet(dir)
+    val before = spark.read.parquet(dir)
+    val nRows = before.count()
+    val checksum = before.agg(sum(col("event_id"))).head.getLong(0)
+    val nDates = before.select(col("p_date")).distinct().count()
+    val (filesBefore, filesAfter) = Lake.compact(spark, dir)
+    assert(filesBefore > nDates, s"fixture not fragmented: $filesBefore files")
+    assert(filesAfter == nDates, s"expected 1 file/date, got $filesAfter for $nDates dates")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == nRows)
+    assert(after.agg(sum(col("event_id"))).head.getLong(0) == checksum,
+      "compaction changed content")
+    // pruning still works on the compacted layout
+    val day = Lake.readDay(spark, dir, "2024-01-02")
+    assert(day.count() > 0)
+  }
+
   test("salted join equals the plain inner join") {
     val orders = Tables.orders(spark, sfDir)
     val customer = Tables.customer(spark, sfDir)
