@@ -122,4 +122,57 @@ object Streams {
     q.awaitTermination()
     q
   }
+
+  /** Streaming UPSERT into a keyed parquet state — the CDC-to-lake path
+    * (stream of row versions in, one current row per key out), which
+    * plain `append`/`complete` sinks cannot express. Each micro-batch
+    * runs the q_lake_merge shape via `foreachBatch`: resident state ∪
+    * batch → keep the highest (versionCol, then batch-over-resident)
+    * row per key → atomic directory swap. Per batch that is one hash
+    * shuffle on the key over resident+batch; at 100 TB the resident
+    * side becomes a date-partitioned lake and the merge prunes to the
+    * partitions the batch touches (sources/Lake layout), with the swap
+    * handled by table-format metadata instead of directory renames.
+    * Batch ordering within a trigger is irrelevant: the survivor is
+    * picked by the version order, not arrival order (StreamingSpec
+    * replays out-of-order versions and pins the winner).
+    */
+  def runUpsertToParquet(df: DataFrame, keyCols: Seq[String],
+      versionCol: String, statePath: String,
+      checkpoint: String): StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    val q = df.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val state = new java.io.File(statePath)
+        val withSrc = batch.toDF().withColumn("__src", lit(1L))
+        val union =
+          if (state.exists())
+            spark.read.parquet(statePath).withColumn("__src", lit(0L))
+              .unionByName(withSrc)
+          else withSrc
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(versionCol).desc_nulls_last, col("__src").desc_nulls_last)
+        val staged = statePath.stripSuffix("/") + "__staging"
+        union.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", "__src")
+          .write.mode("overwrite").parquet(staged)
+        val old = new java.io.File(statePath.stripSuffix("/") + "__old")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(old)
+        if (state.exists())
+          require(state.renameTo(old), s"upsert: cannot stage out $statePath")
+        require(new java.io.File(staged).renameTo(state),
+          s"upsert: cannot swap in $staged")
+        rm(old)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
 }

@@ -175,4 +175,29 @@ class StreamingSpec extends SparkSpec {
       .select(col("event_type"), col("n_keys"))
     assertSame(batch, streamed)
   }
+
+  test("streaming upsert sink: version order wins over arrival order") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_upsert_src").toString
+    val state = Files.createTempDirectory("graft_upsert").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft_upsert_ck").toString
+    // version 2 lands BEFORE version 1 (out-of-order CDC stream);
+    // keys 1..3: k=1 gets v1 then v2-first, k=2 only v1, k=3 v2 then v1
+    Seq((1L, 2L, "one-v2"), (3L, 2L, "three-v2"))
+      .toDF("k", "ver", "payload").write.parquet(s"$src/b0")
+    Seq((1L, 1L, "one-v1"), (2L, 1L, "two-v1"), (3L, 1L, "three-v1"))
+      .toDF("k", "ver", "payload").write.parquet(s"$src/b1")
+    val schema = spark.read.parquet(s"$src/b0").schema
+    // drain each directory as its own micro-batch generation
+    for (b <- Seq("b0", "b1")) {
+      val st = spark.readStream.schema(schema).parquet(s"$src/$b")
+      graft.streaming.Streams.runUpsertToParquet(
+        st, Seq("k"), "ver", state, s"$ckpt/$b")
+    }
+    val out = spark.read.parquet(state).as[(Long, Long, String)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L, "one-v2"), (2L, 1L, "two-v1"),
+      (3L, 2L, "three-v2")),
+      s"upsert state wrong: ${out.toSeq} — version must beat arrival order")
+  }
 }
