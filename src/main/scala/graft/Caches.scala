@@ -29,19 +29,37 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caches {
 
-  private val scopedLive = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  // keyed by builder thread: a query builds (and its harness releases)
+  // on one thread, so per-thread scoping makes releaseScoped() release
+  // exactly the finishing query's persists. A single global list meant
+  // any concurrently-finishing JobServer job released EVERY in-flight
+  // job's scoped caches (review r5) — correctness-neutral but paying
+  // the recompute the persist exists to avoid, on every overlap.
+  private val scopedLive = scala.collection.mutable
+    .HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[DataFrame]]
 
-  /** Persist a within-query intermediate; freed by `releaseScoped()`. */
+  /** Persist a within-query intermediate; freed by the `releaseScoped()`
+    * that runs on this thread when the query finishes.
+    */
   def scoped(df: DataFrame): DataFrame = synchronized {
     df.persist(StorageLevel.MEMORY_AND_DISK)
-    scopedLive += df
+    scopedLive.getOrElseUpdate(Thread.currentThread().getId,
+      scala.collection.mutable.ArrayBuffer.empty) += df
     df
   }
 
+  /** Release the CURRENT thread's scoped persists. */
   def releaseScoped(): Unit = synchronized {
-    scopedLive.foreach(df =>
+    scopedLive.remove(Thread.currentThread().getId).foreach(_.foreach(df =>
       try df.unpersist(blocking = false)
-      catch { case scala.util.control.NonFatal(_) => })
+      catch { case scala.util.control.NonFatal(_) => }))
+  }
+
+  /** Release every thread's scoped persists — session teardown only. */
+  def releaseScopedAll(): Unit = synchronized {
+    scopedLive.valuesIterator.foreach(_.foreach(df =>
+      try df.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => }))
     scopedLive.clear()
   }
 

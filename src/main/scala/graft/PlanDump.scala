@@ -22,6 +22,15 @@ object PlanDump {
       out.append(s"##### $q\n```\n")
       out.append(p.linesIterator.takeWhile(_.nonEmpty).mkString("\n"))
       out.append("\n```\n\n")
+      // release both cache lifetimes between dumps (review r5): plan
+      // compilation substitutes any registered cached subtree, so a
+      // leaked persist would render later queries' plans as
+      // InMemoryTableScan instead of their real cold shape. The ONE
+      // deliberate exception is each query's OWN scoped cache
+      // (q_graph_pagerank's edge relation) — registered during this
+      // query's build, it is part of that query's real plan.
+      Caches.releaseScoped()
+      Caches.releaseShared()
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/tmp/plans_raw.md"), out.toString)

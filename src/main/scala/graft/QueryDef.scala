@@ -68,15 +68,19 @@ object Dsl {
 
   /** Exact FLOOR division of a BIGINT column by a positive literal:
     * `(c − pmod(c, m)) / m` — the numerator is an exact multiple of m
-    * (pmod is non-negative), so the double division is exact and the
-    * cast loses nothing. A bare `/` + cast rounds toward ZERO, which
-    * mis-buckets negative values (pre-epoch timestamps) by one cell
-    * relative to the pure-range semantics the oracles state (review
-    * r5; latent on the 2024-only fixtures, wrong the day a negative
-    * timestamp appears).
+    * (pmod is non-negative), and the division runs in DECIMAL(38,0), so
+    * the quotient is exact for EVERY int64 input (an earlier double
+    * division was exact only for |numerator| < 2^53 — epoch-µs crosses
+    * that around year 2255, and a generic Dsl helper must not carry a
+    * silent domain cliff; review r5). A bare `/` + cast rounds toward
+    * ZERO, which mis-buckets negative values (pre-epoch timestamps) by
+    * one cell relative to the pure-range semantics the oracles state
+    * (review r5; latent on the 2024-only fixtures, wrong the day a
+    * negative timestamp appears).
     */
   def floorDiv(c: Column, m: Long): Column =
-    ((c - pmod(c, lit(m))) / lit(m)).cast("long")
+    ((c.cast(DecimalType(38, 0)) - pmod(c, lit(m)).cast(DecimalType(38, 0)))
+      / lit(m)).cast("long")
 
   /** ASC NULLS FIRST — matches `ASC NULLS FIRST` in oracle SQL (D1). */
   def ascf(c: Column): Column = c.asc_nulls_first

@@ -91,17 +91,26 @@ object Lakehouse {
     * The write is part of the measured query on purpose: bucketing buys
     * its keep only because the layout cost is paid ONCE while the
     * nightly join is free, and the key shows both halves. Staged tables
-    * are uniquely named per build (JobServer runs concurrent
-    * submissions) and graded against the UNTOUCHED parquet via a plain
-    * join oracle, so a bucket-routing bug (row lost to the wrong
-    * bucket file) breaks the hash, not just performance.
+    * are named per (input dir, builder thread) — unique across
+    * JobServer's concurrent submissions, stable (overwritten in place)
+    * across repeated runs so a resident catalog stays bounded — and
+    * graded against the UNTOUCHED parquet via a plain join oracle, so a
+    * bucket-routing bug (row lost to the wrong bucket file) breaks the
+    * hash, not just performance.
     */
   private val joinBucketed = QueryDef(
     "q_join_bucketed",
     (s, d) => {
-      val sfx = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
-      val base = s"/tmp/graft_bucketed/" +
-        s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}/$sfx"
+      // table names keyed by (input dir, builder thread): stable across
+      // repeated runs — mode("overwrite") re-stages in place, so a
+      // resident server's catalog holds at most (dirs × pool threads)
+      // entries instead of growing per submission (review r5) — while
+      // staying unique across JobServer's concurrent builder threads
+      // [^A-Za-z0-9_] — a DOT in the name (sf0.1) would parse as a
+      // schema qualifier in saveAsTable
+      val sfx = s"${d.replaceAll("[^A-Za-z0-9_]", "_")}_t${Thread.currentThread().getId}"
+        .toLowerCase
+      val base = s"/tmp/graft_bucketed/$sfx"
       val tO = s"graft_b_orders_$sfx"
       val tC = s"graft_b_cust_$sfx"
       Tables.orders(s, d)

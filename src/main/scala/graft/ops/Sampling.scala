@@ -38,7 +38,9 @@ object Sampling {
     * `h·100 div 2^32` is a shiftright, NOT `/` (Spark's `/` on longs is
     * double division; the shift keeps everything in exact int64).
     */
-  private[ops] def bucket(id: Column): Column =
+  // private[graft] so tests exercise the REAL bucket function instead of
+  // re-implementing its constants (review r5)
+  private[graft] def bucket(id: Column): Column =
     shiftright(mix(id) * lit(100L), 32)
 
   /** The same bucket in DuckDB SQL (integer div via //). */

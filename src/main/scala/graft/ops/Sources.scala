@@ -77,9 +77,21 @@ object Sources {
           col("n_chars"))
         .write.mode("overwrite")
         .option("header", "true").option("escape", "\"")
+        // the CSV WRITER trims field whitespace by default (reader does
+        // not) — a text ending in whitespace/newline would round-trip
+        // shortened (review r5; SourcesSpec pins the full option set)
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(path)
+      // multiLine: a quoted text field CONTAINING a newline spans
+      // physical lines; the default line-splitting reader would shear
+      // it into two records (review r5 — latent on the newline-free
+      // fixtures, wrong the day a real corpus hits it). SourcesSpec
+      // round-trips an embedded-newline document through this exact
+      // option set.
       census(s.read.schema(docSchema)
         .option("header", "true").option("escape", "\"")
+        .option("multiLine", "true")
         .csv(path))
     },
     Some(censusSql))

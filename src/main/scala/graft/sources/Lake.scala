@@ -61,6 +61,10 @@ object Lake {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
+    // a crashed earlier compaction may have left __old behind; clear it
+    // or the rename below fails forever (review r5 — the upsert sink
+    // had this guard, compact was missing it)
+    rm(old)
     require(root.renameTo(old), s"compact: could not stage out $path")
     require(new java.io.File(staged).renameTo(root),
       s"compact: could not swap in $staged (old layout kept at $old)")

@@ -27,9 +27,7 @@ class LakehouseSpec extends SparkSpec {
     assert(nUpd > 0 && nIns > 0, s"vacuous merge: upd=$nUpd ins=$nIns")
     // every updated row's n_chars moved by +7: check via total drift
     val baseChars = docs.agg(sum(col("n_chars"))).head.getLong(0)
-    // same 0..99 bucket arithmetic as ops.Sampling (private[ops])
-    val bucket = expr("shiftright(((doc_id % 2147483648) * 2654435761 + " +
-      "1013904223) % 4294967296 * 100, 32)")
+    val bucket = graft.ops.Sampling.bucket(col("doc_id"))
     val insChars = docs.filter(bucket >= 10 && bucket < 12)
       .agg(sum(col("n_chars"))).head.getLong(0)
     assert(out.map(_.getAs[Long]("sum_chars")).sum ==
