@@ -464,8 +464,17 @@ object Pipeline {
         .select(col("d1"), col("d2"))
       val edges = pairs.union(
         pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      var labels = docs.select(col("doc_id").as("id"),
-        col("doc_id").as("root"))
+      // propagate labels over the pair-graph VERTICES only (r5 perf
+      // rewrite): a doc with no near-dup edge is a singleton whose root
+      // never moves off its own id — it cannot adopt a vertex's root
+      // (no edge) and no vertex can adopt its id (roots propagate along
+      // edges, all of whose endpoints are vertices). Iterating the full
+      // corpus therefore re-checkpointed ~n unchanging rows K times; at
+      // 100 TB vertices ≈ the near-dup docs, orders of magnitude fewer.
+      // Singletons are counted arithmetically below; the oracle keeps
+      // the full-corpus formulation, so parity PROVES the equivalence.
+      val verts = edges.select(col("d1").as("id")).distinct()
+      var labels = verts.select(col("id"), col("id").as("root"))
       for (_ <- 1 to iterations) {
         val nbrMin = edges
           .join(labels.select(col("id").as("b2"), col("root").as("nroot")),
@@ -481,15 +490,28 @@ object Pipeline {
           // cluster scale this would be a reliable checkpoint() per round
           .localCheckpoint(true)
       }
-      val clusters = labels
+      val vertexClusters = labels
         .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
         .groupBy(col("lang"), col("root"))
         .agg(count(lit(1)).as("csize"))
-      clusters.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_components"),
-          max(col("csize")).as("largest_cluster"),
+      val vertexStats = vertexClusters.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_vc"),
+          max(col("csize")).as("max_vc"),
           sum(when(col("csize") >= 2, col("csize")).otherwise(lit(0L)))
-            .as("docs_in_clusters"))
+            .as("docs_cl"))
+      val singles = docs
+        .join(verts, docs("doc_id") === verts("id"), "left_anti")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_single"))
+      docs.select(col("lang")).distinct()
+        .join(vertexStats, Seq("lang"), "left")
+        .join(singles, Seq("lang"), "left")
+        .select(col("lang"),
+          (coalesce(col("n_vc"), lit(0L)) + coalesce(col("n_single"), lit(0L)))
+            .as("n_components"),
+          greatest(coalesce(col("max_vc"), lit(0L)),
+            when(coalesce(col("n_single"), lit(0L)) > 0, lit(1L))
+              .otherwise(lit(0L))).as("largest_cluster"),
+          coalesce(col("docs_cl"), lit(0L)).as("docs_in_clusters"))
         .orderBy(ascf("lang"))
     },
     Some {
