@@ -65,7 +65,8 @@ object ScaleProbe {
         // round-5 third batch: iterative graph, time-series fill,
         // upsert merge, bucketed co-located join
         "q_graph_pagerank", "q_win_gapfill", "q_lake_merge",
-        "q_join_bucketed", "q_agg_incremental", "q_ts_anomaly")) {
+        "q_join_bucketed", "q_agg_incremental", "q_ts_anomaly",
+        "q_text_collocations")) {
       val t0 = System.nanoTime()
       val n = Registry.queries(q)(spark, dst).count()
       println(f"SCALE10 $q: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")

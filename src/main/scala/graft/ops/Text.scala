@@ -385,7 +385,102 @@ object Text {
          |ORDER BY lang ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin
     })
 
+  /** Collocation extraction (round 5): top-5 adjacent-bigram
+    * collocations per lang by pointwise mutual information — the phrase-
+    * mining pass a tokenizer/vocab pipeline runs over a training corpus.
+    * All marginals come from the bigram table itself (c_x· = bigrams
+    * starting with x, c_·y = bigrams ending with y, N = bigrams per
+    * lang), so PMI = ln c_xy + ln N − ln c_x − ln c_y decomposes into
+    * four integer-input `DetMath.lnInt` terms — bit-identical doubles on
+    * both engines (D12) — and quantizes via floor(·1e6): floor of an
+    * identical double is identical ALWAYS, with no round-tie boundary
+    * to document (the one residual caveat tfidf's round carries).
+    * Support threshold c_xy ≥ 5 keeps rare-pair noise out (PMI's known
+    * low-count bias). Shape: one explode → bigram partial agg (the only
+    * corpus-sized shuffle), marginals re-aggregated FROM the bigram
+    * relation (never a second corpus pass), window top-5 per lang.
+    */
+  private val collocations = QueryDef(
+    "q_text_collocations",
+    (s, d) => {
+      import graft.functions.DetMath
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val big = toks.select(col("lang"), explode(expr(
+        """transform(sequence(1, size(ts) - 1),
+          |  i -> struct(element_at(ts, i) AS w1,
+          |              element_at(ts, i + 1) AS w2))""".stripMargin))
+        .as("bg"))
+        .select(col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val cxy = big.groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cxy"))
+      val cx = cxy.groupBy(col("lang"), col("w1")).agg(sum(col("cxy")).as("cx"))
+      val cy = cxy.groupBy(col("lang"), col("w2")).agg(sum(col("cxy")).as("cy"))
+      val nb = cxy.groupBy(col("lang")).agg(sum(col("cxy")).as("nb"))
+      val j = cxy.filter(col("cxy") >= 5)
+        .join(cx, Seq("lang", "w1"))
+        .join(cy, Seq("lang", "w2"))
+        .join(broadcast(nb), "lang")
+      val pmi = j.withColumn("pmi_e6",
+        floor((DetMath.lnInt(col("cxy")) + DetMath.lnInt(col("nb"))
+          - DetMath.lnInt(col("cx")) - DetMath.lnInt(col("cy")))
+          * lit(1000000.0)).cast("long"))
+      val win = Window.partitionBy(col("lang"))
+        .orderBy(descl("pmi_e6"), ascf("w1"), ascf("w2"))
+      pmi.withColumn("rnk", row_number().over(win).cast("bigint"))
+        .filter(col("rnk") <= 5)
+        .select(col("lang"), col("rnk"),
+          concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+          col("pmi_e6"), col("cxy").as("n_occur"))
+        .orderBy(ascf("lang"), ascf("rnk"))
+    },
+    Some {
+      import graft.functions.DetMath._
+      s"""WITH t AS (SELECT lang, string_split(text, ' ') AS ts
+         |  FROM documents WHERE length(string_split(text, ' ')) >= 2),
+         |bg AS (SELECT lang, unnest(list_transform(range(1, length(ts)),
+         |    i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS bg FROM t),
+         |b2 AS (SELECT lang, bg.w1 AS w1, bg.w2 AS w2 FROM bg),
+         |c0 AS (SELECT lang, w1, w2, count(*) AS cxy FROM b2 GROUP BY 1, 2, 3),
+         |mx AS (SELECT lang, w1, CAST(sum(cxy) AS BIGINT) AS cx
+         |  FROM c0 GROUP BY 1, 2),
+         |my AS (SELECT lang, w2, CAST(sum(cxy) AS BIGINT) AS cy
+         |  FROM c0 GROUP BY 1, 2),
+         |mn AS (SELECT lang, CAST(sum(cxy) AS BIGINT) AS nb
+         |  FROM c0 GROUP BY 1),
+         |j AS (SELECT c0.lang AS lang, c0.w1 AS w1, c0.w2 AS w2, c0.cxy AS cxy,
+         |    mx.cx AS cx, my.cy AS cy, mn.nb AS nb
+         |  FROM c0
+         |  JOIN mx ON c0.lang = mx.lang AND c0.w1 = mx.w1
+         |  JOIN my ON c0.lang = my.lang AND c0.w2 = my.w2
+         |  JOIN mn ON c0.lang = mn.lang
+         |  WHERE c0.cxy >= 5),
+         |r1 AS (SELECT *, ${kSql("cxy")} AS ka, ${kSql("nb")} AS kn,
+         |    ${kSql("cx")} AS kx, ${kSql("cy")} AS ky FROM j),
+         |r2 AS (SELECT *, ${mSql("cxy", "ka")} AS ma, ${mSql("nb", "kn")} AS mmn,
+         |    ${mSql("cx", "kx")} AS mmx, ${mSql("cy", "ky")} AS mmy FROM r1),
+         |r3 AS (SELECT *, ${zSql("ma")} AS za, ${zSql("mmn")} AS zn,
+         |    ${zSql("mmx")} AS zx, ${zSql("mmy")} AS zy FROM r2),
+         |r4 AS (SELECT *, za * za AS z2a, zn * zn AS z2n,
+         |    zx * zx AS z2x, zy * zy AS z2y FROM r3),
+         |r5 AS (SELECT *, ${hornerSql("z2a")} AS ha, ${hornerSql("z2n")} AS hn,
+         |    ${hornerSql("z2x")} AS hx, ${hornerSql("z2y")} AS hy FROM r4),
+         |sc AS (SELECT lang, w1, w2, cxy, CAST(floor(
+         |    (${lnSql("ka", "za", "ha")} + ${lnSql("kn", "zn", "hn")}
+         |     - ${lnSql("kx", "zx", "hx")} - ${lnSql("ky", "zy", "hy")})
+         |      * 1000000) AS BIGINT) AS pmi_e6 FROM r5),
+         |r AS (SELECT lang, w1, w2, cxy, pmi_e6,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY pmi_e6 DESC, w1 ASC, w2 ASC) AS rnk FROM sc)
+         |SELECT lang, CAST(rnk AS BIGINT) AS rnk,
+         |  w1 || ' ' || w2 AS bigram, pmi_e6, cxy AS n_occur
+         |FROM r WHERE rnk <= 5
+         |ORDER BY lang ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,
-    langid, quality, tokens, fingerprint, levenshteinPairs, tfidf)
+    langid, quality, tokens, fingerprint, levenshteinPairs, tfidf,
+    collocations)
 }
