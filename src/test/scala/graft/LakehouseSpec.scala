@@ -103,6 +103,29 @@ class LakehouseSpec extends SparkSpec {
       "no anomalies anywhere — threshold test is vacuous")
   }
 
+  test("q_graph_pagerank: edge relation is cached, not re-derived per iteration") {
+    val df = Registry.queries("q_graph_pagerank")(spark, sfDir)
+    try {
+      df.collect()
+      def all(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val nested = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => Seq.empty
+        }
+        Seq(p) ++ (p.children ++ nested).flatMap(all)
+      }
+      val scans = all(df.queryExecution.executedPlan).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+      // 3 iterations + the final-output path each read the CACHED edge
+      // relation; zero InMemoryTableScans means the scoped persist was
+      // dropped and every iteration re-aggregates the fact table
+      assert(scans >= 3,
+        s"expected >= 3 cached-edge scans, got $scans — edges re-derived per iteration")
+    } finally Caches.releaseScoped()
+  }
+
   test("q_graph_pagerank: ranks bounded, mass sane, deterministic") {
     val a = Registry.queries("q_graph_pagerank")(spark, sfDir).collect()
     val b = Registry.queries("q_graph_pagerank")(spark, sfDir).collect()
