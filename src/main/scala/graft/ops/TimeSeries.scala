@@ -77,5 +77,88 @@ object TimeSeries {
            |FROM f GROUP BY user_id
            |ORDER BY user_id ASC NULLS FIRST""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(gapfill)
+  /** Time-boxed cohort funnel with STRICT event ordering (round 5): a
+    * user converts only via view → later click → later purchase, all
+    * within 24 hours of their FIRST VIEW (the product-analytics sequence
+    * MATCH with a conversion window — not the three-independent-mins
+    * approximation that counts a click BEFORE the first view, and not
+    * the unbounded funnel that saturates to 100% on any long history).
+    * Expressed as stacked running windows over one (user, time) sort:
+    * fv carries the running first-view time, an in-box click after it
+    * becomes click_after_view, its running max arms the in-box purchase
+    * check. Users roll up into first-view-hour cohorts.
+    *
+    * Scale: ONE shuffle + sort per user partition computes all stages
+    * (the windows share a frame spec, so Catalyst runs them in a single
+    * Window operator); cohort rollup is two grain-sized aggs.
+    * Determinism: (ts_us, event_id) is a total order within user; flags
+    * are exact int64; hour cells via floorDiv (D5); null fv (no view
+    * yet) falls to the CASE else-branch identically on both engines.
+    */
+  private val BoxUs = 86400000000L // 24-hour conversion window
+
+  private val funnelCohort = QueryDef(
+    "q_win_funnel_cohort",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(ascf("ts_us"), ascf("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val staged = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("fv",
+          min(when(col("event_type") === "view", col("ts_us"))).over(w))
+        .withColumn("cav",
+          when(col("event_type") === "click" && col("fv").isNotNull &&
+            col("ts_us") <= col("fv") + lit(BoxUs), 1L).otherwise(0L))
+        .withColumn("c_seen", max(col("cav")).over(w))
+        .withColumn("conv",
+          when(col("event_type") === "purchase" && col("c_seen") === 1 &&
+            col("ts_us") <= col("fv") + lit(BoxUs), 1L).otherwise(0L))
+      val perUser = staged.groupBy(col("user_id"))
+        .agg(floorDiv(min(when(col("event_type") === "view", col("ts_us"))),
+            HourUs).as("cohort_hr"),
+          max(col("cav")).as("clicked_in_box"),
+          max(col("conv")).as("converted"))
+        .filter(col("cohort_hr").isNotNull)
+      perUser.groupBy(col("cohort_hr"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("clicked_in_box")).as("n_clicked"),
+          sum(col("converted")).as("n_converted"),
+          sum(col("user_id") * col("converted")).as("conv_checksum"))
+        .orderBy(ascf("cohort_hr"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+           |    epoch_us(ts) AS ts_us FROM events),
+           |st AS (SELECT user_id, event_id, event_type, ts_us,
+           |    min(CASE WHEN event_type = 'view' THEN ts_us END)
+           |      OVER w AS fv
+           |  FROM e WINDOW w AS (PARTITION BY user_id
+           |    ORDER BY ts_us ASC, event_id ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |st2 AS (SELECT *, CASE WHEN event_type = 'click'
+           |      AND fv IS NOT NULL AND ts_us <= fv + 86400000000
+           |      THEN 1 ELSE 0 END AS cav FROM st),
+           |st3 AS (SELECT *, max(cav) OVER w AS c_seen
+           |  FROM st2 WINDOW w AS (PARTITION BY user_id
+           |    ORDER BY ts_us ASC, event_id ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |st4 AS (SELECT *, CASE WHEN event_type = 'purchase'
+           |      AND c_seen = 1 AND ts_us <= fv + 86400000000
+           |      THEN 1 ELSE 0 END AS conv FROM st3),
+           |pu AS (SELECT user_id,
+           |    min(CASE WHEN event_type = 'view' THEN ts_us END)
+           |      // 3600000000 AS cohort_hr,
+           |    CAST(max(cav) AS BIGINT) AS clicked_in_box,
+           |    CAST(max(conv) AS BIGINT) AS converted
+           |  FROM st4 GROUP BY user_id)
+           |SELECT cohort_hr, count(*) AS n_users,
+           |  CAST(sum(clicked_in_box) AS BIGINT) AS n_clicked,
+           |  CAST(sum(converted) AS BIGINT) AS n_converted,
+           |  CAST(sum(user_id * converted) AS BIGINT) AS conv_checksum
+           |FROM pu WHERE cohort_hr IS NOT NULL
+           |GROUP BY cohort_hr
+           |ORDER BY cohort_hr ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(gapfill, funnelCohort)
 }
