@@ -107,4 +107,46 @@ object Codecs {
       (w, h, px)
     }
   }
+
+  /** Raw grayscale VIDEO container: fixed-dimension frame sequence.
+    * 16-byte header (magic "GVF1", LE width, LE height, LE n_frames) +
+    * n_frames row-major rasters back to back. Same validate-and-throw
+    * contract as Wav/GrayImage: truncated header, bad magic,
+    * dimension/payload mismatch, and Int-overflow dimension attacks all
+    * reject (FunctionsSpec).
+    */
+  object Video {
+    val Magic = "GVF1"
+
+    def encode(width: Int, height: Int,
+        frames: Array[Array[Byte]]): Array[Byte] = {
+      val fpx = width.toLong * height.toLong
+      require(width >= 0 && height >= 0 &&
+        frames.forall(_.length.toLong == fpx), "frame size != w*h")
+      val total = 16L + fpx * frames.length
+      require(total <= Int.MaxValue, "video too large to encode")
+      val bb = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(Magic.getBytes("US-ASCII"))
+        .putInt(width).putInt(height).putInt(frames.length)
+      frames.foreach(bb.put)
+      bb.array()
+    }
+
+    /** Returns (width, height, frames); validates magic + dimensions. */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+      require(bytes.length >= 16, s"truncated video header: ${bytes.length} bytes")
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val t = new Array[Byte](4); bb.get(t)
+      require(new String(t, "US-ASCII") == Magic, "bad video magic")
+      val w = bb.getInt; val h = bb.getInt; val nf = bb.getInt
+      // Long math: w*h*nf in Int can overflow past the length check
+      require(w >= 0 && h >= 0 && nf >= 0 &&
+        bytes.length.toLong == 16L + w.toLong * h.toLong * nf.toLong,
+        s"dimension/payload mismatch: ${w}x${h}x$nf vs ${bytes.length - 16} bytes")
+      val frames = Array.fill(nf) {
+        val f = new Array[Byte](w * h); bb.get(f); f
+      }
+      (w, h, frames)
+    }
+  }
 }

@@ -240,5 +240,70 @@ object Multimodal {
            |  CAST(sum(n_dark) AS BIGINT) AS dark_total
            |FROM f GROUP BY width ORDER BY width ASC NULLS FIRST""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(mmBinary, mmFeatures, mmAudioPcm, mmImageGray)
+  final case class VideoRec(media_id: Long, payload: Array[Byte])
+  final case class VideoFeatures(media_id: Long, n_frames: Long,
+      n_sampled: Long, sampled_sum: Long)
+
+  /** Video frame-sampling pipeline (round 5 — the builder prompt's
+    * "frame-sample" multimodal op): synth a GVF1 clip per doc (8×4
+    * frames, pixels = leading text bytes, n_frames = ⌊len/32⌋) → binary
+    * column → full container parse (`Codecs.Video`, validated) → keep
+    * every 3rd frame (the decode-cost-bounding step every video
+    * pipeline runs before feature extraction) → per-clip-length stats.
+    * The oracle recomputes the sampled-frame brightness from the source
+    * chars via index arithmetic, so a frame-boundary or stride bug
+    * breaks the hash. Docs shorter than one frame yield a valid
+    * zero-frame clip (encode/decode round-trip it; they land in the
+    * n_frames = 0 census row).
+    */
+  private val mmVideoFrames = QueryDef(
+    "q_mm_video_frames",
+    (s, d) => {
+      import s.implicits._
+      val W = 8; val H = 4; val Fpx = W * H; val Stride = 3
+      val clips = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val nf = text.length / Fpx
+          val frames = Array.tabulate(nf)(f =>
+            text.substring(f * Fpx, (f + 1) * Fpx).getBytes("US-ASCII"))
+          VideoRec(id, graft.functions.Codecs.Video.encode(W, H, frames))
+        })
+      val feats = clips.mapPartitions(_.map { r =>
+        val (_, _, frames) = graft.functions.Codecs.Video.decode(r.payload)
+        var sum = 0L; var sampled = 0L
+        var f = 0
+        while (f < frames.length) {
+          if (f % Stride == 0) {
+            sampled += 1
+            val fr = frames(f); var i = 0
+            while (i < fr.length) { sum += fr(i) & 0xFF; i += 1 }
+          }
+          f += 1
+        }
+        VideoFeatures(r.media_id, frames.length.toLong, sampled, sum)
+      })
+      feats.groupBy(col("n_frames"))
+        .agg(count(lit(1)).as("n_videos"),
+          sum(col("n_sampled")).as("total_sampled"),
+          sum(col("sampled_sum")).as("brightness_checksum"))
+        .orderBy(ascf("n_frames"))
+    },
+    Some("""WITH v AS (SELECT doc_id,
+           |    CAST(len(text) // 32 AS BIGINT) AS n_frames,
+           |    CAST((len(text) // 32 + 2) // 3 AS BIGINT) AS n_sampled,
+           |    CAST(coalesce(list_sum(
+           |      list_transform(range(1, (len(text) // 32) * 32 + 1),
+           |        i -> CASE WHEN ((i - 1) // 32) % 3 = 0
+           |          THEN ascii(substring(text, i, 1)) ELSE 0 END)), 0)
+           |      AS BIGINT) AS sampled_sum
+           |  FROM documents)
+           |SELECT n_frames, count(*) AS n_videos,
+           |  CAST(sum(n_sampled) AS BIGINT) AS total_sampled,
+           |  CAST(sum(sampled_sum) AS BIGINT) AS brightness_checksum
+           |FROM v GROUP BY n_frames
+           |ORDER BY n_frames ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(mmBinary, mmFeatures, mmAudioPcm, mmImageGray,
+    mmVideoFrames)
 }

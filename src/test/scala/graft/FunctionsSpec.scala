@@ -78,13 +78,39 @@ class FunctionsSpec extends SparkSpec {
 
   test("codecs reject shorter-than-header payloads with the documented exception") {
     // ADVICE r4: truncated headers used to leak BufferUnderflowException
-    import graft.functions.Codecs.{GrayImage, Wav}
+    import graft.functions.Codecs.{GrayImage, Video, Wav}
     for (n <- Seq(0, 1, 11, 43)) {
       intercept[IllegalArgumentException](Wav.decode(new Array[Byte](n)))
     }
     for (n <- Seq(0, 1, 11)) {
       intercept[IllegalArgumentException](GrayImage.decode(new Array[Byte](n)))
     }
+    for (n <- Seq(0, 1, 15)) {
+      intercept[IllegalArgumentException](Video.decode(new Array[Byte](n)))
+    }
+  }
+
+  test("Video codec round-trips frame sequences and validates dimensions") {
+    import graft.functions.Codecs.Video
+    val frames = Array.tabulate(5)(f => Array.tabulate(8)(i => (f * 8 + i).toByte))
+    val bytes = Video.encode(4, 2, frames)
+    val (w, h, back) = Video.decode(bytes)
+    assert(w == 4 && h == 2 && back.length == 5 &&
+      back.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    // zero-frame clip is valid (short docs produce it in q_mm_video_frames)
+    val (w0, h0, none) = Video.decode(Video.encode(8, 4, Array.empty))
+    assert(w0 == 8 && h0 == 4 && none.isEmpty)
+    val bad = bytes.clone(); bad(0) = 'x'.toByte
+    intercept[IllegalArgumentException](Video.decode(bad))
+    intercept[IllegalArgumentException](Video.decode(bytes.dropRight(1)))
+    // w*h*nf overflowing Int32 must not slip past the length check
+    val overflow = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(Video.Magic.getBytes("US-ASCII"))
+      .putInt(65536).putInt(65536).putInt(1).array()
+    intercept[IllegalArgumentException](Video.decode(overflow))
+    intercept[IllegalArgumentException](
+      Video.encode(65536, 65536, Array(Array.empty[Byte])))
   }
 
   test("DetMath.lnInt matches its scalar replica bit-for-bit and real ln to 1e-14") {
