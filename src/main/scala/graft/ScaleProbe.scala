@@ -66,7 +66,7 @@ object ScaleProbe {
         // upsert merge, bucketed co-located join
         "q_graph_pagerank", "q_win_gapfill", "q_lake_merge",
         "q_join_bucketed", "q_agg_incremental", "q_ts_anomaly",
-        "q_text_collocations", "q_win_funnel_cohort", "q_mm_video_frames")) {
+        "q_text_collocations", "q_win_funnel_cohort", "q_mm_video_frames", "q_mm_image_resize")) {
       val t0 = System.nanoTime()
       val n = Registry.queries(q)(spark, dst).count()
       println(f"SCALE10 $q: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
