@@ -160,5 +160,163 @@ object TimeSeries {
            |GROUP BY cohort_hr
            |ORDER BY cohort_hr ASC NULLS FIRST""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(gapfill, funnelCohort)
+  /** N-day retention cohorts (round 5): cohort = each user's first active
+    * day; for every later active day within a week, count the cohort's
+    * users still active k days in — the (cohort_day, k) retention matrix
+    * every product-analytics stack computes nightly.
+    *
+    * Scale: one distinct on (user, day) collapses the event grain to the
+    * activity grain BEFORE any join (the matrix never sees raw events);
+    * the cohort relation is user-grain; the join is a hash join on
+    * user_id; output is ≤ 8 rows per cohort day. All grain reductions
+    * happen map-side-partial first, so the shuffles carry activity rows,
+    * not event rows.
+    *
+    * Determinism: days are exact epoch-µs floor-division cells (D5);
+    * counts and id checksums are exact int64; (user, day) is unique after
+    * the distinct so count(*) IS the retained-user count.
+    */
+  private val DayUs = 86400000000L
+
+  private val retention = QueryDef(
+    "q_win_retention",
+    (s, d) => {
+      val act = Tables.events(s, d)
+        .select(col("user_id"),
+          floorDiv(unix_micros(col("ts")), DayUs).as("day"))
+        .distinct()
+      val coh = act.groupBy(col("user_id")).agg(min(col("day")).as("c0"))
+      act.join(coh, "user_id")
+        .withColumn("k", col("day") - col("c0"))
+        .filter(col("k") <= 7)
+        .groupBy(col("c0").as("cohort_day"), col("k"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(col("user_id")).as("uid_checksum"))
+        .orderBy(ascf("cohort_day"), ascf("k"))
+    },
+    Some("""WITH a AS (SELECT DISTINCT user_id,
+           |    epoch_us(ts) // 86400000000 AS day FROM events),
+           |c AS (SELECT user_id, min(day) AS c0 FROM a GROUP BY user_id)
+           |SELECT c.c0 AS cohort_day, a.day - c.c0 AS k,
+           |  count(*) AS n_active,
+           |  CAST(sum(a.user_id) AS BIGINT) AS uid_checksum
+           |FROM a JOIN c ON a.user_id = c.user_id
+           |WHERE a.day - c.c0 <= 7
+           |GROUP BY 1, 2
+           |ORDER BY cohort_day ASC NULLS FIRST, k ASC NULLS FIRST""".stripMargin))
+
+  /** Exponentially weighted smoothing over the metric stream (round 5):
+    * per event type, the hourly event count smoothed with α = 1/4 over an
+    * 8-observation lookback — the standard trend-vs-noise signal feeding
+    * alerting and forecasting, made EXACT: the truncated EWMA
+    * α·Σ_{j<8} (1−α)^j·c_{t−j} scaled by 4^8 has integer weights
+    * w_j = 3^j·4^(7−j) (16384, 12288, … 2187), so the smoothed series is
+    * pure int64 arithmetic — no float accumulation, no libm (D12), no
+    * truncation-order ambiguity. The lookback is observation-based (the
+    * last 8 OBSERVED hours), which is the lag() semantics both engines
+    * share; a calendar-based decay would first gap-fill (q_win_gapfill).
+    *
+    * Scale: hourly partial agg on the scan is the only corpus-sized
+    * shuffle; the lag chain is one window pass over the hour-grain
+    * relation (5 types × hours rows); census output is type-grain.
+    */
+  private val ewma = QueryDef(
+    "q_ts_ewma",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"),
+          floorDiv(unix_micros(col("ts")), HourUs).as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(ascf("hr"))
+      val weights = Seq(16384L, 12288L, 9216L, 6912L, 5184L, 3888L, 2916L, 2187L)
+      val smoothed = weights.zipWithIndex.map { case (wt, j) =>
+        coalesce(if (j == 0) col("c") else lag(col("c"), j).over(w), lit(0L)) * lit(wt)
+      }.reduce(_ + _)
+      hourly.withColumn("s", smoothed)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          max(col("s")).as("max_ewma_x65536"),
+          sum(col("s")).as("sum_ewma_x65536"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH h AS (SELECT event_type,
+           |    epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+           |  FROM events GROUP BY 1, 2),
+           |l AS (SELECT event_type,
+           |    c * 16384
+           |      + coalesce(lag(c, 1) OVER w, 0) * 12288
+           |      + coalesce(lag(c, 2) OVER w, 0) * 9216
+           |      + coalesce(lag(c, 3) OVER w, 0) * 6912
+           |      + coalesce(lag(c, 4) OVER w, 0) * 5184
+           |      + coalesce(lag(c, 5) OVER w, 0) * 3888
+           |      + coalesce(lag(c, 6) OVER w, 0) * 2916
+           |      + coalesce(lag(c, 7) OVER w, 0) * 2187 AS s
+           |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr ASC))
+           |SELECT event_type, count(*) AS n_hours,
+           |  CAST(max(s) AS BIGINT) AS max_ewma_x65536,
+           |  CAST(sum(s) AS BIGINT) AS sum_ewma_x65536
+           |FROM l GROUP BY event_type
+           |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
+  /** Hourly OHLC resampling of the purchase stream (round 5): open /
+    * high / low / close / volume per hour — the canonical downsampling
+    * of a tick stream to bar data, and the time-series twin of
+    * q_agg_incremental's partials (each bar is mergeable downstream).
+    *
+    * Scale: one window pass per hour cell picks open/close (row_number
+    * over the in-cell total order, both directions in ONE Window operator
+    * since the specs share partitioning), then a hash partial-agg to the
+    * bar grain. No self-joins, no arg-max subqueries.
+    *
+    * Determinism: values enter as floor(value·1e6) int64 (the
+    * q_win_gapfill rule — floor of the deterministic IEEE product is
+    * bit-identical cross-engine, no D11 tie); (ts_us, event_id) totally
+    * orders each cell so open/close are unambiguous under ts collisions.
+    */
+  private val ohlc = QueryDef(
+    "q_ts_ohlc",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(floorDiv(unix_micros(col("ts")), HourUs).as("hr"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          floor(col("value") * lit(1000000.0)).cast("long").as("v_e6"))
+      val wAsc = Window.partitionBy(col("hr"))
+        .orderBy(ascf("ts_us"), ascf("event_id"))
+      val wDesc = Window.partitionBy(col("hr"))
+        .orderBy(descl("ts_us"), descl("event_id"))
+      ev.withColumn("rn_a", row_number().over(wAsc))
+        .withColumn("rn_d", row_number().over(wDesc))
+        .groupBy(col("hr"))
+        .agg(max(when(col("rn_a") === 1, col("v_e6"))).as("open_e6"),
+          max(col("v_e6")).as("high_e6"),
+          min(col("v_e6")).as("low_e6"),
+          max(when(col("rn_d") === 1, col("v_e6"))).as("close_e6"),
+          count(lit(1)).as("n_ticks"),
+          sum(col("v_e6")).as("vol_e6"))
+        .orderBy(ascf("hr"))
+    },
+    Some("""WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+           |    epoch_us(ts) AS ts_us, event_id,
+           |    CAST(floor(value * 1000000) AS BIGINT) AS v_e6
+           |  FROM events WHERE event_type = 'purchase'),
+           |r AS (SELECT *,
+           |    row_number() OVER (PARTITION BY hr
+           |      ORDER BY ts_us ASC, event_id ASC) AS rn_a,
+           |    row_number() OVER (PARTITION BY hr
+           |      ORDER BY ts_us DESC, event_id DESC) AS rn_d
+           |  FROM e)
+           |SELECT hr,
+           |  CAST(max(CASE WHEN rn_a = 1 THEN v_e6 END) AS BIGINT) AS open_e6,
+           |  CAST(max(v_e6) AS BIGINT) AS high_e6,
+           |  CAST(min(v_e6) AS BIGINT) AS low_e6,
+           |  CAST(max(CASE WHEN rn_d = 1 THEN v_e6 END) AS BIGINT) AS close_e6,
+           |  count(*) AS n_ticks,
+           |  CAST(sum(v_e6) AS BIGINT) AS vol_e6
+           |FROM r GROUP BY hr
+           |ORDER BY hr ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] =
+    Seq(gapfill, funnelCohort, retention, ewma, ohlc)
 }
