@@ -98,5 +98,175 @@ object Graph {
            |FROM r3 JOIN nation n ON r3.node = n.n_nationkey
            |ORDER BY n_name ASC NULLS FIRST""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(pagerank)
+  /** The sparsified undirected trade graph shared by the triangle and
+    * BFS keys: fact table → weighted nation-pair edges (the ONE heavy
+    * shuffle), self-loops dropped, then each node keeps its top-3
+    * heaviest out-neighbors (w desc, dst asc tiebreak — deterministic and
+    * scale-invariant where a fixed weight threshold would not be), and
+    * directed survivors collapse to distinct undirected (a < b) pairs.
+    * Everything after the first aggregation is node²-bounded.
+    */
+  private def undirectedTop3(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val edges = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val rn = Window.partitionBy(col("src")).orderBy(descl("w"), ascf("dst"))
+    edges.withColumn("rn", row_number().over(rn)).filter(col("rn") <= 3)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+  }
+
+  private val UndSql =
+    """edges AS (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey
+      |  GROUP BY 1, 2),
+      |top3 AS (SELECT src, dst FROM (
+      |    SELECT src, dst, row_number() OVER (PARTITION BY src
+      |      ORDER BY w DESC, dst ASC) AS rn FROM edges)
+      |  WHERE rn <= 3),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM top3)""".stripMargin
+
+  /** Triangle counting (round 5): per-nation triangle participation in
+    * the sparsified trade graph — the standard clustering/community
+    * signal (a node in many triangles sits in a tight trading cluster).
+    *
+    * Scale: the (a<b) edge orientation makes the canonical two-join
+    * triangle enumeration duplicate-free (each triangle a<b<c appears
+    * exactly once), and the joins run on the node²-bounded edge relation,
+    * never the fact table; the edge relation is scoped-cached because the
+    * 3-way self-join would otherwise re-derive it from the fact scan
+    * three times. Per-node counts are an explode-free UNION ALL of the
+    * three corners.
+    *
+    * Determinism: pure integer counting; the left join keeps
+    * zero-triangle nations in the census.
+    */
+  private val triangles = QueryDef(
+    "q_graph_triangles",
+    (s, d) => {
+      val und = Caches.scoped(undirectedTop3(s, d))
+      val tri = und.as("e1")
+        .join(und.as("e2"), col("e1.b") === col("e2.a"))
+        .join(und.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      val members = tri.select(col("x").as("node"))
+        .union(tri.select(col("y").as("node")))
+        .union(tri.select(col("z").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("tc"))
+      Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+        .join(members, col("n_nationkey") === col("node"), "left")
+        .select(col("n_name"),
+          coalesce(col("tc"), lit(0L)).as("n_triangles"))
+        .orderBy(ascf("n_name"))
+    },
+    Some(s"""WITH $UndSql,
+           |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |  FROM und e1
+           |  JOIN und e2 ON e1.b = e2.a
+           |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |m AS (SELECT x AS node FROM tri
+           |  UNION ALL SELECT y FROM tri
+           |  UNION ALL SELECT z FROM tri),
+           |cnt AS (SELECT node, count(*) AS tc FROM m GROUP BY node)
+           |SELECT n.n_name,
+           |  CAST(coalesce(cnt.tc, 0) AS BIGINT) AS n_triangles
+           |FROM nation n LEFT JOIN cnt ON n.n_nationkey = cnt.node
+           |ORDER BY n_name ASC NULLS FIRST""".stripMargin))
+
+  /** Single-source shortest paths, K=3 unrolled BFS (round 5): hop
+    * distance from nation 0 over the sparsified undirected trade graph —
+    * the q_dedup_components / q_graph_pagerank fixed-iteration parity
+    * pattern applied to reachability. Frontier expansion is a join of
+    * the (u,v)-symmetrized edge list against the broadcast node-sized
+    * distance table; edges are scoped-cached so the three unrolled
+    * iterations never re-derive them from the fact scan. Unreached
+    * nodes report -1 (a 3-hop horizon is the documented semantics, not
+    * an approximation of full BFS).
+    *
+    * Determinism: the min-relax step is written as an explicit CASE on
+    * both engines (no reliance on engine-specific least() null
+    * handling); all distances exact int64.
+    */
+  private val bfs = QueryDef(
+    "q_graph_bfs",
+    (s, d) => {
+      val und = undirectedTop3(s, d)
+      val adj = Caches.scoped(
+        und.select(col("a").as("u"), col("b").as("v"))
+          .union(und.select(col("b").as("u"), col("a").as("v"))))
+      val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
+      var dist = nodes.select(col("node"),
+        when(col("node") === 0, lit(0L)).otherwise(lit(null).cast("long")).as("dd"))
+      for (_ <- 1 to 3) {
+        val reach = adj.join(broadcast(dist), col("u") === col("node"))
+          .filter(col("dd").isNotNull)
+          .groupBy(col("v")).agg(min(col("dd") + 1).as("nd"))
+        dist = dist.join(reach, col("node") === col("v"), "left")
+          .select(col("node"),
+            when(col("dd").isNull, col("nd"))
+              .when(col("nd").isNull, col("dd"))
+              .when(col("nd") < col("dd"), col("nd"))
+              .otherwise(col("dd")).as("dd"))
+      }
+      dist.join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("node") === col("n_nationkey"))
+        .select(col("n_name"), coalesce(col("dd"), lit(-1L)).as("dist"))
+        .orderBy(ascf("n_name"))
+    },
+    Some(s"""WITH $UndSql,
+           |adj AS (SELECT a AS u, b AS v FROM und
+           |  UNION ALL SELECT b AS u, a AS v FROM und),
+           |d0 AS (SELECT n_nationkey AS node,
+           |    CASE WHEN n_nationkey = 0 THEN CAST(0 AS BIGINT) END AS dd
+           |  FROM nation),
+           |f1 AS (SELECT adj.v, CAST(min(d0.dd + 1) AS BIGINT) AS nd
+           |  FROM adj JOIN d0 ON adj.u = d0.node
+           |  WHERE d0.dd IS NOT NULL GROUP BY adj.v),
+           |d1 AS (SELECT d0.node,
+           |    CASE WHEN d0.dd IS NULL THEN f1.nd
+           |         WHEN f1.nd IS NULL THEN d0.dd
+           |         WHEN f1.nd < d0.dd THEN f1.nd
+           |         ELSE d0.dd END AS dd
+           |  FROM d0 LEFT JOIN f1 ON d0.node = f1.v),
+           |f2 AS (SELECT adj.v, CAST(min(d1.dd + 1) AS BIGINT) AS nd
+           |  FROM adj JOIN d1 ON adj.u = d1.node
+           |  WHERE d1.dd IS NOT NULL GROUP BY adj.v),
+           |d2 AS (SELECT d1.node,
+           |    CASE WHEN d1.dd IS NULL THEN f2.nd
+           |         WHEN f2.nd IS NULL THEN d1.dd
+           |         WHEN f2.nd < d1.dd THEN f2.nd
+           |         ELSE d1.dd END AS dd
+           |  FROM d1 LEFT JOIN f2 ON d1.node = f2.v),
+           |f3 AS (SELECT adj.v, CAST(min(d2.dd + 1) AS BIGINT) AS nd
+           |  FROM adj JOIN d2 ON adj.u = d2.node
+           |  WHERE d2.dd IS NOT NULL GROUP BY adj.v),
+           |d3 AS (SELECT d2.node,
+           |    CASE WHEN d2.dd IS NULL THEN f3.nd
+           |         WHEN f3.nd IS NULL THEN d2.dd
+           |         WHEN f3.nd < d2.dd THEN f3.nd
+           |         ELSE d2.dd END AS dd
+           |  FROM d2 LEFT JOIN f3 ON d2.node = f3.v)
+           |SELECT n.n_name, CAST(coalesce(d3.dd, -1) AS BIGINT) AS dist
+           |FROM d3 JOIN nation n ON d3.node = n.n_nationkey
+           |ORDER BY n_name ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(pagerank, triangles, bfs)
 }
