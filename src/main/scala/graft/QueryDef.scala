@@ -113,6 +113,7 @@ object Registry {
         ops.Curation.defs ++
         ops.Graph.defs ++
         ops.TimeSeries.defs ++
+        ops.Sketch.defs ++
         ops.Lakehouse.defs ++
         ops.Incremental.defs
     // toMap would silently keep only the last entry on a name collision,

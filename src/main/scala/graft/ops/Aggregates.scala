@@ -318,8 +318,43 @@ object Aggregates {
            |ORDER BY g_rf ASC NULLS FIRST, g_ls ASC NULLS FIRST,
            |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
 
+  /** Per-group MODE with a deterministic tiebreak (round 5): the modal
+    * doc-length bucket (n_chars // 64, the q_profile_hist cell) per
+    * language — mode is the one classic descriptive statistic the
+    * surface lacked, and a bare mode() is nondeterministic under ties,
+    * so the contract pins (count desc, bucket asc) and grades the
+    * winner exactly.
+    *
+    * Scale: bucket-grain partial agg on the scan, then a window over
+    * the ≤ (langs × buckets) relation — never a per-doc sort.
+    */
+  private val aggMode = QueryDef(
+    "q_agg_mode",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables.documents(s, d)
+        .select(col("lang"), floorDiv(col("n_chars"), 64L).as("bucket"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(descl("cnt"), ascf("bucket"))
+      b.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("lang"), col("bucket").as("mode_bucket"),
+          col("cnt").as("mode_cnt"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH b AS (SELECT lang, n_chars // 64 AS bucket, count(*) AS cnt
+           |  FROM documents GROUP BY 1, 2),
+           |r AS (SELECT lang, bucket, cnt,
+           |    row_number() OVER (PARTITION BY lang
+           |      ORDER BY cnt DESC, bucket ASC) AS rn FROM b)
+           |SELECT lang, bucket AS mode_bucket, cnt AS mode_cnt
+           |FROM r WHERE rn = 1
+           |ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
-    aggPercentile, aggPivot, aggUnpivot, aggGrouping)
+    aggPercentile, aggPivot, aggUnpivot, aggGrouping, aggMode)
 }

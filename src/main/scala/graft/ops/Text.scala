@@ -479,8 +479,46 @@ object Text {
          |ORDER BY lang ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin
     })
 
+  /** Vocabulary profiling (round 5): per-language corpus vocabulary
+    * census — total tokens, distinct tokens (vocab), hapax legomena
+    * (frequency-1 tokens, the Heaps-law tail that dominates tokenizer
+    * vocab construction), and an exact type-token diversity ratio in
+    * 1e6 units. The first statistic a tokenizer-training or
+    * corpus-balance pass computes.
+    *
+    * Scale: explode → (lang, token)-grain partial agg (the one
+    * corpus-sized shuffle, combiner-reduced), then a lang-grain rollup
+    * of the frequency relation. Determinism: pure integer counts;
+    * ttr_e6 is all-positive integer division (Spark `div` truncates,
+    * DuckDB `//` floors — equal on non-negatives).
+    */
+  private val vocab = QueryDef(
+    "q_text_vocab",
+    (s, d) => {
+      val freq = Tables.documents(s, d)
+        .select(col("lang"), explode(toks).as("w"))
+        .groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("f"))
+      freq.groupBy(col("lang"))
+        .agg(sum(col("f")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .withColumn("ttr_e6", expr("(vocab * 1000000) div n_tokens"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH f AS (SELECT lang, w, count(*) AS f
+           |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+           |        FROM documents)
+           |  GROUP BY lang, w)
+           |SELECT lang, CAST(sum(f) AS BIGINT) AS n_tokens,
+           |  count(*) AS vocab,
+           |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           |  CAST((count(*) * 1000000) // sum(f) AS BIGINT) AS ttr_e6
+           |FROM f GROUP BY lang
+           |ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,
     langid, quality, tokens, fingerprint, levenshteinPairs, tfidf,
-    collocations)
+    collocations, vocab)
 }
