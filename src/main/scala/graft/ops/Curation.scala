@@ -317,6 +317,119 @@ object Curation {
            |FROM documents GROUP BY 1 ORDER BY bucket_lo ASC NULLS FIRST"""
       .stripMargin))
 
+  /** Temperature-balanced language mixing (round 5): the multilingual
+    * upsampling rule p_l ∝ n_l^(1/T) at T = 2 — low-resource languages
+    * get a repeat factor sqrt(n_max / n_l) ≥ 1, the standard fix for
+    * high-resource languages drowning out the tail. T = 2 is chosen
+    * deliberately: the factor needs only sqrt, which IEEE 754 requires
+    * correctly rounded (D12's one exempt transcendental), so the e6-
+    * quantized factor is bit-identical cross-engine with NO libm risk —
+    * a general T would need pow and violate D12.
+    *
+    * Determinism bound: the scaled ratio (n_max·10¹² // n_l) must stay
+    * below 2^53 for the int→double conversion to be exact — true while
+    * the max/min language imbalance is under ~9000× (it is ~3× here);
+    * beyond that, rescale the quantization.
+    *
+    * Scale: one lang-grain agg; everything after runs on 5 rows.
+    */
+  private val mixTemperature = QueryDef(
+    "q_mix_temperature",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("n_max", max(col("n_docs")).over(Window.partitionBy()))
+      counts
+        .withColumn("x", expr("(n_max * 1000000000000) div n_docs"))
+        .withColumn("rep_e6",
+          floor(sqrt(col("x").cast("double"))).cast("long"))
+        .select(col("lang"), col("n_docs"),
+          col("rep_e6"),
+          expr("(n_docs * rep_e6) div 1000000").as("target_docs"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+           |  GROUP BY lang),
+           |m AS (SELECT lang, n_docs,
+           |    (SELECT max(n_docs) FROM c) AS n_max FROM c),
+           |r AS (SELECT lang, n_docs,
+           |    CAST(floor(sqrt(CAST((n_max * 1000000000000) // n_docs
+           |      AS DOUBLE))) AS BIGINT) AS rep_e6
+           |  FROM m)
+           |SELECT lang, n_docs, rep_e6,
+           |  CAST((n_docs * rep_e6) // 1000000 AS BIGINT) AS target_docs
+           |FROM r ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
+  /** Gopher/C4-style multi-rule quality gate (round 5): the standard
+    * pre-training filter battery as ONE pass — word-count bounds,
+    * mean-word-length bounds, stopword presence, lexical diversity —
+    * with a per-language census of each rule's pass count, the
+    * all-rules yield, and a surviving-id checksum. Differs from
+    * q_text_quality (a continuous score) by being the hard gate with
+    * per-rule attribution, which is what you actually tune.
+    *
+    * Determinism: every rule is an integer cross-multiplication — mean
+    * word length in [3,10] is 3·n_toks ≤ n_alpha ≤ 10·n_toks with
+    * n_alpha = n_chars − (n_toks − 1) separator spaces; diversity
+    * ≥ 0.3 is 10·distinct ≥ 3·total. No division anywhere.
+    *
+    * Scale: pure projection + partial agg on the scan; no shuffle
+    * before the 5-group rollup.
+    */
+  private val qualityGopher = QueryDef(
+    "q_quality_gopher",
+    (s, d) => {
+      val t = split(col("text"), " ")
+      val nToks = size(t).cast("long")
+      val nDist = size(array_distinct(t)).cast("long")
+      val nStop = size(filter(t, w => w === "a" || w === "the" ||
+        w === "of" || w === "to" || w === "and")).cast("long")
+      val nAlpha = col("n_chars") - (nToks - lit(1L))
+      val r1 = (nToks >= 5 && nToks <= 1000).cast("long")
+      val r2 = (nAlpha >= nToks * 3 && nAlpha <= nToks * 10).cast("long")
+      val r3 = (nStop >= 2L).cast("long")
+      val r4 = (nDist * 10 >= nToks * 3).cast("long")
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          r1.as("r1"), r2.as("r2"), r3.as("r3"), r4.as("r4"),
+          (r1 * r2 * r3 * r4).as("all_pass"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("r1")).as("pass_wordcount"),
+          sum(col("r2")).as("pass_wordlen"),
+          sum(col("r3")).as("pass_stopword"),
+          sum(col("r4")).as("pass_diversity"),
+          sum(col("all_pass")).as("n_pass_all"),
+          sum(col("all_pass") * col("doc_id")).as("pass_id_checksum"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH q AS (SELECT lang, doc_id,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+           |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           |      AS n_dist,
+           |    CAST(len(list_filter(string_split(text, ' '),
+           |      w -> w = 'a' OR w = 'the' OR w = 'of' OR w = 'to'
+           |        OR w = 'and')) AS BIGINT) AS n_stop,
+           |    n_chars FROM documents),
+           |r AS (SELECT lang, doc_id,
+           |    CASE WHEN n_toks >= 5 AND n_toks <= 1000 THEN 1 ELSE 0 END AS r1,
+           |    CASE WHEN n_chars - (n_toks - 1) >= n_toks * 3
+           |          AND n_chars - (n_toks - 1) <= n_toks * 10
+           |         THEN 1 ELSE 0 END AS r2,
+           |    CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r3,
+           |    CASE WHEN n_dist * 10 >= n_toks * 3 THEN 1 ELSE 0 END AS r4
+           |  FROM q)
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(r1) AS BIGINT) AS pass_wordcount,
+           |  CAST(sum(r2) AS BIGINT) AS pass_wordlen,
+           |  CAST(sum(r3) AS BIGINT) AS pass_stopword,
+           |  CAST(sum(r4) AS BIGINT) AS pass_diversity,
+           |  CAST(sum(r1 * r2 * r3 * r4) AS BIGINT) AS n_pass_all,
+           |  CAST(sum(r1 * r2 * r3 * r4 * doc_id) AS BIGINT)
+           |    AS pass_id_checksum
+           |FROM r GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(packSequences, contamination, repetition,
-    dedupIncremental, mixWeighted, lengthHist)
+    dedupIncremental, mixWeighted, lengthHist, mixTemperature, qualityGopher)
 }

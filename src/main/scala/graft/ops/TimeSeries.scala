@@ -317,6 +317,47 @@ object TimeSeries {
            |FROM r GROUP BY hr
            |ORDER BY hr ASC NULLS FIRST""".stripMargin))
 
+  /** Rolling 24-hour time-window aggregates (round 5): moving sum /
+    * max / count / mean of the hourly event count per type, with a
+    * RANGE frame over the hour value — so calendar gaps shrink the
+    * window (the time-series semantics) instead of silently widening
+    * it the way a ROWS frame would on sparse hours.
+    *
+    * Scale: hourly partial agg on the scan, then ONE window pass over
+    * the hour-grain relation; output grows with the time span, not the
+    * corpus. Determinism: exact int64 counts; the mean is all-positive
+    * integer division in 1e6 units (truncate == floor on both engines).
+    */
+  private val moving = QueryDef(
+    "q_ts_moving",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"),
+          floorDiv(unix_micros(col("ts")), HourUs).as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rangeBetween(-23, Window.currentRow)
+      hourly
+        .withColumn("mov_sum", sum(col("c")).over(w))
+        .withColumn("mov_max", max(col("c")).over(w))
+        .withColumn("mov_n", count(lit(1)).over(w))
+        .withColumn("mov_avg_e6", expr("(mov_sum * 1000000) div mov_n"))
+        .orderBy(ascf("event_type"), ascf("hr"))
+    },
+    Some("""WITH h AS (SELECT event_type,
+           |    epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+           |  FROM events GROUP BY 1, 2)
+           |SELECT event_type, hr, c,
+           |  CAST(sum(c) OVER w AS BIGINT) AS mov_sum,
+           |  CAST(max(c) OVER w AS BIGINT) AS mov_max,
+           |  CAST(count(*) OVER w AS BIGINT) AS mov_n,
+           |  CAST((sum(c) OVER w * 1000000) // count(*) OVER w AS BIGINT)
+           |    AS mov_avg_e6
+           |FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr ASC
+           |  RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+           |ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(gapfill, funnelCohort, retention, ewma, ohlc)
+    Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving)
 }
