@@ -537,7 +537,126 @@ object Pipeline {
            |FROM cl GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin
     })
 
+  /** Asymmetric shingle CONTAINMENT dedup (round 5): doc a is
+    * (near-)contained in doc b when |S_a ∩ S_b| ≥ 0.8·|S_a| over
+    * word-3-shingle sets — the doc-INCLUSION detector that symmetric
+    * Jaccard misses by construction (a short doc quoted inside a long
+    * one has tiny Jaccard but containment ≈ 1), and the op that catches
+    * quote-farms and wrapper pages in a training corpus.
+    *
+    * Scale: docs first collapse to identical-shingle-set groups (the
+    * q_dedup_ngram trick — a duplicate cluster costs one group row);
+    * candidates come from an a-side-only prefix filter — if containment
+    * ≥ t, then among a's (n₁ − ⌈t·n₁⌉ + 1) RAREST shingles (global
+    * (df, shingle) order) at least one is in b (pigeonhole), so joining
+    * only a's prefix against b's full postings is a LOSSLESS superset;
+    * rare-by-construction prefix shingles keep posting lists short.
+    * Note the asymmetry: no filter exists on the b side (any superset
+    * qualifies), which is exactly why this is a different algorithm
+    * from the symmetric PPJoin above.
+    *
+    * Determinism: the verify predicate is the integer cross-
+    * multiplication 10·|S_a ∩ S_b| ≥ 8·n₁ — no division. The oracle is
+    * the naive doc-level postings join (no prefix filter), so the hash
+    * match PROVES candidate losslessness on every fixture, not just in
+    * the comment.
+    */
+  private val containment = QueryDef(
+    "q_text_containment",
+    (s, d) => {
+      val sets = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          split(col("text"), " ").as("toks"))
+        .withColumn("nt", size(col("toks")).cast("long"))
+        .withColumn("ss", expr(
+          """array_distinct(filter(transform(
+            |  sequence(1, greatest(int(nt) - 2, 1)),
+            |  i -> IF(i <= int(nt) - 2,
+            |          array_join(slice(toks, i, 3), ' '), NULL)),
+            |  x -> x IS NOT NULL))""".stripMargin))
+        .filter(size(col("ss")) > 0)
+      val groups = graft.Caches.scoped(
+        sets.groupBy(col("lang"), col("ss"))
+          .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("c"),
+            sum(col("doc_id")).as("sid"))
+          .withColumn("n", size(col("ss")).cast("long")))
+      val post = groups.select(col("lang"), col("gid"), col("n"),
+        explode(col("ss")).as("w"))
+      val dfreq = post.groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("df"))
+      val wG = Window.partitionBy(col("gid"))
+      val prefix = post.join(dfreq, Seq("lang", "w"))
+        .withColumn("pos",
+          row_number().over(wG.orderBy(ascf("df"), ascf("w"))))
+        .filter(col("pos") <= col("n") - expr("(n * 8 + 9) div 10") + 1)
+      val cand = prefix.alias("a")
+        .join(post.alias("b"),
+          col("a.lang") === col("b.lang") && col("a.w") === col("b.w") &&
+            col("a.gid") =!= col("b.gid"))
+        .select(col("a.lang").as("lang"), col("a.gid").as("g1"),
+          col("b.gid").as("g2"))
+        .distinct()
+      val ga = groups.select(col("gid").as("g1"), col("ss").as("s1"),
+        col("n").as("n1"), col("c").as("c1"))
+      val gb = groups.select(col("gid").as("g2"), col("ss").as("s2"),
+        col("c").as("c2"))
+      val verified = cand.join(ga, "g1").join(gb, "g2")
+        .filter(size(array_intersect(col("s1"), col("s2"))).cast("long")
+          * 10 >= col("n1") * 8)
+      val intraG = groups.filter(col("c") >= 2)
+        .select(col("lang"), col("gid"))
+      val containedG = intraG
+        .union(verified.select(col("lang"), col("g1").as("gid")))
+        .distinct()
+        .join(groups.select(col("gid"), col("c"), col("sid")), "gid")
+        .groupBy(col("lang"))
+        .agg(sum(col("c")).as("n_contained"),
+          sum(col("sid")).as("id_checksum"))
+      val pairs = groups.groupBy(col("lang"))
+        .agg(sum(col("c") * (col("c") - 1)).as("intra_pairs"),
+          sum(col("c")).as("n_docs"))
+      val crossPairs = verified.groupBy(col("lang"))
+        .agg(sum(col("c1") * col("c2")).as("cross_pairs"))
+      pairs.join(crossPairs, Seq("lang"), "left")
+        .join(containedG, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          coalesce(col("n_contained"), lit(0L)).as("n_contained"),
+          (col("intra_pairs") + coalesce(col("cross_pairs"), lit(0L)))
+            .as("n_pairs"),
+          coalesce(col("id_checksum"), lit(0L)).as("id_checksum"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH t AS (SELECT lang, doc_id, string_split(text, ' ') AS toks,
+           |    CAST(length(string_split(text, ' ')) AS BIGINT) AS nt
+           |  FROM documents),
+           |sh AS (SELECT lang, doc_id, unnest(list_distinct(
+           |    [array_to_string(toks[i:i+2], ' ')
+           |     for i in range(1, CAST(greatest(nt - 1, 1) AS BIGINT))])) AS w
+           |  FROM t),
+           |nn AS (SELECT lang, doc_id, count(*) AS n FROM sh
+           |  GROUP BY lang, doc_id),
+           |p AS (SELECT a.lang AS lang, a.doc_id AS d1, b.doc_id AS d2,
+           |    count(*) AS inter
+           |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.w = b.w
+           |    AND a.doc_id <> b.doc_id
+           |  GROUP BY 1, 2, 3),
+           |cp AS (SELECT p.lang AS lang, p.d1, p.d2
+           |  FROM p JOIN nn n1 ON p.d1 = n1.doc_id
+           |  WHERE p.inter * 10 >= n1.n * 8),
+           |base AS (SELECT lang, count(*) AS n_docs FROM nn GROUP BY lang),
+           |cd AS (SELECT lang, count(*) AS n_contained,
+           |    CAST(sum(d1) AS BIGINT) AS id_checksum
+           |  FROM (SELECT DISTINCT lang, d1 FROM cp) GROUP BY lang),
+           |np AS (SELECT lang, count(*) AS n_pairs FROM cp GROUP BY lang)
+           |SELECT base.lang AS lang, base.n_docs,
+           |  CAST(coalesce(cd.n_contained, 0) AS BIGINT) AS n_contained,
+           |  CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+           |  CAST(coalesce(cd.id_checksum, 0) AS BIGINT) AS id_checksum
+           |FROM base LEFT JOIN cd ON base.lang = cd.lang
+           |LEFT JOIN np ON base.lang = np.lang
+           |ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     dedupSimhash, dedupNgram, dedupEmbed, simAnnLsh, simCentroid, simAnnIvf,
-    pipelineE2e, dedupComponents)
+    pipelineE2e, dedupComponents, containment)
 }
