@@ -66,7 +66,14 @@ object ScaleProbe {
         // upsert merge, bucketed co-located join
         "q_graph_pagerank", "q_win_gapfill", "q_lake_merge",
         "q_join_bucketed", "q_agg_incremental", "q_ts_anomaly",
-        "q_text_collocations", "q_win_funnel_cohort", "q_mm_video_frames", "q_mm_image_resize")) {
+        "q_text_collocations", "q_win_funnel_cohort", "q_mm_video_frames", "q_mm_image_resize",
+        // round-5 fourth batch: retention/EWMA/OHLC/rolling time series,
+        // trade-graph triangles + BFS, mode, vocab census, count-min,
+        // temperature mixing, Gopher gate, containment dedup
+        "q_win_retention", "q_ts_ewma", "q_ts_ohlc", "q_ts_moving",
+        "q_graph_triangles", "q_graph_bfs", "q_agg_mode", "q_text_vocab",
+        "q_sketch_countmin", "q_mix_temperature", "q_quality_gopher",
+        "q_text_containment")) {
       val t0 = System.nanoTime()
       val n = Registry.queries(q)(spark, dst).count()
       println(f"SCALE10 $q: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")

@@ -106,7 +106,7 @@ object Graph {
     * directed survivors collapse to distinct undirected (a < b) pairs.
     * Everything after the first aggregation is node²-bounded.
     */
-  private def undirectedTop3(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[graft] def undirectedTop3(s: org.apache.spark.sql.SparkSession, d: String) = {
     import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))

@@ -139,4 +139,52 @@ class LakehouseSpec extends SparkSpec {
     // the graph is non-trivial: ranks differentiate across nations
     assert(ranks.distinct.length > 1, "all ranks identical — vacuous graph")
   }
+
+  test("q_graph_bfs matches an independent queue-based BFS on the same edges") {
+    val und = ops.Graph.undirectedTop3(spark, sfDir)
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    // classic frontier BFS, capped at 3 hops — a different algorithm
+    // than the query's unrolled min-relax joins
+    var dist = Map(0L -> 0L)
+    var frontier = Set(0L)
+    for (h <- 1L to 3L) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(dist.contains)
+      dist ++= frontier.map(_ -> h)
+    }
+    val got = Registry.queries("q_graph_bfs")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nations = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+    nations.foreach { case (k, name) =>
+      assert(got(name) == dist.getOrElse(k, -1L),
+        s"node $name: query says ${got(name)}, reference BFS says " +
+          s"${dist.getOrElse(k, -1L)}")
+    }
+    Caches.releaseScoped()
+  }
+
+  test("q_graph_triangles matches brute-force enumeration on the same edges") {
+    val und = ops.Graph.undirectedTop3(spark, sfDir)
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val per = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      a <- nodes; b <- nodes if a < b && und((a, b))
+      c <- nodes if b < c && und((b, c)) && und((a, c))
+    } { per(a) += 1; per(b) += 1; per(c) += 1 }
+    val got = Registry.queries("q_graph_triangles")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nations = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+    nations.foreach { case (k, name) =>
+      assert(got(name) == per(k),
+        s"node $name: query says ${got(name)}, brute force says ${per(k)}")
+    }
+    Caches.releaseScoped()
+  }
 }

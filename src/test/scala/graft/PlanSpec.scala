@@ -158,4 +158,28 @@ class PlanSpec extends SparkSpec {
       .mkString("\n")
     assert(pf.contains("lang"), s"no partition filter on lang:\n${p.take(2000)}")
   }
+
+  test("q_ts_moving computes all rolling aggregates in one Window operator") {
+    // sum/max/count share the RANGE frame spec, so Catalyst must fuse
+    // them — a second Window node would mean a second sort of the
+    // hour-grain relation per added aggregate
+    // count operator LINES in the formatted explain (collectAll visits
+    // WholeStageCodegen children twice, so instance counting over-counts)
+    val p = planString("q_ts_moving")
+    val windows = "\\(\\d+\\) Window\\b".r.findAllIn(p).size
+    assert(windows == 1,
+      s"expected 1 fused Window operator, got $windows:\n${p.take(2000)}")
+  }
+
+  test("q_graph_triangles reads the cached edge relation, not 3 fact scans") {
+    val df = Registry.queries("q_graph_triangles")(spark, sfDir)
+    try {
+      df.collect()
+      val nodes = collectAll(df.queryExecution.executedPlan)
+      val cached = nodes.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+      assert(cached >= 3,
+        s"expected >= 3 cached-edge scans (3-way self-join), got $cached")
+    } finally Caches.releaseScoped()
+  }
 }

@@ -173,4 +173,28 @@ class PropertiesSpec extends SparkSpec {
     val rate = collide.count(identity).toDouble / collide.size
     assert(rate < 0.35, s"random-pair band collision rate $rate")
   }
+
+  test("containment prefix filter is lossless for any set collection") {
+    // q_text_containment's candidate rule: if |A ∩ B| ≥ 0.8·|A| then A's
+    // (|A| − ⌈0.8·|A|⌉ + 1) rarest shingles (global (df, w) order) must
+    // intersect B — pigeonhole over A's misses. Check it on random set
+    // collections drawn from a small alphabet (forces heavy overlap).
+    val collGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.choose(0, 25)).map(_.toSet))
+    samples(collGen, 20).foreach { coll =>
+      val df = coll.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      def prefix(a: Set[Int]): Set[Int] = {
+        val n = a.size
+        val keep = n - (n * 8 + 9) / 10 + 1
+        a.toSeq.sortBy(w => (df(w), w)).take(keep).toSet
+      }
+      for (a <- coll; b <- coll if a != b) {
+        val contained = (a & b).size * 10 >= a.size * 8
+        if (contained)
+          assert(prefix(a).intersect(b).nonEmpty,
+            s"prefix filter dropped a contained pair: a=$a b=$b " +
+              s"prefix=${prefix(a)}")
+      }
+    }
+  }
 }
