@@ -353,8 +353,58 @@ object Aggregates {
            |FROM r WHERE rn = 1
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** Bitmap/bitset aggregation (round 5): per-(user, day) behavior
+    * signature as a bit_or-aggregated mask over the (small, enumerable)
+    * event-type domain — click=1, error=2, purchase=4, signup=8,
+    * view=16 — then a census of signature combinations. The exact-
+    * bitmap twin of the approximate-distinct sketch: for domains that
+    * fit a machine word, bit_or IS the distinct-set aggregate,
+    * mergeable and 8 bytes per group at any scale. (The grain is
+    * user-DAY, not user: over a long history every user hits every
+    * type and the census collapses to one row.)
+    *
+    * Scale: (user, day)-grain partial agg (bit_or combines map-side),
+    * then a ≤ 32-row census. Determinism: pure integer bit algebra;
+    * days via exact epoch-µs floor cells (D5).
+    */
+  private val aggBitset = QueryDef(
+    "q_agg_bitset",
+    (s, d) => {
+      val bit = when(col("event_type") === "click", 1L)
+        .when(col("event_type") === "error", 2L)
+        .when(col("event_type") === "purchase", 4L)
+        .when(col("event_type") === "signup", 8L)
+        .otherwise(16L)
+      Tables.events(s, d)
+        .select(col("user_id"),
+          floorDiv(unix_micros(col("ts")), 86400000000L).as("day"),
+          bit.as("b"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(expr("bit_or(b)").as("mask"))
+        .groupBy(col("mask"))
+        .agg(count(lit(1)).as("n_user_days"),
+          sum(col("user_id")).as("uid_checksum"))
+        .withColumn("n_types", bit_count(col("mask")).cast("long"))
+        .select(col("mask"), col("n_types"), col("n_user_days"),
+          col("uid_checksum"))
+        .orderBy(ascf("mask"))
+    },
+    Some("""WITH b AS (SELECT user_id,
+           |    epoch_us(ts) // 86400000000 AS day,
+           |    CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+           |      WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+           |      ELSE 16 END AS b
+           |  FROM events),
+           |m AS (SELECT user_id, day, CAST(bit_or(b) AS BIGINT) AS mask
+           |  FROM b GROUP BY user_id, day)
+           |SELECT mask, CAST(bit_count(mask) AS BIGINT) AS n_types,
+           |  count(*) AS n_user_days,
+           |  CAST(sum(user_id) AS BIGINT) AS uid_checksum
+           |FROM m GROUP BY mask
+           |ORDER BY mask ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
-    aggPercentile, aggPivot, aggUnpivot, aggGrouping, aggMode)
+    aggPercentile, aggPivot, aggUnpivot, aggGrouping, aggMode, aggBitset)
 }

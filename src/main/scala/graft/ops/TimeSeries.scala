@@ -358,6 +358,76 @@ object TimeSeries {
            |  RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
            |ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST""".stripMargin))
 
+  /** Least-squares trend slope per metric (round 5): the OLS slope of
+    * hourly event count against the hour index, per event type — the
+    * "is this metric growing" number behind every dashboard sparkline,
+    * computed EXACTLY: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) in
+    * 1e6 units, all moments integer, quantized by true FLOOR division.
+    * The numerator CAN be negative, where BOTH engines' native integer
+    * division truncates toward zero (Spark `div`; DuckDB's integer `//`
+    * too — verified -7 // 2 = -3, its floor semantics are float-only) —
+    * so BOTH sides spell out floor as the Dsl.floorDiv construction
+    * generalized to a column divisor: (num − pmod(num, den)) is an
+    * exact multiple of den with pmod non-negative, making the division
+    * exact and the floor explicit, identically on each engine.
+    *
+    * x is re-based to each type's first hour (slope is shift-invariant;
+    * re-basing keeps every moment < 2⁶³ for spans to ~10⁵ hours and
+    * hourly counts to ~10⁹ — beyond that, widen the moments to
+    * DECIMAL(38,0), the q_sim_centroid pattern).
+    *
+    * Scale: hourly partial agg on the scan; moments are a second
+    * type-grain partial agg; everything after runs on 5 rows.
+    */
+  private val trend = QueryDef(
+    "q_ts_trend",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"),
+          floorDiv(unix_micros(col("ts")), HourUs).as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("y"))
+      val h0 = hourly.groupBy(col("event_type")).agg(min(col("hr")).as("h0"))
+      val m = hourly.join(h0, "event_type")
+        .withColumn("x", col("hr") - col("h0"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("num", expr("1000000 * (n * sxy - sx * sy)"))
+        .withColumn("den", expr("n * sxx - sx * sx"))
+        .filter(col("den") > 0)
+      m.select(col("event_type"), col("n").as("n_hours"),
+          ((col("num") - pmod(col("num"), col("den")))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            / col("den")).cast("long").as("slope_e6"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH h AS (SELECT event_type,
+           |    epoch_us(ts) // 3600000000 AS hr, count(*) AS y
+           |  FROM events GROUP BY 1, 2),
+           |h0 AS (SELECT event_type, min(hr) AS h0 FROM h GROUP BY 1),
+           |m AS (SELECT h.event_type, count(*) AS n,
+           |    sum(h.hr - h0.h0) AS sx, sum(h.y) AS sy,
+           |    sum((h.hr - h0.h0) * h.y) AS sxy,
+           |    sum((h.hr - h0.h0) * (h.hr - h0.h0)) AS sxx
+           |  FROM h JOIN h0 ON h.event_type = h0.event_type
+           |  GROUP BY h.event_type),
+           |nd AS (SELECT event_type, n,
+           |    1000000 * (n * sxy - sx * sy) AS num,
+           |    n * sxx - sx * sx AS den
+           |  FROM m WHERE n * sxx - sx * sx > 0)
+           |-- DuckDB's integer // TRUNCATES toward zero (verified:
+           |-- -7 // 2 = -3), so true floor needs the same pmod
+           |-- construction as the Spark side: subtract the non-negative
+           |-- remainder, then divide exactly.
+           |SELECT event_type, n AS n_hours,
+           |  CAST((num - ((num % den) + den) % den) // den AS BIGINT)
+           |    AS slope_e6
+           |FROM nd
+           |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving)
+    Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend)
 }
