@@ -402,7 +402,56 @@ object Similarity {
     },
     None)
 
+  /** Deterministic negative sampling (round 5): for each probe in the
+    * query batch, K=3 pseudo-random negatives drawn from the corpus
+    * vectors with a DIFFERENT label — the contrastive-training
+    * companion to q_sim_knn_join's positives. "Random" is a seeded
+    * mod-prime mixed hash of (neg_id, probe_id) (the q_sketch_countmin
+    * family), so every run / engine / partitioning draws the SAME
+    * negatives — the property a `rand()` sample cannot give and a
+    * training pipeline needs for reproducibility.
+    *
+    * Scale: the probe set broadcasts; one corpus scan scores
+    * |probes|·n hashes with no shuffle before the per-probe top-k
+    * (identical shape to q_sim_knn_join, minus the distance math —
+    * selection never touches the vectors).
+    */
+  private val sampleNegative = QueryDef(
+    "q_sample_negative",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("label").as("plabel"))
+      val scored = emb.filter(col("vec_id") >= 10)
+        .crossJoin(broadcast(probes))
+        .filter(col("label") =!= col("plabel"))
+        .withColumn("h", expr(
+          "((vec_id % 2147483647) * 1299721 + " +
+            "(probe_id % 2147483647) * 15485863 + 12345) % 2147483647"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(ascf("h"), ascf("vec_id"))
+      scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("probe_id"), col("rnk"), col("vec_id").as("neg_id"),
+          col("label").as("neg_label"))
+        .orderBy(ascf("probe_id"), ascf("rnk"))
+    },
+    Some("""WITH p AS (SELECT vec_id AS probe_id, label AS plabel
+           |  FROM embeddings WHERE vec_id < 10),
+           |c AS (SELECT vec_id, label FROM embeddings WHERE vec_id >= 10),
+           |s AS (SELECT probe_id, vec_id, label,
+           |    ((vec_id % 2147483647) * 1299721 +
+           |     (probe_id % 2147483647) * 15485863 + 12345) % 2147483647 AS h
+           |  FROM c CROSS JOIN p WHERE c.label <> p.plabel),
+           |r AS (SELECT probe_id, vec_id, label,
+           |    row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY h ASC, vec_id ASC) AS rnk
+           |  FROM s)
+           |SELECT probe_id, rnk, vec_id AS neg_id, label AS neg_label
+           |FROM r WHERE rnk <= 3
+           |ORDER BY probe_id ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     dedupExact, simJaccard, simCosineTopk, simThresholdJoin, simKnnJoin,
-    dedupMinhash)
+    dedupMinhash, sampleNegative)
 }

@@ -274,7 +274,61 @@ object Windows {
            |  CAST(sum(span) AS BIGINT) AS sum_span_us
            |FROM g GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""".stripMargin))
 
+  /** Gaps-and-islands longest activity streak (round 5): each user's
+    * longest run of CONSECUTIVE active days, via the classic
+    * day − row_number island key (consecutive days share the key, any
+    * gap starts a new island), rolled up to a streak-length census —
+    * the engagement metric behind "N-day streak" features, and the one
+    * canonical SQL window pattern the surface was missing.
+    *
+    * Scale: distinct to the activity grain first (the window sorts
+    * activity rows, never raw events); one window pass per user; the
+    * census is streak-grain. Determinism: (user, day) is unique after
+    * the distinct so row_number's order is total; ties for a user's
+    * best streak break toward the EARLIEST start (rank orders by
+    * len desc, start asc).
+    */
+  private val winStreak = QueryDef(
+    "q_win_streak",
+    (s, d) => {
+      val act = graft.Tables.events(s, d)
+        .select(col("user_id"),
+          floorDiv(unix_micros(col("ts")), 86400000000L).as("day"))
+        .distinct()
+      val wU = Window.partitionBy(col("user_id")).orderBy(ascf("day"))
+      val islands = act
+        .withColumn("grp", col("day") - row_number().over(wU))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+      val wBest = Window.partitionBy(col("user_id"))
+        .orderBy(descl("len"), ascf("start"))
+      val best = islands.withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+      best.groupBy(col("len").as("streak_len"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("user_id")).as("uid_checksum"))
+        .orderBy(ascf("streak_len"))
+    },
+    Some("""WITH a AS (SELECT DISTINCT user_id,
+           |    epoch_us(ts) // 86400000000 AS day FROM events),
+           |i AS (SELECT user_id, day,
+           |    day - row_number() OVER (PARTITION BY user_id
+           |      ORDER BY day ASC) AS grp
+           |  FROM a),
+           |st AS (SELECT user_id, grp, count(*) AS len,
+           |    min(day) AS start
+           |  FROM i GROUP BY user_id, grp),
+           |b AS (SELECT user_id, len,
+           |    row_number() OVER (PARTITION BY user_id
+           |      ORDER BY len DESC, start ASC) AS rn
+           |  FROM st)
+           |SELECT len AS streak_len, count(*) AS n_users,
+           |  CAST(sum(user_id) AS BIGINT) AS uid_checksum
+           |FROM b WHERE rn = 1
+           |GROUP BY len
+           |ORDER BY streak_len ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     winRank, winRunning, winLeadLag, winRangeFrame, winNtilePct, winFirstLast,
-    sortNulls, limitOffset, topkGroup, winSessionize)
+    sortNulls, limitOffset, topkGroup, winSessionize, winStreak)
 }
