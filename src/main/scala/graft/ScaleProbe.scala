@@ -73,7 +73,11 @@ object ScaleProbe {
         "q_win_retention", "q_ts_ewma", "q_ts_ohlc", "q_ts_moving",
         "q_graph_triangles", "q_graph_bfs", "q_agg_mode", "q_text_vocab",
         "q_sketch_countmin", "q_mix_temperature", "q_quality_gopher",
-        "q_text_containment")) {
+        "q_text_containment",
+        // round-5 fifth batch: OLS trend, bitset census, streaks,
+        // negative sampling
+        "q_ts_trend", "q_agg_bitset", "q_win_streak",
+        "q_sample_negative")) {
       val t0 = System.nanoTime()
       val n = Registry.queries(q)(spark, dst).count()
       println(f"SCALE10 $q: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
