@@ -77,7 +77,11 @@ object ScaleProbe {
         // round-5 fifth batch: OLS trend, bitset census, streaks,
         // negative sampling
         "q_ts_trend", "q_agg_bitset", "q_win_streak",
-        "q_sample_negative")) {
+        "q_sample_negative",
+        // round-5 sixth batch: entropy census, degree census, bloom
+        // prefilter join, Zipf slope, keyphrases, autocorrelation
+        "q_agg_entropy", "q_graph_degree", "q_join_bloom",
+        "q_text_zipf", "q_text_keyphrase", "q_ts_autocorr")) {
       val t0 = System.nanoTime()
       val n = Registry.queries(q)(spark, dst).count()
       println(f"SCALE10 $q: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")

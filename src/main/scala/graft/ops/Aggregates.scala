@@ -403,8 +403,76 @@ object Aggregates {
            |FROM m GROUP BY mask
            |ORDER BY mask ASC NULLS FIRST""".stripMargin))
 
+  /** Per-user Shannon entropy of the event-type distribution, bucketed
+    * into a census (round 5): the label-balance / behavioral-diversity
+    * statistic a training-data pipeline computes per source or per user
+    * before mixing (a user whose events are all one type carries ~0
+    * nats; a uniform 5-type user carries ln 5 ≈ 1.609).
+    *
+    * Determinism (D12 + D2): H = Σ_t (c_t/n)·ln(n/c_t) is evaluated as
+    * integer-quantized per-type terms — term_e6 = floor((lnInt(n) −
+    * lnInt(c)) · 1e6 · c), an IEEE-determined double product of the two
+    * bit-identical [[graft.functions.DetMath]] logs, floored to BIGINT —
+    * summed EXACTLY as int64 (order-free where a double Σ would be
+    * order-dependent under parallel aggregation), then floor-divided by
+    * n (all operands non-negative, so truncating `div` ≡ `//` ≡ floor).
+    * Bucket width 0.2 nats → ≤ 9 census rows regardless of scale.
+    *
+    * Scale: one (user, type) partial agg on the scan, a user-grain
+    * re-agg of THAT relation (never a second scan), and a ≤9-row census.
+    */
+  private val aggEntropy = QueryDef(
+    "q_agg_entropy",
+    (s, d) => {
+      import graft.functions.DetMath
+      val cnt = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy(col("user_id")).agg(sum(col("c")).as("n"))
+      val h = cnt.join(tot, "user_id")
+        .withColumn("term_e6",
+          floor((DetMath.lnInt(col("n")) - DetMath.lnInt(col("c")))
+            * lit(1000000.0) * col("c").cast("double")).cast("long"))
+        .groupBy(col("user_id"), col("n"))
+        .agg(sum(col("term_e6")).as("se"))
+        .withColumn("h_e6", expr("se div n"))
+      h.groupBy(expr("h_e6 div 200000").as("bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("h_e6")).as("min_h_e6"), max(col("h_e6")).as("max_h_e6"))
+        .orderBy(ascf("bucket"))
+    },
+    Some {
+      import graft.functions.DetMath._
+      s"""WITH c AS (SELECT user_id, event_type, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |t AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n
+         |  FROM c GROUP BY 1),
+         |j AS (SELECT c.user_id, c.c, t.n
+         |  FROM c JOIN t ON c.user_id = t.user_id),
+         |r1 AS (SELECT *, ${kSql("n")} AS kn, ${kSql("c")} AS kc FROM j),
+         |r2 AS (SELECT *, ${mSql("n", "kn")} AS mn,
+         |    ${mSql("c", "kc")} AS mc FROM r1),
+         |r3 AS (SELECT *, ${zSql("mn")} AS zn, ${zSql("mc")} AS zc FROM r2),
+         |r4 AS (SELECT *, zn * zn AS z2n, zc * zc AS z2c FROM r3),
+         |r5 AS (SELECT *, ${hornerSql("z2n")} AS hn,
+         |    ${hornerSql("z2c")} AS hc FROM r4),
+         |tm AS (SELECT user_id, n, CAST(floor(
+         |    (${lnSql("kn", "zn", "hn")} - ${lnSql("kc", "zc", "hc")})
+         |      * CAST(1000000 AS DOUBLE) * CAST(c AS DOUBLE)) AS BIGINT)
+         |    AS term_e6 FROM r5),
+         |h AS (SELECT user_id, CAST(sum(term_e6) // n AS BIGINT)
+         |    AS h_e6 FROM tm GROUP BY user_id, n)
+         |SELECT CAST(h_e6 // 200000 AS BIGINT) AS bucket,
+         |  count(*) AS n_users,
+         |  min(h_e6) AS min_h_e6, max(h_e6) AS max_h_e6
+         |FROM h GROUP BY 1
+         |ORDER BY bucket ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
-    aggPercentile, aggPivot, aggUnpivot, aggGrouping, aggMode, aggBitset)
+    aggPercentile, aggPivot, aggUnpivot, aggGrouping, aggMode, aggBitset,
+    aggEntropy)
 }

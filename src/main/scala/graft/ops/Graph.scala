@@ -268,5 +268,49 @@ object Graph {
            |FROM d3 JOIN nation n ON d3.node = n.n_nationkey
            |ORDER BY n_name ASC NULLS FIRST""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(pagerank, triangles, bfs)
+  /** Degree census with average-neighbor-degree (round 5): per-nation
+    * degree in the sparsified trade graph plus the mean degree of its
+    * neighbors in 1e-6 units — the assortativity precursor (hub-attached
+    * vs periphery-attached nodes separate immediately on this number).
+    *
+    * Scale: one fact-table aggregation builds the edges (shared
+    * [[undirectedTop3]] shape, scoped-cached because the directed view +
+    * the degree self-join would otherwise re-derive it); everything
+    * after is node²-bounded. avg_nbr_deg is an exact integer floor
+    * division — both operands non-negative, so Spark's truncating `div`
+    * and DuckDB's `//` agree (no pmod construction needed).
+    */
+  private val degree = QueryDef(
+    "q_graph_degree",
+    (s, d) => {
+      val und = Caches.scoped(undirectedTop3(s, d))
+      val dir = und.select(col("a").as("node"), col("b").as("nbr"))
+        .union(und.select(col("b").as("node"), col("a").as("nbr")))
+      val deg = dir.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val nbrSum = dir
+        .join(deg.select(col("node").as("nbr"), col("deg").as("nbr_deg")),
+          "nbr")
+        .groupBy(col("node")).agg(sum(col("nbr_deg")).as("snd"))
+      deg.join(nbrSum, "node")
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("deg"),
+          expr("(snd * 1000000) div deg").as("avg_nbr_deg_e6"))
+        .orderBy(ascf("n_name"))
+    },
+    Some(s"""WITH $UndSql,
+           |dir AS (SELECT a AS node, b AS nbr FROM und
+           |  UNION ALL SELECT b AS node, a AS nbr FROM und),
+           |deg AS (SELECT node, count(*) AS deg FROM dir GROUP BY node),
+           |nsum AS (SELECT dir.node, CAST(sum(d2.deg) AS BIGINT) AS snd
+           |  FROM dir JOIN deg d2 ON dir.nbr = d2.node
+           |  GROUP BY dir.node)
+           |SELECT n.n_name, CAST(deg.deg AS BIGINT) AS deg,
+           |  CAST((nsum.snd * 1000000) // deg.deg AS BIGINT) AS avg_nbr_deg_e6
+           |FROM deg JOIN nsum ON deg.node = nsum.node
+           |JOIN nation n ON deg.node = n.n_nationkey
+           |ORDER BY n_name ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(pagerank, triangles, bfs, degree)
 }

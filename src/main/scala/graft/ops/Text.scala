@@ -517,8 +517,163 @@ object Text {
            |FROM f GROUP BY lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** Zipf slope per language (round 5): the OLS slope of ln(frequency)
+    * against ln(rank) over each language's top-100 words — the standard
+    * one-number summary of how head-heavy a corpus is (natural text runs
+    * ≈ −1; a slope far off flags templated/synthetic shards before they
+    * enter a training mix).
+    *
+    * Determinism: ranks and frequencies are integers, so both logs run
+    * through [[graft.functions.DetMath.lnInt]] and quantize to e3 by
+    * floor (identical doubles ⇒ identical floors, D12); the regression
+    * then reuses q_ts_trend's EXACT integer OLS — moments in int64
+    * (e3 quantization keeps n·Σxy·1e6 < 2⁶³ for frequencies to ~10²⁷⁰,
+    * far past any corpus), and the possibly-NEGATIVE numerator (slope
+    * < 0 always, for Zipf) floor-divides via the same pmod construction
+    * both engines evaluate identically.
+    *
+    * Scale: one explode → (lang, word) partial agg is the only
+    * corpus-sized shuffle; the top-100 window and the 5-row regression
+    * run on the word-grain relation.
+    */
+  private val zipf = QueryDef(
+    "q_text_zipf",
+    (s, d) => {
+      import graft.functions.DetMath
+      val freq = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("f"))
+      val win = Window.partitionBy(col("lang"))
+        .orderBy(descl("f"), ascf("w"))
+      val ranked = freq
+        .withColumn("rnk", row_number().over(win).cast("bigint"))
+        .filter(col("rnk") <= 100)
+        .withColumn("x", floor(DetMath.lnInt(col("rnk")) * lit(1000.0))
+          .cast("long"))
+        .withColumn("y", floor(DetMath.lnInt(col("f")) * lit(1000.0))
+          .cast("long"))
+      val m = ranked.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("num", expr("1000000 * (n * sxy - sx * sy)"))
+        .withColumn("den", expr("n * sxx - sx * sx"))
+        .filter(col("den") > 0)
+      m.select(col("lang"), col("n").as("n_ranks"),
+          ((col("num") - pmod(col("num"), col("den")))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            / col("den")).cast("long").as("slope_e6"))
+        .orderBy(ascf("lang"))
+    },
+    Some {
+      import graft.functions.DetMath._
+      s"""WITH f AS (SELECT lang, w, count(*) AS f FROM (
+         |    SELECT lang, unnest(string_split(text, ' ')) AS w
+         |    FROM documents) WHERE w <> '' GROUP BY 1, 2),
+         |rk AS (SELECT lang, f, CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY f DESC, w ASC) AS BIGINT) AS rnk FROM f
+         |  QUALIFY rnk <= 100),
+         |r1 AS (SELECT *, ${kSql("rnk")} AS kr, ${kSql("f")} AS kf FROM rk),
+         |r2 AS (SELECT *, ${mSql("rnk", "kr")} AS mr,
+         |    ${mSql("f", "kf")} AS mf FROM r1),
+         |r3 AS (SELECT *, ${zSql("mr")} AS zr, ${zSql("mf")} AS zf FROM r2),
+         |r4 AS (SELECT *, zr * zr AS z2r, zf * zf AS z2f FROM r3),
+         |r5 AS (SELECT *, ${hornerSql("z2r")} AS hr,
+         |    ${hornerSql("z2f")} AS hf FROM r4),
+         |xy AS (SELECT lang,
+         |    CAST(floor(${lnSql("kr", "zr", "hr")}
+         |      * CAST(1000 AS DOUBLE)) AS BIGINT) AS x,
+         |    CAST(floor(${lnSql("kf", "zf", "hf")}
+         |      * CAST(1000 AS DOUBLE)) AS BIGINT) AS y FROM r5),
+         |m AS (SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy GROUP BY lang),
+         |nd AS (SELECT lang, n,
+         |    1000000 * (n * sxy - sx * sy) AS num,
+         |    n * sxx - sx * sx AS den
+         |  FROM m WHERE n * sxx - sx * sx > 0)
+         |SELECT lang, n AS n_ranks,
+         |  CAST((num - ((num % den) + den) % den) // den AS BIGINT)
+         |    AS slope_e6
+         |FROM nd
+         |ORDER BY lang ASC NULLS FIRST""".stripMargin
+    })
+
+  /** Per-document keyphrase extraction (round 5): the top tf·idf bigram
+    * of every document — the document-grain twin of the corpus-grain
+    * q_text_tfidf/q_text_collocations pair, and the "what is this doc
+    * about" tag a curation pipeline attaches before clustering.
+    *
+    * Determinism: idf_e6 = floor((lnInt(nd) − lnInt(df))·1e6) is an
+    * exact BIGINT on both engines (D12; floor has no round-tie
+    * boundary), the score tf·idf_e6 is exact int64, and the per-doc
+    * winner breaks score ties bigram-ascending (D1).
+    *
+    * Scale: one explode → (doc, bigram) partial agg; document
+    * frequencies re-aggregate THAT relation (never a second corpus
+    * pass); the corpus size nd broadcast-crossJoins as a 1-row agg, the
+    * same shape as q_join_bloom's sketch row.
+    */
+  private val keyphrase = QueryDef(
+    "q_text_keyphrase",
+    (s, d) => {
+      import graft.functions.DetMath
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(ts) - 1),
+            |  i -> concat_ws(' ', element_at(ts, i),
+            |                 element_at(ts, i + 1)))""".stripMargin))
+          .as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+      val nd = docs.agg(count(lit(1)).as("nd"))
+      val scored = tf.join(df, "bg").crossJoin(broadcast(nd))
+        .withColumn("idf_e6",
+          floor((DetMath.lnInt(col("nd")) - DetMath.lnInt(col("df")))
+            * lit(1000000.0)).cast("long"))
+        .withColumn("score", col("tf") * col("idf_e6"))
+      val win = Window.partitionBy(col("doc_id"))
+        .orderBy(descl("score"), ascf("bg"))
+      scored.withColumn("rn", row_number().over(win))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("bg").as("keyphrase"), col("score"))
+        .orderBy(ascf("doc_id"))
+    },
+    Some {
+      import graft.functions.DetMath._
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |  FROM documents WHERE length(string_split(text, ' ')) >= 2),
+         |tf AS (SELECT doc_id, bg, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, length(ts)),
+         |      i -> ts[i] || ' ' || ts[i + 1])) AS bg FROM t)
+         |  GROUP BY 1, 2),
+         |df AS (SELECT bg, count(*) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT count(*) AS nd FROM documents),
+         |j AS (SELECT tf.doc_id, tf.bg, tf.tf, df.df, nd.nd
+         |  FROM tf JOIN df ON tf.bg = df.bg CROSS JOIN nd),
+         |r1 AS (SELECT *, ${kSql("nd")} AS kn, ${kSql("df")} AS kd FROM j),
+         |r2 AS (SELECT *, ${mSql("nd", "kn")} AS mn,
+         |    ${mSql("df", "kd")} AS md FROM r1),
+         |r3 AS (SELECT *, ${zSql("mn")} AS zn, ${zSql("md")} AS zd FROM r2),
+         |r4 AS (SELECT *, zn * zn AS z2n, zd * zd AS z2d FROM r3),
+         |r5 AS (SELECT *, ${hornerSql("z2n")} AS hn,
+         |    ${hornerSql("z2d")} AS hd FROM r4),
+         |sc AS (SELECT doc_id, bg, tf * CAST(floor(
+         |    (${lnSql("kn", "zn", "hn")} - ${lnSql("kd", "zd", "hd")})
+         |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS score FROM r5),
+         |w AS (SELECT doc_id, bg, score, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, bg ASC) AS rn FROM sc)
+         |SELECT doc_id, bg AS keyphrase, score
+         |FROM w WHERE rn = 1
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,
     langid, quality, tokens, fingerprint, levenshteinPairs, tfidf,
-    collocations, vocab)
+    collocations, vocab, zipf, keyphrase)
 }

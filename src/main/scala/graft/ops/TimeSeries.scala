@@ -428,6 +428,89 @@ object TimeSeries {
            |FROM nd
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
+  /** Lag-1 autocorrelation of the hourly count series per metric (round
+    * 5): the "is this metric bursty or mean-reverting" number — r² in
+    * 1e-6 units plus the sign of the covariance, over consecutive-hour
+    * pairs only (a gap in the grid does NOT fabricate a pair, so the
+    * statistic is well-defined on irregular data without imputation).
+    *
+    * Determinism: the series is integer counts, so every moment (Σx, Σy,
+    * Σxy, Σx², Σy²) is exact int64; the combination covn = n·Σxy−Σx·Σy
+    * and the variances stay int64 (bound: hourly counts < ~3·10⁶ over
+    * ~10⁴ hours; beyond that widen the MOMENTS too), while covn² and
+    * varx·vary widen to DECIMAL(38,0)/HUGEINT — the q_sim_centroid
+    * pattern — since they square to ~10²³ at sf0.1 already. r²·1e6
+    * floor-divides exactly via the pmod construction (numerator
+    * non-negative, but the division must still be EXACT, hence
+    * subtract-remainder-then-divide rather than decimal `/` whose
+    * engine-specific result scale would round).
+    *
+    * Scale: hourly partial agg on the scan; the lead() window and the
+    * moment agg run on the hour-grain relation; final math on 5 rows.
+    */
+  private val autocorr = QueryDef(
+    "q_ts_autocorr",
+    (s, d) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"),
+          floorDiv(unix_micros(col("ts")), HourUs).as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("y"))
+      val w = Window.partitionBy(col("event_type")).orderBy(ascf("hr"))
+      val pairs = hourly
+        .withColumn("nhr", lead(col("hr"), 1).over(w))
+        .withColumn("ny", lead(col("y"), 1).over(w))
+        .filter(col("nhr") === col("hr") + 1)
+      val m = pairs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y")).as("sx"), sum(col("ny")).as("sy"),
+          sum(col("y") * col("ny")).as("sxy"),
+          sum(col("y") * col("y")).as("sxx"),
+          sum(col("ny") * col("ny")).as("syy"))
+        .withColumn("covn", expr("n * sxy - sx * sy"))
+        .withColumn("varx", expr("n * sxx - sx * sx"))
+        .withColumn("vary", expr("n * syy - sy * sy"))
+        .filter(col("varx") > 0 && col("vary") > 0)
+        .withColumn("num",
+          col("covn").cast(dec38) * col("covn") * lit(1000000L))
+        .withColumn("den", col("varx").cast(dec38) * col("vary"))
+      m.select(col("event_type"), col("n").as("n_pairs"),
+          when(col("covn") < 0, lit(-1L)).otherwise(
+            when(col("covn") > 0, lit(1L)).otherwise(lit(0L)))
+            .as("r_sign"),
+          ((col("num") - pmod(col("num"), col("den"))) / col("den"))
+            .cast("long").as("r2_e6"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH h AS (SELECT event_type,
+           |    epoch_us(ts) // 3600000000 AS hr, count(*) AS y
+           |  FROM events GROUP BY 1, 2),
+           |p AS (SELECT event_type, y,
+           |    lead(hr) OVER w AS nhr, lead(y) OVER w AS ny, hr
+           |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr ASC)),
+           |pp AS (SELECT * FROM p WHERE nhr = hr + 1),
+           |m AS (SELECT event_type, count(*) AS n,
+           |    sum(y) AS sx, sum(ny) AS sy, sum(y * ny) AS sxy,
+           |    sum(y * y) AS sxx, sum(ny * ny) AS syy
+           |  FROM pp GROUP BY event_type),
+           |c AS (SELECT event_type, n,
+           |    n * sxy - sx * sy AS covn,
+           |    n * sxx - sx * sx AS varx,
+           |    n * syy - sy * sy AS vary
+           |  FROM m WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0),
+           |nd AS (SELECT event_type, n, covn,
+           |    CAST(covn AS HUGEINT) * covn * 1000000 AS num,
+           |    CAST(varx AS HUGEINT) * vary AS den
+           |  FROM c)
+           |SELECT event_type, n AS n_pairs,
+           |  CAST(CASE WHEN covn < 0 THEN -1 WHEN covn > 0 THEN 1
+           |       ELSE 0 END AS BIGINT) AS r_sign,
+           |  CAST((num - num % den) // den AS BIGINT) AS r2_e6
+           |FROM nd
+           |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend)
+    Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
+      autocorr)
 }
