@@ -430,6 +430,126 @@ object Curation {
            |    AS pass_id_checksum
            |FROM r GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** Materialized temperature upsampling (round 5): q_mix_temperature
+    * COMPUTES per-lang repeat factors; this key actually EMITS the
+    * upsampled corpus — every doc repeated `rep_e6 div 1e6` times plus
+    * one fractional extra decided by the shared deterministic mix hash
+    * (frac(doc) = mix(doc_id)·1e6 >> 32 < rep_e6 mod 1e6), then proves
+    * the materialization with a per-lang census: copy counts and both
+    * id- and copy-index checksums pin EXACTLY which rows were emitted,
+    * not just how many. E[n_out] = n_docs·rep_e6/1e6 with zero variance
+    * across runs/engines/partitionings — what a `rand()`-gated repeat
+    * cannot give a training pipeline.
+    *
+    * Scale: the explode IS the op (the upsampled corpus a trainer
+    * reads); the census is projection + partial agg after it. Factors
+    * come from a 5-row broadcast; nothing shuffles except the 5-group
+    * rollup. Copies are bounded by the documented ~9000× imbalance
+    * bound of the factor construction, ~2 here.
+    */
+  private val mixUpsample = QueryDef(
+    "q_mix_upsample",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val factors = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("n_max",
+          max(col("n_docs")).over(Window.partitionBy()))
+        .withColumn("rep_e6", floor(sqrt(
+          expr("(n_max * 1000000000000) div n_docs").cast("double")))
+          .cast("long"))
+        .select(col("lang"), col("n_docs"), col("rep_e6"))
+      val census = docs.select(col("lang"), col("doc_id"))
+        .join(broadcast(factors), "lang")
+        .withColumn("frac",
+          shiftright(Sampling.mix(col("doc_id")) * lit(1000000L), 32))
+        .withColumn("copies", expr("rep_e6 div 1000000") +
+          when(col("frac") < expr("rep_e6 % 1000000"), lit(1L))
+            .otherwise(lit(0L)))
+        .select(col("lang"), col("doc_id"),
+          explode(sequence(lit(1L), col("copies"))).as("copy_idx"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_out"),
+          sum(col("doc_id")).as("out_id_checksum"),
+          sum(col("copy_idx")).as("copy_checksum"))
+      census.join(broadcast(factors), "lang")
+        .select(col("lang"), col("n_docs").as("n_in"), col("rep_e6"),
+          col("n_out"), col("out_id_checksum"), col("copy_checksum"))
+        .orderBy(ascf("lang"))
+    },
+    Some(s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+           |  GROUP BY lang),
+           |m AS (SELECT lang, n_docs,
+           |    (SELECT max(n_docs) FROM c) AS n_max FROM c),
+           |r AS (SELECT lang, n_docs,
+           |    CAST(floor(sqrt(CAST((n_max * 1000000000000) // n_docs
+           |      AS DOUBLE))) AS BIGINT) AS rep_e6 FROM m),
+           |k AS (SELECT d.lang, d.doc_id, r.rep_e6,
+           |    rep_e6 // 1000000 + CASE WHEN
+           |      (${Sampling.mixSql("d.doc_id")} * 1000000) // 4294967296
+           |        < rep_e6 % 1000000 THEN 1 ELSE 0 END AS copies
+           |  FROM documents d JOIN r ON d.lang = r.lang),
+           |e AS (SELECT lang, doc_id,
+           |    unnest(range(1, copies + 1)) AS copy_idx FROM k),
+           |a AS (SELECT lang, count(*) AS n_out,
+           |    CAST(sum(doc_id) AS BIGINT) AS out_id_checksum,
+           |    CAST(sum(copy_idx) AS BIGINT) AS copy_checksum
+           |  FROM e GROUP BY lang)
+           |SELECT r.lang, r.n_docs AS n_in, r.rep_e6,
+           |  a.n_out, a.out_id_checksum, a.copy_checksum
+           |FROM r JOIN a ON r.lang = a.lang
+           |ORDER BY r.lang ASC NULLS FIRST""".stripMargin))
+
+  /** Per-column data profiling (round 5): the null/distinct/min/max
+    * census over every column of `documents` — the first pass every
+    * ingestion pipeline runs on a new source (schema drift, null
+    * floods, and truncated exports all show up here before anything
+    * downstream breaks). min/max are emitted as strings so one output
+    * schema covers heterogeneous column types; integer renderings are
+    * digit-exact on both engines, and the synthetic corpus is ASCII so
+    * binary string ordering agrees (both engines compare codepoints).
+    *
+    * Scale: ONE scan — the five count(DISTINCT) aggregates plan as a
+    * single expand (×5 map-side rows, no extra pass), which is the
+    * standard multi-distinct shape; the result is one row unpivoted to
+    * five. At 100 TB distinct-counting `text` is the dominant shuffle;
+    * where an estimate suffices q_agg_approx_distinct's HLL is the
+    * drop-in (this key grades the EXACT profile).
+    */
+  private val profileCols = QueryDef(
+    "q_profile_cols",
+    (s, d) => {
+      def stats(c: String) = Seq(
+        sum(isnull(col(c)).cast("long")).as(s"nu_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+      val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+      val aggs = cols.flatMap(stats)
+      Tables.documents(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(
+          s"""stack(${cols.length},
+             |${cols.map(c => s"'$c', nu_$c, nd_$c, mn_$c, mx_$c")
+                  .mkString(",\n")})
+             |AS (column_name, n_nulls, n_distinct, min_s, max_s)"""
+            .stripMargin)
+        .orderBy(ascf("column_name"))
+    },
+    Some {
+      val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_s,
+           |  CAST(max($c) AS VARCHAR) AS max_s FROM documents"""
+          .stripMargin
+      }.mkString("", "\nUNION ALL\n",
+        "\nORDER BY column_name ASC NULLS FIRST")
+    })
+
   def defs: Seq[QueryDef] = Seq(packSequences, contamination, repetition,
-    dedupIncremental, mixWeighted, lengthHist, mixTemperature, qualityGopher)
+    dedupIncremental, mixWeighted, lengthHist, mixTemperature, qualityGopher,
+    mixUpsample, profileCols)
 }

@@ -510,7 +510,71 @@ object TimeSeries {
            |FROM nd
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
+  /** CUSUM changepoint detection per metric (round 5): the hour k that
+    * maximizes the cumulative-sum deviation |n·S_k − k·S_n| over the
+    * observed hourly-count series — the standard single-changepoint
+    * locator (the argmax of the CUSUM statistic is the maximum-
+    * likelihood mean-shift split under a Gaussian model). direction > 0
+    * means the pre-split mean exceeds the post-split mean (load fell),
+    * < 0 the reverse. Gaps in the grid are allowed: k indexes OBSERVED
+    * hours (the statistic is well-defined on irregular series; a
+    * calendar-grid variant would compose with q_win_gapfill).
+    *
+    * Determinism: everything is exact int64 — n·S_k ≤ n_hours·total
+    * events ≈ 10⁵·10¹² = 10¹⁷ < 2⁶³ at 100 TB (beyond that widen to
+    * DECIMAL(38,0) per the q_ts_autocorr pattern); ties on |D_k| break
+    * to the EARLIEST hour (D1).
+    *
+    * Scale: hourly partial agg on the scan; both running and whole-
+    * partition window aggregates share ONE (event_type, hr) sort; the
+    * argmax is a second window over the same hour-grain relation.
+    */
+  private val changepoint = QueryDef(
+    "q_ts_changepoint",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"),
+          floorDiv(unix_micros(col("ts")), HourUs).as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("y"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(ascf("hr"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val c = hourly
+        .withColumn("k", row_number().over(wOrd).cast("long"))
+        .withColumn("sk", sum(col("y")).over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("sn", sum(col("y")).over(wAll))
+        .withColumn("dk", col("n") * col("sk") - col("k") * col("sn"))
+      val wPick = Window.partitionBy(col("event_type"))
+        .orderBy(descl(abs(col("dk"))), ascf("hr"))
+      c.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("n").as("n_hours"),
+          col("hr").as("chg_hr"), abs(col("dk")).as("cusum_dev"),
+          when(col("dk") > 0, lit(1L)).when(col("dk") < 0, lit(-1L))
+            .otherwise(lit(0L)).as("direction"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH h AS (SELECT event_type,
+           |    epoch_us(ts) // 3600000000 AS hr, count(*) AS y
+           |  FROM events GROUP BY 1, 2),
+           |c AS (SELECT event_type, hr,
+           |    CAST(row_number() OVER w AS BIGINT) AS k,
+           |    CAST(sum(y) OVER w AS BIGINT) AS sk,
+           |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+           |    CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS sn
+           |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr ASC)),
+           |d AS (SELECT event_type, hr, n, n * sk - k * sn AS dk FROM c),
+           |p AS (SELECT *, row_number() OVER (PARTITION BY event_type
+           |    ORDER BY abs(dk) DESC, hr ASC) AS rn FROM d)
+           |SELECT event_type, n AS n_hours, hr AS chg_hr,
+           |  CAST(abs(dk) AS BIGINT) AS cusum_dev,
+           |  CAST(CASE WHEN dk > 0 THEN 1 WHEN dk < 0 THEN -1 ELSE 0 END
+           |    AS BIGINT) AS direction
+           |FROM p WHERE rn = 1
+           |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
-      autocorr)
+      autocorr, changepoint)
 }
