@@ -81,7 +81,10 @@ object ScaleProbe {
         // round-5 sixth batch: entropy census, degree census, bloom
         // prefilter join, Zipf slope, keyphrases, autocorrelation
         "q_agg_entropy", "q_graph_degree", "q_join_bloom",
-        "q_text_zipf", "q_text_keyphrase", "q_ts_autocorr")) {
+        "q_text_zipf", "q_text_keyphrase", "q_ts_autocorr",
+        // round-5 seventh batch: materialized upsampling, per-column
+        // profile, CUSUM changepoint
+        "q_mix_upsample", "q_profile_cols", "q_ts_changepoint")) {
       val t0 = System.nanoTime()
       val n = Registry.queries(q)(spark, dst).count()
       println(f"SCALE10 $q: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
