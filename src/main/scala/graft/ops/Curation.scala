@@ -549,7 +549,60 @@ object Curation {
         "\nORDER BY column_name ASC NULLS FIRST")
     })
 
+  /** Join-key skew profile (round 5): per-key-column cardinality and
+    * heavy-hitter census over lineitem's three join keys — the
+    * statistic that DECIDES the physical join strategy the rest of the
+    * surface exhibits (broadcast vs shuffle vs `plans.SaltedJoin` vs
+    * AQE skew split). top1_share_e6 = heaviest key's row share;
+    * skew_e6 = max/avg group size in 1e-6 units (1e6 = perfectly
+    * uniform) — the salting trigger. Emitting it as a graded key makes
+    * the planning input itself reproducible.
+    *
+    * Scale: stack(3) multiplies the scan ×3 ONCE, then two-level agg —
+    * (key, value)-grain partial agg absorbs the volume map-side; the
+    * second agg is key-cardinality-sized. max_cnt·1e6 < 2⁶³ to ~10¹²
+    * rows per key value; max_cnt·n_keys·1e6 runs in DECIMAL(38,0)/
+    * HUGEINT (overflows int64 exactly in the high-cardinality regime
+    * the profile exists for).
+    */
+  private val profileSkew = QueryDef(
+    "q_profile_skew",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .selectExpr("""stack(3,
+          |  'l_orderkey', l_orderkey,
+          |  'l_partkey', l_partkey,
+          |  'l_suppkey', l_suppkey) AS (key_name, k)""".stripMargin)
+        .groupBy(col("key_name"), col("k"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("key_name"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_cnt"))
+        .withColumn("top1_share_e6", expr("max_cnt * 1000000 div n_rows"))
+        .withColumn("skew_e6", expr(
+          "CAST(max_cnt AS DECIMAL(38,0)) * n_keys * 1000000 div n_rows"))
+        .select(col("key_name"), col("n_rows"), col("n_keys"),
+          col("max_cnt"), col("top1_share_e6"), col("skew_e6"))
+        .orderBy(ascf("key_name"))
+    },
+    Some("""WITH s AS (
+           |    SELECT 'l_orderkey' AS key_name, l_orderkey AS k FROM lineitem
+           |  UNION ALL
+           |    SELECT 'l_partkey', l_partkey FROM lineitem
+           |  UNION ALL
+           |    SELECT 'l_suppkey', l_suppkey FROM lineitem),
+           |g AS (SELECT key_name, k, count(*) AS c FROM s GROUP BY 1, 2),
+           |a AS (SELECT key_name, count(*) AS n_keys,
+           |    CAST(sum(c) AS BIGINT) AS n_rows,
+           |    CAST(max(c) AS BIGINT) AS max_cnt FROM g GROUP BY 1)
+           |SELECT key_name, n_rows, n_keys, max_cnt,
+           |  CAST(max_cnt * 1000000 // n_rows AS BIGINT) AS top1_share_e6,
+           |  CAST(CAST(max_cnt AS HUGEINT) * n_keys * 1000000 // n_rows
+           |    AS BIGINT) AS skew_e6
+           |FROM a ORDER BY key_name ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(packSequences, contamination, repetition,
     dedupIncremental, mixWeighted, lengthHist, mixTemperature, qualityGopher,
-    mixUpsample, profileCols)
+    mixUpsample, profileCols, profileSkew)
 }

@@ -138,31 +138,43 @@ object Multimodal {
     * 78)·256, rate = 8000 + (id%8)·1000 Hz) → a real binary column →
     * mapPartitions RIFF/PCM parse → exact per-rate aggregation.
     */
+  /** Shared WAV synth stage: one clip per document, sample i =
+    * (ascii(char_i) − 78)·256, rate = 8000 + (id%8)·1000 Hz. Both audio
+    * keys start from this Dataset (same construction, so the oracles
+    * share the char-index arithmetic).
+    */
+  private def wavClips(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val samples = new Array[Short](text.length)
+        var i = 0
+        while (i < text.length) {
+          samples(i) = ((text.charAt(i).toInt - 78) * 256).toShort
+          i += 1
+        }
+        AudioClip(id, graft.functions.Codecs.Wav.encode(
+          8000 + (id % 8).toInt * 1000, samples))
+      })
+  }
+
+  /** Decoded-clip amplitude stats, shared by both audio keys. */
+  private def wavFeatures(clips: org.apache.spark.sql.Dataset[AudioClip]) =
+    clips.mapPartitions(_.map { c =>
+      val (sr, samples) = graft.functions.Codecs.Wav.decode(c.payload)
+      var sumAbs = 0L; var peak = 0L; var i = 0
+      while (i < samples.length) {
+        val a = math.abs(samples(i).toLong)
+        sumAbs += a; if (a > peak) peak = a; i += 1
+      }
+      AudioFeatures(c.media_id, sr, samples.length.toLong, sumAbs, peak)
+    })(org.apache.spark.sql.Encoders.product[AudioFeatures])
+
   private val mmAudioPcm = QueryDef(
     "q_mm_audio_pcm",
     (s, d) => {
-      import s.implicits._
-      val clips = Tables.documents(s, d)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .mapPartitions(_.map { case (id, text) =>
-          val samples = new Array[Short](text.length)
-          var i = 0
-          while (i < text.length) {
-            samples(i) = ((text.charAt(i).toInt - 78) * 256).toShort
-            i += 1
-          }
-          AudioClip(id, graft.functions.Codecs.Wav.encode(
-            8000 + (id % 8).toInt * 1000, samples))
-        })
-      val feats = clips.mapPartitions(_.map { c =>
-        val (sr, samples) = graft.functions.Codecs.Wav.decode(c.payload)
-        var sumAbs = 0L; var peak = 0L; var i = 0
-        while (i < samples.length) {
-          val a = math.abs(samples(i).toLong)
-          sumAbs += a; if (a > peak) peak = a; i += 1
-        }
-        AudioFeatures(c.media_id, sr, samples.length.toLong, sumAbs, peak)
-      })
+      val feats = wavFeatures(wavClips(s, d))
       feats.groupBy(col("sample_rate"))
         .agg(count(lit(1)).as("n_clips"),
           sum(col("n_samples")).as("total_samples"),
@@ -369,6 +381,62 @@ object Multimodal {
            |  CAST(sum(out_sum) AS BIGINT) AS resized_checksum
            |FROM f GROUP BY width ORDER BY width ASC NULLS FIRST""".stripMargin))
 
+  /** Audio DOWNSAMPLE (round 5 — the temporal twin of
+    * q_mm_image_resize's spatial 2×): decode each WAV, keep every 2nd
+    * sample (kept(i) = src(2i) — pure decimation, the deterministic
+    * kernel; a low-pass prefilter would put engine-varying float math
+    * in the hash path exactly like bilinear resize would), RE-ENCODE at
+    * half the rate, decode again, and census per OUTPUT rate. The
+    * double encode/decode round-trip means the oracle — which
+    * recomputes kept-sample amplitude from source chars via index
+    * arithmetic (1-based odd positions = 0-based even samples) — breaks
+    * on a header-rewrite, stride, or boundary bug in EITHER pass.
+    *
+    * Scale: typed Dataset + mapPartitions like the other codec paths —
+    * per-byte work, no shuffle before the 8-group census; halving
+    * sample volume before storage/feature-extraction is the standard
+    * audio-pipeline cost bound (16 kHz mono is the ASR-canonical rate).
+    *
+    * Rates stay exact: 8000 + k·1000 are all even, so sr div 2 =
+    * 4000 + k·500 Hz with no truncation ambiguity. Empty docs
+    * round-trip as valid zero-sample clips ((0+1) div 2 = 0 on both
+    * engines).
+    */
+  private val mmAudioDownsample = QueryDef(
+    "q_mm_audio_downsample",
+    (s, d) => {
+      import s.implicits._
+      val down = wavClips(s, d).mapPartitions(_.map { c =>
+        val (sr, samples) = graft.functions.Codecs.Wav.decode(c.payload)
+        val kept = new Array[Short]((samples.length + 1) / 2)
+        var i = 0
+        while (i < kept.length) { kept(i) = samples(i * 2); i += 1 }
+        AudioClip(c.media_id, graft.functions.Codecs.Wav.encode(sr / 2, kept))
+      })
+      wavFeatures(down).groupBy(col("sample_rate"))
+        .agg(count(lit(1)).as("n_clips"),
+          sum(col("n_samples")).as("kept_samples"),
+          sum(col("sum_abs")).as("amp_checksum"),
+          max(col("peak")).as("max_peak"))
+        .orderBy(ascf("sample_rate"))
+    },
+    Some("""WITH f AS (SELECT
+           |    4000 + CAST(doc_id % 8 AS INTEGER) * 500 AS sample_rate,
+           |    CAST((len(text) + 1) // 2 AS BIGINT) AS n_samples,
+           |    CAST(coalesce(list_sum(list_transform(range(1, len(text) + 1, 2),
+           |      i -> abs((ascii(substring(text, i, 1)) - 78) * 256))), 0)
+           |      AS BIGINT) AS sum_abs,
+           |    CAST(coalesce(list_max(list_transform(range(1, len(text) + 1, 2),
+           |      i -> abs((ascii(substring(text, i, 1)) - 78) * 256))), 0)
+           |      AS BIGINT) AS peak
+           |  FROM documents)
+           |SELECT sample_rate, count(*) AS n_clips,
+           |  CAST(sum(n_samples) AS BIGINT) AS kept_samples,
+           |  CAST(sum(sum_abs) AS BIGINT) AS amp_checksum,
+           |  CAST(max(peak) AS BIGINT) AS max_peak
+           |FROM f GROUP BY sample_rate
+           |ORDER BY sample_rate ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(mmBinary, mmFeatures, mmAudioPcm, mmImageGray,
-    mmVideoFrames, mmImageResize)
+    mmVideoFrames, mmImageResize, mmAudioDownsample)
 }
