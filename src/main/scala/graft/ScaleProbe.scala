@@ -84,7 +84,10 @@ object ScaleProbe {
         "q_text_zipf", "q_text_keyphrase", "q_ts_autocorr",
         // round-5 seventh batch: materialized upsampling, per-column
         // profile, CUSUM changepoint
-        "q_mix_upsample", "q_profile_cols", "q_ts_changepoint")) {
+        "q_mix_upsample", "q_profile_cols", "q_ts_changepoint",
+        // round-5 eighth batch: exact-integer HLL, audio decimation,
+        // join-key skew profile
+        "q_sketch_hll", "q_mm_audio_downsample", "q_profile_skew")) {
       val t0 = System.nanoTime()
       val n = Registry.queries(q)(spark, dst).count()
       println(f"SCALE10 $q: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
