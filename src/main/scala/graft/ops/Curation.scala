@@ -602,7 +602,58 @@ object Curation {
            |    AS BIGINT) AS skew_e6
            |FROM a ORDER BY key_name ASC NULLS FIRST""".stripMargin))
 
+  /** Equi-depth decile boundaries (round 5): the optimizer-statistics /
+    * feature-binning histogram q_profile_hist's fixed-WIDTH buckets
+    * can't give — boundary_k = min{v : F(v) ≥ ⌈k·N/10⌉} over the
+    * doc-length distribution (the discrete lower-quantile; k = 10 is
+    * the max). Defined on the VALUE grain, so ties are unambiguous
+    * cross-engine (ntile would split equal values by row order — D1
+    * territory); targets ⌈kN/10⌉ stay pure integer: (k·N + 9) div 10.
+    *
+    * Scale: this is deliberately NOT a global-sort ntile — the
+    * cumulative distribution is computed on the value-grain relation
+    * (distinct doc lengths ≪ corpus; partial agg on the scan), the
+    * unpartitioned cumsum window runs on THAT tiny relation, and the
+    * 10-target probe is a broadcast-sized join. The same plan at
+    * 100 TB sorts thousands of rows, not 10¹².
+    */
+  private val profileDepth = QueryDef(
+    "q_profile_depth",
+    (s, d) => {
+      val hist = Tables.documents(s, d)
+        .groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+      val wCum = Window.orderBy(ascf("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+      cum.crossJoin(s.range(1, 11).toDF("k"))
+        .filter(col("cum") >= expr("(k * total + 9) div 10"))
+        .groupBy(col("k"))
+        .agg(min(col("n_chars")).as("boundary"))
+        .join(cum.select(col("n_chars").as("boundary"), col("cum")),
+          "boundary")
+        .select(col("k"), col("boundary").cast("long").as("boundary"),
+          col("cum").as("cum_cnt"))
+        .orderBy(ascf("k"))
+    },
+    Some("""WITH h AS (SELECT n_chars, count(*) AS cnt FROM documents
+           |  GROUP BY n_chars),
+           |c AS (SELECT n_chars, cnt,
+           |    CAST(sum(cnt) OVER (ORDER BY n_chars ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum,
+           |    CAST(sum(cnt) OVER () AS BIGINT) AS total FROM h),
+           |b AS (SELECT k.range AS k, min(c.n_chars) AS boundary
+           |  FROM c CROSS JOIN range(1, 11) k
+           |  WHERE c.cum >= (k.range * c.total + 9) // 10
+           |  GROUP BY 1)
+           |SELECT b.k, CAST(b.boundary AS BIGINT) AS boundary,
+           |  c.cum AS cum_cnt
+           |FROM b JOIN c ON b.boundary = c.n_chars
+           |ORDER BY k ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(packSequences, contamination, repetition,
     dedupIncremental, mixWeighted, lengthHist, mixTemperature, qualityGopher,
-    mixUpsample, profileCols, profileSkew)
+    mixUpsample, profileCols, profileSkew, profileDepth)
 }

@@ -451,7 +451,122 @@ object Similarity {
            |FROM r WHERE rnk <= 3
            |ORDER BY probe_id ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin))
 
+  /** Binary-cosine (Ochiai) ≥ 0.95 self-join over token SETS (round 5):
+    * cos(A,B) = |A∩B|/√(|A||B|) — the size-normalized cousin of
+    * q_sim_jaccard_pairs that tolerates subset-skewed pairs Jaccard
+    * punishes (cos admits |B| up to |A|/t² ≈ 1.11·|A|; J ≥ 0.95 caps
+    * the symmetric difference at ~5% of the union). Same scalable
+    * exact-join architecture: identical-set grouping, then a PPJoin
+    * prefix filter under the per-lang (df asc, token asc) total order
+    * with the COSINE prefix length p = n − ⌈t²n⌉ + 1, computed in pure
+    * integers as n − (9025n + 9999) div 10000 + 1.
+    *
+    * Losslessness (cited bound): a qualifying pair has inter ≥
+    * t·√(n_a·n_b) ≥ ⌈t²·max(n_a, n_b)⌉ (feasible sizes satisfy
+    * n_b ∈ [t²n_a, n_a/t²]), and if |A∩B| ≥ α the (n−α+1)-prefixes
+    * must intersect (the SSJoin/AllPairs prefix lemma); our per-set
+    * α = ⌈t²n⌉ only LENGTHENS prefixes vs the pairwise-optimal α, so
+    * the candidate set is a superset. The ORACLE is the naive
+    * postings join with the same integer predicate, so the hash match
+    * PROVES the filter lossless on every fixture — the
+    * q_sim_jaccard_pairs grading argument.
+    *
+    * Determinism: the verify is exact integer cross-multiplication
+    * (10⁴·inter² ≥ 9025·n₁·n₂); cos_e6 = floor(inter·10⁶/√(n₁n₂))
+    * uses only IEEE-determined ops (exact int→double below 2⁵³,
+    * correctly-rounded sqrt and division, floor) — bit-identical
+    * cross-engine, then summed as int64 (order-free).
+    *
+    * Scale: one shuffle to set-groups, one to per-lang df; the
+    * candidate join carries only ~0.1·n rare-token prefix postings per
+    * group; exact verify only on candidates; dup clusters cost one
+    * group row. Census output (per-lang pair counts + checksums), so
+    * output stays grain-sized even when the pair set is large.
+    */
+  private val simCosineSets = QueryDef(
+    "q_sim_cosine_sets",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          array_sort(array_distinct(split(col("text"), " "))).as("st"))
+      val groups = graft.Caches.scoped(docs.groupBy(col("lang"), col("st"))
+        .agg(min(col("doc_id")).as("gid"),
+          sort_array(collect_list(col("doc_id"))).as("ids"),
+          count(lit(1)).as("c"))
+        .withColumn("n", size(col("st")).cast("long")))
+      val toks = groups.select(col("lang"), col("gid"),
+        explode(col("st")).as("w"))
+      val dfreq = toks.groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("df"))
+      val wG = Window.partitionBy(col("gid"))
+      val prefix = toks.join(dfreq, Seq("lang", "w"))
+        .withColumn("pos",
+          row_number().over(wG.orderBy(ascf("df"), ascf("w"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(wG))
+        .filter(col("pos") <= col("n") - expr("(9025 * n + 9999) div 10000") + 1)
+      val cand = prefix.alias("a")
+        .join(prefix.alias("b"),
+          col("a.lang") === col("b.lang") && col("a.w") === col("b.w") &&
+            col("a.gid") < col("b.gid"))
+        .select(col("a.gid").as("g1"), col("b.gid").as("g2")).distinct()
+      val ga = groups.select(col("lang"), col("gid").as("g1"),
+        col("st").as("st1"), col("ids").as("ids1"), col("n").as("n1"))
+      val gb = groups.select(col("gid").as("g2"), col("st").as("st2"),
+        col("ids").as("ids2"), col("n").as("n2"))
+      val crossPairs = cand.join(ga, "g1").join(gb, "g2")
+        .withColumn("inter",
+          size(array_intersect(col("st1"), col("st2"))).cast("long"))
+        .filter(col("inter") * col("inter") * 10000 >=
+          lit(9025L) * col("n1") * col("n2"))
+        .withColumn("cos_e6", floor((col("inter") * 1000000L).cast("double")
+          / sqrt((col("n1") * col("n2")).cast("double"))).cast("long"))
+        .select(col("lang"), col("cos_e6"), explode(expr(
+          """flatten(transform(ids1, i ->
+            |  transform(ids2, j -> struct(least(i, j) as d1,
+            |    greatest(i, j) as d2))))""".stripMargin)).as("p"))
+        .select(col("lang"), col("p.d1").as("d1"), col("p.d2").as("d2"),
+          col("cos_e6"))
+      val samePairs = groups.filter(col("c") >= 2)
+        .select(col("lang"), explode(expr(
+          """flatten(transform(ids, a ->
+            |  filter(transform(ids, b -> struct(a as d1, b as d2)),
+            |    p -> p.d1 < p.d2)))""".stripMargin)).as("p"))
+        .select(col("lang"), col("p.d1").as("d1"), col("p.d2").as("d2"),
+          lit(1000000L).as("cos_e6"))
+      samePairs.union(crossPairs)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("cos_e6") === 1000000L, 1L).otherwise(0L))
+            .as("n_exact"),
+          sum(col("d1") + col("d2")).as("id_checksum"),
+          sum(col("cos_e6")).as("cos_checksum"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH t AS (SELECT doc_id, lang,
+           |  unnest(list_distinct(string_split(text, ' '))) AS w
+           |  FROM documents),
+           |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+           |p AS (SELECT a.lang, a.doc_id AS d1, b.doc_id AS d2,
+           |    count(*) AS inter
+           |  FROM t a JOIN t b
+           |    ON a.lang = b.lang AND a.w = b.w AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2, 3),
+           |q AS (SELECT lang, d1, d2, inter, s1.n AS n1, s2.n AS n2
+           |  FROM p JOIN sz s1 ON p.d1 = s1.doc_id
+           |         JOIN sz s2 ON p.d2 = s2.doc_id
+           |  WHERE inter * inter * 10000 >= 9025 * s1.n * s2.n),
+           |e AS (SELECT lang, d1, d2,
+           |    CAST(floor(CAST(inter * 1000000 AS DOUBLE)
+           |      / sqrt(CAST(n1 * n2 AS DOUBLE))) AS BIGINT) AS cos_e6
+           |  FROM q)
+           |SELECT lang, count(*) AS n_pairs,
+           |  CAST(sum(CASE WHEN cos_e6 = 1000000 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_exact,
+           |  CAST(sum(d1 + d2) AS BIGINT) AS id_checksum,
+           |  CAST(sum(cos_e6) AS BIGINT) AS cos_checksum
+           |FROM e GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     dedupExact, simJaccard, simCosineTopk, simThresholdJoin, simKnnJoin,
-    dedupMinhash, sampleNegative)
+    dedupMinhash, sampleNegative, simCosineSets)
 }

@@ -574,7 +574,54 @@ object TimeSeries {
            |FROM p WHERE rn = 1
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
+  /** Hour-of-day seasonality profile per metric (round 5): the 24-slot
+    * diurnal index — idx_e6 = slot share × 24 in 1e-6 units (1e6 =
+    * flat) — the periodic-structure census that complements
+    * q_ts_changepoint (level shifts) and q_ts_autocorr (persistence).
+    * A training pipeline reads it to schedule scrapes/compaction off
+    * the peak slots; an anomaly gate normalizes by it before the 3σ
+    * rule.
+    *
+    * hod = (epoch_µs div 3600·10⁶) mod 24 is UTC-midnight-aligned on
+    * both engines (epoch 0 is 00:00); all arithmetic exact int64, with
+    * the n·24·10⁶ product widened to DECIMAL(38,0)/HUGEINT (overflows
+    * int64 past ~4·10¹¹ events per slot — exactly the 100 TB regime).
+    *
+    * Scale: (type, hod) partial agg on the scan — ≤ types·24 groups
+    * per map partition; the per-type total re-aggregates the 120-row
+    * relation, never the corpus.
+    */
+  private val seasonality = QueryDef(
+    "q_ts_seasonality",
+    (s, d) => {
+      val slots = Tables.events(s, d)
+        .select(col("event_type"),
+          (floorDiv(unix_micros(col("ts")), HourUs) % 24).as("hod"))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n_events"))
+      val wT = Window.partitionBy(col("event_type"))
+      slots
+        .withColumn("total", sum(col("n_events")).over(wT))
+        .withColumn("idx_e6", expr(
+          "CAST(n_events AS DECIMAL(38,0)) * 24000000 div total"))
+        .select(col("event_type"), col("hod"), col("n_events"),
+          col("idx_e6"))
+        .orderBy(ascf("event_type"), ascf("hod"))
+    },
+    Some("""WITH sl AS (SELECT event_type,
+           |    (epoch_us(ts) // 3600000000) % 24 AS hod,
+           |    count(*) AS n_events
+           |  FROM events GROUP BY 1, 2),
+           |t AS (SELECT event_type, hod, n_events,
+           |    sum(n_events) OVER (PARTITION BY event_type) AS total
+           |  FROM sl)
+           |SELECT event_type, hod, n_events,
+           |  CAST(CAST(n_events AS HUGEINT) * 24000000 // total AS BIGINT)
+           |    AS idx_e6
+           |FROM t
+           |ORDER BY event_type ASC NULLS FIRST, hod ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
-      autocorr, changepoint)
+      autocorr, changepoint, seasonality)
 }
