@@ -87,7 +87,10 @@ object ScaleProbe {
         "q_mix_upsample", "q_profile_cols", "q_ts_changepoint",
         // round-5 eighth batch: exact-integer HLL, audio decimation,
         // join-key skew profile
-        "q_sketch_hll", "q_mm_audio_downsample", "q_profile_skew")) {
+        "q_sketch_hll", "q_mm_audio_downsample", "q_profile_skew",
+        // round-5 ninth batch: binary-cosine prefix join, equi-depth
+        // deciles, diurnal seasonality
+        "q_sim_cosine_sets", "q_profile_depth", "q_ts_seasonality")) {
       val t0 = System.nanoTime()
       val n = Registry.queries(q)(spark, dst).count()
       println(f"SCALE10 $q: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
