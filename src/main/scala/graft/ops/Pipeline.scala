@@ -656,7 +656,130 @@ object Pipeline {
            |LEFT JOIN np ON base.lang = np.lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** Oracle-graded SimHash near-dup (round 5): the exactly-graded twin
+    * of `q_dedup_simhash` (whose xxhash64 token hash is engine-specific
+    * ⇒ declared no-oracle). Every stage here is arithmetic BOTH engines
+    * evaluate bit-identically — the count-min/HLL argument applied to
+    * the third and last sketch family on the surface:
+    *
+    *  - token → int: 31-adic pack of the first 4 chars + 97·length
+    *    (ascii of past-end substring is 0 on both engines);
+    *  - avalanche: mod-prime → xor-shift → mod-prime (the HLL mix —
+    *    a single linear round leaves progression structure);
+    *  - 60-bit signature: bit b (b < 60) votes with the middle bit of
+    *    g·(2b+105)+b mod P — per-lane odd multipliers as ARITHMETIC, not
+    *    a 60-branch CASE (the DetMath lesson: wide CASE ladders break
+    *    whole-stage codegen); per-(doc, b) vote sums partial-aggregate
+    *    on the scan; tie Σ±1 = 0 votes 1 (pinned). 60 not 64: the top
+    *    band of a 64-bit sig would need shiftleft(1L, 63) = the sign
+    *    bit, where the engines' overflow behavior differs (DuckDB
+    *    errors, Spark wraps);
+    *  - candidates: 4 bands × 15 bits (32768 buckets/band) — hamming
+    *    ≤ 3 with 4 bands leaves ≥ 1 band untouched (pigeonhole — a
+    *    THEOREM, so the band-join oracle mirrors the construction
+    *    rather than paying the naive n² join; losslessness here needs
+    *    no per-fixture proof);
+    *  - verify: bit_count(s1 xor s2) ≤ 3, exact on candidates only.
+    *
+    * Census per lang (pair/exact counts + id/hamming checksums) keeps
+    * the output grain-sized. Scale: the ×60 lane explode is map-side
+    * projection feeding a (doc, b)-grain partial agg (shuffle carries
+    * 60·n rows); candidates are ~n²/32768 per band per lang — the same
+    * budget as the declared no-oracle simhash.
+    */
+  private val dedupSimhashExact = QueryDef(
+    "q_dedup_simhash_exact",
+    (s, d) => {
+      val P = 2147483647L
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(split(col("text"), " "))).as("w"))
+        .withColumn("t",
+          ascii(substring(col("w"), 1, 1)).cast("bigint") * 29791 +
+            ascii(substring(col("w"), 2, 1)).cast("bigint") * 961 +
+            ascii(substring(col("w"), 3, 1)).cast("bigint") * 31 +
+            ascii(substring(col("w"), 4, 1)).cast("bigint") +
+            length(col("w")).cast("bigint") * 97)
+        .withColumn("h1", expr(s"((t % $P) * 15485863 + 101) % $P"))
+        .withColumn("g", expr("h1 ^ shiftright(h1, 15)"))
+      val votes = toks
+        .select(col("doc_id"), col("lang"), col("g"),
+          explode(sequence(lit(0L), lit(59L))).as("b"))
+        .withColumn("hb", expr(s"((g % $P) * (2 * b + 105) + b) % $P"))
+        .withColumn("v", expr(
+          "CASE WHEN shiftright(hb, 15) & 1 = 1 THEN 1L ELSE -1L END"))
+        .groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(sum(col("v")).as("sv"))
+      val sigs = graft.Caches.scoped(votes
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(when(col("sv") >= 0, expr(
+          "shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+          .otherwise(0L)).as("sig")))
+      val bands = sigs.select(col("doc_id"), col("lang"), col("sig"),
+          explode(sequence(lit(0L), lit(3L))).as("k"))
+        .withColumn("bandv", expr("shiftright(sig, CAST(k * 15 AS INT)) & 32767"))
+      val cand = bands.alias("x").join(bands.alias("y"),
+          col("x.lang") === col("y.lang") && col("x.k") === col("y.k") &&
+            col("x.bandv") === col("y.bandv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.lang").as("lang"), col("x.doc_id").as("d1"),
+          col("x.sig").as("s1"), col("y.doc_id").as("d2"),
+          col("y.sig").as("s2"))
+        .distinct()
+      cand
+        .withColumn("ham", expr("CAST(bit_count(s1 ^ s2) AS BIGINT)"))
+        .filter(col("ham") <= 3)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("ham") === 0, 1L).otherwise(0L)).as("n_exact"),
+          sum(col("d1") + col("d2")).as("id_checksum"),
+          sum(col("ham")).as("ham_sum"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH tk AS (SELECT doc_id, lang,
+           |    unnest(list_distinct(string_split(text, ' '))) AS w
+           |  FROM documents),
+           |ti AS (SELECT doc_id, lang,
+           |    CAST(ascii(substring(w, 1, 1)) AS BIGINT) * 29791 +
+           |    CAST(ascii(substring(w, 2, 1)) AS BIGINT) * 961 +
+           |    CAST(ascii(substring(w, 3, 1)) AS BIGINT) * 31 +
+           |    CAST(ascii(substring(w, 4, 1)) AS BIGINT) +
+           |    CAST(length(w) AS BIGINT) * 97 AS t FROM tk),
+           |av AS (SELECT doc_id, lang,
+           |    ((t % 2147483647) * 15485863 + 101) % 2147483647 AS h1
+           |  FROM ti),
+           |g1 AS (SELECT doc_id, lang, xor(h1, h1 >> 15) AS g FROM av),
+           |ln AS (SELECT doc_id, lang, g, r.range AS b
+           |  FROM g1 CROSS JOIN range(60) r),
+           |vt AS (SELECT doc_id, lang, b,
+           |    CASE WHEN (((g % 2147483647) * (2 * b + 105) + b)
+           |      % 2147483647 >> 15) & 1 = 1 THEN 1 ELSE -1 END AS v
+           |  FROM ln),
+           |sv AS (SELECT doc_id, lang, b, sum(v) AS sv
+           |  FROM vt GROUP BY 1, 2, 3),
+           |sg AS (SELECT doc_id, lang,
+           |    CAST(sum(CASE WHEN sv >= 0
+           |      THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+           |      ELSE 0 END) AS BIGINT) AS sig
+           |  FROM sv GROUP BY 1, 2),
+           |bd AS (SELECT doc_id, lang, sig, r.range AS k,
+           |    (sig >> CAST(k * 15 AS INTEGER)) & 32767 AS bandv
+           |  FROM sg CROSS JOIN range(4) r),
+           |cd AS (SELECT DISTINCT x.lang, x.doc_id AS d1, x.sig AS s1,
+           |    y.doc_id AS d2, y.sig AS s2
+           |  FROM bd x JOIN bd y ON x.lang = y.lang AND x.k = y.k
+           |    AND x.bandv = y.bandv AND x.doc_id < y.doc_id),
+           |hm AS (SELECT lang, d1, d2,
+           |    CAST(bit_count(xor(s1, s2)) AS BIGINT) AS ham FROM cd
+           |  WHERE bit_count(xor(s1, s2)) <= 3)
+           |SELECT lang, count(*) AS n_pairs,
+           |  CAST(sum(CASE WHEN ham = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_exact,
+           |  CAST(sum(d1 + d2) AS BIGINT) AS id_checksum,
+           |  CAST(sum(ham) AS BIGINT) AS ham_sum
+           |FROM hm GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     dedupSimhash, dedupNgram, dedupEmbed, simAnnLsh, simCentroid, simAnnIvf,
-    pipelineE2e, dedupComponents, containment)
+    pipelineE2e, dedupComponents, containment, dedupSimhashExact)
 }

@@ -132,5 +132,65 @@ object Sampling {
             |FROM b GROUP BY lang, split
             |ORDER BY lang ASC NULLS FIRST, split ASC NULLS FIRST""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(sampleHash, sampleStratified, splitTrainVal)
+  /** Deterministic bootstrap resampling (round 5): B = 16 replicas of
+    * the corpus, each doc drawn w ∈ {0,1,2,3} times per replica by a
+    * Poisson(1)-CDF threshold test on the shared mix hash of
+    * (doc_id·16 + j) — the with-replacement draw a bootstrap needs,
+    * with ZERO variance across runs/engines/partitionings (`rand()`
+    * bootstrap is neither reproducible nor oracle-able). Thresholds
+    * are the Poisson(1) CDF in exact 2³²-units (e⁻¹, 2e⁻¹, 2.5e⁻¹
+    * cumulative → 1580030169 / 3160060338 / 3950075423; the ≥ 4 tail,
+    * mass ~1.9%, rounds into w = 3 — a pinned, documented truncation).
+    * Per-replica mean doc length: the spread across the 16 rows IS the
+    * bootstrap standard error of the corpus mean — error bars for any
+    * corpus statistic without a second pass over history.
+    *
+    * A threshold test is immune to the sequential-id structure that
+    * biased the HLL's trailing-zero test on a linear hash: an
+    * arithmetic progression equidistributes over [0, 2³²), so the
+    * fraction below each threshold converges correctly (same argument
+    * as the sample/split keys).
+    *
+    * Scale: ×16 lane explode is map-side projection; the shuffle
+    * carries 16 partial rows per map partition. sum_len·10⁶ widened to
+    * DECIMAL(38,0)/HUGEINT (overflows int64 past ~9·10¹² total chars).
+    */
+  private val sampleBootstrap = QueryDef(
+    "q_sample_bootstrap",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0L), lit(15L))).as("j"))
+        .withColumn("u", mix(col("doc_id") * 16 + col("j")))
+        .withColumn("w",
+          when(col("u") < 1580030169L, 0L)
+            .when(col("u") < 3160060338L, 1L)
+            .when(col("u") < 3950075423L, 2L)
+            .otherwise(3L))
+        .groupBy(col("j"))
+        .agg(sum(col("w")).as("n_drawn"),
+          sum(col("w") * col("n_chars")).as("sum_len"))
+        .withColumn("mean_len_e6", expr(
+          "CAST(sum_len AS DECIMAL(38,0)) * 1000000 div n_drawn"))
+        .select(col("j"), col("n_drawn"), col("sum_len"),
+          col("mean_len_e6"))
+        .orderBy(ascf("j")),
+    Some(s"""WITH l AS (SELECT doc_id, n_chars, r.range AS j
+           |  FROM documents CROSS JOIN range(16) r),
+           |u AS (SELECT j, n_chars,
+           |    ${mixSql("(doc_id * 16 + j)")} AS u FROM l),
+           |w AS (SELECT j, n_chars,
+           |    CASE WHEN u < 1580030169 THEN 0
+           |         WHEN u < 3160060338 THEN 1
+           |         WHEN u < 3950075423 THEN 2 ELSE 3 END AS w FROM u),
+           |a AS (SELECT j, CAST(sum(w) AS BIGINT) AS n_drawn,
+           |    CAST(sum(w * n_chars) AS BIGINT) AS sum_len
+           |  FROM w GROUP BY j)
+           |SELECT j, n_drawn, sum_len,
+           |  CAST(CAST(sum_len AS HUGEINT) * 1000000 // n_drawn AS BIGINT)
+           |    AS mean_len_e6
+           |FROM a ORDER BY j ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(sampleHash, sampleStratified, splitTrainVal,
+    sampleBootstrap)
 }
