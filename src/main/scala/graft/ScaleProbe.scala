@@ -90,7 +90,11 @@ object ScaleProbe {
         "q_sketch_hll", "q_mm_audio_downsample", "q_profile_skew",
         // round-5 ninth batch: binary-cosine prefix join, equi-depth
         // deciles, diurnal seasonality
-        "q_sim_cosine_sets", "q_profile_depth", "q_ts_seasonality")) {
+        "q_sim_cosine_sets", "q_profile_depth", "q_ts_seasonality",
+        // round-5 tenth batch: graph node similarity, bootstrap,
+        // oracle-graded simhash
+        "q_graph_jaccard", "q_sample_bootstrap",
+        "q_dedup_simhash_exact")) {
       val t0 = System.nanoTime()
       val n = Registry.queries(q)(spark, dst).count()
       println(f"SCALE10 $q: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
