@@ -223,5 +223,116 @@ object Sketch {
          |ORDER BY t.event_type ASC NULLS FIRST""".stripMargin
     })
 
-  def defs: Seq[QueryDef] = Seq(countmin, hll)
+  /** Incremental/streaming HLL maintenance (round 5): registers built
+    * PER DAY SLICE (the micro-batch grain of the streaming runtime),
+    * then MERGED by register-wise max — and the ORACLE is the direct
+    * whole-corpus computation, so the hash match GRADES the identity
+    * merge(sketch(slice₁), …, sketch(sliceₖ)) ≡ sketch(corpus), the
+    * property that makes HLL maintainable under streaming ingest with
+    * 2 KiB of state per group (q_agg_incremental's algebraic-merge
+    * grading applied to a sketch). n_slices rides along as merge
+    * provenance (how many daily partials fed each type's registers).
+    *
+    * Scale: the nightly cost is one batch-slice scan + a (type, r)-
+    * grain max-merge — never a history re-scan; a register table from
+    * yesterday merges with today's partial by the same max. This is
+    * the q_stream_upsert keyed-state shape with sketch registers as
+    * the state value.
+    */
+  private val hllMerge = QueryDef(
+    "q_sketch_hll_merge",
+    (s, d) => {
+      val DayUs = 86400000000L
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id").as("u"),
+          graft.Dsl.floorDiv(unix_micros(col("ts")), DayUs).as("slice"))
+      val sliceReg = ev
+        .withColumn("h1", expr(HllHash1))
+        .withColumn("g", expr("h1 ^ shiftright(h1, 15)"))
+        .withColumn("hv", expr(hllHash2("g")))
+        .withColumn("r", expr("hv % 256"))
+        .withColumn("w", expr("hv div 256"))
+        .withColumn("rho", expr(
+          "CASE WHEN w = 0 THEN 24L ELSE CAST(bit_count((w & -w) - 1) + 1 AS BIGINT) END"))
+        .groupBy(col("event_type"), col("slice"), col("r"))
+        .agg(max(col("rho")).as("mr"))
+      // the streaming-maintenance step under grade: register-wise max
+      // over per-slice partial sketches
+      val regMax = sliceReg.groupBy(col("event_type"), col("r"))
+        .agg(max(col("mr")).as("mr"))
+      val slices = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("slice")).as("n_slices"))
+      val grid = ev.select(col("event_type")).distinct()
+        .select(col("event_type"),
+          explode(sequence(lit(0L), lit(255L))).as("r"))
+      val est = grid.join(regMax, Seq("event_type", "r"), "left")
+        .withColumn("m", coalesce(col("mr"), lit(0L)))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - m AS INT))"))
+            .as("s_scaled"),
+          sum(when(col("m") === 0, lit(1L)).otherwise(lit(0L)))
+            .as("n_zero_regs"))
+        .withColumn("est_raw", expr(
+          "CAST(718273 AS DECIMAL(38,0)) * 65536 * 1073741824 div s_scaled div 1000000"))
+        .withColumn("lc", floor(lit(256.0) *
+          (lit(8.0) * lit(0.6931471805599453)
+            - graft.functions.DetMath.lnInt(col("n_zero_regs"))))
+          .cast("long"))
+        .withColumn("est_distinct",
+          when(col("est_raw") < 640 && col("n_zero_regs") > 0, col("lc"))
+            .otherwise(col("est_raw")))
+      slices.join(est, "event_type")
+        .select(col("event_type"), col("n_slices"), col("n_zero_regs"),
+          col("est_distinct"))
+        .orderBy(ascf("event_type"))
+    },
+    Some {
+      import graft.functions.DetMath._
+      // DIRECT whole-corpus computation — no slice level on purpose:
+      // the hash match proves slice-merge ≡ direct
+      s"""WITH ev AS (SELECT event_type, user_id AS u,
+         |    epoch_us(ts) // 86400000000 AS slice FROM events),
+         |h0 AS (SELECT event_type, $HllHash1 AS h1 FROM ev),
+         |h0g AS (SELECT event_type, xor(h1, h1 >> 15) AS g FROM h0),
+         |h1x AS (SELECT event_type, ${hllHash2("g")} AS hv FROM h0g),
+         |h2 AS (SELECT event_type, hv % 256 AS r, hv // 256 AS w FROM h1x),
+         |h3 AS (SELECT event_type, r, CASE WHEN w = 0 THEN CAST(24 AS BIGINT)
+         |    ELSE CAST(bit_count((w & (-w)) - 1) + 1 AS BIGINT) END AS rho
+         |  FROM h2),
+         |rm AS (SELECT event_type, r, max(rho) AS mr FROM h3 GROUP BY 1, 2),
+         |grid AS (SELECT t.event_type, g.r
+         |  FROM (SELECT DISTINCT event_type FROM events) t
+         |  CROSS JOIN range(256) g(r)),
+         |regs AS (SELECT grid.event_type, coalesce(rm.mr, 0) AS m
+         |  FROM grid LEFT JOIN rm
+         |  ON grid.event_type = rm.event_type AND grid.r = rm.r),
+         |ag AS (SELECT event_type,
+         |    CAST(sum((CAST(1 AS BIGINT) << CAST(30 - m AS INTEGER)))
+         |      AS BIGINT) AS s_scaled,
+         |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_zero_regs
+         |  FROM regs GROUP BY 1),
+         |l1 AS (SELECT *, ${kSql("n_zero_regs")} AS kv FROM ag),
+         |l2 AS (SELECT *, ${mSql("n_zero_regs", "kv")} AS mv FROM l1),
+         |l3 AS (SELECT *, ${zSql("mv")} AS zv FROM l2),
+         |l4 AS (SELECT *, zv * zv AS z2v FROM l3),
+         |l5 AS (SELECT *, ${hornerSql("z2v")} AS hzv FROM l4),
+         |e AS (SELECT event_type, n_zero_regs,
+         |    CAST(CAST(718273 AS HUGEINT) * 65536 * 1073741824
+         |      // s_scaled // 1000000 AS BIGINT) AS est_raw,
+         |    CAST(floor(CAST(256 AS DOUBLE) *
+         |      (CAST(8 AS DOUBLE) * CAST('0.6931471805599453' AS DOUBLE)
+         |       - ${lnSql("kv", "zv", "hzv")})) AS BIGINT) AS lc
+         |  FROM l5),
+         |sl AS (SELECT event_type, count(DISTINCT slice) AS n_slices
+         |  FROM ev GROUP BY 1)
+         |SELECT sl.event_type, sl.n_slices, e.n_zero_regs,
+         |  CASE WHEN e.est_raw < 640 AND e.n_zero_regs > 0 THEN e.lc
+         |    ELSE e.est_raw END AS est_distinct
+         |FROM sl JOIN e ON sl.event_type = e.event_type
+         |ORDER BY sl.event_type ASC NULLS FIRST""".stripMargin
+    })
+
+  def defs: Seq[QueryDef] = Seq(countmin, hll, hllMerge)
 }

@@ -3,7 +3,7 @@ package graft.ops
 import graft.{QueryDef, Tables}
 import graft.Dsl._
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
 
 /** Graded file-format sources (SURVEY.md §2.2, VERDICT r4 missing #3):
   * CSV and JSON-lines round-trips on the contract surface, not just unit
@@ -156,6 +156,59 @@ object Sources {
            |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST"""
       .stripMargin))
 
+  /** NESTED JSON round-trip (round 5): the semi-structured data model
+    * the flat keys don't exercise — each doc is written as
+    * {doc_id, meta: {lang, source, n_chars}, tokens: [..]} (a struct
+    * AND a variable-length array per record), read back under an
+    * explicit nested schema, the array exploded, and the token-grain
+    * census graded against the untouched parquet ground truth. A
+    * struct-field mapping, array-element ordering, or
+    * empty-vs-null-array bug on either side of the cycle breaks the
+    * hash. The census is TOKEN-grain (n_tokens, token-length sum,
+    * doc_id summed per exploded row) so array CONTENT is graded, not
+    * just record counts.
+    *
+    * Scale: nested columns are first-class in both the JSON reader and
+    * parquet; explode is map-side; the census partial-aggregates on
+    * the scan. Schema-on-read with an explicit nested StructType is
+    * the production contract (schema inference is a sampling pass a
+    * 100 TB pipeline can't afford).
+    */
+  private val sourceJsonNested = QueryDef(
+    "q_source_json_nested",
+    (s, d) => {
+      val path = stage(d, "jsonnest")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          struct(col("lang"), col("source"), col("n_chars")).as("meta"),
+          split(col("text"), " ").as("tokens"))
+        .write.mode("overwrite").json(path)
+      val nested = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("meta", StructType(Seq(
+          StructField("lang", StringType),
+          StructField("source", StringType),
+          StructField("n_chars", LongType)))),
+        StructField("tokens", ArrayType(StringType))))
+      s.read.schema(nested).json(path)
+        .select(col("doc_id"), col("meta.lang").as("lang"),
+          col("meta.n_chars").as("n_chars"),
+          explode(col("tokens")).as("w"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(length(col("w"))).as("tok_len_sum"),
+          sum(col("doc_id")).as("id_checksum"),
+          sum(col("n_chars")).as("chars_checksum"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH e AS (SELECT doc_id, lang, n_chars,
+           |    unnest(string_split(text, ' ')) AS w FROM documents)
+           |SELECT lang, count(*) AS n_tokens,
+           |  CAST(sum(length(w)) AS BIGINT) AS tok_len_sum,
+           |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           |  CAST(sum(n_chars) AS BIGINT) AS chars_checksum
+           |FROM e GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(sourceCsv, sourceJson, sourceOrc,
-    sourcePartitioned)
+    sourcePartitioned, sourceJsonNested)
 }
