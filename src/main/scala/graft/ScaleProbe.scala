@@ -94,7 +94,9 @@ object ScaleProbe {
         // round-5 tenth batch: graph node similarity, bootstrap,
         // oracle-graded simhash
         "q_graph_jaccard", "q_sample_bootstrap",
-        "q_dedup_simhash_exact")) {
+        "q_dedup_simhash_exact",
+        // round-5 eleventh batch: mergeable-HLL identity, nested JSON
+        "q_sketch_hll_merge", "q_source_json_nested")) {
       val t0 = System.nanoTime()
       val n = Registry.queries(q)(spark, dst).count()
       println(f"SCALE10 $q: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
