@@ -483,10 +483,14 @@ object Similarity {
     * group row. Census output (per-lang pair counts + checksums), so
     * output stays grain-sized even when the pair set is large.
     */
-  private val simCosineSets = QueryDef(
-    "q_sim_cosine_sets",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
+  /** The (lang, d1, d2, cos_e6) pair relation for binary cosine ≥ 0.95
+    * over token sets — extracted so PropertiesSpec can brute-force-prove
+    * the prefix-filter candidate generation lossless on random corpora
+    * (the jaccardPairs testing pattern). Takes any (doc_id, lang, text)
+    * relation; thresholding is pinned at t² = 0.9025 in 1e-4 units.
+    */
+  private[graft] def cosineSetPairs(docsIn: DataFrame): DataFrame = {
+      val docs = docsIn
         .select(col("doc_id"), col("lang"),
           array_sort(array_distinct(split(col("text"), " "))).as("st"))
       val groups = graft.Caches.scoped(docs.groupBy(col("lang"), col("st"))
@@ -534,6 +538,12 @@ object Similarity {
         .select(col("lang"), col("p.d1").as("d1"), col("p.d2").as("d2"),
           lit(1000000L).as("cos_e6"))
       samePairs.union(crossPairs)
+  }
+
+  private val simCosineSets = QueryDef(
+    "q_sim_cosine_sets",
+    (s, d) => {
+      cosineSetPairs(Tables.documents(s, d))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("cos_e6") === 1000000L, 1L).otherwise(0L))

@@ -129,6 +129,44 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("cosineSetPairs candidate generation is LOSSLESS vs brute force") {
+    // The PPJoin-style prefix filter with the COSINE prefix length
+    // n − ⌈t²n⌉ + 1 must find EVERY pair with 10⁴·inter² ≥ 9025·n₁·n₂
+    // on any corpus — the losslessness claim q_sim_cosine_sets rests on
+    // (its fixture oracle proves the same per fixture; this proves it on
+    // random corpora including sets the fixtures never produce). Small
+    // vocab forces collisions; exact copies force the same-set group
+    // path; near-copies (one-word mutation of 10–20-word sets sits near
+    // the 0.95 boundary) exercise the prefix join on both sides of the
+    // threshold.
+    val corpusGen: Gen[List[String]] = for {
+      v <- Gen.choose(4, 12)
+      base <- Gen.listOfN(10, Gen.nonEmptyListOf(
+        Gen.choose(0, v).map(i => s"w$i")).map(_.distinct))
+      wide <- Gen.listOfN(3, Gen.choose(10, 20).flatMap(n =>
+        Gen.pick(n, 0 until 24).map(_.toList.map(i => s"v$i"))))
+    } yield (base ++ wide.flatMap { b =>
+      List(b, "x0" :: b.tail, b) // near-copy + exact copy per wide set
+    }).map(_.mkString(" "))
+    samples(corpusGen, 5).foreach { corpus =>
+      val df = corpus.zipWithIndex
+        .map { case (text, i) => (i.toLong, "en", text) }
+        .toDF("doc_id", "lang", "text")
+      val got = ops.Similarity.cosineSetPairs(df)
+        .select(col("d1"), col("d2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      Caches.releaseScoped()
+      val sets = corpus.map(_.split(" ").toSet).zipWithIndex
+      val want = (for {
+        (s1, i) <- sets; (s2, j) <- sets if i < j
+        inter = (s1 & s2).size.toLong
+        if inter * inter * 10000 >= 9025L * s1.size * s2.size
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got == want,
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
   test("hyperplane band recall ≥ 0.98 at cos ≥ 0.99, and random pairs stay pruned") {
     // Measured recall for the fixed-plane LSH (ADVICE r4): with 16
     // INDEPENDENT planes, P(bit agrees) = 1 − θ/π, so a cos ≥ 0.99 pair
