@@ -131,6 +131,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("set-similarity candidate joins carry bucket keys, never lang alone") {
+    // The r5 exact-join keys must generate candidates from prefix
+    // postings (q_sim_cosine_sets: token key `w`) or band buckets
+    // (q_dedup_simhash_exact: (k, bandv)) — an inner self-join keyed on
+    // `lang` alone is the quadratic all-pairs shape at 100 TB.
+    val expect = Seq(
+      "q_sim_cosine_sets" -> Seq("lang", "w"),
+      "q_dedup_simhash_exact" -> Seq("k", "bandv"))
+    for ((q, keys) <- expect) {
+      val nodes = collectAll(
+        Registry.queries(q)(spark, sfDir).queryExecution.sparkPlan)
+      val joins = nodes.collect {
+        case j: SortMergeJoinExec => (j.joinType, j.leftKeys)
+        case j: BroadcastHashJoinExec => (j.joinType, j.leftKeys)
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          (j.joinType, j.leftKeys)
+      }
+      assert(joins.exists { case (_, ks) =>
+        keys.forall(k => ks.exists(_.toString.contains(k))) },
+        s"$q: no join carries ${keys.mkString("(", ",", ")")}: " +
+          joins.map(_._2.mkString("[", ",", "]")).mkString("; "))
+      assert(!joins.exists { case (t, ks) =>
+        t == org.apache.spark.sql.catalyst.plans.Inner &&
+          ks.length == 1 && ks.head.toString.contains("lang") },
+        s"$q: found an inner self-join keyed on lang alone")
+      Caches.releaseScoped()
+    }
+  }
+
   test("q_join_q5 pushes the date slice into the orders scan") {
     val p = planString("q_join_q5")
     assert(p.contains("GreaterThanOrEqual(o_orderdate") &&
