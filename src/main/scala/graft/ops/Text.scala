@@ -672,8 +672,80 @@ object Text {
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
     })
 
+  /** Bigram conditional LM head (round 5): for each lang's 20 most
+    * frequent bigram CONTEXTS w1, the argmax next token and its exact
+    * conditional probability P(w2|w1) = c(w1,w2)·10⁶ div c(w1,·) — the
+    * n-gram language-model estimation pass (the workload that
+    * motivated the original web-scale MapReduce LM pipelines), distinct
+    * from q_text_collocations (PMI ranks ASSOCIATION; this ranks
+    * PREDICTION). The denominator is the bigram-context count (not the
+    * unigram count), so the conditional distribution sums to exactly 1
+    * over next tokens — final-position tokens never dilute it.
+    *
+    * Determinism: pure integer division (all positive); both argmax
+    * and context-rank ties pinned (count desc, token asc).
+    *
+    * Scale: one explode → (lang, w1, w2) partial agg is the only
+    * corpus-sized shuffle; context counts re-aggregate the bigram
+    * relation; both windows run on it too. The full conditional table
+    * (not just the top-20 exhibit) is the production artifact — same
+    * plan, no extra pass.
+    */
+  private val bigramLm = QueryDef(
+    "q_text_bigram_lm",
+    (s, d) => {
+      val tk = Tables.documents(s, d)
+        .select(col("lang"), split(col("text"), " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val big = tk.select(col("lang"), explode(expr(
+        """transform(sequence(1, size(ts) - 1),
+          |  i -> struct(element_at(ts, i) AS w1,
+          |              element_at(ts, i + 1) AS w2))""".stripMargin))
+        .as("bg"))
+        .select(col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val cxy = big.groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cxy"))
+      val cx = cxy.groupBy(col("lang"), col("w1"))
+        .agg(sum(col("cxy")).as("cx"))
+      val wCtx = Window.partitionBy(col("lang"))
+        .orderBy(descl("cx"), ascf("w1"))
+      val heads = cx.withColumn("rnk", row_number().over(wCtx).cast("bigint"))
+        .filter(col("rnk") <= 20)
+      val wBest = Window.partitionBy(col("lang"), col("w1"))
+        .orderBy(descl("cxy"), ascf("w2"))
+      cxy.join(heads, Seq("lang", "w1"))
+        .withColumn("brn", row_number().over(wBest))
+        .filter(col("brn") === 1)
+        .withColumn("cond_e6", expr("cxy * 1000000 div cx"))
+        .select(col("lang"), col("rnk"), col("w1").as("context"),
+          col("w2").as("next_token"), col("cond_e6"), col("cx").as("n_ctx"))
+        .orderBy(ascf("lang"), ascf("rnk"))
+    },
+    Some("""WITH t AS (SELECT lang, string_split(text, ' ') AS ts
+           |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+           |b AS (SELECT lang, unnest(list_transform(range(1, len(ts)),
+           |    i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS bg FROM t),
+           |big AS (SELECT lang, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+           |cxy AS (SELECT lang, w1, w2, count(*) AS cxy FROM big
+           |  GROUP BY 1, 2, 3),
+           |cx AS (SELECT lang, w1, CAST(sum(cxy) AS BIGINT) AS cx
+           |  FROM cxy GROUP BY 1, 2),
+           |heads AS (SELECT lang, w1, cx,
+           |    CAST(row_number() OVER (PARTITION BY lang
+           |      ORDER BY cx DESC, w1 ASC) AS BIGINT) AS rnk FROM cx
+           |  QUALIFY rnk <= 20),
+           |best AS (SELECT c.lang, h.rnk, c.w1, c.w2, c.cxy, h.cx,
+           |    row_number() OVER (PARTITION BY c.lang, c.w1
+           |      ORDER BY c.cxy DESC, c.w2 ASC) AS brn
+           |  FROM cxy c JOIN heads h ON c.lang = h.lang AND c.w1 = h.w1)
+           |SELECT lang, rnk, w1 AS context, w2 AS next_token,
+           |  CAST(cxy * 1000000 // cx AS BIGINT) AS cond_e6,
+           |  cx AS n_ctx
+           |FROM best WHERE brn = 1
+           |ORDER BY lang ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,
     langid, quality, tokens, fingerprint, levenshteinPairs, tfidf,
-    collocations, vocab, zipf, keyphrase)
+    collocations, vocab, zipf, keyphrase, bigramLm)
 }
