@@ -96,7 +96,11 @@ object ScaleProbe {
         "q_graph_jaccard", "q_sample_bootstrap",
         "q_dedup_simhash_exact",
         // round-5 eleventh batch: mergeable-HLL identity, nested JSON
-        "q_sketch_hll_merge", "q_source_json_nested")) {
+        "q_sketch_hll_merge", "q_source_json_nested",
+        // round-5 twelfth batch: FK orphan audit, bigram LM head
+        "q_audit_fk", "q_text_bigram_lm")
+        // optional args = probe only the named keys (batch re-probes)
+        if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()
       val n = Registry.queries(q)(spark, dst).count()
       println(f"SCALE10 $q: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
