@@ -482,6 +482,26 @@ object Similarity {
     * group; exact verify only on candidates; dup clusters cost one
     * group row. Census output (per-lang pair counts + checksums), so
     * output stays grain-sized even when the pair set is large.
+    *
+    * Small-vocab hardening (r5, measured 17.5 s → low single digits at
+    * sf0.1): the fixture corpus draws from a tiny vocabulary, so prefix
+    * postings reach ~1.2 k per token and the raw posting join emitted
+    * 3.5 M pairs (2 M distinct candidates) for ~12 k true pairs. Two
+    * further LOSSLESS integer filters run inside the posting join:
+    *  - length ratio: inter ≤ min(n₁,n₂) ⇒ a qualifying pair has
+    *    9025·max(n₁,n₂) ≤ 10⁴·min(n₁,n₂);
+    *  - positional (PPJoin): at the pair's globally-FIRST common token
+    *    (positions p₁, p₂ under the shared (df,w) total order) no
+    *    common token precedes it, so inter ≤ 1 + min(n₁−p₁, n₂−p₂);
+    *    gate each match on (1+min)²·10⁴ ≥ 9025·n₁·n₂. The first
+    *    common token of a qualifying pair provably sits inside BOTH
+    *    prefixes (else inter ≤ ⌈t²n⌉ − 1 < required), so at least that
+    *    row survives — candidates stay a superset of the answer.
+    * The exact verify then intersects DENSE-INT token ids (per-lang
+    * dictionary in the same (df,w) order) instead of strings: the
+    * primitive array_intersect path, ~an order of magnitude cheaper
+    * per candidate. PropertiesSpec brute-force-proves the whole
+    * relation (filters included) on random corpora.
     */
   /** The (lang, d1, d2, cos_e6) pair relation for binary cosine ≥ 0.95
     * over token sets — extracted so PropertiesSpec can brute-force-prove
@@ -502,28 +522,62 @@ object Similarity {
         explode(col("st")).as("w"))
       val dfreq = toks.groupBy(col("lang"), col("w"))
         .agg(count(lit(1)).as("df"))
-      val wG = Window.partitionBy(col("gid"))
-      val prefix = toks.join(dfreq, Seq("lang", "w"))
-        .withColumn("pos",
-          row_number().over(wG.orderBy(ascf("df"), ascf("w"))).cast("long"))
-        .withColumn("n", count(lit(1)).over(wG))
-        .filter(col("pos") <= col("n") - expr("(9025 * n + 9999) div 10000") + 1)
+      // dense per-lang integer token ids under the SAME (df asc, w asc)
+      // total order the prefix positions use — the verify intersects int
+      // arrays (primitive fast path) instead of hashing strings per row,
+      // and sorting a set's tids IS sorting it in prefix order, so the
+      // prefix relation falls out of posexplode over the sorted array
+      // (no per-gid window pass)
+      val dict = dfreq.withColumn("tid",
+        row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(ascf("df"), ascf("w"))))
+      val intSets = graft.Caches.scoped(toks.join(dict, Seq("lang", "w"))
+        .groupBy(col("lang"), col("gid"))
+        .agg(array_sort(collect_list(col("tid"))).as("sti"))
+        .withColumn("n", size(col("sti")).cast("long")))
+      // materialize the two scoped caches in dependency order BEFORE the
+      // main job: its broadcast futures all fire concurrently at plan
+      // time, and against cold caches each future recomputes the full
+      // scan→groups→intSets chain (measured as 4+ duplicate 0.6 s
+      // stages at sf0.1)
+      groups.count(); intSets.count()
+      val prefix = intSets.select(col("lang"), col("gid"), col("n"),
+        posexplode(expr(
+          "slice(sti, 1, int(size(sti) - (9025 * size(sti) + 9999) div 10000 + 1))"))
+          .as(Seq("pos0", "tid")))
+        .withColumn("pos", (col("pos0") + 1).cast("long"))
+      // posting join + the two extra lossless filters (doc above): the
+      // length-ratio and positional bounds prune inside the join, before
+      // the candidate distinct
+      val posUb = lit(1L) +
+        least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))
       val cand = prefix.alias("a")
         .join(prefix.alias("b"),
-          col("a.lang") === col("b.lang") && col("a.w") === col("b.w") &&
-            col("a.gid") < col("b.gid"))
-        .select(col("a.gid").as("g1"), col("b.gid").as("g2")).distinct()
-      val ga = groups.select(col("lang"), col("gid").as("g1"),
-        col("st").as("st1"), col("ids").as("ids1"), col("n").as("n1"))
-      val gb = groups.select(col("gid").as("g2"), col("st").as("st2"),
-        col("ids").as("ids2"), col("n").as("n2"))
-      val crossPairs = cand.join(ga, "g1").join(gb, "g2")
+          col("a.lang") === col("b.lang") && col("a.tid") === col("b.tid") &&
+            col("a.gid") < col("b.gid") &&
+            lit(9025L) * greatest(col("a.n"), col("b.n")) <=
+              lit(10000L) * least(col("a.n"), col("b.n")) &&
+            posUb * posUb * lit(10000L) >= lit(9025L) * col("a.n") * col("b.n"))
+        .select(col("a.gid").as("g1"), col("b.gid").as("g2"))
+      val ia = intSets.select(col("lang"), col("gid").as("g1"),
+        col("sti").as("s1"), col("n").as("n1"))
+      val ib = intSets.select(col("gid").as("g2"),
+        col("sti").as("s2"), col("n").as("n2"))
+      // candidates arrive with duplicates (one per shared prefix token);
+      // verifying first and deduping the ~50× smaller verified relation
+      // saves the full-candidate exchange
+      val verified = cand.join(ia, "g1").join(ib, "g2")
         .withColumn("inter",
-          size(array_intersect(col("st1"), col("st2"))).cast("long"))
+          size(array_intersect(col("s1"), col("s2"))).cast("long"))
         .filter(col("inter") * col("inter") * 10000 >=
           lit(9025L) * col("n1") * col("n2"))
         .withColumn("cos_e6", floor((col("inter") * 1000000L).cast("double")
           / sqrt((col("n1") * col("n2")).cast("double"))).cast("long"))
+        .select(col("lang"), col("g1"), col("g2"), col("cos_e6"))
+        .distinct()
+      val ga = groups.select(col("gid").as("g1"), col("ids").as("ids1"))
+      val gb = groups.select(col("gid").as("g2"), col("ids").as("ids2"))
+      val crossPairs = verified.join(ga, "g1").join(gb, "g2")
         .select(col("lang"), col("cos_e6"), explode(expr(
           """flatten(transform(ids1, i ->
             |  transform(ids2, j -> struct(least(i, j) as d1,

@@ -133,11 +133,11 @@ class PlanSpec extends SparkSpec {
 
   test("set-similarity candidate joins carry bucket keys, never lang alone") {
     // The r5 exact-join keys must generate candidates from prefix
-    // postings (q_sim_cosine_sets: token key `w`) or band buckets
+    // postings (q_sim_cosine_sets: dense token-id key `tid`) or band buckets
     // (q_dedup_simhash_exact: (k, bandv)) — an inner self-join keyed on
     // `lang` alone is the quadratic all-pairs shape at 100 TB.
     val expect = Seq(
-      "q_sim_cosine_sets" -> Seq("lang", "w"),
+      "q_sim_cosine_sets" -> Seq("lang", "tid"),
       "q_dedup_simhash_exact" -> Seq("k", "bandv"))
     for ((q, keys) <- expect) {
       val nodes = collectAll(
