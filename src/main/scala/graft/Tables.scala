@@ -25,16 +25,27 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = p(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = p(s, d, "embeddings")
 
-  /** events.ts is parquet timestamp[ns], which stock Spark 4.x refuses to
-    * read ([PARQUET_TYPE_ILLEGAL]). Read it as raw long ns via the legacy
-    * conf (runtime-settable — verified) and truncate to µs; verified
-    * byte-equal to DuckDB's epoch_us on the same rows (SURVEY.md §1.3).
-    * The conf must be set here because the driver-owned harness builds the
-    * session without it and query functions only receive (spark, sfDir).
+  /** events.ts has shipped in two physical forms across fixture
+    * generations: parquet timestamp[ns] (rounds 1–4), which stock Spark 4.x
+    * refuses to read ([PARQUET_TYPE_ILLEGAL]) and must come in as raw long
+    * ns via the legacy conf + µs truncation, and parquet timestamp[us]
+    * (round-5 regeneration), which reads natively as TIMESTAMP_NTZ. The
+    * loader adapts to whichever is on disk and always emits a µs TIMESTAMP
+    * column: the NTZ→TIMESTAMP cast is value-preserving under the UTC
+    * session TZ (pinned here, runtime-settable — verified), matching
+    * DuckDB's naive epoch_us on the same rows (SURVEY.md §1.3).
+    * The confs must be set here because the driver-owned harness builds the
+    * session without them and query functions only receive (spark, sfDir).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    p(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = p(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }
