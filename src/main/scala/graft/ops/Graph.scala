@@ -98,15 +98,27 @@ object Graph {
            |FROM r3 JOIN nation n ON r3.node = n.n_nationkey
            |ORDER BY n_name ASC NULLS FIRST""".stripMargin))
 
-  /** The sparsified undirected trade graph shared by the triangle and
-    * BFS keys: fact table → weighted nation-pair edges (the ONE heavy
-    * shuffle), self-loops dropped, then each node keeps its top-3
-    * heaviest out-neighbors (w desc, dst asc tiebreak — deterministic and
-    * scale-invariant where a fixed weight threshold would not be), and
-    * directed survivors collapse to distinct undirected (a < b) pairs.
-    * Everything after the first aggregation is node²-bounded.
+  /** The sparsified undirected trade graph shared by the triangle, BFS,
+    * degree and node-similarity keys: fact table → weighted nation-pair
+    * edges (the ONE heavy shuffle), self-loops dropped, then each node
+    * keeps its top-3 heaviest out-neighbors (w desc, dst asc tiebreak —
+    * deterministic and scale-invariant where a fixed weight threshold
+    * would not be), and directed survivors collapse to distinct
+    * undirected (a < b) pairs. Everything after the first aggregation is
+    * node²-bounded.
+    *
+    * Session-SHARED (r5, the jaccardPairs precedent): four graded keys
+    * consume this relation, and the build is one fact-table pass while
+    * the result is ≤ nodes²/2 rows — so it is computed once per
+    * (session, sfDir) and kept resident, not rebuilt per query. The
+    * bench cold pass releases shared relations between queries, so
+    * per-query cold numbers still carry the full build cost.
     */
-  private[graft] def undirectedTop3(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[graft] def undirectedTop3(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Caches.shared(s"und3:${Caches.sessionKey(s)}:$d")(undirectedTop3Build(s, d))
+
+  private def undirectedTop3Build(s: org.apache.spark.sql.SparkSession, d: String) = {
     import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
@@ -149,10 +161,10 @@ object Graph {
     * Scale: the (a<b) edge orientation makes the canonical two-join
     * triangle enumeration duplicate-free (each triangle a<b<c appears
     * exactly once), and the joins run on the node²-bounded edge relation,
-    * never the fact table; the edge relation is scoped-cached because the
-    * 3-way self-join would otherwise re-derive it from the fact scan
-    * three times. Per-node counts are an explode-free UNION ALL of the
-    * three corners.
+    * never the fact table; the edge relation is session-shared because
+    * the 3-way self-join (and the three sibling graph keys) would
+    * otherwise re-derive it from the fact scan. Per-node counts are an
+    * explode-free UNION ALL of the three corners.
     *
     * Determinism: pure integer counting; the left join keeps
     * zero-triangle nations in the census.
@@ -160,7 +172,7 @@ object Graph {
   private val triangles = QueryDef(
     "q_graph_triangles",
     (s, d) => {
-      val und = Caches.scoped(undirectedTop3(s, d))
+      val und = undirectedTop3(s, d)
       val tri = und.as("e1")
         .join(und.as("e2"), col("e1.b") === col("e2.a"))
         .join(und.as("e3"),
@@ -195,8 +207,9 @@ object Graph {
     * the q_dedup_components / q_graph_pagerank fixed-iteration parity
     * pattern applied to reachability. Frontier expansion is a join of
     * the (u,v)-symmetrized edge list against the broadcast node-sized
-    * distance table; edges are scoped-cached so the three unrolled
-    * iterations never re-derive them from the fact scan. Unreached
+    * distance table; the session-shared edge base plus a scoped persist
+    * of the symmetrized view keep the three unrolled iterations from
+    * re-deriving anything from the fact scan. Unreached
     * nodes report -1 (a 3-hop horizon is the documented semantics, not
     * an approximation of full BFS).
     *
@@ -273,9 +286,9 @@ object Graph {
     * neighbors in 1e-6 units — the assortativity precursor (hub-attached
     * vs periphery-attached nodes separate immediately on this number).
     *
-    * Scale: one fact-table aggregation builds the edges (shared
-    * [[undirectedTop3]] shape, scoped-cached because the directed view +
-    * the degree self-join would otherwise re-derive it); everything
+    * Scale: one fact-table aggregation builds the edges (the
+    * session-shared [[undirectedTop3]] relation, so the directed view +
+    * the degree self-join never re-derive it); everything
     * after is node²-bounded. avg_nbr_deg is an exact integer floor
     * division — both operands non-negative, so Spark's truncating `div`
     * and DuckDB's `//` agree (no pmod construction needed).
@@ -283,7 +296,7 @@ object Graph {
   private val degree = QueryDef(
     "q_graph_degree",
     (s, d) => {
-      val und = Caches.scoped(undirectedTop3(s, d))
+      val und = undirectedTop3(s, d)
       val dir = und.select(col("a").as("node"), col("b").as("nbr"))
         .union(und.select(col("b").as("node"), col("a").as("nbr")))
       val deg = dir.groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -322,8 +335,8 @@ object Graph {
     * cn = count(*) with no dedup.
     *
     * Scale: the fact→edge aggregation is the one corpus shuffle
-    * (shared [[undirectedTop3]] build, scoped-cached across its three
-    * consumers in this file); wedges and degrees run on the
+    * (the session-shared [[undirectedTop3]] relation, reused across the
+    * four graph keys); wedges and degrees run on the
     * node²-bounded edge relation. Top-3 sparsification bounds each
     * node's wedge fan-out at 3·deg — on a power-law graph THIS is what
     * keeps the wedge join from going quadratic on hub nodes (the
@@ -332,7 +345,7 @@ object Graph {
   private val graphJaccard = QueryDef(
     "q_graph_jaccard",
     (s, d) => {
-      val und = Caches.scoped(undirectedTop3(s, d))
+      val und = undirectedTop3(s, d)
       val sym = und.select(col("a").as("u"), col("b").as("v"))
         .union(und.select(col("b").as("u"), col("a").as("v")))
       val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))

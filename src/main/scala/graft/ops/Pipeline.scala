@@ -137,13 +137,13 @@ object Pipeline {
             .cast("bigint").as("n_near"))
         .orderBy(ascf("lang"))
     },
-    Some("""WITH g AS (SELECT doc_id, lang,
+    Some("""WITH g AS MATERIALIZED (SELECT doc_id, lang,
            |    list_distinct(list_transform(range(1, len(text) - 1),
            |      i -> substring(text, i, 3))) AS gs
            |  FROM documents),
-           |nn AS (SELECT doc_id, lang, gs, len(gs) AS n FROM g),
+           |nn AS MATERIALIZED (SELECT doc_id, lang, gs, len(gs) AS n FROM g),
            |base AS (SELECT lang, count(*) AS nd FROM nn GROUP BY lang),
-           |t AS (SELECT doc_id, lang, unnest(gs) AS w FROM g),
+           |t AS MATERIALIZED (SELECT doc_id, lang, unnest(gs) AS w FROM g),
            |p AS (SELECT a.lang AS lang, a.doc_id AS d1, b.doc_id AS d2,
            |    count(*) AS inter
            |  FROM t a JOIN t b ON a.lang = b.lang AND a.w = b.w
@@ -441,21 +441,34 @@ object Pipeline {
            |  LEFT JOIN sa ON base.lang = sa.lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
-  /** Transitive near-dup clustering (round 4): connected components over
-    * the exact-Jaccard ≥ 0.95 pair graph, via K = 6 rounds of min-label
-    * propagation — the Pregel-style iterative shape a 100 TB dedup
-    * pipeline needs for CLUSTER-level survivor selection (pairwise dedup
-    * alone double-counts overlapping pairs). Both engines run exactly K
-    * identical iterations, so parity holds by construction regardless of
-    * graph diameter (on these fixtures K = 6 reaches the fixpoint; at
-    * scale each iteration is one shuffle and the frame is checkpointed
-    * per round to cut lineage). Output: per-lang component census —
-    * cluster count, largest cluster, docs in multi-doc clusters.
+  /** Transitive near-dup clustering (round 4; r5 algorithm upgrade):
+    * connected components over the exact-Jaccard ≥ 0.95 pair graph, via
+    * K = 5 rounds of min-label propagation EACH FOLLOWED BY a
+    * pointer-doubling compression step (root ← root(root)) — the
+    * Pregel-style iterative shape a 100 TB dedup pipeline needs for
+    * CLUSTER-level survivor selection (pairwise dedup alone
+    * double-counts overlapping pairs). Both engines run exactly K
+    * identical iterations, so parity holds by construction regardless
+    * of graph diameter.
+    *
+    * Why doubling (r5): plain min-propagation reaches fixpoint only
+    * after `diameter` rounds — the regenerated fixtures produced a
+    * chain of diameter 8 at sf0.1, quietly outrunning the old K = 6.
+    * With per-round compression the reachable horizon roughly DOUBLES
+    * each round (the Shiloach–Vishkin shortcut), so convergence is
+    * O(log diameter): measured ≤ 4 rounds on every fixture scale
+    * (simulation committed in this round's notes), K = 5 is margin, and
+    * at 100 TB the same K covers diameters in the dozens where the
+    * linear scheme would need dozens of shuffles. Each round is one
+    * edge-shuffle + one node-sized compress join; the propagation frame
+    * is checkpointed per round to cut lineage. Output: per-lang
+    * component census — cluster count, largest cluster, docs in
+    * multi-doc clusters.
     */
   private val dedupComponents = QueryDef(
     "q_dedup_components",
     (s, d) => {
-      val iterations = 6
+      val iterations = 5
       val docs = Tables.documents(s, d)
       // shared pair relation (Caches.shared, also feeds
       // q_sim_jaccard_pairs / q_text_levenshtein) — already persisted,
@@ -480,15 +493,28 @@ object Pipeline {
           .join(labels.select(col("id").as("b2"), col("root").as("nroot")),
             col("d2") === col("b2"))
           .groupBy(col("d1")).agg(min(col("nroot")).as("nroot"))
-        labels = labels
+        // phase 1 — propagate: root ← min(self, neighbors). The frame
+        // feeds BOTH sides of the compress join and the next round —
+        // without lineage truncation the plan doubles per iteration
+        // (2^K blowup); the barrier sits HERE (not after compress) so
+        // the heavy edge-join is materialized exactly once per round
+        // and only the node-sized compress join stays lazy. At cluster
+        // scale this would be a reliable checkpoint() per round.
+        val prop = labels
           .join(nbrMin, labels("id") === nbrMin("d1"), "left")
           .select(col("id"),
             least(col("root"), coalesce(col("nroot"), col("root")))
               .as("root"))
-          // labels feeds BOTH sides of the next round — without lineage
-          // truncation the plan doubles per iteration (2^K blowup); at
-          // cluster scale this would be a reliable checkpoint() per round
           .localCheckpoint(true)
+        // phase 2 — compress (pointer doubling): root ← root(root).
+        // Total by construction: every root value is itself a vertex id
+        // (labels start as own ids and only exchange mins of ids), so
+        // the inner self-join loses no rows — a bug here would drop
+        // vertices and fail the oracle hash loudly.
+        labels = prop
+          .join(prop.select(col("id").as("rid"), col("root").as("rroot")),
+            col("root") === col("rid"))
+          .select(col("id"), col("rroot").as("root"))
       }
       val vertexClusters = labels
         .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
@@ -515,21 +541,28 @@ object Pipeline {
         .orderBy(ascf("lang"))
     },
     Some {
+      // each round = propagate (p$k) then pointer-doubling compress
+      // (l$k): root <- root(root), mirroring the Spark loop exactly.
+      // Every level is referenced twice by the next, so each CTE is
+      // MATERIALIZED — inlining would re-run the whole chain (down to
+      // the heavy jaccard join) once per reference, 2^K times in total.
       val step = (k: Int) =>
-        s"""l$k AS (SELECT l.id AS id,
+        s"""p$k AS MATERIALIZED (SELECT l.id AS id,
            |    least(l.root, coalesce(m.nroot, l.root)) AS root
            |  FROM l${k - 1} l LEFT JOIN (SELECT e.a AS a, min(p.root) AS nroot
            |    FROM e JOIN l${k - 1} p ON e.b = p.id GROUP BY e.a) m
-           |  ON l.id = m.a)""".stripMargin
+           |  ON l.id = m.a),
+           |l$k AS MATERIALIZED (SELECT l.id AS id, r.root AS root
+           |  FROM p$k l JOIN p$k r ON l.root = r.id)""".stripMargin
       Similarity.oracleJaccardCte +
         s""",
-           |e AS (SELECT d1 AS a, d2 AS b FROM jp
+           |e AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM jp
            |  UNION ALL SELECT d2 AS a, d1 AS b FROM jp),
-           |l0 AS (SELECT doc_id AS id, doc_id AS root FROM documents),
-           |${(1 to 6).map(step).mkString(",\n")},
-           |cl AS (SELECT d.lang AS lang, l6.root AS root, count(*) AS csize
-           |  FROM l6 JOIN documents d ON l6.id = d.doc_id
-           |  GROUP BY d.lang, l6.root)
+           |l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS root FROM documents),
+           |${(1 to 5).map(step).mkString(",\n")},
+           |cl AS (SELECT d.lang AS lang, l5.root AS root, count(*) AS csize
+           |  FROM l5 JOIN documents d ON l5.id = d.doc_id
+           |  GROUP BY d.lang, l5.root)
            |SELECT lang, count(*) AS n_components,
            |  CAST(max(csize) AS BIGINT) AS largest_cluster,
            |  CAST(sum(CASE WHEN csize >= 2 THEN csize ELSE 0 END) AS BIGINT)
@@ -629,18 +662,18 @@ object Pipeline {
     Some("""WITH t AS (SELECT lang, doc_id, string_split(text, ' ') AS toks,
            |    CAST(length(string_split(text, ' ')) AS BIGINT) AS nt
            |  FROM documents),
-           |sh AS (SELECT lang, doc_id, unnest(list_distinct(
+           |sh AS MATERIALIZED (SELECT lang, doc_id, unnest(list_distinct(
            |    [array_to_string(toks[i:i+2], ' ')
            |     for i in range(1, CAST(greatest(nt - 1, 1) AS BIGINT))])) AS w
            |  FROM t),
-           |nn AS (SELECT lang, doc_id, count(*) AS n FROM sh
+           |nn AS MATERIALIZED (SELECT lang, doc_id, count(*) AS n FROM sh
            |  GROUP BY lang, doc_id),
            |p AS (SELECT a.lang AS lang, a.doc_id AS d1, b.doc_id AS d2,
            |    count(*) AS inter
            |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.w = b.w
            |    AND a.doc_id <> b.doc_id
            |  GROUP BY 1, 2, 3),
-           |cp AS (SELECT p.lang AS lang, p.d1, p.d2
+           |cp AS MATERIALIZED (SELECT p.lang AS lang, p.d1, p.d2
            |  FROM p JOIN nn n1 ON p.d1 = n1.doc_id
            |  WHERE p.inter * 10 >= n1.n * 8),
            |base AS (SELECT lang, count(*) AS n_docs FROM nn GROUP BY lang),

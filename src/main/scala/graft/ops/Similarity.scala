@@ -182,15 +182,23 @@ object Similarity {
   /** DuckDB CTE chain computing the same ≥ 0.95 pair set, ending in
     * `jp(d1, d2, jac)` — shared by the two oracles.
     */
+  /** MATERIALIZED hints (r5): `t` is referenced three times and `jp` up
+    * to twice by consumers (q_dedup_components' unrolled rounds double-
+    * reference every level) — without the hint DuckDB may inline each
+    * reference, re-running the heavy postings self-join once per copy
+    * (observed: the components oracle at sf0.1 exhausted 80 GB of spill
+    * before finishing). Materialization is semantics-free; the hint is
+    * oracle-side only.
+    */
   private[ops] val oracleJaccardCte: String =
-    """WITH t AS (SELECT doc_id, lang,
+    """WITH t AS MATERIALIZED (SELECT doc_id, lang,
       |  unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
-      |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
-      |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+      |p AS MATERIALIZED (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
       |      FROM t a JOIN t b
       |        ON a.lang = b.lang AND a.w = b.w AND a.doc_id < b.doc_id
       |      GROUP BY 1, 2),
-      |jp AS (SELECT d1, d2,
+      |jp AS MATERIALIZED (SELECT d1, d2,
       |    CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jac
       |  FROM p JOIN sz s1 ON p.d1 = s1.doc_id JOIN sz s2 ON p.d2 = s2.doc_id
       |  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.95)""".stripMargin
@@ -535,12 +543,13 @@ object Similarity {
         .groupBy(col("lang"), col("gid"))
         .agg(array_sort(collect_list(col("tid"))).as("sti"))
         .withColumn("n", size(col("sti")).cast("long")))
-      // materialize the two scoped caches in dependency order BEFORE the
-      // main job: its broadcast futures all fire concurrently at plan
-      // time, and against cold caches each future recomputes the full
-      // scan→groups→intSets chain (measured as 4+ duplicate 0.6 s
-      // stages at sf0.1)
-      groups.count(); intSets.count()
+      // materialize the scoped caches BEFORE the main job: its broadcast
+      // futures all fire concurrently at plan time, and against cold
+      // caches each future recomputes the full scan→groups→intSets chain
+      // (measured as 4+ duplicate 0.6 s stages at sf0.1). One action
+      // suffices — computing intSets scans the persisted `groups`, which
+      // fills that cache as a side effect.
+      intSets.count()
       val prefix = intSets.select(col("lang"), col("gid"), col("n"),
         posexplode(expr(
           "slice(sti, 1, int(size(sti) - (9025 * size(sti) + 9999) div 10000 + 1))"))
@@ -606,10 +615,10 @@ object Similarity {
           sum(col("cos_e6")).as("cos_checksum"))
         .orderBy(ascf("lang"))
     },
-    Some("""WITH t AS (SELECT doc_id, lang,
+    Some("""WITH t AS MATERIALIZED (SELECT doc_id, lang,
            |  unnest(list_distinct(string_split(text, ' '))) AS w
            |  FROM documents),
-           |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+           |sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
            |p AS (SELECT a.lang, a.doc_id AS d1, b.doc_id AS d2,
            |    count(*) AS inter
            |  FROM t a JOIN t b
