@@ -475,8 +475,15 @@ object Pipeline {
       // so all K propagation rounds read the cached graph
       val pairs = Similarity.sharedJaccardPairs(s, d)
         .select(col("d1"), col("d2"))
-      val edges = pairs.union(
-        pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      // pre-partition the symmetrized edge relation on the propagation
+      // join key and keep it resident for the loop (scoped persist): the
+      // cached partitioning satisfies EnsureRequirements in every round,
+      // so the edge side of the K per-round joins is shuffled ONCE, not
+      // K times — at 10× probe scale the edge relation is ~10 M rows and
+      // this was the dominant per-round cost
+      val edges = graft.Caches.scoped(
+        pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+          .repartition(col("d2")))
       // propagate labels over the pair-graph VERTICES only (r5 perf
       // rewrite): a doc with no near-dup edge is a singleton whose root
       // never moves off its own id — it cannot adopt a vertex's root
