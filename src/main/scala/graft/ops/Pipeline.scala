@@ -465,64 +465,86 @@ object Pipeline {
     * component census — cluster count, largest cluster, docs in
     * multi-doc clusters.
     */
+  /** The symmetrized, propagation-key-partitioned edge relation of the
+    * exact-Jaccard pair graph (scoped persist — see the query Scaladoc),
+    * and the K-round label propagation over its vertices. Extracted so
+    * PropertiesSpec can assert the FIXPOINT property (every edge's
+    * endpoints share a root after K rounds) — the one property oracle
+    * parity is structurally blind to, because the oracle mirrors the
+    * same K rounds and converges or not in lockstep (exactly how the
+    * regenerated corpus's diameter-8 chain silently outran the old
+    * linear K=6 scheme).
+    */
+  private[graft] def componentEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val pairs = Similarity.sharedJaccardPairs(s, d)
+      .select(col("d1"), col("d2"))
+    // pre-partition the symmetrized edge relation on the propagation
+    // join key and keep it resident for the loop (scoped persist): the
+    // cached partitioning satisfies EnsureRequirements in every round,
+    // so the edge side of the K per-round joins is shuffled ONCE, not
+    // K times — at 10× probe scale the edge relation is ~10 M rows and
+    // this was the dominant per-round cost
+    graft.Caches.scoped(
+      pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .repartition(col("d2")))
+  }
+
+  private[graft] def componentLabels(edges: org.apache.spark.sql.DataFrame,
+      iterations: Int): org.apache.spark.sql.DataFrame = {
+    // propagate labels over the pair-graph VERTICES only (r5 perf
+    // rewrite): a doc with no near-dup edge is a singleton whose root
+    // never moves off its own id — it cannot adopt a vertex's root
+    // (no edge) and no vertex can adopt its id (roots propagate along
+    // edges, all of whose endpoints are vertices). Iterating the full
+    // corpus therefore re-checkpointed ~n unchanging rows K times; at
+    // 100 TB vertices ≈ the near-dup docs, orders of magnitude fewer.
+    // Singletons are counted arithmetically by the consumer; the oracle
+    // keeps the full-corpus formulation, so parity PROVES the
+    // equivalence.
+    val verts = edges.select(col("d1").as("id")).distinct()
+    var labels = verts.select(col("id"), col("id").as("root"))
+    for (_ <- 1 to iterations) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b2"), col("root").as("nroot")),
+          col("d2") === col("b2"))
+        .groupBy(col("d1")).agg(min(col("nroot")).as("nroot"))
+      // phase 1 — propagate: root ← min(self, neighbors). The frame
+      // feeds BOTH sides of the compress join and the next round —
+      // without lineage truncation the plan doubles per iteration
+      // (2^K blowup); the barrier sits HERE (not after compress) so
+      // the heavy edge-join is materialized exactly once per round
+      // and only the node-sized compress join stays lazy. At cluster
+      // scale this would be a reliable checkpoint() per round.
+      val prop = labels
+        .join(nbrMin, labels("id") === nbrMin("d1"), "left")
+        .select(col("id"),
+          least(col("root"), coalesce(col("nroot"), col("root")))
+            .as("root"))
+        .localCheckpoint(true)
+      // phase 2 — compress (pointer doubling): root ← root(root).
+      // Total by construction: every root value is itself a vertex id
+      // (labels start as own ids and only exchange mins of ids), so
+      // the inner self-join loses no rows — a bug here would drop
+      // vertices and fail the oracle hash loudly.
+      labels = prop
+        .join(prop.select(col("id").as("rid"), col("root").as("rroot")),
+          col("root") === col("rid"))
+        .select(col("id"), col("rroot").as("root"))
+    }
+    labels
+  }
+
   private val dedupComponents = QueryDef(
     "q_dedup_components",
     (s, d) => {
-      val iterations = 5
       val docs = Tables.documents(s, d)
       // shared pair relation (Caches.shared, also feeds
       // q_sim_jaccard_pairs / q_text_levenshtein) — already persisted,
       // so all K propagation rounds read the cached graph
-      val pairs = Similarity.sharedJaccardPairs(s, d)
-        .select(col("d1"), col("d2"))
-      // pre-partition the symmetrized edge relation on the propagation
-      // join key and keep it resident for the loop (scoped persist): the
-      // cached partitioning satisfies EnsureRequirements in every round,
-      // so the edge side of the K per-round joins is shuffled ONCE, not
-      // K times — at 10× probe scale the edge relation is ~10 M rows and
-      // this was the dominant per-round cost
-      val edges = graft.Caches.scoped(
-        pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-          .repartition(col("d2")))
-      // propagate labels over the pair-graph VERTICES only (r5 perf
-      // rewrite): a doc with no near-dup edge is a singleton whose root
-      // never moves off its own id — it cannot adopt a vertex's root
-      // (no edge) and no vertex can adopt its id (roots propagate along
-      // edges, all of whose endpoints are vertices). Iterating the full
-      // corpus therefore re-checkpointed ~n unchanging rows K times; at
-      // 100 TB vertices ≈ the near-dup docs, orders of magnitude fewer.
-      // Singletons are counted arithmetically below; the oracle keeps
-      // the full-corpus formulation, so parity PROVES the equivalence.
+      val edges = componentEdges(s, d)
       val verts = edges.select(col("d1").as("id")).distinct()
-      var labels = verts.select(col("id"), col("id").as("root"))
-      for (_ <- 1 to iterations) {
-        val nbrMin = edges
-          .join(labels.select(col("id").as("b2"), col("root").as("nroot")),
-            col("d2") === col("b2"))
-          .groupBy(col("d1")).agg(min(col("nroot")).as("nroot"))
-        // phase 1 — propagate: root ← min(self, neighbors). The frame
-        // feeds BOTH sides of the compress join and the next round —
-        // without lineage truncation the plan doubles per iteration
-        // (2^K blowup); the barrier sits HERE (not after compress) so
-        // the heavy edge-join is materialized exactly once per round
-        // and only the node-sized compress join stays lazy. At cluster
-        // scale this would be a reliable checkpoint() per round.
-        val prop = labels
-          .join(nbrMin, labels("id") === nbrMin("d1"), "left")
-          .select(col("id"),
-            least(col("root"), coalesce(col("nroot"), col("root")))
-              .as("root"))
-          .localCheckpoint(true)
-        // phase 2 — compress (pointer doubling): root ← root(root).
-        // Total by construction: every root value is itself a vertex id
-        // (labels start as own ids and only exchange mins of ids), so
-        // the inner self-join loses no rows — a bug here would drop
-        // vertices and fail the oracle hash loudly.
-        labels = prop
-          .join(prop.select(col("id").as("rid"), col("root").as("rroot")),
-            col("root") === col("rid"))
-          .select(col("id"), col("rroot").as("root"))
-      }
+      val labels = componentLabels(edges, 5)
       val vertexClusters = labels
         .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
         .groupBy(col("lang"), col("root"))

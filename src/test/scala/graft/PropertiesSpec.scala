@@ -212,6 +212,55 @@ class PropertiesSpec extends SparkSpec {
     assert(rate < 0.35, s"random-pair band collision rate $rate")
   }
 
+  test("component propagation reaches the fixpoint on the fixture graph") {
+    // Oracle parity is structurally BLIND to non-convergence: the oracle
+    // mirrors the same K rounds, so both engines stop short in lockstep
+    // (exactly how the regenerated corpus's diameter-8 chain silently
+    // outran the pre-r5 linear K=6 scheme). This pins the semantic claim
+    // itself: after K=5 propagate+compress rounds, every edge's
+    // endpoints carry the same root.
+    val edges = ops.Pipeline.componentEdges(spark, "/root/testdata/sf0.001")
+    val labels = ops.Pipeline.componentLabels(edges, 5)
+    val bad = edges
+      .join(labels.select(col("id").as("d1"), col("root").as("r1")), "d1")
+      .join(labels.select(col("id").as("d2"), col("root").as("r2")), "d2")
+      .filter(col("r1") =!= col("r2")).count()
+    assert(bad == 0, s"$bad edges still straddle two roots after K rounds")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("pointer-doubling propagation equals union-find on random graphs") {
+    // K=5 doubling rounds cover worst-case path diameters up to 47
+    // (measured: a 48-vertex path converges in exactly 5 rounds, 64
+    // needs 6), so any graph on ≤ 32 vertices must reach the exact
+    // union-find components.
+    val graphGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 31L), Gen.choose(0L, 31L))).map(_.filter {
+      case (a, b) => a != b
+    })
+    samples(graphGen, 3).filter(_.nonEmpty).foreach { es =>
+      val pairs = es.toDF("d1", "d2")
+      val sym = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      val labels = ops.Pipeline.componentLabels(sym, 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference union-find
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val want = verts.groupBy(find).values
+        .map(_.toSet).toSet
+      val got = labels.keys.groupBy(labels).values.map(_.toSet).toSet
+      assert(got == want, s"edges=$es got=$got want=$want")
+    }
+  }
+
   test("containment prefix filter is lossless for any set collection") {
     // q_text_containment's candidate rule: if |A ∩ B| ≥ 0.8·|A| then A's
     // (|A| − ⌈0.8·|A|⌉ + 1) rarest shingles (global (df, w) order) must
