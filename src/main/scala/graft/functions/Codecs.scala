@@ -11,11 +11,14 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - `GrayImage`: raw 8-bit grayscale raster with a fixed 12-byte
   *    header (magic + little-endian width/height).
   *
-  * Compressed formats (JPEG/MP3/H.264) would slot behind the same
-  * decode signatures but require codec libraries absent from this
-  * container — `Multimodal.fakeDecode` remains the clearly-marked stand-
-  * in for those. Decoders here VALIDATE structure and throw on
-  * malformed input: a parsing bug cannot silently pass the oracle.
+  *  - `Flate`: a genuinely COMPRESSED container (GZC1) over the JDK's
+  *    DEFLATE (`java.util.zip.Deflater`/`Inflater`) with declared-length
+  *    and Adler-32 validation — no external library needed.
+  *
+  * Formats that do require external codec libraries (JPEG/MP3/H.264)
+  * would slot behind the same decode signatures. Decoders here VALIDATE
+  * structure and throw on malformed input: a parsing bug cannot
+  * silently pass the oracle.
   */
 object Codecs {
 
@@ -105,6 +108,80 @@ object Codecs {
         s"dimension/payload mismatch: ${w}x$h vs ${bytes.length - 12} bytes")
       val px = new Array[Byte](w * h); bb.get(px)
       (w, h, px)
+    }
+  }
+
+  /** GENUINELY COMPRESSED container: magic "GZC1" + LE raw length +
+    * LE Adler-32 of the raw bytes + a raw DEFLATE stream
+    * (`java.util.zip.Deflater`/`Inflater`, nowrap) — the JDK ships the
+    * codec, so unlike JPEG/MP3 no external library is needed. decode
+    * inflates and VALIDATES: magic, exact inflated length, checksum,
+    * and full stream consumption all reject on mismatch, so a broken
+    * inflate path cannot silently pass the oracle (which recomputes
+    * the expected statistics from the uncompressed source).
+    */
+  object Flate {
+    val Magic = "GZC1"
+
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      val adler = new java.util.zip.Adler32
+      adler.update(raw, 0, raw.length)
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.BEST_SPEED, /* nowrap = */ true)
+      try {
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](math.max(64, raw.length + (raw.length >> 1)))
+        val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+        while (!d.finished()) {
+          val n = d.deflate(buf)
+          out.write(buf, 0, n)
+        }
+        val comp = out.toByteArray
+        val bb = ByteBuffer.allocate(12 + comp.length)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        bb.put(Magic.getBytes("US-ASCII"))
+          .putInt(raw.length).putInt(adler.getValue.toInt)
+          .put(comp)
+        bb.array()
+      } finally d.end()
+    }
+
+    /** Inflate back to the raw bytes; validates magic, length, Adler-32
+      * and that the deflate stream ends exactly at the declared length.
+      */
+    def decode(bytes: Array[Byte]): Array[Byte] = {
+      require(bytes.length >= 12, s"truncated GZC1 header: ${bytes.length} bytes")
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val t = new Array[Byte](4); bb.get(t)
+      require(new String(t, "US-ASCII") == Magic, "bad GZC1 magic")
+      val rawLen = bb.getInt
+      require(rawLen >= 0, s"negative raw length $rawLen")
+      val declaredAdler = bb.getInt
+      val inf = new java.util.zip.Inflater(/* nowrap = */ true)
+      try {
+        inf.setInput(bytes, 12, bytes.length - 12)
+        val raw = new Array[Byte](rawLen)
+        var off = 0
+        while (off < rawLen && !inf.finished()) {
+          val n = inf.inflate(raw, off, rawLen - off)
+          require(n > 0 || !inf.needsInput(), "truncated deflate stream")
+          off += n
+        }
+        require(off == rawLen, s"inflated $off bytes, declared $rawLen")
+        // the stream must END here: trailing compressed data means the
+        // declared length lies about the payload
+        require(inf.finished() ||
+          inf.inflate(new Array[Byte](1)) == 0 && inf.finished(),
+          "deflate stream longer than declared length")
+        val adler = new java.util.zip.Adler32
+        adler.update(raw, 0, raw.length)
+        require(adler.getValue.toInt == declaredAdler,
+          "Adler-32 checksum mismatch")
+        raw
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(s"corrupt deflate data: ${e.getMessage}")
+      } finally inf.end()
     }
   }
 

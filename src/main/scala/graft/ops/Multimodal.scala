@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   *    `graft.functions.Codecs` with structural validation; the oracle
   *    recomputes expected sample/pixel stats from the source characters,
   *    so a parse bug breaks the hash match.
-  *  - A clearly-marked STUB (`fakeDecode` below) standing in for
-  *    compressed-format codecs (JPEG/MP3/H.264), which need libraries
-  *    absent from this container; the real one would live behind the
-  *    same signature.
+  *  - A REAL compressed codec (round 6): GZC1 = DEFLATE via the JDK's
+  *    `java.util.zip.Deflater`/`Inflater` (`Codecs.Flate`), with magic/
+  *    length/Adler-32 validation — the compressed-format decode path
+  *    (q_mm_features) no longer stubs anything. Formats needing
+  *    external libraries (JPEG/MP3/H.264) would slot behind the same
+  *    decode signature.
   * Everything around them is the real Spark plumbing this pipeline needs
   * at 100 TB: a fixed media schema (id, kind, binary payload, metadata),
   * `mapPartitions` batch iteration over the binary column (the JVM
@@ -25,9 +27,10 @@ import org.apache.spark.sql.functions._
   * per partition, streaming through rows, never collecting to the
   * driver), and scalar feature outputs that aggregate exactly.
   * q_mm_binary proves binary round-tripping against the oracle
-  * byte-for-byte via md5; q_mm_features runs the decode stub end-to-end
-  * (oracle recomputes the same bytes with SQL ascii sums — the payload
-  * is pure ASCII by construction, FIXTURES.md).
+  * byte-for-byte via md5; q_mm_features runs compress → inflate →
+  * aggregate end-to-end (oracle recomputes the same bytes with SQL
+  * ascii sums — the decoded payload is pure ASCII by construction,
+  * FIXTURES.md).
   */
 object Multimodal {
 
@@ -40,22 +43,24 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, kind: String,
       n_bytes: Long, byte_sum: Long, n_dark: Long)
 
-  /** STUB decoder — deterministic fake standing in for an image/audio
-    * codec: real implementation would decode `payload` and emit pixel/
-    * sample statistics; the fake emits byte statistics with the same
-    * shape (count, sum, thresholded count) so the distributed plumbing
-    * and the aggregation semantics are fully exercised and testable.
+  /** REAL compressed-codec decoder (round 6, replacing the r4 stub):
+    * inflates a GZC1 payload (JDK DEFLATE, `Codecs.Flate`) with magic/
+    * length/Adler-32 validation, then emits byte statistics over the
+    * DECODED bytes. The oracle recomputes the same statistics from the
+    * uncompressed source characters, so a header or inflate bug breaks
+    * the hash match — the decode kernel is load-bearing, not plumbing.
     */
-  private def fakeDecode(m: MediaRecord): MediaFeatures = {
+  private def inflateDecode(m: MediaRecord): MediaFeatures = {
+    val raw = graft.functions.Codecs.Flate.decode(m.payload)
     var sum = 0L; var dark = 0L
     var i = 0
-    while (i < m.payload.length) {
-      val b = m.payload(i) & 0xFF
+    while (i < raw.length) {
+      val b = raw(i) & 0xFF
       sum += b
       if (b < 100) dark += 1
       i += 1
     }
-    MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, sum, dark)
+    MediaFeatures(m.media_id, m.kind, raw.length.toLong, sum, dark)
   }
 
   /** documents re-framed as a media table: binary payload + metadata. */
@@ -86,17 +91,22 @@ object Multimodal {
            |  md5(text) AS digest
            |FROM documents ORDER BY media_id ASC NULLS FIRST""".stripMargin))
 
-  /** The decode-stub pipeline: typed Dataset → mapPartitions batch decode
-    * → exact per-kind aggregation. The oracle recomputes the identical
-    * byte statistics in SQL (ascii sums over the ASCII payload), so the
-    * whole binary → decode → aggregate path is hash-checked.
+  /** The compressed-media pipeline: typed Dataset → per-partition
+    * DEFLATE compression of the payload (so the binary column genuinely
+    * holds a compressed stream) → mapPartitions batch INFLATE decode →
+    * exact per-kind aggregation. The oracle recomputes the identical
+    * byte statistics in SQL (ascii sums over the ASCII source), so the
+    * whole compress → binary → inflate → aggregate path is hash-checked:
+    * if the Inflater round-trip corrupts one byte, the hash breaks.
     */
   private val mmFeatures = QueryDef(
     "q_mm_features",
     (s, d) => {
       import s.implicits._
       val feats = media(s, d).as[MediaRecord]
-        .mapPartitions(_.map(fakeDecode))
+        .mapPartitions(_.map(m =>
+          m.copy(payload = graft.functions.Codecs.Flate.encode(m.payload))))
+        .mapPartitions(_.map(inflateDecode))
       feats.groupBy(col("kind"))
         .agg(count(lit(1)).as("n_media"),
           sum(col("n_bytes")).as("total_bytes"),
@@ -127,8 +137,9 @@ object Multimodal {
   // deterministically from document text, so the DuckDB oracle can
   // recompute the expected sample/pixel statistics straight from the
   // characters: any header/endianness/offset bug in the parser breaks
-  // the hash match. Only compressed formats (JPEG/MP3/…) remain behind
-  // the fakeDecode stub above.
+  // the hash match. The compressed path is real too as of round 6
+  // (GZC1/DEFLATE above); only external-library formats (JPEG/MP3/…)
+  // are out of scope.
 
   final case class AudioClip(media_id: Long, payload: Array[Byte])
   final case class AudioFeatures(media_id: Long, sample_rate: Int,

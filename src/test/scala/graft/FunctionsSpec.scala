@@ -113,6 +113,46 @@ class FunctionsSpec extends SparkSpec {
       Video.encode(65536, 65536, Array(Array.empty[Byte])))
   }
 
+  test("Flate codec round-trips DEFLATE payloads and rejects corruption") {
+    import graft.functions.Codecs.Flate
+    // compressible text, incompressible pseudo-random bytes, and empty
+    val texts = Seq(
+      "the quick brown fox " * 50,
+      (0 until 4096).map(i => ((i * 2654435761L >>> 7) & 0x7F).toChar).mkString,
+      "")
+    for (t <- texts) {
+      val raw = t.getBytes("UTF-8")
+      val enc = Flate.encode(raw)
+      assert(Flate.decode(enc).sameElements(raw))
+    }
+    val enc = Flate.encode("hello deflate world, hello again".getBytes("UTF-8"))
+    // compression actually happened on repetitive input
+    val big = Flate.encode(("abc" * 2000).getBytes("UTF-8"))
+    assert(big.length < 6000 / 4, s"no compression: ${big.length} bytes")
+    // bad magic
+    val badMagic = enc.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Flate.decode(badMagic))
+    // truncated header (ADVICE-r4 contract: documented exception, not
+    // BufferUnderflow)
+    for (n <- Seq(0, 1, 11)) {
+      intercept[IllegalArgumentException](Flate.decode(new Array[Byte](n)))
+    }
+    // truncated stream
+    intercept[IllegalArgumentException](Flate.decode(enc.dropRight(1)))
+    // declared length shorter than the stream's true content
+    val shortLen = enc.clone()
+    java.nio.ByteBuffer.wrap(shortLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, 5)
+    intercept[IllegalArgumentException](Flate.decode(shortLen))
+    // corrupted checksum
+    val badSum = enc.clone(); badSum(8) = (badSum(8) ^ 0x5A).toByte
+    intercept[IllegalArgumentException](Flate.decode(badSum))
+    // corrupted compressed byte → either DataFormat (wrapped) or checksum
+    val badBody = enc.clone()
+    badBody(badBody.length - 3) = (badBody(badBody.length - 3) ^ 0x55).toByte
+    intercept[IllegalArgumentException](Flate.decode(badBody))
+  }
+
   test("DetMath.lnInt matches its scalar replica bit-for-bit and real ln to 1e-14") {
     import graft.functions.DetMath
     val ns = ((1L to 256L) ++ Seq(1000L, 4096L, 65535L, 65536L, 1000000L,
