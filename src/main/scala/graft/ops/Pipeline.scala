@@ -475,6 +475,13 @@ object Pipeline {
     * regenerated corpus's diameter-8 chain silently outran the old
     * linear K=6 scheme).
     */
+  /** The single source of truth for the propagation round count K: the
+    * Spark loop, the oracle's unrolled CTE chain, and the PropertiesSpec
+    * fixpoint tests all reference THIS val — a future K bump cannot
+    * desynchronize them (ADVICE r5).
+    */
+  private[graft] val componentRounds = 5
+
   private[graft] def componentEdges(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val pairs = Similarity.sharedJaccardPairs(s, d)
@@ -490,7 +497,16 @@ object Pipeline {
         .repartition(col("d2")))
   }
 
+  /** Vertex relation of the symmetrized edge graph — computed ONCE and
+    * passed to both componentLabels and the singleton anti-join
+    * (ADVICE r5: the distinct used to run twice per query).
+    */
+  private[graft] def componentVerts(edges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    edges.select(col("d1").as("id")).distinct()
+
   private[graft] def componentLabels(edges: org.apache.spark.sql.DataFrame,
+      verts: org.apache.spark.sql.DataFrame,
       iterations: Int): org.apache.spark.sql.DataFrame = {
     // propagate labels over the pair-graph VERTICES only (r5 perf
     // rewrite): a doc with no near-dup edge is a singleton whose root
@@ -502,7 +518,14 @@ object Pipeline {
     // Singletons are counted arithmetically by the consumer; the oracle
     // keeps the full-corpus formulation, so parity PROVES the
     // equivalence.
-    val verts = edges.select(col("d1").as("id")).distinct()
+    // Lineage truncation tier (VERDICT r5 #2): if the application has
+    // configured a RELIABLE checkpoint dir (SparkContext
+    // .setCheckpointDir — the standard cluster config), each round's
+    // frame checkpoints to that fault-tolerant store, so losing an
+    // executor mid-loop recomputes from the last round, not from a
+    // dead executor's local blocks. local[] runs without a dir keep
+    // the cheaper executor-local localCheckpoint fast path.
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
     var labels = verts.select(col("id"), col("id").as("root"))
     for (_ <- 1 to iterations) {
       val nbrMin = edges
@@ -514,14 +537,14 @@ object Pipeline {
       // without lineage truncation the plan doubles per iteration
       // (2^K blowup); the barrier sits HERE (not after compress) so
       // the heavy edge-join is materialized exactly once per round
-      // and only the node-sized compress join stays lazy. At cluster
-      // scale this would be a reliable checkpoint() per round.
-      val prop = labels
+      // and only the node-sized compress join stays lazy.
+      val frame = labels
         .join(nbrMin, labels("id") === nbrMin("d1"), "left")
         .select(col("id"),
           least(col("root"), coalesce(col("nroot"), col("root")))
             .as("root"))
-        .localCheckpoint(true)
+      val prop = if (reliable) frame.checkpoint(true)
+                 else frame.localCheckpoint(true)
       // phase 2 — compress (pointer doubling): root ← root(root).
       // Total by construction: every root value is itself a vertex id
       // (labels start as own ids and only exchange mins of ids), so
@@ -543,8 +566,8 @@ object Pipeline {
       // q_sim_jaccard_pairs / q_text_levenshtein) — already persisted,
       // so all K propagation rounds read the cached graph
       val edges = componentEdges(s, d)
-      val verts = edges.select(col("d1").as("id")).distinct()
-      val labels = componentLabels(edges, 5)
+      val verts = componentVerts(edges)
+      val labels = componentLabels(edges, verts, componentRounds)
       val vertexClusters = labels
         .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
         .groupBy(col("lang"), col("root"))
@@ -588,10 +611,10 @@ object Pipeline {
            |e AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM jp
            |  UNION ALL SELECT d2 AS a, d1 AS b FROM jp),
            |l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS root FROM documents),
-           |${(1 to 5).map(step).mkString(",\n")},
-           |cl AS (SELECT d.lang AS lang, l5.root AS root, count(*) AS csize
-           |  FROM l5 JOIN documents d ON l5.id = d.doc_id
-           |  GROUP BY d.lang, l5.root)
+           |${(1 to componentRounds).map(step).mkString(",\n")},
+           |cl AS (SELECT d.lang AS lang, lK.root AS root, count(*) AS csize
+           |  FROM l$componentRounds lK JOIN documents d ON lK.id = d.doc_id
+           |  GROUP BY d.lang, lK.root)
            |SELECT lang, count(*) AS n_components,
            |  CAST(max(csize) AS BIGINT) AS largest_cluster,
            |  CAST(sum(CASE WHEN csize >= 2 THEN csize ELSE 0 END) AS BIGINT)

@@ -212,21 +212,30 @@ class PropertiesSpec extends SparkSpec {
     assert(rate < 0.35, s"random-pair band collision rate $rate")
   }
 
-  test("component propagation reaches the fixpoint on the fixture graph") {
+  test("component propagation reaches the fixpoint on every fixture graph") {
     // Oracle parity is structurally BLIND to non-convergence: the oracle
     // mirrors the same K rounds, so both engines stop short in lockstep
     // (exactly how the regenerated corpus's diameter-8 chain silently
     // outran the pre-r5 linear K=6 scheme). This pins the semantic claim
-    // itself: after K=5 propagate+compress rounds, every edge's
-    // endpoints carry the same root.
-    val edges = ops.Pipeline.componentEdges(spark, "/root/testdata/sf0.001")
-    val labels = ops.Pipeline.componentLabels(edges, 5)
-    val bad = edges
-      .join(labels.select(col("id").as("d1"), col("root").as("r1")), "d1")
-      .join(labels.select(col("id").as("d2"), col("root").as("r2")), "d2")
-      .filter(col("r1") =!= col("r2")).count()
-    assert(bad == 0, s"$bad edges still straddle two roots after K rounds")
-    Caches.releaseScoped(); Caches.releaseShared()
+    // itself: after K propagate+compress rounds, every edge's endpoints
+    // carry the same root — on EVERY fixture scale present (ADVICE r5:
+    // the deep chain that broke the linear scheme lived at sf0.1, and
+    // the driver regenerates fixtures between rounds).
+    val dirs = new java.io.File("/root/testdata").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("sf"))
+      .map(_.getAbsolutePath).sorted
+    assert(dirs.nonEmpty, "no /root/testdata/sf* fixture dirs found")
+    for (dir <- dirs) {
+      val edges = ops.Pipeline.componentEdges(spark, dir)
+      val labels = ops.Pipeline.componentLabels(
+        edges, ops.Pipeline.componentVerts(edges), ops.Pipeline.componentRounds)
+      val bad = edges
+        .join(labels.select(col("id").as("d1"), col("root").as("r1")), "d1")
+        .join(labels.select(col("id").as("d2"), col("root").as("r2")), "d2")
+        .filter(col("r1") =!= col("r2")).count()
+      assert(bad == 0, s"$dir: $bad edges still straddle two roots after K rounds")
+      Caches.releaseScoped(); Caches.releaseShared()
+    }
   }
 
   test("pointer-doubling propagation equals union-find on random graphs") {
@@ -241,7 +250,8 @@ class PropertiesSpec extends SparkSpec {
     samples(graphGen, 3).filter(_.nonEmpty).foreach { es =>
       val pairs = es.toDF("d1", "d2")
       val sym = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      val labels = ops.Pipeline.componentLabels(sym, 5)
+      val labels = ops.Pipeline.componentLabels(
+        sym, ops.Pipeline.componentVerts(sym), ops.Pipeline.componentRounds)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // reference union-find
       val parent = scala.collection.mutable.Map.empty[Long, Long]

@@ -98,6 +98,39 @@ class RuntimeSpec extends SparkSpec {
     assert(got == Set((20L, 10L, 0L), (21L, -1L, -1L)))
   }
 
+  test("component loop uses reliable checkpoints when a dir is configured") {
+    // VERDICT r5 #2: localCheckpoint blocks die with their executor; a
+    // cluster run must be able to opt into fault-tolerant checkpoint()
+    // via the standard SparkContext.setCheckpointDir config. Pin that
+    // (a) the loop actually writes RDD checkpoints into the configured
+    // dir, (b) the labels stay correct, and (c) re-evaluating the
+    // result AFTER the scoped edge cache is dropped (the local analogue
+    // of losing the blocks that produced it) recomputes fine from the
+    // checkpointed lineage.
+    // NOTE: SparkContext has no unsetCheckpointDir — after this test the
+    // rest of the JVM's component loops run the reliable path too, which
+    // is semantically identical (and itself extra coverage).
+    val sc = spark.sparkContext
+    val ckpt = Files.createTempDirectory("graft_comp_ckpt").toString
+    sc.setCheckpointDir(ckpt)
+    val edges = Caches.scoped(
+      Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (10L, 11L), (11L, 10L))
+        .toDF("d1", "d2"))
+    val labels = ops.Pipeline.componentLabels(
+      edges, ops.Pipeline.componentVerts(edges), ops.Pipeline.componentRounds)
+    def roots() = labels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    assert(roots() == want)
+    // (a) reliable checkpoint files were written under the dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "no checkpoint files written to the configured dir")
+    // (c) recompute after the upstream scoped cache is gone
+    Caches.releaseScoped()
+    assert(roots() == want)
+  }
+
   test("watermark drops a too-late row; on-time rows aggregate") {
     // Two query RUNS over one checkpoint: the watermark advances in run 1
     // and persists, so run 2's older-than-watermark row is dropped (file
