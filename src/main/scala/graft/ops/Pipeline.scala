@@ -649,9 +649,10 @@ object Pipeline {
   private val containment = QueryDef(
     "q_text_containment",
     (s, d) => {
-      val sets = Tables.documents(s, d)
-        .select(col("lang"), col("doc_id"),
-          split(col("text"), " ").as("toks"))
+      // corpus scan + split shared with the other set-similarity text
+      // keys (Text.sharedDocTokens, VERDICT r5 #4)
+      val sets = Text.sharedDocTokens(s, d)
+        .select(col("lang"), col("doc_id"), col("ts").as("toks"))
         .withColumn("nt", size(col("toks")).cast("long"))
         .withColumn("ss", expr(
           """array_distinct(filter(transform(

@@ -517,10 +517,18 @@ object Similarity {
     * (the jaccardPairs testing pattern). Takes any (doc_id, lang, text)
     * relation; thresholding is pinned at t² = 0.9025 in 1e-4 units.
     */
-  private[graft] def cosineSetPairs(docsIn: DataFrame): DataFrame = {
-      val docs = docsIn
+  private[graft] def cosineSetPairs(docsIn: DataFrame): DataFrame =
+    cosineSetPairsFromTokens(docsIn.select(col("doc_id"), col("lang"),
+      split(col("text"), " ").as("ts")))
+
+  /** Same relation, taking a pre-tokenized (doc_id, lang, ts) input so
+    * the graded query can start from the shared corpus tokenization
+    * (Text.sharedDocTokens) instead of re-scanning.
+    */
+  private[graft] def cosineSetPairsFromTokens(toksIn: DataFrame): DataFrame = {
+      val docs = toksIn
         .select(col("doc_id"), col("lang"),
-          array_sort(array_distinct(split(col("text"), " "))).as("st"))
+          array_sort(array_distinct(col("ts"))).as("st"))
       val groups = graft.Caches.scoped(docs.groupBy(col("lang"), col("st"))
         .agg(min(col("doc_id")).as("gid"),
           sort_array(collect_list(col("doc_id"))).as("ids"),
@@ -606,7 +614,7 @@ object Similarity {
   private val simCosineSets = QueryDef(
     "q_sim_cosine_sets",
     (s, d) => {
-      cosineSetPairs(Tables.documents(s, d))
+      cosineSetPairsFromTokens(Text.sharedDocTokens(s, d))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_pairs"),
           sum(when(col("cos_e6") === 1000000L, 1L).otherwise(0L))

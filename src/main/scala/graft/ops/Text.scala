@@ -23,6 +23,43 @@ object Text {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** One corpus scan + tokenize, shared session-wide (Caches.shared —
+    * the sharedJaccardPairs treatment, VERDICT r5 #4): (doc_id, lang,
+    * ts) with ts = the full split token array, one row per document, no
+    * filter — so consumers can derive doc counts, per-lang slices, and
+    * token/shingle/bigram relations without re-reading the corpus.
+    * Feeds q_sim_cosine_sets, q_text_containment, q_text_keyphrase and
+    * q_text_collocations; at 100 TB each of those used to pay its own
+    * corpus scan + split.
+    */
+  private[ops] def sharedDocTokens(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.shared(s"doctoks:${graft.Caches.sessionKey(s)}:$d") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), toks.as("ts"))
+    }
+
+  /** The exploded adjacent-bigram relation (doc_id, lang, w1, w2),
+    * derived from sharedDocTokens and itself shared: keyphrase (per-doc
+    * tf–idf) and collocations (per-lang PMI) aggregate the SAME bigram
+    * rows on different keys — one explode instead of two.
+    */
+  private[ops] def sharedBigrams(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.shared(s"bigrams:${graft.Caches.sessionKey(s)}:$d") {
+      sharedDocTokens(s, d)
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """transform(sequence(1, size(ts) - 1),
+            |  i -> struct(element_at(ts, i) AS w1,
+            |              element_at(ts, i + 1) AS w2))""".stripMargin))
+          .as("bg"))
+        .select(col("doc_id"), col("lang"),
+          col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    }
+
   private val wordcount = QueryDef(
     "q_text_wordcount",
     (s, d) =>
@@ -404,15 +441,9 @@ object Text {
     "q_text_collocations",
     (s, d) => {
       import graft.functions.DetMath
-      val toks = Tables.documents(s, d)
-        .select(col("lang"), split(col("text"), " ").as("ts"))
-        .filter(size(col("ts")) >= 2)
-      val big = toks.select(col("lang"), explode(expr(
-        """transform(sequence(1, size(ts) - 1),
-          |  i -> struct(element_at(ts, i) AS w1,
-          |              element_at(ts, i + 1) AS w2))""".stripMargin))
-        .as("bg"))
-        .select(col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // one corpus explode, shared with q_text_keyphrase (sharedBigrams)
+      val big = sharedBigrams(s, d)
+        .select(col("lang"), col("w1"), col("w2"))
       val cxy = big.groupBy(col("lang"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("cxy"))
       val cx = cxy.groupBy(col("lang"), col("w1")).agg(sum(col("cxy")).as("cx"))
@@ -619,18 +650,15 @@ object Text {
     "q_text_keyphrase",
     (s, d) => {
       import graft.functions.DetMath
-      val docs = Tables.documents(s, d)
-      val tf = docs
-        .select(col("doc_id"), split(col("text"), " ").as("ts"))
-        .filter(size(col("ts")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, size(ts) - 1),
-            |  i -> concat_ws(' ', element_at(ts, i),
-            |                 element_at(ts, i + 1)))""".stripMargin))
-          .as("bg"))
+      // the same shared bigram rows q_text_collocations aggregates,
+      // keyed per-doc here instead of per-lang
+      val tf = sharedBigrams(s, d)
+        .select(col("doc_id"),
+          concat_ws(" ", col("w1"), col("w2")).as("bg"))
         .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("bg")).agg(count(lit(1)).as("df"))
-      val nd = docs.agg(count(lit(1)).as("nd"))
+      // nd counts ALL documents (one token row per doc, unfiltered)
+      val nd = sharedDocTokens(s, d).agg(count(lit(1)).as("nd"))
       val scored = tf.join(df, "bg").crossJoin(broadcast(nd))
         .withColumn("idf_e6",
           floor((DetMath.lnInt(col("nd")) - DetMath.lnInt(col("df")))
