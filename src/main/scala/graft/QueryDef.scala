@@ -112,6 +112,7 @@ object Registry {
         ops.Sampling.defs ++
         ops.Curation.defs ++
         ops.Graph.defs ++
+        ops.Clustering.defs ++
         ops.TimeSeries.defs ++
         ops.Sketch.defs ++
         ops.Lakehouse.defs ++

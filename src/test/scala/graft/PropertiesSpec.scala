@@ -271,6 +271,43 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("kmeans fit equals its scalar replica on random vector sets") {
+    // Oracle lockstep proves the two ENGINES agree, not that the loop
+    // computes k-means as specified — this replays the exact algorithm
+    // (hash seeding, integer argmin with cluster-id tiebreak,
+    // truncating-division centroid update, empty-cluster carry) in
+    // plain Scala and demands identical final assignments.
+    val vecGen = Gen.listOfN(12,
+      Gen.listOfN(4, Gen.choose(-50L, 50L))).map(_.zipWithIndex)
+    samples(vecGen, 3).foreach { vs =>
+      val k = 3; val rounds = 2
+      val emb = vs.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "v")
+      val (_, asg) = ops.Clustering.kmeansFit(emb, k, rounds)
+      val got = asg.collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // scalar replica
+      val byId = vs.map { case (v, i) => i.toLong -> v.toArray }.toMap
+      def h(id: Long) = (id * 2654435761L) % 1000000007L
+      var cent: Vector[Array[Long]] = byId.keys.toSeq
+        .sortBy(id => (h(id), id)).take(k).map(byId).toVector
+      def best(v: Array[Long]): (Int, Long) =
+        cent.zipWithIndex.map { case (c, j) =>
+          (j, c.zip(v).map { case (a, b) => (b - a) * (b - a) }.sum)
+        }.minBy { case (j, d) => (d, j) } match { case (j, d) => (j, d) }
+      for (_ <- 1 to rounds) {
+        val asgn = byId.toSeq.map { case (id, v) => (id, v, best(v)._1) }
+        cent = cent.zipWithIndex.map { case (prev, j) =>
+          val members = asgn.filter(_._3 == j).map(_._2)
+          if (members.isEmpty) prev
+          else Array.tabulate(4)(p => members.map(_(p)).sum / members.size)
+        }
+      }
+      val want = byId.map { case (id, v) => id -> best(v)._1.toLong }
+      assert(got == want, s"vs=$vs got=$got want=$want")
+      Caches.releaseScoped()
+    }
+  }
+
   test("containment prefix filter is lossless for any set collection") {
     // q_text_containment's candidate rule: if |A ∩ B| ≥ 0.8·|A| then A's
     // (|A| − ⌈0.8·|A|⌉ + 1) rarest shingles (global (df, w) order) must
