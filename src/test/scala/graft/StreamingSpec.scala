@@ -176,6 +176,70 @@ class StreamingSpec extends SparkSpec {
     assertSame(batch, streamed)
   }
 
+  test("q_stream_late's drop rule matches a real withWatermark run per batch") {
+    // The graded key models Structured Streaming's per-row discard:
+    // late ⇔ event time < (max prior event time − lateness). Replay
+    // that rule through a REAL withWatermark query at micro-batch
+    // granularity: each run is one arrival batch, the checkpointed
+    // watermark advances to max(batch ts) − 10 min between runs, and
+    // the prediction of which rows survive comes from the same
+    // running-max-minus-lateness arithmetic the graded key grades.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_late_src").toString
+    val ckpt = Files.createTempDirectory("graft_late_ck").toString
+    val outDir = Files.createTempDirectory("graft_late_out").toString
+    val schema = Seq.empty[(java.sql.Timestamp, String)]
+      .toDF("ts", "event_type").schema
+    val batches = Seq(
+      Seq(("2024-01-01 10:05:00", "a1"), ("2024-01-01 13:00:00", "a2")),
+      // wm now 12:50: 10:07 is late (dropped), 12:55 on-time, 13:30 advances
+      Seq(("2024-01-01 10:07:00", "b_late"), ("2024-01-01 12:55:00", "b_ok"),
+        ("2024-01-01 13:30:00", "b_adv")),
+      // wm now 13:20: 12:59 late, 13:25 on-time
+      Seq(("2024-01-01 12:59:00", "c_late"), ("2024-01-01 13:25:00", "c_ok")))
+    val latenessUs = 10L * 60 * 1000000
+    // model prediction at batch granularity (the graded key's formula
+    // with arrival order = batch order)
+    var wm = Long.MinValue
+    val predictedKept = batches.flatMap { rows =>
+      val kept = rows.filter { case (t, _) =>
+        wm == Long.MinValue ||  // no watermark before the first batch
+          java.sql.Timestamp.valueOf(t).getTime * 1000 >= wm - latenessUs }
+      wm = math.max(wm, rows.map(r =>
+        java.sql.Timestamp.valueOf(r._1).getTime * 1000).max)
+      kept.map(_._2)
+    }.toSet
+    for (rows <- batches) {
+      rows.map { case (t, e) => (java.sql.Timestamp.valueOf(t), e) }
+        .toDF("ts", "event_type")
+        .coalesce(1).write.mode("append").parquet(dir)
+      graft.streaming.Streams.runAvailableNowToParquet(
+        graft.streaming.Streams.tumblingCounts(
+          graft.streaming.Streams.stream(spark, dir, schema),
+          window_ = "1 minute", lateness = "10 minutes"),
+        outDir, ckpt)
+    }
+    val streamedKept = spark.read.parquet(outDir)
+      .select(col("event_type")).as[String].collect().toSet
+    // 1-minute windows + distinct types make kept rows visible 1:1 once
+    // their window closes; every window here is closed by the final
+    // 13:30 watermark except the last batch's own tail — drain once
+    // more with a far-future row to flush, then compare exactly
+    Seq((java.sql.Timestamp.valueOf("2024-01-01 23:00:00"), "flush"))
+      .toDF("ts", "event_type")
+      .coalesce(1).write.mode("append").parquet(dir)
+    graft.streaming.Streams.runAvailableNowToParquet(
+      graft.streaming.Streams.tumblingCounts(
+        graft.streaming.Streams.stream(spark, dir, schema),
+        window_ = "1 minute", lateness = "10 minutes"),
+      outDir, ckpt)
+    val finalKept = spark.read.parquet(outDir)
+      .select(col("event_type")).as[String].collect().toSet - "flush"
+    assert(finalKept == predictedKept,
+      s"streamed=$finalKept predicted=$predictedKept (wm model drift)")
+    assert(streamedKept.subsetOf(finalKept))
+  }
+
   test("streaming upsert sink: version order wins over arrival order") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_upsert_src").toString
