@@ -212,6 +212,75 @@ class PropertiesSpec extends SparkSpec {
     assert(rate < 0.35, s"random-pair band collision rate $rate")
   }
 
+  test("band recall and pruning hold on the 10x-scaled fixture corpus") {
+    // VERDICT r5 #8: the synthetic-gaussian recall test above pins the
+    // plane family, but the ADVICE-r4 regression (degenerate planes →
+    // candidates back to ~n²/4) was only visible at volume. Rebuild the
+    // ScaleProbe construction — 10 offset copies of the REAL sf0.1
+    // embedding vectors, non-base copies deterministically perturbed by
+    // ~1e-3 relative so each (base, copy) pair is a genuine near-dup —
+    // and measure the same two bounds on 10× real data.
+    val base = graft.ops.VecOps.quantized(spark, "/root/testdata/sf0.1")
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    assert(base.length >= 1000, s"fixture too small: ${base.length}")
+    def jitter(id: Long, copy: Int, k: Int): Long = {
+      val h = (id * 64 + k) * 2654435761L + copy * 97L
+      (h % 2001L + 2001L) % 2001L - 1000L
+    }
+    val copies: Array[(Long, Array[Long])] = base.flatMap { case (id, v) =>
+      (0 until 10).map(c =>
+        (id + c * 1000000000L,
+          if (c == 0) v
+          else Array.tabulate(64)(k => v(k) + jitter(id, c, k))))
+    }
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (k <- 0 until 64) {
+        d += a(k).toDouble * b(k); na += a(k).toDouble * a(k)
+        nb += b(k).toDouble * b(k)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val planes = (0 until 16).map(j => graft.ops.VecOps.hyperPlane(j).toArray)
+    def sig(v: Array[Long]): Int = (0 until 16).map { j =>
+      var s = 0L; for (k <- 0 until 64) s += v(k) * planes(j)(k)
+      if (s > 0) 1 << j else 0
+    }.sum
+    def shareBand(sa: Int, sb: Int): Boolean =
+      (0 until 4).exists(b => ((sa >> (4 * b)) & 15) == ((sb >> (4 * b)) & 15))
+    val sigs = copies.map { case (id, v) => id -> sig(v) }.toMap
+    // recall over the genuine near-dup pairs (base, copy c>0); the
+    // perturbed vector is recomputed from the same deterministic jitter
+    val nearPairs = base.flatMap { case (id, v) =>
+      (1 until 10).map { c =>
+        (id, id + c * 1000000000L, v,
+          Array.tabulate(64)(k => v(k) + jitter(id, c, k)))
+      }
+    }
+    val checked = nearPairs.filter { case (_, _, a, b) => cos(a, b) >= 0.99 }
+    assert(checked.length >= nearPairs.length * 9 / 10,
+      s"perturbation sanity: ${checked.length}/${nearPairs.length}")
+    val recall = checked.count { case (i1, i2, _, _) =>
+      shareBand(sigs(i1), sigs(i2))
+    }.toDouble / checked.length
+    assert(recall >= 0.98, s"10x-corpus band recall $recall")
+    // pruning: unrelated pairs across the full 10x id space must stay
+    // mostly non-colliding (the candidate-blowup detector)
+    val ids = copies.map(_._1)
+    val stride = math.max(1, ids.length / 300)
+    val sample = ids.indices.by(stride).map(ids).toArray
+    var coll = 0L; var tot = 0L
+    for (i <- sample.indices; j <- (i + 1) until sample.length) {
+      // skip near-dup copy pairs of the same base id
+      if (sample(i) % 1000000000L != sample(j) % 1000000000L) {
+        tot += 1; if (shareBand(sigs(sample(i)), sigs(sample(j)))) coll += 1
+      }
+    }
+    val rate = coll.toDouble / tot
+    assert(rate < 0.35, s"10x-corpus random collision rate $rate over $tot pairs")
+  }
+
   test("component propagation reaches the fixpoint on every fixture graph") {
     // Oracle parity is structurally BLIND to non-convergence: the oracle
     // mirrors the same K rounds, so both engines stop short in lockstep

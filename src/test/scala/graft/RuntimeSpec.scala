@@ -98,6 +98,46 @@ class RuntimeSpec extends SparkSpec {
     assert(got == Set((20L, 10L, 0L), (21L, -1L, -1L)))
   }
 
+  test("AQE splits a deliberately skewed join (the q_profile_skew plan story)") {
+    // VERDICT r5 #9: make the skew-handling story executable — a join
+    // whose shuffle has one hot key must trigger AQE's skew-split
+    // (OptimizeSkewedJoin) once the skew thresholds match the data
+    // volume. Production confs scale the same way; the threshold here
+    // is lowered to probe scale, not the mechanism changed.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16384",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      // key 0 carries 200k rows; keys 1..63 carry ~120 each — one
+      // shuffle partition dwarfs the median
+      val left = spark.range(200000).select(lit(0L).as("k"), col("id").as("p"))
+        .union(spark.range(8000)
+          .select((col("id") % 63 + 1).as("k"), col("id").as("p")))
+      val right = spark.range(64).select(col("id").as("k"),
+        (col("id") * 10).as("r"))
+      val joined = left.join(right, "k")
+      // execute THIS DataFrame's plan (count() would plan a sibling
+      // query and leave joined's adaptive plan unfinalized)
+      val n = joined.collect().length
+      assert(n == 208000, s"join row count $n")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("isSkewJoin=true"),
+        s"AQE did not mark the skew join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("component loop uses reliable checkpoints when a dir is configured") {
     // VERDICT r5 #2: localCheckpoint blocks die with their executor; a
     // cluster run must be able to opt into fault-tolerant checkpoint()
