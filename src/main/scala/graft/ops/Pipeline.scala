@@ -989,8 +989,95 @@ object Pipeline {
            |FROM cc LEFT JOIN dc ON cc.lang = dc.lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** Cross-document duplicated-substring census (round 6): the
+    * ExactSubstr signal of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better" — duplicated SPANS matter even
+    * when whole documents differ), approximated at token-8-gram grain:
+    * every 8-token window is a span; a span is duplicated when its
+    * 8-gram occurs in ≥ 2 distinct documents. Per lang: span count,
+    * duplicated-span occurrences, distinct duplicated grams, documents
+    * carrying ≥ 1 duplicated span, and the dup ratio in 1e6 units —
+    * exactly the census a substring-dedup pass computes before deciding
+    * what to cut. The fixtures make it live: the injected near-dup
+    * docs produce real duplicated spans in de/en while es/fr/zh grade
+    * the all-zero path.
+    *
+    * Scale: ONE shared corpus tokenize (sharedDocTokens) → ~n_tokens
+    * span rows (each token starts ≤ 1 span) partial-agged straight to
+    * (lang, gram, doc) grain, then gram grain — the same
+    * explode→combine→reduce budget as wordcount, on 8× wider keys; at
+    * 100 TB one would hash the gram to int64 first (the q_sample_hash
+    * trick) to shrink the shuffle key, which changes no count in this
+    * census. No pair join anywhere — dup detection is a GROUP BY, not
+    * a self-join, which is what makes substring-grain dedup feasible
+    * where pairwise comparison is not.
+    *
+    * Determinism: pure integer counts; ratio division non-negative
+    * (div ≡ //). Affected-doc census joins back to the (gram, doc)
+    * grain — grain-sized, not corpus-sized.
+    */
+  private val dedupSubstr = QueryDef(
+    "q_dedup_substr",
+    (s, d) => {
+      val spans = Text.sharedDocTokens(s, d)
+        .filter(size(col("ts")) >= 8)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """transform(sequence(1, size(ts) - 7),
+            |  i -> array_join(slice(ts, i, 8), ' '))""".stripMargin))
+          .as("gram"))
+      val dg = graft.Caches.scoped(spans
+        .groupBy(col("lang"), col("gram"), col("doc_id"))
+        .agg(count(lit(1)).as("occ")))
+      val gs = graft.Caches.scoped(dg
+        .groupBy(col("lang"), col("gram"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occ")))
+      val census = gs.groupBy(col("lang"))
+        .agg(sum(col("n_occ")).as("n_spans"),
+          sum(when(col("n_docs") >= 2, col("n_occ")).otherwise(0L))
+            .as("n_dup_spans"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L))
+            .as("n_dup_grams"))
+      val affected = dg
+        .join(gs.filter(col("n_docs") >= 2)
+            .select(col("lang"), col("gram")),
+          Seq("lang", "gram"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_affected"))
+      census.join(affected, Seq("lang"), "left")
+        .select(col("lang"), col("n_spans"), col("n_dup_spans"),
+          col("n_dup_grams"),
+          coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"),
+          expr("n_dup_spans * 1000000 div n_spans").as("dup_ratio_e6"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts
+           |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+           |g AS (SELECT doc_id, lang,
+           |    unnest(list_transform(range(1, len(ts) - 6),
+           |      i -> array_to_string(ts[i:i+7], ' '))) AS gram FROM t),
+           |dg AS (SELECT lang, gram, doc_id, count(*) AS occ
+           |  FROM g GROUP BY 1, 2, 3),
+           |gs AS (SELECT lang, gram, count(*) AS n_docs,
+           |    CAST(sum(occ) AS BIGINT) AS n_occ FROM dg GROUP BY 1, 2),
+           |cen AS (SELECT lang, CAST(sum(n_occ) AS BIGINT) AS n_spans,
+           |    CAST(sum(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END)
+           |      AS BIGINT) AS n_dup_spans,
+           |    CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_dup_grams
+           |  FROM gs GROUP BY 1),
+           |aff AS (SELECT dg.lang AS lang,
+           |    count(DISTINCT dg.doc_id) AS n_docs_affected
+           |  FROM dg JOIN gs ON dg.lang = gs.lang AND dg.gram = gs.gram
+           |  WHERE gs.n_docs >= 2 GROUP BY 1)
+           |SELECT cen.lang AS lang, n_spans, n_dup_spans, n_dup_grams,
+           |  CAST(coalesce(aff.n_docs_affected, 0) AS BIGINT)
+           |    AS n_docs_affected,
+           |  n_dup_spans * 1000000 // n_spans AS dup_ratio_e6
+           |FROM cen LEFT JOIN aff ON cen.lang = aff.lang
+           |ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     dedupSimhash, dedupNgram, dedupEmbed, simAnnLsh, simCentroid, simAnnIvf,
     pipelineE2e, dedupComponents, containment, dedupSimhashExact,
-    dedupMinhashExact)
+    dedupMinhashExact, dedupSubstr)
 }

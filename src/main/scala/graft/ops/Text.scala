@@ -772,8 +772,125 @@ object Text {
            |FROM best WHERE brn = 1
            |ORDER BY lang ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin))
 
+  /** LM-perplexity quality filter (round 6): score every document by its
+    * mean bigram surprisal under the corpus's own bigram LM — the CCNet-
+    * style "train an LM on the corpus, keep what it predicts well"
+    * curation pass (high surprisal = incoherent token soup, low = fluent
+    * or duplicated). Per occurrence of bigram (w1,w2) in lang L the
+    * surprisal is ln c(w1·) − ln c(w1,w2) ≥ 0 (the unsmoothed conditional
+    * −ln P(w2|w1) under q_text_bigram_lm's MLE estimate — counts include
+    * the doc itself, so every doc bigram has c ≥ 1 and no smoothing term
+    * is needed); a doc's score is the occurrence-weighted mean in 1e6
+    * units. Census per lang: doc count, avg/max/checksum of the per-doc
+    * score, the worst (most-surprising) doc, and how many docs a
+    * ≥ 3.4-nat gate would flag (≈ top decile on the fixtures — a real
+    * filter, not a constant).
+    *
+    * Determinism: both lns run through `DetMath.lnInt` on integer counts
+    * (bit-identical doubles, rule D12), quantized by floor(·1e6) — floor
+    * of an identical double is identical always (the collocations
+    * lesson; no round-tie caveat). All downstream arithmetic is int64;
+    * divisions are non-negative so Spark `div` ≡ DuckDB `//`.
+    *
+    * Scale: the (doc,bigram)-grain relation from ONE shared corpus
+    * explode (Caches: sharedBigrams) partial-aggs to doc-bigram counts;
+    * corpus counts c12/c1 re-aggregate THAT relation (no second corpus
+    * pass); the only corpus-sized exchanges are the doc-bigram shuffle
+    * and the (lang,w1,w2)-key score join — the standard model-apply
+    * shape. The per-doc score table is the production artifact; the
+    * census is its grain-sized rollup.
+    */
+  private val perplexity = QueryDef(
+    "q_text_perplexity",
+    (s, d) => {
+      import graft.functions.DetMath
+      val docb = graft.Caches.scoped(sharedBigrams(s, d)
+        .groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("occ")))
+      val c12 = docb.groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(sum(col("occ")).as("c12"))
+      val c1 = c12.groupBy(col("lang"), col("w1"))
+        .agg(sum(col("c12")).as("c1"))
+      val sup = c12.join(c1, Seq("lang", "w1"))
+        .withColumn("s_e6",
+          floor((DetMath.lnInt(col("c1")) - DetMath.lnInt(col("c12")))
+            * 1000000).cast("long"))
+        .select(col("lang"), col("w1"), col("w2"), col("s_e6"))
+      val perdoc = docb.join(sup, Seq("lang", "w1", "w2"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("occ") * col("s_e6")).as("tot"),
+          sum(col("occ")).as("nb"))
+        .withColumn("mean_e6", expr("tot div nb"))
+      val census = perdoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("mean_e6")).as("sum_surprisal_e6"),
+          max(col("mean_e6")).as("max_surprisal_e6"),
+          sum(when(col("mean_e6") >= 3400000L, 1L).otherwise(0L))
+            .as("n_flagged"))
+        .withColumn("avg_surprisal_e6",
+          expr("sum_surprisal_e6 div n_docs"))
+      val wWorst = Window.partitionBy(col("lang"))
+        .orderBy(descl("mean_e6"), ascf("doc_id"))
+      val worst = perdoc
+        .withColumn("rn", row_number().over(wWorst))
+        .filter(col("rn") === 1)
+        .select(col("lang"), col("doc_id").as("worst_doc"))
+      census.join(worst, Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("avg_surprisal_e6"),
+          col("max_surprisal_e6"), col("sum_surprisal_e6"),
+          col("n_flagged"), col("worst_doc"))
+        .orderBy(ascf("lang"))
+    },
+    Some {
+      import graft.functions.DetMath._
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         |b AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(ts)),
+         |    i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS bg FROM t),
+         |big AS (SELECT doc_id, lang, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+         |db AS (SELECT doc_id, lang, w1, w2, count(*) AS occ FROM big
+         |  GROUP BY 1, 2, 3, 4),
+         |c12 AS (SELECT lang, w1, w2, CAST(sum(occ) AS BIGINT) AS c12
+         |  FROM db GROUP BY 1, 2, 3),
+         |c1 AS (SELECT lang, w1, CAST(sum(c12) AS BIGINT) AS c1
+         |  FROM c12 GROUP BY 1, 2),
+         |j AS (SELECT c12.lang AS lang, c12.w1 AS w1, c12.w2 AS w2,
+         |    c12.c12 AS c12, c1.c1 AS c1
+         |  FROM c12 JOIN c1 ON c12.lang = c1.lang AND c12.w1 = c1.w1),
+         |r1 AS (SELECT *, ${kSql("c1")} AS k1, ${kSql("c12")} AS k2 FROM j),
+         |r2 AS (SELECT *, ${mSql("c1", "k1")} AS m1,
+         |    ${mSql("c12", "k2")} AS m2 FROM r1),
+         |r3 AS (SELECT *, ${zSql("m1")} AS z1, ${zSql("m2")} AS z2 FROM r2),
+         |r4 AS (SELECT *, z1 * z1 AS zz1, z2 * z2 AS zz2 FROM r3),
+         |r5 AS (SELECT *, ${hornerSql("zz1")} AS h1,
+         |    ${hornerSql("zz2")} AS h2 FROM r4),
+         |sup AS (SELECT lang, w1, w2, CAST(floor(
+         |    (${lnSql("k1", "z1", "h1")} - ${lnSql("k2", "z2", "h2")})
+         |      * 1000000) AS BIGINT) AS s_e6 FROM r5),
+         |pd AS (SELECT db.doc_id AS doc_id, db.lang AS lang,
+         |    CAST(sum(db.occ * sup.s_e6) AS BIGINT)
+         |      // CAST(sum(db.occ) AS BIGINT) AS mean_e6
+         |  FROM db JOIN sup ON db.lang = sup.lang AND db.w1 = sup.w1
+         |    AND db.w2 = sup.w2
+         |  GROUP BY 1, 2),
+         |cen AS (SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(mean_e6) AS BIGINT) AS sum_surprisal_e6,
+         |    max(mean_e6) AS max_surprisal_e6,
+         |    CAST(sum(CASE WHEN mean_e6 >= 3400000 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_flagged
+         |  FROM pd GROUP BY 1),
+         |wr AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+         |    ORDER BY mean_e6 DESC, doc_id ASC) AS rn FROM pd)
+         |SELECT cen.lang AS lang, CAST(n_docs AS BIGINT) AS n_docs,
+         |  sum_surprisal_e6 // CAST(n_docs AS BIGINT) AS avg_surprisal_e6,
+         |  max_surprisal_e6, sum_surprisal_e6, n_flagged,
+         |  wr.doc_id AS worst_doc
+         |FROM cen JOIN wr ON cen.lang = wr.lang AND wr.rn = 1
+         |ORDER BY lang ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,
     langid, quality, tokens, fingerprint, levenshteinPairs, tfidf,
-    collocations, vocab, zipf, keyphrase, bigramLm)
+    collocations, vocab, zipf, keyphrase, bigramLm, perplexity)
 }
