@@ -215,6 +215,55 @@ object Clustering {
     */
   private[graft] val perceptronRounds = 5
 
+  /** Fit: `rounds` full-batch rounds over feats = (doc_id, y, n, x)
+    * with x already centered and bias-prepended (dims elements) and n
+    * the constant corpus count; returns the final 1-row weight
+    * relation. Extracted so PropertiesSpec can replay it on toy data
+    * against a scalar replica (the kmeansFit treatment — oracle
+    * lockstep proves engine parity, the replica proves the loop is the
+    * algorithm as specified).
+    */
+  private[graft] def perceptronFit(feats: DataFrame, dims: Int,
+      rounds: Int): DataFrame = {
+    var w = Caches.scoped(feats.sparkSession.range(1)
+      .select(expr(s"transform(sequence(1, $dims), i -> bigint(0))")
+        .as("w")))
+    for (_ <- 1 to rounds) {
+      val g = scorePerceptron(feats, w)
+        .select(col("n"), (col("y") - col("pred")).as("err"),
+          posexplode(col("x")).as(Seq("k", "xk")))
+        .groupBy(col("k"))
+        .agg(sum(col("err") * col("xk")).as("graw"),
+          max(col("n")).as("n"))
+        // mean-normalized update in e2 units; sign/abs keeps the
+        // truncation direction engine-identical on negatives
+        .withColumn("gk",
+          when(col("graw") >= 0L, expr("(graw * 100) div n"))
+            .otherwise(-expr("((-graw) * 100) div n")))
+      val wexp = w.select(posexplode(col("w")).as(Seq("k", "wk")))
+      w = Caches.scoped(wexp.join(g.select(col("k"), col("gk")),
+          Seq("k"), "left")
+        .select(col("k"),
+          (col("wk") + coalesce(col("gk"), lit(0L))).as("wk"))
+        .agg(array_sort(collect_list(struct(col("k"), col("wk"))))
+          .as("ws"))
+        .select(transform(col("ws"), p => p.getField("wk")).as("w")))
+    }
+    w
+  }
+
+  /** Margin + prediction of `feats` rows under the 1-row weight
+    * relation `wdf` (broadcast; the map-side scoring pass).
+    */
+  private[graft] def scorePerceptron(feats: DataFrame,
+      wdf: DataFrame): DataFrame =
+    feats.crossJoin(broadcast(wdf))
+      .withColumn("margin", expr(
+        """aggregate(zip_with(w, x, (p, q) -> p * q),
+          |  bigint(0), (acc, t) -> acc + t)""".stripMargin))
+      .withColumn("pred",
+        when(col("margin") >= 0L, 1L).otherwise(0L))
+
   private val perceptron = QueryDef(
     "q_ml_perceptron",
     (s, d) => {
@@ -241,37 +290,8 @@ object Clustering {
         .select(col("doc_id"), col("y"), col("n"),
           concat(array(lit(100L)),
             expr("zip_with(f, mu, (p, q) -> p * 100 - q)")).as("x")))
-      var w = Caches.scoped(feats.sparkSession.range(1)
-        .select(expr("transform(sequence(1, 6), i -> bigint(0))").as("w")))
-      def score(wdf: DataFrame): DataFrame =
-        feats.crossJoin(broadcast(wdf))
-          .withColumn("margin", expr(
-            """aggregate(zip_with(w, x, (p, q) -> p * q),
-              |  bigint(0), (acc, t) -> acc + t)""".stripMargin))
-          .withColumn("pred",
-            when(col("margin") >= 0L, 1L).otherwise(0L))
-      for (_ <- 1 to perceptronRounds) {
-        val g = score(w)
-          .select(col("n"), (col("y") - col("pred")).as("err"),
-            posexplode(col("x")).as(Seq("k", "xk")))
-          .groupBy(col("k"))
-          .agg(sum(col("err") * col("xk")).as("graw"),
-            max(col("n")).as("n"))
-          // mean-normalized update in e2 units; sign/abs keeps the
-          // truncation direction engine-identical on negatives
-          .withColumn("gk",
-            when(col("graw") >= 0L, expr("(graw * 100) div n"))
-              .otherwise(-expr("((-graw) * 100) div n")))
-        val wexp = w.select(posexplode(col("w")).as(Seq("k", "wk")))
-        w = Caches.scoped(wexp.join(g.select(col("k"), col("gk")),
-            Seq("k"), "left")
-          .select(col("k"),
-            (col("wk") + coalesce(col("gk"), lit(0L))).as("wk"))
-          .agg(array_sort(collect_list(struct(col("k"), col("wk"))))
-            .as("ws"))
-          .select(transform(col("ws"), p => p.getField("wk")).as("w")))
-      }
-      score(w)
+      val w = perceptronFit(feats, 6, perceptronRounds)
+      scorePerceptron(feats, w)
         .agg(sum(when(col("y") === 1L && col("pred") === 1L, 1L)
             .otherwise(0L)).as("tp"),
           sum(when(col("y") === 0L && col("pred") === 1L, 1L)

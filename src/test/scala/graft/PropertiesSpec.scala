@@ -400,4 +400,59 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("perceptron fit equals its scalar replica on random datasets") {
+    // Oracle lockstep proves the engines agree; this replays the exact
+    // training rule (zero init, margin ≥ 0 prediction, mean-normalized
+    // e2 gradient with truncation-toward-zero on negatives) in plain
+    // Scala and demands identical final weights — the q_ml_kmeans
+    // replica treatment applied to the classifier loop.
+    val dsGen = Gen.listOfN(10, Gen.zip(
+      Gen.oneOf(0L, 1L), Gen.listOfN(2, Gen.choose(-80L, 80L))))
+    samples(dsGen, 3).foreach { rows =>
+      val n = rows.size.toLong
+      val rounds = 3
+      val feats = rows.zipWithIndex.map { case ((y, f), i) =>
+        (i.toLong, y, n, 100L +: f.toArray)
+      }.toDF("doc_id", "y", "n", "x")
+      val w = ops.Clustering.perceptronFit(feats, 3, rounds)
+        .collect()(0).getSeq[Long](0).toVector
+      // scalar replica
+      var wr = Vector.fill(3)(0L)
+      val xs = rows.map { case (y, f) => (y, (100L +: f).toVector) }
+      for (_ <- 1 to rounds) {
+        val g = xs.foldLeft(Vector.fill(3)(0L)) { case (acc, (y, x)) =>
+          val pred = if (x.zip(wr).map { case (a, b) => a * b }.sum >= 0) 1L
+                     else 0L
+          acc.zip(x).map { case (a, xk) => a + (y - pred) * xk }
+        }
+        wr = wr.zip(g).map { case (wk, gk) =>
+          wk + (if (gk >= 0) gk * 100 / n else -((-gk) * 100 / n))
+        }
+      }
+      assert(w == wr, s"rows=$rows got=$w want=$wr")
+      Caches.releaseScoped()
+    }
+  }
+
+  test("substr span enumeration equals sliding windows for any tokens") {
+    // q_dedup_substr's span generator — transform(sequence(1, n−7),
+    // i -> array_join(slice(ts, i, 8), ' ')) — must enumerate exactly
+    // the .sliding(8) windows: an off-by-one here silently shifts every
+    // census count while staying self-consistent, and the oracle uses
+    // an independently-written spelling (list slicing) that this pins
+    // against a third formulation.
+    val tokGen = Gen.choose(8, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd")))
+    samples(tokGen, 8).foreach { ts =>
+      val got = Seq(Tuple1(ts)).toDF("ts")
+        .select(expr(
+          """transform(sequence(1, size(ts) - 7),
+            |  i -> array_join(slice(ts, i, 8), ' '))""".stripMargin)
+          .as("g"))
+        .collect()(0).getSeq[String](0).toList
+      val want = ts.sliding(8).map(_.mkString(" ")).toList
+      assert(got == want, s"ts=$ts")
+    }
+  }
 }
