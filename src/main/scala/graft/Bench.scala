@@ -13,6 +13,7 @@ object Bench {
       // pinned at construction so no query's timing depends on whether
       // an events query (whose loader also sets it) ran first (ADVICE r5)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -27,17 +27,27 @@ class FunctionsSpec extends SparkSpec {
   }
 
   test("DotLongArrays handles nulls and unequal lengths") {
+    // HOF-aligned semantics (r6, required by RewriteHofDotProduct): a
+    // length mismatch nulls the result — zip_with pads the shorter side
+    // with nulls and the null product poisons the sum — as does a null
+    // array or element
     val df = Seq(
       (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),   // 32
-      (Seq(1L, 2L), Seq(10L, 10L, 99L)))     // min-length: 30
+      (Seq(1L, 2L), Seq(10L, 10L, 99L)))     // mismatch: null
       .toDF("a", "b")
-    val vals = df.select(DotLongArrays.of(col("a"), col("b")))
-      .as[Long].collect().toSeq
-    assert(vals == Seq(32L, 30L))
+    val vals = df.select(DotLongArrays.of(col("a"), col("b")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .toSeq
+    assert(vals == Seq(Some(32L), None))
     val withNull = df.select(
       DotLongArrays.of(lit(null).cast("array<bigint>"), col("b")))
       .collect().map(_.isNullAt(0)).toSeq
     assert(withNull == Seq(true, true))
+    // matches the HOF spelling row-for-row, null included
+    val both = df.select(DotLongArrays.of(col("a"), col("b")).as("n"),
+        hofDot("a", "b").as("h"))
+      .collect().map(r => (r.isNullAt(0), r.isNullAt(1))).toSeq
+    assert(both == Seq((false, false), (true, true)))
   }
 
   test("WAV codec round-trips PCM16 and rejects malformed containers") {

@@ -211,4 +211,53 @@ class PlanSpec extends SparkSpec {
         s"expected >= 3 cached-edge scans (3-way self-join), got $cached")
     } finally Caches.releaseScoped()
   }
+
+  test("extension rewrites the HOF dot product to the native expression") {
+    import org.apache.spark.sql.functions._
+    // the engine-portable spelling every oracle mirrors — the OPTIMIZER,
+    // not the query author, must swap in the codegen'd primitive loop
+    val v = Tables.embeddings(spark, sfDir).limit(50)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => round(x.cast("double") * 1000000, 0).cast("long")).as("v"))
+    val df = v.select(col("vec_id"), expr(
+      """aggregate(zip_with(v, v, (p, q) -> p * q),
+        |  bigint(0), (acc, t) -> acc + t)""".stripMargin).as("dot"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.toLowerCase.contains("dotlongarrays"),
+      s"HOF dot not rewritten:\n$opt")
+    // result equality: the rewritten plan matches a plain-Scala dot
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = v.collect().map { r =>
+      val a = r.getSeq[Long](1)
+      r.getLong(0) -> a.map(x => x * x).sum
+    }.toMap
+    assert(got == want)
+    // the SQL-registered twin computes the same thing
+    v.createOrReplaceTempView("ext_dot_probe")
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_dot(v, v) AS dot FROM ext_dot_probe")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == want)
+  }
+
+  test("HOF shapes that are NOT a plain dot survive the rewrite rule") {
+    import org.apache.spark.sql.functions._
+    // squared-distance (kmeans assign) and a non-zero fold seed must be
+    // left untouched — a false-positive rewrite would silently change
+    // semantics everywhere
+    val v = Tables.embeddings(spark, sfDir).limit(10)
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * 1000000, 0).cast("long")).as("v"))
+    val sq = v.select(expr(
+      """aggregate(zip_with(v, v, (p, q) -> (p - q) * (p - q)),
+        |  bigint(0), (acc, t) -> acc + t)""".stripMargin).as("d"))
+    assert(!sq.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("dotlongarrays"))
+    assert(sq.collect().forall(_.getLong(0) == 0L))
+    val seeded = v.select(expr(
+      """aggregate(zip_with(v, v, (p, q) -> p * q),
+        |  bigint(7), (acc, t) -> acc + t)""".stripMargin).as("d"))
+    assert(!seeded.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("dotlongarrays"))
+  }
 }
