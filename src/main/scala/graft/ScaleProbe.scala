@@ -99,7 +99,13 @@ object ScaleProbe {
         // round-5 eleventh batch: mergeable-HLL identity, nested JSON
         "q_sketch_hll_merge", "q_source_json_nested",
         // round-5 twelfth batch: FK orphan audit, bigram LM head
-        "q_audit_fk", "q_text_bigram_lm")
+        "q_audit_fk", "q_text_bigram_lm",
+        // round-6: iterative k-means, graded watermark drop, exact
+        // MinHash banding, DEFLATE media decode, LM-perplexity filter,
+        // duplicated-substring census, batch perceptron classifier
+        "q_ml_kmeans", "q_stream_late", "q_dedup_minhash_exact",
+        "q_mm_features", "q_text_perplexity", "q_dedup_substr",
+        "q_ml_perceptron")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()

@@ -16,7 +16,10 @@ import org.apache.spark.sql.types.DecimalType
   *  - vectors are the 1e-6-quantized int64 arrays (VecOps.quantized,
   *    rule D3), so every distance is an exact int64 sum;
   *  - K seed centroids are the vectors with the smallest values of the
-  *    deterministic mix hash (vec_id · 2654435761) mod 1000000007
+  *    deterministic mix hash ((vec_id mod 2³¹) · 2654435761) mod
+  *    1000000007 — the id PRE-FOLDS into 2³¹ before the multiply (the
+  *    q_sample_hash ScaleProbe lesson: shifted 10× ids ≈ 9·10⁹ overflow
+  *    the raw product under ANSI mode; SCALING.md)
   *    (vec_id tiebreak) — data-derived, order-free, and replicated
   *    verbatim in the oracle;
   *  - each round reassigns by exact integer argmin (distance, then
@@ -49,7 +52,8 @@ object Clustering {
   private[graft] val kmeansRounds = 3
 
   /** Seed hash, spelled identically in the oracle. */
-  private val seedHashSql = "(vec_id * 2654435761) % 1000000007"
+  private val seedHashSql =
+    "(((vec_id % 2147483648) * 2654435761) % 1000000007)"
 
   /** Fit: returns (final centroids (cluster, carr), final assignment
     * (vec_id, v, cluster, dist)) after `rounds` reassign+update rounds

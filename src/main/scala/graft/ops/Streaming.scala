@@ -293,7 +293,7 @@ object Streaming {
     * VERDICT r5 #6: the drop semantics were previously runtime-only).
     *
     * Model: each user's event stream arrives in a deterministic
-    * pseudo-random order — arrival rank = ((event_id · 2654435761) mod
+    * pseudo-random order — arrival rank = (((event_id mod 2³¹) · 2654435761) mod
     * 1000000007, event_id), the engine-portable mix hash — so event
     * time and arrival order genuinely disagree, as in a real out-of-
     * order stream. The per-key watermark is the running max event time
@@ -320,7 +320,8 @@ object Streaming {
       val marked = Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
-        .withColumn("h", expr("(event_id * 2654435761) % 1000000007"))
+        .withColumn("h",
+          expr("((event_id % 2147483648) * 2654435761) % 1000000007"))
         .withColumn("wm_base", max(col("us")).over(
           arrival.rowsBetween(Window.unboundedPreceding, -1)))
         .withColumn("late",
@@ -338,7 +339,7 @@ object Streaming {
     },
     Some("""WITH e AS (SELECT user_id, event_id, event_type,
            |    epoch_us(ts::TIMESTAMP) AS us,
-           |    (event_id * 2654435761) % 1000000007 AS h
+           |    ((event_id % 2147483648) * 2654435761) % 1000000007 AS h
            |  FROM events),
            |m AS (SELECT event_type, event_id, us,
            |    max(us) OVER (PARTITION BY user_id ORDER BY h ASC, event_id ASC
