@@ -328,7 +328,73 @@ object Windows {
            |GROUP BY len
            |ORDER BY streak_len ASC NULLS FIRST""".stripMargin))
 
+  /** Ordered sequence-pattern detection (round 6): for every purchase,
+    * did the user's history contain a click STRICTLY BEFORE a view
+    * STRICTLY BEFORE it — the MATCH_RECOGNIZE / funnel-with-ordering
+    * shape (SQL-standard row-pattern matching, which Spark lacks as an
+    * operator), expressed as two stacked window passes:
+    *   pass 1: per row, the latest PRIOR click time (conditional max
+    *           over the preceding frame);
+    *   pass 2: per row, the latest prior view THAT ITSELF HAD a prior
+    *           click (conditional max over pass 1's column) — a
+    *           purchase matches iff that value exists.
+    * Subsequence semantics (other events may interleave), strict
+    * ordering by (event time, event_id). Census per user: purchases,
+    * matched purchases, and the exact click→view→purchase completion
+    * lag checksum for matched ones.
+    *
+    * Scale: the two Window operators share one (user_id) exchange and
+    * one (user_id, us, event_id) sort — pass 2 consumes pass 1's order
+    * directly with no re-sort between them (verified in the executed
+    * plan: Exchange → Sort → Window → Window) — then a user-grain
+    * partial agg. Determinism: the window order carries the unique
+    * event_id tiebreak (D1 inside frames); all outputs integer.
+    */
+  private val winPattern = QueryDef(
+    "q_win_pattern",
+    (s, d) => {
+      val wPrec = Window.partitionBy(col("user_id"))
+        .orderBy(ascf("us"), ascf("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          epochUs(col("ts")).as("us"))
+      val p1 = e.withColumn("pc_us",
+        max(when(col("event_type") === "click", col("us"))).over(wPrec))
+      val p2 = p1
+        .withColumn("cv_us",
+          when(col("event_type") === "view" && col("pc_us").isNotNull,
+            col("us")))
+        .withColumn("pcv_us", max(col("cv_us")).over(wPrec))
+      p2.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("pcv_us").isNotNull, 1L).otherwise(0L))
+            .as("n_matched"),
+          sum(when(col("pcv_us").isNotNull, col("us") - col("pcv_us"))
+            .otherwise(0L)).as("lag_checksum_us"))
+        .orderBy(ascf("user_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+           |    epoch_us(ts::TIMESTAMP) AS us FROM events),
+           |p1 AS (SELECT *, max(CASE WHEN event_type = 'click' THEN us END)
+           |    OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc_us
+           |  FROM e),
+           |p2 AS (SELECT *, max(CASE WHEN event_type = 'view'
+           |      AND pc_us IS NOT NULL THEN us END)
+           |    OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pcv_us
+           |  FROM p1)
+           |SELECT user_id, count(*) AS n_purchases,
+           |  CAST(sum(CASE WHEN pcv_us IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_matched,
+           |  CAST(sum(CASE WHEN pcv_us IS NOT NULL THEN us - pcv_us
+           |    ELSE 0 END) AS BIGINT) AS lag_checksum_us
+           |FROM p2 WHERE event_type = 'purchase'
+           |GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     winRank, winRunning, winLeadLag, winRangeFrame, winNtilePct, winFirstLast,
-    sortNulls, limitOffset, topkGroup, winSessionize, winStreak)
+    sortNulls, limitOffset, topkGroup, winSessionize, winStreak, winPattern)
 }
