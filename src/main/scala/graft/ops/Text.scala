@@ -889,8 +889,122 @@ object Text {
          |ORDER BY lang ASC NULLS FIRST""".stripMargin
     })
 
+  /** BPE merge induction (round 6): the first `bpeRounds` byte-pair-
+    * encoding merges learned from the corpus — the tokenizer-TRAINING
+    * pass (Sennrich et al. 2016) run on-engine, complementing the
+    * surface's tokenizer-APPLICATION ops. Exactly the production
+    * algorithm shape: learning runs on the word-TYPE relation (distinct
+    * word, corpus frequency, symbol sequence starting at characters);
+    * each round counts adjacent symbol pairs frequency-weighted, picks
+    * the argmax pair (count desc, then lexicographic — pinned), and
+    * greedily merges it left-to-right in every word type. The corpus is
+    * touched once (the shared tokenize); every round is vocabulary-
+    * bounded — the reason BPE training is feasible at 100 TB at all.
+    *
+    * Self-pairs (a = b) are excluded from the merge candidates: with
+    * a ≠ b, greedy left-to-right merge sites are exactly the static
+    * (s[i], s[i+1]) = (a, b) positions (a consumed position can never
+    * start a match), so the rewrite is one position-indexed transform
+    * replayed verbatim in the oracle — no iterative scan state. (Real
+    * trainers allow self-pairs; the run-parity bookkeeping they need is
+    * engine-hostile and the learned merges here never hit one.)
+    *
+    * Output: one row per learned merge — the pair, the merged symbol,
+    * its weighted count, and the post-merge vocabulary-symbol and
+    * total-corpus-symbol censuses (each merge removes exactly cnt
+    * corpus symbols; computing the census directly makes the identity
+    * self-checking rather than assumed).
+    */
+  private[graft] val bpeRounds = 3
+
+  private val bpe = QueryDef(
+    "q_text_bpe",
+    (s, d) => {
+      val wordFreq = sharedDocTokens(s, d)
+        .select(explode(col("ts")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      var vocab = graft.Caches.scoped(wordFreq
+        .select(col("w"), col("freq"), expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("syms")))
+      val rounds = (1 to bpeRounds).map { t =>
+        val pairs = vocab
+          .filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(expr(
+            """transform(sequence(1, size(syms) - 1),
+              |  i -> struct(element_at(syms, i) AS a,
+              |              element_at(syms, i + 1) AS b))""".stripMargin))
+            .as("p"))
+          .filter(col("p.a") =!= col("p.b"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+        val best = graft.Caches.scoped(
+          pairs.orderBy(descl("cnt"), ascf("a"), ascf("b")).limit(1))
+        vocab = graft.Caches.scoped(vocab.crossJoin(broadcast(best))
+          .select(col("w"), col("freq"), expr(
+            """filter(transform(sequence(1, size(syms)), i ->
+              |  CASE WHEN i > 1 AND try_element_at(syms, i - 1) = a
+              |            AND element_at(syms, i) = b THEN NULL
+              |       WHEN element_at(syms, i) = a
+              |            AND try_element_at(syms, i + 1) = b
+              |         THEN concat(a, b)
+              |       ELSE element_at(syms, i) END),
+              |  x -> x IS NOT NULL)""".stripMargin).as("syms")))
+        val census = vocab
+          .select(col("freq"), col("syms"))
+          .agg(sum(col("freq") * size(col("syms"))).as("total_syms"))
+        val distinctSyms = vocab.select(explode(col("syms")).as("sy"))
+          .agg(countDistinct(col("sy")).as("vocab_syms"))
+        best.crossJoin(distinctSyms).crossJoin(census)
+          .select(lit(t.toLong).as("merge_round"), col("a"), col("b"),
+            concat(col("a"), col("b")).as("merged"), col("cnt"),
+            col("vocab_syms"), col("total_syms"))
+      }
+      rounds.reduce(_ unionByName _).orderBy(ascf("merge_round"))
+    },
+    Some {
+      val roundCtes = (1 to bpeRounds).map { t =>
+        val vIn = s"v${t - 1}"
+        s"""p$t AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, pr.a AS a, pr.b AS b FROM (
+           |      SELECT freq, unnest(list_transform(range(1, len(syms)),
+           |        i -> {'a': syms[i], 'b': syms[i + 1]})) AS pr
+           |      FROM $vIn WHERE len(syms) >= 2))
+           |  WHERE a <> b GROUP BY 1, 2),
+           |b$t AS MATERIALIZED (SELECT a, b, cnt FROM p$t
+           |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+           |v$t AS MATERIALIZED (SELECT w, freq,
+           |    list_filter(list_transform(range(1, len(syms) + 1), i ->
+           |      CASE WHEN i > 1 AND syms[i - 1] = b$t.a
+           |                AND syms[i] = b$t.b THEN NULL
+           |           WHEN syms[i] = b$t.a AND syms[i + 1] = b$t.b
+           |             THEN b$t.a || b$t.b
+           |           ELSE syms[i] END),
+           |      x -> x IS NOT NULL) AS syms
+           |  FROM $vIn, b$t),
+           |s$t AS (SELECT CAST($t AS BIGINT) AS merge_round, b$t.a AS a,
+           |    b$t.b AS b, b$t.a || b$t.b AS merged, b$t.cnt AS cnt,
+           |    (SELECT CAST(count(DISTINCT sy) AS BIGINT) FROM
+           |      (SELECT unnest(syms) AS sy FROM v$t)) AS vocab_syms,
+           |    (SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM v$t)
+           |      AS total_syms
+           |  FROM b$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wf AS (SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 1 GROUP BY w),
+         |v0 AS MATERIALIZED (SELECT w, freq,
+         |    list_transform(range(1, length(w) + 1),
+         |      i -> substring(w, i, 1)) AS syms FROM wf),
+         |$roundCtes
+         |SELECT * FROM (${(1 to bpeRounds)
+          .map(t => s"SELECT * FROM s$t").mkString(" UNION ALL ")})
+         |ORDER BY merge_round ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,
     langid, quality, tokens, fingerprint, levenshteinPairs, tfidf,
-    collocations, vocab, zipf, keyphrase, bigramLm, perplexity)
+    collocations, vocab, zipf, keyphrase, bigramLm, perplexity, bpe)
 }

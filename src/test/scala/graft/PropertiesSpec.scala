@@ -455,4 +455,39 @@ class PropertiesSpec extends SparkSpec {
       assert(got == want, s"ts=$ts")
     }
   }
+
+  test("BPE merge transform equals scalar greedy merge for any pair") {
+    // q_text_bpe's static-position rewrite (sound only for a != b) must
+    // equal the canonical greedy left-to-right merge; random symbol
+    // sequences over a tiny alphabet force adjacent repeats and chained
+    // near-misses (a,b,b / a,a,b) where an off-by-one would diverge.
+    val symGen = for {
+      n  <- Gen.choose(1, 12)
+      ss <- Gen.listOfN(n, Gen.oneOf("x", "y", "z"))
+      a  <- Gen.oneOf("x", "y", "z")
+      b  <- Gen.oneOf("x", "y", "z") if a != b
+    } yield (ss, a, b)
+    samples(symGen, 12).foreach { case (ss, a, b) =>
+      val got = Seq((ss, a, b)).toDF("syms", "a", "b")
+        .select(expr(
+          """filter(transform(sequence(1, size(syms)), i ->
+            |  CASE WHEN i > 1 AND try_element_at(syms, i - 1) = a
+            |            AND element_at(syms, i) = b THEN NULL
+            |       WHEN element_at(syms, i) = a
+            |            AND try_element_at(syms, i + 1) = b
+            |         THEN concat(a, b)
+            |       ELSE element_at(syms, i) END),
+            |  x -> x IS NOT NULL)""".stripMargin).as("m"))
+        .collect()(0).getSeq[String](0).toList
+      // canonical greedy left-to-right merge
+      val want = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < ss.length) {
+        if (i + 1 < ss.length && ss(i) == a && ss(i + 1) == b) {
+          want += (a + b); i += 2
+        } else { want += ss(i); i += 1 }
+      }
+      assert(got == want.toList, s"ss=$ss a=$a b=$b")
+    }
+  }
 }
