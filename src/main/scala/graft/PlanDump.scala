@@ -19,7 +19,11 @@ object PlanDump {
         "q_graph_pagerank", "q_join_bucketed", "q_win_gapfill",
         "q_lake_merge", "q_agg_incremental", "q_ts_anomaly",
         "q_sim_cosine_sets", "q_dedup_simhash_exact", "q_sketch_hll",
-        "q_graph_jaccard", "q_dedup_components")) {
+        "q_graph_jaccard", "q_dedup_components",
+        // round 6
+        "q_ml_kmeans", "q_text_perplexity", "q_dedup_minhash_exact",
+        "q_text_bpe", "q_ml_perceptron", "q_win_pattern",
+        "q_dedup_substr")) {
       val p = Registry.queries(q)(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       out.append(s"##### $q\n```\n")
