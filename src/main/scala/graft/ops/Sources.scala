@@ -209,6 +209,41 @@ object Sources {
            |  CAST(sum(n_chars) AS BIGINT) AS chars_checksum
            |FROM e GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** Raw-lines text round-trip (round 6): the format every web-scale
+    * corpus starts life in — one document per line, NO structure. Writes
+    * the text column via the `text` source, reads it back as raw lines,
+    * and grades a payload-only census (the format carries no metadata,
+    * so the census is over the text itself: line count, length sum,
+    * token count, distinct lines, first-char checksum) against the
+    * parquet ground truth. Inherent format limitation, documented not
+    * papered over: a document CONTAINING a newline cannot round-trip
+    * one-per-line (the fixtures are newline-free; a real corpus needs
+    * the JSONL source for such docs — that is why both are on the
+    * surface).
+    */
+  private val sourceText = QueryDef(
+    "q_source_text",
+    (s, d) => {
+      val path = stage(d, "text")
+      Tables.documents(s, d).select(col("text"))
+        .write.mode("overwrite").text(path)
+      s.read.text(path)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(length(col("value"))).as("sum_len"),
+          sum(size(split(col("value"), " "))).as("total_tokens"),
+          countDistinct(col("value")).as("distinct_lines"),
+          sum(ascii(substring(col("value"), 1, 1))).as("head_checksum"))
+        .orderBy(ascf("n_lines"))
+    },
+    Some("""SELECT count(*) AS n_lines,
+           |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+           |    AS total_tokens,
+           |  count(DISTINCT text) AS distinct_lines,
+           |  CAST(sum(ascii(substring(text, 1, 1))) AS BIGINT)
+           |    AS head_checksum
+           |FROM documents ORDER BY n_lines ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(sourceCsv, sourceJson, sourceOrc,
-    sourcePartitioned, sourceJsonNested)
+    sourcePartitioned, sourceJsonNested, sourceText)
 }
