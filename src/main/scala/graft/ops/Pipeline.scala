@@ -558,6 +558,22 @@ object Pipeline {
     labels
   }
 
+  /** The K-round component labels, shared session-wide (round 6):
+    * q_dedup_components (the cluster census) and q_dedup_cluster_rep
+    * (the applied dedup) both need them, and the loop's checkpointed
+    * rounds are the most expensive build on the surface — one loop per
+    * session, not per consumer. The labels relation is vertex-sized and
+    * lineage-truncated (checkpoint), so keeping it resident costs the
+    * vertex set, not the edge graph.
+    */
+  private[graft] def sharedComponentLabels(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.shared(s"complabels:${graft.Caches.sessionKey(s)}:$d") {
+      val edges = componentEdges(s, d)
+      componentLabels(edges, componentVerts(edges), componentRounds)
+    }
+
   private val dedupComponents = QueryDef(
     "q_dedup_components",
     (s, d) => {
@@ -565,9 +581,11 @@ object Pipeline {
       // shared pair relation (Caches.shared, also feeds
       // q_sim_jaccard_pairs / q_text_levenshtein) — already persisted,
       // so all K propagation rounds read the cached graph
-      val edges = componentEdges(s, d)
-      val verts = componentVerts(edges)
-      val labels = componentLabels(edges, verts, componentRounds)
+      val labels = sharedComponentLabels(s, d)
+      // the label relation holds exactly the vertex rows, so the
+      // singleton anti-join reads it instead of rebuilding the edge
+      // graph (labels are checkpointed; edges may already be released)
+      val verts = labels.select(col("id"))
       val vertexClusters = labels
         .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
         .groupBy(col("lang"), col("root"))
@@ -598,20 +616,8 @@ object Pipeline {
       // Every level is referenced twice by the next, so each CTE is
       // MATERIALIZED — inlining would re-run the whole chain (down to
       // the heavy jaccard join) once per reference, 2^K times in total.
-      val step = (k: Int) =>
-        s"""p$k AS MATERIALIZED (SELECT l.id AS id,
-           |    least(l.root, coalesce(m.nroot, l.root)) AS root
-           |  FROM l${k - 1} l LEFT JOIN (SELECT e.a AS a, min(p.root) AS nroot
-           |    FROM e JOIN l${k - 1} p ON e.b = p.id GROUP BY e.a) m
-           |  ON l.id = m.a),
-           |l$k AS MATERIALIZED (SELECT l.id AS id, r.root AS root
-           |  FROM p$k l JOIN p$k r ON l.root = r.id)""".stripMargin
-      Similarity.oracleJaccardCte +
+      oracleComponentChain +
         s""",
-           |e AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM jp
-           |  UNION ALL SELECT d2 AS a, d1 AS b FROM jp),
-           |l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS root FROM documents),
-           |${(1 to componentRounds).map(step).mkString(",\n")},
            |cl AS (SELECT d.lang AS lang, lK.root AS root, count(*) AS csize
            |  FROM l$componentRounds lK JOIN documents d ON lK.id = d.doc_id
            |  GROUP BY d.lang, lK.root)
@@ -620,6 +626,87 @@ object Pipeline {
            |  CAST(sum(CASE WHEN csize >= 2 THEN csize ELSE 0 END) AS BIGINT)
            |    AS docs_in_clusters
            |FROM cl GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin
+    })
+
+  /** The shared oracle label chain (jaccard pair graph → symmetrized
+    * edges → K MATERIALIZED propagate+compress rounds, ending at
+    * l`componentRounds` over the FULL corpus) — used by both
+    * q_dedup_components and q_dedup_cluster_rep, mirroring the shared
+    * Spark-side `sharedComponentLabels`.
+    */
+  private def oracleComponentChain: String = {
+    val step = (k: Int) =>
+      s"""p$k AS MATERIALIZED (SELECT l.id AS id,
+         |    least(l.root, coalesce(m.nroot, l.root)) AS root
+         |  FROM l${k - 1} l LEFT JOIN (SELECT e.a AS a, min(p.root) AS nroot
+         |    FROM e JOIN l${k - 1} p ON e.b = p.id GROUP BY e.a) m
+         |  ON l.id = m.a),
+         |l$k AS MATERIALIZED (SELECT l.id AS id, r.root AS root
+         |  FROM p$k l JOIN p$k r ON l.root = r.id)""".stripMargin
+    Similarity.oracleJaccardCte +
+      s""",
+         |e AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM jp
+         |  UNION ALL SELECT d2 AS a, d1 AS b FROM jp),
+         |l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS root FROM documents),
+         |${(1 to componentRounds).map(step).mkString(",\n")}""".stripMargin
+  }
+
+  /** Applied dedup (round 6): q_dedup_components answers "what are the
+    * clusters"; this key answers the question the pipeline actually
+    * ships — WHICH documents survive. The canonical representative per
+    * near-dup cluster is the minimum doc_id, which after K
+    * pointer-doubling rounds IS each vertex's root label (min
+    * propagates along edges), so keep = "root is null (singleton — not
+    * in the pair graph) or root = own id". Census per lang of the
+    * kept corpus: doc counts, kept-id checksum (pins EXACTLY which
+    * docs survive, not just how many), kept character mass, and the
+    * drop ratio ×1e6.
+    *
+    * The oracle runs the labels over the FULL corpus (singletons keep
+    * root = id) while Spark labels only pair-graph vertices and
+    * treats absent-from-labels as kept — the hash match PROVES the
+    * vertex-only optimization equivalent, exactly as in
+    * q_dedup_components. The labels themselves are built once per
+    * session (sharedComponentLabels) for both keys.
+    */
+  private val dedupClusterRep = QueryDef(
+    "q_dedup_cluster_rep",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val labels = sharedComponentLabels(s, d)
+      docs.join(labels, docs("doc_id") === labels("id"), "left")
+        .withColumn("kept",
+          when(col("root").isNull || col("root") === col("doc_id"), 1L)
+            .otherwise(0L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("kept")).as("n_kept"),
+          sum(when(col("kept") === 1L, col("doc_id")).otherwise(0L))
+            .as("kept_id_checksum"),
+          sum(when(col("kept") === 1L, col("n_chars")).otherwise(0L))
+            .as("kept_chars"))
+        .withColumn("drop_ratio_e6",
+          expr("(n_docs - n_kept) * 1000000 div n_docs"))
+        .orderBy(ascf("lang"))
+    },
+    Some {
+      oracleComponentChain +
+        s""",
+           |st AS (SELECT d.lang AS lang, d.doc_id AS id,
+           |    d.n_chars AS nc,
+           |    CASE WHEN lK.root = d.doc_id THEN 1 ELSE 0 END AS kept
+           |  FROM documents d JOIN l$componentRounds lK
+           |    ON d.doc_id = lK.id)
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(kept) AS BIGINT) AS n_kept,
+           |  CAST(sum(CASE WHEN kept = 1 THEN id ELSE 0 END) AS BIGINT)
+           |    AS kept_id_checksum,
+           |  CAST(sum(CASE WHEN kept = 1 THEN nc ELSE 0 END) AS BIGINT)
+           |    AS kept_chars,
+           |  (count(*) - CAST(sum(kept) AS BIGINT)) * 1000000 // count(*)
+           |    AS drop_ratio_e6
+           |FROM st GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin
     })
 
   /** Asymmetric shingle CONTAINMENT dedup (round 5): doc a is
@@ -1079,5 +1166,5 @@ object Pipeline {
   def defs: Seq[QueryDef] = Seq(
     dedupSimhash, dedupNgram, dedupEmbed, simAnnLsh, simCentroid, simAnnIvf,
     pipelineE2e, dedupComponents, containment, dedupSimhashExact,
-    dedupMinhashExact, dedupSubstr)
+    dedupMinhashExact, dedupSubstr, dedupClusterRep)
 }

@@ -621,7 +621,75 @@ object TimeSeries {
            |FROM t
            |ORDER BY event_type ASC NULLS FIRST, hod ASC NULLS FIRST""".stripMargin))
 
+  /** Seasonal-naive forecast backtest (round 6): predict each hour of
+    * the LAST 7 observed days by the same hour one week earlier
+    * (ŷ(h) = y(h − 168)) and score it — the baseline every capacity-
+    * planning / anomaly-thresholding forecast must beat, and the
+    * backtest harness shape (train-window → predict → error census)
+    * that evaluating ANY forecaster needs. The backtest grid is DENSE:
+    * all 168 window hours per type (built with `sequence`, the
+    * q_win_gapfill pattern), with both actual and prediction defaulting
+    * to 0 on empty hours — restricting to observed hours would
+    * silently skip exactly the hours where a forecast fails hardest.
+    * The window boundary is data-derived (global max observed hour), so
+    * the key is fixture-regeneration-proof.
+    *
+    * Scale: one hour-grain partial agg on the scan; the grid is
+    * types·168 rows; both joins are grid-keyed (broadcast-sized here,
+    * key-grain shuffles at any size). All errors exact int64.
+    */
+  private val forecast = QueryDef(
+    "q_ts_forecast",
+    (s, d) => {
+      val counts = graft.Caches.scoped(Tables.events(s, d)
+        .select(col("event_type"),
+          floorDiv(unix_micros(col("ts")), HourUs).as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("c")))
+      val maxHr = counts.agg(max(col("hr")).as("mx"))
+      val grid = counts.select(col("event_type")).distinct()
+        .crossJoin(broadcast(maxHr))
+        .select(col("event_type"),
+          explode(expr("sequence(mx - 167, mx)")).as("hr"))
+      val actual = counts.select(col("event_type"), col("hr"),
+        col("c").as("a"))
+      val prior = counts.select(col("event_type"),
+        (col("hr") + 168L).as("hr"), col("c").as("p"))
+      grid.join(actual, Seq("event_type", "hr"), "left")
+        .join(prior, Seq("event_type", "hr"), "left")
+        .select(col("event_type"),
+          coalesce(col("a"), lit(0L)).as("a"),
+          coalesce(col("p"), lit(0L)).as("p"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("a")).as("sum_actual"),
+          sum(col("p")).as("sum_pred"),
+          sum(abs(col("a") - col("p"))).as("sum_abs_err"),
+          max(abs(col("a") - col("p"))).as("max_abs_err"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+           |    count(*) AS c FROM events GROUP BY 1, 2),
+           |mx AS (SELECT max(hr) AS mx FROM c),
+           |g AS (SELECT t.event_type, u.hr FROM
+           |  (SELECT DISTINCT event_type FROM c) t
+           |  CROSS JOIN (SELECT unnest(generate_series(
+           |    (SELECT mx FROM mx) - 167, (SELECT mx FROM mx))) AS hr) u),
+           |j AS (SELECT g.event_type AS event_type,
+           |    coalesce(a.c, 0) AS a, coalesce(p.c, 0) AS p
+           |  FROM g
+           |  LEFT JOIN c a ON g.event_type = a.event_type AND g.hr = a.hr
+           |  LEFT JOIN c p ON g.event_type = p.event_type
+           |    AND g.hr = p.hr + 168)
+           |SELECT event_type, count(*) AS n_hours,
+           |  CAST(sum(a) AS BIGINT) AS sum_actual,
+           |  CAST(sum(p) AS BIGINT) AS sum_pred,
+           |  CAST(sum(abs(a - p)) AS BIGINT) AS sum_abs_err,
+           |  CAST(max(abs(a - p)) AS BIGINT) AS max_abs_err
+           |FROM j GROUP BY event_type
+           |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
-      autocorr, changepoint, seasonality)
+      autocorr, changepoint, seasonality, forecast)
 }
