@@ -105,7 +105,9 @@ object ScaleProbe {
         // duplicated-substring census, batch perceptron classifier
         "q_ml_kmeans", "q_stream_late", "q_dedup_minhash_exact",
         "q_mm_features", "q_text_perplexity", "q_dedup_substr",
-        "q_ml_perceptron", "q_win_pattern", "q_text_bpe")
+        "q_ml_perceptron", "q_win_pattern", "q_text_bpe",
+        "q_source_text", "q_join_incremental", "q_ts_forecast",
+        "q_dedup_cluster_rep")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()
