@@ -136,5 +136,176 @@ object Lakehouse {
            |GROUP BY c_mktsegment
            |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(lakeMerge, joinBucketed)
+  /** SCD Type-2 dimension history (round 6): fold the events change log
+    * into versioned validity intervals per user — the lakehouse shape
+    * that turns an append-only CDC stream into a point-in-time joinable
+    * dimension. A new version opens whenever a user's event_type differs
+    * from their previous one (ordered by ts, event_id tiebreak);
+    * valid_to is the next version's valid_from, NULL for the current
+    * row. Timestamps exit as epoch-µs BIGINT (rule D5).
+    *
+    * Shape at 100 TB: a single hash shuffle on user_id, then all three
+    * window passes (lag-change detect, version numbering, lead close)
+    * share that one partitioning — Catalyst plans one Exchange + one
+    * Sort. Output is a deterministic ~1/7 user slice of the history
+    * relation (the history IS the product; the slice keeps the graded
+    * dump grain-bounded).
+    */
+  private val lakeScd2 = QueryDef(
+    "q_lake_scd2",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        epochUs(col("ts")).as("ts_us"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(ascf("ts_us"), ascf("event_id"))
+      val changes = ev
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      changes
+        .withColumn("version_no", row_number().over(w).cast("bigint"))
+        .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+        .filter(pmod(col("user_id"), lit(7)) === 0)
+        .select(col("user_id"), col("version_no"), col("event_type"),
+          col("ts_us").as("valid_from_us"), col("valid_to_us"))
+        .orderBy(ascf("user_id"), ascf("version_no"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+           |    event_id FROM events),
+           |o AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+           |    ORDER BY ts_us ASC, event_id ASC) AS prev FROM e),
+           |ch AS (SELECT * FROM o WHERE prev IS NULL
+           |    OR prev <> event_type)
+           |SELECT user_id,
+           |  CAST(row_number() OVER (PARTITION BY user_id
+           |    ORDER BY ts_us ASC, event_id ASC) AS BIGINT) AS version_no,
+           |  event_type, ts_us AS valid_from_us,
+           |  lead(ts_us) OVER (PARTITION BY user_id
+           |    ORDER BY ts_us ASC, event_id ASC) AS valid_to_us
+           |FROM ch WHERE user_id % 7 = 0
+           |ORDER BY user_id ASC NULLS FIRST, version_no ASC NULLS FIRST"""
+      .stripMargin))
+
+  // ---- Z-order layout -----------------------------------------------------
+
+  /** Bit-interleave of the low 16 bits of two non-negative int columns
+    * (x even positions, y odd) — generated by one Scala loop for BOTH
+    * engines so the 32-term arithmetic is identical by construction
+    * (the DetMath pattern). Pure integer shifts/masks: exact everywhere.
+    */
+  private def zColumn(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  private def zSqlExpr(x: String, y: String): String =
+    (0 until 16).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " + ", ")")
+
+  /** Z-order data layout (round 6): the file-skipping exhibit behind
+    * every lakehouse OPTIMIZE ZORDER BY — sort lineitem by the
+    * bit-interleave of (l_partkey, l_suppkey), cut the sorted run into
+    * 32 equal "files" (ntile over the total order; ties impossible —
+    * (orderkey, linenumber) completes the key), and census each file's
+    * min/max zone map on both dims. The same 32-file cut under the
+    * natural (orderkey, linenumber) order is emitted alongside, and both
+    * layouts are probed by 8 deterministic diagonal rectangles (each
+    * 1/8 × 1/8 of the data-derived key space): n_probes_hit is how many
+    * rectangles intersect the file's zone map — the number a scan
+    * planner would use to SKIP the file. Z-order wins when its hit
+    * counts are lower; grading pins the exact zone maps, so the win is
+    * hash-proven, not asserted.
+    *
+    * Shape at 100 TB: the interleave is 32 codegen'd integer ops per
+    * row; the sort is the same range-partitioned total sort a layout
+    * rewrite runs anyway (here: one window over the full relation); the
+    * probe census is 32 files × 8 literals. The global min/max is a
+    * 1-row broadcast (the "1-row-sketch crossJoin" house pattern).
+    */
+  private val lakeZorder = QueryDef(
+    "q_lake_zorder",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey").cast("long").as("pk"),
+        col("l_suppkey").cast("long").as("sk"))
+      val bounds = li.agg(min(col("pk")).as("pk_lo"), max(col("pk")).as("pk_hi"),
+        min(col("sk")).as("sk_lo"), max(col("sk")).as("sk_hi"))
+      val keyed = li.withColumn("z", zColumn(col("pk"), col("sk")))
+      val wz = Window.orderBy(ascf("z"), ascf("l_orderkey"), ascf("l_linenumber"))
+      val wn = Window.orderBy(ascf("l_orderkey"), ascf("l_linenumber"))
+      val files = keyed
+        .withColumn("fz", ntile(32).over(wz).cast("long"))
+        .withColumn("fn", ntile(32).over(wn).cast("long"))
+        .select(explode(array(
+          struct(lit("zorder").as("layout"), col("fz").as("file_id"),
+            col("pk"), col("sk")),
+          struct(lit("linear").as("layout"), col("fn").as("file_id"),
+            col("pk"), col("sk")))).as("r"))
+        .select(col("r.layout"), col("r.file_id"), col("r.pk"), col("r.sk"))
+        .groupBy(col("layout"), col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("pk")).as("pk_min"), max(col("pk")).as("pk_max"),
+          min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max"))
+      val probes = bounds.crossJoin(
+          s.range(8).select(col("id").cast("long").as("j")))
+        .select(col("j"),
+          (col("pk_lo") + floorDiv(col("j") * (col("pk_hi") - col("pk_lo") + 1), 8))
+            .as("qpk_lo"),
+          (col("pk_lo") + floorDiv((col("j") + 1) * (col("pk_hi") - col("pk_lo") + 1), 8)
+            - 1).as("qpk_hi"),
+          (col("sk_lo") + floorDiv(col("j") * (col("sk_hi") - col("sk_lo") + 1), 8))
+            .as("qsk_lo"),
+          (col("sk_lo") + floorDiv((col("j") + 1) * (col("sk_hi") - col("sk_lo") + 1), 8)
+            - 1).as("qsk_hi"))
+      files.crossJoin(broadcast(probes))
+        .groupBy(col("layout"), col("file_id"), col("n_rows"),
+          col("pk_min"), col("pk_max"), col("sk_min"), col("sk_max"))
+        .agg(sum(when(col("pk_min") <= col("qpk_hi") &&
+            col("pk_max") >= col("qpk_lo") &&
+            col("sk_min") <= col("qsk_hi") &&
+            col("sk_max") >= col("qsk_lo"), 1L).otherwise(0L))
+          .as("n_probes_hit"))
+        .select(col("layout"), col("file_id"), col("n_rows"),
+          col("pk_min"), col("pk_max"), col("sk_min"), col("sk_max"),
+          col("n_probes_hit"))
+        .orderBy(ascf("layout"), ascf("file_id"))
+    },
+    Some(s"""WITH li AS (SELECT l_orderkey, l_linenumber,
+           |    CAST(l_partkey AS BIGINT) AS pk,
+           |    CAST(l_suppkey AS BIGINT) AS sk FROM lineitem),
+           |bounds AS (SELECT min(pk) AS pk_lo, max(pk) AS pk_hi,
+           |    min(sk) AS sk_lo, max(sk) AS sk_hi FROM li),
+           |keyed AS (SELECT *, ${zSqlExpr("pk", "sk")} AS z FROM li),
+           |tiled AS (SELECT pk, sk,
+           |    CAST(ntile(32) OVER (ORDER BY z ASC, l_orderkey ASC,
+           |      l_linenumber ASC) AS BIGINT) AS fz,
+           |    CAST(ntile(32) OVER (ORDER BY l_orderkey ASC,
+           |      l_linenumber ASC) AS BIGINT) AS fn
+           |  FROM keyed),
+           |files AS (SELECT layout, file_id, count(*) AS n_rows,
+           |    min(pk) AS pk_min, max(pk) AS pk_max,
+           |    min(sk) AS sk_min, max(sk) AS sk_max
+           |  FROM (SELECT 'zorder' AS layout, fz AS file_id, pk, sk FROM tiled
+           |        UNION ALL
+           |        SELECT 'linear' AS layout, fn AS file_id, pk, sk FROM tiled)
+           |  GROUP BY 1, 2),
+           |probes AS (SELECT j.range AS j,
+           |    pk_lo + (j.range * (pk_hi - pk_lo + 1)) // 8 AS qpk_lo,
+           |    pk_lo + ((j.range + 1) * (pk_hi - pk_lo + 1)) // 8 - 1 AS qpk_hi,
+           |    sk_lo + (j.range * (sk_hi - sk_lo + 1)) // 8 AS qsk_lo,
+           |    sk_lo + ((j.range + 1) * (sk_hi - sk_lo + 1)) // 8 - 1 AS qsk_hi
+           |  FROM bounds CROSS JOIN range(0, 8) j)
+           |SELECT layout, file_id, n_rows, pk_min, pk_max, sk_min, sk_max,
+           |  CAST(sum(CASE WHEN pk_min <= qpk_hi AND pk_max >= qpk_lo
+           |    AND sk_min <= qsk_hi AND sk_max >= qsk_lo
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_probes_hit
+           |FROM files CROSS JOIN probes
+           |GROUP BY 1, 2, 3, 4, 5, 6, 7
+           |ORDER BY layout ASC NULLS FIRST, file_id ASC NULLS FIRST"""
+      .stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(lakeMerge, joinBucketed, lakeScd2, lakeZorder)
 }
