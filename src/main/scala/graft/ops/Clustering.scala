@@ -392,5 +392,131 @@ object Clustering {
          |FROM cm, w$R w ORDER BY accuracy_e6 ASC NULLS FIRST""".stripMargin
     })
 
-  def defs: Seq[QueryDef] = Seq(kmeans, perceptron)
+  /** Multinomial naive Bayes language classifier (round 6): train token
+    * counts per (lang, word) with Laplace add-one smoothing over the
+    * whole corpus, score every document against every language, predict
+    * by argmax, and grade the full confusion matrix plus a per-cell
+    * int64 score checksum.
+    *
+    * Exactly gradeable because every logarithm is `DetMath.lnInt` on an
+    * INTEGER input (counts, class totals + vocab, doc priors) quantized
+    * to BIGINT micro-nats BEFORE any summation (rule D12): per-token
+    * terms are exact int64, so the per-(doc, lang) score is an exact
+    * integer sum — order-free across partitions and engines — and the
+    * argmax tiebreak (lang asc) is total. Unseen (lang, word) pairs
+    * contribute ln(0+1) = 0 exactly, so the smoothing term needs no
+    * join hit to be correct (coalesce to 0).
+    *
+    * Shape at 100 TB: the corpus explodes once into doc-term counts
+    * (one partial-agg shuffle — the same relation tfidf builds); the
+    * model side (class-term counts, class totals, priors, vocab) is
+    * vocab-sized and BROADCAST; scoring is doc-terms × |langs| rows
+    * aggregated per (doc, lang) with map-side combine. No iteration:
+    * NB trains in one pass — the cheapest classifier a curation
+    * pipeline can field for language/domain routing.
+    */
+  private val naiveBayes = QueryDef(
+    "q_ml_naive_bayes",
+    (s, d) => {
+      import graft.functions.DetMath
+      def lnq(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        round(DetMath.lnInt(c) * 1000000, 0).cast("long")
+      val docs = graft.Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      val cdw = toks.groupBy(col("doc_id"), col("lang").as("true_lang"),
+          col("w"))
+        .agg(count(lit(1)).as("m"))
+      val clw = Caches.scoped(toks.groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("c")))
+      val tl = clw.groupBy(col("lang")).agg(sum(col("c")).as("tsum"))
+      val vv = clw.select(col("w")).distinct()
+        .agg(count(lit(1)).as("v"))
+      val nd = docs.groupBy(col("lang")).agg(count(lit(1)).as("ndl"))
+      val ntot = docs.agg(count(lit(1)).as("n"))
+      val lw = clw.select(col("lang").as("cand"), col("w"),
+        lnq(col("c") + 1).as("lc1"))
+      val lconst = tl.join(nd, "lang").crossJoin(vv)
+        .select(col("lang").as("cand"), lnq(col("tsum") + col("v")).as("ltv"),
+          lnq(col("ndl")).as("lnd"))
+      val lnn = ntot.select(lnq(col("n")).as("lnn"))
+      val langs = docs.select(col("lang").as("cand")).distinct()
+      val sc = cdw.crossJoin(broadcast(langs))
+        .join(broadcast(lw), Seq("cand", "w"), "left")
+        .groupBy(col("doc_id"), col("true_lang"), col("cand"))
+        .agg(sum(col("m") * coalesce(col("lc1"), lit(0L))).as("s1"),
+          sum(col("m")).as("mt"))
+        .join(broadcast(lconst), "cand")
+        .crossJoin(broadcast(lnn))
+        .withColumn("score_e6",
+          col("s1") - col("mt") * col("ltv") + col("lnd") - col("lnn"))
+      val win = Window.partitionBy(col("doc_id"))
+        .orderBy(descl("score_e6"), ascf("cand"))
+      sc.withColumn("rnk", row_number().over(win))
+        .filter(col("rnk") === 1)
+        .groupBy(col("true_lang").as("lang"), col("cand").as("pred"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("score_e6")).as("score_sum"))
+        .orderBy(ascf("lang"), ascf("pred"))
+    },
+    Some {
+      import graft.functions.DetMath._
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, lang,
+         |    unnest(string_split(text, ' ')) AS w FROM documents),
+         |cdw AS (SELECT doc_id, lang AS true_lang, w, count(*) AS m
+         |  FROM t GROUP BY 1, 2, 3),
+         |clw AS MATERIALIZED (SELECT lang, w, count(*) AS c
+         |  FROM t GROUP BY 1, 2),
+         |tl AS (SELECT lang, sum(c) AS tsum FROM clw GROUP BY 1),
+         |vv AS (SELECT count(DISTINCT w) AS v FROM clw),
+         |nd AS (SELECT lang, count(*) AS ndl FROM documents GROUP BY 1),
+         |ntot AS (SELECT count(*) AS n FROM documents),
+         |w0 AS (SELECT lang AS cand, w, c + 1 AS x FROM clw),
+         |w1 AS (SELECT *, ${kSql("x")} AS k FROM w0),
+         |w2 AS (SELECT *, ${mSql("x", "k")} AS mm FROM w1),
+         |w3 AS (SELECT *, ${zSql("mm")} AS z FROM w2),
+         |w4 AS (SELECT *, z * z AS z2 FROM w3),
+         |w5 AS (SELECT *, ${hornerSql("z2")} AS h FROM w4),
+         |lw AS (SELECT cand, w, CAST(round(${lnSql("k", "z", "h")}
+         |    * 1000000, 0) AS BIGINT) AS lc1 FROM w5),
+         |c0 AS (SELECT tl.lang AS cand,
+         |    CAST(tl.tsum + vv.v AS BIGINT) AS xa, nd.ndl AS xb
+         |  FROM tl JOIN nd ON tl.lang = nd.lang CROSS JOIN vv),
+         |c1 AS (SELECT *, ${kSql("xa")} AS ka, ${kSql("xb")} AS kb FROM c0),
+         |c2 AS (SELECT *, ${mSql("xa", "ka")} AS ma,
+         |    ${mSql("xb", "kb")} AS mb FROM c1),
+         |c3 AS (SELECT *, ${zSql("ma")} AS za, ${zSql("mb")} AS zb FROM c2),
+         |c4 AS (SELECT *, za * za AS z2a, zb * zb AS z2b FROM c3),
+         |c5 AS (SELECT *, ${hornerSql("z2a")} AS ha,
+         |    ${hornerSql("z2b")} AS hb FROM c4),
+         |lconst AS (SELECT cand,
+         |    CAST(round(${lnSql("ka", "za", "ha")} * 1000000, 0) AS BIGINT)
+         |      AS ltv,
+         |    CAST(round(${lnSql("kb", "zb", "hb")} * 1000000, 0) AS BIGINT)
+         |      AS lnd FROM c5),
+         |n1 AS (SELECT n AS x, ${kSql("n")} AS k FROM ntot),
+         |n2 AS (SELECT *, ${mSql("x", "k")} AS mm FROM n1),
+         |n3 AS (SELECT *, ${zSql("mm")} AS z FROM n2),
+         |n4 AS (SELECT *, z * z AS z2 FROM n3),
+         |n5 AS (SELECT *, ${hornerSql("z2")} AS h FROM n4),
+         |lnn AS (SELECT CAST(round(${lnSql("k", "z", "h")} * 1000000, 0)
+         |    AS BIGINT) AS lnn FROM n5),
+         |langs AS (SELECT DISTINCT lang AS cand FROM documents),
+         |sc AS (SELECT cdw.doc_id, cdw.true_lang, lg.cand,
+         |    sum(cdw.m * coalesce(lw.lc1, 0)) AS s1, sum(cdw.m) AS mt
+         |  FROM cdw CROSS JOIN langs lg
+         |    LEFT JOIN lw ON lw.cand = lg.cand AND lw.w = cdw.w
+         |  GROUP BY 1, 2, 3),
+         |fin AS (SELECT sc.doc_id, sc.true_lang, sc.cand,
+         |    sc.s1 - sc.mt * lc.ltv + lc.lnd - lnn.lnn AS score_e6
+         |  FROM sc JOIN lconst lc ON lc.cand = sc.cand CROSS JOIN lnn),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score_e6 DESC, cand ASC) AS rnk FROM fin)
+         |SELECT true_lang AS lang, cand AS pred,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(score_e6) AS BIGINT) AS score_sum
+         |FROM r WHERE rnk = 1 GROUP BY 1, 2
+         |ORDER BY lang ASC NULLS FIRST, pred ASC NULLS FIRST""".stripMargin
+    })
+
+  def defs: Seq[QueryDef] = Seq(kmeans, perceptron, naiveBayes)
 }
