@@ -383,6 +383,82 @@ object Graph {
            |ORDER BY jac_e6 DESC NULLS LAST, x ASC NULLS FIRST,
            |  y ASC NULLS FIRST""".stripMargin))
 
+  private val lpaRounds = 4
+
+  /** Synchronous label propagation (round 6): community detection over
+    * the sparsified trade graph — each round every node adopts the most
+    * frequent label among its neighbors PLUS ITSELF (the self-vote damps
+    * the 2-cycle oscillation synchronous LPA is known for), ties broken
+    * by the smaller label. Both engines run exactly `lpaRounds`
+    * identical rounds (the q_dedup_components / q_graph_pagerank fixed-K
+    * unrolled-oracle pattern), so whatever state round K reaches is
+    * hash-graded — convergence is not assumed.
+    *
+    * Scale: the fact table collapses to the node²-bounded edge relation
+    * once (session-shared build); each round is one edge-sized join +
+    * a (node, label)-grain count + a per-node window argmax. At a real
+    * graph scale the labels relation pre-partitions on node id once and
+    * every round reuses that exchange — the components-loop shape with
+    * a mode instead of a min.
+    *
+    * Determinism: votes are integer counts; argmax order (c DESC,
+    * lbl ASC) is total; isolated nodes keep their own label through the
+    * self-vote, so no node ever leaves the relation.
+    */
+  private val labelProp = QueryDef(
+    "q_graph_label_prop",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val und = undirectedTop3(s, d)
+      val sym = und.select(col("a").as("u"), col("b").as("n"))
+        .union(und.select(col("b").as("u"), col("a").as("n")))
+      val nodes = Tables.nation(s, d).select(col("n_nationkey").as("u"))
+      var labels = nodes.withColumn("lbl", col("u"))
+      for (_ <- 1 to lpaRounds) {
+        val votes = sym
+          .join(labels.select(col("u").as("n"), col("lbl")), "n")
+          .select(col("u"), col("lbl"))
+          .union(labels.select(col("u"), col("lbl")))
+          .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("u")).orderBy(descl("c"), ascf("lbl"))
+        labels = votes.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select(col("u"), col("lbl"))
+      }
+      labels.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_members"), sum(col("u")).as("member_sum"))
+        .join(Tables.nation(s, d).select(col("n_nationkey").as("lbl"),
+          col("n_name").as("rep_name")), "lbl")
+        .select(col("lbl").cast("long").as("community"), col("rep_name"),
+          col("n_members"), col("member_sum").cast("long").as("member_sum"))
+        .orderBy(ascf("community"))
+    },
+    Some {
+      val rounds = (1 to lpaRounds).map { k =>
+        val prev = s"l${k - 1}"
+        s"""v$k AS (SELECT u, lbl, count(*) AS c FROM (
+           |    SELECT s.u AS u, l.lbl AS lbl FROM sym s
+           |      JOIN $prev l ON s.n = l.u
+           |    UNION ALL SELECT u, lbl FROM $prev)
+           |  GROUP BY 1, 2),
+           |l$k AS MATERIALIZED (SELECT u, lbl FROM (SELECT u, lbl,
+           |    row_number() OVER (PARTITION BY u
+           |      ORDER BY c DESC, lbl ASC) AS rn FROM v$k)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $UndSql,
+         |sym AS (SELECT a AS u, b AS n FROM und
+         |  UNION ALL SELECT b, a FROM und),
+         |l0 AS (SELECT n_nationkey AS u, n_nationkey AS lbl FROM nation),
+         |$rounds
+         |SELECT CAST(g.lbl AS BIGINT) AS community, n.n_name AS rep_name,
+         |  CAST(g.n_members AS BIGINT) AS n_members,
+         |  CAST(g.member_sum AS BIGINT) AS member_sum
+         |FROM (SELECT lbl, count(*) AS n_members, sum(u) AS member_sum
+         |  FROM l$lpaRounds GROUP BY lbl) g
+         |JOIN nation n ON g.lbl = n.n_nationkey
+         |ORDER BY community ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(pagerank, triangles, bfs, degree,
-    graphJaccard)
+    graphJaccard, labelProp)
 }
