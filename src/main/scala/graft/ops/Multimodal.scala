@@ -448,6 +448,140 @@ object Multimodal {
            |FROM f GROUP BY sample_rate
            |ORDER BY sample_rate ASC NULLS FIRST""".stripMargin))
 
+  final case class PhashSig(doc_id: Long, lang: String,
+      b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** Perceptual-hash image near-dup (round 6): the multimodal dedup
+    * bridge — the average-hash (aHash) pipeline every image-dedup system
+    * runs, end to end on the REAL raster codec: synth a 16×16 GIM8
+    * image per doc (pixels = first 256 chars, space-padded) → encode →
+    * DECODE via `Codecs.GrayImage` → 8×8 block-average downsample →
+    * threshold at the global pixel mean → 64-bit signature as four
+    * 16-bit bands → banded candidate join (pigeonhole: Hamming ≤ 3 with
+    * 4 bands guarantees ≥ 1 identical band — lossless) → exact
+    * bit_count Hamming verify → per-lang near-dup census with an id
+    * checksum. The oracle recomputes the signature from the SOURCE
+    * chars by index arithmetic, so a decode, block-index or threshold
+    * bug anywhere in the codec path breaks the hash.
+    *
+    * All-integer: block avg and mean use truncating div on non-negative
+    * ints; signatures stay in 16-bit bands (never bit 63 — no sign/
+    * overflow edge); Hamming is bit_count over xor in both engines.
+    * Shape at 100 TB: signatures are 32 bytes/image computed in one
+    * mapPartitions decode pass; candidates are keyed on (lang, band_ix,
+    * band_value) — expected bucket n/2¹⁶ per band — and only ids travel
+    * until the 4-long signature rejoin.
+    */
+  private val mmPhash = QueryDef(
+    "q_mm_phash",
+    (s, d) => {
+      import s.implicits._
+      val sigs = graft.Caches.scoped(Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), rpad(col("text"), 256, " ").as("t"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, lang, t) =>
+          val payload = graft.functions.Codecs.GrayImage
+            .encode(16, 16, t.getBytes("US-ASCII"))
+          val (_, _, px) = graft.functions.Codecs.GrayImage.decode(payload)
+          val blocks = new Array[Int](64)
+          var bi = 0
+          while (bi < 64) {
+            val base = (bi / 8) * 32 + (bi % 8) * 2
+            blocks(bi) = ((px(base) & 0xFF) + (px(base + 1) & 0xFF) +
+              (px(base + 16) & 0xFF) + (px(base + 17) & 0xFF)) / 4
+            bi += 1
+          }
+          var sum = 0L
+          blocks.foreach(sum += _)
+          val mean = (sum / 64L).toInt
+          def band(b: Int): Long = {
+            var v = 0L; var j = 0
+            while (j < 16) {
+              if (blocks(b * 16 + j) >= mean) v |= (1L << j); j += 1
+            }
+            v
+          }
+          PhashSig(id, lang, band(0), band(1), band(2), band(3))
+        }).toDF())
+      val bands = sigs.select(col("doc_id"), col("lang"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("bix", "bv")))
+      val cand = bands.alias("x").join(bands.alias("y"),
+          col("x.lang") === col("y.lang") && col("x.bix") === col("y.bix") &&
+            col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.lang").as("lang"), col("x.doc_id").as("d1"),
+          col("y.doc_id").as("d2"))
+        .distinct()
+      val left = sigs.select(col("doc_id").as("d1"), col("b0").as("xb0"),
+        col("b1").as("xb1"), col("b2").as("xb2"), col("b3").as("xb3"))
+      val right = sigs.select(col("doc_id").as("d2"), col("b0").as("yb0"),
+        col("b1").as("yb1"), col("b2").as("yb2"), col("b3").as("yb3"))
+      val pairs = cand.join(left, "d1").join(right, "d2")
+        .withColumn("ham",
+          expr("bit_count(xb0 ^ yb0) + bit_count(xb1 ^ yb1) + " +
+            "bit_count(xb2 ^ yb2) + bit_count(xb3 ^ yb3)").cast("long"))
+        .filter(col("ham") <= 3)
+      val ag = pairs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("ham") === 0L, 1L).otherwise(0L)).as("n_exact"),
+          sum(col("ham")).as("ham_sum"),
+          sum(col("d1") + col("d2")).as("id_checksum"))
+      Tables.documents(s, d).select(col("lang")).distinct()
+        .join(ag, Seq("lang"), "left")
+        .select(col("lang"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("ham_sum"), lit(0L)).as("ham_sum"),
+          coalesce(col("id_checksum"), lit(0L)).as("id_checksum"))
+        .orderBy(ascf("lang"))
+    },
+    Some {
+      def bandSql(b: Int): String =
+        s"CAST(list_sum(list_transform(range(0, 16), j -> CASE WHEN " +
+          s"blocks[${b * 16} + j + 1] >= mean THEN (CAST(1 AS BIGINT) << j) " +
+          s"ELSE 0 END)) AS BIGINT) AS b$b"
+      s"""WITH d0 AS (SELECT doc_id, lang, rpad(text, 256, ' ') AS t
+         |  FROM documents),
+         |bl AS (SELECT doc_id, lang, list_transform(range(0, 64), bi ->
+         |    (ascii(substring(t, (bi // 8) * 32 + (bi % 8) * 2 + 1, 1))
+         |     + ascii(substring(t, (bi // 8) * 32 + (bi % 8) * 2 + 2, 1))
+         |     + ascii(substring(t, (bi // 8) * 32 + 16 + (bi % 8) * 2 + 1, 1))
+         |     + ascii(substring(t, (bi // 8) * 32 + 16 + (bi % 8) * 2 + 2, 1)))
+         |    // 4) AS blocks
+         |  FROM d0),
+         |mn AS (SELECT doc_id, lang, blocks,
+         |    list_sum(blocks) // 64 AS mean FROM bl),
+         |sg AS MATERIALIZED (SELECT doc_id, lang,
+         |    ${bandSql(0)}, ${bandSql(1)}, ${bandSql(2)}, ${bandSql(3)}
+         |  FROM mn),
+         |bands AS (SELECT doc_id, lang, u.range AS bix,
+         |    CASE u.range WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
+         |      ELSE b3 END AS bv
+         |  FROM sg CROSS JOIN range(0, 4) u),
+         |cand AS (SELECT DISTINCT x.lang AS lang, x.doc_id AS d1,
+         |    y.doc_id AS d2
+         |  FROM bands x JOIN bands y ON x.lang = y.lang AND x.bix = y.bix
+         |    AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |pr AS (SELECT c.lang AS lang, c.d1 AS d1, c.d2 AS d2,
+         |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+         |      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+         |      AS BIGINT) AS ham
+         |  FROM cand c JOIN sg a ON c.d1 = a.doc_id
+         |    JOIN sg b ON c.d2 = b.doc_id),
+         |ag AS (SELECT lang, count(*) AS n_pairs,
+         |    count(*) FILTER (WHERE ham = 0) AS n_exact,
+         |    sum(ham) AS ham_sum, sum(d1 + d2) AS id_checksum
+         |  FROM pr WHERE ham <= 3 GROUP BY 1),
+         |base AS (SELECT DISTINCT lang FROM documents)
+         |SELECT base.lang AS lang,
+         |  CAST(coalesce(ag.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(ag.n_exact, 0) AS BIGINT) AS n_exact,
+         |  CAST(coalesce(ag.ham_sum, 0) AS BIGINT) AS ham_sum,
+         |  CAST(coalesce(ag.id_checksum, 0) AS BIGINT) AS id_checksum
+         |FROM base LEFT JOIN ag ON base.lang = ag.lang
+         |ORDER BY lang ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(mmBinary, mmFeatures, mmAudioPcm, mmImageGray,
-    mmVideoFrames, mmImageResize, mmAudioDownsample)
+    mmVideoFrames, mmImageResize, mmAudioDownsample, mmPhash)
 }

@@ -386,6 +386,82 @@ object Pipeline {
            |LIMIT 10""".stripMargin
     })
 
+  /** Scalar-quantized ANN (round 6): the compression-codebook family
+    * member next to LSH (q_sim_ann_lsh) and IVF (q_sim_ann_ivf) — the
+    * SQ4 shape of a product-quantization index. Each dimension is
+    * compressed to a 4-bit code against data-derived per-dim [lo, hi]
+    * bounds (code = ((x−lo)·16) div (hi−lo+1), all integer), vectors are
+    * scored against the probe entirely IN CODE SPACE via midpoint
+    * reconstruction (recon = lo + ((2c+1)(hi−lo+1)) div 32 — the ADC
+    * table lookup, spelled as arithmetic), and only the top-32
+    * approximate candidates are reranked with the exact quantized
+    * cosine. Output grades BOTH the approximate int64 dot (the codes
+    * themselves) and the exact rerank.
+    *
+    * Shape at 100 TB: the 64-row bounds table and the probe's
+    * reconstruction are broadcasts; the code scan is one explode +
+    * partial agg (in a real index the codes are precomputed — 32 bytes
+    * a vector, 16× smaller than float32); candidate selection is a
+    * distributed TakeOrdered (top-32 per partition, merged), never a
+    * global sort. Every quantity before the final cosine is exact
+    * int64: |recon·pr| ≤ 1e12/dim, ×64 dims ≪ 2^63.
+    */
+  private val simAnnSq = QueryDef(
+    "q_sim_ann_sq",
+    (s, d) => {
+      val emb = quantized(s, d)
+      val byDim = emb.select(posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("pos"))
+        .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      val recon = emb
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .join(broadcast(byDim), "pos")
+        .withColumn("recon", expr("lo + ((2 * (((x - lo) * 16) div " +
+          "(hi - lo + 1)) + 1) * (hi - lo + 1)) div 32"))
+      val probeRecon = recon.filter(col("vec_id") === 0)
+        .select(col("pos"), col("recon").as("pr"))
+      val cands = recon.filter(col("vec_id") =!= 0)
+        .join(broadcast(probeRecon), "pos")
+        .groupBy(col("vec_id"))
+        .agg(sum(col("recon") * col("pr")).as("approx_dot"))
+        .orderBy(descl("approx_dot"), ascf("vec_id"))
+        .limit(32)
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("v").as("pv"), col("nn").as("pnn"))
+      cands.join(emb, "vec_id").crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("approx_dot"),
+          (round(cosine(dot(col("v"), col("pv")), col("nn"), col("pnn")), 6)
+            + lit(0.0)).as("cos"))
+        .orderBy(descl("cos"), ascf("vec_id"))
+        .limit(10)
+    },
+    Some(oracleQuantized +
+      """,
+        |bd AS (SELECT k AS pos, CAST(min(v[k]) AS BIGINT) AS lo,
+        |    CAST(max(v[k]) AS BIGINT) AS hi
+        |  FROM n, range(1, 65) t(k) GROUP BY k),
+        |rc AS (SELECT n.vec_id AS vec_id, bd.pos AS pos,
+        |    bd.lo + ((2 * (((n.v[bd.pos] - bd.lo) * 16)
+        |      // (bd.hi - bd.lo + 1)) + 1) * (bd.hi - bd.lo + 1)) // 32
+        |      AS recon
+        |  FROM n, bd),
+        |pr AS (SELECT pos, recon AS pr FROM rc WHERE vec_id = 0),
+        |cand AS (SELECT rc.vec_id AS vec_id,
+        |    CAST(sum(rc.recon * pr.pr) AS BIGINT) AS approx_dot
+        |  FROM rc JOIN pr ON rc.pos = pr.pos WHERE rc.vec_id <> 0
+        |  GROUP BY 1
+        |  ORDER BY approx_dot DESC NULLS LAST, vec_id ASC NULLS FIRST
+        |  LIMIT 32),
+        |p AS (SELECT v AS pv, nn AS pnn FROM n WHERE vec_id = 0)
+        |SELECT c.vec_id AS vec_id, c.approx_dot AS approx_dot,
+        |  round(CAST(list_sum(list_transform(range(1, 65),
+        |    k -> a.v[k] * p.pv[k])) AS DOUBLE)
+        |    / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(p.pnn AS DOUBLE))), 6)
+        |    + 0.0 AS cos
+        |FROM cand c JOIN n a ON c.vec_id = a.vec_id, p
+        |ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST
+        |LIMIT 10""".stripMargin))
+
   /** End-to-end training-data prep composition (round 4): quality
     * filter (≥ 5 tokens, ≤ 400 chars) → exact near-dup removal
     * (normalized 5-token-prefix key, min-doc_id survivor — the
@@ -1165,6 +1241,6 @@ object Pipeline {
 
   def defs: Seq[QueryDef] = Seq(
     dedupSimhash, dedupNgram, dedupEmbed, simAnnLsh, simCentroid, simAnnIvf,
-    pipelineE2e, dedupComponents, containment, dedupSimhashExact,
+    simAnnSq, pipelineE2e, dedupComponents, containment, dedupSimhashExact,
     dedupMinhashExact, dedupSubstr, dedupClusterRep)
 }
