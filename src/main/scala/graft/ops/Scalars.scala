@@ -363,7 +363,94 @@ object Scalars {
            |  event_id >> 2 AS shr2
            |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin))
 
+  /** URL canonicalization + dedup census (round 6): the web-curation
+    * normalizer every crawl pipeline runs before URL-level dedup —
+    * lowercase scheme/host, drop the default port, strip tracking
+    * parameters (utm_*, ref), sort the survivors — then census how many
+    * raw URLs collapse per canonical form. URLs are synthesized
+    * deterministically from doc columns (case-varied scheme/host, a
+    * :443 port, shuffled tracking params), so both engines start from
+    * identical strings; parsing stays in the D6 Java∩RE2 regex subset
+    * (classes, anchors, +*? — no lookaround), and param filtering uses
+    * substring compares, not LIKE (whose `_` wildcard would need
+    * dialect-specific escaping).
+    *
+    * Shape at 100 TB: pure per-row string work (codegen'd) + one
+    * (lang, canonical) partial agg + one lang-grain rollup — the
+    * canonical key IS the dedup shuffle key, exactly how a crawl
+    * URL-dedup partitions.
+    */
+  private val fnUrl = QueryDef(
+    "q_fn_url",
+    (s, d) => {
+      val raw = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        concat(
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTPS://WWW."))
+            .otherwise(lit("https://www.")),
+          col("source"), lit(".Example.COM:443/"), col("lang"),
+          lit("/item?utm_source=feed&id="),
+          expr("doc_id div 10").cast("string"), lit("&ref=r"),
+          pmod(col("doc_id"), lit(7)).cast("string"),
+          lit("&utm_medium=rss")).as("url"))
+      val parsed = raw
+        .withColumn("host",
+          lower(regexp_extract(col("url"), "^[a-zA-Z]+://([^/:?]+)", 1)))
+        .withColumn("path",
+          regexp_extract(col("url"), "://[^/?]+(/[^?]*)", 1))
+        .withColumn("qs", regexp_extract(col("url"), "\\?(.*)$", 1))
+        .withColumn("allp", split(col("qs"), "&"))
+        .withColumn("kept", array_sort(expr(
+          "filter(allp, p -> substring(p, 1, 4) <> 'utm_' " +
+            "AND substring(p, 1, 4) <> 'ref=')")))
+        .withColumn("canonical", concat(lit("https://"), col("host"),
+          col("path"), lit("?"), array_join(col("kept"), "&")))
+        .withColumn("dropped",
+          (size(col("allp")) - size(col("kept"))).cast("long"))
+      val g = parsed.groupBy(col("lang"), col("canonical"))
+        .agg(count(lit(1)).as("cnt"), sum(col("dropped")).as("dr"))
+      g.groupBy(col("lang"))
+        .agg(sum(col("cnt")).as("n_urls"),
+          count(lit(1)).as("n_canonical"),
+          max(col("cnt")).as("max_group"),
+          sum(col("dr")).as("n_params_dropped"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH raw AS (SELECT doc_id, lang,
+           |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
+           |      ELSE 'https://www.' END)
+           |    || source || '.Example.COM:443/' || lang
+           |    || '/item?utm_source=feed&id=' || CAST(doc_id // 10 AS VARCHAR)
+           |    || '&ref=r' || CAST(doc_id % 7 AS VARCHAR)
+           |    || '&utm_medium=rss' AS url
+           |  FROM documents),
+           |parsed AS (SELECT lang,
+           |    lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?]+)', 1)) AS host,
+           |    regexp_extract(url, '://[^/?]+(/[^?]*)', 1) AS path,
+           |    regexp_extract(url, '\?(.*)$', 1) AS qs
+           |  FROM raw),
+           |canon AS (SELECT lang,
+           |    string_split(qs, '&') AS allp,
+           |    list_sort(list_filter(string_split(qs, '&'),
+           |      p -> substring(p, 1, 4) <> 'utm_'
+           |        AND substring(p, 1, 4) <> 'ref=')) AS kept,
+           |    'https://' || host || path AS hp
+           |  FROM parsed),
+           |c2 AS (SELECT lang,
+           |    hp || '?' || array_to_string(kept, '&') AS canonical,
+           |    CAST(len(allp) - len(kept) AS BIGINT) AS dropped
+           |  FROM canon),
+           |g AS (SELECT lang, canonical, count(*) AS cnt,
+           |    sum(dropped) AS dr
+           |  FROM c2 GROUP BY 1, 2)
+           |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_urls,
+           |  CAST(count(*) AS BIGINT) AS n_canonical,
+           |  CAST(max(cnt) AS BIGINT) AS max_group,
+           |  CAST(sum(dr) AS BIGINT) AS n_params_dropped
+           |FROM g GROUP BY lang
+           |ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     fnString, fnRegex, fnDate, fnMath, fnCond, fnCast, fnJson,
-    arrFuncs, arrExplode, arrAgg, mapFuncs, fnStruct, arrHof, fnBitwise)
+    arrFuncs, arrExplode, arrAgg, mapFuncs, fnStruct, arrHof, fnBitwise,
+    fnUrl)
 }

@@ -334,5 +334,173 @@ object Sketch {
          |ORDER BY sl.event_type ASC NULLS FIRST""".stripMargin
     })
 
-  def defs: Seq[QueryDef] = Seq(countmin, hll, hllMerge)
+  private val BloomHash =
+    s"((x % $P) * ($CaseA) + ($CaseB)) % $P % 65536"
+
+  /** Bloom-filter membership sketch (round 6): build a k=3, m=2¹⁶-bit
+    * filter over a reference key set (part keys supplied by the
+    * suppkey≡0 mod 10 supplier slice), probe it with a disjoint-ish key
+    * set, and grade the EXACT false-positive census — the gap between
+    * bloom-positive and true membership IS the filter's error, computed
+    * identically on both engines because the hash family is the
+    * count-min mod-prime arithmetic (first 3 lanes). The filter is
+    * represented as its set-bit RELATION (distinct positions) — the
+    * form that scales: at 100 TB the build is one distinct + a
+    * ≤m-row aggregate per partition, the probe is a broadcast join of
+    * ≤m rows, and a production plan would ship exactly this relation as
+    * the runtime filter (q_join_bloom is the consumer-side exhibit; this
+    * key grades the sketch itself). m is sized 2¹⁶ so the sf0.1 build
+    * (~19k keys) fills ~58% of the bits — a real graded FP operating
+    * point (FP ≈ 0.2), neither saturated nor trivially zero.
+    */
+  private val bloom = QueryDef(
+    "q_sketch_bloom",
+    (s, d) => {
+      val lanes = explode(array((0 until 3).map(i => lit(i)): _*)).as("i")
+      val ref = Tables.lineitem(s, d)
+        .filter(pmod(col("l_suppkey"), lit(10)) === 0)
+        .select(col("l_partkey").cast("long").as("x")).distinct()
+      val bits = graft.Caches.scoped(ref.select(col("x"), lanes)
+        .withColumn("pos", expr(BloomHash))
+        .select(col("pos")).distinct())
+      val probes = Tables.part(s, d)
+        .filter(pmod(col("p_partkey"), lit(3)) === 0)
+        .select(col("p_partkey").cast("long").as("x")).distinct()
+      val hits = probes.select(col("x"), lanes)
+        .withColumn("pos", expr(BloomHash))
+        .join(broadcast(bits.withColumn("present", lit(1L))),
+          Seq("pos"), "left")
+        .groupBy(col("x"))
+        .agg(sum(coalesce(col("present"), lit(0L))).as("nhit"))
+      val flagged = hits
+        .join(ref.withColumn("mem", lit(1L)), Seq("x"), "left")
+        .withColumn("mem", coalesce(col("mem"), lit(0L)))
+        .withColumn("bpos", when(col("nhit") === 3L, 1L).otherwise(0L))
+      val census = flagged.agg(
+        count(lit(1)).as("n_probes"),
+        sum(col("mem")).as("n_members"),
+        sum(col("bpos")).as("n_bloom_pos"),
+        sum(when(col("bpos") === 1L && col("mem") === 0L, 1L).otherwise(0L))
+          .as("n_false_pos"),
+        sum(when(col("bpos") === 1L && col("mem") === 0L, col("x"))
+          .otherwise(0L)).as("fp_id_checksum"))
+      census
+        .crossJoin(ref.agg(count(lit(1)).as("n_ref")))
+        .crossJoin(bits.agg(count(lit(1)).as("n_bits_set")))
+        .select(col("n_ref"), col("n_bits_set"), col("n_probes"),
+          col("n_members"), col("n_bloom_pos"), col("n_false_pos"),
+          col("fp_id_checksum"))
+        .orderBy(ascf("n_ref"))
+    },
+    Some(s"""WITH ref AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS x
+           |  FROM lineitem WHERE l_suppkey % 10 = 0),
+           |bits AS (SELECT DISTINCT ($BloomHash) AS pos
+           |  FROM ref CROSS JOIN range(0, 3) t(i)),
+           |pr AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS x
+           |  FROM part WHERE p_partkey % 3 = 0),
+           |pp AS (SELECT x, ($BloomHash) AS pos
+           |  FROM pr CROSS JOIN range(0, 3) t(i)),
+           |hits AS (SELECT pp.x AS x,
+           |    sum(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS nhit
+           |  FROM pp LEFT JOIN bits b ON pp.pos = b.pos GROUP BY 1),
+           |fl AS (SELECT h.x AS x,
+           |    CASE WHEN h.nhit = 3 THEN 1 ELSE 0 END AS bpos,
+           |    CASE WHEN r.x IS NULL THEN 0 ELSE 1 END AS mem
+           |  FROM hits h LEFT JOIN ref r ON h.x = r.x)
+           |SELECT (SELECT CAST(count(*) AS BIGINT) FROM ref) AS n_ref,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+           |  CAST(count(*) AS BIGINT) AS n_probes,
+           |  CAST(sum(mem) AS BIGINT) AS n_members,
+           |  CAST(sum(bpos) AS BIGINT) AS n_bloom_pos,
+           |  CAST(sum(CASE WHEN bpos = 1 AND mem = 0 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_false_pos,
+           |  CAST(sum(CASE WHEN bpos = 1 AND mem = 0 THEN x ELSE 0 END)
+           |    AS BIGINT) AS fp_id_checksum
+           |FROM fl""".stripMargin))
+
+  /** Mergeable equi-width histogram quantile sketch (round 6): the
+    * quantile family member next to count-distinct (HLL), frequency
+    * (count-min) and membership (bloom). 256 integer bins over the
+    * data-derived [lo, hi] cent range of l_extendedprice; the sketch is
+    * the (bin, count) relation — mergeable across partitions/days by
+    * plain addition, which is why production systems ship it instead of
+    * sorting. Estimates for p50/p90/p99 come from the first bin whose
+    * cumulative count reaches ⌈k·N/100⌉ (midpoint reconstruction);
+    * the EXACT quantile (value-grain cumsum, the q_profile_depth
+    * definition) rides along, so the graded output pins estimate, truth
+    * and the signed error — the sketch's accuracy contract, not just
+    * its mechanics. All arithmetic is integer (cents, truncating div on
+    * non-negative operands).
+    *
+    * Scale: bin assignment is codegen'd per-row math; the sketch agg
+    * carries ≤ 256 cells per map partition at ANY size; only the
+    * verification side (value-grain cumsum) grows with distinct values
+    * — and it is the harness, not the production path.
+    */
+  private val quantile = QueryDef(
+    "q_sketch_quantile",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.lineitem(s, d)
+        .select((dec(col("l_extendedprice")) * 100).cast("long").as("v"))
+      val bounds = v.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(lit(1)).as("n"))
+      val binned = v.crossJoin(broadcast(bounds))
+        .withColumn("bin", expr("((v - lo) * 256) div (hi - lo + 1)"))
+      val sketch = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      val cum = sketch.withColumn("cum",
+        sum(col("c")).over(Window.orderBy(ascf("bin"))))
+      val targets = bounds.crossJoin(
+          s.range(3).select(element_at(array(lit(50L), lit(90L), lit(99L)),
+            (col("id") + 1).cast("int")).as("k")))
+        .withColumn("target", expr("(k * n + 99) div 100"))
+      val est = cum.crossJoin(broadcast(targets))
+        .filter(col("cum") >= col("target"))
+        .groupBy(col("k"), col("target"), col("lo"), col("hi"))
+        .agg(min(col("bin")).as("ebin"))
+        .withColumn("est_cents",
+          expr("lo + ((2 * ebin + 1) * (hi - lo + 1)) div 512"))
+      val vg = v.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cumv", sum(col("c")).over(Window.orderBy(ascf("v"))))
+      val exact = vg.crossJoin(broadcast(targets.select(col("k"),
+          col("target").as("t2"))))
+        .filter(col("cumv") >= col("t2"))
+        .groupBy(col("k")).agg(min(col("v")).as("exact_cents"))
+      est.join(exact, "k")
+        .select(col("k"), col("target").as("target_rank"),
+          col("est_cents"), col("exact_cents"),
+          (col("est_cents") - col("exact_cents")).as("err_cents"))
+        .orderBy(ascf("k"))
+    },
+    Some("""WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+           |      * 100 AS BIGINT) AS v FROM lineitem),
+           |bounds AS (SELECT min(v) AS lo, max(v) AS hi,
+           |    count(*) AS n FROM v),
+           |binned AS (SELECT ((v.v - b.lo) * 256) // (b.hi - b.lo + 1)
+           |    AS bin FROM v, bounds b),
+           |sk AS (SELECT bin, count(*) AS c FROM binned GROUP BY bin),
+           |cum AS (SELECT bin, sum(c) OVER (ORDER BY bin ASC
+           |    ROWS UNBOUNDED PRECEDING) AS cum FROM sk),
+           |ks AS (SELECT unnest([50, 90, 99]) AS k),
+           |tg AS (SELECT CAST(ks.k AS BIGINT) AS k,
+           |    (ks.k * b.n + 99) // 100 AS target, b.lo AS lo, b.hi AS hi
+           |  FROM ks, bounds b),
+           |est AS (SELECT tg.k AS k, tg.target AS target,
+           |    tg.lo + ((2 * min(cum.bin) + 1) * (tg.hi - tg.lo + 1)) // 512
+           |      AS est_cents
+           |  FROM cum, tg WHERE cum.cum >= tg.target
+           |  GROUP BY tg.k, tg.target, tg.lo, tg.hi),
+           |vg AS (SELECT v, count(*) AS c FROM v GROUP BY v),
+           |cv AS (SELECT v, sum(c) OVER (ORDER BY v ASC
+           |    ROWS UNBOUNDED PRECEDING) AS cumv FROM vg),
+           |ex AS (SELECT tg.k AS k, min(cv.v) AS exact_cents
+           |  FROM cv, tg WHERE cv.cumv >= tg.target GROUP BY tg.k)
+           |SELECT est.k AS k, CAST(est.target AS BIGINT) AS target_rank,
+           |  CAST(est.est_cents AS BIGINT) AS est_cents,
+           |  CAST(ex.exact_cents AS BIGINT) AS exact_cents,
+           |  CAST(est.est_cents - ex.exact_cents AS BIGINT) AS err_cents
+           |FROM est JOIN ex ON est.k = ex.k
+           |ORDER BY k ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(countmin, hll, hllMerge, bloom, quantile)
 }
