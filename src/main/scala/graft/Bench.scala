@@ -42,8 +42,14 @@ object Bench {
     }
     // name-sorted: Map iteration order is hash-random, which made
     // per-round per-query timing comparisons noisy
+    // dev-loop filter (mirrors Verify's SPARK_GRAFT_ONLY): isolate keys
+    // when chasing a per-key timing anomaly; the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def runAll(cold: Boolean): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           // never silent (review r5): a throwing query records its

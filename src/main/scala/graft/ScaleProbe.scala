@@ -107,7 +107,13 @@ object ScaleProbe {
         "q_mm_features", "q_text_perplexity", "q_dedup_substr",
         "q_ml_perceptron", "q_win_pattern", "q_text_bpe",
         "q_source_text", "q_join_incremental", "q_ts_forecast",
-        "q_dedup_cluster_rep")
+        "q_dedup_cluster_rep",
+        // round-6 batches 6-8: line-grain dedup, layout, classifiers,
+        // SQ/phash candidates, sketches, url canon
+        "q_dedup_lines", "q_lake_scd2", "q_lake_zorder",
+        "q_ml_naive_bayes", "q_ts_interp", "q_graph_label_prop",
+        "q_sim_ann_sq", "q_mm_phash", "q_fn_url", "q_sketch_bloom",
+        "q_sketch_quantile")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()

@@ -260,4 +260,35 @@ class PlanSpec extends SparkSpec {
     assert(!seeded.queryExecution.optimizedPlan.toString
       .toLowerCase.contains("dotlongarrays"))
   }
+
+  test("phash candidate join carries the (lang, band, value) bucket key") {
+    // The image near-dup candidate generator must join on the full
+    // band-bucket key — keyed on lang alone it is the quadratic
+    // all-pairs shape (the q_dedup_embed r3 lesson, multimodal edition).
+    val nodes = collectAll(
+      Registry.queries("q_mm_phash")(spark, sfDir).queryExecution.sparkPlan)
+    val joins = nodes.collect {
+      case j: SortMergeJoinExec => (j.joinType, j.leftKeys)
+      case j: BroadcastHashJoinExec => (j.joinType, j.leftKeys)
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        (j.joinType, j.leftKeys)
+    }
+    assert(joins.exists { case (_, ks) =>
+      Seq("bix", "bv").forall(k => ks.exists(_.toString.contains(k))) },
+      joins.map(_._2.mkString("[", ",", "]")).mkString("; "))
+    assert(!joins.exists { case (t, ks) =>
+      t == org.apache.spark.sql.catalyst.plans.Inner &&
+        ks.length == 1 && ks.head.toString.contains("lang") },
+      "found an inner join keyed on lang alone")
+    Caches.releaseScoped()
+  }
+
+  test("ann_sq selects candidates with a distributed TakeOrdered, not a global sort") {
+    // top-32 by approximate dot must plan as TakeOrderedAndProject
+    // (per-partition top-k + merge); a single-partition global Sort
+    // would serialize the corpus through one task at scale.
+    val p = planString("q_sim_ann_sq")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    Caches.releaseScoped()
+  }
 }

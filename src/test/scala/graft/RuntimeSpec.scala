@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import java.sql.Timestamp
+import graft.Dsl.floorDiv
 import graft.plans.SaltedJoin
 import graft.sources.Lake
 import graft.streaming.Streams
@@ -202,5 +203,65 @@ class RuntimeSpec extends SparkSpec {
     write(Seq(("2024-01-01 10:07:00", "late_click")))
     val run2 = drain()
     assert(!run2.contains("late_click"), run2.mkString(","))
+  }
+
+  test("label propagation communities partition the node set exactly") {
+    // Invariants oracle lockstep cannot distinguish from coincidence:
+    // every node lands in exactly one community, total membership is the
+    // node count, and the id mass is conserved (a dropped or doubled
+    // node would break one of these before it broke the hash).
+    val nations = Tables.nation(spark, sfDir)
+    val n = nations.count()
+    val idSum = nations.agg(sum(col("n_nationkey"))).head.getLong(0)
+    val out = Registry.queries("q_graph_label_prop")(spark, sfDir).collect()
+    assert(out.map(_.getLong(2)).sum == n)
+    assert(out.map(_.getLong(3)).sum == idSum)
+    Caches.releaseScoped()
+  }
+
+  test("bloom filter has zero false negatives (the membership guarantee)") {
+    // From the graded census: bloom-positive = (members that hit) +
+    // false positives. The Bloom guarantee is that EVERY member hits,
+    // so n_bloom_pos - n_false_pos must equal n_members exactly.
+    val r = Registry.queries("q_sketch_bloom")(spark, sfDir).head
+    val nMembers = r.getAs[Long]("n_members")
+    val nPos = r.getAs[Long]("n_bloom_pos")
+    val nFp = r.getAs[Long]("n_false_pos")
+    assert(nPos - nFp == nMembers, s"pos=$nPos fp=$nFp members=$nMembers")
+    Caches.releaseScoped()
+  }
+
+  test("interpolation census covers the observed span hour-for-hour") {
+    // Per type: observed hours + interior gap hours == the full
+    // [min, max] hour span — a missed or double-counted gap hour breaks
+    // this before it breaks the checksum.
+    val spans = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg((floorDiv(unix_micros(max(col("ts"))), 3600000000L) -
+        floorDiv(unix_micros(min(col("ts"))), 3600000000L) + 1).as("span"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Registry.queries("q_ts_interp")(spark, sfDir).collect()
+    for (r <- out) {
+      val t = r.getString(0)
+      assert(r.getLong(1) + r.getLong(2) == spans(t),
+        s"$t: obs=${r.getLong(1)} gaps=${r.getLong(2)} span=${spans(t)}")
+    }
+    Caches.releaseScoped()
+  }
+
+  test("phash banding is lossless for Hamming <= 3 (pigeonhole, by fuzz)") {
+    // 4 disjoint 16-bit bands, distance ≤ 3 → at least one band is
+    // untouched. Fuzz the band-extraction arithmetic the query uses.
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 2000) {
+      val sig = rnd.nextLong() & 0xFFFFFFFFFFFFFFFL // 60 bits is plenty
+      val flips = rnd.nextInt(4) // 0..3 bit flips
+      var other = sig
+      for (_ <- 1 to flips) other ^= (1L << rnd.nextInt(64))
+      def band(s: Long, b: Int): Long = (s >>> (16 * b)) & 0xFFFFL
+      val ham = java.lang.Long.bitCount(sig ^ other)
+      if (ham <= 3)
+        assert((0 until 4).exists(b => band(sig, b) == band(other, b)))
+    }
   }
 }
