@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST 2000 chars of stdout from
+// `sbt "runMain graft.Bench"`. sbt's default logged output strategy
+// prefixes every forked-process line with "[info] " and appends a
+// "[success] Total time ..." footer, so the bench JSON was never the
+// literal final stdout line (VERDICT r6 #1, six rounds of
+// `parsed: null`). StdoutOutput passes the forked JVM's stdout through
+// raw; showSuccess drops the footer.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

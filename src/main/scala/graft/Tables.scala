@@ -39,7 +39,18 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.conf.set("spark.sql.session.timeZone", "UTC")
+    // The NTZ→TIMESTAMP cast below is value-preserving ONLY under a UTC
+    // session TZ. This used to be enforced by silently setting the conf
+    // here — a load-time side effect that rewrote timestamp rendering
+    // for a library consumer's WHOLE session (ADVICE r6). Every graft
+    // entry point (Bench, Verify, JobServer.main, SparkSpec) pins UTC at
+    // session construction; a consumer who hasn't gets a loud
+    // misconfiguration error instead of a mutated session.
+    val tz = s.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC" || tz == "Etc/UTC",
+      s"graft.Tables.events requires spark.sql.session.timeZone=UTC " +
+        s"(found '$tz'): set it at SparkSession construction; the events " +
+        s"ts column is naive-UTC and any other zone shifts every instant")
     val raw = p(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -20,9 +20,18 @@ object Verify {
     // (the driver never sets it, so the graded path is unchanged)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    // a mistyped SPARK_GRAFT_ONLY key silently dumped ZERO results and
+    // looked like a (vacuously) clean verify run (ADVICE r6)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) System.err.println(
+        s"[verify] SPARK_GRAFT_ONLY keys not in the registry: ${unknown.toSeq.sorted.mkString(", ")}")
+      require(selected.nonEmpty,
+        s"SPARK_GRAFT_ONLY matched no registered query (names: ${o.mkString(",")})")
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -219,9 +219,15 @@ object Lakehouse {
     * hash-proven, not asserted.
     *
     * Shape at 100 TB: the interleave is 32 codegen'd integer ops per
-    * row; the sort is the same range-partitioned total sort a layout
-    * rewrite runs anyway (here: one window over the full relation); the
-    * probe census is 32 files × 8 literals. The global min/max is a
+    * row; a production layout rewrite runs a range-partitioned total
+    * sort (repartitionByRange on z) and assigns files per partition.
+    * HARNESS-ONLY SHAPE (ADVICE r6): the ntile file-cut below uses
+    * `Window.orderBy` with no partitionBy, which Spark plans as a
+    * single-partition global window — fine at fixture scale and
+    * required for an exactly-equal 32-way cut the oracle can mirror,
+    * but NOT the 100 TB plan (that one trades exact-equal file sizes
+    * for range-boundary sizes, which zone maps don't care about). The
+    * probe census is 32 files × 8 literals; the global min/max is a
     * 1-row broadcast (the "1-row-sketch crossJoin" house pattern).
     */
   private val lakeZorder = QueryDef(

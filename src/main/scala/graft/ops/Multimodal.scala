@@ -480,8 +480,17 @@ object Multimodal {
         .select(col("doc_id"), col("lang"), rpad(col("text"), 256, " ").as("t"))
         .as[(Long, String, String)]
         .mapPartitions(_.map { case (id, lang, t) =>
-          val payload = graft.functions.Codecs.GrayImage
-            .encode(16, 16, t.getBytes("US-ASCII"))
+          // pixel = char code masked to 7 bits, ENFORCED identically on
+          // both engines (ADVICE r6): the old getBytes("US-ASCII") mapped
+          // non-ASCII chars to '?' (0x3F) while the oracle's ascii() kept
+          // the full code point — parity held only because the fixtures
+          // happen to be pure ASCII. The explicit & 0x7F makes the
+          // invariant a definition, not an assumption (BMP chars; the
+          // oracle masks with `& 127` on the same index arithmetic).
+          val pix = new Array[Byte](t.length)
+          var ci = 0
+          while (ci < t.length) { pix(ci) = (t.charAt(ci) & 0x7F).toByte; ci += 1 }
+          val payload = graft.functions.Codecs.GrayImage.encode(16, 16, pix)
           val (_, _, px) = graft.functions.Codecs.GrayImage.decode(payload)
           val blocks = new Array[Int](64)
           var bi = 0
@@ -543,10 +552,10 @@ object Multimodal {
       s"""WITH d0 AS (SELECT doc_id, lang, rpad(text, 256, ' ') AS t
          |  FROM documents),
          |bl AS (SELECT doc_id, lang, list_transform(range(0, 64), bi ->
-         |    (ascii(substring(t, (bi // 8) * 32 + (bi % 8) * 2 + 1, 1))
-         |     + ascii(substring(t, (bi // 8) * 32 + (bi % 8) * 2 + 2, 1))
-         |     + ascii(substring(t, (bi // 8) * 32 + 16 + (bi % 8) * 2 + 1, 1))
-         |     + ascii(substring(t, (bi // 8) * 32 + 16 + (bi % 8) * 2 + 2, 1)))
+         |    ((ascii(substring(t, (bi // 8) * 32 + (bi % 8) * 2 + 1, 1)) & 127)
+         |     + (ascii(substring(t, (bi // 8) * 32 + (bi % 8) * 2 + 2, 1)) & 127)
+         |     + (ascii(substring(t, (bi // 8) * 32 + 16 + (bi % 8) * 2 + 1, 1)) & 127)
+         |     + (ascii(substring(t, (bi // 8) * 32 + 16 + (bi % 8) * 2 + 2, 1)) & 127))
          |    // 4) AS blocks
          |  FROM d0),
          |mn AS (SELECT doc_id, lang, blocks,

@@ -393,6 +393,11 @@ object Scalars {
           pmod(col("doc_id"), lit(7)).cast("string"),
           lit("&utm_medium=rss")).as("url"))
       val parsed = raw
+        // the scheme is PARSED and lowercased, not assumed (ADVICE r6:
+        // a hardcoded 'https://' was correct only because every
+        // synthesized URL happened to be https)
+        .withColumn("scheme",
+          lower(regexp_extract(col("url"), "^([a-zA-Z]+)://", 1)))
         .withColumn("host",
           lower(regexp_extract(col("url"), "^[a-zA-Z]+://([^/:?]+)", 1)))
         .withColumn("path",
@@ -402,7 +407,7 @@ object Scalars {
         .withColumn("kept", array_sort(expr(
           "filter(allp, p -> substring(p, 1, 4) <> 'utm_' " +
             "AND substring(p, 1, 4) <> 'ref=')")))
-        .withColumn("canonical", concat(lit("https://"), col("host"),
+        .withColumn("canonical", concat(col("scheme"), lit("://"), col("host"),
           col("path"), lit("?"), array_join(col("kept"), "&")))
         .withColumn("dropped",
           (size(col("allp")) - size(col("kept"))).cast("long"))
@@ -424,6 +429,7 @@ object Scalars {
            |    || '&utm_medium=rss' AS url
            |  FROM documents),
            |parsed AS (SELECT lang,
+           |    lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
            |    lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?]+)', 1)) AS host,
            |    regexp_extract(url, '://[^/?]+(/[^?]*)', 1) AS path,
            |    regexp_extract(url, '\?(.*)$', 1) AS qs
@@ -433,7 +439,7 @@ object Scalars {
            |    list_sort(list_filter(string_split(qs, '&'),
            |      p -> substring(p, 1, 4) <> 'utm_'
            |        AND substring(p, 1, 4) <> 'ref=')) AS kept,
-           |    'https://' || host || path AS hp
+           |    scheme || '://' || host || path AS hp
            |  FROM parsed),
            |c2 AS (SELECT lang,
            |    hp || '?' || array_to_string(kept, '&') AS canonical,

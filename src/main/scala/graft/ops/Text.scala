@@ -32,7 +32,7 @@ object Text {
     * q_text_collocations; at 100 TB each of those used to pay its own
     * corpus scan + split.
     */
-  private[ops] def sharedDocTokens(
+  private[graft] def sharedDocTokens(
       s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     graft.Caches.shared(s"doctoks:${graft.Caches.sessionKey(s)}:$d") {
@@ -45,7 +45,7 @@ object Text {
     * tf–idf) and collocations (per-lang PMI) aggregate the SAME bigram
     * rows on different keys — one explode instead of two.
     */
-  private[ops] def sharedBigrams(
+  private[graft] def sharedBigrams(
       s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     graft.Caches.shared(s"bigrams:${graft.Caches.sessionKey(s)}:$d") {
