@@ -313,5 +313,88 @@ object Lakehouse {
            |ORDER BY layout ASC NULLS FIRST, file_id ASC NULLS FIRST"""
       .stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(lakeMerge, joinBucketed, lakeScd2, lakeZorder)
+  /** One two-version manifest-committed lake per (session, sfDir),
+    * derived deterministically from `orders`:
+    *   v1 = keys ≡ 0 (mod 50)  — the base snapshot
+    *   v2 = v1 minus keys ≡ 0 (mod 200) [deletes] plus keys ≡ 25
+    *        (mod 50) [inserts]
+    * Committed through `Lake.versionedWrite` (manifest-rename protocol),
+    * never vacuumed — both manifests stay resolvable.
+    */
+  private val ttLakePaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def timetravelLake(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    ttLakePaths.computeIfAbsent(s"${graft.Caches.sessionKey(s)}:$d", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_tt_lake").toString + "/orders"
+      // month-grain layout: ~84 partitions/version instead of ~2400 —
+      // at the fixtures' row counts a per-day layout is all directory
+      // overhead (measured 64 s cold at sf0.1), and partition grain is
+      // a LAYOUT choice the protocol is agnostic to
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_trunc("month", col("o_orderdate")).as("o_orderdate"))
+      val v1 = base.filter(pmod(col("o_orderkey"), lit(50)) === 0)
+      graft.sources.Lake.versionedWrite(v1, "o_orderdate", root)
+      val v2 = v1.filter(pmod(col("o_orderkey"), lit(200)) =!= 0)
+        .unionByName(base.filter(pmod(col("o_orderkey"), lit(50)) === 25))
+      graft.sources.Lake.versionedWrite(v2, "o_orderdate", root)
+      root
+    })
+
+  /** Time travel over the manifest-committed lake (round 7): commit a
+    * base snapshot, then commit a delete+insert revision, then read
+    * BOTH versions back through `Lake.versionedReadAt` and census each.
+    * Because committed data files are immutable and a version is
+    * exactly what its manifest names, the v1 census graded here is
+    * byte-stable no matter how many commits follow — snapshot isolation
+    * as a hash-graded fact, not a claim. The oracle recomputes both
+    * version definitions straight from `orders`, so a commit that
+    * leaked rows across versions (torn write, manifest misresolution,
+    * vacuum bug) breaks the hash.
+    *
+    * Shape at 100 TB: a version read is manifest resolve (1 small file)
+    * + a partition-pruned scan of immutable files; the censuses are one
+    * partial agg each. Retention is the only cost of history.
+    */
+  private val lakeTimetravel = QueryDef(
+    "q_lake_timetravel",
+    (s, d) => {
+      val root = timetravelLake(s, d)
+      def census(v: Long) =
+        graft.sources.Lake.versionedReadAt(s, root, v)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("o_orderkey")), lit(0L)).as("key_sum"),
+            coalesce(sum(col("o_custkey")), lit(0L)).as("cust_sum"),
+            countDistinct(col("p_date")).as("n_months"))
+          .select(lit(v).as("version"), col("n_rows"), col("key_sum"),
+            col("cust_sum"), col("n_months"))
+      census(1L).unionByName(census(2L)).orderBy(ascf("version"))
+    },
+    Some("""WITH v1 AS (SELECT o_orderkey, o_custkey,
+           |    CAST(date_trunc('month', o_orderdate) AS DATE) AS p_date
+           |  FROM orders WHERE o_orderkey % 50 = 0),
+           |v2 AS (SELECT * FROM v1 WHERE o_orderkey % 200 <> 0
+           |  UNION ALL
+           |  SELECT o_orderkey, o_custkey,
+           |    CAST(date_trunc('month', o_orderdate) AS DATE)
+           |  FROM orders WHERE o_orderkey % 50 = 25)
+           |SELECT CAST(1 AS BIGINT) AS version,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS key_sum,
+           |  CAST(coalesce(sum(o_custkey), 0) AS BIGINT) AS cust_sum,
+           |  CAST(count(DISTINCT p_date) AS BIGINT) AS n_months
+           |FROM v1
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+           |  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT),
+           |  CAST(coalesce(sum(o_custkey), 0) AS BIGINT),
+           |  CAST(count(DISTINCT p_date) AS BIGINT)
+           |FROM v2
+           |ORDER BY version ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(lakeMerge, joinBucketed, lakeScd2, lakeZorder,
+    lakeTimetravel)
 }

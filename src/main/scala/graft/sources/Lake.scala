@@ -151,6 +151,18 @@ object Lake {
   def versionedRead(spark: SparkSession, path: String): DataFrame = {
     val v = currentVersion(path).getOrElse(throw new IllegalStateException(
       s"no committed version under $path"))
+    versionedReadAt(spark, path, v)
+  }
+
+  /** TIME TRAVEL: read a specific committed version. Every version's
+    * data files are immutable once committed, so an old snapshot read
+    * is exact, not best-effort — within the retention set (`vacuum`
+    * drops superseded versions; a deployment that time-travels runs
+    * vacuum on a retention window instead of after every commit).
+    */
+  def versionedReadAt(spark: SparkSession, path: String, v: Long): DataFrame = {
+    require(new java.io.File(manifestDir(path), f"v$v%08d.manifest").isFile,
+      s"no committed version $v under $path (vacuumed or never committed)")
     spark.read.parquet(new java.io.File(path, readManifest(path, v)).toString)
   }
 
