@@ -113,7 +113,10 @@ object ScaleProbe {
         "q_dedup_lines", "q_lake_scd2", "q_lake_zorder",
         "q_ml_naive_bayes", "q_ts_interp", "q_graph_label_prop",
         "q_sim_ann_sq", "q_mm_phash", "q_fn_url", "q_sketch_bloom",
-        "q_sketch_quantile")
+        "q_sketch_quantile",
+        // round-7: persisted-index ANN serve, unicode normalize
+        // pipeline, manifest-lake time travel
+        "q_sim_ann_serve", "q_text_unicode", "q_lake_timetravel")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()

@@ -159,3 +159,88 @@ final class JobServer(spark: SparkSession, outRoot: String,
     Caches.releaseScopedAll()
   }
 }
+
+/** Standalone server entry point: a FILE-SPOOL job queue (round 7). The
+  * sandbox has no network, and a drop-folder is the zero-dependency
+  * spelling of "submit a job to a resident server" — the same protocol
+  * Hadoop shops ran for years as hot-folder ingestion. Submitters drop
+  *   `<name>.sql`  (raw ANSI SQL over the fixture tables), or
+  *   `<name>.key`  (a registered contract key, file content = key name)
+  * into the spool dir; the server answers with `<name>.status`
+  * (`DONE rows=<n> path=<parquet>` or `FAILED <reason>`) next to it.
+  * A file named `stop` shuts the server down. Results are parquet under
+  * the results root, one directory per job id.
+  */
+object JobServer {
+
+  /** Poll `spoolDir`, submitting new job files against `sfDir`, until a
+    * `stop` marker appears. Factored out of `main` so ServerSpec can
+    * drive it on the shared test session.
+    */
+  def runSpool(spark: SparkSession, spoolDir: String, sfDir: String,
+      outRoot: String, pollMs: Long = 200L): Unit = {
+    val srv = new JobServer(spark, outRoot)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val inflight = scala.collection.mutable.Map.empty[String, Long]
+    def writeStatus(name: String, text: String): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(spoolDir, s"$name.status").toPath,
+        text.getBytes("UTF-8"))
+    try {
+      while (!new java.io.File(spoolDir, "stop").exists()) {
+        val files = Option(new java.io.File(spoolDir).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile &&
+            (f.getName.endsWith(".sql") || f.getName.endsWith(".key")))
+          .filterNot(f => seen(f.getName)).sortBy(_.getName)
+        files.foreach { f =>
+          seen += f.getName
+          val name = f.getName.substring(0, f.getName.lastIndexOf('.'))
+          val text = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+          try {
+            val id =
+              if (f.getName.endsWith(".sql")) srv.submitSql(text, sfDir)
+              else srv.submit(text, sfDir)
+            inflight(name) = id
+          } catch { // submit-time rejection (unknown key)
+            case e: IllegalArgumentException =>
+              writeStatus(name, s"FAILED ${e.getMessage}")
+          }
+        }
+        inflight.toSeq.foreach { case (name, id) =>
+          srv.status(id) match {
+            case d: srv.Done =>
+              writeStatus(name, s"DONE rows=${d.rows} path=${d.resultPath}")
+              inflight.remove(name)
+            case fl: srv.Failed =>
+              writeStatus(name,
+                s"FAILED ${fl.error.linesIterator.nextOption().getOrElse("")}")
+              inflight.remove(name)
+            case _ => ()
+          }
+        }
+        Thread.sleep(pollMs)
+      }
+    } finally srv.shutdown()
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: JobServer <spoolDir> [sfDir] [outRoot]")
+    val spool = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val outRoot = if (args.length > 2) args(2) else s"$spool/results"
+    new java.io.File(spool).mkdirs()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    runSpool(spark, spool, sfDir, outRoot)
+    spark.stop()
+  }
+}

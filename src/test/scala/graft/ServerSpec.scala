@@ -93,6 +93,42 @@ class ServerSpec extends SparkSpec {
     } finally srv.shutdown()
   }
 
+  test("file-spool server loop serves sql and key jobs and stops on marker") {
+    val spool = java.nio.file.Files.createTempDirectory("jobspool").toString
+    val out = java.nio.file.Files.createTempDirectory("jobspool_out").toString
+    def drop(name: String, text: String): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(spool, name).toPath, text.getBytes("UTF-8"))
+    drop("a.sql", "SELECT count(*) AS n FROM region")
+    drop("b.key", "q_agg_global")
+    drop("c.key", "q_no_such_query")   // submit-time rejection
+    drop("d.sql", "SELEKT 1 FROM FROM") // parse failure in the worker
+    val t = new Thread(() =>
+      graft.server.JobServer.runSpool(spark, spool, sfDir, out, pollMs = 50))
+    t.start()
+    def status(n: String): Option[String] = {
+      val f = new java.io.File(spool, s"$n.status")
+      if (f.isFile) Some(new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")) else None
+    }
+    val deadline = System.nanoTime() + 120L * 1000000000L
+    while (Seq("a", "b", "c", "d").exists(status(_).isEmpty) &&
+        System.nanoTime() < deadline)
+      Thread.sleep(100)
+    drop("stop", "")
+    t.join(60000)
+    assert(!t.isAlive, "spool loop did not stop on the marker")
+    assert(status("a").exists(_.startsWith("DONE rows=1 path=")),
+      s"a: ${status("a")}")
+    // the DONE status points at a real, re-readable parquet result
+    val aPath = status("a").get.split("path=")(1).trim
+    assert(spark.read.parquet(aPath).head.getLong(0) ==
+      Tables.region(spark, sfDir).count())
+    assert(status("b").exists(_.startsWith("DONE")), s"b: ${status("b")}")
+    assert(status("c").exists(_.startsWith("FAILED")), s"c: ${status("c")}")
+    assert(status("d").exists(_.startsWith("FAILED")), s"d: ${status("d")}")
+  }
+
   test("terminal job records are pruned beyond the retention cap") {
     val out = java.nio.file.Files.createTempDirectory("jobsrv").toString
     val srv = new JobServer(spark, out, parallelism = 1, retainTerminal = 2)
