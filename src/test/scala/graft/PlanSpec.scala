@@ -291,4 +291,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
     Caches.releaseScoped()
   }
+
+  test("ann serve path reads the persisted index and never rebuilds codes") {
+    // the build/probe split only pays off if the probe plan scans the
+    // persisted artifact: the index location must appear as a scan, and
+    // the code DERIVATION (the per-dimension posexplode of the raw
+    // vectors) must NOT — the only Generate in the build path would be
+    // that explode, so its absence is the no-rebuild proof. The exact
+    // rerank still reads embeddings, but only behind the 32-row
+    // candidate join.
+    val p = planString("q_sim_ann_serve")
+    assert(p.contains("graft_ann_index"), p.take(2000))
+    assert(!p.contains("Generate"),
+      "serve plan contains an explode — it is rebuilding codes:\n" + p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    Caches.releaseScoped()
+  }
+
+  test("time travel resolves each version to its own immutable data dir") {
+    // both censuses must scan through the manifest indirection — the
+    // version directories appear as distinct scan locations; a plan
+    // that read one directory twice (or the live dir directly) would
+    // not be a snapshot read.
+    val p = planString("q_lake_timetravel")
+    assert(p.contains("data-00000001"), p.take(2000))
+    assert(p.contains("data-00000002"), p.take(2000))
+    Caches.releaseScoped()
+  }
 }
