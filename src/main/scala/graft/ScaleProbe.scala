@@ -115,8 +115,9 @@ object ScaleProbe {
         "q_sim_ann_sq", "q_mm_phash", "q_fn_url", "q_sketch_bloom",
         "q_sketch_quantile",
         // round-7: persisted-index ANN serve, unicode normalize
-        // pipeline, manifest-lake time travel
-        "q_sim_ann_serve", "q_text_unicode", "q_lake_timetravel")
+        // pipeline, manifest-lake time travel, video scene cuts
+        "q_sim_ann_serve", "q_text_unicode", "q_lake_timetravel",
+        "q_mm_scene_change")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()

@@ -591,6 +591,91 @@ object Multimodal {
          |ORDER BY lang ASC NULLS FIRST""".stripMargin
     })
 
+  final case class SceneFeatures(media_id: Long, lang: String,
+      n_frames: Long, n_cuts: Long, diff_sum: Long, diff_max: Long)
+
+  /** Scene-change detection (round 7): the shot-boundary census every
+    * video-curation pipeline runs before frame sampling — adjacent-frame
+    * L1 pixel difference through the REAL container codec (synth 8×4
+    * frame sequence per doc → `Codecs.Video.encode` → DECODE → per-pair
+    * Σ|a−b| → cut ⇔ diff > 400), rolled up per lang. The oracle
+    * recomputes every frame diff from the SOURCE chars by index
+    * arithmetic, so a frame-boundary, stride or sign bug anywhere in
+    * the codec path breaks the hash. Pixels are char codes masked to
+    * 7 bits on BOTH engines (the q_mm_phash ADVICE-r6 discipline —
+    * enforced, not assumed-ASCII).
+    *
+    * Shape at 100 TB: one mapPartitions decode pass emitting 4 ints per
+    * clip (diffs never leave the partition), then a lang-grain partial
+    * agg — the cheapest possible shuffle. Clips shorter than 2 frames
+    * drop identically on both engines.
+    */
+  private val mmSceneChange = QueryDef(
+    "q_mm_scene_change",
+    (s, d) => {
+      import s.implicits._
+      val W = 8; val H = 4; val Fpx = W * H; val T = 400L
+      val clips = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .mapPartitions(_.map { case (id, lang, text) =>
+          val nf = text.length / Fpx
+          val frames = Array.tabulate(nf) { f =>
+            val a = new Array[Byte](Fpx)
+            var i = 0
+            while (i < Fpx) {
+              a(i) = (text.charAt(f * Fpx + i) & 0x7F).toByte; i += 1
+            }
+            a
+          }
+          (id, lang, graft.functions.Codecs.Video.encode(W, H, frames))
+        }).toDF("media_id", "lang", "payload")
+      val feats = clips.as[(Long, String, Array[Byte])]
+        .mapPartitions(_.map { case (id, lang, payload) =>
+          val (_, _, frames) = graft.functions.Codecs.Video.decode(payload)
+          var cuts = 0L; var dsum = 0L; var dmax = 0L
+          var f = 1
+          while (f < frames.length) {
+            var diff = 0L; var i = 0
+            while (i < Fpx) {
+              diff += math.abs((frames(f)(i) & 0xFF) - (frames(f - 1)(i) & 0xFF))
+              i += 1
+            }
+            if (diff > T) cuts += 1
+            dsum += diff; if (diff > dmax) dmax = diff
+            f += 1
+          }
+          SceneFeatures(id, lang, frames.length.toLong, cuts, dsum, dmax)
+        })
+      feats.filter(col("n_frames") >= 2)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_videos"),
+          sum(col("n_cuts")).as("total_cuts"),
+          sum(col("diff_sum")).as("diff_checksum"),
+          max(col("diff_max")).as("max_diff"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH v AS (SELECT doc_id, lang,
+           |    CAST(len(text) // 32 AS BIGINT) AS n_frames,
+           |    list_transform(range(1, len(text) // 32),
+           |      f -> list_sum(list_transform(range(1, 33),
+           |        i -> abs((ascii(substring(text, CAST(f * 32 + i AS INT), 1)) & 127)
+           |           - (ascii(substring(text, CAST((f - 1) * 32 + i AS INT), 1)) & 127)))))
+           |      AS diffs
+           |  FROM documents),
+           |f AS (SELECT lang, n_frames,
+           |    CAST(coalesce(list_sum(list_transform(diffs,
+           |      x -> CASE WHEN x > 400 THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_cuts,
+           |    CAST(coalesce(list_sum(diffs), 0) AS BIGINT) AS diff_sum,
+           |    CAST(coalesce(list_max(diffs), 0) AS BIGINT) AS diff_max
+           |  FROM v WHERE n_frames >= 2)
+           |SELECT lang, count(*) AS n_videos,
+           |  CAST(sum(n_cuts) AS BIGINT) AS total_cuts,
+           |  CAST(sum(diff_sum) AS BIGINT) AS diff_checksum,
+           |  CAST(max(diff_max) AS BIGINT) AS max_diff
+           |FROM f GROUP BY lang
+           |ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(mmBinary, mmFeatures, mmAudioPcm, mmImageGray,
-    mmVideoFrames, mmImageResize, mmAudioDownsample, mmPhash)
+    mmVideoFrames, mmImageResize, mmAudioDownsample, mmPhash, mmSceneChange)
 }
