@@ -29,10 +29,27 @@ import org.apache.spark.sql.functions._
   * q_mm_binary proves binary round-tripping against the oracle
   * byte-for-byte via md5; q_mm_features runs compress → inflate →
   * aggregate end-to-end (oracle recomputes the same bytes with SQL
-  * ascii sums — the decoded payload is pure ASCII by construction,
-  * FIXTURES.md).
+  * ascii sums). Every synthesized pixel/sample byte is a char code
+  * masked to 7 bits on BOTH engines (`ascii7` here, `& 127` in the
+  * oracles) — the round-7 family-wide enforcement of the ADVICE-r6
+  * finding that parity previously ASSUMED pure-ASCII fixtures.
   */
 object Multimodal {
+
+  /** Pixel/sample bytes from text chars, masked to 7 bits — the
+    * ENFORCED-on-both-engines spelling of "the source is ASCII"
+    * (ADVICE r6, applied family-wide in round 7): Spark masks the char
+    * code, every oracle masks the same index with `& 127`, so a future
+    * non-ASCII fixture changes both engines identically instead of
+    * silently diverging (getBytes("US-ASCII") mapped non-ASCII to '?'
+    * 0x3F while ascii() returned the full code point).
+    */
+  private def ascii7(text: String, from: Int, until: Int): Array[Byte] = {
+    val a = new Array[Byte](until - from)
+    var i = from
+    while (i < until) { a(i - from) = (text.charAt(i) & 0x7F).toByte; i += 1 }
+    a
+  }
 
   /** One media item: opaque payload + typed metadata (SURVEY-style
     * multimodal record; width/height are synthetic metadata here).
@@ -103,7 +120,20 @@ object Multimodal {
     "q_mm_features",
     (s, d) => {
       import s.implicits._
-      val feats = media(s, d).as[MediaRecord]
+      // payload re-synthesized as 7-bit-masked char bytes (1 byte per
+      // char on ANY input) rather than media()'s raw UTF-8: the oracle
+      // counts and sums PER CHARACTER, and only the mask makes
+      // byte-grain == char-grain by construction. q_mm_binary keeps the
+      // raw UTF-8 payload because its md5 grade must hash the identical
+      // bytes DuckDB's md5(text) sees.
+      val feats = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          MediaRecord(id,
+            Seq("image", "audio", "video")((id % 3).toInt),
+            ascii7(text, 0, text.length),
+            (text.length % 640).toInt, (text.length % 480).toInt)
+        })
         .mapPartitions(_.map(m =>
           m.copy(payload = graft.functions.Codecs.Flate.encode(m.payload))))
         .mapPartitions(_.map(inflateDecode))
@@ -117,11 +147,11 @@ object Multimodal {
     Some("""WITH f AS (SELECT
            |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
            |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-           |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           |    CAST(len(text) AS BIGINT) AS n_bytes,
            |    CAST(coalesce(list_sum(list_transform(range(1, len(text) + 1),
-           |      i -> ascii(substring(text, i, 1)))), 0) AS BIGINT) AS byte_sum,
+           |      i -> ascii(substring(text, i, 1)) & 127)), 0) AS BIGINT) AS byte_sum,
            |    CAST(len(list_filter(list_transform(range(1, len(text) + 1),
-           |      i -> ascii(substring(text, i, 1))), x -> x < 100)) AS BIGINT)
+           |      i -> ascii(substring(text, i, 1)) & 127), x -> x < 100)) AS BIGINT)
            |      AS n_dark
            |  FROM documents)
            |SELECT kind, count(*) AS n_media,
@@ -162,7 +192,7 @@ object Multimodal {
         val samples = new Array[Short](text.length)
         var i = 0
         while (i < text.length) {
-          samples(i) = ((text.charAt(i).toInt - 78) * 256).toShort
+          samples(i) = (((text.charAt(i) & 0x7F) - 78) * 256).toShort
           i += 1
         }
         AudioClip(id, graft.functions.Codecs.Wav.encode(
@@ -197,10 +227,10 @@ object Multimodal {
            |    8000 + CAST(doc_id % 8 AS INTEGER) * 1000 AS sample_rate,
            |    CAST(len(text) AS BIGINT) AS n_samples,
            |    CAST(coalesce(list_sum(list_transform(range(1, len(text) + 1),
-           |      i -> abs((ascii(substring(text, i, 1)) - 78) * 256))), 0)
+           |      i -> abs(((ascii(substring(text, i, 1)) & 127) - 78) * 256))), 0)
            |      AS BIGINT) AS sum_abs,
            |    CAST(coalesce(list_max(list_transform(range(1, len(text) + 1),
-           |      i -> abs((ascii(substring(text, i, 1)) - 78) * 256))), 0)
+           |      i -> abs(((ascii(substring(text, i, 1)) & 127) - 78) * 256))), 0)
            |      AS BIGINT) AS peak
            |  FROM documents)
            |SELECT sample_rate, count(*) AS n_clips,
@@ -227,7 +257,7 @@ object Multimodal {
         .mapPartitions(_.map { case (id, text) =>
           val w = 8 + (id % 9).toInt
           val h = text.length / w
-          val px = text.substring(0, w * h).getBytes("US-ASCII")
+          val px = ascii7(text, 0, w * h)
           ImageRec(id, graft.functions.Codecs.GrayImage.encode(w, h, px))
         })
       val feats = imgs.mapPartitions(_.map { r =>
@@ -252,9 +282,9 @@ object Multimodal {
            |    CAST(len(text) // width AS INTEGER) AS height FROM d0),
            |f AS (SELECT width, height,
            |    CAST(coalesce(list_sum(list_transform(range(1, width * height + 1),
-           |      i -> ascii(substring(text, i, 1)))), 0) AS BIGINT) AS pixel_sum,
+           |      i -> ascii(substring(text, i, 1)) & 127)), 0) AS BIGINT) AS pixel_sum,
            |    CAST(coalesce(len(list_filter(list_transform(range(1, width * height + 1),
-           |      i -> ascii(substring(text, i, 1))), x -> x < 100)), 0) AS BIGINT)
+           |      i -> ascii(substring(text, i, 1)) & 127), x -> x < 100)), 0) AS BIGINT)
            |      AS n_dark
            |  FROM d1)
            |SELECT width, count(*) AS n_images,
@@ -289,7 +319,7 @@ object Multimodal {
         .mapPartitions(_.map { case (id, text) =>
           val nf = text.length / Fpx
           val frames = Array.tabulate(nf)(f =>
-            text.substring(f * Fpx, (f + 1) * Fpx).getBytes("US-ASCII"))
+            ascii7(text, f * Fpx, (f + 1) * Fpx))
           VideoRec(id, graft.functions.Codecs.Video.encode(W, H, frames))
         })
       val feats = clips.mapPartitions(_.map { r =>
@@ -318,7 +348,7 @@ object Multimodal {
            |    CAST(coalesce(list_sum(
            |      list_transform(range(1, (len(text) // 32) * 32 + 1),
            |        i -> CASE WHEN ((i - 1) // 32) % 3 = 0
-           |          THEN ascii(substring(text, i, 1)) ELSE 0 END)), 0)
+           |          THEN ascii(substring(text, i, 1)) & 127 ELSE 0 END)), 0)
            |      AS BIGINT) AS sampled_sum
            |  FROM documents)
            |SELECT n_frames, count(*) AS n_videos,
@@ -352,7 +382,7 @@ object Multimodal {
         .mapPartitions(_.map { case (id, text) =>
           val w = 8 + (id % 9).toInt
           val h = text.length / w
-          val px = text.substring(0, w * h).getBytes("US-ASCII")
+          val px = ascii7(text, 0, w * h)
           ImageRec(id, graft.functions.Codecs.GrayImage.encode(w, h, px))
         })
       val feats = imgs.mapPartitions(_.map { r =>
@@ -385,7 +415,7 @@ object Multimodal {
            |    CAST(coalesce(list_sum(list_transform(range(0, w2 * h2),
            |      j -> ascii(substring(text,
            |        CAST(2 * (j // w2) * width + 2 * (j % w2) + 1 AS INTEGER),
-           |        1)))), 0) AS BIGINT) AS out_sum
+           |        1)) & 127)), 0) AS BIGINT) AS out_sum
            |  FROM d2)
            |SELECT width, count(*) AS n_images,
            |  CAST(sum(w2 * h2) AS BIGINT) AS total_out_px,
@@ -435,10 +465,10 @@ object Multimodal {
            |    4000 + CAST(doc_id % 8 AS INTEGER) * 500 AS sample_rate,
            |    CAST((len(text) + 1) // 2 AS BIGINT) AS n_samples,
            |    CAST(coalesce(list_sum(list_transform(range(1, len(text) + 1, 2),
-           |      i -> abs((ascii(substring(text, i, 1)) - 78) * 256))), 0)
+           |      i -> abs(((ascii(substring(text, i, 1)) & 127) - 78) * 256))), 0)
            |      AS BIGINT) AS sum_abs,
            |    CAST(coalesce(list_max(list_transform(range(1, len(text) + 1, 2),
-           |      i -> abs((ascii(substring(text, i, 1)) - 78) * 256))), 0)
+           |      i -> abs(((ascii(substring(text, i, 1)) & 127) - 78) * 256))), 0)
            |      AS BIGINT) AS peak
            |  FROM documents)
            |SELECT sample_rate, count(*) AS n_clips,
@@ -481,16 +511,14 @@ object Multimodal {
         .as[(Long, String, String)]
         .mapPartitions(_.map { case (id, lang, t) =>
           // pixel = char code masked to 7 bits, ENFORCED identically on
-          // both engines (ADVICE r6): the old getBytes("US-ASCII") mapped
-          // non-ASCII chars to '?' (0x3F) while the oracle's ascii() kept
-          // the full code point — parity held only because the fixtures
-          // happen to be pure ASCII. The explicit & 0x7F makes the
-          // invariant a definition, not an assumption (BMP chars; the
-          // oracle masks with `& 127` on the same index arithmetic).
-          val pix = new Array[Byte](t.length)
-          var ci = 0
-          while (ci < t.length) { pix(ci) = (t.charAt(ci) & 0x7F).toByte; ci += 1 }
-          val payload = graft.functions.Codecs.GrayImage.encode(16, 16, pix)
+          // both engines (ADVICE r6, now the family-wide ascii7 helper):
+          // getBytes("US-ASCII") mapped non-ASCII chars to '?' (0x3F)
+          // while the oracle's ascii() kept the full code point —
+          // parity held only because the fixtures happen to be pure
+          // ASCII. The explicit mask makes the invariant a definition,
+          // not an assumption.
+          val payload = graft.functions.Codecs.GrayImage
+            .encode(16, 16, ascii7(t, 0, t.length))
           val (_, _, px) = graft.functions.Codecs.GrayImage.decode(payload)
           val blocks = new Array[Int](64)
           var bi = 0
@@ -620,14 +648,8 @@ object Multimodal {
         .as[(Long, String, String)]
         .mapPartitions(_.map { case (id, lang, text) =>
           val nf = text.length / Fpx
-          val frames = Array.tabulate(nf) { f =>
-            val a = new Array[Byte](Fpx)
-            var i = 0
-            while (i < Fpx) {
-              a(i) = (text.charAt(f * Fpx + i) & 0x7F).toByte; i += 1
-            }
-            a
-          }
+          val frames = Array.tabulate(nf)(f =>
+            ascii7(text, f * Fpx, (f + 1) * Fpx))
           (id, lang, graft.functions.Codecs.Video.encode(W, H, frames))
         }).toDF("media_id", "lang", "payload")
       val feats = clips.as[(Long, String, Array[Byte])]
