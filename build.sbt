@@ -20,6 +20,9 @@ run / fork := true
 // raw; showSuccess drops the footer.
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not a task — lintUnused
+// can't see that and would print a warning into stdout at load time
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -93,6 +93,28 @@ class ServerSpec extends SparkSpec {
     } finally srv.shutdown()
   }
 
+  test("concurrent SQL against different corpora stays isolated per child session") {
+    // each submitSql runs in its own child session with its own
+    // temp-view catalog: two in-flight statements binding the SAME view
+    // name to DIFFERENT sfDirs must each see their own corpus
+    val out = java.nio.file.Files.createTempDirectory("jobsrv").toString
+    val srv = new JobServer(spark, out, parallelism = 2)
+    try {
+      val a = srv.submitSql("SELECT count(*) AS n FROM customer",
+        "/root/testdata/sf0.001")
+      val b = srv.submitSql("SELECT count(*) AS n FROM customer",
+        "/root/testdata/sf0.01")
+      def n(st: srv.Status): Long = st match {
+        case d: srv.Done => spark.read.parquet(d.resultPath).head.getLong(0)
+        case other => fail(s"expected Done, got $other")
+      }
+      val (na, nb) = (n(srv.await(a)), n(srv.await(b)))
+      assert(na == Tables.customer(spark, "/root/testdata/sf0.001").count())
+      assert(nb == Tables.customer(spark, "/root/testdata/sf0.01").count())
+      assert(na != nb, "corpora are distinguishable by construction")
+    } finally srv.shutdown()
+  }
+
   test("file-spool server loop serves sql and key jobs and stops on marker") {
     val spool = java.nio.file.Files.createTempDirectory("jobspool").toString
     val out = java.nio.file.Files.createTempDirectory("jobspool_out").toString
