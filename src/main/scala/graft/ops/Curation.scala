@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import graft.Dsl._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -725,7 +726,140 @@ object Curation {
            |FROM m GROUP BY lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** PII detection + redaction census (round 7) — the scrub pass every
+    * LLM training corpus runs before anything else: find emails, phone
+    * numbers, SSN-shaped ids, and IPv4 addresses, replace each with a
+    * typed placeholder, and account for what was removed. The fixture
+    * text carries no PII, so the input is synthesized deterministically
+    * from doc columns (the q_fn_url pattern): a subset of docs gets an
+    * email (doc_id≡0 mod 3), phone (mod 4), SSN (mod 5), and/or IP
+    * (mod 6) spliced between text fragments — overlapping subsets, so
+    * docs carry 0–4 PII kinds and every count column varies.
+    *
+    * Detection/redaction use ONLY the D6 regex subset (char classes +
+    * bounded repeats — valid and identically-greedy in Java regex and
+    * RE2): the SSN shape [0-9]{3}-[0-9]{2}-[0-9]{4} and phone shape
+    * [0-9]{3}-[0-9]{3}-[0-9]{4} cannot match inside each other (fixed
+    * repeat counts, no backtracking alternatives), and replacement
+    * order is pinned email→phone→ssn→ip on both engines anyway.
+    * Output is per-lang integer censuses only (doc/hit counts, raw vs
+    * redacted char sums) — no synthesized string crosses the engine
+    * boundary.
+    *
+    * 100 TB shape: embarrassingly-parallel per-row regex work (codegen'd
+    * regexp_extract_all/regexp_replace, no UDF) feeding one
+    * lang-cardinality-bounded partial agg — the cheapest possible
+    * full-corpus pass, which is why scrubbing runs first in real
+    * pipelines.
+    */
+  private val textPii = QueryDef(
+    "q_text_pii",
+    (s, d) => {
+      val emailPat = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+      val phonePat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val ssnPat = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+      val ipPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      val id = col("doc_id")
+      def str(c: Column): Column = c.cast("string")
+      val email = concat(lit("user"), str(id), lit("@mail"),
+        str(pmod(id, lit(7))), lit(".com"))
+      val phone = concat(str(pmod(id, lit(900)) + 100), lit("-"),
+        lpad(str(pmod(id, lit(1000))), 3, "0"), lit("-"),
+        lpad(str(pmod(id, lit(10000))), 4, "0"))
+      val ssn = concat(str(pmod(id, lit(900)) + 100), lit("-"),
+        lpad(str(pmod(id, lit(100))), 2, "0"), lit("-"),
+        lpad(str(pmod(id, lit(10000))), 4, "0"))
+      val ip = concat(lit("10."), str(pmod(id, lit(256))), lit("."),
+        str(pmod(id * 7, lit(256))), lit("."), str(pmod(id, lit(254)) + 1))
+      def maybe(m: Int, piece: Column) =
+        when(pmod(id, lit(m)) === 0, concat(lit(" "), piece))
+          .otherwise(lit(""))
+      val raw = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        concat(substring(col("text"), 1, 48),
+          maybe(3, email), maybe(4, phone), maybe(5, ssn), maybe(6, ip),
+          lit(" "), substring(col("text"), 49, 32)).as("raw"))
+      val red = raw
+        .withColumn("n_email",
+          size(regexp_extract_all(col("raw"), lit(emailPat), lit(0)))
+            .cast("long"))
+        .withColumn("n_phone",
+          size(regexp_extract_all(col("raw"), lit(phonePat), lit(0)))
+            .cast("long"))
+        .withColumn("r1", regexp_replace(col("raw"), emailPat, "<EMAIL>"))
+        .withColumn("r2", regexp_replace(col("r1"), phonePat, "<PHONE>"))
+        .withColumn("n_ssn",
+          size(regexp_extract_all(col("r2"), lit(ssnPat), lit(0)))
+            .cast("long"))
+        .withColumn("r3", regexp_replace(col("r2"), ssnPat, "<SSN>"))
+        .withColumn("n_ip",
+          size(regexp_extract_all(col("r3"), lit(ipPat), lit(0)))
+            .cast("long"))
+        .withColumn("clean", regexp_replace(col("r3"), ipPat, "<IP>"))
+      red.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_email")).as("n_emails"),
+          sum(col("n_phone")).as("n_phones"),
+          sum(col("n_ssn")).as("n_ssns"),
+          sum(col("n_ip")).as("n_ips"),
+          sum(when(col("n_email") + col("n_phone") + col("n_ssn")
+            + col("n_ip") > 0, 1L).otherwise(0L)).as("n_docs_with_pii"),
+          sum(length(col("raw"))).as("sum_chars_raw"),
+          sum(length(col("clean"))).as("sum_chars_clean"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH raw AS (SELECT doc_id, lang,
+           |    substring(text, 1, 48)
+           |    || (CASE WHEN doc_id % 3 = 0 THEN ' user' || doc_id
+           |        || '@mail' || (doc_id % 7) || '.com' ELSE '' END)
+           |    || (CASE WHEN doc_id % 4 = 0 THEN ' ' || (doc_id % 900 + 100)
+           |        || '-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+           |        || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |        ELSE '' END)
+           |    || (CASE WHEN doc_id % 5 = 0 THEN ' ' || (doc_id % 900 + 100)
+           |        || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+           |        || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |        ELSE '' END)
+           |    || (CASE WHEN doc_id % 6 = 0 THEN ' 10.' || (doc_id % 256)
+           |        || '.' || ((doc_id * 7) % 256) || '.' || (doc_id % 254 + 1)
+           |        ELSE '' END)
+           |    || ' ' || substring(text, 49, 32) AS raw
+           |  FROM documents),
+           |red AS (SELECT lang, raw,
+           |    CAST(len(regexp_extract_all(raw,
+           |      '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_email,
+           |    CAST(len(regexp_extract_all(raw,
+           |      '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+           |    regexp_replace(regexp_replace(raw,
+           |      '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+           |      '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS r2
+           |  FROM raw),
+           |red2 AS (SELECT lang, raw, n_email, n_phone,
+           |    CAST(len(regexp_extract_all(r2,
+           |      '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn,
+           |    regexp_replace(r2, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g')
+           |      AS r3
+           |  FROM red),
+           |red3 AS (SELECT lang, raw, n_email, n_phone, n_ssn,
+           |    CAST(len(regexp_extract_all(r3,
+           |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+           |      AS BIGINT) AS n_ip,
+           |    regexp_replace(r3,
+           |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+           |      '<IP>', 'g') AS clean
+           |  FROM red2)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_email) AS BIGINT) AS n_emails,
+           |  CAST(sum(n_phone) AS BIGINT) AS n_phones,
+           |  CAST(sum(n_ssn) AS BIGINT) AS n_ssns,
+           |  CAST(sum(n_ip) AS BIGINT) AS n_ips,
+           |  CAST(sum(CASE WHEN n_email + n_phone + n_ssn + n_ip > 0
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+           |  CAST(sum(length(raw)) AS BIGINT) AS sum_chars_raw,
+           |  CAST(sum(length(clean)) AS BIGINT) AS sum_chars_clean
+           |FROM red3 GROUP BY lang
+           |ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(packSequences, contamination, repetition,
     dedupIncremental, mixWeighted, lengthHist, mixTemperature, qualityGopher,
-    mixUpsample, profileCols, profileSkew, profileDepth, dedupLines)
+    mixUpsample, profileCols, profileSkew, profileDepth, dedupLines, textPii)
 }

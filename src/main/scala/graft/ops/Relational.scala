@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import graft.Dsl._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -656,10 +656,118 @@ object Relational {
            |UNION ALL SELECT * FROM u
            |ORDER BY fk ASC NULLS FIRST""".stripMargin))
 
+  /** Declarative data-quality expectation suite (round 7) — the
+    * Deequ/dbt-test style contract check a production pipeline runs
+    * before publishing a table: completeness (null census), uniqueness
+    * (key duplication), domain membership, value range, format regex,
+    * cross-table row-count ratio, and freshness, each emitted as one
+    * (check_name, observed, passed) verdict row.
+    *
+    * The 100 TB shape is the fused-analyzer scan: ALL checks against a
+    * table collapse into ONE aggregate pass over it (orders: nulls +
+    * dup-keys + freshness in a single agg; lineitem: domain + range +
+    * sign violations in another; customer: format), so the suite costs
+    * three table scans regardless of how many expectations it carries —
+    * never one scan per check. The tiny 1-row aggregates cross-join and
+    * fan out into verdict rows driver-side-free (an `explode` of a
+    * literal struct array, no collect). The ratio check divides exact
+    * BIGINTs with `div`/`//` (truncation = floor for the positive
+    * counts; no double division that would silently lose exactness past
+    * 2^53 rows·1e6 at real scale).
+    */
+  private val auditExpectations = QueryDef(
+    "q_audit_expectations",
+    (s, d) => {
+      val o = Tables.orders(s, d).agg(
+        count(lit(1)).as("o_n"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("o_nulls"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("o_dups"),
+        max(datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date"))).cast("long").as("o_maxday"))
+      val l = Tables.lineitem(s, d).agg(
+        count(lit(1)).as("l_n"),
+        sum(when(col("l_returnflag").isin("A", "N", "R"), 0L).otherwise(1L))
+          .as("l_domain_viol"),
+        sum(when(col("l_quantity") >= 1 && col("l_quantity") <= 50, 0L)
+          .otherwise(1L)).as("l_range_viol"),
+        sum(when(col("l_extendedprice") > 0, 0L).otherwise(1L))
+          .as("l_sign_viol"))
+      val c = Tables.customer(s, d).agg(
+        sum(when(col("c_name").rlike("^Customer#[0-9]{9}$"), 0L)
+          .otherwise(1L)).as("c_fmt_viol"))
+      def verdict(name: String, observed: Column, passed: Column) =
+        struct(lit(name).as("check_name"), observed.cast("long").as("observed"),
+          when(passed, 1L).otherwise(0L).as("passed"))
+      o.crossJoin(l).crossJoin(c)
+        .withColumn("ratio_e6",
+          expr("(l_n * 1000000) div o_n").cast("long"))
+        .select(explode(array(
+          verdict("complete_o_custkey", col("o_nulls"), col("o_nulls") === 0),
+          verdict("unique_o_orderkey", col("o_dups"), col("o_dups") === 0),
+          verdict("domain_l_returnflag", col("l_domain_viol"),
+            col("l_domain_viol") === 0),
+          verdict("range_l_quantity", col("l_range_viol"),
+            col("l_range_viol") === 0),
+          verdict("sign_l_extendedprice", col("l_sign_viol"),
+            col("l_sign_viol") === 0),
+          verdict("format_c_name", col("c_fmt_viol"), col("c_fmt_viol") === 0),
+          verdict("ratio_lineitem_per_order", col("ratio_e6"),
+            col("ratio_e6").between(3000000L, 5000000L)),
+          verdict("fresh_o_orderdate", col("o_maxday"),
+            col("o_maxday").between(9131L, 14610L)))).as("r"))
+        .select(col("r.check_name"), col("r.observed"), col("r.passed"))
+        .orderBy(ascf("check_name"))
+    },
+    Some("""WITH o AS (SELECT count(*) AS o_n,
+           |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS o_nulls,
+           |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+           |      AS o_dups,
+           |    CAST(CAST(max(o_orderdate) AS DATE) - DATE '1970-01-01'
+           |      AS BIGINT) AS o_maxday
+           |  FROM orders),
+           |l AS (SELECT count(*) AS l_n,
+           |    CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+           |      THEN 0 ELSE 1 END) AS BIGINT) AS l_domain_viol,
+           |    CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+           |      THEN 0 ELSE 1 END) AS BIGINT) AS l_range_viol,
+           |    CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END)
+           |      AS BIGINT) AS l_sign_viol
+           |  FROM lineitem),
+           |c AS (SELECT CAST(sum(CASE WHEN regexp_matches(c_name,
+           |      '^Customer#[0-9]{9}$') THEN 0 ELSE 1 END) AS BIGINT)
+           |      AS c_fmt_viol
+           |  FROM customer),
+           |j AS (SELECT *, CAST((l_n * 1000000) // o_n AS BIGINT)
+           |    AS ratio_e6 FROM o CROSS JOIN l CROSS JOIN c),
+           |v AS (
+           |  SELECT 'complete_o_custkey' AS check_name, o_nulls AS observed,
+           |    CASE WHEN o_nulls = 0 THEN 1 ELSE 0 END AS passed FROM j
+           |  UNION ALL SELECT 'unique_o_orderkey', o_dups,
+           |    CASE WHEN o_dups = 0 THEN 1 ELSE 0 END FROM j
+           |  UNION ALL SELECT 'domain_l_returnflag', l_domain_viol,
+           |    CASE WHEN l_domain_viol = 0 THEN 1 ELSE 0 END FROM j
+           |  UNION ALL SELECT 'range_l_quantity', l_range_viol,
+           |    CASE WHEN l_range_viol = 0 THEN 1 ELSE 0 END FROM j
+           |  UNION ALL SELECT 'sign_l_extendedprice', l_sign_viol,
+           |    CASE WHEN l_sign_viol = 0 THEN 1 ELSE 0 END FROM j
+           |  UNION ALL SELECT 'format_c_name', c_fmt_viol,
+           |    CASE WHEN c_fmt_viol = 0 THEN 1 ELSE 0 END FROM j
+           |  UNION ALL SELECT 'ratio_lineitem_per_order', ratio_e6,
+           |    CASE WHEN ratio_e6 BETWEEN 3000000 AND 5000000
+           |      THEN 1 ELSE 0 END FROM j
+           |  UNION ALL SELECT 'fresh_o_orderdate', o_maxday,
+           |    CASE WHEN o_maxday BETWEEN 9131 AND 14610
+           |      THEN 1 ELSE 0 END FROM j)
+           |SELECT check_name, CAST(observed AS BIGINT) AS observed,
+           |  CAST(passed AS BIGINT) AS passed
+           |FROM v ORDER BY check_name ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     scanProject, scanPushdown, scanEventsNs,
     filterCompound, filterExpr,
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
     joinCross, joinTheta, joinRange, joinAsof, joinStar, joinBroadcast,
-    joinQ5, joinSalted, joinBloom, subqScalar, subqExists, auditFk)
+    joinQ5, joinSalted, joinBloom, subqScalar, subqExists, auditFk,
+    auditExpectations)
 }
