@@ -647,7 +647,58 @@ object Similarity {
            |  CAST(sum(cos_e6) AS BIGINT) AS cos_checksum
            |FROM e GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** Deterministic random projection 64→16 dims (round 7) — the
+    * Johnson–Lindenstrauss dimensionality reduction an embedding
+    * pipeline runs before ANN indexing or clustering at scale: a ±1
+    * (Achlioptas-style) projection preserves pairwise distances within
+    * (1±ε) while cutting vector bytes 4×, and a SIGNED projection is
+    * exactly what the LSH hyperplane signatures already threshold —
+    * this key grades the projection VALUES themselves.
+    *
+    * Determinism: elements quantize to e6 BIGINT (rule D3), each ±1
+    * projection row is precomputed in Scala (`VecOps.hyperPlane`,
+    * avalanche-mixed, seed space j=100.. disjoint from the 16 LSH
+    * planes) and shipped as the SAME literal array into both engines,
+    * and each output component is one exact int64 dot product — the
+    * codegen'd `DotLongArrays` on the Spark side, `list_sum` over the
+    * literal on the oracle side. No doubles anywhere.
+    *
+    * Shape at 100 TB: embarrassingly-parallel per-row work — 16 fused
+    * dot products inside one codegen stage, no explode, no join, no
+    * shuffle at all before the output sort; the projected relation is
+    * 4× narrower than its input, which is the point.
+    */
+  private val vecRandproj = QueryDef(
+    "q_vec_randproj",
+    (s, d) => {
+      val projs = array((0 until 16).map(k =>
+        VecOps.dot(col("v"), typedlit(VecOps.hyperPlane(100 + k)))): _*)
+      quantized(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          posexplode(projs).as(Seq("dim", "proj_e6")))
+        .select(col("vec_id"), col("label"), col("dim").cast("long").as("dim"),
+          col("proj_e6"))
+        .orderBy(ascf("vec_id"), ascf("dim"))
+    },
+    Some {
+      val planes = (0 until 16).map(k =>
+        s"(${k}, ${VecOps.hyperPlane(100 + k).mkString("[", ", ", "]")})")
+        .mkString(",\n|    ")
+      s"""WITH e AS (SELECT vec_id, label,
+         |    list_transform(embedding, x ->
+         |      CAST(round(CAST(x AS DOUBLE)*1000000, 0) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |planes(dim, pl) AS (VALUES
+         |    $planes)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  CAST(dim AS BIGINT) AS dim,
+         |  CAST(list_sum(list_transform(range(1, 65), i -> v[i] * pl[i]))
+         |    AS BIGINT) AS proj_e6
+         |FROM e CROSS JOIN planes
+         |ORDER BY vec_id ASC NULLS FIRST, dim ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(
     dedupExact, simJaccard, simCosineTopk, simThresholdJoin, simKnnJoin,
-    dedupMinhash, sampleNegative, simCosineSets)
+    dedupMinhash, sampleNegative, simCosineSets, vecRandproj)
 }

@@ -1093,9 +1093,117 @@ object Text {
          |ORDER BY lang ASC NULLS FIRST""".stripMargin
     })
 
+  /** BM25 retrieval scoring (round 7) — the ranking function behind
+    * every sparse-retrieval system (and the retrieval half of
+    * retrieval-based decontamination): score each document against a
+    * fixed multi-term query, top-10 per lang. Uses the Lucene idf
+    * variant ln(1 + (N−df+0.5)/(df+0.5)), which algebraically equals
+    * ln(2N+2) − ln(2df+1) — two INTEGER-input `DetMath.lnInt` terms,
+    * bit-identical across engines (always positive, unlike the raw
+    * Robertson idf, which matters here because the tiny fixture vocab
+    * makes every query term common). k1=1.2, b=0.75. The tf part
+    * tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is pure double arithmetic on
+    * integer-derived inputs with the SAME expression tree both sides;
+    * each per-term score quantizes floor(·1e6) to BIGINT before the
+    * per-doc sum, so the multi-term total is an exact integer sum —
+    * order-independent under parallel aggregation (the D2 discipline
+    * applied to doubles).
+    *
+    * Shape at 100 TB: one shared corpus tokenize (sharedDocTokens) →
+    * doc-length agg + a tf agg filtered to the query terms (the filter
+    * makes the tf relation query-sized, not corpus-sized); df and lang
+    * stats re-aggregate the tf/dl relations; stats broadcast; final
+    * top-10 per lang is a window over the query-sized scored relation.
+    * An inverted index (q_text_invidx) makes the tf lookup sublinear;
+    * here the scan IS the lookup.
+    */
+  private val bm25 = QueryDef(
+    "q_text_bm25",
+    (s, d) => {
+      import graft.functions.DetMath
+      val qterms = Seq("join", "vector", "stream", "filter")
+      val toks = sharedDocTokens(s, d)
+        .select(col("doc_id"), col("lang"), explode(col("ts")).as("w"))
+      val dl = toks.groupBy(col("lang"), col("doc_id"))
+        .agg(count(lit(1)).as("dl"))
+      val stats = dl.groupBy(col("lang"))
+        .agg(count(lit(1)).as("nd"), sum(col("dl")).as("sum_dl"))
+      val tf = toks.filter(col("w").isin(qterms: _*))
+        .groupBy(col("lang"), col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(dfq), Seq("lang", "w"))
+        .join(dl, Seq("lang", "doc_id"))
+        .join(broadcast(stats), Seq("lang"))
+        .withColumn("idf",
+          DetMath.lnInt(col("nd") * 2 + 2) - DetMath.lnInt(col("df") * 2 + 1))
+        .withColumn("tfpart",
+          (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) *
+                (col("dl").cast("double") /
+                  (col("sum_dl").cast("double") / col("nd").cast("double"))))))
+        .withColumn("s_e6",
+          floor(col("idf") * col("tfpart") * lit(1000000.0)).cast("long"))
+      val doc = scored.groupBy(col("lang"), col("doc_id"))
+        .agg(sum(col("s_e6")).as("score_e6"), count(lit(1)).as("n_terms"))
+      val win = Window.partitionBy(col("lang"))
+        .orderBy(descl("score_e6"), ascf("doc_id"))
+      doc.withColumn("rnk", row_number().over(win).cast("bigint"))
+        .filter(col("rnk") <= 10)
+        .select(col("lang"), col("rnk"), col("doc_id"), col("n_terms"),
+          (col("score_e6").cast("double") / 1000000).as("bm25"))
+        .orderBy(ascf("lang"), ascf("rnk"))
+    },
+    Some {
+      import graft.functions.DetMath._
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    unnest(string_split(text, ' ')) AS w FROM documents),
+         |dl AS (SELECT lang, doc_id, count(*) AS dl FROM t GROUP BY 1, 2),
+         |st AS (SELECT lang, count(*) AS nd,
+         |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl GROUP BY 1),
+         |tf AS (SELECT lang, doc_id, w, count(*) AS tf FROM t
+         |  WHERE w IN ('join', 'vector', 'stream', 'filter')
+         |  GROUP BY 1, 2, 3),
+         |dfq AS (SELECT lang, w, count(*) AS df FROM tf GROUP BY 1, 2),
+         |j AS (SELECT tf.lang AS lang, tf.doc_id AS doc_id, tf.tf AS tf,
+         |    dfq.df AS df, dl.dl AS dl, st.nd AS nd, st.sum_dl AS sum_dl
+         |  FROM tf
+         |  JOIN dfq ON tf.lang = dfq.lang AND tf.w = dfq.w
+         |  JOIN dl ON tf.lang = dl.lang AND tf.doc_id = dl.doc_id
+         |  JOIN st ON tf.lang = st.lang),
+         |r1 AS (SELECT *, (nd * 2 + 2) AS na, (df * 2 + 1) AS nb FROM j),
+         |r2 AS (SELECT *, ${kSql("na")} AS ka, ${kSql("nb")} AS kb FROM r1),
+         |r3 AS (SELECT *, ${mSql("na", "ka")} AS ma,
+         |    ${mSql("nb", "kb")} AS mb FROM r2),
+         |r4 AS (SELECT *, ${zSql("ma")} AS za, ${zSql("mb")} AS zb FROM r3),
+         |r5 AS (SELECT *, za * za AS z2a, zb * zb AS z2b FROM r4),
+         |r6 AS (SELECT *, ${hornerSql("z2a")} AS ha,
+         |    ${hornerSql("z2b")} AS hb FROM r5),
+         |sc AS (SELECT lang, doc_id, CAST(floor(
+         |    ((${lnSql("ka", "za", "ha")} - ${lnSql("kb", "zb", "hb")})
+         |     * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         |        / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+         |           * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+         |              * (CAST(dl AS DOUBLE)
+         |                 / (CAST(sum_dl AS DOUBLE) / CAST(nd AS DOUBLE)))))))
+         |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS s_e6 FROM r6),
+         |doc AS (SELECT lang, doc_id, CAST(sum(s_e6) AS BIGINT) AS score_e6,
+         |    CAST(count(*) AS BIGINT) AS n_terms FROM sc GROUP BY 1, 2),
+         |r AS (SELECT lang, doc_id, score_e6, n_terms,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY score_e6 DESC, doc_id ASC) AS rnk FROM doc)
+         |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_terms,
+         |  CAST(score_e6 AS DOUBLE) / 1000000 AS bm25
+         |FROM r WHERE rnk <= 10
+         |ORDER BY lang ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,
     langid, quality, tokens, fingerprint, levenshteinPairs, tfidf,
     collocations, vocab, zipf, keyphrase, bigramLm, perplexity, bpe,
-    textUnicode)
+    textUnicode, bm25)
 }
