@@ -395,6 +395,96 @@ object Lakehouse {
            |FROM v2
            |ORDER BY version ASC NULLS FIRST""".stripMargin))
 
+  /** The CDC lake extends the shared two-version timetravel lake with a
+    * third commit derived from the same `orders` expressions:
+    *   v3 = v2 minus keys ≡ 25 (mod 100) [deletes]
+    *        with o_custkey+7 where key ≡ 100 (mod 200) [updates]
+    *        plus keys ≡ 10 (mod 50) [inserts]
+    * Committing v3 onto the SAME root also exercises snapshot isolation
+    * from the other side: q_lake_timetravel's v1/v2 censuses are graded
+    * unchanged whether or not v3 exists yet in the session.
+    */
+  private val cdcLakePaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cdcLake(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    cdcLakePaths.computeIfAbsent(s"${graft.Caches.sessionKey(s)}:$d", _ => {
+      val root = timetravelLake(s, d)
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_trunc("month", col("o_orderdate")).as("o_orderdate"))
+      val v1 = base.filter(pmod(col("o_orderkey"), lit(50)) === 0)
+      val v2 = v1.filter(pmod(col("o_orderkey"), lit(200)) =!= 0)
+        .unionByName(base.filter(pmod(col("o_orderkey"), lit(50)) === 25))
+      val v3 = v2.filter(pmod(col("o_orderkey"), lit(100)) =!= 25)
+        .withColumn("o_custkey",
+          when(pmod(col("o_orderkey"), lit(200)) === 100,
+            col("o_custkey") + 7).otherwise(col("o_custkey")))
+        .unionByName(base.filter(pmod(col("o_orderkey"), lit(50)) === 10))
+      graft.sources.Lake.versionedWrite(v3, "o_orderdate", root)
+      root
+    })
+
+  /** Change-data-feed between two committed lake versions (round 7) —
+    * the "what changed since snapshot N" read every incremental
+    * downstream consumer (sync, index refresh, audit) runs against a
+    * versioned table: diff v2→v3 keyed on o_orderkey into typed I/U/D
+    * change rows with before/after payloads. Deletes carry the old
+    * image, inserts the new, updates both — the standard change-feed
+    * contract.
+    *
+    * The diff is ONE full-outer join of two manifest-resolved immutable
+    * snapshots on the table key, with unchanged rows (the overwhelming
+    * majority at scale) filtered out BEFORE the output sort — so the
+    * result is change-sized, not table-sized. At 100 TB a production
+    * table format avoids even the two full scans by logging file-level
+    * deltas at commit time; the join-diff here is the format-agnostic
+    * fallback that works over any two snapshots, and partition pruning
+    * applies to both sides (diff one p_date at a time).
+    */
+  private val lakeCdc = QueryDef(
+    "q_lake_cdc",
+    (s, d) => {
+      val root = cdcLake(s, d)
+      def snap(v: Long, keyCol: String, custCol: String) =
+        graft.sources.Lake.versionedReadAt(s, root, v)
+          .select(col("o_orderkey").as(keyCol), col("o_custkey").as(custCol))
+      val old = snap(2L, "k_old", "old_custkey")
+      val neu = snap(3L, "k_new", "new_custkey")
+      old.join(neu, col("k_old") === col("k_new"), "full_outer")
+        .withColumn("op",
+          when(col("k_new").isNull, "D")
+            .when(col("k_old").isNull, "I")
+            .when(col("old_custkey") =!= col("new_custkey"), "U"))
+        .filter(col("op").isNotNull)
+        .select(col("op"), coalesce(col("k_old"), col("k_new"))
+          .as("o_orderkey"), col("old_custkey"), col("new_custkey"))
+        .orderBy(ascf("op"), ascf("o_orderkey"))
+    },
+    Some("""WITH base AS (SELECT o_orderkey, o_custkey FROM orders),
+           |v1 AS (SELECT * FROM base WHERE o_orderkey % 50 = 0),
+           |v2 AS (SELECT * FROM v1 WHERE o_orderkey % 200 <> 0
+           |  UNION ALL SELECT * FROM base WHERE o_orderkey % 50 = 25),
+           |v3 AS (SELECT o_orderkey,
+           |    CASE WHEN o_orderkey % 200 = 100 THEN o_custkey + 7
+           |         ELSE o_custkey END AS o_custkey
+           |  FROM v2 WHERE o_orderkey % 100 <> 25
+           |  UNION ALL SELECT * FROM base WHERE o_orderkey % 50 = 10),
+           |j AS (SELECT v2.o_orderkey AS k_old, v2.o_custkey AS old_custkey,
+           |    v3.o_orderkey AS k_new, v3.o_custkey AS new_custkey
+           |  FROM v2 FULL OUTER JOIN v3 ON v2.o_orderkey = v3.o_orderkey),
+           |c AS (SELECT CASE WHEN k_new IS NULL THEN 'D'
+           |    WHEN k_old IS NULL THEN 'I'
+           |    WHEN old_custkey <> new_custkey THEN 'U' END AS op,
+           |    coalesce(k_old, k_new) AS o_orderkey,
+           |    old_custkey, new_custkey
+           |  FROM j)
+           |SELECT op, o_orderkey, old_custkey, new_custkey
+           |FROM c WHERE op IS NOT NULL
+           |ORDER BY op ASC NULLS FIRST, o_orderkey ASC NULLS FIRST"""
+      .stripMargin))
+
   def defs: Seq[QueryDef] = Seq(lakeMerge, joinBucketed, lakeScd2, lakeZorder,
-    lakeTimetravel)
+    lakeTimetravel, lakeCdc)
 }

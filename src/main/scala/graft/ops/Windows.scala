@@ -394,7 +394,48 @@ object Windows {
            |FROM p2 WHERE event_type = 'purchase'
            |GROUP BY user_id ORDER BY user_id ASC NULLS FIRST""".stripMargin))
 
+  /** Rolling DISTINCT count over a row frame (round 7): per user, how
+    * many distinct event types occurred within the trailing 10 events —
+    * the behavioral-diversity feature a sessionization/engagement
+    * pipeline computes, and a window shape Spark has NO native form for
+    * (`countDistinct` is not a window function). The portable rewrite:
+    * `size(array_distinct(collect_list(...) over frame))` — collect the
+    * frame (bounded: ≤10 elements, so per-row state is O(frame), never
+    * O(partition)), dedup, measure. DuckDB grades it with its native
+    * `count(DISTINCT) OVER`, so the rewrite's semantics are pinned to
+    * the SQL-standard meaning rather than to themselves.
+    *
+    * Scale: one hash exchange on user_id + per-partition sort — the
+    * standard window shape; the bounded frame keeps memory flat no
+    * matter how hot a user is. An UNBOUNDED distinct-over would instead
+    * carry a per-row growing set — that shape belongs to q_sketch_hll
+    * (mergeable HLL), not a window.
+    */
+  private val winDistinct = QueryDef(
+    "q_win_distinct",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(ascf("ts"), ascf("event_id"))
+        .rowsBetween(-9, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          size(array_distinct(collect_list(col("event_type")).over(w)))
+            .cast("long").as("n_distinct_10"))
+        .orderBy(ascf("user_id"), ascf("event_id"))
+    },
+    Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           |  CAST(count(DISTINCT event_type) OVER (
+           |    PARTITION BY user_id
+           |    ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+           |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+           |    AS BIGINT) AS n_distinct_10
+           |FROM events
+           |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST"""
+      .stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     winRank, winRunning, winLeadLag, winRangeFrame, winNtilePct, winFirstLast,
-    sortNulls, limitOffset, topkGroup, winSessionize, winStreak, winPattern)
+    sortNulls, limitOffset, topkGroup, winSessionize, winStreak, winPattern,
+    winDistinct)
 }
