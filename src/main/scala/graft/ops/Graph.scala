@@ -469,6 +469,101 @@ object Graph {
          |ORDER BY community ASC NULLS FIRST""".stripMargin
     })
 
+  /** Bounded harmonic closeness centrality from a seed panel (round 7):
+    * multi-source BFS over the sparsified trade graph from 5 landmark
+    * seeds, then per node the harmonic sum Σ 1/dist over reached seeds
+    * (in exact 1e6 units via truncating integer division — Spark `div`
+    * and DuckDB `//` both truncate toward zero, verified). This is the
+    * landmark (pivot) approximation every large-graph centrality system
+    * uses: exact all-pairs closeness is O(V·E) and unnecessary — a
+    * fixed seed panel gives a consistent comparable score at seed-count
+    * cost. Distances are 3-hop-bounded like q_graph_bfs (unrolled
+    * synchronous rounds, the fixed-K oracle pattern); unreached
+    * (node, seed) pairs simply don't contribute, self-distance is
+    * excluded per the harmonic definition.
+    *
+    * Scale: state is (node × 5 seeds) rows — seed-panel-sized, never
+    * edge-sized; each round is one edge join + (v, seed) min-agg, the
+    * same per-round shape as BFS with a composite key. At a real graph
+    * scale the rounds run on the pre-partitioned edge exchange exactly
+    * like the components loop.
+    */
+  private val closeness = QueryDef(
+    "q_graph_closeness",
+    (s, d) => {
+      val und = undirectedTop3(s, d)
+      val adj = Caches.scoped(
+        und.select(col("a").as("u"), col("b").as("v"))
+          .union(und.select(col("b").as("u"), col("a").as("v"))))
+      val seeds = Seq(0L, 5L, 10L, 15L, 20L)
+      var dist = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("node"))
+        .select(col("node"), explode(typedlit(seeds)).as("seed"))
+        .withColumn("dd",
+          when(col("node") === col("seed"), lit(0L))
+            .otherwise(lit(null).cast("long")))
+      for (_ <- 1 to 3) {
+        val reach = adj.join(broadcast(dist), col("u") === col("node"))
+          .filter(col("dd").isNotNull)
+          .groupBy(col("v"), col("seed").as("sd"))
+          .agg(min(col("dd") + 1).as("nd"))
+        dist = dist.join(reach,
+            col("node") === col("v") && col("seed") === col("sd"), "left")
+          .select(col("node"), col("seed"),
+            when(col("dd").isNull, col("nd"))
+              .when(col("nd").isNull, col("dd"))
+              .when(col("nd") < col("dd"), col("nd"))
+              .otherwise(col("dd")).as("dd"))
+      }
+      val harm = dist.filter(col("dd") >= 1)
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("n_reached"),
+          sum(expr("1000000 div dd")).as("harmonic_x1e6"))
+      Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+        .join(harm, col("nk") === col("node"), "left")
+        .select(col("n_name"),
+          coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+          coalesce(col("harmonic_x1e6"), lit(0L)).as("harmonic_x1e6"))
+        .orderBy(ascf("n_name"))
+    },
+    Some {
+      def round(i: Int): String = {
+        val prev = s"d${i - 1}"
+        s"""f$i AS (SELECT adj.v, $prev.seed,
+           |    CAST(min($prev.dd + 1) AS BIGINT) AS nd
+           |  FROM adj JOIN $prev ON adj.u = $prev.node
+           |  WHERE $prev.dd IS NOT NULL GROUP BY 1, 2),
+           |d$i AS (SELECT $prev.node, $prev.seed,
+           |    CASE WHEN $prev.dd IS NULL THEN f$i.nd
+           |         WHEN f$i.nd IS NULL THEN $prev.dd
+           |         WHEN f$i.nd < $prev.dd THEN f$i.nd
+           |         ELSE $prev.dd END AS dd
+           |  FROM $prev LEFT JOIN f$i
+           |    ON $prev.node = f$i.v AND $prev.seed = f$i.seed)"""
+          .stripMargin
+      }
+      s"""WITH $UndSql,
+         |adj AS (SELECT a AS u, b AS v FROM und
+         |  UNION ALL SELECT b AS u, a AS v FROM und),
+         |sd(seed) AS (VALUES (0), (5), (10), (15), (20)),
+         |d0 AS (SELECT CAST(n_nationkey AS BIGINT) AS node,
+         |    CAST(seed AS BIGINT) AS seed,
+         |    CASE WHEN n_nationkey = seed THEN CAST(0 AS BIGINT) END AS dd
+         |  FROM nation CROSS JOIN sd),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |h AS (SELECT node, count(*) AS n_reached,
+         |    CAST(sum(1000000 // dd) AS BIGINT) AS harmonic_x1e6
+         |  FROM d3 WHERE dd >= 1 GROUP BY node)
+         |SELECT n.n_name,
+         |  CAST(coalesce(h.n_reached, 0) AS BIGINT) AS n_reached,
+         |  CAST(coalesce(h.harmonic_x1e6, 0) AS BIGINT) AS harmonic_x1e6
+         |FROM nation n LEFT JOIN h ON n.n_nationkey = h.node
+         |ORDER BY n_name ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(pagerank, triangles, bfs, degree,
-    graphJaccard, labelProp)
+    graphJaccard, labelProp, closeness)
 }

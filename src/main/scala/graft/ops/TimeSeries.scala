@@ -765,7 +765,88 @@ object TimeSeries {
            |FROM oa LEFT JOIN ga ON oa.event_type = ga.event_type
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
+  /** Holt double-exponential smoothing (round 7) — level + trend state,
+    * the step up from q_ts_ewma (level only) and the recurrence behind
+    * q_ts_forecast-style projections: per event type, the daily count
+    * series folded through l_t = α·x_t + (1−α)(l+b), b_t = β(l_t−l)
+    * + (1−β)b with dyadic α=β=1/2, carried as EXACT int64 in 4096ths —
+    * every step one truncating halving (Spark `div` ≡ DuckDB `//`,
+    * both toward zero, verified incl. negatives — trend goes negative
+    * on declining days). Unlike the ewma key's fixed-lag truncation,
+    * this is the TRUE infinite-memory recurrence: inherently
+    * sequential, so the engines diverge unless the fold order is
+    * pinned — which is the point of grading it.
+    *
+    * Spark has no recursive SQL; the fold runs as an `aggregate` HOF
+    * over each type's day-sorted array — per-group state is
+    * series-length-bounded (≤ days, ~30 here; a year is 365 — fine; a
+    * tick-grain series would first downsample via q_ts_ohlc, which is
+    * how production Holt-Winters runs anyway). DuckDB grades it with a
+    * RECURSIVE CTE computing the same recurrence row-by-row — two
+    * maximally-different executions of one integer fold.
+    *
+    * Scale: the day-grain partial agg is the only corpus-sized
+    * shuffle; the fold touches type-grain rows (5 arrays). Output:
+    * final level/trend, a 7-day linear forecast, and the level-path
+    * checksum (Σ l_t — pins every intermediate state, not just the
+    * endpoint).
+    */
+  private val holt = QueryDef(
+    "q_ts_holt",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          floorDiv(unix_micros(col("ts")), DayUs).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("c"))
+      daily.groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("day"), col("c"))))
+          .as("xs"))
+        .withColumn("st", expr(
+          """aggregate(xs,
+            |  named_struct('l', 0L, 'b', 0L, 'suml', 0L, 'n', 0L),
+            |  (st, x) -> CASE WHEN st.n = 0
+            |    THEN named_struct('l', x.c * 4096L, 'b', 0L,
+            |      'suml', x.c * 4096L, 'n', 1L)
+            |    ELSE named_struct(
+            |      'l', (x.c * 4096L + st.l + st.b) div 2L,
+            |      'b', (st.b + ((x.c * 4096L + st.l + st.b) div 2L)
+            |            - st.l) div 2L,
+            |      'suml', st.suml + ((x.c * 4096L + st.l + st.b) div 2L),
+            |      'n', st.n + 1L) END)""".stripMargin))
+        .select(col("event_type"), col("st.n").as("n_days"),
+          col("st.l").as("level_x4096"), col("st.b").as("trend_x4096"),
+          (col("st.l") + lit(7L) * col("st.b")).as("forecast7_x4096"),
+          col("st.suml").as("suml_x4096"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH RECURSIVE h AS (SELECT event_type,
+           |    epoch_us(ts) // 86400000000 AS day, count(*) AS c
+           |  FROM events GROUP BY 1, 2),
+           |hr AS (SELECT event_type, c, row_number() OVER (
+           |    PARTITION BY event_type ORDER BY day ASC) AS rn FROM h),
+           |s AS (
+           |  SELECT event_type, rn, c * 4096 AS l, CAST(0 AS BIGINT) AS b,
+           |    c * 4096 AS suml
+           |  FROM hr WHERE rn = 1
+           |  UNION ALL
+           |  SELECT hr.event_type, hr.rn,
+           |    (hr.c * 4096 + s.l + s.b) // 2,
+           |    (s.b + ((hr.c * 4096 + s.l + s.b) // 2) - s.l) // 2,
+           |    s.suml + ((hr.c * 4096 + s.l + s.b) // 2)
+           |  FROM s JOIN hr ON hr.event_type = s.event_type
+           |    AND hr.rn = s.rn + 1),
+           |fin AS (SELECT s.*, row_number() OVER (
+           |    PARTITION BY event_type ORDER BY rn DESC) AS rr FROM s)
+           |SELECT event_type, CAST(rn AS BIGINT) AS n_days,
+           |  CAST(l AS BIGINT) AS level_x4096,
+           |  CAST(b AS BIGINT) AS trend_x4096,
+           |  CAST(l + 7 * b AS BIGINT) AS forecast7_x4096,
+           |  CAST(suml AS BIGINT) AS suml_x4096
+           |FROM fin WHERE rr = 1
+           |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
-      autocorr, changepoint, seasonality, forecast, interp)
+      autocorr, changepoint, seasonality, forecast, interp, holt)
 }
