@@ -23,7 +23,11 @@ object PlanDump {
         // round 6
         "q_ml_kmeans", "q_text_perplexity", "q_dedup_minhash_exact",
         "q_text_bpe", "q_ml_perceptron", "q_win_pattern",
-        "q_dedup_substr")) {
+        "q_dedup_substr",
+        // round 7 batches 3-6
+        "q_audit_expectations", "q_text_pii", "q_text_bm25",
+        "q_vec_randproj", "q_lake_cdc", "q_win_distinct",
+        "q_graph_closeness", "q_ts_holt", "q_sim_ann_pq")) {
       val p = Registry.queries(q)(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       out.append(s"##### $q\n```\n")

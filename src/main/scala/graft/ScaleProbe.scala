@@ -117,7 +117,13 @@ object ScaleProbe {
         // round-7: persisted-index ANN serve, unicode normalize
         // pipeline, manifest-lake time travel, video scene cuts
         "q_sim_ann_serve", "q_text_unicode", "q_lake_timetravel",
-        "q_mm_scene_change")
+        "q_mm_scene_change",
+        // round-7 batches 3-6: expectation suite, PII scrub, BM25,
+        // JL projection, version change feed, rolling distinct,
+        // landmark closeness, Holt fold
+        "q_audit_expectations", "q_text_pii", "q_text_bm25",
+        "q_vec_randproj", "q_lake_cdc", "q_win_distinct",
+        "q_graph_closeness", "q_ts_holt", "q_sim_ann_pq")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()

@@ -1318,8 +1318,135 @@ object Pipeline {
            |FROM cen LEFT JOIN aff ON cen.lang = aff.lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** Product-quantized ANN (round 7) — the last rung of the ANN ladder
+    * (brute → LSH → IVF → SQ → PQ): the vector splits into M=8
+    * subspaces of 8 dims, each subspace gets its own K=16 codeword
+    * codebook, and a vector compresses to 8 four-bit codes (4 bytes —
+    * 64× smaller than float32, 4× beyond SQ4) scored via the ADC
+    * table: approx_dot(v) = Σ_m ⟨probe_m, codeword(m, code_m(v))⟩,
+    * one table lookup per subspace instead of any per-dim math.
+    *
+    * Codebooks are k-means trained ON-ENGINE, deterministically (the
+    * q_ml_kmeans discipline): seeds = subvectors of vec_id 0..15, ONE
+    * exact-int Lloyd round (argmin by int64 L2, tie → smaller j;
+    * update = per-dim truncating-div mean — `div` ≡ `//` verified),
+    * then encode against the updated codebooks. Empty codewords simply
+    * drop out of the codebook relation on both engines. More Lloyd
+    * rounds are a fidelity knob, not a shape change — each round is
+    * the same assignment join + (m, j, dim) partial agg.
+    *
+    * Shape at 100 TB: training/encoding joins are against the
+    * (M·K = 128)-row broadcast codebook; the ADC scoring scan reads
+    * only the 4-byte codes with a broadcast 128-row ADC table, one
+    * partial agg to (vec_id, approx_dot), distributed TakeOrdered(32),
+    * 32-row exact rerank — raw embeddings touched only at rerank,
+    * exactly like q_sim_ann_sq/serve.
+    */
+  private val simAnnPq = QueryDef(
+    "q_sim_ann_pq",
+    (s, d) => {
+      val emb = quantized(s, d)
+      val sub = graft.Caches.scoped(emb.select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), m -> struct(m AS m, " +
+          "slice(v, m * 8 + 1, 8) AS sv))")).as("t"))
+        .select(col("vec_id"), col("t.m").as("m"), col("t.sv").as("sv")))
+      val sqdist = "aggregate(zip_with(sv, cw, (a, b) -> (a - b) * (a - b))" +
+        ", 0L, (acc, x) -> acc + x)"
+      def argmin(points: org.apache.spark.sql.DataFrame,
+          book: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(ascf("dist"), ascf("j"))
+        points.join(broadcast(book), "m")
+          .withColumn("dist", expr(sqdist))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("m"), col("j"))
+      }
+      val seeds = sub.filter(col("vec_id") < 16)
+        .select(col("m"), col("vec_id").as("j"), col("sv").as("cw"))
+      val asg0 = argmin(sub, seeds)
+      val cent = asg0.join(sub, Seq("vec_id", "m"))
+        .select(col("m"), col("j"), posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy(col("m"), col("j"), col("i"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
+        .withColumn("cv", expr("sx div c"))
+        .groupBy(col("m"), col("j"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, cv)))," +
+          " t -> t.cv)").as("cw"))
+      val codes = argmin(sub, cent)
+      val adc = sub.filter(col("vec_id") === 0).drop("vec_id")
+        .join(cent, "m")
+        .select(col("m"), col("j"),
+          expr("aggregate(zip_with(sv, cw, (a, b) -> a * b), 0L," +
+            " (acc, x) -> acc + x)").as("dotp"))
+      val cands = codes.filter(col("vec_id") =!= 0)
+        .join(broadcast(adc), Seq("m", "j"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("dotp")).as("approx_dot"))
+        .orderBy(descl("approx_dot"), ascf("vec_id"))
+        .limit(32)
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("v").as("pv"), col("nn").as("pnn"))
+      cands.join(emb, "vec_id").crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("approx_dot"),
+          (round(cosine(dot(col("v"), col("pv")), col("nn"), col("pnn")), 6)
+            + lit(0.0)).as("cos"))
+        .orderBy(descl("cos"), ascf("vec_id"))
+        .limit(10)
+    },
+    Some(oracleQuantized +
+      """,
+        |sub AS (SELECT vec_id, m.range AS m,
+        |    v[m.range * 8 + 1 : m.range * 8 + 8] AS sv
+        |  FROM n, range(0, 8) m),
+        |seed AS (SELECT m, vec_id AS j, sv AS cw FROM sub
+        |  WHERE vec_id < 16),
+        |d0 AS (SELECT sub.vec_id AS vec_id, sub.m AS m, seed.j AS j,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (sub.sv[i] - seed.cw[i]) * (sub.sv[i] - seed.cw[i])))
+        |      AS dist
+        |  FROM sub JOIN seed ON sub.m = seed.m),
+        |a0 AS (SELECT vec_id, m, j FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY vec_id, m ORDER BY dist ASC, j ASC) AS rn FROM d0)
+        |  WHERE rn = 1),
+        |cd AS (SELECT a0.m AS m, a0.j AS j, i.range AS i,
+        |    CAST(sum(sub.sv[i.range]) AS BIGINT) AS sx, count(*) AS c
+        |  FROM a0 JOIN sub ON a0.vec_id = sub.vec_id AND a0.m = sub.m,
+        |    range(1, 9) i
+        |  GROUP BY 1, 2, 3),
+        |cent AS (SELECT m, j, list(sx // c ORDER BY i ASC) AS cw
+        |  FROM cd GROUP BY m, j),
+        |d1 AS (SELECT sub.vec_id AS vec_id, sub.m AS m, cent.j AS j,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (sub.sv[i] - cent.cw[i]) * (sub.sv[i] - cent.cw[i])))
+        |      AS dist
+        |  FROM sub JOIN cent ON sub.m = cent.m),
+        |codes AS (SELECT vec_id, m, j FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY vec_id, m ORDER BY dist ASC, j ASC) AS rn FROM d1)
+        |  WHERE rn = 1),
+        |adc AS (SELECT cent.m AS m, cent.j AS j,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> ps.sv[i] * cent.cw[i])) AS dotp
+        |  FROM cent JOIN (SELECT m, sv FROM sub WHERE vec_id = 0) ps
+        |    ON cent.m = ps.m),
+        |cand AS (SELECT codes.vec_id AS vec_id,
+        |    CAST(sum(adc.dotp) AS BIGINT) AS approx_dot
+        |  FROM codes JOIN adc ON codes.m = adc.m AND codes.j = adc.j
+        |  WHERE codes.vec_id <> 0 GROUP BY 1
+        |  ORDER BY approx_dot DESC NULLS LAST, vec_id ASC NULLS FIRST
+        |  LIMIT 32),
+        |p AS (SELECT v AS pv, nn AS pnn FROM n WHERE vec_id = 0)
+        |SELECT c.vec_id AS vec_id, c.approx_dot AS approx_dot,
+        |  round(CAST(list_sum(list_transform(range(1, 65),
+        |    k -> a.v[k] * p.pv[k])) AS DOUBLE)
+        |    / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(p.pnn AS DOUBLE))), 6)
+        |    + 0.0 AS cos
+        |FROM cand c JOIN n a ON c.vec_id = a.vec_id, p
+        |ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST
+        |LIMIT 10""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     dedupSimhash, dedupNgram, dedupEmbed, simAnnLsh, simCentroid, simAnnIvf,
     simAnnSq, simAnnServe, pipelineE2e, dedupComponents, containment,
-    dedupSimhashExact, dedupMinhashExact, dedupSubstr, dedupClusterRep)
+    dedupSimhashExact, dedupMinhashExact, dedupSubstr, dedupClusterRep,
+    simAnnPq)
 }
