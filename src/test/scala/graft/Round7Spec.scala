@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the round-7 batch-3..7 operators — the
+  * invariants the DuckDB oracles cannot express because they relate a
+  * query's OUTPUT to a recomputed ground truth or to a second
+  * application of the operator.
+  */
+class Round7Spec extends SparkSpec {
+
+  private def q(name: String) =
+    Registry.queries(name)(spark, sfDir)
+
+  test("q_lake_cdc: applying the change feed to v2 reproduces v3 exactly") {
+    // Recompute v2/v3 straight from orders (the oracle's derivation),
+    // apply the graded change rows to v2, and require set equality with
+    // v3 — the apply-side contract of a change feed: deletes remove,
+    // updates replace the payload, inserts add.
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("c"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val v1 = orders.filter(pmod(col("k"), lit(50)) === 0)
+    val v2 = rows(v1.filter(pmod(col("k"), lit(200)) =!= 0)
+      .unionByName(orders.filter(pmod(col("k"), lit(50)) === 25)))
+    val v3 = rows(
+      v1.filter(pmod(col("k"), lit(200)) =!= 0)
+        .unionByName(orders.filter(pmod(col("k"), lit(50)) === 25))
+        .filter(pmod(col("k"), lit(100)) =!= 25)
+        .withColumn("c", when(pmod(col("k"), lit(200)) === 100,
+          col("c") + 7).otherwise(col("c")))
+        .unionByName(orders.filter(pmod(col("k"), lit(50)) === 10)))
+    val changes = q("q_lake_cdc").collect()
+    assert(changes.nonEmpty, "change feed must be non-empty")
+    val applied = changes.foldLeft(v2) { (acc, r) =>
+      val key = r.getLong(1)
+      r.getString(0) match {
+        case "D" => acc - ((key, r.getLong(2)))
+        case "I" => acc + ((key, r.getLong(3)))
+        case "U" => acc - ((key, r.getLong(2))) + ((key, r.getLong(3)))
+      }
+    }
+    assert(applied == v3,
+      s"apply(changes, v2) != v3: extra=${(applied -- v3).take(3)} " +
+        s"missing=${(v3 -- applied).take(3)}")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_ts_holt: engine fold equals the scalar-replica recurrence") {
+    // The HOF fold and the DuckDB recursive CTE are two engine
+    // executions; this pins them to a THIRD, plain-Scala execution of
+    // the same integer recurrence over the same daily counts.
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        Dsl.floorDiv(unix_micros(col("ts")), 86400000000L).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) =>
+        t -> rs.sortBy(_.getLong(1)).map(_.getLong(2))
+      }
+    val expected = daily.map { case (t, xs) =>
+      var l = 0L; var b = 0L; var suml = 0L
+      xs.zipWithIndex.foreach { case (x, i) =>
+        if (i == 0) { l = x * 4096; b = 0; suml = l }
+        else {
+          // Scala `/` truncates toward zero — the same semantics as
+          // Spark `div` and DuckDB `//` (b can go negative)
+          val lNew = (x * 4096 + l + b) / 2
+          b = (b + lNew - l) / 2
+          l = lNew
+          suml += lNew
+        }
+      }
+      t -> ((xs.length.toLong, l, b, l + 7 * b, suml))
+    }
+    val got = q("q_ts_holt").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, s"holt fold mismatch: got=$got expected=$expected")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_sim_ann_pq: candidate set recalls the exact cosine top-10") {
+    // PQ is approximate by design; the graded oracle pins the exact
+    // arithmetic, this pins the GEOMETRY: the 4-byte-code ADC ranking
+    // must recover most of the true top-10 (recall measured 0.9 at
+    // sf0.001 on the fixed fixtures; bound left at 0.7 so the test
+    // survives fixture regeneration without tracking noise).
+    val vecs = ops.VecOps.quantized(spark, sfDir)
+      .select(col("vec_id"), col("v"), col("nn")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val probe = vecs.find(_._1 == 0L).get
+    def cos(a: (Long, Array[Long], Long)) = {
+      val dot = a._2.zip(probe._2).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a._3.toDouble) * math.sqrt(probe._3.toDouble))
+    }
+    val exactTop = vecs.filter(_._1 != 0L).sortBy(v => (-cos(v), v._1))
+      .take(10).map(_._1).toSet
+    val pqTop = q("q_sim_ann_pq").collect().map(_.getLong(0)).toSet
+    val recall = exactTop.intersect(pqTop).size / 10.0
+    assert(recall >= 0.7, s"PQ recall $recall; pq=$pqTop exact=$exactTop")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_vec_randproj: projected distances satisfy the JL distortion bound") {
+    // The Johnson-Lindenstrauss claim itself, measured: for a ±1
+    // projection to k=16 dims, E[‖proj(a)−proj(b)‖²] = k·‖a−b‖², with
+    // relative spread ~√(2/k) ≈ 0.35 per pair. (Correlation is the
+    // WRONG statistic on this fixture: isotropic vectors make all
+    // pairwise distances nearly equal, so there is almost no
+    // cross-pair signal for noise to correlate with — measured r≈0.25
+    // while every individual distortion sits comfortably in band.)
+    // Pure-Scala replica of the same planes — independent of engines.
+    val vecs = ops.VecOps.quantized(spark, sfDir)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).take(101).map(_._2)
+    val planes = (0 until 16).map(k =>
+      ops.VecOps.hyperPlane(100 + k).toArray)
+    def proj(v: Array[Long]): Array[Long] =
+      planes.map(p => v.zip(p).map { case (x, s) => x * s }.sum).toArray
+    val pairs = (0 until 100).map(i => (vecs(i), vecs(i + 1)))
+    def d2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => val d = (x - y).toDouble; d * d }.sum
+    val ratios = pairs.map { case (a, b) =>
+      d2(proj(a), proj(b)) / (16.0 * d2(a, b))
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean >= 0.75 && mean <= 1.25,
+      s"mean JL distortion $mean outside [0.75, 1.25]")
+    val inBand = ratios.count(r => r >= 0.25 && r <= 2.5)
+    assert(inBand >= 95,
+      s"only $inBand/100 pair distortions within [0.25, 2.5]: " +
+        s"worst=${ratios.min} / ${ratios.max}")
+  }
+}
