@@ -34,12 +34,25 @@ final class JobServer(spark: SparkSession, outRoot: String,
   sealed trait Status
   case object Queued extends Status
   case object Running extends Status
+  case object Cancelled extends Status
   final case class Done(resultPath: String, rows: Long) extends Status
   final case class Failed(error: String) extends Status
 
   private val nextId = new AtomicLong(0L)
   private val jobs = new ConcurrentHashMap[Long, Status]()
   private val done = new ConcurrentHashMap[Long, CountDownLatch]()
+  private val cancelRequested =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+  // Job-group names must be unique across SERVER INSTANCES sharing one
+  // SparkContext, not just across this server's ids:
+  // cancelJobGroupAndFutureJobs poisons a group name for the context's
+  // lifetime, and every instance numbers its jobs from 0 — without the
+  // instance nonce, a later server's job 0 is killed at birth by a
+  // cancel issued to an EARLIER server (observed: ServerSpec's spool
+  // test failed on the poisoned group of the previous test's server).
+  private val instance = JobServer.instances.getAndIncrement()
+
+  private def groupId(id: Long) = s"graft-$instance-job-$id"
   private val pool: ExecutorService = Executors.newFixedThreadPool(parallelism)
   // A resident server must not grow per-submission state forever:
   // terminal entries beyond `retainTerminal` are pruned oldest-first on
@@ -100,9 +113,14 @@ final class JobServer(spark: SparkSession, outRoot: String,
     pool.execute { () =>
       jobs.put(id, Running)
       try {
+        // a cancel that lands while the job is still QUEUED has no Spark
+        // job group to kill yet — honor it here instead of running a
+        // job the submitter already gave up on
+        if (cancelRequested.contains(id))
+          throw new InterruptedException("cancelled before start")
         // each submission runs as its own Spark job group: cancellable
         // per-submission, and attributed in the UI/event log
-        spark.sparkContext.setJobGroup(s"graft-job-$id",
+        spark.sparkContext.setJobGroup(groupId(id),
           desc, interruptOnCancel = true)
         val path = s"$outRoot/$id"
         val df = build(spark)
@@ -110,7 +128,14 @@ final class JobServer(spark: SparkSession, outRoot: String,
         val rows = spark.read.parquet(path).count()
         jobs.put(id, Done(path, rows))
       } catch {
-        case e: Throwable => jobs.put(id, Failed(String.valueOf(e)))
+        // any failure of a job whose cancellation was requested IS the
+        // cancellation taking effect (Spark surfaces it as a
+        // SparkException naming the job group, wrapped arbitrarily
+        // deep) — report the state the submitter asked for, not the
+        // incidental exception
+        case e: Throwable =>
+          if (cancelRequested.contains(id)) jobs.put(id, Cancelled)
+          else jobs.put(id, Failed(String.valueOf(e)))
       } finally {
         spark.sparkContext.clearJobGroup()
         // free THIS job's scoped persists (VERDICT r4 #1: a resident
@@ -130,9 +155,12 @@ final class JobServer(spark: SparkSession, outRoot: String,
       import scala.jdk.CollectionConverters._
       val prunable = jobs.asScala.toSeq
         .collect { case (id, _: Done) => id
-                   case (id, _: Failed) => id }
+                   case (id, _: Failed) => id
+                   case (id, Cancelled) => id }
         .sorted.dropRight(retainTerminal)
-      prunable.foreach { id => jobs.remove(id); done.remove(id) }
+      prunable.foreach { id =>
+        jobs.remove(id); done.remove(id); cancelRequested.remove(id)
+      }
     }
 
   def status(id: Long): Status =
@@ -147,9 +175,26 @@ final class JobServer(spark: SparkSession, outRoot: String,
     status(id)
   }
 
-  /** Cancel a running submission's Spark jobs (best-effort). */
-  def cancel(id: Long): Unit =
-    spark.sparkContext.cancelJobGroup(s"graft-job-$id")
+  /** Cancel a submission: a queued job is skipped when its worker picks
+    * it up; a running job's Spark job group is killed (tasks get
+    * interrupted — `interruptOnCancel`) and its terminal status becomes
+    * `Cancelled`. Terminal jobs are unaffected (cancel is not undo).
+    *
+    * Must be `cancelJobGroupAndFutureJobs`, not `cancelJobGroup`: the
+    * plain form kills only Spark jobs already RUNNING, and a complex
+    * submission spends real time in parse/analyze/planning before its
+    * first job launches — a cancel landing in that window would be a
+    * silent no-op and the work would run to completion anyway
+    * (observed: a cancelled cartesian ran 116 s to suite shutdown).
+    * The future-jobs form also fails the action's later jobs, so a
+    * multi-stage query cannot outrun the cancel between stages. Group
+    * ids are single-use (monotone job ids), so poisoning the group
+    * forever is exactly the semantics wanted.
+    */
+  def cancel(id: Long): Unit = {
+    cancelRequested.add(id)
+    spark.sparkContext.cancelJobGroupAndFutureJobs(groupId(id))
+  }
 
   /** Drain the worker pool and release session-lifetime caches. */
   def shutdown(): Unit = {
@@ -167,11 +212,16 @@ final class JobServer(spark: SparkSession, outRoot: String,
   *   `<name>.sql`  (raw ANSI SQL over the fixture tables), or
   *   `<name>.key`  (a registered contract key, file content = key name)
   * into the spool dir; the server answers with `<name>.status`
-  * (`DONE rows=<n> path=<parquet>` or `FAILED <reason>`) next to it.
-  * A file named `stop` shuts the server down. Results are parquet under
-  * the results root, one directory per job id.
+  * (`DONE rows=<n> path=<parquet>`, `FAILED <reason>`, or `CANCELLED`)
+  * next to it. Dropping `<name>.cancel` cancels that submission (queued
+  * → skipped, running → job group killed). A file named `stop` shuts
+  * the server down. Results are parquet under the results root, one
+  * directory per job id.
   */
 object JobServer {
+
+  /** Process-wide instance nonce for job-group names (see `groupId`). */
+  private val instances = new AtomicLong(0L)
 
   /** Poll `spoolDir`, submitting new job files against `sfDir`, until a
     * `stop` marker appears. Factored out of `main` so ServerSpec can
@@ -208,10 +258,19 @@ object JobServer {
               writeStatus(name, s"FAILED ${e.getMessage}")
           }
         }
+        // `<name>.cancel` drop-file: cancel that submission (idempotent;
+        // a cancel for an unknown/terminal name is ignored)
+        inflight.toSeq.foreach { case (name, id) =>
+          if (new java.io.File(spoolDir, s"$name.cancel").exists())
+            srv.cancel(id)
+        }
         inflight.toSeq.foreach { case (name, id) =>
           srv.status(id) match {
             case d: srv.Done =>
               writeStatus(name, s"DONE rows=${d.rows} path=${d.resultPath}")
+              inflight.remove(name)
+            case srv.Cancelled =>
+              writeStatus(name, "CANCELLED")
               inflight.remove(name)
             case fl: srv.Failed =>
               writeStatus(name,

@@ -165,4 +165,69 @@ class ServerSpec extends SparkSpec {
       assert(srv.status(last).isInstanceOf[srv.Done])
     } finally srv.shutdown()
   }
+
+  test("a running job cancels to Cancelled and the server keeps serving") {
+    val out = java.nio.file.Files.createTempDirectory("jobsrv").toString
+    val srv = new JobServer(spark, out, parallelism = 2)
+    try {
+      // a deliberately huge cartesian aggregate: hours of work if the
+      // cancel were a no-op, killed in milliseconds by the job-group
+      // interrupt — the test's own timeout is the failure detector
+      val slow = srv.submitSql(
+        "SELECT count(*) AS n FROM lineitem a, lineitem b, lineitem c",
+        sfDir)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (srv.status(slow) == srv.Queued && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(srv.status(slow) == srv.Running, "slow job never started")
+      Thread.sleep(200) // let it get into Spark tasks
+      srv.cancel(slow)
+      assert(srv.await(slow, timeoutMs = 60000L) == srv.Cancelled)
+      // the session is not poisoned: a subsequent submission completes
+      val after = srv.submit("q_agg_global", sfDir)
+      assert(srv.await(after).isInstanceOf[srv.Done])
+    } finally srv.shutdown()
+  }
+
+  test("spool cancel drop-file cancels a submission to CANCELLED") {
+    val spool = java.nio.file.Files.createTempDirectory("jobspool").toString
+    val out = java.nio.file.Files.createTempDirectory("jobspool_out").toString
+    def drop(name: String, text: String): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(spool, name).toPath, text.getBytes("UTF-8"))
+    drop("big.sql",
+      "SELECT count(*) AS n FROM lineitem a, lineitem b, lineitem c")
+    val t = new Thread(() =>
+      graft.server.JobServer.runSpool(spark, spool, sfDir, out, pollMs = 50))
+    t.start()
+    Thread.sleep(500) // let the loop pick it up
+    drop("big.cancel", "")
+    val statusFile = new java.io.File(spool, "big.status")
+    val deadline = System.nanoTime() + 120L * 1000000000L
+    while (!statusFile.isFile && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    drop("stop", "")
+    t.join(60000)
+    assert(!t.isAlive, "spool loop did not stop on the marker")
+    assert(statusFile.isFile, "no status written for the cancelled job")
+    val st = new String(
+      java.nio.file.Files.readAllBytes(statusFile.toPath), "UTF-8")
+    assert(st == "CANCELLED", s"expected CANCELLED, got: $st")
+  }
+
+  test("cancelling a queued job skips it without running") {
+    val out = java.nio.file.Files.createTempDirectory("jobsrv").toString
+    // parallelism 1: the second submission is guaranteed to queue
+    // behind the first
+    val srv = new JobServer(spark, out, parallelism = 1)
+    try {
+      val first = srv.submit("q_agg_global", sfDir)
+      val queued = srv.submit("q_agg_global", sfDir)
+      srv.cancel(queued)
+      srv.await(first)
+      assert(srv.await(queued) == srv.Cancelled)
+      assert(!new java.io.File(s"$out/$queued").exists(),
+        "cancelled-while-queued job must not have written a result")
+    } finally srv.shutdown()
+  }
 }
