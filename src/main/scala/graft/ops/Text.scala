@@ -917,40 +917,60 @@ object Text {
     */
   private[graft] val bpeRounds = 3
 
+  /** The character-split word-type relation (w, freq, syms) BPE
+    * training starts from — shared by q_text_bpe (learn) and
+    * q_text_bpe_encode (learn + apply).
+    */
+  private def bpeInitVocab(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.scoped(sharedDocTokens(s, d)
+      .select(explode(col("ts")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"), expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms")))
+
+  /** One BPE merge round over a (w, freq, syms) vocabulary: pick the
+    * argmax adjacent pair (a ≠ b; count desc then lexicographic) and
+    * greedily merge it left-to-right in every word type. Returns
+    * (best — 1 row (a, b, cnt), merged vocabulary); both scoped-cached
+    * because every subsequent round (and census) replays them.
+    */
+  private def bpeRound(vocab: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val pairs = vocab
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(1, size(syms) - 1),
+          |  i -> struct(element_at(syms, i) AS a,
+          |              element_at(syms, i + 1) AS b))""".stripMargin))
+        .as("p"))
+      .filter(col("p.a") =!= col("p.b"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+    val best = graft.Caches.scoped(
+      pairs.orderBy(descl("cnt"), ascf("a"), ascf("b")).limit(1))
+    val merged = graft.Caches.scoped(vocab.crossJoin(broadcast(best))
+      .select(col("w"), col("freq"), expr(
+        """filter(transform(sequence(1, size(syms)), i ->
+          |  CASE WHEN i > 1 AND try_element_at(syms, i - 1) = a
+          |            AND element_at(syms, i) = b THEN NULL
+          |       WHEN element_at(syms, i) = a
+          |            AND try_element_at(syms, i + 1) = b
+          |         THEN concat(a, b)
+          |       ELSE element_at(syms, i) END),
+          |  x -> x IS NOT NULL)""".stripMargin).as("syms")))
+    (best, merged)
+  }
+
   private val bpe = QueryDef(
     "q_text_bpe",
     (s, d) => {
-      val wordFreq = sharedDocTokens(s, d)
-        .select(explode(col("ts")).as("w"))
-        .filter(length(col("w")) >= 1)
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      var vocab = graft.Caches.scoped(wordFreq
-        .select(col("w"), col("freq"), expr(
-          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-          .as("syms")))
+      var vocab = bpeInitVocab(s, d)
       val rounds = (1 to bpeRounds).map { t =>
-        val pairs = vocab
-          .filter(size(col("syms")) >= 2)
-          .select(col("freq"), explode(expr(
-            """transform(sequence(1, size(syms) - 1),
-              |  i -> struct(element_at(syms, i) AS a,
-              |              element_at(syms, i + 1) AS b))""".stripMargin))
-            .as("p"))
-          .filter(col("p.a") =!= col("p.b"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("freq")).as("cnt"))
-        val best = graft.Caches.scoped(
-          pairs.orderBy(descl("cnt"), ascf("a"), ascf("b")).limit(1))
-        vocab = graft.Caches.scoped(vocab.crossJoin(broadcast(best))
-          .select(col("w"), col("freq"), expr(
-            """filter(transform(sequence(1, size(syms)), i ->
-              |  CASE WHEN i > 1 AND try_element_at(syms, i - 1) = a
-              |            AND element_at(syms, i) = b THEN NULL
-              |       WHEN element_at(syms, i) = a
-              |            AND try_element_at(syms, i + 1) = b
-              |         THEN concat(a, b)
-              |       ELSE element_at(syms, i) END),
-              |  x -> x IS NOT NULL)""".stripMargin).as("syms")))
+        val (best, merged) = bpeRound(vocab)
+        vocab = merged
         val census = vocab
           .select(col("freq"), col("syms"))
           .agg(sum(col("freq") * size(col("syms"))).as("total_syms"))
@@ -1201,9 +1221,96 @@ object Text {
          |ORDER BY lang ASC NULLS FIRST, rnk ASC NULLS FIRST""".stripMargin
     })
 
+  /** BPE tokenizer APPLICATION (round 7) — the other half of
+    * q_text_bpe: learn the same `bpeRounds` merges, then ENCODE the
+    * corpus with them and account for the result per lang — whitespace
+    * tokens in, BPE tokens out, chars-per-BPE-token compression ratio,
+    * and the per-doc max (the number a sequence-packing budget actually
+    * consumes, q_pack_sequences' input at a real tokenizer's grain).
+    *
+    * Encoding is a JOIN, not a recomputation: merges rewrite word
+    * TYPES, so the corpus encodes by mapping each token through the
+    * (word → |syms|) relation — vocabulary-sized, broadcast. That split
+    * (train on types, apply by lookup) is exactly how production BPE
+    * scales: the corpus is touched twice total (once to count types,
+    * once to encode), never once per merge.
+    *
+    * Oracle: the same p/b/v merge-round CTE chain as q_text_bpe
+    * (argmax pair, greedy left-to-right positional rewrite — the
+    * static-site identity documented there), then the same join back
+    * to doc tokens.
+    */
+  private val bpeEncode = QueryDef(
+    "q_text_bpe_encode",
+    (s, d) => {
+      var voc = bpeInitVocab(s, d)
+      for (_ <- 1 to bpeRounds) voc = bpeRound(voc)._2
+      val wl = voc.select(col("w"), size(col("syms")).cast("long").as("n_sym"))
+      val toks = sharedDocTokens(s, d)
+        .select(col("doc_id"), col("lang"), explode(col("ts")).as("w"))
+      val pd = toks.join(broadcast(wl), "w")
+        .groupBy(col("lang"), col("doc_id"))
+        .agg(count(lit(1)).as("n_ws"), sum(col("n_sym")).as("n_bpe"),
+          sum(length(col("w"))).as("n_chars"))
+      pd.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_ws")).as("n_ws_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(col("n_bpe")).as("n_bpe_tokens"),
+          max(col("n_bpe")).as("max_doc_bpe"),
+          expr("(sum(n_chars) * 1000000) div sum(n_bpe)").as("compress_e6"))
+        .orderBy(ascf("lang"))
+    },
+    Some {
+      val roundCtes = (1 to bpeRounds).map { t =>
+        val vIn = s"v${t - 1}"
+        s"""p$t AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, pr.a AS a, pr.b AS b FROM (
+           |      SELECT freq, unnest(list_transform(range(1, len(syms)),
+           |        i -> {'a': syms[i], 'b': syms[i + 1]})) AS pr
+           |      FROM $vIn WHERE len(syms) >= 2))
+           |  WHERE a <> b GROUP BY 1, 2),
+           |b$t AS MATERIALIZED (SELECT a, b, cnt FROM p$t
+           |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+           |v$t AS MATERIALIZED (SELECT w, freq,
+           |    list_filter(list_transform(range(1, len(syms) + 1), i ->
+           |      CASE WHEN i > 1 AND syms[i - 1] = b$t.a
+           |                AND syms[i] = b$t.b THEN NULL
+           |           WHEN syms[i] = b$t.a AND syms[i + 1] = b$t.b
+           |             THEN b$t.a || b$t.b
+           |           ELSE syms[i] END),
+           |      x -> x IS NOT NULL) AS syms
+           |  FROM $vIn, b$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wf AS (SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 1 GROUP BY w),
+         |v0 AS MATERIALIZED (SELECT w, freq,
+         |    list_transform(range(1, length(w) + 1),
+         |      i -> substring(w, i, 1)) AS syms FROM wf),
+         |$roundCtes,
+         |wl AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sym
+         |  FROM v$bpeRounds),
+         |t AS (SELECT doc_id, lang,
+         |    unnest(string_split(text, ' ')) AS w FROM documents),
+         |pd AS (SELECT t.lang AS lang, t.doc_id AS doc_id,
+         |    count(*) AS n_ws, CAST(sum(wl.n_sym) AS BIGINT) AS n_bpe,
+         |    CAST(sum(length(t.w)) AS BIGINT) AS n_chars
+         |  FROM t JOIN wl ON t.w = wl.w GROUP BY 1, 2)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_ws) AS BIGINT) AS n_ws_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+         |  max(n_bpe) AS max_doc_bpe,
+         |  CAST((sum(n_chars) * 1000000) // sum(n_bpe) AS BIGINT)
+         |    AS compress_e6
+         |FROM pd GROUP BY lang
+         |ORDER BY lang ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,
     langid, quality, tokens, fingerprint, levenshteinPairs, tfidf,
     collocations, vocab, zipf, keyphrase, bigramLm, perplexity, bpe,
-    textUnicode, bm25)
+    textUnicode, bm25, bpeEncode)
 }
