@@ -698,6 +698,89 @@ object Multimodal {
            |FROM f GROUP BY lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  final case class AugmentFeatures(media_id: Long, width: Int,
+      aug_w: Long, aug_h: Long, aug_sum: Long, edge_sum: Long)
+
+  /** Training AUGMENTATION through the raster codec (round 7): the two
+    * canonical label-preserving image augmentations a vision training
+    * pipeline applies on the fly — horizontal FLIP then center CROP
+    * (rows lose a 1-px margin, cols a 2-px margin) — run over the real
+    * encode→decode path, with a per-width census of the augmented
+    * brightness plus the augmented first-column checksum (`edge_sum`):
+    * a flip bug that reverses nothing, or a crop bug that slides the
+    * window, moves different source pixels into column 0, so the edge
+    * checksum pins ORIENTATION, which total brightness alone cannot
+    * (flip is a permutation — Σpx is flip-invariant by construction).
+    *
+    * aug(r, c) = in(r + 1, w − 3 − c), all index arithmetic, no
+    * interpolation (the q_mm_image_resize rule: a bilinear/rotation
+    * kernel would put engine-varying float math in the hash path). The
+    * oracle recomputes every augmented pixel from SOURCE chars by the
+    * same index map. Per-partition decode + augment, 4 ints out per
+    * image — the mapPartitions shape of the whole multimodal family;
+    * at 100 TB augmentation fuses into the decode pass exactly like
+    * this, which is why it is compute-, not shuffle-, bound.
+    */
+  private val mmAugment = QueryDef(
+    "q_mm_augment",
+    (s, d) => {
+      import s.implicits._
+      val imgs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val w = 8 + (id % 9).toInt
+          val h = text.length / w
+          val px = ascii7(text, 0, w * h)
+          ImageRec(id, graft.functions.Codecs.GrayImage.encode(w, h, px))
+        })
+      val feats = imgs.mapPartitions(_.map { r =>
+        val (w, h, px) = graft.functions.Codecs.GrayImage.decode(r.payload)
+        val w2 = math.max(w - 4, 0); val h2 = math.max(h - 2, 0)
+        var sum = 0L; var edge = 0L; var rr = 0
+        while (rr < h2) {
+          var cc = 0
+          while (cc < w2) {
+            val v = px((rr + 1) * w + (w - 3 - cc)) & 0xFF
+            sum += v
+            if (cc == 0) edge += v
+            cc += 1
+          }
+          rr += 1
+        }
+        AugmentFeatures(r.media_id, w, w2.toLong, h2.toLong, sum, edge)
+      })
+      feats.groupBy(col("width"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("aug_w") * col("aug_h")).as("total_aug_px"),
+          sum(col("aug_sum")).as("aug_checksum"),
+          sum(col("edge_sum")).as("edge_checksum"))
+        .orderBy(ascf("width"))
+    },
+    Some("""WITH d0 AS (SELECT doc_id, text,
+           |    8 + CAST(doc_id % 9 AS INTEGER) AS width FROM documents),
+           |d1 AS (SELECT doc_id, text, width,
+           |    CAST(len(text) // width AS BIGINT) AS height FROM d0),
+           |d2 AS (SELECT doc_id, text, width,
+           |    greatest(width - 4, 0) AS w2, greatest(height - 2, 0) AS h2
+           |  FROM d1),
+           |f AS (SELECT width, w2, h2,
+           |    CAST(coalesce(list_sum(list_transform(range(0, w2 * h2),
+           |      j -> ascii(substring(text,
+           |        CAST((j // w2 + 1) * width + (width - 3 - j % w2) + 1
+           |          AS INTEGER), 1)) & 127)), 0) AS BIGINT) AS aug_sum,
+           |    CAST(coalesce(list_sum(list_transform(range(0, h2),
+           |      r -> ascii(substring(text,
+           |        CAST((r + 1) * width + (width - 3) + 1 AS INTEGER), 1))
+           |        & 127)), 0) AS BIGINT) AS edge_sum
+           |  FROM d2)
+           |SELECT width, count(*) AS n_images,
+           |  CAST(sum(w2 * h2) AS BIGINT) AS total_aug_px,
+           |  CAST(sum(aug_sum) AS BIGINT) AS aug_checksum,
+           |  CAST(sum(edge_sum) AS BIGINT) AS edge_checksum
+           |FROM f GROUP BY width ORDER BY width ASC NULLS FIRST"""
+      .stripMargin))
+
   def defs: Seq[QueryDef] = Seq(mmBinary, mmFeatures, mmAudioPcm, mmImageGray,
-    mmVideoFrames, mmImageResize, mmAudioDownsample, mmPhash, mmSceneChange)
+    mmVideoFrames, mmImageResize, mmAudioDownsample, mmPhash, mmSceneChange,
+    mmAugment)
 }
