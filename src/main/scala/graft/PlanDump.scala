@@ -27,7 +27,8 @@ object PlanDump {
         // round 7 batches 3-6
         "q_audit_expectations", "q_text_pii", "q_text_bm25",
         "q_vec_randproj", "q_lake_cdc", "q_win_distinct",
-        "q_graph_closeness", "q_ts_holt", "q_sim_ann_pq")) {
+        "q_graph_closeness", "q_ts_holt", "q_sim_ann_pq",
+        "q_text_bpe_encode", "q_mm_augment")) {
       val p = Registry.queries(q)(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       out.append(s"##### $q\n```\n")
