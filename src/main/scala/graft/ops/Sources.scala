@@ -244,6 +244,70 @@ object Sources {
            |    AS head_checksum
            |FROM documents ORDER BY n_lines ASC NULLS FIRST""".stripMargin))
 
+  /** Corrupt-record ingestion (round 7) — the robustness contract a
+    * production JSON-lines reader must honor: malformed records land in
+    * `_corrupt_record` under PERMISSIVE mode with every data column
+    * null, well-formed records parse normally, and NOTHING is silently
+    * dropped (good + corrupt = input rows, pinned by the censuses). The
+    * stage deliberately BREAKS every doc_id ≡ 0 (mod 7) record (closing
+    * brace truncated) while writing the rest as valid JSON, so the read
+    * exercises both paths in one file, interleaved — the shape of a
+    * real crawl dump.
+    *
+    * The oracle recomputes both censuses from the parquet ground truth
+    * via the same mod rule — so a reader that dropped corrupt rows,
+    * half-parsed a truncated record into non-null columns, or
+    * misrouted a GOOD record to the corrupt column all break the hash.
+    * At 100 TB this is one scan with per-record try-parse — the same
+    * cost as a clean read; the corrupt census is the data-quality
+    * signal routed to quarantine in production (FileAlreadyExists-style
+    * reruns excepted, the quarantine write is q_lake_merge's shape).
+    */
+  private val sourceCorrupt = QueryDef(
+    "q_source_corrupt",
+    (s, d) => {
+      val path = stage(d, "json_corrupt")
+      val json = to_json(struct(col("doc_id"), col("lang"), col("n_chars"),
+        col("text")))
+      Tables.documents(s, d)
+        .select(when(pmod(col("doc_id"), lit(7)) === 0,
+            substring_index(json, "}", 1)) // drop the closing brace
+          .otherwise(json).as("value"))
+        .write.mode("overwrite").text(path)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("n_chars", LongType),
+        StructField("text", StringType),
+        StructField("_corrupt_record", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .select(when(col("_corrupt_record").isNotNull, "corrupt")
+          .otherwise("good").as("status"),
+          col("doc_id"), col("n_chars"), length(col("text")).as("tl"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_checksum"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"),
+          coalesce(sum(col("tl")), lit(0L)).as("sum_text_len"))
+        .orderBy(ascf("status"))
+    },
+    Some("""SELECT 'corrupt' AS status,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(0 AS BIGINT) AS id_checksum,
+           |  CAST(0 AS BIGINT) AS sum_chars,
+           |  CAST(0 AS BIGINT) AS sum_text_len
+           |FROM documents WHERE doc_id % 7 = 0
+           |UNION ALL
+           |SELECT 'good', CAST(count(*) AS BIGINT),
+           |  CAST(sum(doc_id) AS BIGINT),
+           |  CAST(sum(n_chars) AS BIGINT),
+           |  CAST(sum(length(text)) AS BIGINT)
+           |FROM documents WHERE doc_id % 7 <> 0
+           |ORDER BY status ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(sourceCsv, sourceJson, sourceOrc,
-    sourcePartitioned, sourceJsonNested, sourceText)
+    sourcePartitioned, sourceJsonNested, sourceText, sourceCorrupt)
 }
