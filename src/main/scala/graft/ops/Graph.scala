@@ -564,6 +564,114 @@ object Graph {
          |ORDER BY n_name ASC NULLS FIRST""".stripMargin
     })
 
+  /** Pivot strongly-connected component (round 7): the forward-backward
+    * reachability intersection — the inner step of every parallel SCC
+    * decomposition (FW-BW / coloring): nodes reachable FROM the pivot
+    * along directed trade edges, nodes reaching the pivot (reverse
+    * edges), and their intersection = the pivot's SCC. Directed edges
+    * are the top-3-by-weight OUT-neighbors per nation (direction
+    * preserved — unlike the undirected relation the BFS family shares),
+    * reachability is 3-hop-bounded like q_graph_bfs, same fixed-K
+    * unrolled-oracle pattern. A full decomposition iterates this step
+    * on the residual graph — each iteration is exactly this shape, so
+    * the one-pivot key grades the whole algorithm's building block.
+    * Pivot = nation 6, chosen so the graded SCC is NON-trivial on the
+    * fixtures (5 nodes at sf0.01; pivot 0's SCC was just itself — a
+    * vacuous grade); correctness is pivot-independent.
+    *
+    * Scale: two bounded BFS passes over the same edge exchange (the
+    * reverse direction is a column swap, not a second build); per-round
+    * state is node-sized. Output: per-node fwd/bwd/SCC membership flags
+    * — the coloring a decomposition would recurse on.
+    */
+  private val scc = QueryDef(
+    "q_graph_scc",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(descl("w"), ascf("dst"))
+      val edges = Caches.scoped(li
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst")))
+      def reach(adj: org.apache.spark.sql.DataFrame) = {
+        var r = Tables.nation(s, d)
+          .select(col("n_nationkey").cast("long").as("node"))
+          .withColumn("ok", col("node") === 6L)
+        for (_ <- 1 to 3) {
+          val f = adj.join(broadcast(r.filter(col("ok"))),
+              col("u") === col("node"))
+            .select(col("v")).distinct()
+          r = r.join(f, col("node") === col("v"), "left")
+            .select(col("node"), (col("ok") || col("v").isNotNull).as("ok"))
+        }
+        r
+      }
+      val fwd = reach(edges.select(col("src").as("u"), col("dst").as("v")))
+        .withColumnRenamed("ok", "fwd")
+      val bwd = reach(edges.select(col("dst").as("u"), col("src").as("v")))
+        .withColumnRenamed("ok", "bwd")
+      fwd.join(bwd, "node")
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))),
+          col("node") === col("nk"))
+        .select(col("n_name"),
+          when(col("fwd"), 1L).otherwise(0L).as("fwd"),
+          when(col("bwd"), 1L).otherwise(0L).as("bwd"),
+          when(col("fwd") && col("bwd"), 1L).otherwise(0L).as("in_scc"))
+        .orderBy(ascf("n_name"))
+    },
+    Some {
+      def rounds(adjName: String, p: String): String =
+        (1 to 3).map { t =>
+          val prev = s"$p${t - 1}"
+          s"""${p}f$t AS (SELECT DISTINCT $adjName.v FROM $adjName
+             |  JOIN $prev ON $adjName.u = $prev.node WHERE $prev.ok),
+             |$p$t AS (SELECT $prev.node,
+             |    ($prev.ok OR ${p}f$t.v IS NOT NULL) AS ok
+             |  FROM $prev LEFT JOIN ${p}f$t ON $prev.node = ${p}f$t.v)"""
+            .stripMargin
+        }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  WHERE c.c_nationkey <> s.s_nationkey
+         |  GROUP BY 1, 2),
+         |edges AS (SELECT CAST(src AS BIGINT) AS src,
+         |    CAST(dst AS BIGINT) AS dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY w DESC, dst ASC) AS rn FROM e0)
+         |  WHERE rn <= 3),
+         |fa AS (SELECT src AS u, dst AS v FROM edges),
+         |ba AS (SELECT dst AS u, src AS v FROM edges),
+         |a0 AS (SELECT CAST(n_nationkey AS BIGINT) AS node,
+         |    n_nationkey = 6 AS ok FROM nation),
+         |b0 AS (SELECT CAST(n_nationkey AS BIGINT) AS node,
+         |    n_nationkey = 6 AS ok FROM nation),
+         |${rounds("fa", "a")},
+         |${rounds("ba", "b")}
+         |SELECT n.n_name,
+         |  CAST(CASE WHEN a3.ok THEN 1 ELSE 0 END AS BIGINT) AS fwd,
+         |  CAST(CASE WHEN b3.ok THEN 1 ELSE 0 END AS BIGINT) AS bwd,
+         |  CAST(CASE WHEN a3.ok AND b3.ok THEN 1 ELSE 0 END AS BIGINT)
+         |    AS in_scc
+         |FROM a3 JOIN b3 ON a3.node = b3.node
+         |JOIN nation n ON a3.node = n.n_nationkey
+         |ORDER BY n_name ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(pagerank, triangles, bfs, degree,
-    graphJaccard, labelProp, closeness)
+    graphJaccard, labelProp, closeness, scc)
 }
