@@ -124,7 +124,8 @@ object ScaleProbe {
         "q_audit_expectations", "q_text_pii", "q_text_bm25",
         "q_vec_randproj", "q_lake_cdc", "q_win_distinct",
         "q_graph_closeness", "q_ts_holt", "q_sim_ann_pq",
-        "q_text_bpe_encode", "q_mm_augment")
+        "q_text_bpe_encode", "q_mm_augment", "q_source_corrupt",
+        "q_graph_scc")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()

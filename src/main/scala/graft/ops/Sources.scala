@@ -284,8 +284,18 @@ object Sources {
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
-        .select(when(col("_corrupt_record").isNotNull, "corrupt")
-          .otherwise("good").as("status"),
+        // status references a DATA column alongside _corrupt_record for
+        // two reasons: it additionally asserts the PERMISSIVE contract
+        // (corrupt ⇒ data columns null — a half-parsed doc_id would
+        // flip the row to a third bucket and break the 2-row hash), and
+        // Spark refuses any JSON scan whose referenced columns prune
+        // down to only the internal corrupt column
+        // (QUERY_ONLY_CORRUPT_RECORD_COLUMN — a bare count() over this
+        // relation does exactly that)
+        .select(when(col("_corrupt_record").isNotNull &&
+            col("doc_id").isNull, "corrupt")
+          .when(col("_corrupt_record").isNull, "good")
+          .otherwise("half-parsed").as("status"),
           col("doc_id"), col("n_chars"), length(col("text")).as("tl"))
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n_rows"),
