@@ -59,6 +59,58 @@ object Aggregates {
            |GROUP BY l_returnflag, l_linestatus
            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
 
+  /** TPC-H Q18 shape (round 7): large-volume customers — orders whose
+    * total line quantity exceeds a threshold, with customer attribution.
+    * Plan shape for 100 TB: the HAVING pre-aggregate is one hash shuffle
+    * of lineitem on l_orderkey producing an order-sized relation; the
+    * fact-side re-join runs on the SAME key, so with the aggregate
+    * output left partitioned by l_orderkey the join adds no second
+    * lineitem shuffle (Exchange reuse); orders joins on that key too,
+    * and customer rides in as a broadcast. The top-100 is a partial
+    * TakeOrdered, never a global sort.
+    *
+    * Determinism: quantity sums are exact DECIMAL (D2) pinned at output
+    * (D9); the LIMIT order is total via the o_orderkey tiebreak (D1).
+    */
+  private val aggQ18 = QueryDef(
+    "q_agg_q18",
+    (s, d) => {
+      import org.apache.spark.sql.functions.broadcast
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("bigkey"))
+        .agg(sum(dec(col("l_quantity"))).as("oq"))
+        .filter(col("oq") > 250)
+        .select(col("bigkey"))
+      Tables.lineitem(s, d)
+        .join(big, col("l_orderkey") === col("bigkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(pin2(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          epochUs(col("o_orderdate")).as("o_date_us"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(descl("o_totalprice"), ascf("o_orderkey"))
+        .limit(100)
+    },
+    Some("""WITH big AS (
+           |  SELECT l_orderkey AS bigkey FROM lineitem
+           |  GROUP BY 1
+           |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+           |SELECT c_name, c_custkey, o_orderkey,
+           |  CAST(epoch_us(o_orderdate) AS BIGINT) AS o_date_us,
+           |  o_totalprice,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           |FROM customer JOIN orders ON c_custkey = o_custkey
+           |  JOIN lineitem ON o_orderkey = l_orderkey
+           |  JOIN big ON o_orderkey = bigkey
+           |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+           |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST
+           |LIMIT 100""".stripMargin))
+
   private val aggGlobal = QueryDef(
     "q_agg_global",
     (s, d) =>
@@ -471,7 +523,7 @@ object Aggregates {
     })
 
   def defs: Seq[QueryDef] = Seq(
-    aggQ1, aggGlobal, aggDistinct, aggHaving,
+    aggQ1, aggQ18, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
     aggPercentile, aggPivot, aggUnpivot, aggGrouping, aggMode, aggBitset,
     aggEntropy)

@@ -405,6 +405,54 @@ object Relational {
            |  AND o_orderdate < TIMESTAMP '1997-01-01'
            |GROUP BY n_name ORDER BY n_name ASC NULLS FIRST""".stripMargin))
 
+  /** TPC-H Q3 shape (round 7): top-10 highest-revenue orders still
+    * unshipped at a cutoff date for one market segment — the classic
+    * selective-dim → fact → fact chain. Plan shape for 100 TB: customer
+    * is filtered to one segment BEFORE the join (predicate pushed to the
+    * scan), orders prunes on o_orderdate at the scan, and lineitem
+    * prunes on l_shipdate; the two joins shuffle only the surviving
+    * ~1/5 · ~1/4 slice. The top-10 runs as a partial TakeOrdered on
+    * every partition before the single-reducer merge — no global sort of
+    * the aggregate ever materializes.
+    *
+    * Determinism: revenue is exact DECIMAL (D2) pinned to double only at
+    * output (D9); the LIMIT is fed by a TOTAL order (revenue DESC,
+    * l_orderkey ASC tiebreak) so the kept 10 rows are unique (D1).
+    */
+  private val joinQ3 = QueryDef(
+    "q_join_q3",
+    (s, d) => {
+      val cutoff = lit("1996-07-01").cast("timestamp_ntz")
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > cutoff)
+        .join(Tables.orders(s, d).filter(col("o_orderdate") < cutoff),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(pin4(sum(dec12(col("l_extendedprice")) * oneMinus(col("l_discount"))))
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          epochUs(col("o_orderdate")).as("o_date_us"), col("o_orderpriority"))
+        .orderBy(descl("revenue"), ascf("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+           |  CAST(epoch_us(o_orderdate) AS BIGINT) AS o_date_us,
+           |  o_orderpriority
+           |FROM customer JOIN orders ON c_custkey = o_custkey
+           |  JOIN lineitem ON l_orderkey = o_orderkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND o_orderdate < TIMESTAMP '1996-07-01'
+           |  AND l_shipdate > TIMESTAMP '1996-07-01'
+           |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+           |ORDER BY revenue DESC NULLS LAST, l_orderkey ASC NULLS FIRST
+           |LIMIT 10""".stripMargin))
+
   /** The explicit skew-salting path as a graded key (round 4): the
     * orders ⋈ customer join runs through graft.plans.SaltedJoin (8
     * salts — hot keys spread over 8 tasks), whose semantics are exactly
@@ -768,6 +816,6 @@ object Relational {
     filterCompound, filterExpr,
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
     joinCross, joinTheta, joinRange, joinAsof, joinStar, joinBroadcast,
-    joinQ5, joinSalted, joinBloom, subqScalar, subqExists, auditFk,
+    joinQ5, joinQ3, joinSalted, joinBloom, subqScalar, subqExists, auditFk,
     auditExpectations)
 }
