@@ -672,6 +672,102 @@ object Graph {
          |ORDER BY n_name ASC NULLS FIRST""".stripMargin
     })
 
+  /** k-core decomposition by fixed-round peeling (round 7): over the
+    * document near-dup pair graph (the session-shared ≥0.95-Jaccard
+    * relation that also feeds q_dedup_components), repeatedly drop
+    * vertices whose degree among SURVIVORS is < 2, R=4 rounds, then
+    * report per language: graph vertices, 2-core survivors, and the
+    * within-core degree mass (= 2·core edges). The 2-core strips
+    * pendant near-dup pairs and chains, leaving only clusters with
+    * internal redundancy ≥ a cycle/clique — the dense backbone a
+    * curation pipeline escalates to cluster-representative dedup, vs
+    * the simple pairs it can resolve greedily.
+    *
+    * Scale: each round is two hash joins of the pre-partitioned
+    * (scoped-persisted) edge relation against the shrinking vertex-sized
+    * survivor set, then a count — edges are shuffled into their layout
+    * ONCE. The survivor frame is lineage-truncated per round (it feeds
+    * two joins in the next round — unchecked, the plan doubles per
+    * iteration), reliable-checkpoint when a checkpoint dir is
+    * configured, localCheckpoint otherwise (the componentLabels tier).
+    * Production peeling runs the same loop delta-wise; the fixed-R
+    * unroll is the cross-engine-gradeable form, and R=4 removes
+    * pendant chains of length ≤ 4 — documented semantics, not a
+    * convergence claim.
+    *
+    * Determinism: pure integer degree counting; per-lang census is
+    * order-free.
+    */
+  private val kcore = QueryDef(
+    "q_graph_kcore",
+    (s, d) => {
+      val edges = Pipeline.componentEdges(s, d) // symmetrized (d1,d2)
+      val reliable = s.sparkContext.getCheckpointDir.isDefined
+      def coreDeg(alive: org.apache.spark.sql.DataFrame) =
+        edges
+          .join(alive.select(col("node").as("au")), col("d1") === col("au"))
+          .join(alive.select(col("node").as("av")), col("d2") === col("av"))
+          .groupBy(col("d1")).agg(count(lit(1)).as("deg"))
+      val verts = Pipeline.componentVerts(edges)
+        .select(col("id").as("node"))
+      var alive = verts
+      for (_ <- 1 to 4) {
+        val frame = coreDeg(alive).filter(col("deg") >= 2)
+          .select(col("d1").as("node"))
+        alive = if (reliable) frame.checkpoint(true)
+                else frame.localCheckpoint(true)
+      }
+      val cd = coreDeg(alive)
+      val docLang = Tables.documents(s, d)
+        .select(col("doc_id").as("node"), col("lang"))
+      val vCensus = verts.join(docLang, "node")
+        .groupBy(col("lang")).agg(count(lit(1)).as("nv"))
+      val cCensus = cd.join(docLang, col("d1") === col("node"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("nc"), sum(col("deg")).as("degsum"))
+      Tables.documents(s, d).select(col("lang")).distinct()
+        .join(vCensus, Seq("lang"), "left")
+        .join(cCensus, Seq("lang"), "left")
+        .select(col("lang"),
+          coalesce(col("nv"), lit(0L)).as("graph_verts"),
+          coalesce(col("nc"), lit(0L)).as("core2_verts"),
+          coalesce(col("degsum"), lit(0L)).as("core2_deg_sum"))
+        .orderBy(ascf("lang"))
+    },
+    Some {
+      def round(prev: String, cur: String) =
+        s"""d$cur AS (SELECT sym.u, count(*) AS deg FROM sym
+           |  JOIN a$prev x ON sym.u = x.node
+           |  JOIN a$prev y ON sym.v = y.node GROUP BY sym.u),
+           |a$cur AS (SELECT u AS node FROM d$cur WHERE deg >= 2)""".stripMargin
+      Similarity.oracleJaccardCte +
+        s""",
+           |sym AS (SELECT d1 AS u, d2 AS v FROM jp
+           |  UNION ALL SELECT d2 AS u, d1 AS v FROM jp),
+           |a0 AS (SELECT DISTINCT u AS node FROM sym),
+           |${round("0", "1")},
+           |${round("1", "2")},
+           |${round("2", "3")},
+           |${round("3", "4")},
+           |cd AS (SELECT sym.u, count(*) AS deg FROM sym
+           |  JOIN a4 x ON sym.u = x.node
+           |  JOIN a4 y ON sym.v = y.node GROUP BY sym.u),
+           |vc AS (SELECT doc.lang, count(*) AS nv
+           |  FROM a0 JOIN documents doc ON a0.node = doc.doc_id
+           |  GROUP BY doc.lang),
+           |cc AS (SELECT doc.lang, count(*) AS nc, sum(cd.deg) AS degsum
+           |  FROM cd JOIN documents doc ON cd.u = doc.doc_id
+           |  GROUP BY doc.lang)
+           |SELECT l.lang AS lang,
+           |  CAST(coalesce(vc.nv, 0) AS BIGINT) AS graph_verts,
+           |  CAST(coalesce(cc.nc, 0) AS BIGINT) AS core2_verts,
+           |  CAST(coalesce(cc.degsum, 0) AS BIGINT) AS core2_deg_sum
+           |FROM (SELECT DISTINCT lang FROM documents) l
+           |LEFT JOIN vc ON l.lang = vc.lang
+           |LEFT JOIN cc ON l.lang = cc.lang
+           |ORDER BY lang ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(pagerank, triangles, bfs, degree,
-    graphJaccard, labelProp, closeness, scc)
+    graphJaccard, labelProp, closeness, scc, kcore)
 }
