@@ -859,7 +859,81 @@ object Curation {
            |FROM red3 GROUP BY lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** Sliding-window document chunking (round 7): split each document
+    * into fixed token windows (W=32, stride S=24, right-aligned tail) —
+    * the preprocessing step that turns long documents into
+    * context-window-sized training/RAG segments, the other half of
+    * batch construction next to q_pack_sequences (chunking SPLITS long
+    * docs; packing FILLS budgets with short ones). Chunk count
+    * m = 1 if n ≤ W else ⌈(n−W)/S⌉+1, starts k·S for k < m−1 and n−W
+    * for the last (every chunk full-width unless the doc itself is
+    * short) — the stride rule production tokenizer pipelines use.
+    *
+    * Scale: one corpus pass, per-row integer arithmetic + a bounded
+    * explode (≤ n/S chunks per doc), embarrassingly parallel until the
+    * lang-grain partial agg — no shuffle carries row data. The boundary
+    * checksum reads the token at each chunk start via element_at on the
+    * split array (codegen'd, no UDF), so a off-by-one in either
+    * engine's start arithmetic breaks the hash.
+    *
+    * Determinism: pure integer chunk geometry; ⌈x⌉ spelled as
+    * (x + S − 1) div S on both engines (all operands non-negative).
+    */
+  private val textChunking = QueryDef(
+    "q_text_chunking",
+    (s, d) => {
+      val W = 32
+      val S = 24
+      // exact integer ceil-div: (n - W + S - 1) div S + 1
+      val withM = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("m",
+          when(col("n") <= W, lit(1L))
+            .otherwise(expr(s"(n - $W + ${S - 1}) div $S + 1")))
+      val chunks = withM
+        .select(col("lang"), col("doc_id"), col("toks"), col("n"), col("m"),
+          explode(sequence(lit(0L), col("m") - 1)).as("k"))
+        .withColumn("start",
+          when(col("k") === col("m") - 1 && col("n") > W, col("n") - W)
+            .otherwise(col("k") * S))
+        .withColumn("clen", least(lit(W.toLong), col("n")))
+        .withColumn("btok_len",
+          length(element_at(col("toks"), (col("start") + 1).cast("int"))))
+      chunks.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("clen")).as("sum_chunk_tokens"),
+          sum(col("btok_len").cast("long")).as("boundary_char_sum"),
+          max(col("m")).as("max_chunks_per_doc"))
+        .orderBy(ascf("lang"))
+    },
+    Some(s"""WITH t AS (SELECT lang, doc_id, string_split(text, ' ') AS toks,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           |  FROM documents),
+           |tm AS (SELECT lang, doc_id, toks, n,
+           |    CASE WHEN n <= 32 THEN 1
+           |         ELSE (n - 32 + 23) // 24 + 1 END AS m
+           |  FROM t),
+           |ch AS (SELECT lang, doc_id, toks, n, m,
+           |    unnest(generate_series(0, m - 1)) AS k
+           |  FROM tm),
+           |cc AS (SELECT lang, m,
+           |    CASE WHEN k = m - 1 AND n > 32 THEN n - 32 ELSE k * 24 END
+           |      AS start,
+           |    least(32, n) AS clen, toks
+           |  FROM ch)
+           |SELECT lang,
+           |  count(*) AS n_chunks,
+           |  CAST(sum(clen) AS BIGINT) AS sum_chunk_tokens,
+           |  CAST(sum(len(toks[CAST(start + 1 AS INT)])) AS BIGINT)
+           |    AS boundary_char_sum,
+           |  CAST(max(m) AS BIGINT) AS max_chunks_per_doc
+           |FROM cc GROUP BY lang
+           |ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(packSequences, contamination, repetition,
     dedupIncremental, mixWeighted, lengthHist, mixTemperature, qualityGopher,
-    mixUpsample, profileCols, profileSkew, profileDepth, dedupLines, textPii)
+    mixUpsample, profileCols, profileSkew, profileDepth, dedupLines, textPii,
+    textChunking)
 }
