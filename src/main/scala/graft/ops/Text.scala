@@ -1308,9 +1308,96 @@ object Text {
          |ORDER BY lang ASC NULLS FIRST""".stripMargin
     })
 
+  /** Winnowing fingerprint selection (round 7, the MOSS scheme:
+    * Schleimer/Wilkerson/Aiken SIGMOD'03): hash every token 4-gram,
+    * slide a window of 4 consecutive gram hashes, keep each window's
+    * MINIMUM — the selected set is a deterministic, position-robust
+    * document sketch whose density is guaranteed ≈ 2/(w+1), the
+    * fingerprinting scheme plagiarism/near-dup systems use when
+    * MinHash's fixed-size signature loses locality. Output per lang:
+    * gram mass, selected-fingerprint mass, and a fingerprint checksum.
+    *
+    * Scale: one corpus explode → two window passes partitioned by
+    * doc_id (lead() to build gram hashes, running min to select) — all
+    * per-doc sequential state lives inside a window operator over
+    * doc-partitioned rows, so the corpus shuffles ONCE on doc_id (at
+    * 100 TB documents are already the parquet row grain, so the
+    * "shuffle" is a local sort). No UDF: the gram hash is a base-31
+    * polynomial of integer token features (first/last char code,
+    * length) inside whole-stage codegen.
+    *
+    * Determinism: integer arithmetic throughout; the selected SET is
+    * dedup'd on hash VALUES (count/sum DISTINCT), so window tie-breaks
+    * (which position carries a duplicated min) never affect the grade.
+    */
+  private val winnowing = QueryDef(
+    "q_text_winnowing",
+    (s, d) => {
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(ascf("pos"))
+      val e = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), posexplode(toks).as(Seq("pos", "w")))
+        .select(col("doc_id"), col("lang"), col("pos"),
+          (ascii(substring(col("w"), 1, 1)).cast("bigint") * 131 +
+            length(col("w")).cast("bigint") * 7 +
+            ascii(substring(col("w"), -1, 1)).cast("bigint")).as("f"))
+      val g = e
+        .withColumn("gh",
+          col("f") + lead(col("f"), 1).over(wDoc) * 31 +
+            lead(col("f"), 2).over(wDoc) * 961 +
+            lead(col("f"), 3).over(wDoc) * 29791)
+        .filter(col("gh").isNotNull)
+      val sel = g
+        .withColumn("ng", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .withColumn("wmin", min(col("gh")).over(
+          wDoc.rowsBetween(Window.currentRow, 3)))
+        .withColumn("rnk", row_number().over(wDoc))
+        .filter(col("rnk") <= col("ng") - 3)
+      val perDoc = sel.groupBy(col("doc_id"), col("lang"))
+        .agg(max(col("ng")).as("n_grams"),
+          countDistinct(col("wmin")).as("n_fp"),
+          (sum_distinct(col("wmin")) % 1000000007L).as("fp_sum"))
+      perDoc.groupBy(col("lang"))
+        .agg(sum(col("n_grams")).as("total_grams"),
+          sum(col("n_fp")).as("total_fp"),
+          (sum(col("fp_sum")) % 1000000007L).as("fp_checksum"),
+          max(col("n_fp")).as("max_doc_fp"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH e AS (SELECT doc_id, lang, pos,
+           |    CAST(ascii(substring(w, 1, 1)) AS BIGINT) * 131
+           |      + CAST(length(w) AS BIGINT) * 7
+           |      + CAST(ascii(substring(w, -1, 1)) AS BIGINT) AS f
+           |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w,
+           |      generate_subscripts(string_split(text, ' '), 1) AS pos
+           |    FROM documents) t),
+           |g AS (SELECT doc_id, lang, pos,
+           |    f + lead(f, 1) OVER wd * 31
+           |      + lead(f, 2) OVER wd * 961
+           |      + lead(f, 3) OVER wd * 29791 AS gh
+           |  FROM e WINDOW wd AS (PARTITION BY doc_id ORDER BY pos ASC)),
+           |g2 AS (SELECT * FROM g WHERE gh IS NOT NULL),
+           |sel AS (SELECT doc_id, lang,
+           |    count(*) OVER (PARTITION BY doc_id) AS ng,
+           |    min(gh) OVER (PARTITION BY doc_id ORDER BY pos ASC
+           |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY pos ASC) AS rnk
+           |  FROM g2),
+           |pd AS (SELECT doc_id, lang, max(ng) AS n_grams,
+           |    count(DISTINCT wmin) AS n_fp,
+           |    sum(DISTINCT wmin) % 1000000007 AS fp_sum
+           |  FROM sel WHERE rnk <= ng - 3
+           |  GROUP BY doc_id, lang)
+           |SELECT lang,
+           |  CAST(sum(n_grams) AS BIGINT) AS total_grams,
+           |  CAST(sum(n_fp) AS BIGINT) AS total_fp,
+           |  CAST(sum(fp_sum) % 1000000007 AS BIGINT) AS fp_checksum,
+           |  CAST(max(n_fp) AS BIGINT) AS max_doc_fp
+           |FROM pd GROUP BY lang
+           |ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,
     langid, quality, tokens, fingerprint, levenshteinPairs, tfidf,
     collocations, vocab, zipf, keyphrase, bigramLm, perplexity, bpe,
-    textUnicode, bm25, bpeEncode)
+    textUnicode, bm25, bpeEncode, winnowing)
 }
