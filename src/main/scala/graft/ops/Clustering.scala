@@ -518,5 +518,106 @@ object Clustering {
          |ORDER BY lang ASC NULLS FIRST, pred ASC NULLS FIRST""".stripMargin
     })
 
-  def defs: Seq[QueryDef] = Seq(kmeans, perceptron, naiveBayes)
+  /** Exact decision-stump training (round 7): exhaustive best-split
+    * search over three integer features (quantity, discount-cents,
+    * tax-cents) for the binary label "high-value line"
+    * (l_extendedprice ≥ 52000 ≈ the fixture median — quantity genuinely
+    * predicts it since price ≈ qty · unit price, so thresholds have a
+    * real error gradient and the cumulative-path arithmetic is graded
+    * non-vacuously; a feature-independent label would collapse every
+    * stump to the majority vote),
+    * minimizing misclassification count min(posL,negL)+min(posR,negR)
+    * with majority prediction on each side — the split criterion a
+    * boosted-tree / CART root node evaluates, reduced to its exactly
+    * gradeable integer core. One row per feature: its best threshold,
+    * error count, and accuracy.
+    *
+    * Scale: the fact table collapses to a (feature, value) histogram in
+    * ONE unpivoted pass (3 rows/fact map-side, partial-agg'd to ≤ ~70
+    * grouped rows before the shuffle); every candidate threshold is then
+    * scored from cumulative window sums over that tiny histogram — the
+    * standard histogram-based split finding of every distributed GBDT
+    * (XGBoost/LightGBM hist mode). Adding features or thresholds grows
+    * the histogram, never the fact-table passes.
+    *
+    * Determinism: pure integer counting; threshold grid = observed
+    * values (any split between observed values is equivalent); argmin
+    * tiebreak = smallest threshold; discount/tax exact-decimal → cents
+    * (never a double product, D2).
+    */
+  private val stump = QueryDef(
+    "q_ml_stump",
+    (s, d) => {
+      val li = graft.Tables.lineitem(s, d).select(
+        col("l_quantity").cast("long").as("qty"),
+        (pct(col("l_discount")) * 100).cast("long").as("disc_c"),
+        (pct(col("l_tax")) * 100).cast("long").as("tax_c"),
+        when(col("l_extendedprice") >= 52000.0, lit(1L)).otherwise(lit(0L))
+          .as("y"))
+      val long = li.select(col("y"), explode(expr(
+        """array(struct('quantity' AS feature, qty AS v),
+          |      struct('discount' AS feature, disc_c AS v),
+          |      struct('tax' AS feature, tax_c AS v))""".stripMargin))
+        .as("fv"))
+        .select(col("fv.feature").as("feature"), col("fv.v").as("v"), col("y"))
+      val hist = long.groupBy(col("feature"), col("v"))
+        .agg(sum(col("y")).as("pos"),
+          (count(lit(1)) - sum(col("y"))).as("neg"))
+      val wf = Window.partitionBy(col("feature")).orderBy(ascf("v"))
+      val wTot = Window.partitionBy(col("feature"))
+      val scored = hist
+        .withColumn("pos_le", sum(col("pos")).over(wf))
+        .withColumn("neg_le", sum(col("neg")).over(wf))
+        .withColumn("pos_t", sum(col("pos")).over(wTot))
+        .withColumn("neg_t", sum(col("neg")).over(wTot))
+        .withColumn("err",
+          least(col("pos_le"), col("neg_le")) +
+            least(col("pos_t") - col("pos_le"), col("neg_t") - col("neg_le")))
+      val best = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("feature")).orderBy(ascf("err"), ascf("v"))))
+        .filter(col("rn") === 1)
+      best.select(col("feature"), col("v").as("best_threshold"),
+        col("err").as("n_err"), (col("pos_t") + col("neg_t")).as("n_total"),
+        expr("(pos_t + neg_t - err) * 1000000 div (pos_t + neg_t)")
+          .as("accuracy_e6"))
+        .orderBy(ascf("feature"))
+    },
+    Some("""WITH base AS (SELECT
+           |    CAST(l_quantity AS BIGINT) AS qty,
+           |    CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS BIGINT) AS disc_c,
+           |    CAST(CAST(l_tax AS DECIMAL(3,2)) * 100 AS BIGINT) AS tax_c,
+           |    CASE WHEN l_extendedprice >= 52000.0 THEN 1 ELSE 0 END AS y
+           |  FROM lineitem),
+           |long AS (
+           |  SELECT 'quantity' AS feature, qty AS v, y FROM base
+           |  UNION ALL SELECT 'discount', disc_c, y FROM base
+           |  UNION ALL SELECT 'tax', tax_c, y FROM base),
+           |hist AS (SELECT feature, v, sum(y) AS pos,
+           |    count(*) - sum(y) AS neg
+           |  FROM long GROUP BY feature, v),
+           |scored AS (SELECT feature, v,
+           |    sum(pos) OVER wf AS pos_le, sum(neg) OVER wf AS neg_le,
+           |    sum(pos) OVER wt AS pos_t, sum(neg) OVER wt AS neg_t
+           |  FROM hist
+           |  WINDOW wf AS (PARTITION BY feature ORDER BY v ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |  wt AS (PARTITION BY feature)),
+           |err AS (SELECT feature, v, pos_t, neg_t,
+           |    least(pos_le, neg_le)
+           |      + least(pos_t - pos_le, neg_t - neg_le) AS err
+           |  FROM scored),
+           |best AS (SELECT feature, v, err, pos_t, neg_t,
+           |    row_number() OVER (PARTITION BY feature
+           |      ORDER BY err ASC, v ASC) AS rn
+           |  FROM err)
+           |SELECT feature, CAST(v AS BIGINT) AS best_threshold,
+           |  CAST(err AS BIGINT) AS n_err,
+           |  CAST(pos_t + neg_t AS BIGINT) AS n_total,
+           |  CAST((pos_t + neg_t - err) * 1000000 // (pos_t + neg_t) AS BIGINT)
+           |    AS accuracy_e6
+           |FROM best WHERE rn = 1
+           |ORDER BY feature ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(kmeans, perceptron, naiveBayes, stump)
 }
