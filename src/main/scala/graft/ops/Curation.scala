@@ -932,8 +932,88 @@ object Curation {
            |FROM cc GROUP BY lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** Pairwise Pearson correlation profile (round 7): the feature-
+    * redundancy screen a profiling pass runs before model work —
+    * corr(quantity, discount), corr(quantity, tax), corr(discount, tax)
+    * over lineitem, computed from EXACT integer moment sums.
+    *
+    * Scale: ONE fused aggregation pass produces all 10 moments
+    * (n, Σx, Σx², Σxy for every pair) with map-side partials — adding
+    * feature pairs widens the 1-row aggregate, never adds a pass (the
+    * q_audit_expectations fused-analyzer shape); the 3 verdict rows fan
+    * out of the 1-row aggregate via a literal-struct explode, no
+    * collect.
+    *
+    * Determinism: all moments are exact int64 (qty ≤ 50, cents ≤ 10 ⇒
+    * every moment < 2^53 at any plausible SF, and int64→double is
+    * correctly rounded in both engines beyond that); the final
+    * r = num / (sqrt(va)·sqrt(vb)) divides the SAME exact operands
+    * through IEEE-754 sqrt/mul/div (each correctly rounded in both
+    * engines → bit-identical). The variances multiply AFTER their
+    * sqrts — va·vb as integers would cross 2^63 at sf0.1.
+    */
+  private val profileCorr = QueryDef(
+    "q_profile_corr",
+    (s, d) => {
+      val b = Tables.lineitem(s, d).select(
+        col("l_quantity").cast("long").as("q"),
+        (pct(col("l_discount")) * 100).cast("long").as("dc"),
+        (pct(col("l_tax")) * 100).cast("long").as("tc"))
+      val m = b.agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sq"), sum(col("dc")).as("sd"),
+        sum(col("tc")).as("st"),
+        sum(col("q") * col("q")).as("sqq"),
+        sum(col("dc") * col("dc")).as("sdd"),
+        sum(col("tc") * col("tc")).as("stt"),
+        sum(col("q") * col("dc")).as("sqd"),
+        sum(col("q") * col("tc")).as("sqt"),
+        sum(col("dc") * col("tc")).as("sdt"))
+      m.select(explode(expr(
+        """array(
+          |  struct('qty_disc' AS pair, n * sqd - sq * sd AS num,
+          |    n * sqq - sq * sq AS va, n * sdd - sd * sd AS vb),
+          |  struct('qty_tax' AS pair, n * sqt - sq * st AS num,
+          |    n * sqq - sq * sq AS va, n * stt - st * st AS vb),
+          |  struct('disc_tax' AS pair, n * sdt - sd * st AS num,
+          |    n * sdd - sd * sd AS va, n * stt - st * st AS vb))""".stripMargin))
+        .as("r"), col("n"))
+        .select(col("r.pair").as("pair"), col("n"),
+          col("r.num").as("cov_num"),
+          (col("r.num").cast("double") /
+            (sqrt(col("r.va").cast("double")) *
+              sqrt(col("r.vb").cast("double")))).as("corr"))
+        .orderBy(ascf("pair"))
+    },
+    Some("""WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+           |    CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS BIGINT) AS dc,
+           |    CAST(CAST(l_tax AS DECIMAL(3,2)) * 100 AS BIGINT) AS tc
+           |  FROM lineitem),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(q) AS BIGINT) AS sq, CAST(sum(dc) AS BIGINT) AS sd,
+           |    CAST(sum(tc) AS BIGINT) AS st,
+           |    CAST(sum(q * q) AS BIGINT) AS sqq,
+           |    CAST(sum(dc * dc) AS BIGINT) AS sdd,
+           |    CAST(sum(tc * tc) AS BIGINT) AS stt,
+           |    CAST(sum(q * dc) AS BIGINT) AS sqd,
+           |    CAST(sum(q * tc) AS BIGINT) AS sqt,
+           |    CAST(sum(dc * tc) AS BIGINT) AS sdt
+           |  FROM b),
+           |rows_ AS (
+           |  SELECT 'qty_disc' AS pair, n, n * sqd - sq * sd AS num,
+           |    n * sqq - sq * sq AS va, n * sdd - sd * sd AS vb FROM m
+           |  UNION ALL SELECT 'qty_tax', n, n * sqt - sq * st,
+           |    n * sqq - sq * sq, n * stt - st * st FROM m
+           |  UNION ALL SELECT 'disc_tax', n, n * sdt - sd * st,
+           |    n * sdd - sd * sd, n * stt - st * st FROM m)
+           |SELECT pair, n, CAST(num AS BIGINT) AS cov_num,
+           |  CAST(num AS DOUBLE)
+           |    / (sqrt(CAST(va AS DOUBLE)) * sqrt(CAST(vb AS DOUBLE)))
+           |    AS corr
+           |FROM rows_ ORDER BY pair ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(packSequences, contamination, repetition,
     dedupIncremental, mixWeighted, lengthHist, mixTemperature, qualityGopher,
     mixUpsample, profileCols, profileSkew, profileDepth, dedupLines, textPii,
-    textChunking)
+    textChunking, profileCorr)
 }
