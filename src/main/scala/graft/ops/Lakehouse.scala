@@ -485,6 +485,82 @@ object Lakehouse {
            |ORDER BY op ASC NULLS FIRST, o_orderkey ASC NULLS FIRST"""
       .stripMargin))
 
+  /** Retention vacuum as a hash-graded protocol exhibit (round 7): on
+    * its OWN lake (the shared timetravel/cdc lake is never vacuumed —
+    * its graded keys need history), commit v1 (keys ≡ 0 mod 20) and v2
+    * (v1 minus keys ≡ 0 mod 100), plant an ORPHAN data dir (a crashed
+    * commit: data written, manifest never published), then `vacuum` and
+    * measure what a maintenance job must guarantee:
+    *   - the live snapshot is untouched (row census graded against the
+    *     v2 definition recomputed from `orders`);
+    *   - superseded manifests+data and the orphan are GONE, exactly one
+    *     manifest/data dir remains (observed from disk; the oracle pins
+    *     the protocol's required constants — divergence = vacuum bug);
+    *   - the superseded version is no longer resolvable.
+    *
+    * At 100 TB vacuum is pure manifest-set arithmetic + bounded
+    * directory deletes — it never reads data files; the retention
+    * window (keep N versions) is a policy knob on the same mechanism.
+    */
+  private case class VacuumFacts(root: String, manBefore: Long,
+      manAfter: Long, dirsBefore: Long, dirsAfter: Long, v1After: Long)
+
+  private val vacuumLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, VacuumFacts]()
+
+  private def vacuumLake(s: org.apache.spark.sql.SparkSession,
+      d: String): VacuumFacts =
+    vacuumLakes.computeIfAbsent(s"${graft.Caches.sessionKey(s)}:$d", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vac_lake").toString + "/orders"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_trunc("month", col("o_orderdate")).as("o_orderdate"))
+      val v1 = base.filter(pmod(col("o_orderkey"), lit(20)) === 0)
+      graft.sources.Lake.versionedWrite(v1, "o_orderdate", root)
+      val v2 = v1.filter(pmod(col("o_orderkey"), lit(100)) =!= 0)
+      graft.sources.Lake.versionedWrite(v2, "o_orderdate", root)
+      // orphan: a crashed third commit — data on disk, no manifest
+      v2.limit(5).write.mode("overwrite")
+        .parquet(new java.io.File(root, "data-00000003").toString)
+      def manifests() = Option(new java.io.File(root, "_manifests")
+        .listFiles()).map(_.count(_.getName.endsWith(".manifest")))
+        .getOrElse(0).toLong
+      def dataDirs() = Option(new java.io.File(root).listFiles())
+        .map(_.count(f => f.isDirectory && f.getName.startsWith("data-")))
+        .getOrElse(0).toLong
+      val (mb, db) = (manifests(), dataDirs())
+      graft.sources.Lake.vacuum(root)
+      val v1Readable =
+        try { graft.sources.Lake.versionedReadAt(s, root, 1L); 1L }
+        catch { case _: IllegalArgumentException => 0L }
+      VacuumFacts(root, mb, manifests(), db, dataDirs(), v1Readable)
+    })
+
+  private val lakeVacuum = QueryDef(
+    "q_lake_vacuum",
+    (s, d) => {
+      val f = vacuumLake(s, d)
+      graft.sources.Lake.versionedRead(s, f.root)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("o_orderkey")), lit(0L)).as("key_sum"))
+        .select(col("n_rows"), col("key_sum"),
+          lit(f.manBefore).as("manifests_before"),
+          lit(f.manAfter).as("manifests_after"),
+          lit(f.dirsBefore).as("data_dirs_before"),
+          lit(f.dirsAfter).as("data_dirs_after"),
+          lit(f.v1After).as("v1_resolvable_after"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS key_sum,
+           |  CAST(2 AS BIGINT) AS manifests_before,
+           |  CAST(1 AS BIGINT) AS manifests_after,
+           |  CAST(3 AS BIGINT) AS data_dirs_before,
+           |  CAST(1 AS BIGINT) AS data_dirs_after,
+           |  CAST(0 AS BIGINT) AS v1_resolvable_after
+           |FROM orders
+           |WHERE o_orderkey % 20 = 0 AND o_orderkey % 100 <> 0""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(lakeMerge, joinBucketed, lakeScd2, lakeZorder,
-    lakeTimetravel, lakeCdc)
+    lakeTimetravel, lakeCdc, lakeVacuum)
 }
