@@ -29,7 +29,10 @@ object PlanDump {
         "q_vec_randproj", "q_lake_cdc", "q_win_distinct",
         "q_graph_closeness", "q_ts_holt", "q_sim_ann_pq",
         "q_text_bpe_encode", "q_mm_augment", "q_source_corrupt",
-        "q_graph_scc")) {
+        "q_graph_scc",
+        // round 7 batches 10-16
+        "q_join_q3", "q_agg_q18", "q_graph_kcore", "q_text_chunking",
+        "q_text_winnowing", "q_ml_stump", "q_profile_corr")) {
       val p = Registry.queries(q)(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       out.append(s"##### $q\n```\n")

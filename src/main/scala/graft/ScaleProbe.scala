@@ -125,7 +125,12 @@ object ScaleProbe {
         "q_vec_randproj", "q_lake_cdc", "q_win_distinct",
         "q_graph_closeness", "q_ts_holt", "q_sim_ann_pq",
         "q_text_bpe_encode", "q_mm_augment", "q_source_corrupt",
-        "q_graph_scc")
+        "q_graph_scc",
+        // round-7 batches 10-16: TPC-H Q3/Q18, k-core peel, chunking,
+        // winnowing, stump split search, correlation profile, vacuum
+        "q_join_q3", "q_agg_q18", "q_graph_kcore", "q_text_chunking",
+        "q_text_winnowing", "q_ml_stump", "q_profile_corr",
+        "q_lake_vacuum")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()
