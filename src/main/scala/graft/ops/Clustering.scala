@@ -619,5 +619,97 @@ object Clustering {
            |FROM best WHERE rn = 1
            |ORDER BY feature ASC NULLS FIRST""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(kmeans, perceptron, naiveBayes, stump)
+  /** Closed-form ordinary least squares per segment (round 7): the
+    * price-model fit an analytics pass runs per (returnflag, linestatus)
+    * slice — regress price (hundreds of dollars) on quantity and report
+    * slope / intercept / R² from EXACT integer moment sums, the
+    * q_profile_corr fused-moment shape extended to the full OLS readout.
+    *
+    * Scale: ONE aggregation pass with map-side partials produces all six
+    * moments per group; groups are segment-cardinality-bounded (6 rows),
+    * so the exchange is tiny at any SF. Adding regressors widens the
+    * moment row (the normal-equations entries), never adds a pass.
+    *
+    * Determinism — SHIFTED moments keep every int64 combination exact:
+    * slope and r are invariant under constant shifts of x and y, so both
+    * engines fold x−25 (quantity pivot) and y−380 (typical price in
+    * hundreds) before accumulating. The shift centers the moments near
+    * zero: at the 10× probe (n≈3·10⁶ in the largest segment) n·Σy'² ≈
+    * 4.5·10¹⁷, ~20× inside int64, where UNSHIFTED hundreds-of-dollars
+    * moments would cross 2⁶³ (the q_ml_kmeans/ScaleProbe ANSI-overflow
+    * lesson, applied at design time). The de-shifted intercept is
+    * recovered as (ȳ+380) − slope·(x̄+25) with identical IEEE-754
+    * association in both engines; num/den/vy stay int64-exact, and
+    * int64→double is correctly rounded in both engines, so slope,
+    * intercept and r² are bit-identical.
+    */
+  private val linreg = QueryDef(
+    "q_ml_linreg",
+    (s, d) => {
+      val b = graft.Tables.lineitem(s, d).select(
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        (col("l_quantity").cast("long") - 25).as("x"),
+        (floorDiv((dec(col("l_extendedprice")) * 100).cast("long"), 10000L)
+          - 380).as("y"))
+      val m = b.groupBy(col("rf"), col("ls")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      m.select(col("rf"), col("ls"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("vy"),
+        col("sx"), col("sy"))
+        .select(col("rf"), col("ls"), col("n"),
+          (col("num").cast("double") / col("den").cast("double"))
+            .as("slope"),
+          col("num"), col("den"), col("vy"), col("sx"), col("sy"))
+        .select(col("rf"), col("ls"), col("n"), col("slope"),
+          ((col("sy").cast("double") / col("n").cast("double")
+            + lit(380.0))
+            - col("slope") * (col("sx").cast("double")
+              / col("n").cast("double") + lit(25.0))).as("intercept"),
+          {
+            val r = col("num").cast("double") /
+              (sqrt(col("den").cast("double")) *
+                sqrt(col("vy").cast("double")))
+            (r * r).as("r2")
+          })
+        .orderBy(ascf("rf"), ascf("ls"))
+    },
+    Some("""WITH b AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+           |    CAST(l_quantity AS BIGINT) - 25 AS x,
+           |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      // 10000 - 380 AS y
+           |  FROM lineitem),
+           |m AS (SELECT rf, ls, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(x * x) AS BIGINT) AS sxx,
+           |    CAST(sum(x * y) AS BIGINT) AS sxy,
+           |    CAST(sum(y * y) AS BIGINT) AS syy
+           |  FROM b GROUP BY rf, ls),
+           |c AS (SELECT rf, ls, n, sx, sy,
+           |    n * sxy - sx * sy AS num,
+           |    n * sxx - sx * sx AS den,
+           |    n * syy - sy * sy AS vy
+           |  FROM m),
+           |s AS (SELECT rf, ls, n, sx, sy, num, den, vy,
+           |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope
+           |  FROM c)
+           |SELECT rf, ls, n, slope,
+           |  ((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+           |      + CAST(380 AS DOUBLE))
+           |    - slope * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+           |      + CAST(25 AS DOUBLE))) AS intercept,
+           |  (CAST(num AS DOUBLE)
+           |      / (sqrt(CAST(den AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))))
+           |    * (CAST(num AS DOUBLE)
+           |      / (sqrt(CAST(den AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))))
+           |    AS r2
+           |FROM s ORDER BY rf ASC NULLS FIRST, ls ASC NULLS FIRST"""
+      .stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(kmeans, perceptron, naiveBayes, stump, linreg)
 }

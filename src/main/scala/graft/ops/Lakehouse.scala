@@ -550,6 +550,9 @@ object Lakehouse {
           lit(f.dirsBefore).as("data_dirs_before"),
           lit(f.dirsAfter).as("data_dirs_after"),
           lit(f.v1After).as("v1_resolvable_after"))
+        // 1-row result, but rule D1 wants every contract plan to END in
+        // an explicit total order (RegistrySpec pins the top operator)
+        .orderBy(ascf("n_rows"))
     },
     Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
            |  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS key_sum,
@@ -559,7 +562,8 @@ object Lakehouse {
            |  CAST(1 AS BIGINT) AS data_dirs_after,
            |  CAST(0 AS BIGINT) AS v1_resolvable_after
            |FROM orders
-           |WHERE o_orderkey % 20 = 0 AND o_orderkey % 100 <> 0""".stripMargin))
+           |WHERE o_orderkey % 20 = 0 AND o_orderkey % 100 <> 0
+           |ORDER BY n_rows ASC NULLS FIRST""".stripMargin))
 
   def defs: Seq[QueryDef] = Seq(lakeMerge, joinBucketed, lakeScd2, lakeZorder,
     lakeTimetravel, lakeCdc, lakeVacuum)

@@ -455,8 +455,49 @@ object Scalars {
            |FROM g GROUP BY lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** Cryptographic digest functions as a shard-assignment census
+    * (round 7): content-addressable storage keys every blob by its
+    * digest and shards by the digest PREFIX — this key computes
+    * md5/sha-256 per document and grades the resulting 16-way
+    * first-nibble shard layout (doc count, language spread, byte mass,
+    * lexicographic sha anchor per shard).
+    *
+    * Scale: the digests are per-row codegen'd projections (no shuffle),
+    * and the census groups on a 16-value key — the exchange is constant
+    * size at any SF. This is exactly the balance check run before
+    * picking a digest-prefix partitioning for a 100 TB blob store: a
+    * flat histogram certifies the shard key.
+    *
+    * Determinism: both engines hash the UTF-8 bytes of the text with
+    * the same standard algorithms (RFC 1321 md5, FIPS 180-4 sha-256)
+    * and render lowercase hex, so every digest string — and everything
+    * derived from it — is bit-identical by specification.
+    */
+  private val fnHash = QueryDef(
+    "q_fn_hash",
+    (s, d) => {
+      val h = Tables.documents(s, d).select(col("lang"), col("n_chars"),
+        md5(col("text")).as("m"), sha2(col("text"), 256).as("s2"))
+      h.groupBy(substring(col("m"), 1, 1).as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("s2")).as("min_sha256"))
+        .orderBy(ascf("shard"))
+    },
+    Some("""WITH h AS (SELECT lang, n_chars,
+           |    md5(text) AS m, sha256(text) AS s2
+           |  FROM documents)
+           |SELECT substring(m, 1, 1) AS shard,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  min(s2) AS min_sha256
+           |FROM h GROUP BY 1
+           |ORDER BY shard ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     fnString, fnRegex, fnDate, fnMath, fnCond, fnCast, fnJson,
     arrFuncs, arrExplode, arrAgg, mapFuncs, fnStruct, arrHof, fnBitwise,
-    fnUrl)
+    fnUrl, fnHash)
 }
