@@ -1395,9 +1395,113 @@ object Text {
            |FROM pd GROUP BY lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** Rule-based suffix stemmer (round 7): the Porter-step-1 shape —
+    * plural reduction (sses→ss, ies→i, -s) then gerund/past stripping
+    * (-ing, -ed under length guards) — graded as a vocabulary-
+    * compression census per language. Index-time stemming is the
+    * classic type-collapse lever in retrieval pipelines (BM25/tf-idf
+    * vocabularies shrink 20–40% on English); this key pins the rule
+    * cascade exactly.
+    *
+    * The fixture vocabulary is uninflected (verified: zero tokens end
+    * in s/ing/ed), so the input is SYNTHESIZED deterministically — each
+    * token takes a suffix chosen by (doc_id + position) mod 5, the
+    * q_fn_url/q_text_pii derive-from-columns pattern — making every
+    * rule branch fire and the grade non-vacuous.
+    *
+    * Scale: per-row codegen'd string CASE cascade (no UDF, no regex
+    * backtracking) + one lang-grain aggregate; the two count-distincts
+    * rewrite to the standard expand, with per-lang type spaces
+    * vocabulary-bounded. Determinism: pure substring/length arithmetic,
+    * identical rule ORDER on both engines (first match wins).
+    */
+  private val stem = QueryDef(
+    "q_text_stem",
+    (s, d) => {
+      val tok = sharedDocTokens(s, d)
+        .select(col("doc_id"), col("lang"),
+          posexplode(col("ts")).as(Seq("i", "w")))
+      val infl = tok
+        .withColumn("cls", pmod(col("doc_id") + col("i"), lit(5)))
+        .withColumn("t", concat(col("w"),
+          when(col("cls") === 0, lit("s"))
+            .when(col("cls") === 1, lit("ing"))
+            .when(col("cls") === 2, lit("ed"))
+            .when(col("cls") === 3, lit("ies"))
+            .otherwise(lit(""))))
+        .withColumn("len", length(col("t")))
+      val step1 = infl.withColumn("s1",
+        when(col("len") >= 4 &&
+          expr("substring(t, len - 3, 4)") === "sses",
+          expr("substring(t, 1, len - 2)"))
+          .when(col("len") >= 4 &&
+            expr("substring(t, len - 2, 3)") === "ies",
+            expr("substring(t, 1, len - 2)"))
+          .when(col("len") >= 2 &&
+            expr("substring(t, len - 1, 2)") === "ss", col("t"))
+          .when(col("len") > 3 &&
+            expr("substring(t, len, 1)") === "s",
+            expr("substring(t, 1, len - 1)"))
+          .otherwise(col("t")))
+        .withColumn("l1", length(col("s1")))
+      val stemmed = step1.withColumn("stem",
+        when(col("l1") > 5 &&
+          expr("substring(s1, l1 - 2, 3)") === "ing",
+          expr("substring(s1, 1, l1 - 3)"))
+          .when(col("l1") > 4 &&
+            expr("substring(s1, l1 - 1, 2)") === "ed",
+            expr("substring(s1, 1, l1 - 2)"))
+          .otherwise(col("s1")))
+      stemmed.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("t")).as("n_types"),
+          countDistinct(col("stem")).as("n_stems"),
+          sum((col("len") - length(col("stem"))).cast("long"))
+            .as("chars_removed"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH tk AS (SELECT doc_id, lang,
+           |    string_split(text, ' ') AS toks FROM documents),
+           |ex AS (SELECT doc_id, lang, toks,
+           |    unnest(generate_series(1, len(toks))) AS i
+           |  FROM tk),
+           |infl AS (SELECT lang,
+           |    toks[CAST(i AS INT)]
+           |      || CASE (doc_id + i - 1) % 5
+           |           WHEN 0 THEN 's' WHEN 1 THEN 'ing'
+           |           WHEN 2 THEN 'ed' WHEN 3 THEN 'ies'
+           |           ELSE '' END AS t
+           |  FROM ex),
+           |l0 AS (SELECT lang, t, length(t) AS len FROM infl),
+           |s1 AS (SELECT lang, t, len,
+           |    CASE WHEN len >= 4 AND substring(t, len - 3, 4) = 'sses'
+           |           THEN substring(t, 1, len - 2)
+           |         WHEN len >= 4 AND substring(t, len - 2, 3) = 'ies'
+           |           THEN substring(t, 1, len - 2)
+           |         WHEN len >= 2 AND substring(t, len - 1, 2) = 'ss'
+           |           THEN t
+           |         WHEN len > 3 AND substring(t, len, 1) = 's'
+           |           THEN substring(t, 1, len - 1)
+           |         ELSE t END AS s1
+           |  FROM l0),
+           |l1t AS (SELECT lang, t, len, s1, length(s1) AS l1 FROM s1),
+           |st AS (SELECT lang, t, len,
+           |    CASE WHEN l1 > 5 AND substring(s1, l1 - 2, 3) = 'ing'
+           |           THEN substring(s1, 1, l1 - 3)
+           |         WHEN l1 > 4 AND substring(s1, l1 - 1, 2) = 'ed'
+           |           THEN substring(s1, 1, l1 - 2)
+           |         ELSE s1 END AS stem
+           |  FROM l1t)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(count(DISTINCT t) AS BIGINT) AS n_types,
+           |  CAST(count(DISTINCT stem) AS BIGINT) AS n_stems,
+           |  CAST(sum(len - length(stem)) AS BIGINT) AS chars_removed
+           |FROM st GROUP BY lang
+           |ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,
     langid, quality, tokens, fingerprint, levenshteinPairs, tfidf,
     collocations, vocab, zipf, keyphrase, bigramLm, perplexity, bpe,
-    textUnicode, bm25, bpeEncode, winnowing)
+    textUnicode, bm25, bpeEncode, winnowing, stem)
 }

@@ -846,7 +846,163 @@ object TimeSeries {
            |FROM fin WHERE rr = 1
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
+  /** Theil–Sen robust trend per metric (round 7): the median of all
+    * pairwise slopes over the DAILY count series — the outlier-immune
+    * sibling of q_ts_trend's OLS slope (one corrupt day moves OLS
+    * arbitrarily but shifts a median of 435 slopes by one rank).
+    *
+    * Scale: the pair enumeration is CALENDAR²-bounded, not corpus-
+    * bounded — the daily series has span-many points per metric (30
+    * here; 3 650 for a decade), so pairs are ≤ span²/2 per metric no
+    * matter how many raw events collapse into each day. The corpus-
+    * sized work is exactly one day-grain partial aggregation on the
+    * scan; everything downstream runs on the tiny series relation.
+    *
+    * Determinism: each pairwise slope is quantized to an int64
+    * slope_e6 = floor(10⁶·Δy / Δx) via the subtract-pmod-then-divide
+    * construction (Δy may be negative; DuckDB `//` truncates, Spark has
+    * no integer floor-div — the q_ts_trend lesson), so the median runs
+    * over INTEGERS: Spark `percentile` and DuckDB `quantile_cont` both
+    * interpolate midpoints of exactly-representable int64s ≪ 2⁵³, and
+    * round(4) absorbs any last-ulp formula drift (q_agg_percentile
+    * precedent).
+    */
+  private val theilSen = QueryDef(
+    "q_ts_theil_sen",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          floorDiv(unix_micros(col("ts")), DayUs).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("y"))
+      val a = daily.select(col("event_type"), col("day").as("xi"),
+        col("y").as("yi"))
+      val b = daily.select(col("event_type"), col("day").as("xj"),
+        col("y").as("yj"))
+      val pairs = a.join(b, Seq("event_type"))
+        .filter(col("xj") > col("xi"))
+        .select(col("event_type"),
+          (lit(1000000L) * (col("yj") - col("yi"))).as("num"),
+          (col("xj") - col("xi")).as("den"))
+        .select(col("event_type"),
+          ((col("num") - pmod(col("num"), col("den")))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            / col("den")).cast("long").as("slope_e6"))
+      pairs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(expr("percentile(slope_e6, 0.5)"), 4).as("ts_slope_e6"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH h AS (SELECT event_type,
+           |    epoch_us(ts) // 86400000000 AS day, count(*) AS y
+           |  FROM events GROUP BY 1, 2),
+           |p AS (SELECT a.event_type,
+           |    1000000 * (b.y - a.y) AS num, b.day - a.day AS den
+           |  FROM h a JOIN h b ON a.event_type = b.event_type
+           |    AND b.day > a.day),
+           |sl AS (SELECT event_type,
+           |    CAST((num - ((num % den) + den) % den) // den AS BIGINT)
+           |      AS slope_e6
+           |  FROM p)
+           |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  round(quantile_cont(slope_e6, 0.5), 4) AS ts_slope_e6
+           |FROM sl GROUP BY event_type
+           |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
+  /** Multi-touch purchase attribution (round 7): the marketing-
+    * analytics read — for every purchase, which preceding touch (click
+    * or view) gets the credit under the FIRST-touch and LAST-touch
+    * models, with purchase counts and cent-exact revenue per
+    * (model, touch-type) cell.
+    *
+    * The touch lookup is the PACKED-window trick: each touch encodes
+    * (row_number·10 + type_code) and the preceding-frame max/min then
+    * selects the latest/earliest touch AND its type in one window pass —
+    * `max` skips NULLs in both engines by SQL definition, so no
+    * IGNORE NULLS syntax (which the engines spell differently) is
+    * needed, and no self-join back to the touch row either.
+    *
+    * Scale: ONE window pass partitioned by user (the natural shuffle
+    * key; user histories are human-bounded) + a 4-row aggregation.
+    * Determinism: rn orders by (ts, event_id) — event_id is unique —
+    * and revenue is exact cents (rule D2).
+    */
+  private val attrib = QueryDef(
+    "q_win_attrib",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(ascf("ts"), ascf("event_id"))
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"),
+          (dec(col("value")) * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("packed",
+          when(col("event_type") === "click", col("rn") * 10 + 1)
+            .when(col("event_type") === "view", col("rn") * 10 + 2))
+      val purchases = e
+        .withColumn("last_packed", max(col("packed")).over(wPrev))
+        .withColumn("first_packed", min(col("packed")).over(wPrev))
+        .filter(col("event_type") === "purchase" &&
+          col("last_packed").isNotNull)
+      def side(model: String, packed: String) = purchases
+        .groupBy(when(pmod(col(packed), lit(10)) === 1, lit("click"))
+          .otherwise(lit("view")).as("touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("cents"))
+        .select(lit(model).as("model"), col("touch"),
+          col("n_purchases"), col("cents"))
+      side("first", "first_packed").unionAll(side("last", "last_packed"))
+        .orderBy(ascf("model"), ascf("touch"))
+    },
+    Some("""WITH e AS (SELECT user_id, ts, event_id, event_type,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS cents,
+           |    row_number() OVER
+           |      (PARTITION BY user_id
+           |       ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
+           |      AS rn
+           |  FROM events),
+           |p AS (SELECT user_id, ts, event_id, event_type, cents, rn,
+           |    CASE WHEN event_type = 'click' THEN rn * 10 + 1
+           |         WHEN event_type = 'view' THEN rn * 10 + 2 END
+           |      AS packed
+           |  FROM e),
+           |wp AS (SELECT event_type, cents,
+           |    max(packed) OVER
+           |      (PARTITION BY user_id
+           |       ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+           |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS last_packed,
+           |    min(packed) OVER
+           |      (PARTITION BY user_id
+           |       ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+           |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS first_packed
+           |  FROM p),
+           |pur AS (SELECT * FROM wp
+           |  WHERE event_type = 'purchase' AND last_packed IS NOT NULL),
+           |cells AS (
+           |  SELECT 'first' AS model,
+           |    CASE WHEN first_packed % 10 = 1 THEN 'click'
+           |         ELSE 'view' END AS touch,
+           |    count(*) AS n_purchases, sum(cents) AS cents
+           |  FROM pur GROUP BY 1, 2
+           |  UNION ALL
+           |  SELECT 'last' AS model,
+           |    CASE WHEN last_packed % 10 = 1 THEN 'click'
+           |         ELSE 'view' END AS touch,
+           |    count(*) AS n_purchases, sum(cents) AS cents
+           |  FROM pur GROUP BY 1, 2)
+           |SELECT model, touch, CAST(n_purchases AS BIGINT) AS n_purchases,
+           |  CAST(cents AS BIGINT) AS cents
+           |FROM cells
+           |ORDER BY model ASC NULLS FIRST, touch ASC NULLS FIRST"""
+      .stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
-      autocorr, changepoint, seasonality, forecast, interp, holt)
+      autocorr, changepoint, seasonality, forecast, interp, holt,
+      theilSen, attrib)
 }
