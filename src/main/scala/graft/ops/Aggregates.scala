@@ -522,9 +522,65 @@ object Aggregates {
          |ORDER BY bucket ASC NULLS FIRST""".stripMargin
     })
 
+  /** TPC-H Q14 shape (round 7): promotion revenue share per ship-month
+    * — the conditional-aggregate ratio report (what fraction of revenue
+    * came from PROMO parts), extended from Q14's single month to the
+    * full monthly series.
+    *
+    * Plan shape for 100 TB: part projects (p_partkey, p_type) only and
+    * BROADCASTS — the fact table never shuffles; the month-grain
+    * aggregate partial-combines on the scan side, so the exchange
+    * carries one row per (partition, month). Both the promo and total
+    * sums come from the SAME pass (a CASE inside the aggregate), never
+    * two scans.
+    *
+    * Determinism: revenue accumulates as exact DECIMAL (D2); both sums
+    * pin to double at output (D9) and the share divides those two
+    * correctly-rounded doubles — identical IEEE ops on identical
+    * operands in both engines.
+    */
+  private val aggQ14 = QueryDef(
+    "q_agg_q14",
+    (s, d) => {
+      val rev = dec12(col("l_extendedprice")) * oneMinus(col("l_discount"))
+      val m = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+        .agg(
+          pin2(sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast(org.apache.spark.sql.types
+              .DecimalType(12, 2))))).as("promo_revenue"),
+          pin2(sum(rev)).as("total_revenue"),
+          count(lit(1)).as("n_items"))
+      m.select(epochUs(col("month")).as("month_us"),
+          col("promo_revenue"), col("total_revenue"), col("n_items"),
+          (lit(100.0) * col("promo_revenue") / col("total_revenue"))
+            .as("promo_share"))
+        .orderBy(ascf("month_us"))
+    },
+    Some("""WITH m AS (SELECT date_trunc('month', l_shipdate) AS month,
+           |    CAST(sum(CASE WHEN p_type = 'PROMO'
+           |      THEN CAST(l_extendedprice AS DECIMAL(12,2))
+           |        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+           |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           |      AS promo_revenue,
+           |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           |      AS total_revenue,
+           |    count(*) AS n_items
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |  GROUP BY 1)
+           |SELECT CAST(epoch_us(month) AS BIGINT) AS month_us,
+           |  promo_revenue, total_revenue, n_items,
+           |  CAST(100 AS DOUBLE) * promo_revenue / total_revenue
+           |    AS promo_share
+           |FROM m ORDER BY month_us ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggQ18, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
     aggPercentile, aggPivot, aggUnpivot, aggGrouping, aggMode, aggBitset,
-    aggEntropy)
+    aggEntropy, aggQ14)
 }

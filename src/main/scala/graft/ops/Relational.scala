@@ -453,6 +453,51 @@ object Relational {
            |ORDER BY revenue DESC NULLS LAST, l_orderkey ASC NULLS FIRST
            |LIMIT 10""".stripMargin))
 
+  /** TPC-H Q10 shape (round 7): top-20 customers by revenue lost to
+    * returned items in one quarter — the "who should the support team
+    * call" report. Plan shape for 100 TB: orders prunes to the quarter
+    * at the scan and lineitem to returnflag='R' at the scan (both
+    * predicates pushed), so the fact-fact shuffle carries only the
+    * ~1/25 · ~1/4 surviving slice; nation broadcasts; the top-20 runs
+    * as TakeOrdered partial heaps, never a global sort.
+    *
+    * Determinism: revenue is exact DECIMAL (D2) pinned to double only
+    * at output (D9); LIMIT is fed by a TOTAL order (revenue DESC,
+    * c_custkey ASC tiebreak — custkey unique in the grouped relation).
+    */
+  private val joinQ10 = QueryDef(
+    "q_join_q10",
+    (s, d) => {
+      val lo = lit("1995-10-01").cast("timestamp_ntz")
+      val hi = lit("1996-01-01").cast("timestamp_ntz")
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(pin4(sum(dec12(col("l_extendedprice"))
+          * oneMinus(col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(descl("revenue"), ascf("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, n_name,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+           |  count(*) AS n_items
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation ON c_nationkey = n_nationkey
+           |WHERE l_returnflag = 'R'
+           |  AND o_orderdate >= TIMESTAMP '1995-10-01'
+           |  AND o_orderdate < TIMESTAMP '1996-01-01'
+           |GROUP BY c_custkey, c_name, n_name
+           |ORDER BY revenue DESC NULLS LAST, c_custkey ASC NULLS FIRST
+           |LIMIT 20""".stripMargin))
+
   /** The explicit skew-salting path as a graded key (round 4): the
     * orders ⋈ customer join runs through graft.plans.SaltedJoin (8
     * salts — hot keys spread over 8 tasks), whose semantics are exactly
@@ -816,6 +861,6 @@ object Relational {
     filterCompound, filterExpr,
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
     joinCross, joinTheta, joinRange, joinAsof, joinStar, joinBroadcast,
-    joinQ5, joinQ3, joinSalted, joinBloom, subqScalar, subqExists, auditFk,
-    auditExpectations)
+    joinQ5, joinQ3, joinQ10, joinSalted, joinBloom, subqScalar, subqExists,
+    auditFk, auditExpectations)
 }

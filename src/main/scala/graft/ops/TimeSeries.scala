@@ -1001,8 +1001,69 @@ object TimeSeries {
            |ORDER BY model ASC NULLS FIRST, touch ASC NULLS FIRST"""
       .stripMargin))
 
+  /** Next-event transition matrix (round 7): the first-order Markov
+    * census over per-user event streams — for every (from, to) pair of
+    * consecutive events, the count and the conditional transition
+    * probability in 1e-6 units. This is the behavioral-model read
+    * behind "what do users do after an error?" and the input to any
+    * sequence-anomaly or next-action model.
+    *
+    * Scale: ONE user-partitioned lead() window pass (user histories
+    * human-bounded — the same shuffle key every per-user op reuses)
+    * collapsing to a type²-bounded census (≤25 rows here); the
+    * conditional denominator re-aggregates the census itself, never the
+    * event stream.
+    *
+    * Determinism: the sequence orders by (ts, event_id unique); p_e6
+    * floor-divides exactly via the subtract-pmod construction
+    * (numerator non-negative, but the division must be EXACT — the
+    * q_ts_trend lesson).
+    */
+  private val transitions = QueryDef(
+    "q_ts_transitions",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(ascf("ts"), ascf("event_id"))
+      val census = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("nxt").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val wf = Window.partitionBy(col("from_type"))
+      census
+        .withColumn("tot", sum(col("n")).over(wf))
+        .withColumn("num", col("n") * 1000000L)
+        .select(col("from_type"), col("to_type"), col("n"),
+          ((col("num") - pmod(col("num"), col("tot")))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            / col("tot")).cast("long").as("p_e6"))
+        .orderBy(ascf("from_type"), ascf("to_type"))
+    },
+    Some("""WITH seq AS (SELECT event_type,
+           |    lead(event_type) OVER
+           |      (PARTITION BY user_id
+           |       ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
+           |      AS nxt
+           |  FROM events),
+           |c AS (SELECT event_type AS from_type, nxt AS to_type,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+           |t AS (SELECT from_type, to_type, n,
+           |    sum(n) OVER (PARTITION BY from_type) AS tot,
+           |    n * 1000000 AS num
+           |  FROM c)
+           |SELECT from_type, to_type, n,
+           |  CAST((num - ((num % tot) + tot) % tot) // tot AS BIGINT)
+           |    AS p_e6
+           |FROM t
+           |ORDER BY from_type ASC NULLS FIRST, to_type ASC NULLS FIRST"""
+      .stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
-      theilSen, attrib)
+      theilSen, attrib, transitions)
 }
