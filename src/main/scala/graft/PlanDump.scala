@@ -32,7 +32,10 @@ object PlanDump {
         "q_graph_scc",
         // round 7 batches 10-16
         "q_join_q3", "q_agg_q18", "q_graph_kcore", "q_text_chunking",
-        "q_text_winnowing", "q_ml_stump", "q_profile_corr")) {
+        "q_text_winnowing", "q_ml_stump", "q_profile_corr",
+        // round 7 batches 17-19
+        "q_fn_hash", "q_ml_linreg", "q_ts_theil_sen", "q_win_attrib",
+        "q_text_stem", "q_join_q10", "q_agg_q14", "q_ts_transitions")) {
       val p = Registry.queries(q)(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       out.append(s"##### $q\n```\n")

@@ -130,7 +130,12 @@ object ScaleProbe {
         // winnowing, stump split search, correlation profile, vacuum
         "q_join_q3", "q_agg_q18", "q_graph_kcore", "q_text_chunking",
         "q_text_winnowing", "q_ml_stump", "q_profile_corr",
-        "q_lake_vacuum")
+        "q_lake_vacuum",
+        // round-7 batches 17-19: digest shard census, shifted-moment
+        // OLS, Theil–Sen pairs, packed-window attribution, stemmer,
+        // TPC-H Q10/Q14 shapes, Markov transition census
+        "q_fn_hash", "q_ml_linreg", "q_ts_theil_sen", "q_win_attrib",
+        "q_text_stem", "q_join_q10", "q_agg_q14", "q_ts_transitions")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()

@@ -870,11 +870,16 @@ object TimeSeries {
   private val theilSen = QueryDef(
     "q_ts_theil_sen",
     (s, d) => {
-      val daily = Tables.events(s, d)
+      // scoped persist: the self-join would otherwise re-execute the
+      // corpus-sized day-grain aggregation on BOTH sides (the r7 plan
+      // dump showed two parquet scans) — with the tiny series relation
+      // materialized once, the pair join reads memory twice and the
+      // corpus exactly once
+      val daily = graft.Caches.scoped(Tables.events(s, d)
         .select(col("event_type"),
           floorDiv(unix_micros(col("ts")), DayUs).as("day"))
         .groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("y"))
+        .agg(count(lit(1)).as("y")))
       val a = daily.select(col("event_type"), col("day").as("xi"),
         col("y").as("yi"))
       val b = daily.select(col("event_type"), col("day").as("xj"),
@@ -946,14 +951,20 @@ object TimeSeries {
         .withColumn("first_packed", min(col("packed")).over(wPrev))
         .filter(col("event_type") === "purchase" &&
           col("last_packed").isNotNull)
-      def side(model: String, packed: String) = purchases
-        .groupBy(when(pmod(col(packed), lit(10)) === 1, lit("click"))
-          .otherwise(lit("view")).as("touch"))
+      // one window pass feeds BOTH models: each purchase explodes into
+      // its (model, packed) pair before the census — a union of two
+      // aggregations would re-run the whole scan+window pipeline per
+      // branch (the r7 plan dump showed exactly that)
+      purchases
+        .select(col("cents"), explode(expr(
+          """array(struct('first' AS model, first_packed AS packed),
+            |      struct('last' AS model, last_packed AS packed))"""
+            .stripMargin)).as("mp"))
+        .groupBy(col("mp.model").as("model"),
+          when(pmod(col("mp.packed"), lit(10)) === 1, lit("click"))
+            .otherwise(lit("view")).as("touch"))
         .agg(count(lit(1)).as("n_purchases"),
           sum(col("cents")).as("cents"))
-        .select(lit(model).as("model"), col("touch"),
-          col("n_purchases"), col("cents"))
-      side("first", "first_packed").unionAll(side("last", "last_packed"))
         .orderBy(ascf("model"), ascf("touch"))
     },
     Some("""WITH e AS (SELECT user_id, ts, event_id, event_type,
