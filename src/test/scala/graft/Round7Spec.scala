@@ -136,4 +136,76 @@ class Round7Spec extends SparkSpec {
       s"only $inBand/100 pair distortions within [0.25, 2.5]: " +
         s"worst=${ratios.min} / ${ratios.max}")
   }
+
+  test("q_ml_linreg: engine OLS equals the scalar-replica moments") {
+    // Third execution of the same shifted-moment arithmetic in plain
+    // Scala (the q_ts_holt pattern): same int64 moments, same IEEE
+    // association for slope/intercept/r² — results must be BIT-equal.
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long"),
+        (Dsl.dec(col("l_extendedprice")) * 100).cast("long"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2) - 25, r.getLong(3) / 10000 - 380)))
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      val xs = rs.map(_._2)
+      val n = xs.length.toLong
+      val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+      val sxx = xs.map(p => p._1 * p._1).sum
+      val sxy = xs.map(p => p._1 * p._2).sum
+      val syy = xs.map(p => p._2 * p._2).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      val slope = num.toDouble / den.toDouble
+      val intercept = (sy.toDouble / n.toDouble + 380.0) -
+        slope * (sx.toDouble / n.toDouble + 25.0)
+      val r = num.toDouble / (math.sqrt(den.toDouble) * math.sqrt(vy.toDouble))
+      g -> ((n, slope, intercept, r * r))
+    }
+    val got = q("q_ml_linreg").collect().map(r =>
+      (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got == expected,
+      s"OLS mismatch: got=$got expected=$expected")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_win_attrib: packed-window credit equals a sequential replay") {
+    // Replay every user's history in order in plain Scala and award
+    // first/last-touch credit directly — the packed max/min window trick
+    // must reproduce exactly this.
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")),
+        col("event_id"), col("event_type"),
+        (Dsl.dec(col("value")) * 100).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    val cells = scala.collection.mutable.Map
+      .empty[(String, String), (Long, Long)].withDefaultValue((0L, 0L))
+    evs.groupBy(_._1).foreach { case (_, hist) =>
+      var first: Option[String] = None
+      var last: Option[String] = None
+      hist.sortBy(e => (e._2, e._3)).foreach { e =>
+        if (e._4 == "purchase" && last.isDefined) {
+          for ((m, t) <- Seq("first" -> first.get, "last" -> last.get)) {
+            val (n, c) = cells((m, t)); cells((m, t)) = (n + 1, c + e._5)
+          }
+        }
+        if (e._4 == "click" || e._4 == "view") {
+          if (first.isEmpty) first = Some(e._4)
+          last = Some(e._4)
+        }
+      }
+    }
+    val got = q("q_win_attrib").collect().map(r =>
+      (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == cells.toMap,
+      s"attribution mismatch: got=$got expected=${cells.toMap}")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
 }
