@@ -1012,8 +1012,67 @@ object Curation {
            |    AS corr
            |FROM rows_ ORDER BY pair ASC NULLS FIRST""".stripMargin))
 
+  /** Robust dispersion + Tukey-fence outlier census per metric
+    * (round 7): quartiles of the value distribution, IQR, and the count
+    * of points beyond the 1.5·IQR fences — the outlier screen run
+    * before any mean/variance statistic is trusted (q_profile_skew's
+    * moments are exactly what one fat-tailed metric corrupts).
+    *
+    * Two scans by necessity: exact quantiles first, then the fence
+    * comparison (the fences aren't known until the quantile pass ends).
+    * The second scan joins the 5-row fence relation by broadcast and
+    * partial-aggregates on the scan — at 100 TB production swaps pass 1
+    * for the mergeable quantile sketch (q_sketch_quantile) and keeps
+    * pass 2 unchanged.
+    *
+    * Determinism: values are DOUBLED cents (even int64s), so the
+    * quartile interpolation lands on exact binary fractions (quarters
+    * of ints ≪ 2⁵³ — both engines' interpolation formulas evaluate them
+    * exactly), 1.5·IQR is an exact eighth, and the fence comparisons
+    * compare exactly-represented doubles. round(4) is the
+    * q_agg_percentile belt-and-suspenders.
+    */
+  private val profileIqr = QueryDef(
+    "q_profile_iqr",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        (dec(col("value")) * 200).cast("long").as("d2"))
+      val qs = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(d2, 0.25)"), 4).as("q1"),
+        round(expr("percentile(d2, 0.5)"), 4).as("med"),
+        round(expr("percentile(d2, 0.75)"), 4).as("q3"))
+      val fences = qs
+        .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+        .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+      ev.join(broadcast(fences), "event_type")
+        .groupBy(col("event_type"), col("n"), col("q1"), col("med"),
+          col("q3"))
+        .agg(sum(when(col("d2") < col("lo") || col("d2") > col("hi"),
+          lit(1L)).otherwise(lit(0L))).as("n_outliers"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH ev AS (SELECT event_type,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 200 AS BIGINT) AS d2
+           |  FROM events),
+           |qs AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |    round(quantile_cont(d2, 0.25), 4) AS q1,
+           |    round(quantile_cont(d2, 0.5), 4) AS med,
+           |    round(quantile_cont(d2, 0.75), 4) AS q3
+           |  FROM ev GROUP BY 1),
+           |f AS (SELECT event_type, n, q1, med, q3,
+           |    q1 - CAST(1.5 AS DOUBLE) * (q3 - q1) AS lo,
+           |    q3 + CAST(1.5 AS DOUBLE) * (q3 - q1) AS hi
+           |  FROM qs)
+           |SELECT ev.event_type, n, q1, med, q3,
+           |  CAST(sum(CASE WHEN d2 < lo OR d2 > hi THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_outliers
+           |FROM ev JOIN f ON ev.event_type = f.event_type
+           |GROUP BY ev.event_type, n, q1, med, q3
+           |ORDER BY ev.event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(packSequences, contamination, repetition,
     dedupIncremental, mixWeighted, lengthHist, mixTemperature, qualityGopher,
     mixUpsample, profileCols, profileSkew, profileDepth, dedupLines, textPii,
-    textChunking, profileCorr)
+    textChunking, profileCorr, profileIqr)
 }

@@ -502,5 +502,113 @@ object Sketch {
            |FROM est JOIN ex ON est.k = ex.k
            |ORDER BY k ASC NULLS FIRST""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(countmin, hll, hllMerge, bloom, quantile)
+  /** KMV (k-minimum-values) distinct sketch with SET OPERATIONS
+    * (round 7): the member of the sketch family HLL cannot provide —
+    * besides cardinality, a KMV synopsis supports union (merge the two
+    * min-k sets, keep the k smallest) and INTERSECTION estimation (the
+    * fraction of the union sketch's members belonging to both sets,
+    * scaled by the union estimate) — the audience-overlap / join-size
+    * estimator.
+    *
+    * Sets: distinct customers with open ('O') vs fulfilled ('F')
+    * orders. Hash = mod-prime round → xor-shift(13) → mod-prime round
+    * (the q_sketch_hll anti-progression construction: sequential keys
+    * under one linear round keep their ordering structure, biasing the
+    * minima the estimator divides by). k = 64; estimate = (k−1)·P div
+    * h(k) — all exact int64 ((k−1)·P ≈ 1.4·10¹¹), floor division
+    * truncates identically on both engines (operands non-negative).
+    *
+    * The exact distinct counts and exact intersection ride alongside as
+    * the verification harness (expected rel. error ~1/√(k−1) ≈ 13%);
+    * production reads the 64-row sketch relations alone.
+    *
+    * Scale: the min-k selection is planned as TakeOrderedAndProject —
+    * per-partition k-heaps merged at one reducer, never a global sort
+    * (and never a single-partition window); the base relation is one
+    * distinct-key aggregation with map-side partials. KMV merges by
+    * "union the synopses, keep k smallest" — the same algebraic-merge
+    * property every sketch in this family grades.
+    */
+  private val kmv = QueryDef(
+    "q_sketch_kmv",
+    (s, d) => {
+      val K = 64
+      val base = graft.Caches.scoped(Tables.orders(s, d)
+        .filter(col("o_orderstatus").isin("O", "F"))
+        .groupBy(col("o_custkey").as("k"))
+        .agg(max(when(col("o_orderstatus") === "O", 1L).otherwise(0L))
+          .as("in_a"),
+          max(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("in_b"))
+        .withColumn("g1",
+          (pmod(col("k"), lit(P)) * 15485863L + 101L) % P)
+        .withColumn("g2",
+          expr("g1 ^ (g1 div 8192)"))
+        .withColumn("h", (col("g2") * 32452843L + 1009L) % P))
+      def sketch(flag: String) = base.filter(col(flag) === 1)
+        .orderBy(ascf("h"), ascf("k")).limit(K)
+        .agg(max(col("h")).as(s"kth_$flag"))
+      val su = base.orderBy(ascf("h"), ascf("k")).limit(K)
+        .agg(max(col("h")).as("kth_u"),
+          sum(col("in_a") * col("in_b")).as("c_both"))
+      val exact = base.agg(sum(col("in_a")).as("exact_a"),
+        sum(col("in_b")).as("exact_b"),
+        count(lit(1)).as("exact_union"),
+        sum(col("in_a") * col("in_b")).as("exact_inter"))
+      sketch("in_a").crossJoin(sketch("in_b")).crossJoin(su)
+        .crossJoin(exact)
+        .select(
+          // (k−1)·P is spliced as ONE long literal: written as `63 *
+          // 2147483647` both factors parse as INT and the multiply
+          // overflows int32 under ANSI (caught at sf0.001)
+          expr(s"${(K - 1).toLong * P}L div kth_in_a").as("est_a"),
+          col("exact_a"),
+          expr(s"${(K - 1).toLong * P}L div kth_in_b").as("est_b"),
+          col("exact_b"),
+          expr(s"${(K - 1).toLong * P}L div kth_u").as("est_union"),
+          col("exact_union"),
+          expr(s"(c_both * (${(K - 1).toLong * P}L div kth_u)) div $K")
+            .as("est_inter"),
+          col("exact_inter"))
+        .orderBy(ascf("est_a"))
+    },
+    Some(s"""WITH base AS (SELECT o_custkey AS k,
+            |    CAST(max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+            |      AS BIGINT) AS in_a,
+            |    CAST(max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+            |      AS BIGINT) AS in_b
+            |  FROM orders WHERE o_orderstatus IN ('O', 'F')
+            |  GROUP BY o_custkey),
+            |hashed AS (SELECT k, in_a, in_b,
+            |    ((((k % $P) * 15485863 + 101) % $P)) AS g1
+            |  FROM base),
+            |h2 AS (SELECT k, in_a, in_b,
+            |    ((xor(g1, g1 // 8192)) * 32452843 + 1009) % $P AS h
+            |  FROM hashed),
+            |ska AS (SELECT max(h) AS kth_a FROM
+            |  (SELECT h FROM h2 WHERE in_a = 1
+            |   ORDER BY h ASC NULLS FIRST, k ASC NULLS FIRST LIMIT 64)),
+            |skb AS (SELECT max(h) AS kth_b FROM
+            |  (SELECT h FROM h2 WHERE in_b = 1
+            |   ORDER BY h ASC NULLS FIRST, k ASC NULLS FIRST LIMIT 64)),
+            |sku AS (SELECT max(h) AS kth_u,
+            |    CAST(sum(in_a * in_b) AS BIGINT) AS c_both FROM
+            |  (SELECT h, in_a, in_b FROM h2
+            |   ORDER BY h ASC NULLS FIRST, k ASC NULLS FIRST LIMIT 64)),
+            |ex AS (SELECT CAST(sum(in_a) AS BIGINT) AS exact_a,
+            |    CAST(sum(in_b) AS BIGINT) AS exact_b,
+            |    CAST(count(*) AS BIGINT) AS exact_union,
+            |    CAST(sum(in_a * in_b) AS BIGINT) AS exact_inter
+            |  FROM h2)
+            |SELECT CAST((CAST(63 AS BIGINT) * $P) // kth_a AS BIGINT) AS est_a, exact_a,
+            |  CAST((CAST(63 AS BIGINT) * $P) // kth_b AS BIGINT) AS est_b, exact_b,
+            |  CAST((CAST(63 AS BIGINT) * $P) // kth_u AS BIGINT) AS est_union, exact_union,
+            |  CAST((c_both * ((CAST(63 AS BIGINT) * $P) // kth_u)) // 64 AS BIGINT)
+            |    AS est_inter,
+            |  exact_inter
+            |FROM ska, skb, sku, ex
+            |ORDER BY est_a ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(countmin, hll, hllMerge, bloom, quantile,
+    kmv)
 }

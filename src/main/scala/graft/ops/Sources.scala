@@ -318,6 +318,53 @@ object Sources {
            |FROM documents WHERE doc_id % 7 <> 0
            |ORDER BY status ASC NULLS FIRST""".stripMargin))
 
+  /** Schema evolution across batches (round 7): batch 1 lands with the
+    * v1 schema, batch 2 adds a `quality` column — the single most
+    * common lakehouse migration — and the read resolves BOTH under
+    * `mergeSchema`, with the census grading the exact contract: old
+    * rows surface the new column as NULL (never a default, never an
+    * error), new rows carry their values, and nothing else moves.
+    *
+    * Scale: schema merge is a FOOTER-only operation (parquet schemas
+    * union per file at planning time; no data pass), so evolution costs
+    * nothing at read beyond the merged projection — which is why
+    * additive evolution is the recommended migration at 100 TB, vs a
+    * rewrite. The oracle recomputes the census from the untouched
+    * parquet ground truth with the same mod-split derivation, so a
+    * null-backfill or column-alignment bug on either side of the cycle
+    * breaks the hash.
+    */
+  private val sourceEvolution = QueryDef(
+    "q_source_evolution",
+    (s, d) => {
+      val path = stage(d, "evo")
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      base.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .write.mode("overwrite").parquet(s"$path/batch=1")
+      base.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .withColumn("quality", pmod(col("doc_id"), lit(7)))
+        .write.mode("overwrite").parquet(s"$path/batch=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("quality")).as("n_with_quality"),
+          sum(coalesce(col("quality"), lit(0L))).as("quality_sum"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+           |  CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+           |    AS n_with_quality,
+           |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN doc_id % 7
+           |    ELSE 0 END) AS BIGINT) AS quality_sum,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+           |FROM documents GROUP BY lang
+           |ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(sourceCsv, sourceJson, sourceOrc,
-    sourcePartitioned, sourceJsonNested, sourceText, sourceCorrupt)
+    sourcePartitioned, sourceJsonNested, sourceText, sourceCorrupt,
+    sourceEvolution)
 }
