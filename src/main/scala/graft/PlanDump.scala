@@ -35,7 +35,9 @@ object PlanDump {
         "q_text_winnowing", "q_ml_stump", "q_profile_corr",
         // round 7 batches 17-19
         "q_fn_hash", "q_ml_linreg", "q_ts_theil_sen", "q_win_attrib",
-        "q_text_stem", "q_join_q10", "q_agg_q14", "q_ts_transitions")) {
+        "q_text_stem", "q_join_q10", "q_agg_q14", "q_ts_transitions",
+        // round 7 batch 20
+        "q_sketch_kmv", "q_profile_iqr", "q_source_evolution")) {
       val p = Registry.queries(q)(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       out.append(s"##### $q\n```\n")

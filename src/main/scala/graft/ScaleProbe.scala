@@ -135,7 +135,9 @@ object ScaleProbe {
         // OLS, Theil–Sen pairs, packed-window attribution, stemmer,
         // TPC-H Q10/Q14 shapes, Markov transition census
         "q_fn_hash", "q_ml_linreg", "q_ts_theil_sen", "q_win_attrib",
-        "q_text_stem", "q_join_q10", "q_agg_q14", "q_ts_transitions")
+        "q_text_stem", "q_join_q10", "q_agg_q14", "q_ts_transitions",
+        // round-7 batch 20: KMV set-op sketch, IQR fences, schema merge
+        "q_sketch_kmv", "q_profile_iqr", "q_source_evolution")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()
