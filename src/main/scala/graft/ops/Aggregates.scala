@@ -578,9 +578,50 @@ object Aggregates {
            |    AS promo_share
            |FROM m ORDER BY month_us ASC NULLS FIRST""".stripMargin))
 
+  /** TPC-H Q6 shape (round 7): the forecast-revenue-change scan — a
+    * single-table filter + global aggregate, and deliberately the
+    * SIMPLEST plan on the surface: at 100 TB this query is pure scan
+    * bandwidth (all three predicates push to the parquet scan, the
+    * aggregate partial-combines per file, the exchange carries one row
+    * per partition), so it is the key that benchmarks the engine's
+    * floor, not its optimizer.
+    *
+    * Determinism: the discount band compares exact DECIMAL(3,2) values
+    * (a double-literal BETWEEN would compare two engines' independently
+    * parsed doubles — identical here, but the decimal spelling makes
+    * the exactness structural); revenue = Σ price·discount accumulates
+    * in exact decimal (D2), pinned to double at output (D9).
+    */
+  private val aggQ6 = QueryDef(
+    "q_agg_q6",
+    (s, d) => {
+      val dlo = lit("0.05").cast(org.apache.spark.sql.types.DecimalType(3, 2))
+      val dhi = lit("0.07").cast(org.apache.spark.sql.types.DecimalType(3, 2))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz")
+          && pct(col("l_discount")).between(dlo, dhi)
+          && col("l_quantity") < 24)
+        .agg(pin2(sum(dec12(col("l_extendedprice")) * pct(col("l_discount"))))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(ascf("n_items"))
+    },
+    Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+           |  count(*) AS n_items
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           |  AND l_shipdate < TIMESTAMP '1997-01-01'
+           |  AND CAST(l_discount AS DECIMAL(3,2))
+           |    BETWEEN CAST('0.05' AS DECIMAL(3,2))
+           |    AND CAST('0.07' AS DECIMAL(3,2))
+           |  AND l_quantity < 24
+           |ORDER BY n_items ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggQ18, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
     aggPercentile, aggPivot, aggUnpivot, aggGrouping, aggMode, aggBitset,
-    aggEntropy, aggQ14)
+    aggEntropy, aggQ14, aggQ6)
 }

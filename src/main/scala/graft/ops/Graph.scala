@@ -768,6 +768,71 @@ object Graph {
            |ORDER BY lang ASC NULLS FIRST""".stripMargin
     })
 
+  /** Market-basket co-purchase affinity (round 7): the "customers who
+    * bought X also bought Y" read — top-20 part pairs co-occurring
+    * within an order, scored by support (n_orders) AND lift (observed
+    * co-occurrence over the independence expectation, in 1e-6 units).
+    * Lift > 1e6 is the association signal a recommender or assortment
+    * planner acts on; support alone just rediscovers popular parts.
+    *
+    * Scale: the pair explosion is BASKET-bounded, not catalog-bounded —
+    * pairs per order ≤ C(items, 2) with items ≤ 13 on these fixtures
+    * (verified), so the pair relation is ~6× lineitem regardless of the
+    * 20 k-part catalog; marginals are one distinct-pair aggregate each;
+    * the top-20 is TakeOrdered partial heaps. No node²/catalog² term
+    * anywhere.
+    *
+    * Determinism: all-integer counts; lift_e6 = n_pair·N·10⁶ div
+    * (n_p1·n_p2) exact int64 (numerator ≤ ~10¹³ at sf0.1, denominators
+    * catalog-frequency-bounded); top-20 fed by the total order
+    * (n_pair DESC, p1, p2).
+    */
+  private val copurchase = QueryDef(
+    "q_graph_copurchase",
+    (s, d) => {
+      val items = graft.Caches.scoped(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct())
+      val n = items.select(countDistinct(col("o")).as("n_orders"))
+      val freq = items.groupBy(col("p")).agg(count(lit(1)).as("np"))
+      val pairs = items.as("a")
+        .join(items.as("b"), col("a.o") === col("b.o")
+          && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+        .agg(count(lit(1)).as("n_pair"))
+      pairs
+        .join(freq.withColumnRenamed("p", "p1")
+          .withColumnRenamed("np", "np1"), "p1")
+        .join(freq.withColumnRenamed("p", "p2")
+          .withColumnRenamed("np", "np2"), "p2")
+        .crossJoin(broadcast(n))
+        .select(col("p1"), col("p2"), col("n_pair"),
+          expr("(n_pair * n_orders * 1000000L) div (np1 * np2)")
+            .as("lift_e6"))
+        .orderBy(descl("n_pair"), ascf("p1"), ascf("p2"))
+        .limit(20)
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           |  FROM lineitem),
+           |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders
+           |  FROM items),
+           |freq AS (SELECT p, CAST(count(*) AS BIGINT) AS np
+           |  FROM items GROUP BY p),
+           |pairs AS (SELECT a.p AS p1, b.p AS p2,
+           |    CAST(count(*) AS BIGINT) AS n_pair
+           |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+           |  GROUP BY 1, 2)
+           |SELECT p1, p2, n_pair,
+           |  CAST((n_pair * n_orders * 1000000) // (f1.np * f2.np)
+           |    AS BIGINT) AS lift_e6
+           |FROM pairs
+           |  JOIN freq f1 ON pairs.p1 = f1.p
+           |  JOIN freq f2 ON pairs.p2 = f2.p
+           |  CROSS JOIN n
+           |ORDER BY n_pair DESC NULLS LAST, p1 ASC NULLS FIRST,
+           |  p2 ASC NULLS FIRST
+           |LIMIT 20""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(pagerank, triangles, bfs, degree,
-    graphJaccard, labelProp, closeness, scc, kcore)
+    graphJaccard, labelProp, closeness, scc, kcore, copurchase)
 }

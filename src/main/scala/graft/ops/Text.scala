@@ -1499,9 +1499,86 @@ object Text {
            |FROM st GROUP BY lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** Feature-hashing vectorizer census (round 7): the hashing-trick
+    * text featurizer — each token hashes to one of 64 signed buckets
+    * (sign from an independent hash bit, the standard variance-killing
+    * refinement), and the per-language census grades the resulting
+    * vector geometry: token mass, occupied buckets, and the exact
+    * squared l2 norm of the signed bucket sums. This is the fixed-width
+    * featurization that needs NO vocabulary pass — the property that
+    * makes it the one-scan text→vector path at 100 TB (tf-idf needs
+    * corpus statistics first).
+    *
+    * Scale: explode + (lang, bucket) partial agg — the shuffle carries
+    * ≤ langs·64 cells per map partition at any corpus size; the norm
+    * re-aggregates the cell relation.
+    *
+    * Determinism: the mod-prime → xor-shift → mod-prime hash family
+    * (the q_sketch_hll anti-progression construction) over the token's
+    * first-8-char big-endian byte value, spelled identically in both
+    * engines; all counts and signed sums exact int64.
+    */
+  private val hashvec = QueryDef(
+    "q_text_hashvec",
+    (s, d) => {
+      val P = 2147483647L
+      val tok = sharedDocTokens(s, d)
+        .select(col("lang"), explode(col("ts")).as("w"))
+        // token → int: first 8 chars, base-128 polynomial over char
+        // codes (ASCII fixture vocabulary; aggregate() keeps it one
+        // codegen'd expression)
+        .withColumn("u", expr(
+          """aggregate(transform(sequence(1, least(length(w), 8)),
+            |  i -> ascii(substring(w, i, 1))),
+            |  0L, (acc, c) -> acc * 128 + c)""".stripMargin))
+        .withColumn("g1", (pmod(col("u"), lit(P)) * 15485863L + 101L) % P)
+        .withColumn("g2", expr("g1 ^ (g1 div 8192)"))
+        .withColumn("h", (col("g2") * 32452843L + 1009L) % P)
+        .withColumn("bucket", pmod(col("h"), lit(64)))
+        .withColumn("sign",
+          lit(1L) - lit(2L) * pmod(expr("h div 64"), lit(2)))
+      val cells = tok.groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"), sum(col("sign")).as("v"))
+      cells.groupBy(col("lang"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+          count(lit(1)).as("nnz_buckets"),
+          sum(col("v") * col("v")).as("l2_sq"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH tk AS (SELECT lang,
+           |    unnest(string_split(text, ' ')) AS w FROM documents),
+           |uv AS (SELECT lang,
+           |    list_reduce(list_transform(
+           |      generate_series(1, least(length(w), 8)),
+           |      i -> CAST(ascii(substring(w, CAST(i AS INT), 1))
+           |        AS BIGINT)),
+           |      -- list_reduce seeds acc with the FIRST element (no
+           |      -- initial-value arg in DuckDB 1.0); identical to the
+           |      -- Spark aggregate's 0 seed since 0·128+c₁ = c₁
+           |      (acc, c) -> acc * 128 + c) AS u
+           |  FROM tk),
+           |h1 AS (SELECT lang,
+           |    ((u % 2147483647) * 15485863 + 101) % 2147483647 AS g1
+           |  FROM uv),
+           |h2 AS (SELECT lang,
+           |    ((xor(g1, g1 // 8192)) * 32452843 + 1009) % 2147483647 AS h
+           |  FROM h1),
+           |bs AS (SELECT lang, h % 64 AS bucket,
+           |    1 - 2 * ((h // 64) % 2) AS sign
+           |  FROM h2),
+           |cells AS (SELECT lang, bucket,
+           |    CAST(count(*) AS BIGINT) AS cnt,
+           |    CAST(sum(sign) AS BIGINT) AS v
+           |  FROM bs GROUP BY 1, 2)
+           |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           |  CAST(count(*) AS BIGINT) AS nnz_buckets,
+           |  CAST(sum(v * v) AS BIGINT) AS l2_sq
+           |FROM cells GROUP BY lang
+           |ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,
     langid, quality, tokens, fingerprint, levenshteinPairs, tfidf,
     collocations, vocab, zipf, keyphrase, bigramLm, perplexity, bpe,
-    textUnicode, bm25, bpeEncode, winnowing, stem)
+    textUnicode, bm25, bpeEncode, winnowing, stem, hashvec)
 }
