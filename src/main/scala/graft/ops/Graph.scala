@@ -833,6 +833,79 @@ object Graph {
            |  p2 ASC NULLS FIRST
            |LIMIT 20""".stripMargin))
 
+  /** Adamic–Adar link prediction (round 7): the common-neighbor score
+    * that DISCOUNTS popular intermediaries — each shared neighbor z
+    * contributes 1/ln(deg z) instead of 1 — completing the
+    * link-prediction pair with q_graph_jaccard (which size-normalizes
+    * but weights all common neighbors equally; a hub connecting
+    * everyone carries no signal, and AA is the standard correction).
+    *
+    * Scale: same wedge enumeration as q_graph_jaccard over the shared
+    * sparsified trade graph (top-3 bounds wedge fan-out at 3·deg); the
+    * per-neighbor weight joins the node-sized degree relation; the sum
+    * is per-pair.
+    *
+    * Determinism: deg ≥ 2 for every wedge center BY CONSTRUCTION (a
+    * common neighbor touches both endpoints), so ln(deg) > 0; the
+    * weight w_e6 = floor(10⁶ / lnInt(deg)) floors a division of
+    * bit-identical doubles (DetMath.lnInt is the D12 deterministic ln,
+    * replicated in staged SQL), and the pair score sums exact int64.
+    */
+  private val adamicAdar = QueryDef(
+    "q_graph_adamic_adar",
+    (s, d) => {
+      import graft.functions.DetMath
+      val und = undirectedTop3(s, d)
+      val sym = und.select(col("a").as("u"), col("b").as("v"))
+        .union(und.select(col("b").as("u"), col("a").as("v")))
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val wz = sym.alias("e1").join(sym.alias("e2"),
+          col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+        .select(col("e1.v").as("x"), col("e2.v").as("y"),
+          col("e1.u").as("z"))
+        .join(deg.select(col("u").as("z"), col("deg")), "z")
+        .withColumn("w_e6",
+          floor(lit(1000000.0) / DetMath.lnInt(col("deg"))).cast("long"))
+      wz.groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("cn"), sum(col("w_e6")).as("aa_e6"))
+        .join(und.select(col("a").as("x"), col("b").as("y"),
+          lit(1L).as("adj")), Seq("x", "y"), "left")
+        .select(col("x").cast("long").as("x"),
+          col("y").cast("long").as("y"), col("cn"), col("aa_e6"),
+          coalesce(col("adj"), lit(0L)).as("adjacent"))
+        .orderBy(descl("aa_e6"), ascf("x"), ascf("y"))
+    },
+    Some {
+      import graft.functions.DetMath._
+      s"""WITH $UndSql,
+         |sym AS (SELECT a AS u, b AS v FROM und
+         |  UNION ALL SELECT b, a FROM und),
+         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+         |  FROM sym GROUP BY u),
+         |d1 AS (SELECT u, deg, ${kSql("deg")} AS k FROM deg),
+         |d2 AS (SELECT *, ${mSql("deg", "k")} AS mm FROM d1),
+         |d3 AS (SELECT *, ${zSql("mm")} AS z FROM d2),
+         |d4 AS (SELECT *, z * z AS z2 FROM d3),
+         |d5 AS (SELECT *, ${hornerSql("z2")} AS h FROM d4),
+         |dw AS (SELECT u,
+         |    CAST(floor(CAST(1000000 AS DOUBLE)
+         |      / ${lnSql("k", "z", "h")}) AS BIGINT) AS w_e6
+         |  FROM d5),
+         |wz AS (SELECT e1.v AS x, e2.v AS y, e1.u AS z
+         |  FROM sym e1 JOIN sym e2 ON e1.u = e2.u AND e1.v < e2.v),
+         |aa AS (SELECT wz.x, wz.y, CAST(count(*) AS BIGINT) AS cn,
+         |    CAST(sum(dw.w_e6) AS BIGINT) AS aa_e6
+         |  FROM wz JOIN dw ON wz.z = dw.u GROUP BY 1, 2)
+         |SELECT CAST(aa.x AS BIGINT) AS x, CAST(aa.y AS BIGINT) AS y,
+         |  aa.cn, aa.aa_e6,
+         |  CASE WHEN u2.a IS NULL THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(1 AS BIGINT) END AS adjacent
+         |FROM aa LEFT JOIN und u2 ON aa.x = u2.a AND aa.y = u2.b
+         |ORDER BY aa_e6 DESC NULLS LAST, x ASC NULLS FIRST,
+         |  y ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(pagerank, triangles, bfs, degree,
-    graphJaccard, labelProp, closeness, scc, kcore, copurchase)
+    graphJaccard, labelProp, closeness, scc, kcore, copurchase,
+    adamicAdar)
 }

@@ -117,6 +117,50 @@ object Udx {
            |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
            |GROUP BY w ORDER BY word ASC NULLS FIRST""".stripMargin))
 
+  /** The OSDI'04 §2.3 inverted-index example through the MapReduce
+    * veneer (round 7): map emits one (word, doc-stats) pair per
+    * DISTINCT word of each document, reduce folds the postings with a
+    * tuple combiner — the second canonical MapReduce job, and the one
+    * that exercises a STRUCTURED value type through the veneer
+    * (wordcount's combiner is a bare Long).
+    *
+    * Determinism: list-valued reduce output (the paper's literal
+    * "sorted list of doc ids") would depend on reduce order, so the
+    * graded output is the algebraic summary every combiner-compatible
+    * index job ships instead: (postings count, min/max/sum of doc ids)
+    * — associative + commutative, hence partition-order-free.
+    *
+    * Scale: the per-doc DISTINCT runs inside the mapper (map-side, no
+    * shuffle); the combiner partial-reduces before the exchange (OSDI
+    * §4.3, automatic under reduceGroups), so the shuffle carries one
+    * partial per (word, partition).
+    */
+  private val mrInvidx = QueryDef(
+    "q_mr_invidx",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      graft.mr.MapReduce.run(docs) { case (id, t) =>
+        t.split(" ", -1).distinct.toSeq
+          .map(w => (w, (1L, id, id, id)))
+      } { case ((c1, mn1, mx1, s1), (c2, mn2, mx2, s2)) =>
+        (c1 + c2, math.min(mn1, mn2), math.max(mx1, mx2), s1 + s2)
+      }
+        .map { case (w, (c, mn, mx, sm)) => (w, c, mn, mx, sm) }
+        .toDF("word", "n_docs", "min_doc", "max_doc", "doc_sum")
+        .orderBy(ascf("word"))
+    },
+    Some("""WITH wd AS (SELECT DISTINCT doc_id,
+           |    unnest(string_split(text, ' ')) AS w
+           |  FROM documents)
+           |SELECT w AS word, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+           |  CAST(max(doc_id) AS BIGINT) AS max_doc,
+           |  CAST(sum(doc_id) AS BIGINT) AS doc_sum
+           |FROM wd GROUP BY w
+           |ORDER BY word ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(udfScalar, udafGeomean, udtfTokenize, mrWordcount)
+    Seq(udfScalar, udafGeomean, udtfTokenize, mrWordcount, mrInvidx)
 }
