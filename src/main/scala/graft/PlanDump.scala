@@ -37,7 +37,10 @@ object PlanDump {
         "q_fn_hash", "q_ml_linreg", "q_ts_theil_sen", "q_win_attrib",
         "q_text_stem", "q_join_q10", "q_agg_q14", "q_ts_transitions",
         // round 7 batch 20
-        "q_sketch_kmv", "q_profile_iqr", "q_source_evolution")) {
+        "q_sketch_kmv", "q_profile_iqr", "q_source_evolution",
+        // round 7 batches 21-22
+        "q_agg_q6", "q_graph_copurchase", "q_text_hashvec",
+        "q_graph_adamic_adar", "q_mr_invidx")) {
       val p = Registry.queries(q)(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       out.append(s"##### $q\n```\n")

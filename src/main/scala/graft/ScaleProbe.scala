@@ -137,7 +137,11 @@ object ScaleProbe {
         "q_fn_hash", "q_ml_linreg", "q_ts_theil_sen", "q_win_attrib",
         "q_text_stem", "q_join_q10", "q_agg_q14", "q_ts_transitions",
         // round-7 batch 20: KMV set-op sketch, IQR fences, schema merge
-        "q_sketch_kmv", "q_profile_iqr", "q_source_evolution")
+        "q_sketch_kmv", "q_profile_iqr", "q_source_evolution",
+        // round-7 batches 21-22: scan-floor Q6, basket lift, hashing
+        // trick, Adamic-Adar, MR inverted index
+        "q_agg_q6", "q_graph_copurchase", "q_text_hashvec",
+        "q_graph_adamic_adar", "q_mr_invidx")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()
