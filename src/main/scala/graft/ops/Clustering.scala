@@ -711,5 +711,76 @@ object Clustering {
            |FROM s ORDER BY rf ASC NULLS FIRST, ls ASC NULLS FIRST"""
       .stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(kmeans, perceptron, naiveBayes, stump, linreg)
+  /** k-nearest-neighbor classification (round 7): predict each probe
+    * vector's label by majority vote of its 5 nearest same-corpus
+    * neighbors under exact quantized cosine — the zero-training
+    * classifier that completes the ML family (kmeans/perceptron/NB/
+    * stump/OLS are all trained models; kNN is the memorized one), and
+    * the evaluation harness for every ANN key (the serve path's rerank
+    * feeds exactly this vote at 100 TB).
+    *
+    * Scale: probes broadcast (id ≡ 0 mod 100 — a fixed-rate probe set);
+    * the corpus side never shuffles for scoring; the per-probe top-5
+    * and the vote argmax run on probe-sized relations. Swapping the
+    * brute-force scorer for the persisted-index serve path
+    * (q_sim_ann_serve) changes nothing downstream of the candidate set.
+    *
+    * Determinism: exact int64 dots; cosine rounded to 6dp with the
+    * −0.0 normalization (D10); both rank orders total (cos DESC,
+    * vec_id ASC / votes DESC, label ASC).
+    */
+  private val knn = QueryDef(
+    "q_ml_knn",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = VecOps.quantized(s, d)
+      val probes = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .select(col("vec_id").as("pid"), col("label").as("tl"),
+          col("v").as("pv"), col("nn").as("pnn"))
+      val cand = emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("pid"))
+        .select(col("pid"), col("tl"), col("vec_id"), col("label"),
+          (round(VecOps.cosine(VecOps.dot(col("v"), col("pv")),
+            col("nn"), col("pnn")), 6) + lit(0.0)).as("cos"))
+      val w = Window.partitionBy(col("pid"))
+        .orderBy(descl("cos"), ascf("vec_id"))
+      val votes = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("pid"), col("tl"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val wv = Window.partitionBy(col("pid"))
+        .orderBy(descl("votes"), ascf("label"))
+      votes.withColumn("vr", row_number().over(wv))
+        .filter(col("vr") === 1)
+        .select(col("pid").as("vec_id"),
+          col("tl").cast("long").as("true_label"),
+          col("label").cast("long").as("pred_label"), col("votes"),
+          (col("label") === col("tl")).cast("long").as("correct"))
+        .orderBy(ascf("vec_id"))
+    },
+    Some(VecOps.oracleQuantized +
+      s""",
+         |p AS (SELECT vec_id AS pid, label AS tl, v, nn FROM n
+         |  WHERE vec_id % 100 = 0),
+         |cand AS (SELECT p.pid, p.tl, a.vec_id, a.label,
+         |    round(${VecOps.oracleCosine("a", "p")}, 6) + 0.0 AS cos
+         |  FROM n a, p WHERE a.vec_id <> p.pid),
+         |top AS (SELECT *, row_number() OVER (PARTITION BY pid
+         |    ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST) AS rn
+         |  FROM cand),
+         |votes AS (SELECT pid, tl, label,
+         |    CAST(count(*) AS BIGINT) AS votes
+         |  FROM top WHERE rn <= 5 GROUP BY 1, 2, 3),
+         |win AS (SELECT *, row_number() OVER (PARTITION BY pid
+         |    ORDER BY votes DESC NULLS LAST, label ASC NULLS FIRST) AS vr
+         |  FROM votes)
+         |SELECT pid AS vec_id, CAST(tl AS BIGINT) AS true_label,
+         |  CAST(label AS BIGINT) AS pred_label, votes,
+         |  CAST(CASE WHEN label = tl THEN 1 ELSE 0 END AS BIGINT)
+         |    AS correct
+         |FROM win WHERE vr = 1
+         |ORDER BY vec_id ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(kmeans, perceptron, naiveBayes, stump,
+    linreg, knn)
 }

@@ -1073,8 +1073,82 @@ object TimeSeries {
            |ORDER BY from_type ASC NULLS FIRST, to_type ASC NULLS FIRST"""
       .stripMargin))
 
+  /** Visual downsampling by largest-triangle selection (round 7): per
+    * metric, keep the ONE point per 5-day bucket whose triangle with
+    * its actual neighbors has the largest area — the LTOB
+    * (largest-triangle-one-bucket) variant of Steinarsson's LTTB, the
+    * standard dashboard decimation that preserves spikes where naive
+    * every-Nth sampling erases them. (LTTB proper chains on the
+    * previously SELECTED point — an inherently sequential fold; LTOB
+    * uses fixed actual neighbors, which windows express exactly, and is
+    * the published fallback with near-identical visual fidelity.)
+    *
+    * Scale: one day-grain partial agg on the scan, one lag/lead window
+    * and one per-bucket argmax on the calendar-bounded series — the
+    * output is bucket-sized no matter the event volume.
+    *
+    * Determinism: twice-the-area is exact integer cross-product
+    * arithmetic; the per-bucket argmax order (area2 DESC, x ASC) is
+    * total.
+    */
+  private val downsample = QueryDef(
+    "q_ts_downsample",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          floorDiv(unix_micros(col("ts")), DayUs).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("y"))
+      val d0 = daily.groupBy(col("event_type")).agg(min(col("day")).as("d0"))
+      val w = Window.partitionBy(col("event_type")).orderBy(ascf("x"))
+      val tri = daily.join(d0, "event_type")
+        .withColumn("x", col("day") - col("d0"))
+        .withColumn("xp", lag(col("x"), 1).over(w))
+        .withColumn("yp", lag(col("y"), 1).over(w))
+        .withColumn("xn", lead(col("x"), 1).over(w))
+        .withColumn("yn", lead(col("y"), 1).over(w))
+        .filter(col("xp").isNotNull && col("xn").isNotNull)
+        .withColumn("area2", abs((col("xp") - col("xn"))
+          * (col("y") - col("yp"))
+          - (col("xp") - col("x")) * (col("yn") - col("yp"))))
+        .withColumn("bucket", floorDiv(col("x"), 5L))
+      val wb = Window.partitionBy(col("event_type"), col("bucket"))
+        .orderBy(descl("area2"), ascf("x"))
+      tri.withColumn("rn", row_number().over(wb))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("bucket"), col("x").as("x_kept"),
+          col("y").as("y_kept"), col("area2"))
+        .orderBy(ascf("event_type"), ascf("bucket"))
+    },
+    Some("""WITH h AS (SELECT event_type,
+           |    epoch_us(ts) // 86400000000 AS day, count(*) AS y
+           |  FROM events GROUP BY 1, 2),
+           |d0 AS (SELECT event_type, min(day) AS d0 FROM h GROUP BY 1),
+           |x0 AS (SELECT h.event_type, h.day - d0.d0 AS x, h.y
+           |  FROM h JOIN d0 ON h.event_type = d0.event_type),
+           |tri AS (SELECT event_type, x, y,
+           |    lag(x) OVER win AS xp, lag(y) OVER win AS yp,
+           |    lead(x) OVER win AS xn, lead(y) OVER win AS yn
+           |  FROM x0
+           |  WINDOW win AS (PARTITION BY event_type
+           |    ORDER BY x ASC NULLS FIRST)),
+           |ar AS (SELECT event_type, x, y,
+           |    abs((xp - xn) * (y - yp) - (xp - x) * (yn - yp)) AS area2,
+           |    x // 5 AS bucket
+           |  FROM tri WHERE xp IS NOT NULL AND xn IS NOT NULL),
+           |rk AS (SELECT *, row_number() OVER (
+           |    PARTITION BY event_type, bucket
+           |    ORDER BY area2 DESC NULLS LAST, x ASC NULLS FIRST) AS rn
+           |  FROM ar)
+           |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           |  CAST(x AS BIGINT) AS x_kept, CAST(y AS BIGINT) AS y_kept,
+           |  CAST(area2 AS BIGINT) AS area2
+           |FROM rk WHERE rn = 1
+           |ORDER BY event_type ASC NULLS FIRST, bucket ASC NULLS FIRST"""
+      .stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
-      theilSen, attrib, transitions)
+      theilSen, attrib, transitions, downsample)
 }
