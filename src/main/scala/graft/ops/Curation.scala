@@ -1071,8 +1071,66 @@ object Curation {
            |GROUP BY ev.event_type, n, q1, med, q3
            |ORDER BY ev.event_type ASC NULLS FIRST""".stripMargin))
 
+  /** Benford first-digit audit (round 7): the leading-significant-digit
+    * distribution of line revenues against Benford's law — the
+    * fraud/synthetic-data screen auditors run on financial columns
+    * (fabricated values over-represent mid digits; natural multi-scale
+    * data follows log10(1+1/d)).
+    *
+    * Scale: digit extraction is a per-row codegen'd string projection;
+    * the census is a 9-group aggregate with map-side partials — the
+    * cheapest possible audit pass, shareable with any other fused
+    * full-scan check (the q_audit_expectations shape).
+    *
+    * Determinism: the leading digit comes from the DECIMAL STRING
+    * rendering of the integer dollar value (both engines render int64
+    * identically — no log10 at runtime); the Benford expectations are
+    * PRECOMPUTED e6 literals spliced identically into both engines, so
+    * no transcendental function executes anywhere.
+    */
+  private val benfordE6: Map[Int, Long] = (1 to 9).map(dd =>
+    dd -> math.floor(1e6 * math.log10(1.0 + 1.0 / dd)).toLong).toMap
+
+  private val benfordSqlCase: String = (1 to 9).map { dd =>
+    s"WHEN '$dd' THEN ${benfordE6(dd)}"
+  }.mkString("CASE digit ", " ", " END")
+
+  private val profileBenford = QueryDef(
+    "q_profile_benford",
+    (s, d) => {
+      val sparkCase = (1 to 9).map { dd =>
+        s"WHEN '$dd' THEN ${benfordE6(dd)}L"
+      }.mkString("CASE digit ", " ", " END")
+      val v = Tables.lineitem(s, d)
+        .select(floor(col("l_extendedprice")).cast("long").as("v"))
+        .filter(col("v") >= 1)
+        .select(substring(col("v").cast("string"), 1, 1).as("digit"))
+      val c = v.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      c.crossJoin(broadcast(c.agg(sum(col("n")).as("total"))))
+        .select(col("digit"), col("n"),
+          expr("(n * 1000000L) div total").as("share_e6"),
+          expr(sparkCase).as("benford_e6"))
+        .withColumn("dev_e6", col("share_e6") - col("benford_e6"))
+        .orderBy(ascf("digit"))
+    },
+    Some(s"""WITH v AS (SELECT CAST(floor(l_extendedprice) AS BIGINT)
+            |      AS v
+            |    FROM lineitem WHERE l_extendedprice >= 1),
+            |dg AS (SELECT substring(CAST(v AS VARCHAR), 1, 1) AS digit
+            |  FROM v),
+            |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+            |  FROM dg GROUP BY digit),
+            |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+            |SELECT digit, n,
+            |  CAST((n * 1000000) // total AS BIGINT) AS share_e6,
+            |  CAST($benfordSqlCase AS BIGINT) AS benford_e6,
+            |  CAST((n * 1000000) // total - ($benfordSqlCase) AS BIGINT)
+            |    AS dev_e6
+            |FROM c, t
+            |ORDER BY digit ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(packSequences, contamination, repetition,
     dedupIncremental, mixWeighted, lengthHist, mixTemperature, qualityGopher,
     mixUpsample, profileCols, profileSkew, profileDepth, dedupLines, textPii,
-    textChunking, profileCorr, profileIqr)
+    textChunking, profileCorr, profileIqr, profileBenford)
 }

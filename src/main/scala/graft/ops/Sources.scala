@@ -364,7 +364,44 @@ object Sources {
            |FROM documents GROUP BY lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** MULTILINE JSON ingestion (round 7): one file containing a single
+    * pretty-printed JSON ARRAY — the export format of most REST APIs
+    * and admin tools, and a different parser path from q_source_json's
+    * line-delimited records (`multiLine` makes the whole file one parse
+    * unit instead of one record per line).
+    *
+    * The staging harness assembles the array file driver-side (the
+    * q_lake_vacuum protocol-exhibit precedent — staging is harness, the
+    * graded operator is the READ); the graded read is Spark's multiline
+    * parse under an explicit schema, censused against the parquet
+    * ground truth.
+    *
+    * Scale note, stated honestly: a multiline JSON FILE is one parse
+    * unit — it cannot be split across tasks. The 100 TB shape is many
+    * array files (one per API page/export), which parallelize per file;
+    * ingestion converts to a splittable format on first touch, which is
+    * exactly what this key's write-side does NOT grade (that is
+    * q_source_json's job).
+    */
+  private val sourceJsonMultiline = QueryDef(
+    "q_source_json_multiline",
+    (s, d) => {
+      val path = stage(d, "jsonarr")
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy(ascf("doc_id"))
+        .toJSON.collect()
+      val f = new java.io.File(path, "docs.json")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath,
+        rows.mkString("[\n", ",\n", "\n]").getBytes("UTF-8"))
+      census(s.read.option("multiLine", "true").schema(docSchema)
+        .json(f.toString))
+    },
+    Some(censusSql))
+
   def defs: Seq[QueryDef] = Seq(sourceCsv, sourceJson, sourceOrc,
     sourcePartitioned, sourceJsonNested, sourceText, sourceCorrupt,
-    sourceEvolution)
+    sourceEvolution, sourceJsonMultiline)
 }
