@@ -40,7 +40,10 @@ object PlanDump {
         "q_sketch_kmv", "q_profile_iqr", "q_source_evolution",
         // round 7 batches 21-22
         "q_agg_q6", "q_graph_copurchase", "q_text_hashvec",
-        "q_graph_adamic_adar", "q_mr_invidx")) {
+        "q_graph_adamic_adar", "q_mr_invidx",
+        // round 7 batches 23-24
+        "q_ml_knn", "q_ts_downsample", "q_source_json_multiline",
+        "q_profile_benford")) {
       val p = Registry.queries(q)(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       out.append(s"##### $q\n```\n")

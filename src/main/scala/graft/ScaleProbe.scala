@@ -141,7 +141,11 @@ object ScaleProbe {
         // round-7 batches 21-22: scan-floor Q6, basket lift, hashing
         // trick, Adamic-Adar, MR inverted index
         "q_agg_q6", "q_graph_copurchase", "q_text_hashvec",
-        "q_graph_adamic_adar", "q_mr_invidx")
+        "q_graph_adamic_adar", "q_mr_invidx",
+        // round-7 batches 23-24: kNN vote, LTOB decimation, JSON-array
+        // parse, Benford audit
+        "q_ml_knn", "q_ts_downsample", "q_source_json_multiline",
+        "q_profile_benford")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()

@@ -1105,7 +1105,10 @@ object Curation {
         .select(floor(col("l_extendedprice")).cast("long").as("v"))
         .filter(col("v") >= 1)
         .select(substring(col("v").cast("string"), 1, 1).as("digit"))
-      val c = v.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      // scoped persist: the total re-aggregates c — unpersisted, both
+      // sides of the cross re-ran the corpus scan (r7 plan dump)
+      val c = graft.Caches.scoped(
+        v.groupBy(col("digit")).agg(count(lit(1)).as("n")))
       c.crossJoin(broadcast(c.agg(sum(col("n")).as("total"))))
         .select(col("digit"), col("n"),
           expr("(n * 1000000L) div total").as("share_e6"),

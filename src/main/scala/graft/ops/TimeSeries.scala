@@ -1094,11 +1094,14 @@ object TimeSeries {
   private val downsample = QueryDef(
     "q_ts_downsample",
     (s, d) => {
-      val daily = Tables.events(s, d)
+      // scoped persist: d0 re-derives from daily, which would otherwise
+      // re-execute the corpus-sized day-grain aggregation on both sides
+      // of the join (the theil_sen plan-dump lesson, same round)
+      val daily = graft.Caches.scoped(Tables.events(s, d)
         .select(col("event_type"),
           floorDiv(unix_micros(col("ts")), DayUs).as("day"))
         .groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("y"))
+        .agg(count(lit(1)).as("y")))
       val d0 = daily.groupBy(col("event_type")).agg(min(col("day")).as("d0"))
       val w = Window.partitionBy(col("event_type")).orderBy(ascf("x"))
       val tri = daily.join(d0, "event_type")
