@@ -905,7 +905,107 @@ object Graph {
          |  y ASC NULLS FIRST""".stripMargin
     })
 
+  /** HITS hubs & authorities (round 7): Kleinberg's mutual-
+    * reinforcement scores over the DIRECTED weighted trade graph —
+    * authority(v) = Σ incoming hub·w, hub(u) = Σ outgoing authority·w —
+    * the asymmetric complement to q_graph_pagerank (pagerank measures
+    * one stationary importance; HITS separates "broad buyers" (hubs)
+    * from "broad suppliers" (authorities), which IS the customer-vs-
+    * supplier asymmetry of the trade edges).
+    *
+    * Both engines run exactly K=2 unrolled iterations (the pagerank /
+    * components fixed-K pattern — convergence never assumed, round-K
+    * state hash-graded). Normalization (HITS diverges without it) is
+    * max-normalization to 1e6 units per half-step: score·10⁶ div max,
+    * exact via a DECIMAL(38,0)/HUGEINT staged integral division (raw
+    * Σ h·w reaches ~10¹³ at sf0.1, so score·10⁶ crosses int64 — the
+    * q_sketch_hll widening, applied at design time).
+    *
+    * Scale: the fact table collapses to the ≤ nations² edge relation
+    * once (scoped persist — the pagerank lesson: unpersisted, every
+    * unrolled iteration re-derives it from the fact scan); each
+    * half-step is one edge-sized join + a node-grain aggregate + a
+    * 1-row max broadcast.
+    */
+  private val hits = QueryDef(
+    "q_graph_hits",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      val e = Caches.scoped(li
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w")))
+      val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
+      def normalize(raw: org.apache.spark.sql.DataFrame, out: String): org.apache.spark.sql.DataFrame = {
+        val f = nodes.join(raw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))
+        f.crossJoin(broadcast(f.agg(max(col("s")).as("m"))))
+          .select(col("node"),
+            expr("CAST(CAST(s AS DECIMAL(38,0)) * 1000000 div m AS BIGINT)")
+              .as(out))
+      }
+      var hub: org.apache.spark.sql.DataFrame =
+        nodes.select(col("node"), lit(1000000L).as("h"))
+      var auth: org.apache.spark.sql.DataFrame =
+        nodes.select(col("node"), lit(1000000L).as("a"))
+      for (_ <- 1 to 2) {
+        auth = normalize(
+          e.join(broadcast(hub), col("src") === col("node"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("h") * col("w")).as("s")), "a")
+        hub = normalize(
+          e.join(broadcast(auth), col("dst") === col("node"))
+            .groupBy(col("src").as("node"))
+            .agg(sum(col("a") * col("w")).as("s")), "h")
+      }
+      hub.join(auth, "node")
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("node"), col("n_name"))), "node")
+        .select(col("n_name"), col("h").as("hub_e6"), col("a").as("auth_e6"))
+        .orderBy(ascf("n_name"))
+    },
+    Some {
+      def half(k: Int, joinKey: String, groupKey: String, prevRel: String,
+          prevCol: String, rel: String, outCol: String): String =
+        s"""${rel}raw AS (SELECT e.$groupKey AS node,
+           |    CAST(sum($prevRel.$prevCol * e.w) AS BIGINT) AS s
+           |  FROM e JOIN $prevRel ON e.$joinKey = $prevRel.node
+           |  GROUP BY 1),
+           |${rel}f AS (SELECT n.n_nationkey AS node,
+           |    coalesce(${rel}raw.s, 0) AS s
+           |  FROM nation n LEFT JOIN ${rel}raw
+           |    ON n.n_nationkey = ${rel}raw.node),
+           |${rel}m AS (SELECT max(s) AS m FROM ${rel}f),
+           |$rel AS (SELECT node,
+           |    CAST(CAST(s AS HUGEINT) * 1000000 // m AS BIGINT)
+           |      AS $outCol
+           |  FROM ${rel}f, ${rel}m)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         |      count(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |h0 AS (SELECT n_nationkey AS node, CAST(1000000 AS BIGINT) AS h
+         |  FROM nation),
+         |${half(1, "src", "dst", "h0", "h", "a1", "a")},
+         |${half(1, "dst", "src", "a1", "a", "h1", "h")},
+         |${half(2, "src", "dst", "h1", "h", "a2", "a")},
+         |${half(2, "dst", "src", "a2", "a", "h2", "h")}
+         |SELECT n.n_name, h2.h AS hub_e6, a2.a AS auth_e6
+         |FROM h2 JOIN a2 ON h2.node = a2.node
+         |JOIN nation n ON h2.node = n.n_nationkey
+         |ORDER BY n_name ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(pagerank, triangles, bfs, degree,
     graphJaccard, labelProp, closeness, scc, kcore, copurchase,
-    adamicAdar)
+    adamicAdar, hits)
 }
