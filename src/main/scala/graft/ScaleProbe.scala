@@ -145,7 +145,7 @@ object ScaleProbe {
         // round-7 batches 23-24: kNN vote, LTOB decimation, JSON-array
         // parse, Benford audit
         "q_ml_knn", "q_ts_downsample", "q_source_json_multiline",
-        "q_profile_benford")
+        "q_profile_benford", "q_graph_hits")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()

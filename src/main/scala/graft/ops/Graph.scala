@@ -941,13 +941,25 @@ object Graph {
         .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
         .agg(count(lit(1)).as("w")))
       val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
+      // each half-step state is eagerly CHECKPOINTED (node-sized): f
+      // feeds both the rows and the max, and each iteration chains on
+      // the last — unmaterialized, the unrolled plan replayed every
+      // prior half-step per reference (962-node plan in the first
+      // dump); a persist+broadcast-max variant fixed the plan size but
+      // paid ~10 s of pure stage-barrier overhead at sf0.1 (the LPA
+      // round-overhead disease — measured 10.2 s vs pagerank's 0.6 s),
+      // so the max runs as a single-partition window over the 25-row
+      // frame and the state truncates lineage the LPA way
+      val reliable = s.sparkContext.getCheckpointDir.isDefined
       def normalize(raw: org.apache.spark.sql.DataFrame, out: String): org.apache.spark.sql.DataFrame = {
+        import org.apache.spark.sql.expressions.Window
         val f = nodes.join(raw, Seq("node"), "left")
           .select(col("node"), coalesce(col("s"), lit(0L)).as("s"))
-        f.crossJoin(broadcast(f.agg(max(col("s")).as("m"))))
+          .withColumn("m", max(col("s")).over(Window.partitionBy()))
           .select(col("node"),
             expr("CAST(CAST(s AS DECIMAL(38,0)) * 1000000 div m AS BIGINT)")
               .as(out))
+        if (reliable) f.checkpoint(true) else f.localCheckpoint(true)
       }
       var hub: org.apache.spark.sql.DataFrame =
         nodes.select(col("node"), lit(1000000L).as("h"))
