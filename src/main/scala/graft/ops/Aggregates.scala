@@ -619,9 +619,63 @@ object Aggregates {
            |  AND l_quantity < 24
            |ORDER BY n_items ASC NULLS FIRST""".stripMargin))
 
+  /** Gini concentration coefficient per segment (round 7): how
+    * concentrated line revenue is within each returnflag slice — the
+    * inequality statistic behind every "top-X% of customers drive Y% of
+    * revenue" analysis, from the rank formula
+    * G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over ascending-sorted values.
+    *
+    * Determinism: ranks come from a window ordered by x alone — ties
+    * get arbitrary consecutive ranks, but Σ i·x is INVARIANT under
+    * permutations within equal x (swapping equal values changes
+    * nothing), so the statistic is total-order-free by algebra rather
+    * than by tiebreak. Values are whole dollars (floorDiv of exact
+    * cents) keeping Σ i·x ≈ 7.6·10¹⁶ at sf0.1 inside int64 (~10¹⁷ at
+    * the 10× probe); the final ×10⁶ ratio stages through
+    * DECIMAL(38,0)/HUGEINT.
+    *
+    * Scale: a rank statistic needs a per-group sort — the same
+    * partitioned total sort a layout rewrite pays (q_lake_zorder
+    * precedent); production swaps the exact ranks for the mergeable
+    * quantile sketch's Lorenz approximation when a sort is too dear.
+    */
+  private val aggGini = QueryDef(
+    "q_agg_gini",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables.lineitem(s, d).select(col("l_returnflag").as("rf"),
+        floorDiv((dec(col("l_extendedprice")) * 100).cast("long"), 100L)
+          .as("x"))
+      val w = Window.partitionBy(col("rf")).orderBy(ascf("x"))
+      b.withColumn("i", row_number().over(w))
+        .groupBy(col("rf"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("i") * col("x")).as("six"))
+        .select(col("rf"), col("n"),
+          expr("""CAST(CAST(2 * six - (n + 1) * sx AS DECIMAL(38,0))
+                 | * 1000000 div (n * sx) AS BIGINT)""".stripMargin)
+            .as("gini_e6"))
+        .orderBy(ascf("rf"))
+    },
+    Some("""WITH b AS (SELECT l_returnflag AS rf,
+           |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+           |      AS BIGINT) // 100 AS x
+           |  FROM lineitem),
+           |r AS (SELECT rf, x, row_number() OVER (PARTITION BY rf
+           |    ORDER BY x ASC NULLS FIRST) AS i
+           |  FROM b),
+           |m AS (SELECT rf, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS BIGINT) AS sx,
+           |    CAST(sum(i * x) AS BIGINT) AS six
+           |  FROM r GROUP BY rf)
+           |SELECT rf, n,
+           |  CAST(CAST(2 * six - (n + 1) * sx AS HUGEINT)
+           |    * 1000000 // (n * sx) AS BIGINT) AS gini_e6
+           |FROM m ORDER BY rf ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggQ18, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
     aggPercentile, aggPivot, aggUnpivot, aggGrouping, aggMode, aggBitset,
-    aggEntropy, aggQ14, aggQ6)
+    aggEntropy, aggQ14, aggQ6, aggGini)
 }

@@ -434,8 +434,71 @@ object Windows {
            |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST"""
       .stripMargin))
 
+  /** Sweep-line peak concurrency (round 7): the ops-dashboard gauge —
+    * how many intervals of each type are simultaneously open at the
+    * worst moment. Each event opens an interval (duration synthesized
+    * deterministically from its value — the q_fn_url derive-from-
+    * columns pattern); the sweep unions +1 at start and −1 at end and
+    * takes the running sum's maximum.
+    *
+    * Determinism: the sweep order is pinned TOTALLY — (t, delta DESC,
+    * event_id): starts sort before ends at the same instant (touching
+    * intervals count as overlapping, stated policy), and event_id
+    * breaks remaining ties.
+    *
+    * Scale: the cumulative sum partitions by type — a per-type ordered
+    * prefix sum. At 100 TB the same sweep runs as the classic two-pass
+    * distributed prefix sum (per-range partial sums, then boundary
+    * carry-over broadcast); the windowed spelling here IS the per-range
+    * inner loop of that plan.
+    */
+  private val winConcurrency = QueryDef(
+    "q_win_concurrency",
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("event_type"),
+        col("event_id"), unix_micros(col("ts").cast("timestamp")).as("t0"),
+        ((dec(col("value")) * 100).cast("long") * 10000L + 1000000L)
+          .as("dur"))
+      val pts = e.select(col("event_type"), col("t0").as("t"),
+        lit(1L).as("delta"), col("event_id"))
+        .unionAll(e.select(col("event_type"),
+          (col("t0") + col("dur")).as("t"), lit(-1L).as("delta"),
+          col("event_id")))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(ascf("t"), descl("delta"), ascf("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pts.withColumn("open", sum(col("delta")).over(w))
+        .groupBy(col("event_type"))
+        .agg((count(lit(1)) / 2).cast("long").as("n_intervals"),
+          max(col("open")).as("max_concurrent"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH e AS (SELECT event_type, event_id,
+           |    epoch_us(ts) AS t0,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      * 10000 + 1000000 AS dur
+           |  FROM events),
+           |pts AS (
+           |  SELECT event_type, t0 AS t, CAST(1 AS BIGINT) AS delta,
+           |      event_id FROM e
+           |  UNION ALL
+           |  SELECT event_type, t0 + dur, CAST(-1 AS BIGINT), event_id
+           |    FROM e),
+           |sw AS (SELECT event_type,
+           |    sum(delta) OVER (PARTITION BY event_type
+           |      ORDER BY t ASC NULLS FIRST, delta DESC NULLS LAST,
+           |        event_id ASC NULLS FIRST
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS open
+           |  FROM pts)
+           |SELECT event_type,
+           |  CAST(count(*) / 2 AS BIGINT) AS n_intervals,
+           |  CAST(max(open) AS BIGINT) AS max_concurrent
+           |FROM sw GROUP BY event_type
+           |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     winRank, winRunning, winLeadLag, winRangeFrame, winNtilePct, winFirstLast,
     sortNulls, limitOffset, topkGroup, winSessionize, winStreak, winPattern,
-    winDistinct)
+    winDistinct, winConcurrency)
 }
