@@ -43,7 +43,9 @@ object PlanDump {
         "q_graph_adamic_adar", "q_mr_invidx",
         // round 7 batches 23-24
         "q_ml_knn", "q_ts_downsample", "q_source_json_multiline",
-        "q_profile_benford", "q_graph_hits")) {
+        "q_profile_benford", "q_graph_hits",
+        // round 7 batch 26
+        "q_agg_gini", "q_win_concurrency")) {
       val p = Registry.queries(q)(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       out.append(s"##### $q\n```\n")

@@ -145,7 +145,9 @@ object ScaleProbe {
         // round-7 batches 23-24: kNN vote, LTOB decimation, JSON-array
         // parse, Benford audit
         "q_ml_knn", "q_ts_downsample", "q_source_json_multiline",
-        "q_profile_benford", "q_graph_hits")
+        "q_profile_benford", "q_graph_hits",
+        // round-7 batch 26: Gini ranks, sweep-line concurrency
+        "q_agg_gini", "q_win_concurrency")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()

@@ -459,11 +459,16 @@ object Windows {
         col("event_id"), unix_micros(col("ts").cast("timestamp")).as("t0"),
         ((dec(col("value")) * 100).cast("long") * 10000L + 1000000L)
           .as("dur"))
-      val pts = e.select(col("event_type"), col("t0").as("t"),
-        lit(1L).as("delta"), col("event_id"))
-        .unionAll(e.select(col("event_type"),
-          (col("t0") + col("dur")).as("t"), lit(-1L).as("delta"),
-          col("event_id")))
+      // both endpoints explode out of ONE scan (a union of two
+      // projections re-reads the corpus per branch — the q_win_attrib
+      // plan lesson, applied at design time this round)
+      val pts = e.select(col("event_type"), col("event_id"),
+        explode(expr(
+          """array(struct(t0 AS t, 1L AS delta),
+            |      struct(t0 + dur AS t, -1L AS delta))""".stripMargin))
+          .as("p"))
+        .select(col("event_type"), col("p.t").as("t"),
+          col("p.delta").as("delta"), col("event_id"))
       val w = Window.partitionBy(col("event_type"))
         .orderBy(ascf("t"), descl("delta"), ascf("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
