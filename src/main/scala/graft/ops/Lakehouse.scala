@@ -565,6 +565,70 @@ object Lakehouse {
            |WHERE o_orderkey % 20 = 0 AND o_orderkey % 100 <> 0
            |ORDER BY n_rows ASC NULLS FIRST""".stripMargin))
 
+  /** Small-file compaction as a graded protocol exhibit (round 7): the
+    * nightly maintenance job every streaming-ingested lake needs —
+    * four append batches (each coalesce(1), so exactly one file per
+    * (batch, month) partition lands on disk) fragment the lake, then
+    * `Lake.compact` rewrites to one file per month behind a staged
+    * atomic swap, and the key grades BOTH the content (census vs the
+    * orders ground truth — a lost or duplicated row breaks the hash)
+    * and the file-count protocol facts, which are FULLY DERIVABLE in
+    * SQL: files_before = count of distinct (month, batch-slice) pairs
+    * (each append writes one file per month it contains), files_after
+    * = distinct months (compact hashes each month to exactly one of
+    * the 8 writers, which writes one file per month it holds).
+    *
+    * At 100 TB compaction is the difference between a scan planning
+    * thousands of splits and millions; the staged swap means a reader
+    * never sees a half-compacted directory (RuntimeSpec crash-injects
+    * the same mechanism).
+    */
+  private case class CompactFacts(root: String, before: Long, after: Long)
+
+  private val compactLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, CompactFacts]()
+
+  private def compactLake(s: org.apache.spark.sql.SparkSession,
+      d: String): CompactFacts =
+    compactLakes.computeIfAbsent(s"${graft.Caches.sessionKey(s)}:$d", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cmp_lake").toString + "/orders"
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_trunc("month", col("o_orderdate")).as("p_date"))
+      for (k <- 0 to 3)
+        base.filter(pmod(col("o_orderkey"), lit(4)) === k)
+          .coalesce(1).write.mode("append")
+          .partitionBy("p_date").parquet(root)
+      val (before, after) = graft.sources.Lake.compact(s, root)
+      CompactFacts(root, before, after)
+    })
+
+  private val lakeCompact = QueryDef(
+    "q_lake_compact",
+    (s, d) => {
+      val f = compactLake(s, d)
+      s.read.parquet(f.root)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .select(col("n_rows"), col("key_sum"),
+          lit(f.before).as("files_before"),
+          lit(f.after).as("files_after"))
+        .orderBy(ascf("n_rows"))
+    },
+    Some("""WITH m AS (SELECT o_orderkey,
+           |    date_trunc('month', o_orderdate) AS p_date
+           |  FROM orders)
+           |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM
+           |    (SELECT DISTINCT p_date, o_orderkey % 4 FROM m))
+           |    AS files_before,
+           |  (SELECT CAST(count(DISTINCT p_date) AS BIGINT) FROM m)
+           |    AS files_after
+           |FROM m
+           |ORDER BY n_rows ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(lakeMerge, joinBucketed, lakeScd2, lakeZorder,
-    lakeTimetravel, lakeCdc, lakeVacuum)
+    lakeTimetravel, lakeCdc, lakeVacuum, lakeCompact)
 }

@@ -191,6 +191,61 @@ object Sampling {
            |    AS mean_len_e6
            |FROM a ORDER BY j ASC NULLS FIRST""".stripMargin))
 
+  /** Class-balanced downsampling (round 7): every embedding label class
+    * cut to the MINORITY class's size — the rebalancing step before
+    * training any classifier on skewed labels (q_sample_stratified
+    * takes a FIXED k per stratum; here k is data-derived, so the output
+    * is balance-invariant under any label drift).
+    *
+    * Determinism: within each label, rows rank by the same injective
+    * mix hash every sampler shares (doc_id tiebreak), so the kept set
+    * is a pure function of the data; the minority size comes from a
+    * broadcast 1-row min over the label census.
+    *
+    * Scale: one label-partitioned window top-k (bounded partitions —
+    * labels are balanced within ~2× here) + a label-grain census join;
+    * no global sort, no second corpus pass (the census derives from
+    * the same grouped relation).
+    */
+  private val sampleBalanced = QueryDef(
+    "q_sample_balanced",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val counts = graft.Caches.scoped(
+        e.groupBy(col("label")).agg(count(lit(1)).as("n_before")))
+      val kmin = counts.agg(min(col("n_before")).as("k"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(ascf(mix(col("vec_id"))), ascf("vec_id"))
+      e.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(kmin))
+        .filter(col("rn") <= col("k"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("vec_id")).as("id_checksum"))
+        .join(broadcast(counts), "label")
+        .select(col("label"), col("n_before"), col("n_kept"),
+          col("id_checksum"))
+        .orderBy(ascf("label"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+            |  FROM embeddings),
+            |c AS (SELECT label, CAST(count(*) AS BIGINT) AS n_before
+            |  FROM e GROUP BY label),
+            |k AS (SELECT min(n_before) AS k FROM c),
+            |r AS (SELECT label, vec_id, row_number() OVER (
+            |    PARTITION BY label
+            |    ORDER BY ${mixSql("vec_id")} ASC NULLS FIRST,
+            |      vec_id ASC NULLS FIRST) AS rn
+            |  FROM e),
+            |kept AS (SELECT label, CAST(count(*) AS BIGINT) AS n_kept,
+            |    CAST(sum(vec_id) AS BIGINT) AS id_checksum
+            |  FROM r, k WHERE rn <= k GROUP BY label)
+            |SELECT c.label, c.n_before, kept.n_kept, kept.id_checksum
+            |FROM kept JOIN c ON kept.label = c.label
+            |ORDER BY c.label ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(sampleHash, sampleStratified, splitTrainVal,
-    sampleBootstrap)
+    sampleBootstrap, sampleBalanced)
 }
