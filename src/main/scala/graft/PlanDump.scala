@@ -45,7 +45,9 @@ object PlanDump {
         "q_ml_knn", "q_ts_downsample", "q_source_json_multiline",
         "q_profile_benford", "q_graph_hits",
         // round 7 batch 26
-        "q_agg_gini", "q_win_concurrency")) {
+        "q_agg_gini", "q_win_concurrency",
+        // round 7 batch 27
+        "q_lake_compact", "q_sample_balanced")) {
       val p = Registry.queries(q)(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       out.append(s"##### $q\n```\n")

@@ -147,7 +147,9 @@ object ScaleProbe {
         "q_ml_knn", "q_ts_downsample", "q_source_json_multiline",
         "q_profile_benford", "q_graph_hits",
         // round-7 batch 26: Gini ranks, sweep-line concurrency
-        "q_agg_gini", "q_win_concurrency")
+        "q_agg_gini", "q_win_concurrency",
+        // round-7 batch 27: compaction protocol, balanced downsample
+        "q_lake_compact", "q_sample_balanced")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()
