@@ -498,6 +498,47 @@ object Relational {
            |ORDER BY revenue DESC NULLS LAST, c_custkey ASC NULLS FIRST
            |LIMIT 20""".stripMargin))
 
+  /** NULL-safe equality join (round 7): the `<=>` operator — NULL
+    * matches NULL, which plain equality silently drops. This is the
+    * semantics every dimension join with incomplete keys needs (the
+    * "unknown" bucket must land on the "unknown" dimension row, not
+    * vanish): here an "unassigned" order class (key nulled out by
+    * NULLIF) joins its dimension row null-safely, and the census counts
+    * prove no order was lost. Spark spells it `<=>`, DuckDB/ANSI
+    * `IS NOT DISTINCT FROM` — same three-valued-logic escape hatch.
+    *
+    * Scale: null-safe equality is still a hash join (NULL hashes as a
+    * key value under `<=>` instead of disqualifying the row), so the
+    * plan is the ordinary broadcast join — no nested-loop penalty.
+    */
+  private val joinNullSafe = QueryDef(
+    "q_join_null_safe",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        nullif(pmod(col("o_custkey"), lit(5)), lit(3)).as("k1"),
+        dec(col("o_totalprice")).as("p"))
+      val dim = Tables.region(s, d).select(
+        nullif(col("r_regionkey").cast("long"), lit(3L)).as("k2"),
+        col("r_name"))
+      o.join(broadcast(dim), col("k1") <=> col("k2"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("p")) * 100).cast("long").as("cents"))
+        .orderBy(ascf("r_name"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey,
+           |    nullif(o_custkey % 5, 3) AS k1,
+           |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+           |  FROM orders),
+           |dim AS (SELECT nullif(CAST(r_regionkey AS BIGINT), 3) AS k2,
+           |    r_name
+           |  FROM region)
+           |SELECT r_name, count(*) AS n_orders,
+           |  CAST(sum(p) * 100 AS BIGINT) AS cents
+           |FROM o JOIN dim ON k1 IS NOT DISTINCT FROM k2
+           |GROUP BY r_name
+           |ORDER BY r_name ASC NULLS FIRST""".stripMargin))
+
   /** The explicit skew-salting path as a graded key (round 4): the
     * orders ⋈ customer join runs through graft.plans.SaltedJoin (8
     * salts — hot keys spread over 8 tasks), whose semantics are exactly
@@ -861,6 +902,6 @@ object Relational {
     filterCompound, filterExpr,
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
     joinCross, joinTheta, joinRange, joinAsof, joinStar, joinBroadcast,
-    joinQ5, joinQ3, joinQ10, joinSalted, joinBloom, subqScalar, subqExists,
-    auditFk, auditExpectations)
+    joinQ5, joinQ3, joinQ10, joinNullSafe, joinSalted, joinBloom,
+    subqScalar, subqExists, auditFk, auditExpectations)
 }

@@ -1150,8 +1150,80 @@ object TimeSeries {
            |ORDER BY event_type ASC NULLS FIRST, bucket ASC NULLS FIRST"""
       .stripMargin))
 
+  /** Forecast backtest on a holdout window (round 7): the evaluation
+    * half of the forecasting workflow — hold out each metric's last 7
+    * days, predict them with the SEASONAL-NAIVE baseline (ŷ(d) =
+    * y(d−7), the standard yardstick every published forecast must
+    * beat), and report WAPE and signed bias in 1e-6 units. A forecast
+    * key without an eval key is a model nobody can ship.
+    *
+    * Determinism: the split is data-derived (per-metric max day − 7);
+    * predictions come from an explicit self-join on day−7 (no
+    * contiguity assumption); WAPE floor-divides non-negative int64s,
+    * and the SIGNED bias uses the subtract-pmod floor construction
+    * (Σ(ŷ−y) may be negative — the q_ts_trend lesson).
+    *
+    * Scale: one day-grain partial agg on the scan (scoped-persisted —
+    * the split bound and the join both re-derive from it), then
+    * everything runs on the calendar-bounded series.
+    */
+  private val evalWape = QueryDef(
+    "q_ts_eval_wape",
+    (s, d) => {
+      val daily = graft.Caches.scoped(Tables.events(s, d)
+        .select(col("event_type"),
+          floorDiv(unix_micros(col("ts")), DayUs).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("y")))
+      val split = daily.groupBy(col("event_type"))
+        .agg((max(col("day")) - 7).as("split"))
+      val holdout = daily.join(split, "event_type")
+        .filter(col("day") > col("split"))
+      val pred = daily.select(col("event_type"),
+        (col("day") + 7).as("day"), col("y").as("yhat"))
+      val j = holdout.join(pred, Seq("event_type", "day"))
+        .select(col("event_type"), col("y"), col("yhat"),
+          abs(col("y") - col("yhat")).as("abs_err"),
+          (col("yhat") - col("y")).as("err"))
+      j.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(col("abs_err")).as("sae"), sum(col("y")).as("sy"),
+          sum(col("err")).as("se"))
+        .select(col("event_type"), col("n_eval"),
+          expr("(sae * 1000000L) div sy").as("wape_e6"),
+          ((col("se") * 1000000L
+            - pmod(col("se") * 1000000L, col("sy")))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            / col("sy")).cast("long").as("bias_e6"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH h AS (SELECT event_type,
+           |    epoch_us(ts) // 86400000000 AS day, count(*) AS y
+           |  FROM events GROUP BY 1, 2),
+           |sp AS (SELECT event_type, max(day) - 7 AS split
+           |  FROM h GROUP BY 1),
+           |ho AS (SELECT h.event_type, h.day, h.y
+           |  FROM h JOIN sp ON h.event_type = sp.event_type
+           |  WHERE h.day > sp.split),
+           |pr AS (SELECT event_type, day + 7 AS day, y AS yhat FROM h),
+           |j AS (SELECT ho.event_type, ho.y, pr.yhat,
+           |    abs(ho.y - pr.yhat) AS abs_err, pr.yhat - ho.y AS err
+           |  FROM ho JOIN pr
+           |    ON ho.event_type = pr.event_type AND ho.day = pr.day),
+           |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+           |    CAST(sum(abs_err) AS BIGINT) AS sae,
+           |    CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(err) AS BIGINT) AS se
+           |  FROM j GROUP BY 1)
+           |SELECT event_type, n_eval,
+           |  CAST((sae * 1000000) // sy AS BIGINT) AS wape_e6,
+           |  CAST((se * 1000000
+           |      - (((se * 1000000) % sy) + sy) % sy) // sy AS BIGINT)
+           |    AS bias_e6
+           |FROM m ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
-      theilSen, attrib, transitions, downsample)
+      theilSen, attrib, transitions, downsample, evalWape)
 }
