@@ -47,7 +47,9 @@ object PlanDump {
         // round 7 batch 26
         "q_agg_gini", "q_win_concurrency",
         // round 7 batch 27
-        "q_lake_compact", "q_sample_balanced")) {
+        "q_lake_compact", "q_sample_balanced",
+        // round 7 batch 28
+        "q_join_null_safe", "q_ts_eval_wape")) {
       val p = Registry.queries(q)(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       out.append(s"##### $q\n```\n")

@@ -149,7 +149,9 @@ object ScaleProbe {
         // round-7 batch 26: Gini ranks, sweep-line concurrency
         "q_agg_gini", "q_win_concurrency",
         // round-7 batch 27: compaction protocol, balanced downsample
-        "q_lake_compact", "q_sample_balanced")
+        "q_lake_compact", "q_sample_balanced",
+        // round-7 batch 28: null-safe join, forecast backtest
+        "q_join_null_safe", "q_ts_eval_wape")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()
