@@ -151,7 +151,7 @@ object ScaleProbe {
         // round-7 batch 27: compaction protocol, balanced downsample
         "q_lake_compact", "q_sample_balanced",
         // round-7 batch 28: null-safe join, forecast backtest
-        "q_join_null_safe", "q_ts_eval_wape")
+        "q_join_null_safe", "q_ts_eval_wape", "q_mr_grep")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()
