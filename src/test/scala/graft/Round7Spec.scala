@@ -208,4 +208,39 @@ class Round7Spec extends SparkSpec {
       s"attribution mismatch: got=$got expected=${cells.toMap}")
     Caches.releaseScoped(); Caches.releaseShared()
   }
+
+  test("q_sketch_kmv: estimates land within the k=64 error envelope") {
+    // The oracle proves both engines compute the same sketch; this pins
+    // the sketch to REALITY: a KMV with k=64 has σ ≈ 1/√(k−2) ≈ 12.7%,
+    // so a 50% relative-error band is ~4σ — loose enough to survive
+    // fixture regeneration, tight enough to catch a broken estimator
+    // (an off-by-one in the kth selection reads ~2× off).
+    val r = q("q_sketch_kmv").collect()(0)
+    val pairs = Seq((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)),
+      (r.getLong(4), r.getLong(5)), (r.getLong(6), r.getLong(7)))
+    for (((est, exact), i) <- pairs.zipWithIndex) {
+      assert(exact > 0, s"kmv field $i: exact side empty")
+      val rel = math.abs(est - exact).toDouble / exact
+      assert(rel <= 0.5,
+        s"kmv field $i: est=$est exact=$exact rel-err=$rel > 0.5")
+    }
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_graph_hits: scores are max-normalized to exactly 1e6") {
+    // Structural invariants of the normalization the oracle shares (a
+    // shared bug would pass parity): every score lies in [0, 1e6] and
+    // each half-step's maximum is EXACTLY 1e6 — the anchor the
+    // division-by-max construction guarantees by algebra.
+    val rows = q("q_graph_hits").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    for ((h, a) <- rows) {
+      assert(h >= 0 && h <= 1000000L, s"hub score out of band: $h")
+      assert(a >= 0 && a <= 1000000L, s"auth score out of band: $a")
+    }
+    assert(rows.map(_._1).max == 1000000L, "no hub anchored at 1e6")
+    assert(rows.map(_._2).max == 1000000L, "no authority anchored at 1e6")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
 }
