@@ -261,6 +261,38 @@ class PlanSpec extends SparkSpec {
       .toLowerCase.contains("dotlongarrays"))
   }
 
+  test("extension rewrites the HOF squared distance to the native expression") {
+    import org.apache.spark.sql.functions._
+    // the k-means / IVF / PQ inner-loop spelling — same declare-then-
+    // optimize contract as the dot rewrite
+    val v = Tables.embeddings(spark, sfDir).limit(50)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => round(x.cast("double") * 1000000, 0).cast("long")).as("v"))
+      .withColumn("w", expr("transform(v, x -> x + 3L)"))
+    val df = v.select(col("vec_id"), expr(
+      """aggregate(zip_with(v, w, (p, q) -> (p - q) * (p - q)),
+        |  bigint(0), (acc, t) -> acc + t)""".stripMargin).as("d"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.toLowerCase.contains("sumsqdifflongarrays"),
+      s"HOF sqdist not rewritten:\n$opt")
+    // result equality vs plain Scala: Σ(v−(v+3))² = 64·9
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ == 64L * 9), got.take(3).toString)
+    // MIXED-order factors are the NEGATED square — must NOT rewrite
+    val neg = v.select(expr(
+      """aggregate(zip_with(v, w, (p, q) -> (p - q) * (q - p)),
+        |  bigint(0), (acc, t) -> acc + t)""".stripMargin).as("d"))
+    assert(!neg.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("sumsqdifflongarrays"))
+    assert(neg.collect().forall(_.getLong(0) == -64L * 9))
+    // SQL-registered twin
+    v.createOrReplaceTempView("ext_sqd_probe")
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_sqdist(v, w) AS d FROM ext_sqd_probe")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == got)
+  }
+
   test("phash candidate join carries the (lang, band, value) bucket key") {
     // The image near-dup candidate generator must join on the full
     // band-bucket key — keyed on lang alone it is the quadratic
