@@ -1017,7 +1017,66 @@ object Graph {
          |ORDER BY n_name ASC NULLS FIRST""".stripMargin
     })
 
+  /** Degree assortativity (round 7): the Pearson correlation of degrees
+    * across edges — THE one-number answer to "do hubs trade with hubs
+    * or with the periphery?" (positive = social-network-like core,
+    * negative = hub-and-spoke). Each undirected edge contributes its
+    * endpoint-degree pair in BOTH orders (the standard symmetrization),
+    * and the correlation runs the q_profile_corr fused-moment shape on
+    * the edge-sized relation.
+    *
+    * Determinism: degrees are tiny integers, every moment exact int64;
+    * r divides through IEEE sqrt/mul/div on identical operands.
+    * Scale: node-sized degree relation joins the node²-bounded edge
+    * relation twice; moments partial-aggregate.
+    */
+  private val assortativity = QueryDef(
+    "q_graph_assortativity",
+    (s, d) => {
+      val und = undirectedTop3(s, d)
+      val sym = und.select(col("a").as("u"), col("b").as("v"))
+        .union(und.select(col("b").as("u"), col("a").as("v")))
+      val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val pairs = sym
+        .join(deg.select(col("u"), col("deg").as("dx")), "u")
+        .join(deg.select(col("u").as("v"), col("deg").as("dy")), "v")
+        .select(col("dx").cast("long").as("x"),
+          col("dy").cast("long").as("y"))
+      pairs.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select((col("n") / 2).cast("long").as("n_edges"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double")))).as("assortativity"))
+        .orderBy(ascf("n_edges"))
+    },
+    Some(s"""WITH $UndSql,
+            |sym AS (SELECT a AS u, b AS v FROM und
+            |  UNION ALL SELECT b, a FROM und),
+            |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+            |  FROM sym GROUP BY u),
+            |pr AS (SELECT dx.deg AS x, dy.deg AS y
+            |  FROM sym JOIN deg dx ON sym.u = dx.u
+            |    JOIN deg dy ON sym.v = dy.u),
+            |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+            |    CAST(sum(x * x) AS BIGINT) AS sxx,
+            |    CAST(sum(y * y) AS BIGINT) AS syy,
+            |    CAST(sum(x * y) AS BIGINT) AS sxy
+            |  FROM pr)
+            |SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+            |  CAST(n * sxy - sx * sy AS DOUBLE)
+            |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+            |    AS assortativity
+            |FROM m ORDER BY n_edges ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(pagerank, triangles, bfs, degree,
     graphJaccard, labelProp, closeness, scc, kcore, copurchase,
-    adamicAdar, hits)
+    adamicAdar, hits, assortativity)
 }

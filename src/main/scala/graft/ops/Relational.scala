@@ -498,6 +498,52 @@ object Relational {
            |ORDER BY revenue DESC NULLS LAST, c_custkey ASC NULLS FIRST
            |LIMIT 20""".stripMargin))
 
+  /** TPC-H Q19 shape (round 7): discounted revenue over a DISJUNCTION
+    * of three (brand, size-band, quantity-band) conjunct groups — the
+    * classic test of OR-predicate handling. The part-side conjuncts
+    * (brand, size) prune the broadcast dimension BEFORE the join
+    * (Catalyst extracts the common part-only disjunction), and the
+    * lineitem side keeps the cross-table OR as a post-join filter —
+    * exactly the split a 100 TB plan needs, since a naive evaluation
+    * would join the full dimension.
+    *
+    * Determinism: all band predicates are integer comparisons; revenue
+    * is exact DECIMAL pinned at output (D9).
+    */
+  private val joinQ19 = QueryDef(
+    "q_join_q19",
+    (s, d) => {
+      def band(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =
+        col("p_brand") === brand &&
+          col("p_size").between(szLo, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(band("Brand#1", 1, 10, 1, 11) ||
+          band("Brand#7", 11, 20, 10, 20) ||
+          band("Brand#13", 21, 30, 20, 30))
+        .agg(count(lit(1)).as("n_items"),
+          pin4(sum(dec12(col("l_extendedprice"))
+            * oneMinus(col("l_discount")))).as("revenue"),
+          pin2(sum(dec(col("l_quantity")))).as("qty_sum"))
+        .orderBy(ascf("n_items"))
+    },
+    Some("""SELECT count(*) AS n_items,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS qty_sum
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           |    AND l_quantity BETWEEN 1 AND 11)
+           |  OR (p_brand = 'Brand#7' AND p_size BETWEEN 11 AND 20
+           |    AND l_quantity BETWEEN 10 AND 20)
+           |  OR (p_brand = 'Brand#13' AND p_size BETWEEN 21 AND 30
+           |    AND l_quantity BETWEEN 20 AND 30)
+           |ORDER BY n_items ASC NULLS FIRST""".stripMargin))
+
   /** NULL-safe equality join (round 7): the `<=>` operator — NULL
     * matches NULL, which plain equality silently drops. This is the
     * semantics every dimension join with incomplete keys needs (the
@@ -902,6 +948,6 @@ object Relational {
     filterCompound, filterExpr,
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
     joinCross, joinTheta, joinRange, joinAsof, joinStar, joinBroadcast,
-    joinQ5, joinQ3, joinQ10, joinNullSafe, joinSalted, joinBloom,
+    joinQ5, joinQ3, joinQ10, joinQ19, joinNullSafe, joinSalted, joinBloom,
     subqScalar, subqExists, auditFk, auditExpectations)
 }
