@@ -49,7 +49,9 @@ object PlanDump {
         // round 7 batch 27
         "q_lake_compact", "q_sample_balanced",
         // round 7 batch 28
-        "q_join_null_safe", "q_ts_eval_wape", "q_mr_grep")) {
+        "q_join_null_safe", "q_ts_eval_wape", "q_mr_grep",
+        // round 7 batch 30
+        "q_join_q19", "q_graph_assortativity")) {
       val p = Registry.queries(q)(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       out.append(s"##### $q\n```\n")

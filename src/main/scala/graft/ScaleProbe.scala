@@ -151,7 +151,9 @@ object ScaleProbe {
         // round-7 batch 27: compaction protocol, balanced downsample
         "q_lake_compact", "q_sample_balanced",
         // round-7 batch 28: null-safe join, forecast backtest
-        "q_join_null_safe", "q_ts_eval_wape", "q_mr_grep")
+        "q_join_null_safe", "q_ts_eval_wape", "q_mr_grep",
+        // round-7 batch 30: OR pushdown, assortativity
+        "q_join_q19", "q_graph_assortativity")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()
