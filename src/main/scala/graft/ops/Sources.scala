@@ -401,7 +401,56 @@ object Sources {
     },
     Some(censusSql))
 
+  /** Spark's `binaryFile` source (round 7): the raw-blob ingestion path
+    * every multimodal pipeline starts from — one file per asset, read
+    * as (path, length, content) rows with the ASSET KEY recovered from
+    * the path. The census grades byte-level fidelity: per-file lengths,
+    * the key parsed out of the filename, and the first CONTENT byte of
+    * every blob (a truncation, encoding, or path-mapping bug moves one
+    * of them).
+    *
+    * Staging writes one `doc_<id>.bin` per sampled document (harness-
+    * side, the q_lake_vacuum precedent); the graded operator is the
+    * distributed binaryFile READ — which at 100 TB is exactly how
+    * image/audio corpora enter the engine before the Multimodal codecs
+    * take over (one task per file group, no record parsing at all).
+    */
+  private val sourceBinary = QueryDef(
+    "q_source_binary",
+    (s, d) => {
+      val path = stage(d, "bin")
+      val sample = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id"), col("text")).collect()
+      val dir = new java.io.File(path)
+      dir.mkdirs()
+      sample.foreach { r =>
+        java.nio.file.Files.write(
+          new java.io.File(dir, s"doc_${r.getLong(0)}.bin").toPath,
+          r.getString(1).getBytes("UTF-8"))
+      }
+      s.read.format("binaryFile").load(path)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+            .cast("long").as("doc_id"),
+          col("length"),
+          expr("CAST(ascii(substring(CAST(content AS STRING), 1, 1)) AS BIGINT)")
+            .as("first_byte"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("length")).as("byte_sum"),
+          sum(col("doc_id")).as("id_checksum"),
+          sum(col("first_byte")).as("first_byte_sum"))
+        .orderBy(ascf("n_files"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_files,
+           |  CAST(sum(length(text)) AS BIGINT) AS byte_sum,
+           |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           |  CAST(sum(ascii(substring(text, 1, 1))) AS BIGINT)
+           |    AS first_byte_sum
+           |FROM documents WHERE doc_id % 25 = 0
+           |ORDER BY n_files ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(sourceCsv, sourceJson, sourceOrc,
     sourcePartitioned, sourceJsonNested, sourceText, sourceCorrupt,
-    sourceEvolution, sourceJsonMultiline)
+    sourceEvolution, sourceJsonMultiline, sourceBinary)
 }

@@ -1222,8 +1222,74 @@ object TimeSeries {
            |    AS bias_e6
            |FROM m ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
+  /** Time-to-convert latency distribution (round 7): for every user who
+    * signs up and later purchases, the signup→first-purchase latency —
+    * the activation metric product teams steer by — summarized as
+    * median/p90 (exact interpolated percentiles over integer seconds)
+    * plus conversion counts.
+    *
+    * Scale: one user-grain aggregate computes both anchor timestamps
+    * (min signup, min purchase-after via conditional min over ONE pass
+    * — no self-join), then the percentile runs over the converted-user
+    * relation, which is user-bounded, not event-bounded.
+    *
+    * Determinism: latencies are exact integer seconds (µs floor-div);
+    * percentile ↔ quantile_cont interpolate exactly-representable ints
+    * with round(4) absorbing last-ulp drift (q_agg_percentile).
+    *
+    * Ordering subtlety: purchases BEFORE the user's first signup must
+    * not count, so each purchase row reads the running min of signup
+    * timestamps UP TO ITSELF (a user-partitioned preceding-frame
+    * window) — null until the first signup, constant afterwards. One
+    * shuffle serves both the window and the per-user aggregate.
+    */
+  private val latency = QueryDef(
+    "q_win_latency",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(ascf("ts"), ascf("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"))
+        .withColumn("signup_min",
+          min(when(col("event_type") === "signup", col("tus"))).over(w))
+      val conv = e
+        .filter(col("event_type") === "purchase" &&
+          col("signup_min").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(min(col("tus") - col("signup_min")).as("lat_us"))
+        .select(col("user_id"),
+          floorDiv(col("lat_us"), 1000000L).as("lat_s"))
+      conv.agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(lat_s, 0.5)"), 4).as("p50_s"),
+          round(expr("percentile(lat_s, 0.9)"), 4).as("p90_s"),
+          max(col("lat_s")).as("max_s"))
+        .orderBy(ascf("n_converted"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+           |    epoch_us(ts) AS tus,
+           |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+           |      OVER (PARTITION BY user_id
+           |        ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS signup_min
+           |  FROM events),
+           |conv AS (SELECT user_id,
+           |    CAST(min(tus - signup_min) AS BIGINT) // 1000000 AS lat_s
+           |  FROM e
+           |  WHERE event_type = 'purchase' AND signup_min IS NOT NULL
+           |  GROUP BY user_id)
+           |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           |  round(quantile_cont(lat_s, 0.5), 4) AS p50_s,
+           |  round(quantile_cont(lat_s, 0.9), 4) AS p90_s,
+           |  CAST(max(lat_s) AS BIGINT) AS max_s
+           |FROM conv
+           |ORDER BY n_converted ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
-      theilSen, attrib, transitions, downsample, evalWape)
+      theilSen, attrib, transitions, downsample, evalWape, latency)
 }
