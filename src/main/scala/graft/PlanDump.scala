@@ -51,7 +51,9 @@ object PlanDump {
         // round 7 batch 28
         "q_join_null_safe", "q_ts_eval_wape", "q_mr_grep",
         // round 7 batch 30
-        "q_join_q19", "q_graph_assortativity")) {
+        "q_join_q19", "q_graph_assortativity",
+        // round 7 batch 31
+        "q_win_latency", "q_source_binary")) {
       val p = Registry.queries(q)(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       out.append(s"##### $q\n```\n")

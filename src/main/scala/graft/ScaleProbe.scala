@@ -153,7 +153,9 @@ object ScaleProbe {
         // round-7 batch 28: null-safe join, forecast backtest
         "q_join_null_safe", "q_ts_eval_wape", "q_mr_grep",
         // round-7 batch 30: OR pushdown, assortativity
-        "q_join_q19", "q_graph_assortativity")
+        "q_join_q19", "q_graph_assortativity",
+        // round-7 batch 31: activation latency, binary blobs
+        "q_win_latency", "q_source_binary")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()
