@@ -673,9 +673,67 @@ object Aggregates {
            |    * 1000000 // (n * sx) AS BIGINT) AS gini_e6
            |FROM m ORDER BY rf ASC NULLS FIRST""".stripMargin))
 
+  /** Herfindahl–Hirschman concentration index per ship-year (round 7):
+    * supplier market shares squared and summed — the antitrust /
+    * supply-risk statistic (10 000 = monopoly, < 1 500 = competitive,
+    * in the conventional e4-share units; here e8 since shares carry e4).
+    * Complements q_agg_gini: Gini ranks WITHIN a distribution, HHI
+    * measures how much of the market the top few OWN.
+    *
+    * Determinism: shares quantize to e4 by exact floor division of
+    * cent-exact revenue (share_e4 = rev·10⁴ div total — the remainder
+    * discipline every mix key uses), so hhi_e8 = Σ share² is pure
+    * int64 (≤ 10⁸).
+    *
+    * Scale: one (year, supplier) partial agg on the scan; the share
+    * step joins the year-grain total by broadcast; the census is
+    * year-sized. Revenue at e2 cents ≤ 2⁶³ for any plausible SF (sum
+    * of DECIMAL(18,2) stays exact far beyond).
+    */
+  private val aggHhi = QueryDef(
+    "q_agg_hhi",
+    (s, d) => {
+      // scoped persist: the total re-aggregates rev — unpersisted, the
+      // broadcast side re-runs the corpus agg (the r7 double-lineage
+      // pattern, pre-empted at design time)
+      val rev = graft.Caches.scoped(Tables.lineitem(s, d)
+        .groupBy(year(col("l_shipdate")).cast("long").as("yr"),
+          col("l_suppkey"))
+        .agg((sum(dec(col("l_extendedprice"))) * 100).cast("long")
+          .as("cents")))
+      val tot = rev.groupBy(col("yr"))
+        .agg(sum(col("cents")).as("total"),
+          count(lit(1)).as("n_suppliers"))
+      rev.join(broadcast(tot), "yr")
+        .withColumn("share_e4", expr("(cents * 10000L) div total"))
+        .groupBy(col("yr"), col("n_suppliers"))
+        .agg(sum(col("share_e4") * col("share_e4")).as("hhi_e8"),
+          max(col("share_e4")).as("top_share_e4"))
+        .select(col("yr"), col("n_suppliers"), col("hhi_e8"),
+          col("top_share_e4"))
+        .orderBy(ascf("yr"))
+    },
+    Some("""WITH rev AS (SELECT
+           |    CAST(extract(year FROM l_shipdate) AS BIGINT) AS yr,
+           |    l_suppkey,
+           |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+           |      AS BIGINT) AS cents
+           |  FROM lineitem GROUP BY 1, 2),
+           |tot AS (SELECT yr, CAST(sum(cents) AS BIGINT) AS total,
+           |    CAST(count(*) AS BIGINT) AS n_suppliers
+           |  FROM rev GROUP BY yr),
+           |sh AS (SELECT rev.yr, tot.n_suppliers,
+           |    (rev.cents * 10000) // tot.total AS share_e4
+           |  FROM rev JOIN tot ON rev.yr = tot.yr)
+           |SELECT yr, n_suppliers,
+           |  CAST(sum(share_e4 * share_e4) AS BIGINT) AS hhi_e8,
+           |  CAST(max(share_e4) AS BIGINT) AS top_share_e4
+           |FROM sh GROUP BY yr, n_suppliers
+           |ORDER BY yr ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggQ18, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
     aggPercentile, aggPivot, aggUnpivot, aggGrouping, aggMode, aggBitset,
-    aggEntropy, aggQ14, aggQ6, aggGini)
+    aggEntropy, aggQ14, aggQ6, aggGini, aggHhi)
 }

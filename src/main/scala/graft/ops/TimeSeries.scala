@@ -1288,8 +1288,100 @@ object TimeSeries {
            |FROM conv
            |ORDER BY n_converted ASC NULLS FIRST""".stripMargin))
 
+  /** Dominant-period detection (round 7): for each metric, the lag
+    * L ∈ 1..10 whose lag-L autocorrelation is strongest — the
+    * periodicity finder behind seasonal model selection (q_ts_autocorr
+    * measures persistence at lag 1; q_ts_seasonality ASSUMES the
+    * 24-hour period; this key DISCOVERS the period).
+    *
+    * Determinism: per (metric, lag) the signed score is
+    * sign(cov)·cov²·10⁶ / (varx·vary), computed entirely in
+    * DECIMAL(38,0)/HUGEINT (cov² reaches ~10²¹ at the 10× probe —
+    * int64 is out of the question, the q_ts_autocorr widening); the
+    * argmax order (score DESC, lag ASC) is total.
+    *
+    * Scale: ONE equi-join builds all ten lag-pair sets — the daily
+    * relation crosses the 10-row lag spine keyed on (type, day−L), so
+    * adding lags widens the spine, never adds a corpus pass; moments
+    * partial-aggregate per (type, lag); the argmax runs on ≤ 10 rows
+    * per metric.
+    */
+  private val period = QueryDef(
+    "q_ts_period",
+    (s, d) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val daily = graft.Caches.scoped(Tables.events(s, d)
+        .select(col("event_type"),
+          floorDiv(unix_micros(col("ts")), DayUs).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("y")))
+      val lagged = daily
+        .select(col("event_type"), col("day"), col("y").as("x"),
+          explode(sequence(lit(1L), lit(10L))).as("lag"))
+        .withColumn("pday", col("day") - col("lag"))
+      val pairs = lagged.join(
+        daily.select(col("event_type"), col("day").as("pday"),
+          col("y").as("yp")),
+        Seq("event_type", "pday"))
+      val m = pairs.groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("yp")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("yp") * col("yp")).as("syy"),
+          sum(col("x") * col("yp")).as("sxy"))
+        .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+        .filter(col("vx") > 0 && col("vy") > 0)
+        .withColumn("score_e6",
+          (when(col("num") < 0, lit(-1L)).otherwise(lit(1L))) *
+            expr("""CAST(CAST(num AS DECIMAL(38,0)) * num * 1000000
+                   | div (CAST(vx AS DECIMAL(38,0)) * vy)
+                   | AS BIGINT)""".stripMargin))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(descl("score_e6"), ascf("lag"))
+      m.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("event_type"), col("lag").as("best_lag"), col("n"),
+          col("score_e6"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH h AS (SELECT event_type,
+           |    epoch_us(ts) // 86400000000 AS day, count(*) AS y
+           |  FROM events GROUP BY 1, 2),
+           |lg AS (SELECT h.event_type, h.day, h.y AS x,
+           |    unnest(generate_series(1, 10)) AS lag
+           |  FROM h),
+           |pr AS (SELECT lg.event_type, lg.lag, lg.x, b.y AS yp
+           |  FROM lg JOIN h b ON lg.event_type = b.event_type
+           |    AND lg.day - lg.lag = b.day),
+           |m AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yp) AS BIGINT) AS sy,
+           |    CAST(sum(x * x) AS BIGINT) AS sxx,
+           |    CAST(sum(yp * yp) AS BIGINT) AS syy,
+           |    CAST(sum(x * yp) AS BIGINT) AS sxy
+           |  FROM pr GROUP BY 1, 2),
+           |c AS (SELECT event_type, lag, n,
+           |    n * sxy - sx * sy AS num,
+           |    n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+           |  FROM m),
+           |sc AS (SELECT event_type, lag, n,
+           |    (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+           |      CAST(CAST(num AS HUGEINT) * num * 1000000
+           |        // (CAST(vx AS HUGEINT) * vy) AS BIGINT) AS score_e6
+           |  FROM c WHERE vx > 0 AND vy > 0),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+           |    ORDER BY score_e6 DESC NULLS LAST, lag ASC NULLS FIRST)
+           |      AS rn
+           |  FROM sc)
+           |SELECT event_type, CAST(lag AS BIGINT) AS best_lag, n,
+           |  CAST(score_e6 AS BIGINT) AS score_e6
+           |FROM rk WHERE rn = 1
+           |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
-      theilSen, attrib, transitions, downsample, evalWape, latency)
+      theilSen, attrib, transitions, downsample, evalWape, latency,
+      period)
 }
