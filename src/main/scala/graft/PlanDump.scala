@@ -53,7 +53,9 @@ object PlanDump {
         // round 7 batch 30
         "q_join_q19", "q_graph_assortativity",
         // round 7 batch 31
-        "q_win_latency", "q_source_binary")) {
+        "q_win_latency", "q_source_binary",
+        // round 7 batch 32
+        "q_ts_period", "q_agg_hhi")) {
       val p = Registry.queries(q)(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       out.append(s"##### $q\n```\n")
