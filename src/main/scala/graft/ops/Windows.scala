@@ -502,8 +502,83 @@ object Windows {
            |FROM sw GROUP BY event_type
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
+  /** Interval merge / coverage census (round 7): coalesce overlapping
+    * intervals into maximal islands and measure covered time — the
+    * uptime/downtime-window computation (and q_win_concurrency's dual:
+    * concurrency asks "how many open at once", this asks "how much of
+    * the timeline is open at all"). The classic gaps-and-islands on
+    * intervals: an interval starts a new island iff its start exceeds
+    * the running max of all PRECEDING ends; the running count of
+    * island-starts is the island id.
+    *
+    * Touching intervals (start == previous end) merge — the same
+    * closed-interval policy q_win_concurrency pins from the other side.
+    *
+    * Scale: two per-type ordered window passes (running max-end, then
+    * running island count) in ONE sort order — one shuffle, one sort;
+    * the island aggregate is island-bounded.
+    */
+  private val winIntervals = QueryDef(
+    "q_win_intervals",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t0"),
+        ((dec(col("value")) * 100).cast("long") * 10000L + 1000000L)
+          .as("dur"))
+        .withColumn("en", col("t0") + col("dur"))
+      val wOrd = Window.partitionBy(col("event_type"))
+        .orderBy(ascf("t0"), ascf("event_id"))
+      val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val isl = ev
+        .withColumn("pmax", max(col("en")).over(wPrev))
+        .withColumn("is_new",
+          when(col("pmax").isNull || col("t0") > col("pmax"), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("is_new")).over(wCum))
+      isl.groupBy(col("event_type"), col("island"))
+        .agg(min(col("t0")).as("s"), max(col("en")).as("e"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("e") - col("s")).as("covered_us"),
+          max(col("e") - col("s")).as("max_span_us"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH ev AS (SELECT event_type, event_id,
+           |    epoch_us(ts) AS t0,
+           |    epoch_us(ts)
+           |      + CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |        * 10000 + 1000000 AS en
+           |  FROM events),
+           |mx AS (SELECT event_type, t0, en,
+           |    max(en) OVER (PARTITION BY event_type
+           |      ORDER BY t0 ASC NULLS FIRST, event_id ASC NULLS FIRST
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS pmax,
+           |    event_id
+           |  FROM ev),
+           |fl AS (SELECT event_type, t0, en, event_id,
+           |    CASE WHEN pmax IS NULL OR t0 > pmax THEN 1 ELSE 0 END
+           |      AS is_new
+           |  FROM mx),
+           |isl AS (SELECT event_type, t0, en,
+           |    sum(is_new) OVER (PARTITION BY event_type
+           |      ORDER BY t0 ASC NULLS FIRST, event_id ASC NULLS FIRST
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS island
+           |  FROM fl),
+           |g AS (SELECT event_type, island, min(t0) AS s, max(en) AS e
+           |  FROM isl GROUP BY 1, 2)
+           |SELECT event_type, CAST(count(*) AS BIGINT) AS n_islands,
+           |  CAST(sum(e - s) AS BIGINT) AS covered_us,
+           |  CAST(max(e - s) AS BIGINT) AS max_span_us
+           |FROM g GROUP BY event_type
+           |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     winRank, winRunning, winLeadLag, winRangeFrame, winNtilePct, winFirstLast,
     sortNulls, limitOffset, topkGroup, winSessionize, winStreak, winPattern,
-    winDistinct, winConcurrency)
+    winDistinct, winConcurrency, winIntervals)
 }
