@@ -157,7 +157,7 @@ object ScaleProbe {
         // round-7 batch 31: activation latency, binary blobs
         "q_win_latency", "q_source_binary",
         // round-7 batch 32: period discovery, HHI concentration
-        "q_ts_period", "q_agg_hhi")
+        "q_ts_period", "q_agg_hhi", "q_win_intervals")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()
