@@ -1076,7 +1076,78 @@ object Graph {
             |    AS assortativity
             |FROM m ORDER BY n_edges ASC NULLS FIRST""".stripMargin))
 
+  /** Edge reciprocity (round 7): the fraction of directed trade edges
+    * whose REVERSE edge also exists — the directionality census that
+    * separates two-way trading relationships from one-way supply
+    * chains, and the natural companion statistic to q_graph_hits
+    * (strong hubs + low reciprocity = a hub-and-spoke market; high
+    * reciprocity = mutual trade).
+    *
+    * Scale: the fact table collapses once to the ≤ nations² directed
+    * edge relation (scoped persist — both the census and the reverse
+    * probe read it); the reciprocity check is a self-join on the
+    * swapped key, node²-bounded. Weighted reciprocity (min(w, w_rev)
+    * mass) rides along — the Garlaschelli–Loffredo refinement.
+    *
+    * Determinism: pure integer counting; ratio in 1e-6 units by exact
+    * floor division.
+    */
+  private val reciprocity = QueryDef(
+    "q_graph_reciprocity",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      val e = Caches.scoped(li
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w")))
+      val joined = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst"),
+          col("w").as("w_rev")),
+        Seq("src", "dst"), "left")
+      joined.agg(count(lit(1)).as("n_edges"),
+          sum(when(col("w_rev").isNotNull, 1L).otherwise(0L))
+            .as("n_reciprocal"),
+          sum(col("w")).as("weight_total"),
+          sum(when(col("w_rev").isNotNull, least(col("w"), col("w_rev")))
+            .otherwise(lit(0L))).as("weight_reciprocated"))
+        .select(col("n_edges"), col("n_reciprocal"),
+          expr("(n_reciprocal * 1000000L) div n_edges")
+            .as("reciprocity_e6"),
+          col("weight_total"), col("weight_reciprocated"))
+        .orderBy(ascf("n_edges"))
+    },
+    Some("""WITH e AS (
+           |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           |      CAST(count(*) AS BIGINT) AS w
+           |  FROM lineitem l
+           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           |  WHERE c.c_nationkey <> s.s_nationkey
+           |  GROUP BY 1, 2),
+           |j AS (SELECT e.src, e.dst, e.w, r.w AS w_rev
+           |  FROM e LEFT JOIN e r ON e.src = r.dst AND e.dst = r.src),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           |    CAST(sum(CASE WHEN w_rev IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_reciprocal,
+           |    CAST(sum(w) AS BIGINT) AS weight_total,
+           |    CAST(sum(CASE WHEN w_rev IS NOT NULL
+           |        THEN least(w, w_rev) ELSE 0 END) AS BIGINT)
+           |      AS weight_reciprocated
+           |  FROM j)
+           |SELECT n_edges, n_reciprocal,
+           |  CAST((n_reciprocal * 1000000) // n_edges AS BIGINT)
+           |    AS reciprocity_e6,
+           |  weight_total, weight_reciprocated
+           |FROM m ORDER BY n_edges ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(pagerank, triangles, bfs, degree,
     graphJaccard, labelProp, closeness, scc, kcore, copurchase,
-    adamicAdar, hits, assortativity)
+    adamicAdar, hits, assortativity, reciprocity)
 }

@@ -81,6 +81,58 @@ object Udx {
            |FROM lineitem GROUP BY l_returnflag
            |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin))
 
+  /** Weighted average via a typed Aggregator (round 7): quantity-
+    * weighted mean unit price per returnflag — the second `udaf`-path
+    * key, exercising a TWO-FIELD buffer (the geomean buffer is
+    * effectively one accumulator plus a count; real UDAFs carry
+    * composite state and must merge it field-wise).
+    *
+    * Determinism: the buffer accumulates exact int64 (cent·quantity
+    * products ≤ 5·10⁸/row) so partial-merge order cannot move the sum;
+    * the finish divides two exact int64s through IEEE division —
+    * bit-identical to the oracle's spelling.
+    */
+  private final case class WAcc(var cq: Long, var w: Long)
+
+  private object WeightedAvg
+      extends Aggregator[(Long, Long), WAcc, Double] {
+    override def zero: WAcc = WAcc(0L, 0L)
+    override def reduce(b: WAcc, x: (Long, Long)): WAcc = {
+      b.cq += x._1 * x._2; b.w += x._2; b
+    }
+    override def merge(a: WAcc, b: WAcc): WAcc = {
+      a.cq += b.cq; a.w += b.w; a
+    }
+    override def finish(r: WAcc): Double =
+      if (r.w == 0) Double.NaN
+      else r.cq.toDouble / r.w.toDouble / 100.0
+    override def bufferEncoder: Encoder[WAcc] = Encoders.product[WAcc]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  private val udafWavg = QueryDef(
+    "q_udaf_wavg",
+    (s, d) => {
+      val wa = udaf(WeightedAvg)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy(col("l_returnflag"))
+        // a tuple-input Aggregator flattens to one argument per field
+        .agg(wa(col("cents"), col("qty")).as("wavg_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy(ascf("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+           |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+           |      AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+           |    / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+           |    / CAST(100 AS DOUBLE) AS wavg_price,
+           |  count(*) AS cnt
+           |FROM lineitem GROUP BY l_returnflag
+           |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin))
+
   private val udtfTokenize = QueryDef(
     "q_udtf_tokenize",
     (s, d) =>
@@ -195,6 +247,6 @@ object Udx {
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
   def defs: Seq[QueryDef] =
-    Seq(udfScalar, udafGeomean, udtfTokenize, mrWordcount, mrInvidx,
-      mrGrep)
+    Seq(udfScalar, udafGeomean, udafWavg, udtfTokenize, mrWordcount,
+      mrInvidx, mrGrep)
 }
