@@ -55,7 +55,9 @@ object PlanDump {
         // round 7 batch 31
         "q_win_latency", "q_source_binary",
         // round 7 batch 32
-        "q_ts_period", "q_agg_hhi", "q_win_intervals")) {
+        "q_ts_period", "q_agg_hhi", "q_win_intervals",
+        // round 7 batch 34
+        "q_udaf_wavg", "q_graph_reciprocity")) {
       val p = Registry.queries(q)(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       out.append(s"##### $q\n```\n")

@@ -157,7 +157,9 @@ object ScaleProbe {
         // round-7 batch 31: activation latency, binary blobs
         "q_win_latency", "q_source_binary",
         // round-7 batch 32: period discovery, HHI concentration
-        "q_ts_period", "q_agg_hhi", "q_win_intervals")
+        "q_ts_period", "q_agg_hhi", "q_win_intervals",
+        // round-7 batch 34: composite UDAF, reciprocity
+        "q_udaf_wavg", "q_graph_reciprocity")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()
