@@ -1576,9 +1576,79 @@ object Text {
            |FROM cells GROUP BY lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** Lexicon-join scoring (round 7): each document scored by summing
+    * signed weights of its lexicon hits — the dictionary-scoring
+    * pattern behind sentiment lexicons (VADER/AFINN), toxicity lists,
+    * and keyword taggers, where the model IS a broadcast dictionary.
+    * Here the "sentiment" axis is performance connotation (fast/big
+    * positive, slow/dup negative), weights pinned as literals in both
+    * engines.
+    *
+    * Scale: tokens LEFT-join the broadcast lexicon (scores must count
+    * misses as zero, not drop rows — a document with no hits still has
+    * a score); one doc-grain partial agg then a lang-grain census.
+    * Swapping lexicons touches one broadcast relation, never the
+    * corpus.
+    *
+    * Determinism: integer weights, integer sums; mean score in 1e-6
+    * units by exact signed floor division (subtract-pmod — doc scores
+    * can be negative).
+    */
+  private val lexicon = QueryDef(
+    "q_text_lexicon",
+    (s, d) => {
+      val lex = Seq(("fast", 2L), ("big", 1L), ("small", 1L),
+        ("slow", -2L), ("dup", -1L), ("merge", 1L))
+      val lexDf = s.createDataFrame(lex).toDF("w", "wt")
+      val toks = sharedDocTokens(s, d)
+        .select(col("doc_id"), col("lang"), explode(col("ts")).as("w"))
+      val scored = toks
+        .join(broadcast(lexDf), Seq("w"), "left")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(coalesce(col("wt"), lit(0L))).as("score"),
+          sum(when(col("wt").isNotNull, 1L).otherwise(0L)).as("hits"))
+      scored.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("hits")).as("n_hits"),
+          sum(col("score")).as("score_sum"),
+          sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_positive"),
+          sum(when(col("score") < 0, 1L).otherwise(0L)).as("n_negative"))
+        .select(col("lang"), col("n_docs"), col("n_hits"),
+          col("score_sum"), col("n_positive"), col("n_negative"),
+          ((col("score_sum") * 1000000L
+            - pmod(col("score_sum") * 1000000L, col("n_docs")))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            / col("n_docs")).cast("long").as("mean_score_e6"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH lex(w, wt) AS (VALUES
+           |    ('fast', 2), ('big', 1), ('small', 1),
+           |    ('slow', -2), ('dup', -1), ('merge', 1)),
+           |tk AS (SELECT doc_id, lang,
+           |    unnest(string_split(text, ' ')) AS w FROM documents),
+           |sc AS (SELECT tk.doc_id, tk.lang,
+           |    CAST(sum(coalesce(lex.wt, 0)) AS BIGINT) AS score,
+           |    CAST(sum(CASE WHEN lex.wt IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS hits
+           |  FROM tk LEFT JOIN lex ON tk.w = lex.w
+           |  GROUP BY 1, 2),
+           |m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(hits) AS BIGINT) AS n_hits,
+           |    CAST(sum(score) AS BIGINT) AS score_sum,
+           |    CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_positive,
+           |    CAST(sum(CASE WHEN score < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_negative
+           |  FROM sc GROUP BY lang)
+           |SELECT lang, n_docs, n_hits, score_sum, n_positive, n_negative,
+           |  CAST((score_sum * 1000000
+           |      - (((score_sum * 1000000) % n_docs) + n_docs) % n_docs)
+           |    // n_docs AS BIGINT) AS mean_score_e6
+           |FROM m ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,
     langid, quality, tokens, fingerprint, levenshteinPairs, tfidf,
     collocations, vocab, zipf, keyphrase, bigramLm, perplexity, bpe,
-    textUnicode, bm25, bpeEncode, winnowing, stem, hashvec)
+    textUnicode, bm25, bpeEncode, winnowing, stem, hashvec, lexicon)
 }
