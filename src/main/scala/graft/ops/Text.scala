@@ -1646,9 +1646,141 @@ object Text {
            |    // n_docs AS BIGINT) AS mean_score_e6
            |FROM m ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** Jensen–Shannon distribution drift (round 7): the divergence of
+    * each language's unigram distribution from the English reference —
+    * the drift screen run between training mixes, between crawl
+    * snapshots, or between train and eval splits before trusting a
+    * model comparison. JS (not KL alone) because it is symmetric,
+    * bounded by ln 2, and defined even where one side has a word the
+    * other lacks.
+    *
+    * Exactness — the all-integer ratio trick: with word counts a (lang)
+    * and b (reference) over totals N and M, the mixture ratio
+    * p/m = 2aM/(aM+bN), so BOTH ln arguments are integers and every ln
+    * is DetMath.lnInt quantized to micro-nats BEFORE the weighted sum
+    * (rule D12, the q_ml_naive_bayes discipline); each KL folds as
+    * Σ a·(L₁−L₂) with one exact signed floor division by the total at
+    * the end (subtract-pmod), and JS halves the two quantized KLs —
+    * the quantization order is part of the spec, identical in both
+    * engines.
+    *
+    * Scale: two vocabulary-grain aggregates (counts per (lang, word),
+    * totals per lang) from the shared tokenize; the divergence math
+    * runs on the vocab×langs relation — never a second corpus pass.
+    */
+  private val divergence = QueryDef(
+    "q_text_divergence",
+    (s, d) => {
+      import graft.functions.DetMath
+      val counts = graft.Caches.scoped(sharedDocTokens(s, d)
+        .select(col("lang"), explode(col("ts")).as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c")))
+      val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+      val ref = counts.filter(col("lang") === "en")
+        .select(col("w"), col("c").as("b"))
+      val refTot = counts.filter(col("lang") === "en")
+        .agg(sum(col("c")).as("m"))
+      val j = counts.filter(col("lang") =!= "en")
+        .withColumnRenamed("c", "a")
+        .join(totals.filter(col("lang") =!= "en"), "lang")
+        .join(ref, Seq("w"), "left")
+        .select(col("lang"), col("n"), col("a"),
+          coalesce(col("b"), lit(0L)).as("b"))
+        .crossJoin(broadcast(refTot))
+      // rows cover every word the LANG has (a > 0 always); reference-
+      // only words (a = 0) contribute analytically below
+      val terms = j
+        .withColumn("den", col("a") * col("m") + col("b") * col("n"))
+        .withColumn("lp", col("a") *
+          round((DetMath.lnInt(lit(2L) * col("a") * col("m"))
+            - DetMath.lnInt(col("den"))) * 1000000.0, 0).cast("long"))
+        .withColumn("lq", when(col("b") > 0, col("b") *
+          round((DetMath.lnInt(lit(2L) * col("b") * col("n"))
+            - DetMath.lnInt(col("den"))) * 1000000.0, 0).cast("long"))
+          .otherwise(lit(0L)))
+      def floorDivCol(num: org.apache.spark.sql.Column,
+          den: org.apache.spark.sql.Column) =
+        ((num - pmod(num, den))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)) / den)
+          .cast("long")
+      terms.groupBy(col("lang"), col("n"), col("m"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("lp")).as("sp"), sum(col("lq")).as("sq"),
+          sum(col("b")).as("sb"))
+        // reference-only mass: a = 0 makes the mixture ratio EXACTLY 2,
+        // so each missing word adds b·ln2 — (m − Σb_present)·693147
+        // micro-nats in closed form, no grid join needed
+        .withColumn("sq_all",
+          col("sq") + (col("m") - col("sb")) * 693147L)
+        .select(col("lang"), col("n_words"),
+          floorDivCol(col("sp"), col("n")).as("klp_e6"),
+          floorDivCol(col("sq_all"), col("m")).as("klq_e6"))
+        .withColumn("js_e6",
+          expr("(klp_e6 + klq_e6 - pmod(klp_e6 + klq_e6, 2)) div 2"))
+        .orderBy(ascf("lang"))
+    },
+    Some {
+      import graft.functions.DetMath._
+      s"""WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |cnt AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM tk GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n
+         |  FROM cnt GROUP BY lang),
+         |ref AS (SELECT w, c AS b FROM cnt WHERE lang = 'en'),
+         |rt AS (SELECT CAST(sum(c) AS BIGINT) AS m FROM cnt
+         |  WHERE lang = 'en'),
+         |jx AS (SELECT cnt.lang, tot.n, cnt.c AS a,
+         |    coalesce(ref.b, 0) AS b, rt.m,
+         |    cnt.c * rt.m + coalesce(ref.b, 0) * tot.n AS den,
+         |    2 * cnt.c * rt.m AS nump,
+         |    2 * coalesce(ref.b, 0) * tot.n AS numq
+         |  FROM cnt JOIN tot ON cnt.lang = tot.lang
+         |    LEFT JOIN ref ON cnt.w = ref.w
+         |    CROSS JOIN rt
+         |  WHERE cnt.lang <> 'en'),
+         |s1 AS (SELECT *, ${kSql("nump")} AS kp, ${kSql("den")} AS kd,
+         |    ${kSql("greatest(numq, 1)")} AS kq FROM jx),
+         |s2 AS (SELECT *, ${mSql("nump", "kp")} AS mp,
+         |    ${mSql("den", "kd")} AS md,
+         |    ${mSql("greatest(numq, 1)", "kq")} AS mq
+         |  FROM s1),
+         |s3 AS (SELECT *, ${zSql("mp")} AS zp, ${zSql("md")} AS zd,
+         |    ${zSql("mq")} AS zq FROM s2),
+         |s4 AS (SELECT *, zp*zp AS z2p, zd*zd AS z2d, zq*zq AS z2q
+         |  FROM s3),
+         |s5 AS (SELECT *, ${hornerSql("z2p")} AS hp,
+         |    ${hornerSql("z2d")} AS hd, ${hornerSql("z2q")} AS hq
+         |  FROM s4),
+         |tm AS (SELECT lang, n, m, b,
+         |    a * CAST(round(
+         |      (${lnSql("kp", "zp", "hp")} - ${lnSql("kd", "zd", "hd")})
+         |        * 1000000, 0) AS BIGINT) AS lp,
+         |    CASE WHEN b > 0 THEN b * CAST(round(
+         |      (${lnSql("kq", "zq", "hq")} - ${lnSql("kd", "zd", "hd")})
+         |        * 1000000, 0) AS BIGINT) ELSE 0 END AS lq
+         |  FROM s5),
+         |ag AS (SELECT lang, n, m, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(lp) AS BIGINT) AS sp,
+         |    CAST(sum(lq) AS BIGINT) + (m - CAST(sum(b) AS BIGINT))
+         |      * 693147 AS sq_all
+         |  FROM tm GROUP BY 1, 2, 3),
+         |fin AS (SELECT lang, n_words,
+         |    CAST((sp - ((sp % n) + n) % n) // n AS BIGINT) AS klp_e6,
+         |    CAST((sq_all - ((sq_all % m) + m) % m) // m AS BIGINT)
+         |      AS klq_e6
+         |  FROM ag)
+         |SELECT lang, n_words, klp_e6, klq_e6,
+         |  CAST((klp_e6 + klq_e6
+         |      - (((klp_e6 + klq_e6) % 2) + 2) % 2) // 2 AS BIGINT)
+         |    AS js_e6
+         |FROM fin ORDER BY lang ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,
     langid, quality, tokens, fingerprint, levenshteinPairs, tfidf,
     collocations, vocab, zipf, keyphrase, bigramLm, perplexity, bpe,
-    textUnicode, bm25, bpeEncode, winnowing, stem, hashvec, lexicon)
+    textUnicode, bm25, bpeEncode, winnowing, stem, hashvec, lexicon,
+    divergence)
 }
