@@ -57,7 +57,8 @@ object PlanDump {
         // round 7 batch 32
         "q_ts_period", "q_agg_hhi", "q_win_intervals",
         // round 7 batch 34
-        "q_udaf_wavg", "q_graph_reciprocity", "q_text_lexicon")) {
+        "q_udaf_wavg", "q_graph_reciprocity", "q_text_lexicon",
+        "q_text_divergence")) {
       val p = Registry.queries(q)(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       out.append(s"##### $q\n```\n")

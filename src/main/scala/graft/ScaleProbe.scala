@@ -159,7 +159,8 @@ object ScaleProbe {
         // round-7 batch 32: period discovery, HHI concentration
         "q_ts_period", "q_agg_hhi", "q_win_intervals",
         // round-7 batch 34: composite UDAF, reciprocity
-        "q_udaf_wavg", "q_graph_reciprocity", "q_text_lexicon")
+        "q_udaf_wavg", "q_graph_reciprocity", "q_text_lexicon",
+        "q_text_divergence")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()
