@@ -243,4 +243,22 @@ class Round7Spec extends SparkSpec {
     assert(rows.map(_._2).max == 1000000L, "no authority anchored at 1e6")
     Caches.releaseScoped(); Caches.releaseShared()
   }
+
+  test("q_text_divergence: JS lies in [0, ln 2] and KLs are non-negative") {
+    // The mathematical bounds of the statistic itself — a shared
+    // arithmetic bug (both engines run the same integer construction)
+    // would pass parity but break these.
+    val rows = q("q_text_divergence").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (klp, klq, js) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(klp >= 0 && klq >= 0, s"negative KL: $klp / $klq")
+      assert(js >= 0 && js <= 693148, s"JS out of [0, ln2]: $js")
+      // same-vocabulary distributions on this fixture: drift is small
+      // but must be nonzero (identical distributions would be a bug in
+      // the synthetic corpus, not the statistic)
+      assert(js > 0, "zero divergence across languages is implausible")
+    }
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
 }
