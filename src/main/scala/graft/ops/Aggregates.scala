@@ -731,9 +731,59 @@ object Aggregates {
            |FROM sh GROUP BY yr, n_suppliers
            |ORDER BY yr ASC NULLS FIRST""".stripMargin))
 
+  /** FILTER-clause aggregates (round 7): several differently-predicated
+    * aggregates computed in ONE pass over the fact table — the ANSI
+    * `agg(x) FILTER (WHERE p)` surface, the idiomatic replacement for N
+    * self-joins or N separate scans when a report needs conditional
+    * counts/sums side by side. Spark plans every filtered aggregate into
+    * the same hash-aggregate operator (one scan, map-side partials, one
+    * exchange on the group key), so adding a predicate column is free at
+    * 100 TB where an extra corpus scan is not.
+    *
+    * Determinism (D10/D11): money sums in exact DECIMAL with the shared
+    * q_agg_q1 cast ladder, double only at the output boundary; the
+    * discount predicate compares DECIMAL(3,2) to DECIMAL(3,2) so neither
+    * engine ever compares raw binary doubles against a decimal literal;
+    * empty filter groups pin to 0 via coalesce on both sides.
+    */
+  private val aggFiltered = QueryDef(
+    "q_agg_filtered",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          expr("count(*) FILTER (WHERE l_quantity > 25)").as("n_heavy"),
+          expr("count(*) FILTER (WHERE l_quantity > 25 AND l_linestatus = 'O')")
+            .as("n_heavy_open"),
+          coalesce(pin2(expr(
+            "sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F')")),
+            lit(0d)).as("qty_f"),
+          coalesce(pin4(expr(
+            """sum(CAST(l_extendedprice AS DECIMAL(12,2))
+              |  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+              |FILTER (WHERE CAST(l_discount AS DECIMAL(3,2))
+              |  > CAST(0.02 AS DECIMAL(3,2)))""".stripMargin)),
+            lit(0d)).as("disc_revenue"))
+        .orderBy(ascf("l_returnflag")),
+    Some("""SELECT l_returnflag,
+           |  count(*) AS n_total,
+           |  count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+           |  count(*) FILTER (WHERE l_quantity > 25 AND l_linestatus = 'O')
+           |    AS n_heavy_open,
+           |  coalesce(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+           |    FILTER (WHERE l_linestatus = 'F') AS DOUBLE), 0) AS qty_f,
+           |  coalesce(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+           |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+           |    FILTER (WHERE CAST(l_discount AS DECIMAL(3,2))
+           |      > CAST(0.02 AS DECIMAL(3,2))) AS DOUBLE), 0) AS disc_revenue
+           |FROM lineitem
+           |GROUP BY l_returnflag
+           |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggQ18, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
     aggPercentile, aggPivot, aggUnpivot, aggGrouping, aggMode, aggBitset,
-    aggEntropy, aggQ14, aggQ6, aggGini, aggHhi)
+    aggEntropy, aggQ14, aggQ6, aggGini, aggHhi, aggFiltered)
 }

@@ -1132,8 +1132,77 @@ object Curation {
             |FROM c, t
             |ORDER BY digit ASC NULLS FIRST""".stripMargin))
 
+  /** Robust dispersion via median absolute deviation (round 7): per
+    * nation, the exact lower median of customer balances and the MAD
+    * around it — the outlier-immune location/scale pair (a single
+    * corrupted balance moves mean/stddev arbitrarily but shifts
+    * median/MAD by at most one rank). Complements [[profileIqr]]
+    * (interpolated quartiles + Tukey fences) with the EXACT discrete
+    * statistic: the value AT rank (n+1) div 2, not an interpolation, so
+    * it is hash-graded with no rounding rule at all.
+    *
+    * Scale: per-group exact medians are two rank passes partitioned by
+    * the group key — groups sort in parallel and nothing crosses groups.
+    * This is the many-groups shape; ONE giant group needs a global sort
+    * (the q_lake_zorder note) or the q_sketch_quantile approximation.
+    *
+    * Determinism (D1/D2): values are exact int64 cents; row_number ties
+    * on equal cents are order-ambiguous but the value at a fixed rank is
+    * tie-invariant, so both engines agree without a key tiebreak.
+    */
+  private val profileMad = QueryDef(
+    "q_profile_mad",
+    (s, d) => {
+      val cents = graft.Caches.scoped(Tables.customer(s, d)
+        .select(col("c_nationkey"),
+          (dec(col("c_acctbal")) * 100).cast("long").as("cents")))
+      val wv = Window.partitionBy(col("c_nationkey")).orderBy(ascf("cents"))
+      val wn = Window.partitionBy(col("c_nationkey"))
+      val med = cents
+        .withColumn("rn", row_number().over(wv))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("c_nationkey"), col("n"), col("cents").as("med"))
+      val dev = cents.join(broadcast(med), "c_nationkey")
+        .select(col("c_nationkey"), col("n"), col("med"),
+          abs(col("cents") - col("med")).as("ad"))
+      val wd = Window.partitionBy(col("c_nationkey")).orderBy(ascf("ad"))
+      val mad = dev
+        .withColumn("rn", row_number().over(wd))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+      mad.join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("n"),
+          col("med").as("med_cents"), col("ad").as("mad_cents"))
+        .orderBy(ascf("n_name"))
+    },
+    Some("""WITH c AS (SELECT c_nationkey,
+           |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           |  FROM customer),
+           |r AS (SELECT c_nationkey, cents,
+           |    row_number() OVER (PARTITION BY c_nationkey
+           |      ORDER BY cents ASC) AS rn,
+           |    count(*) OVER (PARTITION BY c_nationkey) AS n
+           |  FROM c),
+           |med AS (SELECT c_nationkey, n, cents AS med
+           |  FROM r WHERE rn = (n + 1) // 2),
+           |dev AS (SELECT c.c_nationkey, m.n, m.med,
+           |    abs(c.cents - m.med) AS ad
+           |  FROM c JOIN med m ON c.c_nationkey = m.c_nationkey),
+           |r2 AS (SELECT c_nationkey, n, med, ad,
+           |    row_number() OVER (PARTITION BY c_nationkey
+           |      ORDER BY ad ASC) AS rn
+           |  FROM dev),
+           |mad AS (SELECT c_nationkey, n, med, ad
+           |  FROM r2 WHERE rn = (n + 1) // 2)
+           |SELECT nn.n_name, mad.n, mad.med AS med_cents,
+           |  mad.ad AS mad_cents
+           |FROM mad JOIN nation nn ON mad.c_nationkey = nn.n_nationkey
+           |ORDER BY n_name ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(packSequences, contamination, repetition,
     dedupIncremental, mixWeighted, lengthHist, mixTemperature, qualityGopher,
     mixUpsample, profileCols, profileSkew, profileDepth, dedupLines, textPii,
-    textChunking, profileCorr, profileIqr, profileBenford)
+    textChunking, profileCorr, profileIqr, profileBenford, profileMad)
 }

@@ -1147,7 +1147,77 @@ object Graph {
            |  weight_total, weight_reciprocated
            |FROM m ORDER BY n_edges ASC NULLS FIRST""".stripMargin))
 
+  /** Local clustering coefficient (round 7): per-node transitivity of
+    * the sparsified trade graph — C(v) = 2·T(v) / (deg(v)·(deg(v)−1)),
+    * the fraction of a node's neighbor pairs that are themselves
+    * connected. Together with [[triangles]] (raw counts) this is the
+    * standard tight-community signal: a high-degree nation with a LOW
+    * coefficient is a hub bridging otherwise-disconnected partners.
+    *
+    * Scale: both inputs are node-sized reductions of the session-shared
+    * [[undirectedTop3]] relation — degree is one count over the
+    * symmetrized edge list, T(v) reuses the duplicate-free (a<b<c)
+    * two-join triangle enumeration — so nothing beyond the shared
+    * fact→edge aggregation ever touches the corpus.
+    *
+    * Determinism (D2/D12): the coefficient is exact int64 in 1e-6 units,
+    * (2e6·T) div (deg·(deg−1)), every operand non-negative so truncating
+    * `div` and DuckDB `//` agree; deg < 2 reports 0 by explicit CASE.
+    */
+  private val clustering = QueryDef(
+    "q_graph_clustering",
+    (s, d) => {
+      val und = undirectedTop3(s, d)
+      val deg = und.select(col("a").as("node"))
+        .union(und.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      val tri = und.as("e1")
+        .join(und.as("e2"), col("e1.b") === col("e2.a"))
+        .join(und.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      val tc = tri.select(col("x").as("node"))
+        .union(tri.select(col("y").as("node")))
+        .union(tri.select(col("z").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("tc"))
+      Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+        .join(deg, col("n_nationkey") === deg("node"), "left")
+        .drop("node")
+        .join(tc, col("n_nationkey") === tc("node"), "left")
+        .select(col("n_name"),
+          coalesce(col("dg"), lit(0L)).as("degree"),
+          coalesce(col("tc"), lit(0L)).as("n_triangles"))
+        .select(col("n_name"), col("degree"), col("n_triangles"),
+          when(col("degree") >= 2,
+            expr("(2000000 * n_triangles) div (degree * (degree - 1))"))
+            .otherwise(lit(0L)).as("coeff_e6"))
+        .orderBy(ascf("n_name"))
+    },
+    Some(s"""WITH $UndSql,
+           |deg AS (SELECT node, count(*) AS dg FROM (
+           |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+           |  GROUP BY node),
+           |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |  FROM und e1
+           |  JOIN und e2 ON e1.b = e2.a
+           |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |m AS (SELECT x AS node FROM tri
+           |  UNION ALL SELECT y FROM tri
+           |  UNION ALL SELECT z FROM tri),
+           |tc AS (SELECT node, count(*) AS tc FROM m GROUP BY node),
+           |base AS (SELECT n.n_name,
+           |    CAST(coalesce(d.dg, 0) AS BIGINT) AS degree,
+           |    CAST(coalesce(t.tc, 0) AS BIGINT) AS n_triangles
+           |  FROM nation n
+           |  LEFT JOIN deg d ON n.n_nationkey = d.node
+           |  LEFT JOIN tc t ON n.n_nationkey = t.node)
+           |SELECT n_name, degree, n_triangles,
+           |  CAST(CASE WHEN degree >= 2
+           |    THEN (2000000 * n_triangles) // (degree * (degree - 1))
+           |    ELSE 0 END AS BIGINT) AS coeff_e6
+           |FROM base ORDER BY n_name ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(pagerank, triangles, bfs, degree,
     graphJaccard, labelProp, closeness, scc, kcore, copurchase,
-    adamicAdar, hits, assortativity, reciprocity)
+    adamicAdar, hits, assortativity, reciprocity, clustering)
 }

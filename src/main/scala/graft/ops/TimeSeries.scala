@@ -1379,9 +1379,92 @@ object TimeSeries {
            |FROM rk WHERE rn = 1
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
+  /** Cross-correlation function between two signals (round 7): the full
+    * CCF table of the hourly click series against the purchase series
+    * shifted by 0..6 hours — the lead-lag discovery primitive (which lag
+    * maximizes |r| IS the estimated response delay between the driver
+    * signal and the outcome signal). Unlike [[period]] (self-lag argmax
+    * per series) this correlates two DIFFERENT series and reports every
+    * lag, so downstream can see the whole response curve, not one peak.
+    *
+    * Scale: the corpus collapses to two hour-grain censuses in one
+    * filtered partial agg (time-bounded: rows = observed hours, never
+    * event-sized); all 7 lags ride ONE equi-join of the lag-exploded
+    * click series against the purchase series (the q_ts_period shape),
+    * and the purchase side is hour-count-sized so Spark broadcasts it.
+    * Pairs exist only where both series observed the hour (CCF over
+    * co-observed points; compose with q_win_gapfill for a gridded
+    * variant).
+    *
+    * Determinism (D2/D12): exact int64 moments; r² in 1e-6 units via the
+    * DECIMAL(38,0)/HUGEINT widening (covn² at 10× data overflows int64 —
+    * the q_ts_period/q_ts_autocorr moment pattern), sign factored out so
+    * truncating div on a non-negative ratio agrees across engines.
+    */
+  private val crossCorr = QueryDef(
+    "q_ts_cross_corr",
+    (s, d) => {
+      val hourly = graft.Caches.scoped(Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          floorDiv(unix_micros(col("ts")), HourUs).as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("c")))
+      val hx = hourly.filter(col("event_type") === "click")
+        .select(col("hr"), col("c").as("x"),
+          explode(sequence(lit(0L), lit(6L))).as("lag"))
+      val hy = hourly.filter(col("event_type") === "purchase")
+        .select(col("hr").as("yhr"), col("c").as("y"))
+      val pairs = hx.join(broadcast(hy), col("yhr") === col("hr") + col("lag"))
+      val m = pairs.groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("covn", expr("n * sxy - sx * sy"))
+        .withColumn("vx", expr("n * sxx - sx * sx"))
+        .withColumn("vy", expr("n * syy - sy * sy"))
+        .filter(col("vx") > 0 && col("vy") > 0)
+      m.select(col("lag"), col("n").as("n_pairs"),
+          when(col("covn") < 0, lit(-1L))
+            .when(col("covn") > 0, lit(1L)).otherwise(lit(0L)).as("r_sign"),
+          expr("""CAST(CAST(covn AS DECIMAL(38,0)) * covn * 1000000
+                 | div (CAST(vx AS DECIMAL(38,0)) * vy)
+                 | AS BIGINT)""".stripMargin).as("r2_e6"))
+        .orderBy(ascf("lag"))
+    },
+    Some("""WITH h AS (SELECT event_type,
+           |    epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+           |  FROM events WHERE event_type IN ('click', 'purchase')
+           |  GROUP BY 1, 2),
+           |hx AS (SELECT hr, c AS x, l.lag
+           |  FROM h CROSS JOIN (SELECT unnest(range(0, 7)) AS lag) l
+           |  WHERE event_type = 'click'),
+           |hy AS (SELECT hr AS yhr, c AS y FROM h
+           |  WHERE event_type = 'purchase'),
+           |p AS (SELECT hx.lag, hx.x, hy.y
+           |  FROM hx JOIN hy ON hy.yhr = hx.hr + hx.lag),
+           |m AS (SELECT lag, count(*) AS n,
+           |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+           |    sum(x * x) AS sxx, sum(y * y) AS syy
+           |  FROM p GROUP BY lag),
+           |c AS (SELECT lag, n,
+           |    n * sxy - sx * sy AS covn,
+           |    n * sxx - sx * sx AS vx,
+           |    n * syy - sy * sy AS vy
+           |  FROM m WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0)
+           |SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+           |  CAST(CASE WHEN covn < 0 THEN -1 WHEN covn > 0 THEN 1
+           |       ELSE 0 END AS BIGINT) AS r_sign,
+           |  CAST(CAST(covn AS HUGEINT) * covn * 1000000
+           |    // (CAST(vx AS HUGEINT) * vy) AS BIGINT) AS r2_e6
+           |FROM c
+           |ORDER BY lag ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
       theilSen, attrib, transitions, downsample, evalWape, latency,
-      period)
+      period, crossCorr)
 }
