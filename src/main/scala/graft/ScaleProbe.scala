@@ -160,7 +160,10 @@ object ScaleProbe {
         "q_ts_period", "q_agg_hhi", "q_win_intervals",
         // round-7 batch 34: composite UDAF, reciprocity
         "q_udaf_wavg", "q_graph_reciprocity", "q_text_lexicon",
-        "q_text_divergence")
+        "q_text_divergence",
+        // round-7 batch 36: transitivity, FILTER aggregates, CCF, MAD
+        "q_graph_clustering", "q_agg_filtered", "q_ts_cross_corr",
+        "q_profile_mad")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()
