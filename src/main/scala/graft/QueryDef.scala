@@ -116,7 +116,8 @@ object Registry {
         ops.TimeSeries.defs ++
         ops.Sketch.defs ++
         ops.Lakehouse.defs ++
-        ops.Incremental.defs
+        ops.Incremental.defs ++
+        ops.Geo.defs
     // toMap would silently keep only the last entry on a name collision,
     // shrinking the graded surface with no error (ADVICE r01).
     val dup = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }

@@ -163,7 +163,9 @@ object ScaleProbe {
         "q_text_divergence",
         // round-7 batch 36: transitivity, FILTER aggregates, CCF, MAD
         "q_graph_clustering", "q_agg_filtered", "q_ts_cross_corr",
-        "q_profile_mad")
+        "q_profile_mad",
+        // round-7 batch 38: TeraSort through the veneer, grid NN join
+        "q_mr_sort", "q_geo_grid")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()

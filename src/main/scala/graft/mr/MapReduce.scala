@@ -55,4 +55,22 @@ object MapReduce {
       mapper: I => IterableOnce[(K, V)])(
       combiner: (V, V) => V): Dataset[(K, V)] =
     reduce(map(input)(mapper))(combiner)
+
+  /** The OSDI §5.3 distributed sort example (TeraSort shape): map each
+    * record to a (key, value) pair; the output is TOTALLY ordered by key
+    * — a range shuffle (each reducer owns a contiguous key interval, so
+    * reducer i's every key ≤ reducer i+1's) followed by a per-reducer
+    * sort. No single task ever holds more than one partition's worth of
+    * data, which is what makes the sort work at 100 TB where a global
+    * single-partition ORDER BY cannot. Keys compare by Spark's struct
+    * ordering (field by field), matching tuple lexicographic order.
+    */
+  def sort[I, K: Encoder, V: Encoder](input: Dataset[I], partitions: Int)(
+      f: I => (K, V)): Dataset[(K, V)] = {
+    implicit val kv: Encoder[(K, V)] =
+      Encoders.tuple(implicitly[Encoder[K]], implicitly[Encoder[V]])
+    input.map(f)
+      .repartitionByRange(partitions, org.apache.spark.sql.functions.col("_1"))
+      .sortWithinPartitions("_1")
+  }
 }

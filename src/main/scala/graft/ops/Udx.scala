@@ -246,7 +246,75 @@ object Udx {
            |GROUP BY lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** The OSDI §5.3 distributed sort (round 7): a TeraSort-shaped total
+    * order over lineitem price cents through the MR veneer — the last of
+    * the paper's four canonical examples (wordcount, grep, inverted
+    * index, sort) the engine grades. [[graft.mr.MapReduce.sort]] plans
+    * it as a range shuffle (each reducer owns a contiguous key interval)
+    * + per-reducer sort, so no task ever materializes more than one
+    * partition — the only sort shape that works at 100 TB.
+    *
+    * Grading certifies the range property, not just the row values: the
+    * global rank of each row is reconstructed DISTRIBUTEDLY as
+    * (rows in earlier partitions) + (rank within own partition), which
+    * equals the oracle's row_number over the total order iff the
+    * partition intervals are truly non-overlapping — an overlapped
+    * boundary shifts every downstream rank and breaks the hash. The
+    * graded slice is the head-100 of the order (rank-bounded, so the
+    * output stays O(1) at any SF); Round7Spec separately asserts the
+    * valsort invariant (every partition physically sorted, boundaries
+    * non-decreasing).
+    *
+    * Determinism (D1/D2): keys are exact int64 cents with the
+    * (l_orderkey, l_linenumber) tiebreak; fully-duplicate key rows are
+    * interchangeable so ranks are tie-invariant.
+    */
+  private val mrSort = QueryDef(
+    "q_mr_sort",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d)
+        .select((dec(col("l_extendedprice")) * 100).cast("long").as("cents"),
+          col("l_orderkey"), col("l_linenumber"))
+        .as[(Long, Long, Int)]
+      val sorted = graft.mr.MapReduce.sort(li, 32)(r => (r, 1L))
+      // rank rows in PHYSICAL iteration order — pos agrees with the
+      // oracle's logical row_number only if the per-partition sort
+      // actually happened, so the hash grades the physical sort too
+      val ranked = graft.Caches.scoped(sorted.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var i = 0L
+        it.map { case ((c, ok, ln), _) => i += 1; (pid, i, c, ok, ln) }
+      }.toDF("pid", "pos", "cents", "l_orderkey", "l_linenumber"))
+      // partition-count prefix offsets: ≤ |partitions| rows, so the
+      // global window here is 32 rows, not the corpus
+      val offs = ranked.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off",
+          coalesce(sum(col("cnt")).over(Window.orderBy(ascf("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("off"))
+      ranked.join(broadcast(offs), "pid")
+        .withColumn("rn", col("off") + col("pos"))
+        .filter(col("rn") <= 100)
+        .select(col("rn"), col("cents"), col("l_orderkey"),
+          col("l_linenumber"))
+        .orderBy(ascf("rn"))
+    },
+    Some("""WITH s AS (SELECT
+           |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS cents,
+           |    l_orderkey, l_linenumber
+           |  FROM lineitem),
+           |r AS (SELECT cents, l_orderkey, l_linenumber,
+           |    CAST(row_number() OVER (ORDER BY cents ASC, l_orderkey ASC,
+           |      l_linenumber ASC) AS BIGINT) AS rn
+           |  FROM s)
+           |SELECT rn, cents, l_orderkey, l_linenumber
+           |FROM r WHERE rn <= 100
+           |ORDER BY rn ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(udfScalar, udafGeomean, udafWavg, udtfTokenize, mrWordcount,
-      mrInvidx, mrGrep)
+      mrInvidx, mrGrep, mrSort)
 }
