@@ -165,7 +165,9 @@ object ScaleProbe {
         "q_graph_clustering", "q_agg_filtered", "q_ts_cross_corr",
         "q_profile_mad",
         // round-7 batch 38: TeraSort through the veneer, grid NN join
-        "q_mr_sort", "q_geo_grid")
+        "q_mr_sort", "q_geo_grid",
+        // round-7 batch 39: Manhattan trajectories, rolling median
+        "q_geo_trajectory", "q_ts_moving_median")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()

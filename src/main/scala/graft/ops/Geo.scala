@@ -105,5 +105,77 @@ object Geo {
            |GROUP BY n.n_name
            |ORDER BY n_name ASC NULLS FIRST""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(geoGrid)
+  /** Trajectory length census (round 7): treat each order's lineitems
+    * as a route visiting its suppliers' positions in line-number order,
+    * and measure the Manhattan path length — the GPS-trace /
+    * delivery-route aggregation shape (per-entity ordered waypoints →
+    * consecutive-segment geometry → per-entity reduction → census).
+    *
+    * Scale: waypoint ordering is a window partitioned by the route key
+    * — routes sort independently and in parallel, nothing crosses
+    * routes; the supplier position map rides a broadcast; the final
+    * census is year-sized. One corpus shuffle (on l_orderkey), shared
+    * by the window and the per-route aggregate.
+    *
+    * Determinism (D1/D2): Manhattan distance |dx|+|dy| is exact int64
+    * (no sqrt); waypoints order by (l_linenumber, s_suppkey) which is
+    * value-deterministic — remaining full-duplicate rows are
+    * interchangeable and leave every segment length unchanged.
+    */
+  private val geoTrajectory = QueryDef(
+    "q_geo_trajectory",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"),
+        pmod(col("s_suppkey") * 40503, lit(10000L)).as("xs"),
+        pmod(col("s_suppkey") * 65539, lit(10000L)).as("ys"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(ascf("l_linenumber"), ascf("s_suppkey"))
+      val segs = li
+        .withColumn("px", lag(col("xs"), 1).over(w))
+        .withColumn("py", lag(col("ys"), 1).over(w))
+        .withColumn("seg", when(col("px").isNull, lit(0L))
+          .otherwise(abs(col("xs") - col("px")) + abs(col("ys") - col("py"))))
+      val routes = segs.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_stops"), sum(col("seg")).as("len"))
+      routes.join(Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("yr")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("yr"))
+        .agg(count(lit(1)).as("n_routes"),
+          sum(col("n_stops")).as("n_stops"),
+          sum(col("len")).as("total_len"),
+          max(col("len")).as("max_len"))
+        .orderBy(ascf("yr"))
+    },
+    Some("""WITH sup AS (SELECT s_suppkey,
+           |    (s_suppkey * 40503) % 10000 AS xs,
+           |    (s_suppkey * 65539) % 10000 AS ys
+           |  FROM supplier),
+           |li AS (SELECT l.l_orderkey, l.l_linenumber, sup.s_suppkey,
+           |    sup.xs, sup.ys
+           |  FROM lineitem l JOIN sup ON l.l_suppkey = sup.s_suppkey),
+           |segs AS (SELECT l_orderkey,
+           |    CASE WHEN lag(xs) OVER w IS NULL THEN 0
+           |      ELSE abs(xs - lag(xs) OVER w) + abs(ys - lag(ys) OVER w)
+           |      END AS seg
+           |  FROM li WINDOW w AS (PARTITION BY l_orderkey
+           |    ORDER BY l_linenumber ASC, s_suppkey ASC)),
+           |routes AS (SELECT l_orderkey, count(*) AS n_stops,
+           |    sum(seg) AS len
+           |  FROM segs GROUP BY l_orderkey)
+           |SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+           |  CAST(count(*) AS BIGINT) AS n_routes,
+           |  CAST(sum(r.n_stops) AS BIGINT) AS n_stops,
+           |  CAST(sum(r.len) AS BIGINT) AS total_len,
+           |  CAST(max(r.len) AS BIGINT) AS max_len
+           |FROM routes r JOIN orders o ON r.l_orderkey = o.o_orderkey
+           |GROUP BY 1
+           |ORDER BY yr ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(geoGrid, geoTrajectory)
 }

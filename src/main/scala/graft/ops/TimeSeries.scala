@@ -1462,9 +1462,67 @@ object TimeSeries {
            |FROM c
            |ORDER BY lag ASC NULLS FIRST""".stripMargin))
 
+  /** Exact rolling median (round 7): per event type and hour, the lower
+    * median of the hourly counts in the ±3-hour window — the robust
+    * moving smoother ([[moving]]'s mean/max follow spikes; the median
+    * ignores them). Spark has no exact order-statistic window aggregate,
+    * so the operator composes from primitives: a bounded range self-join
+    * of the hour-grain census against itself (each center hour gathers
+    * ≤ 7 neighbor rows) and the tie-invariant value-at-rank reduction
+    * (the q_profile_mad pattern) per center.
+    *
+    * Scale: the self-join runs on the hour-grain census — time-bounded
+    * (rows = observed hours × types), never event-sized — and fans out
+    * ≤ 7× before the rank pass, which partitions by center hour and
+    * sorts ≤ 7-row groups. The corpus is touched exactly once, by the
+    * census partial agg. Gaps in the grid shrink the window (median of
+    * observed neighbors; compose with q_win_gapfill for calendar
+    * semantics).
+    *
+    * Determinism (D1/D2): exact int64 counts; row_number ties at equal
+    * counts are value-invariant at the graded rank.
+    */
+  private val movingMedian = QueryDef(
+    "q_ts_moving_median",
+    (s, d) => {
+      val hourly = graft.Caches.scoped(Tables.events(s, d)
+        .select(col("event_type"),
+          floorDiv(unix_micros(col("ts")), HourUs).as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("c")))
+      val nb = hourly.as("a").join(hourly.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("b.hr") >= col("a.hr") - 3 && col("b.hr") <= col("a.hr") + 3)
+        .select(col("a.event_type").as("event_type"), col("a.hr").as("hr"),
+          col("b.c").as("nc"), col("b.hr").as("nhr"))
+      val w = Window.partitionBy(col("event_type"), col("hr"))
+        .orderBy(ascf("nc"), ascf("nhr"))
+      val wn = Window.partitionBy(col("event_type"), col("hr"))
+      nb.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("hr"), col("n").as("n_window"),
+          col("nc").as("med"))
+        .orderBy(ascf("event_type"), ascf("hr"))
+    },
+    Some("""WITH h AS (SELECT event_type,
+           |    epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+           |  FROM events GROUP BY 1, 2),
+           |nb AS (SELECT a.event_type, a.hr, b.c AS nc, b.hr AS nhr
+           |  FROM h a JOIN h b ON a.event_type = b.event_type
+           |    AND b.hr BETWEEN a.hr - 3 AND a.hr + 3),
+           |r AS (SELECT event_type, hr, nc,
+           |    row_number() OVER (PARTITION BY event_type, hr
+           |      ORDER BY nc ASC, nhr ASC) AS rn,
+           |    count(*) OVER (PARTITION BY event_type, hr) AS n
+           |  FROM nb)
+           |SELECT event_type, hr, n AS n_window, nc AS med
+           |FROM r WHERE rn = (n + 1) // 2
+           |ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
       theilSen, attrib, transitions, downsample, evalWape, latency,
-      period, crossCorr)
+      period, crossCorr, movingMedian)
 }
