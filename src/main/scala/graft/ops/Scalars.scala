@@ -496,8 +496,92 @@ object Scalars {
            |FROM h GROUP BY 1
            |ORDER BY shard ASC NULLS FIRST""".stripMargin))
 
+  /** IPv4 parsing and CIDR classification (round 7): the network-log
+    * analytics surface — dotted-quad strings are PARSED back to octets,
+    * packed into a uint32-in-int64, classified against the RFC-1918
+    * private ranges, and bucketed by /8 and /16 — the per-subnet census
+    * every access-log pipeline runs. Addresses are synthesized from
+    * user_id (the q_fn_url pattern: both engines derive the identical
+    * string column from fixture data, then the PARSE path is what's
+    * graded — a broken split/pack/classify breaks the hash).
+    *
+    * Scale: one events scan; parse/pack/classify are per-row codegen'd
+    * string+integer projections; distinct-ip and distinct-subnet counts
+    * ride the same /8-keyed hash aggregate with map-side partials.
+    *
+    * Determinism (D2): all arithmetic is int64 modulo/packing on
+    * non-negative operands; the regex-free split('.') subset is shared
+    * by both engines.
+    */
+  private val fnIp = QueryDef(
+    "q_fn_ip",
+    (s, d) => {
+      val raw = Tables.events(s, d).select(col("user_id"))
+        .withColumn("o1s", when(pmod(col("user_id"), lit(3)) === 0, lit(10L))
+          .when(pmod(col("user_id"), lit(3)) === 1, lit(172L))
+          .otherwise(lit(203L)))
+        .withColumn("o2s", when(col("o1s") === 172,
+            lit(16L) + pmod(col("user_id") * 7, lit(16L)))
+          .otherwise(pmod(col("user_id") * 7, lit(256L))))
+        .withColumn("ip", concat_ws(".",
+          col("o1s").cast("string"), col("o2s").cast("string"),
+          pmod(col("user_id") * 13, lit(256L)).cast("string"),
+          (lit(1L) + pmod(col("user_id") * 29, lit(254L))).cast("string")))
+        .select(col("ip"))
+      // the graded path starts here: parse the STRING back
+      val parsed = raw
+        .withColumn("parts", split(col("ip"), "\\."))
+        .withColumn("o1", element_at(col("parts"), 1).cast("long"))
+        .withColumn("o2", element_at(col("parts"), 2).cast("long"))
+        .withColumn("o3", element_at(col("parts"), 3).cast("long"))
+        .withColumn("o4", element_at(col("parts"), 4).cast("long"))
+        .withColumn("ip32",
+          ((col("o1") * 256 + col("o2")) * 256 + col("o3")) * 256 + col("o4"))
+        .withColumn("is_private", (col("o1") === 10) ||
+          (col("o1") === 172 && col("o2") >= 16 && col("o2") <= 31))
+        .withColumn("subnet16", expr("ip32 div 65536"))
+      parsed.groupBy(col("o1"), col("is_private"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("ip32")).as("n_ips"),
+          countDistinct(col("subnet16")).as("n_subnets"),
+          min(col("ip32")).as("min_ip32"),
+          max(col("ip32")).as("max_ip32"))
+        .orderBy(ascf("o1"))
+    },
+    Some("""WITH raw AS (SELECT
+           |    CAST(CASE WHEN user_id % 3 = 0 THEN 10
+           |      WHEN user_id % 3 = 1 THEN 172 ELSE 203 END AS VARCHAR)
+           |    || '.' ||
+           |    CAST(CASE WHEN user_id % 3 = 1
+           |        THEN 16 + (user_id * 7) % 16
+           |        ELSE (user_id * 7) % 256 END AS VARCHAR)
+           |    || '.' || CAST((user_id * 13) % 256 AS VARCHAR)
+           |    || '.' || CAST(1 + (user_id * 29) % 254 AS VARCHAR) AS ip
+           |  FROM events),
+           |p AS (SELECT
+           |    CAST(string_split(ip, '.')[1] AS BIGINT) AS o1,
+           |    CAST(string_split(ip, '.')[2] AS BIGINT) AS o2,
+           |    CAST(string_split(ip, '.')[3] AS BIGINT) AS o3,
+           |    CAST(string_split(ip, '.')[4] AS BIGINT) AS o4
+           |  FROM raw),
+           |x AS (SELECT o1,
+           |    ((o1 * 256 + o2) * 256 + o3) * 256 + o4 AS ip32,
+           |    (o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31))
+           |      AS is_private
+           |  FROM p),
+           |y AS (SELECT o1, is_private, ip32, ip32 // 65536 AS subnet16
+           |  FROM x)
+           |SELECT o1, is_private,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(count(DISTINCT ip32) AS BIGINT) AS n_ips,
+           |  CAST(count(DISTINCT subnet16) AS BIGINT) AS n_subnets,
+           |  CAST(min(ip32) AS BIGINT) AS min_ip32,
+           |  CAST(max(ip32) AS BIGINT) AS max_ip32
+           |FROM y GROUP BY o1, is_private
+           |ORDER BY o1 ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     fnString, fnRegex, fnDate, fnMath, fnCond, fnCast, fnJson,
     arrFuncs, arrExplode, arrAgg, mapFuncs, fnStruct, arrHof, fnBitwise,
-    fnUrl, fnHash)
+    fnUrl, fnHash, fnIp)
 }

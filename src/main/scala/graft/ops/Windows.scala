@@ -577,8 +577,81 @@ object Windows {
            |FROM g GROUP BY event_type
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
+  /** Period-over-period rank movement (round 7): rank every part by
+    * revenue within each year, join consecutive years, and report the
+    * per-year movement census plus the single biggest climber — the
+    * "movers and shakers" report behind every leaderboard-delta
+    * dashboard (SKU velocity, trending queries, chart positions).
+    *
+    * Scale: the corpus collapses to a (year, part) revenue aggregate in
+    * one shuffle; ranking partitions by year (parallel per-year sorts on
+    * the part-sized relation); the consecutive-year self-join is an
+    * equi-join on (partkey, year+1) over part-sized inputs. Nothing
+    * after the first aggregation is fact-table-sized.
+    *
+    * Determinism (D1/D2): ranks use row_number over (cents DESC,
+    * partkey ASC) — a total value order, no dense_rank tie ambiguity;
+    * the top climber breaks delta ties by partkey ASC.
+    */
+  private val winRankDelta = QueryDef(
+    "q_win_rank_delta",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("yr"), col("l_partkey"))
+        .agg(sum((dec12(col("l_extendedprice")) * 100).cast("long"))
+          .as("cents"))
+      val wr = Window.partitionBy(col("yr"))
+        .orderBy(descl("cents"), ascf("l_partkey"))
+      val ranked = graft.Caches.scoped(
+        li.withColumn("rk", row_number().over(wr).cast("long")))
+      val joined = ranked.as("p").join(ranked.as("c"),
+          col("p.l_partkey") === col("c.l_partkey") &&
+            col("p.yr") + 1 === col("c.yr"))
+        .select(col("c.yr").as("yr"), col("c.l_partkey").as("pk"),
+          (col("p.rk") - col("c.rk")).as("delta"))
+      val wtop = Window.partitionBy(col("yr"))
+        .orderBy(descl("delta"), ascf("pk"))
+      joined
+        .withColumn("trn", row_number().over(wtop))
+        .groupBy(col("yr"))
+        .agg(count(lit(1)).as("n_common"),
+          sum(abs(col("delta"))).as("sum_abs_delta"),
+          max(col("delta")).as("max_climb"),
+          (-min(col("delta"))).as("max_drop"),
+          max(when(col("trn") === 1, col("pk"))).as("top_climber"))
+        .orderBy(ascf("yr"))
+    },
+    Some("""WITH rev AS (SELECT year(o.o_orderdate) AS yr, l.l_partkey,
+           |    CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+           |      * 100 AS BIGINT)) AS BIGINT) AS cents
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  GROUP BY 1, 2),
+           |ranked AS (SELECT yr, l_partkey,
+           |    CAST(row_number() OVER (PARTITION BY yr
+           |      ORDER BY cents DESC, l_partkey ASC) AS BIGINT) AS rk
+           |  FROM rev),
+           |j AS (SELECT c.yr, c.l_partkey AS pk, p.rk - c.rk AS delta
+           |  FROM ranked p JOIN ranked c
+           |    ON p.l_partkey = c.l_partkey AND p.yr + 1 = c.yr),
+           |t AS (SELECT yr, pk, delta,
+           |    row_number() OVER (PARTITION BY yr
+           |      ORDER BY delta DESC, pk ASC) AS trn
+           |  FROM j)
+           |SELECT CAST(yr AS BIGINT) AS yr,
+           |  CAST(count(*) AS BIGINT) AS n_common,
+           |  CAST(sum(abs(delta)) AS BIGINT) AS sum_abs_delta,
+           |  CAST(max(delta) AS BIGINT) AS max_climb,
+           |  CAST(-min(delta) AS BIGINT) AS max_drop,
+           |  CAST(max(CASE WHEN trn = 1 THEN pk END) AS BIGINT)
+           |    AS top_climber
+           |FROM t GROUP BY yr
+           |ORDER BY yr ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     winRank, winRunning, winLeadLag, winRangeFrame, winNtilePct, winFirstLast,
     sortNulls, limitOffset, topkGroup, winSessionize, winStreak, winPattern,
-    winDistinct, winConcurrency, winIntervals)
+    winDistinct, winConcurrency, winIntervals, winRankDelta)
 }
