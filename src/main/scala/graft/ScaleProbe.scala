@@ -169,7 +169,9 @@ object ScaleProbe {
         // round-7 batch 39: Manhattan trajectories, rolling median
         "q_geo_trajectory", "q_ts_moving_median",
         // round-7 batch 40: rank movers, IPv4/CIDR census
-        "q_win_rank_delta", "q_fn_ip")
+        "q_win_rank_delta", "q_fn_ip",
+        // round-7 batch 41: depth-2 CART
+        "q_ml_tree")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()

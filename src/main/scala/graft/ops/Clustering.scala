@@ -781,6 +781,152 @@ object Clustering {
          |FROM win WHERE vr = 1
          |ORDER BY vec_id ASC NULLS FIRST""".stripMargin))
 
+  /** Depth-2 decision tree (round 7): recursive partitioning — the CART
+    * construction [[stump]] stops one level short of. Level 1 picks the
+    * single globally-best (feature, threshold) split by misclassification
+    * error; level 2 re-runs the identical split search INSIDE each
+    * branch, conditioned on the level-1 decision — the data-dependent
+    * recursion that distinguishes a tree from three independent stumps.
+    *
+    * Scale: exactly one histogram pass per LEVEL (not per node): all
+    * nodes of a level share one (branch, feature, value) aggregate with
+    * map-side partials, the standard distributed-CART layout (deeper
+    * trees add passes linearly in depth, never in node count). The
+    * level-1 winner is a 1-row broadcast; branch labeling is a per-row
+    * codegen'd CASE.
+    *
+    * Determinism (D2): integer features, integer error counts; winners
+    * break ties by (err, feature, v) ASC — a total order, so both
+    * engines pick the same tree.
+    */
+  private val tree = QueryDef(
+    "q_ml_tree",
+    (s, d) => {
+      val base = graft.Caches.scoped(graft.Tables.lineitem(s, d).select(
+        col("l_quantity").cast("long").as("qty"),
+        (pct(col("l_discount")) * 100).cast("long").as("disc_c"),
+        (pct(col("l_tax")) * 100).cast("long").as("tax_c"),
+        when(col("l_extendedprice") >= 52000.0, lit(1L)).otherwise(lit(0L))
+          .as("y")))
+      def bestSplits(labeled: org.apache.spark.sql.DataFrame) = {
+        val long = labeled.select(col("branch"), col("y"), explode(expr(
+          """array(struct('quantity' AS feature, qty AS v),
+            |      struct('discount' AS feature, disc_c AS v),
+            |      struct('tax' AS feature, tax_c AS v))""".stripMargin))
+          .as("fv"))
+          .select(col("branch"), col("fv.feature").as("feature"),
+            col("fv.v").as("v"), col("y"))
+        val hist = long.groupBy(col("branch"), col("feature"), col("v"))
+          .agg(sum(col("y")).as("pos"),
+            (count(lit(1)) - sum(col("y"))).as("neg"))
+        val wf = Window.partitionBy(col("branch"), col("feature"))
+          .orderBy(ascf("v"))
+        val wt = Window.partitionBy(col("branch"), col("feature"))
+        hist
+          .withColumn("pos_le", sum(col("pos")).over(wf))
+          .withColumn("neg_le", sum(col("neg")).over(wf))
+          .withColumn("pos_t", sum(col("pos")).over(wt))
+          .withColumn("neg_t", sum(col("neg")).over(wt))
+          .withColumn("err",
+            least(col("pos_le"), col("neg_le")) +
+              least(col("pos_t") - col("pos_le"),
+                col("neg_t") - col("neg_le")))
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("branch"))
+            .orderBy(ascf("err"), ascf("feature"), ascf("v"))))
+          .filter(col("rn") === 1)
+          .select(col("branch"), col("feature"),
+            col("v").as("best_threshold"), col("err").as("n_err"),
+            (col("pos_t") + col("neg_t")).as("n_total"),
+            expr("(pos_t + neg_t - err) * 1000000 div (pos_t + neg_t)")
+              .as("accuracy_e6"))
+      }
+      val root = bestSplits(base.withColumn("branch", lit("root")))
+      val rb = broadcast(root.select(col("feature").as("rf"),
+        col("best_threshold").as("rt")))
+      val labeled = base.crossJoin(rb)
+        .withColumn("branch", when(
+          (col("rf") === "quantity" && col("qty") <= col("rt")) ||
+            (col("rf") === "discount" && col("disc_c") <= col("rt")) ||
+            (col("rf") === "tax" && col("tax_c") <= col("rt")),
+          lit("left")).otherwise(lit("right")))
+        .drop("rf", "rt")
+      root.unionByName(bestSplits(labeled))
+        .orderBy(ascf("branch"))
+    },
+    Some("""WITH base AS (SELECT
+           |    CAST(l_quantity AS BIGINT) AS qty,
+           |    CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS BIGINT)
+           |      AS disc_c,
+           |    CAST(CAST(l_tax AS DECIMAL(3,2)) * 100 AS BIGINT) AS tax_c,
+           |    CASE WHEN l_extendedprice >= 52000.0 THEN 1 ELSE 0 END AS y
+           |  FROM lineitem),
+           |long0 AS (
+           |  SELECT 'quantity' AS feature, qty AS v, y FROM base
+           |  UNION ALL SELECT 'discount', disc_c, y FROM base
+           |  UNION ALL SELECT 'tax', tax_c, y FROM base),
+           |hist0 AS (SELECT feature, v, sum(y) AS pos,
+           |    count(*) - sum(y) AS neg
+           |  FROM long0 GROUP BY feature, v),
+           |sc0 AS (SELECT feature, v,
+           |    sum(pos) OVER wf AS pos_le, sum(neg) OVER wf AS neg_le,
+           |    sum(pos) OVER wt AS pos_t, sum(neg) OVER wt AS neg_t
+           |  FROM hist0
+           |  WINDOW wf AS (PARTITION BY feature ORDER BY v ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |  wt AS (PARTITION BY feature)),
+           |er0 AS (SELECT feature, v, pos_t, neg_t,
+           |    least(pos_le, neg_le)
+           |      + least(pos_t - pos_le, neg_t - neg_le) AS err
+           |  FROM sc0),
+           |root AS (SELECT 'root' AS branch, feature,
+           |    v AS best_threshold, err, pos_t, neg_t
+           |  FROM (SELECT feature, v, err, pos_t, neg_t,
+           |      row_number() OVER (ORDER BY err ASC, feature ASC, v ASC)
+           |        AS rn FROM er0)
+           |  WHERE rn = 1),
+           |lab AS (SELECT base.*, CASE WHEN
+           |    (root.feature = 'quantity' AND base.qty <= root.best_threshold)
+           |    OR (root.feature = 'discount'
+           |        AND base.disc_c <= root.best_threshold)
+           |    OR (root.feature = 'tax'
+           |        AND base.tax_c <= root.best_threshold)
+           |    THEN 'left' ELSE 'right' END AS branch
+           |  FROM base CROSS JOIN root),
+           |long1 AS (
+           |  SELECT branch, 'quantity' AS feature, qty AS v, y FROM lab
+           |  UNION ALL SELECT branch, 'discount', disc_c, y FROM lab
+           |  UNION ALL SELECT branch, 'tax', tax_c, y FROM lab),
+           |hist1 AS (SELECT branch, feature, v, sum(y) AS pos,
+           |    count(*) - sum(y) AS neg
+           |  FROM long1 GROUP BY branch, feature, v),
+           |sc1 AS (SELECT branch, feature, v,
+           |    sum(pos) OVER wf AS pos_le, sum(neg) OVER wf AS neg_le,
+           |    sum(pos) OVER wt AS pos_t, sum(neg) OVER wt AS neg_t
+           |  FROM hist1
+           |  WINDOW wf AS (PARTITION BY branch, feature ORDER BY v ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |  wt AS (PARTITION BY branch, feature)),
+           |er1 AS (SELECT branch, feature, v, pos_t, neg_t,
+           |    least(pos_le, neg_le)
+           |      + least(pos_t - pos_le, neg_t - neg_le) AS err
+           |  FROM sc1),
+           |leaves AS (SELECT branch, feature, v AS best_threshold,
+           |    err, pos_t, neg_t
+           |  FROM (SELECT branch, feature, v, err, pos_t, neg_t,
+           |      row_number() OVER (PARTITION BY branch
+           |        ORDER BY err ASC, feature ASC, v ASC) AS rn FROM er1)
+           |  WHERE rn = 1),
+           |allrows AS (SELECT * FROM root UNION ALL SELECT * FROM leaves)
+           |SELECT branch, feature,
+           |  CAST(best_threshold AS BIGINT) AS best_threshold,
+           |  CAST(err AS BIGINT) AS n_err,
+           |  CAST(pos_t + neg_t AS BIGINT) AS n_total,
+           |  CAST((pos_t + neg_t - err) * 1000000 // (pos_t + neg_t)
+           |    AS BIGINT) AS accuracy_e6
+           |FROM allrows
+           |ORDER BY branch ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(kmeans, perceptron, naiveBayes, stump,
-    linreg, knn)
+    linreg, knn, tree)
 }

@@ -296,6 +296,21 @@ class Round7Spec extends SparkSpec {
     Caches.releaseScoped(); Caches.releaseShared()
   }
 
+  test("q_ml_tree: children partition the root and never increase error") {
+    // The CART training invariants the oracle parity cannot see: the
+    // two leaves partition the root's rows exactly, and the best split
+    // of each branch cannot do worse than the branch's share of the
+    // root error (the search space includes the root's own split).
+    val rows = q("q_ml_tree").collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set("left", "right", "root"))
+    assert(rows("left")._2 + rows("right")._2 == rows("root")._2,
+      "leaves must partition the root rows")
+    assert(rows("left")._1 + rows("right")._1 <= rows("root")._1,
+      "recursive splitting increased training error")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
   test("q_geo_grid: every reported nearest distance is cell-bounded " +
       "and matches a brute-force scalar replica") {
     // Replica check on the synthetic plane: recompute each customer's
