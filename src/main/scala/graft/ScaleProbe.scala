@@ -171,7 +171,9 @@ object ScaleProbe {
         // round-7 batch 40: rank movers, IPv4/CIDR census
         "q_win_rank_delta", "q_fn_ip",
         // round-7 batch 41: depth-2 CART
-        "q_ml_tree")
+        "q_ml_tree",
+        // round-7 batch 42: counter rate(), ordered reassembly
+        "q_ts_rate", "q_text_reassembly")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()

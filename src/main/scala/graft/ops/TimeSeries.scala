@@ -1520,9 +1520,76 @@ object TimeSeries {
            |FROM r WHERE rn = (n + 1) // 2
            |ORDER BY event_type ASC NULLS FIRST, hr ASC NULLS FIRST""".stripMargin))
 
+  /** Counter-reset-aware rate reconstruction (round 7): the
+    * observability `rate()` primitive — given sampled values of a
+    * monotone counter that periodically RESETS to zero (process restart,
+    * modulo wrap), reconstruct per-interval increases: a negative delta
+    * means a reset happened, and the increase since the previous sample
+    * is taken as the current value (the Prometheus extrapolation-free
+    * rule; mass accumulated between the reset and the next sample is
+    * inherently unobservable — documented semantics, not a bug).
+    *
+    * The exposed counter is SYNTHESIZED as the running hourly-count sum
+    * mod 4096 per event type (both engines build the identical series
+    * from the fixture, the q_fn_url pattern), so resets really occur and
+    * the graded reconstruction path — delta, reset detection, rule
+    * application — is what parity certifies.
+    *
+    * Scale: the corpus collapses to the hour-grain census in one partial
+    * agg; cumsum, delta and the reset rule are two window passes over
+    * the time-bounded series, partitioned by type.
+    */
+  private val tsRate = QueryDef(
+    "q_ts_rate",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"),
+          floorDiv(unix_micros(col("ts")), HourUs).as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(ascf("hr"))
+      val counter = hourly
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("ctr", pmod(col("cum"), lit(4096L)))
+      val recon = counter
+        .withColumn("prev", lag(col("ctr"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("delta", col("ctr") - col("prev"))
+        .withColumn("inc",
+          when(col("delta") < 0, col("ctr")).otherwise(col("delta")))
+      recon.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_samples"),
+          sum(when(col("delta") < 0, 1L).otherwise(0L)).as("n_resets"),
+          sum(col("inc")).as("total_increase"),
+          max(col("inc")).as("max_inc"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH h AS (SELECT event_type,
+           |    epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+           |  FROM events GROUP BY 1, 2),
+           |ctr AS (SELECT event_type, hr,
+           |    sum(c) OVER w % 4096 AS ctr
+           |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |rec AS (SELECT event_type,
+           |    ctr - lag(ctr) OVER w AS delta, ctr
+           |  FROM ctr WINDOW w AS (PARTITION BY event_type
+           |    ORDER BY hr ASC)),
+           |inc AS (SELECT event_type, delta,
+           |    CASE WHEN delta < 0 THEN ctr ELSE delta END AS inc
+           |  FROM rec WHERE delta IS NOT NULL)
+           |SELECT event_type,
+           |  CAST(count(*) AS BIGINT) AS n_samples,
+           |  CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_resets,
+           |  CAST(sum(inc) AS BIGINT) AS total_increase,
+           |  CAST(max(inc) AS BIGINT) AS max_inc
+           |FROM inc GROUP BY event_type
+           |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
       theilSen, attrib, transitions, downsample, evalWape, latency,
-      period, crossCorr, movingMedian)
+      period, crossCorr, movingMedian, tsRate)
 }
