@@ -173,7 +173,9 @@ object ScaleProbe {
         // round-7 batch 41: depth-2 CART
         "q_ml_tree",
         // round-7 batch 42: counter rate(), ordered reassembly
-        "q_ts_rate", "q_text_reassembly")
+        "q_ts_rate", "q_text_reassembly",
+        // round-7 batch 43: SCD2 point-in-time read, gzip ingestion
+        "q_lake_scd2_read", "q_source_compressed")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()

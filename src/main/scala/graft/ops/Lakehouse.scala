@@ -629,6 +629,87 @@ object Lakehouse {
            |FROM m
            |ORDER BY n_rows ASC NULLS FIRST""".stripMargin))
 
+  /** Point-in-time read against the SCD2 dimension (round 7): the USE
+    * side of [[lakeScd2]] — every warehouse that versions a dimension
+    * exists so facts can join "the attribute AS OF the fact's own
+    * timestamp", never the current one (joining current silently
+    * rewrites history — the classic lookback-leakage bug in training
+    * pipelines). Each purchase event is joined to the type-version of
+    * its user valid at the purchase instant, and the census reports how
+    * old the matched versions were.
+    *
+    * Scale: an equi-join on the entity key with the validity interval as
+    * a join filter — per-entity version counts are change-bounded (tens,
+    * not fact-sized), so the join fans out by versions-per-user and the
+    * filter keeps exactly one row per fact. The dimension side shuffles
+    * once on user_id, same key as the facts.
+    *
+    * Determinism (D2): version intervals are [valid_from, valid_to) with
+    * open tails — the intervals PARTITION each user's timeline from the
+    * first event on, so every purchase matches exactly one version (the
+    * parity-pinned n_matched = n_facts); ages are exact µs→hour floors.
+    */
+  private val lakeScd2Read = QueryDef(
+    "q_lake_scd2_read",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        epochUs(col("ts")).as("ts_us"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(ascf("ts_us"), ascf("event_id"))
+      val dim = ev
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("version_no", row_number().over(w).cast("bigint"))
+        .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+        .select(col("user_id").as("dim_user"), col("version_no"),
+          col("event_type").as("dim_type"),
+          col("ts_us").as("valid_from_us"), col("valid_to_us"))
+      val facts = ev.filter(col("event_type") === "purchase")
+      facts.join(dim, col("user_id") === col("dim_user") &&
+          col("ts_us") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")))
+        // a purchase's valid version always carries dim_type='purchase'
+        // (the event itself opens it when the type changed), so the
+        // informative census key is how OLD the matched version is
+        .withColumn("age_days",
+          expr("(ts_us - valid_from_us) div 86400000000"))
+        .groupBy(col("age_days"))
+        .agg(count(lit(1)).as("n_facts"),
+          max(col("version_no")).as("max_version"),
+          sum(expr("(ts_us - valid_from_us) div 3600000000"))
+            .as("sum_age_hours"),
+          max(expr("(ts_us - valid_from_us) div 3600000000"))
+            .as("max_age_hours"))
+        .orderBy(ascf("age_days"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+           |    event_id FROM events),
+           |o AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+           |    ORDER BY ts_us ASC, event_id ASC) AS prev FROM e),
+           |ch AS (SELECT * FROM o WHERE prev IS NULL
+           |    OR prev <> event_type),
+           |dim AS (SELECT user_id AS dim_user,
+           |    CAST(row_number() OVER (PARTITION BY user_id
+           |      ORDER BY ts_us ASC, event_id ASC) AS BIGINT) AS version_no,
+           |    event_type AS dim_type, ts_us AS valid_from_us,
+           |    lead(ts_us) OVER (PARTITION BY user_id
+           |      ORDER BY ts_us ASC, event_id ASC) AS valid_to_us
+           |  FROM ch),
+           |f AS (SELECT user_id, ts_us FROM e
+           |  WHERE event_type = 'purchase')
+           |SELECT (f.ts_us - dim.valid_from_us) // 86400000000 AS age_days,
+           |  CAST(count(*) AS BIGINT) AS n_facts,
+           |  CAST(max(dim.version_no) AS BIGINT) AS max_version,
+           |  CAST(sum((f.ts_us - dim.valid_from_us) // 3600000000)
+           |    AS BIGINT) AS sum_age_hours,
+           |  CAST(max((f.ts_us - dim.valid_from_us) // 3600000000)
+           |    AS BIGINT) AS max_age_hours
+           |FROM f JOIN dim ON f.user_id = dim.dim_user
+           |  AND f.ts_us >= dim.valid_from_us
+           |  AND (dim.valid_to_us IS NULL OR f.ts_us < dim.valid_to_us)
+           |GROUP BY 1
+           |ORDER BY age_days ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(lakeMerge, joinBucketed, lakeScd2, lakeZorder,
-    lakeTimetravel, lakeCdc, lakeVacuum, lakeCompact)
+    lakeTimetravel, lakeCdc, lakeVacuum, lakeCompact, lakeScd2Read)
 }

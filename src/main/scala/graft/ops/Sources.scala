@@ -450,7 +450,38 @@ object Sources {
            |FROM documents WHERE doc_id % 25 = 0
            |ORDER BY n_files ASC NULLS FIRST""".stripMargin))
 
+  /** Compressed-text ingestion (round 7): the gzip CSV round-trip — the
+    * format most real log/export drops actually arrive in. Same
+    * census-against-parquet-ground-truth grading as [[sourceCsv]], so a
+    * codec bug on either side of the cycle breaks the hash.
+    *
+    * 100 TB note: gzip is NOT splittable — one .gz file is one task
+    * regardless of size. The write side here emits one gz file per
+    * partition (which is the mitigation: many medium files), and a
+    * production pipeline would prefer a splittable codec (bzip2) or
+    * container format for anything a single reader can't chew.
+    */
+  private val sourceCompressed = QueryDef(
+    "q_source_compressed",
+    (s, d) => {
+      val path = stage(d, "csvgz")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("compression", "gzip")
+        .csv(path)
+      census(s.read.schema(docSchema)
+        .option("header", "true").option("escape", "\"")
+        .option("multiLine", "true")
+        .csv(path))
+    },
+    Some(censusSql))
+
   def defs: Seq[QueryDef] = Seq(sourceCsv, sourceJson, sourceOrc,
     sourcePartitioned, sourceJsonNested, sourceText, sourceCorrupt,
-    sourceEvolution, sourceJsonMultiline, sourceBinary)
+    sourceEvolution, sourceJsonMultiline, sourceBinary, sourceCompressed)
 }
