@@ -781,9 +781,69 @@ object Aggregates {
            |GROUP BY l_returnflag
            |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin))
 
+  /** Pareto frontier / skyline (round 7): the parts no other part
+    * dominates on (cheaper, bigger) — the multi-criteria shortlist
+    * operator behind every "best tradeoff" query (price/quality,
+    * latency/recall). A part is dominated iff some part is ≤ on price
+    * and ≥ on size with at least one strict; equal (price, size) pairs
+    * dominate neither and all survive.
+    *
+    * Scale: the corpus-sized work is ONE (price, size) group-by; the
+    * frontier test then runs on the distinct-PRICE relation — per-price
+    * max size, and a running max over strictly-cheaper prices via a
+    * RANGE frame — so the unpartitioned window scans value-distinct
+    * rows, never the table (the standard "reduce, then skyline the
+    * sketch" layout; a fully partition-local skyline + merge does the
+    * same thing one level deeper).
+    *
+    * Determinism (D1/D2): exact integer cents/sizes; the output is the
+    * full frontier with duplicate multiplicity, totally ordered by
+    * price.
+    */
+  private val aggSkyline = QueryDef(
+    "q_agg_skyline",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val parts = Tables.part(s, d).select(
+        (dec(col("p_retailprice")) * 100).cast("long").as("price_cents"),
+        col("p_size").cast("long").as("size"))
+      val g = parts.groupBy(col("price_cents"), col("size"))
+        .agg(count(lit(1)).as("n_parts"))
+      val pmax = parts.groupBy(col("price_cents"))
+        .agg(max(col("size")).as("ms"))
+      val wcm = Window.orderBy(col("price_cents"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val front = pmax
+        .withColumn("cm", max(col("ms")).over(wcm))
+        .filter(col("cm").isNull || col("ms") > col("cm"))
+      g.join(front, g("price_cents") === front("price_cents") &&
+          g("size") === front("ms"))
+        .select(g("price_cents"), g("size"), col("n_parts"))
+        .orderBy(ascf("price_cents"))
+    },
+    Some("""WITH p AS (SELECT
+           |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS price_cents,
+           |    CAST(p_size AS BIGINT) AS size
+           |  FROM part),
+           |g AS (SELECT price_cents, size, count(*) AS n_parts
+           |  FROM p GROUP BY 1, 2),
+           |pmax AS (SELECT price_cents, max(size) AS ms
+           |  FROM p GROUP BY 1),
+           |front AS (SELECT price_cents, ms FROM (
+           |    SELECT price_cents, ms, max(ms) OVER (ORDER BY price_cents
+           |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm
+           |    FROM pmax)
+           |  WHERE cm IS NULL OR ms > cm)
+           |SELECT g.price_cents AS price_cents, g.size AS size,
+           |    CAST(g.n_parts AS BIGINT) AS n_parts
+           |FROM g JOIN front ON g.price_cents = front.price_cents
+           |  AND g.size = front.ms
+           |ORDER BY g.price_cents ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggQ18, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
     aggPercentile, aggPivot, aggUnpivot, aggGrouping, aggMode, aggBitset,
-    aggEntropy, aggQ14, aggQ6, aggGini, aggHhi, aggFiltered)
+    aggEntropy, aggQ14, aggQ6, aggGini, aggHhi, aggFiltered, aggSkyline)
 }

