@@ -177,7 +177,9 @@ object ScaleProbe {
         // round-7 batch 43: SCD2 point-in-time read, gzip ingestion
         "q_lake_scd2_read", "q_source_compressed",
         // round-7 batch 44: Pareto skyline, rendezvous sharding
-        "q_agg_skyline", "q_shard_rendezvous")
+        "q_agg_skyline", "q_shard_rendezvous",
+        // round-7 batch 45: Borůvka spanning forest, Hamilton allocation
+        "q_graph_mst", "q_win_alloc")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()

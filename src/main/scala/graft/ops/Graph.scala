@@ -1217,7 +1217,173 @@ object Graph {
            |    ELSE 0 END AS BIGINT) AS coeff_e6
            |FROM base ORDER BY n_name ASC NULLS FIRST""".stripMargin))
 
+  /** Minimum spanning forest via fixed-round Borůvka (round 7): the
+    * cheapest edge set connecting the weighted trade graph — the
+    * backbone-extraction operator (network design, single-link
+    * clustering's dendrogram skeleton, graph sparsification). Each round
+    * every component picks its minimum incident edge under the TOTAL
+    * edge order (w, a, b) — which makes the MSF unique, so it is exactly
+    * hash-gradeable even with duplicate weights — then components merge
+    * by hooking each label to the far end of its chosen edge, resolving
+    * mutual-pair 2-cycles to the smaller label, and pointer-doubling to
+    * the root. K=5 rounds: component count at least halves per round, so
+    * 2⁵ = 32 > 25 nodes guarantees the forest is COMPLETE, not a prefix;
+    * J=5 jumps per round likewise bound any hook-chain depth.
+    *
+    * Scale: the 100 TB-heavy step is the ONE fact-table aggregation down
+    * to canonical (a<b, w) node-pair edges; all K rounds run on the
+    * node²-bounded edge sketch and node-sized label state (Borůvka is
+    * THE distributed MST algorithm precisely because each round is a
+    * constant number of joins + one argmin — no priority queue, no
+    * sequential growth like Prim/Kruskal). Labels checkpoint per round
+    * (the q_dedup_components lineage tier).
+    *
+    * Determinism (D1/D2): integer weights; argmin over the total order
+    * (w, a, b); mutual-min ties resolve to the smaller label on both
+    * engines; output is the forest edge list totally ordered by (w, a, b)
+    * ((a, b) is unique).
+    */
+  private val mstRounds = 5
+  private val mstJumps = 5
+
+  private val mst = QueryDef(
+    "q_graph_mst",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      // the one corpus-sized pass: fact table → canonical undirected edges
+      val e = Caches.scoped(li
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(
+          least(col("c_nationkey"), col("s_nationkey")).cast("long").as("a"),
+          greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("b"))
+        .agg(count(lit(1)).as("w")))
+      val reliable = s.sparkContext.getCheckpointDir.isDefined
+      // lineage + STATS truncation: Spark 4's (local)checkpoint keeps the
+      // origin plan's size estimate on the LogicalRDD, and the
+      // sizeInBytes-only join estimate is the PRODUCT of the children —
+      // so a K-round loop of self-joins compounds the estimate
+      // exponentially (by round 3-4 the driver sat multiplying
+      // million-digit BigIntegers inside stats visitors, before any job
+      // ran). Rebuilding from the checkpointed RDD drops the origin
+      // stats; at label scale the row round-trip is free.
+      def truncate(df: org.apache.spark.sql.DataFrame) = {
+        val cp = if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+        s.createDataFrame(cp.rdd, cp.schema)
+      }
+      var lab = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("node"))
+        .withColumn("label", col("node"))
+      var chosen: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to mstRounds) {
+        val el = e
+          .join(lab.select(col("node").as("na"), col("label").as("la")),
+            col("a") === col("na"))
+          .join(lab.select(col("node").as("nb"), col("label").as("lb")),
+            col("b") === col("nb"))
+          .filter(col("la") =!= col("lb"))
+          .select(col("a"), col("b"), col("w"), col("la"), col("lb"))
+        val cand = el.select(col("la").as("l"), col("w"), col("a"),
+            col("b"), col("lb").as("m"))
+          .unionByName(el.select(col("lb").as("l"), col("w"), col("a"),
+            col("b"), col("la").as("m")))
+        val wmin = Window.partitionBy(col("l"))
+          .orderBy(ascf("w"), ascf("a"), ascf("b"))
+        // label-sized; lineage-truncated: it feeds the chosen-edge set,
+        // BOTH sides of the 2-cycle resolve, and (via m0) 2^J leaves of
+        // the doubling chain — unchecked, the round's plan fans out to
+        // ~128 copies of the edge-labeling join (measured as a hang at
+        // sf0.001 before the fix)
+        val pick = truncate(cand.withColumn("rn", row_number().over(wmin))
+          .filter(col("rn") === 1)
+          .select(col("l"), col("w"), col("a"), col("b"), col("m")))
+        val pe = pick.select(col("a"), col("b"), col("w")).distinct()
+        chosen = if (chosen == null) pe else chosen.unionByName(pe)
+        // hook l→m; a mutual pair (the two labels that picked the same
+        // edge) is the only possible cycle under a total edge order —
+        // resolve it by rooting the smaller label
+        val p0 = pick.select(col("l"), col("m"))
+        val p1 = p0.as("x")
+          .join(p0.select(col("l").as("yl"), col("m").as("ym")),
+            col("m") === col("yl"), "left")
+          .select(col("l"),
+            when(col("ym") === col("l") && col("l") < col("m"), col("l"))
+              .otherwise(col("m")).as("p"))
+        // materialize the hook map once: the doubling chain below scans
+        // this label-sized frame at 2^J leaves, which is only sane when
+        // each leaf is an in-memory scan, not the whole round's lineage
+        var map = truncate(lab.select(col("label").as("l")).distinct()
+          .join(p1, Seq("l"), "left")
+          .select(col("l"), coalesce(col("p"), col("l")).as("p")))
+        for (_ <- 1 to mstJumps) {
+          map = map
+            .join(broadcast(map.select(col("l").as("l2"), col("p").as("p2"))),
+              col("p") === col("l2"))
+            .select(col("l"), col("p2").as("p"))
+        }
+        lab = truncate(lab.join(broadcast(map), lab("label") === map("l"))
+          .select(col("node"), col("p").as("label")))
+      }
+      chosen.orderBy(ascf("w"), ascf("a"), ascf("b"))
+    },
+    Some {
+      def round(r: Int): String = {
+        val prev = s"lab${r - 1}"
+        val jumps = (1 to mstJumps).map { j =>
+          s"""m${r}_$j AS MATERIALIZED (SELECT m1.l, m2.p
+             |  FROM m${r}_${j - 1} m1 JOIN m${r}_${j - 1} m2
+             |  ON m1.p = m2.l)""".stripMargin
+        }.mkString(",\n")
+        s"""el$r AS (SELECT e.a, e.b, e.w, x.label AS la, y.label AS lb
+           |  FROM e JOIN $prev x ON e.a = x.node
+           |  JOIN $prev y ON e.b = y.node
+           |  WHERE x.label <> y.label),
+           |cand$r AS (SELECT la AS l, w, a, b, lb AS m FROM el$r
+           |  UNION ALL SELECT lb AS l, w, a, b, la AS m FROM el$r),
+           |pick$r AS MATERIALIZED (SELECT l, w, a, b, m FROM (
+           |    SELECT l, w, a, b, m, row_number() OVER (PARTITION BY l
+           |      ORDER BY w ASC, a ASC, b ASC) AS rn FROM cand$r)
+           |  WHERE rn = 1),
+           |p$r AS (SELECT x.l,
+           |    CASE WHEN y.m = x.l AND x.l < x.m THEN x.l ELSE x.m END AS p
+           |  FROM pick$r x LEFT JOIN pick$r y ON x.m = y.l),
+           |m${r}_0 AS MATERIALIZED (SELECT d.l, coalesce(p$r.p, d.l) AS p
+           |  FROM (SELECT DISTINCT label AS l FROM $prev) d
+           |  LEFT JOIN p$r ON d.l = p$r.l),
+           |$jumps,
+           |lab$r AS MATERIALIZED (SELECT $prev.node, m${r}_$mstJumps.p AS label
+           |  FROM $prev JOIN m${r}_$mstJumps ON $prev.label = m${r}_$mstJumps.l)"""
+          .stripMargin
+      }
+      val unions = (1 to mstRounds)
+        .map(r => s"SELECT DISTINCT a, b, w FROM pick$r")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT CAST(least(c.c_nationkey, s.s_nationkey) AS BIGINT) AS a,
+         |    CAST(greatest(c.c_nationkey, s.s_nationkey) AS BIGINT) AS b,
+         |    count(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  WHERE c.c_nationkey <> s.s_nationkey
+         |  GROUP BY 1, 2),
+         |lab0 AS (SELECT CAST(n_nationkey AS BIGINT) AS node,
+         |    CAST(n_nationkey AS BIGINT) AS label FROM nation),
+         |${(1 to mstRounds).map(round).mkString(",\n")}
+         |SELECT a, b, w FROM (
+         |  $unions)
+         |ORDER BY w ASC NULLS FIRST, a ASC NULLS FIRST,
+         |  b ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(pagerank, triangles, bfs, degree,
     graphJaccard, labelProp, closeness, scc, kcore, copurchase,
-    adamicAdar, hits, assortativity, reciprocity, clustering)
+    adamicAdar, hits, assortativity, reciprocity, clustering, mst)
 }

@@ -650,8 +650,77 @@ object Windows {
            |FROM t GROUP BY yr
            |ORDER BY yr ASC NULLS FIRST""".stripMargin))
 
+  /** Largest-remainder proportional allocation (round 7): apportion a
+    * fixed integer budget of 10 000 units across nations proportional to
+    * order revenue — the Hamilton apportionment every quota system runs
+    * (ad-spend splits, seat apportionment, sampling quotas, shard
+    * capacity). Floor quotas first (S·rev div T), then the leftover
+    * R = S − Σfloor units go to the R largest remainders — the method
+    * whose output sums to EXACTLY S by construction, which is the whole
+    * point vs naive rounding (Σround(S·share) misses S by ±k).
+    *
+    * Scale: the corpus-sized work is one revenue group-by with map-side
+    * partials; quota/remainder arithmetic and the remainder-rank window
+    * all run on the nation-sized census (the unpartitioned window scans
+    * ≤ |dims| rows — harness-scale note, same as q_lake_zorder). The
+    * total T and leftover R ride 1-row broadcasts, never a collect.
+    *
+    * Determinism (D1/D2): all-int64 floor quotas ((S·rev) div T and %,
+    * every operand non-negative so `div` ≡ `//`); remainder ranks break
+    * ties by nationkey ASC — a total order, so the marginal unit lands
+    * identically in both engines.
+    */
+  private val winAlloc = QueryDef(
+    "q_win_alloc",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      val rev = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("rev_cents"))
+      val t = rev.agg(sum(col("rev_cents")).as("t"))
+      val q = rev.join(broadcast(t))
+        .select(col("nk"), col("rev_cents"),
+          expr("(10000 * rev_cents) div t").as("base_seats"),
+          expr("(10000 * rev_cents) % t").as("rem"))
+      val left = q.agg((lit(10000L) - sum(col("base_seats"))).as("r"))
+      val ranked = q.withColumn("rk",
+        row_number().over(Window.orderBy(descl("rem"), ascf("nk"))))
+      ranked.join(broadcast(left))
+        .join(broadcast(n), col("nk") === col("n_nationkey"))
+        .select(col("n_name"), col("rev_cents"), col("base_seats"),
+          when(col("rk") <= col("r"), 1L).otherwise(0L).as("extra"),
+          (col("base_seats") +
+            when(col("rk") <= col("r"), 1L).otherwise(0L)).as("seats"))
+        .orderBy(ascf("n_name"))
+    },
+    Some("""WITH rev AS (SELECT c.c_nationkey AS nk,
+           |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           |      AS BIGINT)) AS BIGINT) AS rev_cents
+           |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           |  GROUP BY 1),
+           |t AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS t FROM rev),
+           |q AS (SELECT nk, rev_cents,
+           |    CAST((10000 * rev_cents) // t.t AS BIGINT) AS base_seats,
+           |    CAST((10000 * rev_cents) % t.t AS BIGINT) AS rem
+           |  FROM rev CROSS JOIN t),
+           |lft AS (SELECT 10000 - sum(base_seats) AS r FROM q),
+           |ranked AS (SELECT nk, rev_cents, base_seats,
+           |    row_number() OVER (ORDER BY rem DESC, nk ASC) AS rk
+           |  FROM q)
+           |SELECT n.n_name,
+           |  ranked.rev_cents,
+           |  ranked.base_seats,
+           |  CAST(CASE WHEN rk <= lft.r THEN 1 ELSE 0 END AS BIGINT) AS extra,
+           |  CAST(ranked.base_seats +
+           |    CASE WHEN rk <= lft.r THEN 1 ELSE 0 END AS BIGINT) AS seats
+           |FROM ranked CROSS JOIN lft
+           |JOIN nation n ON ranked.nk = n.n_nationkey
+           |ORDER BY n_name ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     winRank, winRunning, winLeadLag, winRangeFrame, winNtilePct, winFirstLast,
     sortNulls, limitOffset, topkGroup, winSessionize, winStreak, winPattern,
-    winDistinct, winConcurrency, winIntervals, winRankDelta)
+    winDistinct, winConcurrency, winIntervals, winRankDelta, winAlloc)
 }
