@@ -179,7 +179,9 @@ object ScaleProbe {
         // round-7 batch 44: Pareto skyline, rendezvous sharding
         "q_agg_skyline", "q_shard_rendezvous",
         // round-7 batch 45: Borůvka spanning forest, Hamilton allocation
-        "q_graph_mst", "q_win_alloc")
+        "q_graph_mst", "q_win_alloc",
+        // round-7 batch 46: native XML round-trip, classifier evaluation
+        "q_source_xml", "q_ml_confusion")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()

@@ -927,6 +927,78 @@ object Clustering {
            |FROM allrows
            |ORDER BY branch ASC NULLS FIRST""".stripMargin))
 
+  /** Classifier evaluation suite (round 7): confusion matrix and the
+    * derived quality metrics — precision, recall, F1, accuracy — for a
+    * fixed decision rule (qty ≥ 25) against the shared high-price label,
+    * per linestatus segment. This is the EVALUATION operator every ML
+    * pipeline runs after q_ml_{stump,tree,perceptron,naive_bayes}-style
+    * training: the rule under test is deliberately a frozen constant so
+    * the graded surface is the metric arithmetic itself, not a model.
+    *
+    * Scale: one fact-table scan; the four confusion cells are
+    * conditional-sum aggregates in ONE hash aggregate with map-side
+    * partials (the q_agg_filtered shape), so the exchange carries
+    * |segments| rows regardless of corpus size; metrics are per-row
+    * arithmetic on the census.
+    *
+    * Determinism (D2/D12): all cells int64; metrics in 1e-6 units by
+    * floor division of non-negative operands (`div` ≡ `//`);
+    * zero-denominator cells pin to 0 by CASE on both engines
+    * (F1 = 2tp·1e6 div (2tp+fp+fn) — one division, no rounding drift
+    * from a precision/recall recombination).
+    */
+  private val confusion = QueryDef(
+    "q_ml_confusion",
+    (s, d) => {
+      val li = graft.Tables.lineitem(s, d).select(
+        col("l_linestatus").as("seg"),
+        when(col("l_quantity") >= 25.0, lit(1L)).otherwise(lit(0L)).as("p"),
+        when(col("l_extendedprice") >= 52000.0, lit(1L)).otherwise(lit(0L))
+          .as("y"))
+      li.groupBy(col("seg"))
+        .agg(
+          sum(col("p") * col("y")).as("tp"),
+          sum(col("p") * (lit(1L) - col("y"))).as("fp"),
+          sum((lit(1L) - col("p")) * col("y")).as("fn"),
+          sum((lit(1L) - col("p")) * (lit(1L) - col("y"))).as("tn"))
+        .select(col("seg"), col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("""CASE WHEN tp + fp = 0 THEN 0
+                 | ELSE (tp * 1000000) div (tp + fp) END""".stripMargin)
+            .as("precision_e6"),
+          expr("""CASE WHEN tp + fn = 0 THEN 0
+                 | ELSE (tp * 1000000) div (tp + fn) END""".stripMargin)
+            .as("recall_e6"),
+          expr("""CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+                 | ELSE (2 * tp * 1000000) div (2 * tp + fp + fn) END"""
+            .stripMargin).as("f1_e6"),
+          expr("((tp + tn) * 1000000) div (tp + fp + fn + tn)")
+            .as("accuracy_e6"))
+        .orderBy(ascf("seg"))
+    },
+    Some("""WITH base AS (SELECT l_linestatus AS seg,
+           |    CASE WHEN l_quantity >= 25.0 THEN 1 ELSE 0 END AS p,
+           |    CASE WHEN l_extendedprice >= 52000.0 THEN 1 ELSE 0 END AS y
+           |  FROM lineitem),
+           |cells AS (SELECT seg,
+           |    CAST(sum(p * y) AS BIGINT) AS tp,
+           |    CAST(sum(p * (1 - y)) AS BIGINT) AS fp,
+           |    CAST(sum((1 - p) * y) AS BIGINT) AS fn,
+           |    CAST(sum((1 - p) * (1 - y)) AS BIGINT) AS tn
+           |  FROM base GROUP BY seg)
+           |SELECT seg, tp, fp, fn, tn,
+           |  CAST(CASE WHEN tp + fp = 0 THEN 0
+           |    ELSE (tp * 1000000) // (tp + fp) END AS BIGINT)
+           |    AS precision_e6,
+           |  CAST(CASE WHEN tp + fn = 0 THEN 0
+           |    ELSE (tp * 1000000) // (tp + fn) END AS BIGINT) AS recall_e6,
+           |  CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+           |    ELSE (2 * tp * 1000000) // (2 * tp + fp + fn) END AS BIGINT)
+           |    AS f1_e6,
+           |  CAST(((tp + tn) * 1000000) // (tp + fp + fn + tn) AS BIGINT)
+           |    AS accuracy_e6
+           |FROM cells
+           |ORDER BY seg ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(kmeans, perceptron, naiveBayes, stump,
-    linreg, knn, tree)
+    linreg, knn, tree, confusion)
 }

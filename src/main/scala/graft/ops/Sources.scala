@@ -481,7 +481,37 @@ object Sources {
     },
     Some(censusSql))
 
+  /** XML round-trip (round 7): Spark 4's NATIVE XML source (the
+    * spark-xml package folded into core as of 4.0) — the format
+    * enterprise feeds, sitemaps, and legacy exports still arrive in.
+    * Same census-against-parquet-ground-truth grading as CSV/JSON/ORC,
+    * so an entity-escaping or row-tag bug on either side of the cycle
+    * breaks the hash; `sum_text_len` catches a reader that silently
+    * unescapes or trims differently than the writer escaped.
+    *
+    * 100 TB note: like multiLine JSON, an XML document element can span
+    * physical lines, so splitting is row-tag-scoped — the writer here
+    * emits one file per partition and the reader parallelizes across
+    * files, which is the production layout for XML drops anyway.
+    */
+  private val sourceXml = QueryDef(
+    "q_source_xml",
+    (s, d) => {
+      val path = stage(d, "xml")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .write.mode("overwrite")
+        .option("rowTag", "doc").option("rootTag", "docs")
+        .xml(path)
+      census(s.read.schema(docSchema)
+        .option("rowTag", "doc")
+        .xml(path))
+    },
+    Some(censusSql))
+
   def defs: Seq[QueryDef] = Seq(sourceCsv, sourceJson, sourceOrc,
     sourcePartitioned, sourceJsonNested, sourceText, sourceCorrupt,
-    sourceEvolution, sourceJsonMultiline, sourceBinary, sourceCompressed)
+    sourceEvolution, sourceJsonMultiline, sourceBinary, sourceCompressed,
+    sourceXml)
 }
