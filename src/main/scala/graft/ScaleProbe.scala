@@ -181,7 +181,9 @@ object ScaleProbe {
         // round-7 batch 45: Borůvka spanning forest, Hamilton allocation
         "q_graph_mst", "q_win_alloc",
         // round-7 batch 46: native XML round-trip, classifier evaluation
-        "q_source_xml", "q_ml_confusion")
+        "q_source_xml", "q_ml_confusion",
+        // round-7 batch 47: shallow clone, source-priority dedup
+        "q_lake_clone", "q_dedup_priority")
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()

@@ -1201,8 +1201,92 @@ object Curation {
            |FROM mad JOIN nation nn ON mad.c_nationkey = nn.n_nationkey
            |ORDER BY n_name ASC NULLS FIRST""".stripMargin))
 
+  /** Source-priority canonical selection (round 7): when the same
+    * document arrives from several sources, keep ONE canonical copy by
+    * source-tier preference — curated > mirror > archive — the
+    * provenance rule every multi-source corpus merge applies after
+    * exact dedup finds the groups (CommonCrawl-vs-curated, multi-dump
+    * unions, vendor re-deliveries). Duplication is SYNTHESIZED
+    * deterministically (the q_fn_url pattern): every doc_id ≡ 0 (mod 3)
+    * gains a `mirror_*` copy, ≡ 0 (mod 6) also an `arch_*` copy, and
+    * originals with doc_id ≡ 0 (mod 15) are withheld — so groups of
+    * size 1–3 exist, the primary usually wins, and mirrors MUST win
+    * exactly where the primary is absent (n_kept_mirror counts those;
+    * a broken tiebreak or group key shifts every census column).
+    *
+    * Scale: one shuffle on the text group key (the exact-dedup shape —
+    * production pre-hashes text to a 128-bit key so the exchange
+    * carries a fixed-width key, same plan); the per-group argmin is a
+    * window by (tier, doc_id) — a total order. Census is lang-sized.
+    *
+    * Determinism (D1/D2): integer tiers; (tier, doc_id) unique within
+    * a group; census columns are order-free sums.
+    */
+  private val dedupPriority = QueryDef(
+    "q_dedup_priority",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val primary = base.filter(pmod(col("doc_id"), lit(15)) =!= 0)
+      val mirror = base.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          concat(lit("mirror_"), col("source")).as("source"), col("text"))
+      val arch = base.filter(pmod(col("doc_id"), lit(6)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
+          concat(lit("arch_"), col("source")).as("source"), col("text"))
+      val all = primary.unionByName(mirror).unionByName(arch)
+        .withColumn("tier",
+          when(col("source").startsWith("arch_"), lit(2L))
+            .when(col("source").startsWith("mirror_"), lit(1L))
+            .otherwise(lit(0L)))
+      val w = Window.partitionBy(col("lang"), col("text"))
+        .orderBy(ascf("tier"), ascf("doc_id"))
+      val ranked = all.withColumn("rn", row_number().over(w))
+      ranked.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs_in"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_groups"),
+          sum(when(col("rn") === 1 && col("tier") === 0, 1L).otherwise(0L))
+            .as("n_kept_primary"),
+          sum(when(col("rn") === 1 && col("tier") === 1, 1L).otherwise(0L))
+            .as("n_kept_mirror"),
+          sum(when(col("rn") === 1 && col("tier") === 2, 1L).otherwise(0L))
+            .as("n_kept_arch"),
+          sum(when(col("rn") === 1, col("doc_id")).otherwise(0L))
+            .as("kept_id_checksum"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH base AS (SELECT doc_id, lang, source, text FROM documents),
+           |written AS (
+           |  SELECT doc_id, lang, source, text FROM base
+           |    WHERE doc_id % 15 <> 0
+           |  UNION ALL SELECT doc_id + 1000000, lang,
+           |    'mirror_' || source, text FROM base WHERE doc_id % 3 = 0
+           |  UNION ALL SELECT doc_id + 2000000, lang,
+           |    'arch_' || source, text FROM base WHERE doc_id % 6 = 0),
+           |tiered AS (SELECT *, CASE
+           |    WHEN source LIKE 'arch_%' THEN 2
+           |    WHEN source LIKE 'mirror_%' THEN 1 ELSE 0 END AS tier
+           |  FROM written),
+           |ranked AS (SELECT lang, doc_id, tier, row_number() OVER (
+           |    PARTITION BY lang, text ORDER BY tier ASC, doc_id ASC)
+           |    AS rn
+           |  FROM tiered)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_in,
+           |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_groups,
+           |  CAST(sum(CASE WHEN rn = 1 AND tier = 0 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_kept_primary,
+           |  CAST(sum(CASE WHEN rn = 1 AND tier = 1 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_kept_mirror,
+           |  CAST(sum(CASE WHEN rn = 1 AND tier = 2 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_kept_arch,
+           |  CAST(sum(CASE WHEN rn = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+           |    AS kept_id_checksum
+           |FROM ranked GROUP BY lang
+           |ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(packSequences, contamination, repetition,
     dedupIncremental, mixWeighted, lengthHist, mixTemperature, qualityGopher,
     mixUpsample, profileCols, profileSkew, profileDepth, dedupLines, textPii,
-    textChunking, profileCorr, profileIqr, profileBenford, profileMad)
+    textChunking, profileCorr, profileIqr, profileBenford, profileMad, dedupPriority)
 }

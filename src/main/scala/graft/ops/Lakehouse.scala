@@ -710,6 +710,81 @@ object Lakehouse {
            |GROUP BY 1
            |ORDER BY age_days ASC NULLS FIRST""".stripMargin))
 
+  /** Shallow clone as a graded protocol exhibit (round 7): clone the
+    * shared lake's v2 into a fresh table root (`Lake.shallowClone` —
+    * one manifest naming the source's immutable data dir by absolute
+    * path, the Delta/Iceberg CLONE VERSION AS OF semantics), AFTER the
+    * CDC key's v3 commit exists on the source. Grades three things at
+    * once: the clone's census equals the v2 definition recomputed from
+    * `orders` (zero-copy reads resolve to the right immutable files),
+    * the clone is isolated from the source's later commits (v3 rows
+    * leaking in would break the hash), and the observed-from-disk
+    * protocol facts — the clone owns ZERO data directories (nothing was
+    * copied) and exactly one manifest, while the source sits at v3.
+    *
+    * Scale: the clone itself is O(1) metadata at any table size — THE
+    * reason dev/test/experiment forks of a 100 TB table are shallow
+    * clones and not copies. The retention hazard (source vacuum drops
+    * the referenced dir) is documented on `Lake.shallowClone`.
+    */
+  private case class CloneFacts(root: String, dataDirs: Long,
+    manifests: Long, srcVersion: Long)
+
+  private val cloneLakes =
+    new java.util.concurrent.ConcurrentHashMap[String, CloneFacts]()
+
+  private def cloneLake(s: org.apache.spark.sql.SparkSession,
+      d: String): CloneFacts =
+    cloneLakes.computeIfAbsent(s"${graft.Caches.sessionKey(s)}:$d", _ => {
+      val src = cdcLake(s, d) // ensures v1..v3 committed on the source
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_clone_lake").toString + "/orders_clone"
+      graft.sources.Lake.shallowClone(src, root, Some(2L))
+      val dirs = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(f => f.isDirectory && f.getName.startsWith("data-")).toLong
+      val mans = Option(new java.io.File(root, "_manifests").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(_.getName.endsWith(".manifest")).toLong
+      CloneFacts(root, dirs, mans,
+        graft.sources.Lake.currentVersion(src).getOrElse(-1L))
+    })
+
+  private val lakeClone = QueryDef(
+    "q_lake_clone",
+    (s, d) => {
+      val f = cloneLake(s, d)
+      graft.sources.Lake.versionedRead(s, f.root)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("o_orderkey")), lit(0L)).as("key_sum"),
+          coalesce(sum(col("o_custkey")), lit(0L)).as("cust_sum"),
+          countDistinct(col("p_date")).as("n_months"))
+        .select(col("n_rows"), col("key_sum"), col("cust_sum"),
+          col("n_months"),
+          lit(f.dataDirs).as("clone_data_dirs"),
+          lit(f.manifests).as("clone_manifests"),
+          lit(f.srcVersion).as("src_version"))
+        .orderBy(ascf("n_rows"))
+    },
+    Some("""WITH v1 AS (SELECT o_orderkey, o_custkey,
+           |    CAST(date_trunc('month', o_orderdate) AS DATE) AS p_date
+           |  FROM orders WHERE o_orderkey % 50 = 0),
+           |v2 AS (SELECT * FROM v1 WHERE o_orderkey % 200 <> 0
+           |  UNION ALL
+           |  SELECT o_orderkey, o_custkey,
+           |    CAST(date_trunc('month', o_orderdate) AS DATE)
+           |  FROM orders WHERE o_orderkey % 50 = 25)
+           |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS key_sum,
+           |  CAST(coalesce(sum(o_custkey), 0) AS BIGINT) AS cust_sum,
+           |  CAST(count(DISTINCT p_date) AS BIGINT) AS n_months,
+           |  CAST(0 AS BIGINT) AS clone_data_dirs,
+           |  CAST(1 AS BIGINT) AS clone_manifests,
+           |  CAST(3 AS BIGINT) AS src_version
+           |FROM v2
+           |ORDER BY n_rows ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(lakeMerge, joinBucketed, lakeScd2, lakeZorder,
-    lakeTimetravel, lakeCdc, lakeVacuum, lakeCompact, lakeScd2Read)
+    lakeTimetravel, lakeCdc, lakeVacuum, lakeCompact, lakeScd2Read,
+    lakeClone)
 }

@@ -160,10 +160,48 @@ object Lake {
     * drops superseded versions; a deployment that time-travels runs
     * vacuum on a retention window instead of after every commit).
     */
+  // a manifest entry is normally a data-dir name relative to the table
+  // root; a SHALLOW CLONE publishes an absolute path into another
+  // table's data dir instead — resolve both forms
+  private def resolveData(path: String, entry: String): java.io.File = {
+    val f = new java.io.File(entry)
+    if (f.isAbsolute) f else new java.io.File(path, entry)
+  }
+
   def versionedReadAt(spark: SparkSession, path: String, v: Long): DataFrame = {
     require(new java.io.File(manifestDir(path), f"v$v%08d.manifest").isFile,
       s"no committed version $v under $path (vacuumed or never committed)")
-    spark.read.parquet(new java.io.File(path, readManifest(path, v)).toString)
+    spark.read.parquet(resolveData(path, readManifest(path, v)).toString)
+  }
+
+  /** SHALLOW CLONE (round 7): publish a table at `clonePath` whose next
+    * version references a committed data directory of `srcPath` by
+    * ABSOLUTE path — a zero-copy snapshot (the Delta/Iceberg CLONE
+    * [VERSION AS OF] semantics). No data file is read or written: the
+    * clone is one manifest rename, O(1) at any table size, and the
+    * referenced files are immutable so the clone is isolated from every
+    * subsequent source COMMIT. It is deliberately NOT isolated from a
+    * source `vacuum` that drops the referenced dir — the same retention
+    * hazard shallow clones carry in production table formats; a
+    * deployment pins retention (or deep-copies) before vacuuming a
+    * cloned-from table.
+    */
+  def shallowClone(srcPath: String, clonePath: String,
+      version: Option[Long] = None): Long = {
+    val v = version.orElse(currentVersion(srcPath)).getOrElse(
+      throw new IllegalStateException(s"no committed version under $srcPath"))
+    require(new java.io.File(manifestDir(srcPath), f"v$v%08d.manifest").isFile,
+      s"no committed version $v under $srcPath")
+    val abs = resolveData(srcPath, readManifest(srcPath, v)).getAbsolutePath
+    val md = manifestDir(clonePath)
+    md.mkdirs()
+    val cv = currentVersion(clonePath).getOrElse(0L) + 1L
+    val tmp = new java.io.File(md, s".tmp-clone-$cv")
+    java.nio.file.Files.write(tmp.toPath, abs.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(md, f"v$cv%08d.manifest").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    cv
   }
 
   /** Compaction through the commit protocol: rewrite the current
@@ -175,7 +213,7 @@ object Lake {
       parallelism: Int = 8): (Long, Long) = {
     val vOld = currentVersion(path).getOrElse(throw new IllegalStateException(
       s"no committed version under $path"))
-    val before = dataFiles(new java.io.File(path, readManifest(path, vOld)))
+    val before = dataFiles(resolveData(path, readManifest(path, vOld)))
       .size.toLong
     val vNew = commitVersion(
       versionedRead(spark, path).repartition(parallelism, col("p_date")), path)
@@ -190,6 +228,9 @@ object Lake {
     */
   def vacuum(path: String): Unit =
     currentVersion(path).foreach { v =>
+      // name comparison handles the relative (normal) form; a clone's
+      // absolute live entry matches no local dir name, which is correct:
+      // the clone owns no local data dirs until it commits its own
       val live = readManifest(path, v)
       Option(manifestDir(path).listFiles()).getOrElse(Array.empty[java.io.File])
         .foreach(f => manifestVersion(f).foreach(mv => if (mv != v) rm(f)))

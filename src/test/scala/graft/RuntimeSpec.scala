@@ -296,6 +296,33 @@ class RuntimeSpec extends SparkSpec {
     Caches.releaseScoped()
   }
 
+  test("shallow clone is zero-copy, isolated from commits, broken by vacuum") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_clone_src").toString + "/t"
+    val dst = Files.createTempDirectory("graft_clone_dst").toString + "/t"
+    val v1 = Seq((1L, "2024-01-03"), (2L, "2024-02-04"))
+      .toDF("k", "ts").withColumn("ts", to_date($"ts"))
+    Lake.versionedWrite(v1, "ts", src)
+    Lake.shallowClone(src, dst)
+    // zero-copy: the clone root owns no data dirs
+    val dirs = Option(new java.io.File(dst).listFiles()).get
+      .count(f => f.isDirectory && f.getName.startsWith("data-"))
+    assert(dirs == 0)
+    // isolated from later source COMMITS
+    val v2 = Seq((9L, "2024-03-05")).toDF("k", "ts")
+      .withColumn("ts", to_date($"ts"))
+    Lake.versionedWrite(v2, "ts", src)
+    assert(Lake.versionedRead(spark, dst).select(sum($"k")).as[Long]
+      .head() == 3L)
+    assert(Lake.versionedRead(spark, src).select(sum($"k")).as[Long]
+      .head() == 9L)
+    // the documented retention hazard: vacuuming the SOURCE drops the
+    // dir the clone references — the clone read must now fail loudly,
+    // not return partial data
+    Lake.vacuum(src)
+    intercept[Exception] { Lake.versionedRead(spark, dst).count() }
+  }
+
   test("phash banding is lossless for Hamming <= 3 (pigeonhole, by fuzz)") {
     // 4 disjoint 16-bit bands, distance ≤ 3 → at least one band is
     // untouched. Fuzz the band-extraction arithmetic the query uses.
