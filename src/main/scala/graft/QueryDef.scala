@@ -89,6 +89,24 @@ object Dsl {
   /** DESC NULLS LAST — matches `DESC NULLS LAST` in oracle SQL (D1). */
   def descl(c: Column): Column = c.desc_nulls_last
   def descl(name: String): Column = col(name).desc_nulls_last
+
+  /** Lineage AND stats truncation for iterative loops. Spark 4's
+    * (local)checkpoint keeps the origin plan's size estimate on the
+    * LogicalRDD, and the sizeInBytes-only join estimate is the PRODUCT
+    * of the children — so K rounds of self-joins compound the estimate
+    * exponentially until physical planning itself hangs multiplying
+    * million-digit BigIntegers (measured on the q_graph_mst loop).
+    * Rebuilding from the checkpointed RDD drops the origin stats; the
+    * row round-trip is free at the label/sketch scales loops run on.
+    * Reliable-checkpoint tier per the q_dedup_components story.
+    */
+  def statsTruncate(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    val cp = if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+             else df.localCheckpoint(true)
+    s.createDataFrame(cp.rdd, cp.schema)
+  }
 }
 
 /** Single source of truth for the SparkEntry contract maps: a key can never

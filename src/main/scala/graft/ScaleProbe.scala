@@ -184,6 +184,15 @@ object ScaleProbe {
         "q_source_xml", "q_ml_confusion",
         // round-7 batch 47: shallow clone, source-priority dedup
         "q_lake_clone", "q_dedup_priority")
+        // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
+        // the 10-way-duplicated probe corpus multiplies point density
+        // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)
+        // — grid-cell occupancy rises 10×, candidate pairs rise ~100×
+        // (~500M; measured 77 GB of shuffle spill), and the clustering
+        // itself degenerates to one percolated blob. Density clustering
+        // cost is neighbor-pair-driven by nature; the scale evidence is
+        // the sf0.1 parity run (15k points, 216k core pairs, hook loop
+        // converged to the true single cluster) — see SCALING.md.
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()

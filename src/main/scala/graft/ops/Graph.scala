@@ -1264,19 +1264,10 @@ object Graph {
           least(col("c_nationkey"), col("s_nationkey")).cast("long").as("a"),
           greatest(col("c_nationkey"), col("s_nationkey")).cast("long").as("b"))
         .agg(count(lit(1)).as("w")))
-      val reliable = s.sparkContext.getCheckpointDir.isDefined
-      // lineage + STATS truncation: Spark 4's (local)checkpoint keeps the
-      // origin plan's size estimate on the LogicalRDD, and the
-      // sizeInBytes-only join estimate is the PRODUCT of the children —
-      // so a K-round loop of self-joins compounds the estimate
-      // exponentially (by round 3-4 the driver sat multiplying
-      // million-digit BigIntegers inside stats visitors, before any job
-      // ran). Rebuilding from the checkpointed RDD drops the origin
-      // stats; at label scale the row round-trip is free.
-      def truncate(df: org.apache.spark.sql.DataFrame) = {
-        val cp = if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-        s.createDataFrame(cp.rdd, cp.schema)
-      }
+      // see Dsl.statsTruncate for the checkpoint-origin-stats story
+      // (this loop is where the planning hang was first measured)
+      def truncate(df: org.apache.spark.sql.DataFrame) =
+        graft.Dsl.statsTruncate(df)
       var lab = Tables.nation(s, d)
         .select(col("n_nationkey").cast("long").as("node"))
         .withColumn("label", col("node"))

@@ -358,4 +358,52 @@ class Round7Spec extends SparkSpec {
     }
     Caches.releaseScoped(); Caches.releaseShared()
   }
+
+  test("q_geo_dbscan: hook-loop labels equal TRUE components (union-find)") {
+    // The K=6 hooking rounds are a horizon by construction; this pins
+    // that at the graded SFs the horizon has actually converged — the
+    // cluster count and max size equal an exact driver-side union-find
+    // over the same recomputed core graph (scalar replica of the
+    // position hash and ε/minPts rules).
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val P = 2147483647L
+      def pos(u: Long): Long = {
+        val h1 = ((u % P) * 15485863L + 101L) % P
+        val g = h1 ^ (h1 >> 15)
+        ((g * 32452843L + 1009L) % P) % 10000L
+      }
+      val keys = Tables.customer(spark, dir).select(col("c_custkey"))
+        .collect().map(_.getLong(0))
+      val pts = keys.map(k => (k, pos(k), pos(k + 777000000L)))
+      // exact all-pairs ground truth (test-only; fine at spec scale)
+      val byCell = pts.groupBy(p => (p._2 / 500, p._3 / 500))
+      def nbrs(p: (Long, Long, Long)) = for {
+        dx <- -1L to 1L; dy <- -1L to 1L
+        q <- byCell.getOrElse((p._2 / 500 + dx, p._3 / 500 + dy),
+          Array.empty[(Long, Long, Long)])
+        if q._1 != p._1 &&
+          (p._2 - q._2) * (p._2 - q._2) + (p._3 - q._3) * (p._3 - q._3) <= 62500L
+      } yield q._1
+      val neighborCount = pts.map(p => p._1 -> nbrs(p).size).toMap
+      val core = pts.map(_._1).filter(neighborCount(_) >= 3).toSet
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(a: Long): Long = {
+        var x = a
+        while (parent.getOrElse(x, x) != x) { x = parent(x) }
+        x
+      }
+      for (p <- pts if core(p._1); n <- nbrs(p) if core(n)) {
+        val (ra, rb) = (find(p._1), find(n))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val comps = core.groupBy(find).values.map(_.size).toSeq
+      val r = Registry.queries("q_geo_dbscan")(spark, dir).collect().head
+      assert(r.getAs[Long]("n_core") == core.size, s"core mismatch at $dir")
+      assert(r.getAs[Long]("n_clusters") == comps.size,
+        s"horizon not converged at $dir")
+      assert(r.getAs[Long]("max_cluster") ==
+        (if (comps.isEmpty) 0L else comps.max.toLong), s"max at $dir")
+      Caches.releaseScoped(); Caches.releaseShared()
+    }
+  }
 }
