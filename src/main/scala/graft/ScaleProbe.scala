@@ -183,7 +183,9 @@ object ScaleProbe {
         // round-7 batch 46: native XML round-trip, classifier evaluation
         "q_source_xml", "q_ml_confusion",
         // round-7 batch 47: shallow clone, source-priority dedup
-        "q_lake_clone", "q_dedup_priority")
+        "q_lake_clone", "q_dedup_priority",
+        // round-7 batch 49: MR reduce-side join, directional asof
+        "q_mr_join", "q_join_asof_nearest")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

@@ -73,4 +73,27 @@ object MapReduce {
       .repartitionByRange(partitions, org.apache.spark.sql.functions.col("_1"))
       .sortWithinPartitions("_1")
   }
+
+  /** The reduce-side (repartition) join — the fifth canonical MapReduce
+    * usage pattern (tag each side, shuffle both on the key, pair the
+    * sides inside each reduce group). Expressed as `cogroup` so each
+    * input shuffles exactly ONCE on the join key and the pairing runs
+    * per key group with no driver involvement — the hand-rolled
+    * equivalent of the shuffled hash join Catalyst plans for the
+    * DataFrame spelling (which remains the right tool for relational
+    * work; this exists so a legacy tagged-join job ports 1:1).
+    * Inner-join semantics: keys present on only one side emit nothing.
+    * The right side's values are materialized per GROUP (the classic
+    * MR reduce-side join memory shape — bounded by the key's fan-in,
+    * not the relation).
+    */
+  def join[K: Encoder, A: Encoder, B: Encoder](
+      left: Dataset[(K, A)], right: Dataset[(K, B)]): Dataset[(K, A, B)] = {
+    implicit val out: Encoder[(K, A, B)] = Encoders.tuple(
+      implicitly[Encoder[K]], implicitly[Encoder[A]], implicitly[Encoder[B]])
+    left.groupByKey(_._1).cogroup(right.groupByKey(_._1)) { (k, as, bs) =>
+      val bl = bs.map(_._2).toIndexedSeq
+      as.flatMap(a => bl.iterator.map(b => (k, a._2, b)))
+    }
+  }
 }

@@ -310,6 +310,91 @@ object Relational {
            |  ON c.user_id = p.user_id AND c.ts >= p.ts
            |ORDER BY click_id ASC NULLS FIRST""".stripMargin))
 
+  /** Directional as-of joins (round 7): BACKWARD (latest purchase at or
+    * before each click — `q_join_asof`'s direction), FORWARD (earliest
+    * purchase at or after), and NEAREST (whichever is closer in time,
+    * ties to backward) — the full pandas-merge_asof / kdb-wj direction
+    * surface. Forward is the "next action" read (time-to-conversion);
+    * nearest is sensor alignment.
+    *
+    * Plan: ONE tagged union of both event slices, one hash exchange on
+    * user_id, and two window sorts over it (backward scans the
+    * preceding frame with last(ignoreNulls), forward the following
+    * frame with first(ignoreNulls); at equal timestamps the tag
+    * ordering places the purchase INSIDE both frames, so an
+    * equal-instant purchase matches in every direction — pinned vs
+    * DuckDB's native ASOF, whose >= / <= bounds are inclusive). The
+    * nearest pick is per-row arithmetic.
+    *
+    * Determinism (D1): (user_id, ts, event_type) collisions do not
+    * occur in the fixtures (the q_join_asof exposure, unchanged);
+    * output ordered by the unique click_id.
+    */
+  private val joinAsofNearest = QueryDef(
+    "q_join_asof_nearest",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(0).as("tag"),
+          col("event_id").as("pid"), lit(null).cast("long").as("cid"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("tag"),
+          lit(null).cast("long").as("pid"), col("event_id").as("cid"))
+      val wb = Window.partitionBy(col("user_id"))
+        .orderBy(ascf(col("ts")), ascf(col("tag")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(col("user_id"))
+        .orderBy(ascf(col("ts")), descl(col("tag")))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val j = purchases.unionByName(clicks)
+        .withColumn("bpid", last(col("pid"), ignoreNulls = true).over(wb))
+        .withColumn("bts",
+          last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(wb))
+        .withColumn("fpid", first(col("pid"), ignoreNulls = true).over(wf))
+        .withColumn("fts",
+          first(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(wf))
+        .filter(col("tag") === 1)
+        .select(col("cid").as("click_id"),
+          col("bpid").as("back_purchase_id"),
+          col("fpid").as("fwd_purchase_id"),
+          (unix_micros(col("ts")) - unix_micros(col("bts"))).as("bg"),
+          (unix_micros(col("fts")) - unix_micros(col("ts"))).as("fg"))
+      j.select(col("click_id"), col("back_purchase_id"),
+          col("fwd_purchase_id"),
+          when(col("back_purchase_id").isNull, col("fwd_purchase_id"))
+            .when(col("fwd_purchase_id").isNull, col("back_purchase_id"))
+            .when(col("bg") <= col("fg"), col("back_purchase_id"))
+            .otherwise(col("fwd_purchase_id")).as("nearest_purchase_id"),
+          when(col("back_purchase_id").isNull, col("fg"))
+            .when(col("fwd_purchase_id").isNull, col("bg"))
+            .otherwise(least(col("bg"), col("fg"))).as("nearest_gap_us"))
+        .orderBy(ascf("click_id"))
+    },
+    Some("""WITH c AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts
+           |    FROM events WHERE event_type = 'click'),
+           |p AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts
+           |    FROM events WHERE event_type = 'purchase'),
+           |b AS (SELECT c.event_id AS cid, p.event_id AS pid,
+           |    epoch_us(c.ts) - epoch_us(p.ts) AS g
+           |  FROM c ASOF LEFT JOIN p
+           |    ON c.user_id = p.user_id AND c.ts >= p.ts),
+           |f AS (SELECT c.event_id AS cid, p.event_id AS pid,
+           |    epoch_us(p.ts) - epoch_us(c.ts) AS g
+           |  FROM c ASOF LEFT JOIN p
+           |    ON c.user_id = p.user_id AND c.ts <= p.ts)
+           |SELECT b.cid AS click_id,
+           |  b.pid AS back_purchase_id,
+           |  f.pid AS fwd_purchase_id,
+           |  CASE WHEN b.pid IS NULL THEN f.pid
+           |    WHEN f.pid IS NULL THEN b.pid
+           |    WHEN b.g <= f.g THEN b.pid ELSE f.pid END
+           |    AS nearest_purchase_id,
+           |  CASE WHEN b.pid IS NULL THEN f.g
+           |    WHEN f.pid IS NULL THEN b.g
+           |    ELSE least(b.g, f.g) END AS nearest_gap_us
+           |FROM b JOIN f ON b.cid = f.cid
+           |ORDER BY click_id ASC NULLS FIRST""".stripMargin))
+
   // TPC-H Q3 shape: dimension-filtered star join, top-10 revenue groups.
   private val joinStar = QueryDef(
     "q_join_star",
@@ -947,7 +1032,7 @@ object Relational {
     scanProject, scanPushdown, scanEventsNs,
     filterCompound, filterExpr,
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
-    joinCross, joinTheta, joinRange, joinAsof, joinStar, joinBroadcast,
+    joinCross, joinTheta, joinRange, joinAsof, joinAsofNearest, joinStar, joinBroadcast,
     joinQ5, joinQ3, joinQ10, joinQ19, joinNullSafe, joinSalted, joinBloom,
     subqScalar, subqExists, auditFk, auditExpectations)
 }

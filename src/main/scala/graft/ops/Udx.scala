@@ -314,7 +314,54 @@ object Udx {
            |FROM r WHERE rn <= 100
            |ORDER BY rn ASC NULLS FIRST""".stripMargin))
 
+  /** The reduce-side (repartition) join through the MapReduce veneer
+    * (round 7): the fifth canonical MR usage pattern — tag two inputs,
+    * shuffle both on the key, pair them inside each reduce group —
+    * expressed as `MapReduce.join` (Dataset.cogroup: each side shuffles
+    * exactly once, pairing is per-group, right side materialized per
+    * KEY GROUP only). Orders join customers on custkey; the graded
+    * census (orders + cent-exact revenue per nation) equals a plain
+    * relational join oracle, so the veneer's join SEMANTICS — not just
+    * its row count — are pinned against SQL.
+    *
+    * Scale: identical exchange shape to a shuffled hash join (one
+    * shuffle per side on the key); per-group memory is the key's
+    * fan-in (≤ a customer's orders), never the relation. The DataFrame
+    * spelling (q_join_inner etc.) stays the right tool — this key
+    * exists so a legacy tagged-join job has a graded 1:1 port path.
+    *
+    * Determinism: census sums are associative/commutative (D2 exact
+    * cents); output ordered by nation name.
+    */
+  private val mrJoin = QueryDef(
+    "q_mr_join",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d).select(col("o_custkey").cast("long"),
+        (dec(col("o_totalprice")) * 100).cast("long")).as[(Long, Long)]
+      val c = Tables.customer(s, d).select(col("c_custkey").cast("long"),
+        col("c_nationkey").cast("long")).as[(Long, Long)]
+      graft.mr.MapReduce.join(o, c)
+        .toDF("custkey", "cents", "nationkey")
+        .groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("n_orders"), col("rev_cents"))
+        .orderBy(ascf("n_name"))
+    },
+    Some("""SELECT n.n_name,
+           |  CAST(count(*) AS BIGINT) AS n_orders,
+           |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           |    AS BIGINT)) AS BIGINT) AS rev_cents
+           |FROM orders o
+           |JOIN customer c ON o.o_custkey = c.c_custkey
+           |JOIN nation n ON c.c_nationkey = n.n_nationkey
+           |GROUP BY n.n_name
+           |ORDER BY n_name ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(udfScalar, udafGeomean, udafWavg, udtfTokenize, mrWordcount,
-      mrInvidx, mrGrep, mrSort)
+      mrInvidx, mrGrep, mrSort, mrJoin)
 }
