@@ -185,7 +185,9 @@ object ScaleProbe {
         // round-7 batch 47: shallow clone, source-priority dedup
         "q_lake_clone", "q_dedup_priority",
         // round-7 batch 49: MR reduce-side join, directional asof
-        "q_mr_join", "q_join_asof_nearest")
+        "q_mr_join", "q_join_asof_nearest",
+        // round-7 batch 50: transport codecs, ALS half-step
+        "q_fn_base64", "q_ml_als_step")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

@@ -999,6 +999,112 @@ object Clustering {
            |FROM cells
            |ORDER BY seg ASC NULLS FIRST""".stripMargin))
 
+  /** One exact ALS half-step (round 7): the alternating-least-squares
+    * recommender update — item factors held FIXED (rank 2, deterministic
+    * integer vectors derived from the item key), every user's factor
+    * vector solved in closed form from the ridge normal equations
+    * (AᵀA + λI)p = Aᵀr with λ=1. This is the distributed-ALS shape
+    * exactly: ratings group by user in ONE shuffle, each user's 2×2
+    * system solves locally (Cramer), item factors ride a broadcast-able
+    * derivation — the alternating other half is the same query with u/i
+    * swapped, and more rounds alternate the two.
+    *
+    * The 2×2 solve is EXACT integer arithmetic: det = (a11+1)(a22+1) −
+    * a12² ≥ 1 by ridge construction, adjugate·b gives integer
+    * numerators (possibly negative), and the e6 quantization uses the
+    * shared subtract-pmod floor so Spark `div` and DuckDB `//` agree on
+    * signed values (D12).
+    *
+    * Scale: ratings = one (user, item) partial agg of lineitem⋈orders;
+    * per-user moments = a second agg on the user key (same exchange);
+    * the census is nation-sized. Nothing iterates: one half-step is one
+    * aggregation pass, which is why ALS parallelizes where SGD fights.
+    *
+    * Determinism (D1/D2/D12): all int64; magnitudes bounded — factor
+    * components ≤ 7 ⇒ a-moments ≤ 49·|items|, b-moments ≤ 7·Σr, so
+    * numerators stay ≈ 2.5e8 and the ×1e6 scale ≈ 2.5e14 < 2⁶³.
+    */
+  private val alsStep = QueryDef(
+    "q_ml_als_step",
+    (s, d) => {
+      val li = graft.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"))
+      val o = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val ratings = li
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_suppkey").as("i"))
+        .agg(sum(col("qty")).as("r"))
+        // fixed rank-2 item factors (the alternating half's output)
+        .withColumn("q1", lit(1L) + pmod(col("i") * 7, lit(5)))
+        .withColumn("q2", lit(1L) + pmod(col("i") * 3, lit(7)))
+      val moments = ratings.groupBy(col("u"))
+        .agg(sum(col("q1") * col("q1")).as("a11"),
+          sum(col("q1") * col("q2")).as("a12"),
+          sum(col("q2") * col("q2")).as("a22"),
+          sum(col("r") * col("q1")).as("b1"),
+          sum(col("r") * col("q2")).as("b2"))
+      val solved = moments
+        .withColumn("det",
+          (col("a11") + 1) * (col("a22") + 1) - col("a12") * col("a12"))
+        .withColumn("n1",
+          (col("a22") + 1) * col("b1") - col("a12") * col("b2"))
+        .withColumn("n2",
+          (col("a11") + 1) * col("b2") - col("a12") * col("b1"))
+        // signed e6 floor via subtract-pmod: numerators stay < 2^50
+        // (see magnitude bound in the docstring) so plain int64 is safe
+        .withColumn("x1", col("n1") * 1000000L)
+        .withColumn("x2", col("n2") * 1000000L)
+        .withColumn("p1_e6", expr("(x1 - pmod(x1, det)) div det"))
+        .withColumn("p2_e6", expr("(x2 - pmod(x2, det)) div det"))
+      solved
+        .join(broadcast(graft.Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("u") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("p1_e6")).as("sum_p1_e6"),
+          sum(col("p2_e6")).as("sum_p2_e6"),
+          min(col("p1_e6")).as("min_p1_e6"),
+          max(col("p2_e6")).as("max_p2_e6"))
+        .orderBy(ascf("nationkey"))
+    },
+    Some("""WITH li AS (SELECT o.o_custkey AS u, l.l_suppkey AS i,
+           |    sum(CAST(l_quantity AS BIGINT)) AS r
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  GROUP BY 1, 2),
+           |rated AS (SELECT u, i, r,
+           |    1 + (i * 7) % 5 AS q1, 1 + (i * 3) % 7 AS q2
+           |  FROM li),
+           |mo AS (SELECT u,
+           |    sum(q1 * q1) AS a11, sum(q1 * q2) AS a12,
+           |    sum(q2 * q2) AS a22,
+           |    sum(r * q1) AS b1, sum(r * q2) AS b2
+           |  FROM rated GROUP BY u),
+           |sv AS (SELECT u,
+           |    (a11 + 1) * (a22 + 1) - a12 * a12 AS det,
+           |    (a22 + 1) * b1 - a12 * b2 AS n1,
+           |    (a11 + 1) * b2 - a12 * b1 AS n2
+           |  FROM mo),
+           |pq AS (SELECT u,
+           |    CAST((n1 * 1000000
+           |      - ((n1 * 1000000 % det + det) % det)) // det AS BIGINT)
+           |      AS p1_e6,
+           |    CAST((n2 * 1000000
+           |      - ((n2 * 1000000 % det + det) % det)) // det AS BIGINT)
+           |      AS p2_e6
+           |  FROM sv)
+           |SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+           |  CAST(count(*) AS BIGINT) AS n_users,
+           |  CAST(sum(p1_e6) AS BIGINT) AS sum_p1_e6,
+           |  CAST(sum(p2_e6) AS BIGINT) AS sum_p2_e6,
+           |  CAST(min(p1_e6) AS BIGINT) AS min_p1_e6,
+           |  CAST(max(p2_e6) AS BIGINT) AS max_p2_e6
+           |FROM pq JOIN customer c ON pq.u = c.c_custkey
+           |GROUP BY 1
+           |ORDER BY nationkey ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(kmeans, perceptron, naiveBayes, stump,
-    linreg, knn, tree, confusion)
+    linreg, knn, tree, confusion, alsStep)
 }
