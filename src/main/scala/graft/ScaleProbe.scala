@@ -189,7 +189,9 @@ object ScaleProbe {
         // round-7 batch 50: transport codecs, ALS half-step
         "q_fn_base64", "q_ml_als_step",
         // round-7 batch 51: banded DTW
-        "q_ts_dtw")
+        "q_ts_dtw",
+        // round-7 batch 52: greedy LM decode, geohash bucketing
+        "q_text_generate", "q_geo_hash")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

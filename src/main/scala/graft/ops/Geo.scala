@@ -383,5 +383,77 @@ object Geo {
          |ORDER BY n_points ASC NULLS FIRST""".stripMargin
     })
 
-  def defs: Seq[QueryDef] = Seq(geoGrid, geoTrajectory, geoDbscan)
+  /** Geohash-style spatial bucketing (round 7): Morton (Z-order)
+    * interleave of the 14-bit supplier coordinates into a 28-bit code,
+    * rendered as a 6-character string over the standard geohash base32
+    * alphabet, and censused by 3-char prefix — the textual spatial key
+    * every geo index/bucketing layer (geohash, S2-as-string, quadkeys)
+    * ships: prefix length IS the resolution knob, and prefix grouping
+    * IS the spatial join/rollup primitive. x-bits take odd positions
+    * (the geohash longitude-first convention, documented rather than
+    * assumed — our plane is synthetic).
+    *
+    * Scale: encode is a per-row codegen'd 28-term integer projection
+    * (no UDF); the census is one hash aggregate on the prefix with
+    * map-side partials; top-12 = TakeOrdered partial heaps, no global
+    * sort.
+    *
+    * Determinism (D1/D2): pure integer bit arithmetic spelled
+    * identically in both engines; (n_points DESC, prefix ASC) is total
+    * under LIMIT.
+    */
+  private val geoHash = QueryDef(
+    "q_geo_hash",
+    (s, d) => {
+      // 28-term Morton interleave + base32 render, generated once per
+      // engine from the same loop (Spark spells shifts as shiftright,
+      // DuckDB as >>; the arithmetic is term-for-term identical)
+      val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+      val morton = (0 to 13).map { i =>
+        s"(shiftright(x, $i) & 1) * ${1L << (2 * i + 1)} + " +
+          s"(shiftright(y, $i) & 1) * ${1L << (2 * i)}"
+      }.mkString(" + ")
+      val pts = Tables.supplier(s, d).select(col("s_suppkey").as("k"))
+        .withColumn("x", expr(posSpark("k + 31000000")))
+        .withColumn("y", expr(posSpark("k + 64000000")))
+        .withColumn("z", expr(morton))
+        .withColumn("z4", col("z") * 4)
+        .withColumn("gh", expr((0 to 5).map { k =>
+          s"substring('$alpha', cast((shiftright(z4, ${5 * (5 - k)}) & 31)" +
+            " + 1 as int), 1)"
+        }.mkString("concat(", ", ", ")")))
+      pts.groupBy(substring(col("gh"), 1, 3).as("prefix"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("k")).as("key_checksum"),
+          min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+        .orderBy(descl("n_points"), ascf("prefix"))
+        .limit(12)
+    },
+    Some {
+      val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+      val morton = (0 to 13).map { i =>
+        s"(((x >> $i) & 1) * ${1L << (2 * i + 1)} + " +
+          s"((y >> $i) & 1) * ${1L << (2 * i)})"
+      }.mkString(" + ")
+      val gh = (0 to 5).map { k =>
+        s"substring('$alpha', CAST(((z4 >> ${5 * (5 - k)}) & 31) + 1 AS INT), 1)"
+      }.mkString(" || ")
+      s"""WITH p AS (SELECT s_suppkey AS k,
+         |    ${posSql("s_suppkey + 31000000")} AS x,
+         |    ${posSql("s_suppkey + 64000000")} AS y
+         |  FROM supplier),
+         |z AS (SELECT k, x, y, $morton AS z FROM p),
+         |g AS (SELECT k, z, z * 4 AS z4 FROM z),
+         |enc AS (SELECT k, z, $gh AS gh FROM g)
+         |SELECT substring(gh, 1, 3) AS prefix,
+         |  CAST(count(*) AS BIGINT) AS n_points,
+         |  CAST(sum(k) AS BIGINT) AS key_checksum,
+         |  CAST(min(z) AS BIGINT) AS min_z,
+         |  CAST(max(z) AS BIGINT) AS max_z
+         |FROM enc GROUP BY 1
+         |ORDER BY n_points DESC NULLS LAST, prefix ASC NULLS FIRST
+         |LIMIT 12""".stripMargin
+    })
+
+  def defs: Seq[QueryDef] = Seq(geoGrid, geoTrajectory, geoDbscan, geoHash)
 }

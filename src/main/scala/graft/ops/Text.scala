@@ -1844,10 +1844,100 @@ object Text {
            |FROM rebuilt GROUP BY lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** Greedy LM decoding on-engine (round 7): from each language's most
+    * frequent token, follow the argmax bigram transition for 10 steps —
+    * the deterministic decode loop (argmax sampling, temperature 0) a
+    * distillation/eval pipeline runs over a corpus-trained LM, spelled
+    * entirely relationally: the transition function is a RELATION
+    * (per (lang, w1) the top next token by count, ties lexicographic),
+    * and each decode step is one join of the tiny decode-state frame
+    * against it. Dead ends freeze the chain (no next bigram → the
+    * remaining steps are no-ops), cycles are legal and deterministic.
+    *
+    * Scale: corpus work is the shared bigram explode + ONE transition
+    * argmax (window on (lang, w1)); the transition relation is
+    * vocabulary-bounded and scoped-persisted so each of the 10 steps
+    * joins the SAME cached relation against a |langs|-row state. A
+    * longer decode adds joins, never corpus passes.
+    *
+    * Determinism (D1/D2): argmax orders are total ((cnt DESC, token
+    * ASC)); the generated string is a deterministic function of the
+    * corpus; score is the integer sum of chosen transition counts.
+    */
+  private val generate = QueryDef(
+    "q_text_generate",
+    (s, d) => {
+      val big = sharedBigrams(s, d)
+      val cxy = big.groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cxy"))
+      val wTrans = Window.partitionBy(col("lang"), col("w1"))
+        .orderBy(descl("cxy"), ascf("w2"))
+      val trans = graft.Caches.scoped(cxy
+        .withColumn("rn", row_number().over(wTrans)).filter(col("rn") === 1)
+        .select(col("lang").as("tl"), col("w1").as("tw"),
+          col("w2").as("nxt"), col("cxy").as("tc")))
+      val wSeed = Window.partitionBy(col("lang"))
+        .orderBy(descl("cw"), ascf("w"))
+      val seed = sharedDocTokens(s, d)
+        .select(col("lang"), explode(col("ts")).as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cw"))
+        .withColumn("rn", row_number().over(wSeed)).filter(col("rn") === 1)
+      var st = seed.select(col("lang"), col("w").as("cur"),
+        col("w").as("gen"), lit(0L).as("score"), lit(1L).as("n_tokens"))
+      for (_ <- 1 to 10) {
+        st = st.join(trans,
+            col("lang") === col("tl") && col("cur") === col("tw"), "left")
+          .select(col("lang"),
+            coalesce(col("nxt"), col("cur")).as("cur"),
+            when(col("nxt").isNull, col("gen"))
+              .otherwise(concat_ws(" ", col("gen"), col("nxt"))).as("gen"),
+            (col("score") + coalesce(col("tc"), lit(0L))).as("score"),
+            (col("n_tokens") +
+              when(col("nxt").isNull, 0L).otherwise(1L)).as("n_tokens"))
+      }
+      st.select(col("lang"), col("gen"), col("n_tokens"), col("score"))
+        .orderBy(ascf("lang"))
+    },
+    Some {
+      def step(k: Int): String = {
+        val prev = s"st${k - 1}"
+        s"""st$k AS MATERIALIZED (SELECT $prev.lang,
+           |    coalesce(tr.nxt, $prev.cur) AS cur,
+           |    CASE WHEN tr.nxt IS NULL THEN $prev.gen
+           |      ELSE $prev.gen || ' ' || tr.nxt END AS gen,
+           |    $prev.score + coalesce(tr.tc, 0) AS score,
+           |    $prev.n_tokens + CASE WHEN tr.nxt IS NULL THEN 0 ELSE 1 END
+           |      AS n_tokens
+           |  FROM $prev LEFT JOIN tr
+           |  ON $prev.lang = tr.tl AND $prev.cur = tr.tw)""".stripMargin
+      }
+      s"""WITH t AS (SELECT lang, string_split(text, ' ') AS ts
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         |b AS (SELECT lang, unnest(list_transform(range(1, len(ts)),
+         |    i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS bg FROM t),
+         |cxy AS (SELECT lang, bg.w1 AS w1, bg.w2 AS w2, count(*) AS cxy
+         |  FROM b GROUP BY 1, 2, 3),
+         |tr AS MATERIALIZED (SELECT lang AS tl, w1 AS tw, w2 AS nxt,
+         |    CAST(cxy AS BIGINT) AS tc FROM (
+         |    SELECT lang, w1, w2, cxy, row_number() OVER (
+         |      PARTITION BY lang, w1 ORDER BY cxy DESC, w2 ASC) AS rn
+         |    FROM cxy) WHERE rn = 1),
+         |toks AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |st0 AS (SELECT lang, w AS cur, w AS gen,
+         |    CAST(0 AS BIGINT) AS score, CAST(1 AS BIGINT) AS n_tokens
+         |  FROM (SELECT lang, w, row_number() OVER (PARTITION BY lang
+         |      ORDER BY count(*) DESC, w ASC) AS rn
+         |    FROM toks GROUP BY lang, w) WHERE rn = 1),
+         |${(1 to 10).map(step).mkString(",\n")}
+         |SELECT lang, gen, n_tokens, score FROM st10
+         |ORDER BY lang ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,
     langid, quality, tokens, fingerprint, levenshteinPairs, tfidf,
     collocations, vocab, zipf, keyphrase, bigramLm, perplexity, bpe,
     textUnicode, bm25, bpeEncode, winnowing, stem, hashvec, lexicon,
-    divergence, reassembly)
+    divergence, reassembly, generate)
 }
