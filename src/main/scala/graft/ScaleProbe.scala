@@ -191,7 +191,9 @@ object ScaleProbe {
         // round-7 batch 51: banded DTW
         "q_ts_dtw",
         // round-7 batch 52: greedy LM decode, geohash bucketing
-        "q_text_generate", "q_geo_hash")
+        "q_text_generate", "q_geo_hash",
+        // round-7 batch 53: ANN recall eval
+        "q_sim_recall")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)
