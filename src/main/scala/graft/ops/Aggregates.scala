@@ -841,9 +841,72 @@ object Aggregates {
            |  AND g.size = front.ms
            |ORDER BY g.price_cents ASC NULLS FIRST""".stripMargin))
 
+  /** Pareto / 80-20 concentration census (round 7): how many top parts
+    * (by cent-exact revenue) cover 50% / 80% / 90% of total revenue —
+    * the "how concentrated is the catalog" read behind inventory
+    * rationalization, cache sizing, and hot-key planning (the
+    * operational twin of [[aggGini]]'s statistic: Gini scores the
+    * inequality, Pareto tells you WHERE to cut).
+    *
+    * Scale: the corpus collapses to a part-sized revenue aggregate in
+    * one shuffle; the cumulative window runs over the part-sized
+    * relation (unpartitioned at harness scale — the q_lake_zorder
+    * note; a range-partitioned prefix sum at fleet scale). The minimal
+    * prefix count for threshold X is Σ[100·(cum−rev) < X·total] — one
+    * conditional aggregate, no second pass.
+    *
+    * Determinism (D1/D2): exact integer cents; the rank order
+    * (rev DESC, partkey ASC) is total; threshold compares are pure
+    * int64 (total ≈ 1e13 cents × 100 stays far under 2⁶³).
+    */
+  private val aggPareto = QueryDef(
+    "q_agg_pareto",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum((dec(col("l_extendedprice")) * 100).cast("long"))
+          .as("rev"))
+      val w = Window.orderBy(descl("rev"), ascf("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = rev.withColumn("cum", sum(col("rev")).over(w))
+      val tot = cum.agg(sum(col("rev")).as("total"))
+      cum.join(broadcast(tot))
+        .agg(count(lit(1)).as("n_parts"),
+          max(col("total")).as("total_cents"),
+          sum(when((col("cum") - col("rev")) * 100 < col("total") * 50,
+            1L).otherwise(0L)).as("top_n_50"),
+          sum(when((col("cum") - col("rev")) * 100 < col("total") * 80,
+            1L).otherwise(0L)).as("top_n_80"),
+          sum(when((col("cum") - col("rev")) * 100 < col("total") * 90,
+            1L).otherwise(0L)).as("top_n_90"))
+        .orderBy(ascf("n_parts"))
+    },
+    Some("""WITH rev AS (SELECT l_partkey,
+           |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+           |      AS BIGINT)) AS BIGINT) AS rev
+           |  FROM lineitem GROUP BY 1),
+           |cum AS (SELECT l_partkey, rev,
+           |    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum
+           |  FROM rev),
+           |t AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM rev)
+           |SELECT CAST(count(*) AS BIGINT) AS n_parts,
+           |  CAST(max(t.total) AS BIGINT) AS total_cents,
+           |  CAST(sum(CASE WHEN (cum - rev) * 100 < t.total * 50
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS top_n_50,
+           |  CAST(sum(CASE WHEN (cum - rev) * 100 < t.total * 80
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS top_n_80,
+           |  CAST(sum(CASE WHEN (cum - rev) * 100 < t.total * 90
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS top_n_90
+           |FROM cum CROSS JOIN t
+           |ORDER BY n_parts ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggQ18, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
     aggPercentile, aggPivot, aggUnpivot, aggGrouping, aggMode, aggBitset,
-    aggEntropy, aggQ14, aggQ6, aggGini, aggHhi, aggFiltered, aggSkyline)
+    aggEntropy, aggQ14, aggQ6, aggGini, aggHhi, aggFiltered, aggSkyline,
+    aggPareto)
 }

@@ -1713,9 +1713,91 @@ object TimeSeries {
            |WHERE dp.i = nmax.n
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
+  /** Robust anomaly detection via median/MAD (round 7): flag the hours
+    * whose event count deviates from the type's MEDIAN by more than
+    * 3×MAD — the monitoring detector immune to the very outliers it
+    * hunts (q_ts_anomaly's mean/σ fences are dragged by a single
+    * extreme hour; median/MAD shift by at most one rank). Exact lower
+    * medians via the value-at-rank pattern (tie-invariant, no rounding
+    * rule at all — the q_profile_mad discipline on the time axis).
+    *
+    * Scale: the corpus collapses to the hour-grain census in one
+    * partial agg; both rank passes partition by event type (parallel
+    * per-type sorts over time-bounded series). MAD=0 series (constant
+    * counts) flag any deviation — the standard convention, pinned by
+    * CASE on both engines.
+    *
+    * Determinism (D1/D2): all int64; |x−med|·1 vs 3·MAD compares
+    * integers exactly; census ordered by type.
+    */
+  private val anomalyMad = QueryDef(
+    "q_ts_anomaly_mad",
+    (s, d) => {
+      val hours = graft.Caches.scoped(Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt")))
+      val wv = Window.partitionBy(col("event_type")).orderBy(ascf("cnt"))
+      val wn = Window.partitionBy(col("event_type"))
+      val med = hours
+        .withColumn("rn", row_number().over(wv))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("n"), col("cnt").as("med"))
+      val dev = hours.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("hr"), col("cnt"), col("n"),
+          col("med"), abs(col("cnt") - col("med")).as("ad"))
+      val wd = Window.partitionBy(col("event_type")).orderBy(ascf("ad"))
+      val mad = dev
+        .withColumn("rn", row_number().over(wd))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type").as("mt"), col("ad").as("mad"))
+      dev.join(broadcast(mad), col("event_type") === col("mt"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          max(col("med")).as("med_cnt"),
+          max(col("mad")).as("mad_cnt"),
+          sum(when(col("ad") > col("mad") * 3, 1L).otherwise(0L))
+            .as("n_anomalies"),
+          coalesce(sum(when(col("ad") > col("mad") * 3,
+            unix_micros(col("hr")))), lit(0L)).as("anomaly_hr_checksum"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH h AS (SELECT event_type,
+           |    date_trunc('hour', ts::TIMESTAMP) AS hr, count(*) AS cnt
+           |  FROM events GROUP BY 1, 2),
+           |r AS (SELECT event_type, hr, cnt,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY cnt ASC) AS rn,
+           |    count(*) OVER (PARTITION BY event_type) AS n
+           |  FROM h),
+           |med AS (SELECT event_type, n, cnt AS med
+           |  FROM r WHERE rn = (n + 1) // 2),
+           |dev AS (SELECT h.event_type, h.hr, h.cnt, m.n, m.med,
+           |    abs(h.cnt - m.med) AS ad
+           |  FROM h JOIN med m ON h.event_type = m.event_type),
+           |r2 AS (SELECT event_type, hr, cnt, n, med, ad,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY ad ASC) AS rn
+           |  FROM dev),
+           |mad AS (SELECT event_type, ad AS mad
+           |  FROM r2 WHERE rn = (n + 1) // 2)
+           |SELECT d.event_type AS event_type,
+           |  CAST(count(*) AS BIGINT) AS n_hours,
+           |  CAST(max(d.med) AS BIGINT) AS med_cnt,
+           |  CAST(max(m.mad) AS BIGINT) AS mad_cnt,
+           |  CAST(sum(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_anomalies,
+           |  CAST(coalesce(sum(CASE WHEN d.ad > 3 * m.mad
+           |    THEN epoch_us(d.hr) END), 0) AS BIGINT)
+           |    AS anomaly_hr_checksum
+           |FROM dev d JOIN mad m ON d.event_type = m.event_type
+           |GROUP BY d.event_type
+           |ORDER BY d.event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
       theilSen, attrib, transitions, downsample, evalWape, latency,
-      period, crossCorr, movingMedian, tsRate, dtw)
+      period, crossCorr, movingMedian, tsRate, dtw, anomalyMad)
 }
