@@ -780,7 +780,97 @@ object Multimodal {
            |FROM f GROUP BY width ORDER BY width ASC NULLS FIRST"""
       .stripMargin))
 
+  final case class WhtFeatures(media_id: Long, sample_rate: Int,
+      n_samples: Long, c0: Long, ac_abs: Long, max_ac: Long)
+
+  /** Spectral-ish feature extraction via the 8-point Walsh–Hadamard
+    * transform (round 7): decode each clip through the REAL RIFF/WAV
+    * codec, take the first 8 PCM samples as a frame, and compute all 8
+    * WHT coefficients c_k = Σ_j s_j·(−1)^popcount(j∧k) — the
+    * INTEGER-EXACT orthogonal transform (the ±1 cousin of the DFT that
+    * codecs and hashing pipelines use precisely because it needs no
+    * trigonometry), censused per sample rate as DC checksum, total AC
+    * magnitude, and peak AC coefficient. A codec bug, frame-offset bug,
+    * or a single wrong sign in the 8×8 Hadamard matrix breaks the hash.
+    *
+    * Scale: the transform fuses into the per-partition decode pass
+    * (zero extra shuffle — the multimodal mapPartitions shape); frames
+    * per clip and transform length are knobs (longer frames = the same
+    * fold, radix-2 fast WHT when it matters).
+    *
+    * Determinism (D2): samples are exact int16-in-int64; coefficients
+    * bounded by 8·2¹⁵; clips shorter than one frame are counted, not
+    * transformed.
+    */
+  private val mmWht = QueryDef(
+    "q_mm_wht",
+    (s, d) => {
+      import s.implicits._
+      val feats = wavClips(s, d).mapPartitions(_.map { c =>
+        val (sr, samples) = graft.functions.Codecs.Wav.decode(c.payload)
+        if (samples.length < 8) WhtFeatures(c.media_id, sr,
+          samples.length.toLong, 0L, 0L, 0L)
+        else {
+          val cs = Array.tabulate(8) { k =>
+            var acc = 0L; var j = 0
+            while (j < 8) {
+              val sign = if (java.lang.Integer.bitCount(j & k) % 2 == 0) 1L
+                         else -1L
+              acc += sign * samples(j); j += 1
+            }
+            acc
+          }
+          var acAbs = 0L; var maxAc = 0L; var k = 1
+          while (k < 8) {
+            val a = math.abs(cs(k))
+            acAbs += a; if (a > maxAc) maxAc = a; k += 1
+          }
+          WhtFeatures(c.media_id, sr, samples.length.toLong, cs(0), acAbs,
+            maxAc)
+        }
+      })(org.apache.spark.sql.Encoders.product[WhtFeatures])
+      feats.groupBy(col("sample_rate").cast("long").as("sample_rate"))
+        .agg(sum(when(col("n_samples") >= 8, 1L).otherwise(0L))
+            .as("n_clips"),
+          sum(when(col("n_samples") < 8, 1L).otherwise(0L)).as("n_short"),
+          sum(when(col("n_samples") >= 8, col("c0")).otherwise(0L))
+            .as("dc_checksum"),
+          sum(when(col("n_samples") >= 8, col("ac_abs")).otherwise(0L))
+            .as("ac_abs_checksum"),
+          max(when(col("n_samples") >= 8, col("max_ac")).otherwise(0L))
+            .as("max_ac"))
+        .orderBy(ascf("sample_rate"))
+    },
+    Some {
+      def sample(j: Int) =
+        s"(((ascii(substring(text, ${j + 1}, 1)) & 127) - 78) * 256)"
+      def coef(k: Int) = (0 until 8).map { j =>
+        val sign = if (java.lang.Integer.bitCount(j & k) % 2 == 0) "+" else "-"
+        s"$sign ${sample(j)}"
+      }.mkString(" ").stripPrefix("+ ")
+      val acAbs = (1 to 7).map(k => s"abs(c$k)").mkString(" + ")
+      val acMax = "greatest(" + (1 to 7).map(k => s"abs(c$k)")
+        .mkString(", ") + ")"
+      s"""WITH base AS (SELECT doc_id, text,
+         |    8000 + CAST(doc_id % 8 AS BIGINT) * 1000 AS sample_rate,
+         |    CAST(len(text) AS BIGINT) AS n FROM documents),
+         |co AS (SELECT doc_id, sample_rate, n,
+         |    ${(0 to 7).map(k => s"CAST(${coef(k)} AS BIGINT) AS c$k")
+                .mkString(",\n|    ")}
+         |  FROM base WHERE n >= 8)
+         |SELECT b.sample_rate AS sample_rate,
+         |  CAST(count(co.doc_id) AS BIGINT) AS n_clips,
+         |  CAST(sum(CASE WHEN b.n < 8 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_short,
+         |  CAST(coalesce(sum(co.c0), 0) AS BIGINT) AS dc_checksum,
+         |  CAST(coalesce(sum($acAbs), 0) AS BIGINT) AS ac_abs_checksum,
+         |  CAST(coalesce(max($acMax), 0) AS BIGINT) AS max_ac
+         |FROM base b LEFT JOIN co ON b.doc_id = co.doc_id
+         |GROUP BY b.sample_rate
+         |ORDER BY b.sample_rate ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(mmBinary, mmFeatures, mmAudioPcm, mmImageGray,
     mmVideoFrames, mmImageResize, mmAudioDownsample, mmPhash, mmSceneChange,
-    mmAugment)
+    mmAugment, mmWht)
 }
