@@ -197,7 +197,9 @@ object ScaleProbe {
         // round-7 batch 54: robust MAD anomalies, Pareto 80/20
         "q_ts_anomaly_mad", "q_agg_pareto",
         // round-7 batch 55: Walsh–Hadamard audio features
-        "q_mm_wht")
+        "q_mm_wht",
+        // round-7 batch 56: trimmed mean, content UUIDs
+        "q_profile_trimmed", "q_fn_uuid")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

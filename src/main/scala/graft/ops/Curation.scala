@@ -1201,6 +1201,76 @@ object Curation {
            |FROM mad JOIN nation nn ON mad.c_nationkey = nn.n_nationkey
            |ORDER BY n_name ASC NULLS FIRST""".stripMargin))
 
+  /** Exact trimmed mean (round 7): per nation, the 10%-trimmed mean of
+    * account balances — drop the floor(n/10) smallest and largest by
+    * rank, average the middle — the robust location estimate between
+    * the mean (drags on outliers) and the median (ignores everything
+    * but one rank); reported next to the plain mean so the trim's
+    * effect is itself graded.
+    *
+    * Scale: one rank pass partitioned by the group key (parallel
+    * per-group sorts, the q_profile_mad shape); the trimmed aggregate
+    * is a conditional sum over the same ranked relation — no second
+    * pass.
+    *
+    * Determinism (D1/D2): rank ties at equal cents are value-invariant
+    * for a rank-RANGE trim (the kept multiset is the same regardless of
+    * tie order); means are exact int64 floor divisions of non-negative
+    * counts (cents can be negative — the subtract-pmod signed floor,
+    * D12).
+    */
+  private val profileTrimmed = QueryDef(
+    "q_profile_trimmed",
+    (s, d) => {
+      val cents = Tables.customer(s, d)
+        .select(col("c_nationkey"),
+          (dec(col("c_acctbal")) * 100).cast("long").as("cents"))
+      val wv = Window.partitionBy(col("c_nationkey")).orderBy(ascf("cents"))
+      val wn = Window.partitionBy(col("c_nationkey"))
+      val ranked = cents
+        .withColumn("rn", row_number().over(wv))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("cut", expr("n div 10"))
+      ranked.groupBy(col("c_nationkey"))
+        .agg(max(col("n")).as("n"),
+          sum(when(col("rn") > col("cut") && col("rn") <= col("n") - col("cut"),
+            1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") > col("cut") && col("rn") <= col("n") - col("cut"),
+            col("cents")).otherwise(0L)).as("kept_sum"),
+          sum(col("cents")).as("all_sum"))
+        .select(col("c_nationkey").cast("long").as("nationkey"), col("n"),
+          col("n_kept"),
+          expr("(kept_sum - ((kept_sum % n_kept + n_kept) % n_kept))" +
+            " div n_kept").as("trimmed_mean_cents"),
+          expr("(all_sum - ((all_sum % n + n) % n)) div n")
+            .as("mean_cents"))
+        .orderBy(ascf("nationkey"))
+    },
+    Some("""WITH c AS (SELECT c_nationkey,
+           |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS cents
+           |  FROM customer),
+           |r AS (SELECT c_nationkey, cents,
+           |    row_number() OVER (PARTITION BY c_nationkey
+           |      ORDER BY cents ASC) AS rn,
+           |    count(*) OVER (PARTITION BY c_nationkey) AS n
+           |  FROM c),
+           |g AS (SELECT c_nationkey, max(n) AS n,
+           |    sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+           |      THEN 1 ELSE 0 END) AS n_kept,
+           |    sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+           |      THEN cents ELSE 0 END) AS kept_sum,
+           |    sum(cents) AS all_sum
+           |  FROM r GROUP BY c_nationkey)
+           |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           |  CAST(n AS BIGINT) AS n, CAST(n_kept AS BIGINT) AS n_kept,
+           |  CAST((kept_sum - ((kept_sum % n_kept + n_kept) % n_kept))
+           |    // n_kept AS BIGINT) AS trimmed_mean_cents,
+           |  CAST((all_sum - ((all_sum % n + n) % n)) // n AS BIGINT)
+           |    AS mean_cents
+           |FROM g
+           |ORDER BY nationkey ASC NULLS FIRST""".stripMargin))
+
   /** Source-priority canonical selection (round 7): when the same
     * document arrives from several sources, keep ONE canonical copy by
     * source-tier preference — curated > mirror > archive — the
@@ -1288,5 +1358,6 @@ object Curation {
   def defs: Seq[QueryDef] = Seq(packSequences, contamination, repetition,
     dedupIncremental, mixWeighted, lengthHist, mixTemperature, qualityGopher,
     mixUpsample, profileCols, profileSkew, profileDepth, dedupLines, textPii,
-    textChunking, profileCorr, profileIqr, profileBenford, profileMad, dedupPriority)
+    textChunking, profileCorr, profileIqr, profileBenford, profileMad, dedupPriority,
+    profileTrimmed)
 }

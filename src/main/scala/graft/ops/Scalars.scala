@@ -639,8 +639,70 @@ object Scalars {
            |FROM enc GROUP BY lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** Deterministic content UUIDs (round 7): RFC 4122 version-3 style —
+    * md5 of (namespace ‖ text) reformatted as 8-4-4-4-12 with the
+    * version nibble pinned to '3' and the variant nibble folded into
+    * 8..b — the ID-minting rule that lets independent pipelines assign
+    * the SAME id to the same content with no coordination (the content-
+    * addressed twin of q_shard_rendezvous's placement rule). The graded
+    * columns pin distinctness (same text ⇒ same id, different ⇒
+    * different at corpus scale), well-formedness (regex over the full
+    * shape), and a char-code checksum of the variant nibble (exactly
+    * the bits the reformat must touch).
+    *
+    * Scale: per-row codegen'd digest + string surgery, zero shuffle
+    * before the lang census.
+    *
+    * Determinism: md5 is bit-identical by specification; the nibble
+    * arithmetic is shared string indexing over a literal alphabet.
+    */
+  private val fnUuid = QueryDef(
+    "q_fn_uuid",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          col("text"))
+        .withColumn("h", md5(concat(lit("graft:"), col("text"))))
+        .withColumn("vn",
+          (instr(lit("0123456789abcdef"), substring(col("h"), 17, 1))
+            - 1) % 4)
+        .withColumn("uuid", concat(
+          substring(col("h"), 1, 8), lit("-"),
+          substring(col("h"), 9, 4), lit("-3"),
+          substring(col("h"), 14, 3), lit("-"),
+          expr("substring('89ab', cast(vn + 1 as int), 1)"),
+          substring(col("h"), 18, 3), lit("-"),
+          substring(col("h"), 21, 12)))
+      base.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("uuid")).as("n_distinct"),
+          sum(when(col("uuid").rlike(
+            "^[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-" +
+              "[0-9a-f]{12}$"), 1L).otherwise(0L)).as("n_wellformed"),
+          sum(ascii(substring(col("uuid"), 20, 1))).as("variant_checksum"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH b AS (SELECT doc_id, lang,
+           |    md5('graft:' || text) AS h FROM documents),
+           |u AS (SELECT doc_id, lang,
+           |    substring(h, 1, 8) || '-' || substring(h, 9, 4) || '-3'
+           |    || substring(h, 14, 3) || '-'
+           |    || substring('89ab', CAST((instr('0123456789abcdef',
+           |        substring(h, 17, 1)) - 1) % 4 + 1 AS INT), 1)
+           |    || substring(h, 18, 3) || '-' || substring(h, 21, 12)
+           |      AS uuid
+           |  FROM b)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(DISTINCT uuid) AS BIGINT) AS n_distinct,
+           |  CAST(sum(CASE WHEN regexp_matches(uuid,
+           |    '^[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$')
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_wellformed,
+           |  CAST(sum(ascii(substring(uuid, 20, 1))) AS BIGINT)
+           |    AS variant_checksum
+           |FROM u GROUP BY lang
+           |ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     fnString, fnRegex, fnDate, fnMath, fnCond, fnCast, fnJson,
     arrFuncs, arrExplode, arrAgg, mapFuncs, fnStruct, arrHof, fnBitwise,
-    fnUrl, fnHash, fnIp, fnBase64)
+    fnUrl, fnHash, fnIp, fnBase64, fnUuid)
 }
