@@ -199,7 +199,9 @@ object ScaleProbe {
         // round-7 batch 55: Walsh–Hadamard audio features
         "q_mm_wht",
         // round-7 batch 56: trimmed mean, content UUIDs
-        "q_profile_trimmed", "q_fn_uuid")
+        "q_profile_trimmed", "q_fn_uuid",
+        // round-7 batch 57: langid confusion eval
+        "q_text_lang_confusion")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

@@ -156,55 +156,69 @@ object Text {
     * operator shape — explode, conditional counts, deterministic argmax —
     * is the graded mechanism. Ties break in fixed profile order.
     */
+  /** The langid scorer, shared by q_text_langid (per-doc predictions)
+    * and q_text_lang_confusion (the eval census over the same rule):
+    * (doc_id, lang, pred_lang). The marker-list profile and the fixed
+    * tie order live HERE so the two keys cannot drift apart.
+    */
+  private def langidPred(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val markers = Seq(
+      "en" -> Seq("column", "sort", "window"),
+      "fr" -> Seq("order", "query", "value"),
+      "es" -> Seq("line", "part", "hash"),
+      "zh" -> Seq("merge", "vector", "batch"),
+      "de" -> Seq("small", "data", "scan"))
+    val scoreCols = markers.map { case (l, ws) =>
+      sum(when(col("word").isin(ws: _*), 1L).otherwise(0L)).as(s"s_$l")
+    }
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(toks).as("word"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    val pred = markers.map(_._1).foldRight(lit("und")) { case (l, rest) =>
+      val beatsAll = markers.map(_._1).filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      when(beatsAll, l).otherwise(rest)
+    }
+    scored.select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+  }
+
+  /** The sc/p CTE prefix mirroring [[langidPred]] in DuckDB SQL. */
+  private val LangidPredSql =
+    """WITH sc AS (
+      |  SELECT doc_id, lang,
+      |    CAST(sum(CASE WHEN word IN ('column','sort','window') THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+      |    CAST(sum(CASE WHEN word IN ('order','query','value') THEN 1 ELSE 0 END) AS BIGINT) AS s_fr,
+      |    CAST(sum(CASE WHEN word IN ('line','part','hash') THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+      |    CAST(sum(CASE WHEN word IN ('merge','vector','batch') THEN 1 ELSE 0 END) AS BIGINT) AS s_zh,
+      |    CAST(sum(CASE WHEN word IN ('small','data','scan') THEN 1 ELSE 0 END) AS BIGINT) AS s_de
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents)
+      |  GROUP BY doc_id, lang),
+      |p AS (
+      |  SELECT doc_id, lang,
+      |    CASE
+      |      WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh AND s_en >= s_de THEN 'en'
+      |      WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh AND s_fr >= s_de THEN 'fr'
+      |      WHEN s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh AND s_es >= s_de THEN 'es'
+      |      WHEN s_zh >= s_en AND s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_de THEN 'zh'
+      |      WHEN s_de >= s_en AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+      |      ELSE 'und' END AS pred_lang
+      |  FROM sc)""".stripMargin
+
   private val langid = QueryDef(
     "q_text_langid", {
       (s, d) =>
-        val markers = Seq(
-          "en" -> Seq("column", "sort", "window"),
-          "fr" -> Seq("order", "query", "value"),
-          "es" -> Seq("line", "part", "hash"),
-          "zh" -> Seq("merge", "vector", "batch"),
-          "de" -> Seq("small", "data", "scan"))
-        val scoreCols = markers.map { case (l, ws) =>
-          sum(when(col("word").isin(ws: _*), 1L).otherwise(0L)).as(s"s_$l")
-        }
-        val scored = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"), explode(toks).as("word"))
-          .groupBy(col("doc_id"), col("lang"))
-          .agg(scoreCols.head, scoreCols.tail: _*)
-        val pred = markers.map(_._1).foldRight(lit("und")) { case (l, rest) =>
-          val beatsAll = markers.map(_._1).filter(_ != l)
-            .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
-          when(beatsAll, l).otherwise(rest)
-        }
-        scored
-          .select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+        langidPred(s, d)
           .withColumn("is_match",
             when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
           .orderBy(ascf("doc_id"))
     },
-    Some("""WITH sc AS (
-           |  SELECT doc_id, lang,
-           |    CAST(sum(CASE WHEN word IN ('column','sort','window') THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
-           |    CAST(sum(CASE WHEN word IN ('order','query','value') THEN 1 ELSE 0 END) AS BIGINT) AS s_fr,
-           |    CAST(sum(CASE WHEN word IN ('line','part','hash') THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
-           |    CAST(sum(CASE WHEN word IN ('merge','vector','batch') THEN 1 ELSE 0 END) AS BIGINT) AS s_zh,
-           |    CAST(sum(CASE WHEN word IN ('small','data','scan') THEN 1 ELSE 0 END) AS BIGINT) AS s_de
-           |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents)
-           |  GROUP BY doc_id, lang),
-           |p AS (
-           |  SELECT doc_id, lang,
-           |    CASE
-           |      WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh AND s_en >= s_de THEN 'en'
-           |      WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh AND s_fr >= s_de THEN 'fr'
-           |      WHEN s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh AND s_es >= s_de THEN 'es'
-           |      WHEN s_zh >= s_en AND s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_de THEN 'zh'
-           |      WHEN s_de >= s_en AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
-           |      ELSE 'und' END AS pred_lang
-           |  FROM sc)
-           |SELECT doc_id, lang, pred_lang,
-           |  CAST(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS BIGINT) AS is_match
-           |FROM p ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+    Some(LangidPredSql +
+      """
+        |SELECT doc_id, lang, pred_lang,
+        |  CAST(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS BIGINT) AS is_match
+        |FROM p ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
 
   /** Heuristic quality score: length saturation + content-word ratio.
     * All arithmetic is written identically on both sides; the unrounded
@@ -1934,10 +1948,49 @@ object Text {
          |ORDER BY lang ASC NULLS FIRST""".stripMargin
     })
 
+  /** Language-ID evaluation census (round 7): the multi-class confusion
+    * matrix of the langid heuristic against the fixtures' ground-truth
+    * lang — every (true, predicted) cell with its count and its share
+    * of the true class in e6 units (the diagonal cells ARE per-class
+    * recall). The scorer is [[langidPred]], shared with q_text_langid
+    * so the rule under evaluation cannot drift from the rule deployed —
+    * the discipline every model-eval pipeline needs.
+    *
+    * Scale: one corpus explode + per-doc argmax (the langid cost), then
+    * a langs²-bounded cell census with map-side partials and a
+    * broadcast of the per-class totals.
+    *
+    * Determinism (D1/D2): integer cells; share by floor division;
+    * (lang, pred_lang) is a total output order.
+    */
+  private val langConfusion = QueryDef(
+    "q_text_lang_confusion",
+    (s, d) => {
+      val pred = langidPred(s, d)
+      val cells = pred.groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val totals = pred.groupBy(col("lang")).agg(count(lit(1)).as("n_true"))
+      cells.join(broadcast(totals), Seq("lang"))
+        .select(col("lang"), col("pred_lang"), col("n_docs"),
+          expr("(n_docs * 1000000) div n_true").as("share_e6"))
+        .orderBy(ascf("lang"), ascf("pred_lang"))
+    },
+    Some(LangidPredSql +
+      """,
+        |cells AS (SELECT lang, pred_lang, count(*) AS n_docs
+        |  FROM p GROUP BY 1, 2),
+        |tot AS (SELECT lang, count(*) AS n_true FROM p GROUP BY 1)
+        |SELECT c.lang AS lang, c.pred_lang,
+        |  CAST(c.n_docs AS BIGINT) AS n_docs,
+        |  CAST((c.n_docs * 1000000) // t.n_true AS BIGINT) AS share_e6
+        |FROM cells c JOIN tot t ON c.lang = t.lang
+        |ORDER BY c.lang ASC NULLS FIRST, c.pred_lang ASC NULLS FIRST"""
+        .stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,
     langid, quality, tokens, fingerprint, levenshteinPairs, tfidf,
     collocations, vocab, zipf, keyphrase, bigramLm, perplexity, bpe,
     textUnicode, bm25, bpeEncode, winnowing, stem, hashvec, lexicon,
-    divergence, reassembly, generate)
+    divergence, reassembly, generate, langConfusion)
 }
