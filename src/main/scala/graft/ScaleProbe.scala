@@ -201,7 +201,9 @@ object ScaleProbe {
         // round-7 batch 56: trimmed mean, content UUIDs
         "q_profile_trimmed", "q_fn_uuid",
         // round-7 batch 57: langid confusion eval
-        "q_text_lang_confusion")
+        "q_text_lang_confusion",
+        // round-7 batch 58: calibration curve
+        "q_ml_calibration")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

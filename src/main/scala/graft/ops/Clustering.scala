@@ -1105,6 +1105,69 @@ object Clustering {
            |GROUP BY 1
            |ORDER BY nationkey ASC NULLS FIRST""".stripMargin))
 
+  /** Calibration / reliability curve (round 7): bin the scored corpus
+    * by the classifier's raw score and compare each bin's PREDICTED
+    * positive propensity against its OBSERVED positive rate — the eval
+    * that catches a model whose accuracy is fine but whose scores lie
+    * (the deployment question is almost always "can I threshold this
+    * score", not "is argmax right"). The score under test is the
+    * quantity margin the q_ml_confusion rule thresholds; bins are
+    * fixed-width score bands (deterministic, data-independent edges —
+    * production uses quantile bins, same census one q_agg_percentile
+    * away).
+    *
+    * Scale: one scan; (bin) census with map-side partials — the
+    * exchange carries ≤ 10 rows at any corpus size.
+    *
+    * Determinism (D2/D12): integer scores and counts; rates in e6 by
+    * floor division.
+    */
+  private val calibration = QueryDef(
+    "q_ml_calibration",
+    (s, d) => {
+      val li = graft.Tables.lineitem(s, d).select(
+        col("l_quantity").cast("long").as("qty"),
+        when(col("l_extendedprice") >= 52000.0, lit(1L)).otherwise(lit(0L))
+          .as("y"))
+      // fixed-width bins over the 1..50 quantity domain: bin = (qty-1) div 5
+      li.withColumn("bin", expr("(qty - 1) div 5"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y")).as("n_pos"),
+          min(col("qty")).as("qty_lo"), max(col("qty")).as("qty_hi"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          col("qty_lo"), col("qty_hi"),
+          expr("(n_pos * 1000000) div n").as("obs_rate_e6"),
+          // the rule's predicted propensity: 1 iff the bin is entirely
+          // ≥ 25 (the threshold), 0 if entirely below, else mixed by
+          // in-bin share of qty ≥ 25 — exact integer arithmetic
+          expr("""CASE WHEN qty_lo >= 25 THEN 1000000
+                 | WHEN qty_hi < 25 THEN 0
+                 | ELSE ((qty_hi - 25 + 1) * 1000000)
+                 |   div (qty_hi - qty_lo + 1) END""".stripMargin)
+            .as("pred_rate_e6"))
+        .orderBy(ascf("bin"))
+    },
+    Some("""WITH b AS (SELECT
+           |    (CAST(l_quantity AS BIGINT) - 1) // 5 AS bin,
+           |    CAST(l_quantity AS BIGINT) AS qty,
+           |    CASE WHEN l_extendedprice >= 52000.0 THEN 1 ELSE 0 END AS y
+           |  FROM lineitem),
+           |g AS (SELECT bin, count(*) AS n,
+           |    CAST(sum(y) AS BIGINT) AS n_pos,
+           |    min(qty) AS qty_lo, max(qty) AS qty_hi
+           |  FROM b GROUP BY bin)
+           |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+           |  n_pos, CAST(qty_lo AS BIGINT) AS qty_lo,
+           |  CAST(qty_hi AS BIGINT) AS qty_hi,
+           |  CAST((n_pos * 1000000) // n AS BIGINT) AS obs_rate_e6,
+           |  CAST(CASE WHEN qty_lo >= 25 THEN 1000000
+           |    WHEN qty_hi < 25 THEN 0
+           |    ELSE ((qty_hi - 25 + 1) * 1000000)
+           |      // (qty_hi - qty_lo + 1) END AS BIGINT) AS pred_rate_e6
+           |FROM g
+           |ORDER BY bin ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(kmeans, perceptron, naiveBayes, stump,
-    linreg, knn, tree, confusion, alsStep)
+    linreg, knn, tree, confusion, alsStep, calibration)
 }

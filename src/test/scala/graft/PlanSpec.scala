@@ -350,4 +350,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("data-00000002"), p.take(2000))
     Caches.releaseScoped()
   }
+
+  test("q_ml_confusion computes all four cells in ONE scan") {
+    // the q_agg_filtered promise applied to evaluation: adding a
+    // predicated cell must never add a scan (formatted explain lists
+    // each physical node exactly once — collectAll multi-visits AQE
+    // wrappers and cannot count)
+    val p = planString("q_ml_confusion")
+    // formatted mode names each node twice: once in the tree, once in
+    // the details section — 2 occurrences == 1 physical scan
+    val scans = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    assert(scans == 2, s"expected 1 lineitem scan (2 mentions), saw $scans")
+    Caches.releaseScoped()
+  }
+
+  test("q_agg_pareto aggregates parts before the cumulative window") {
+    // reduce-then-rank: the window input must be the part-sized
+    // aggregate, never a window over raw lineitem
+    val p = planString("q_agg_pareto")
+    assert(p.contains("Window") && p.contains("HashAggregate"), p.take(1500))
+    Caches.releaseScoped()
+  }
+
+  test("q_fn_base64 codecs stay in one pass before the lang census") {
+    // per-row codec projections: one scan; the only exchanges are the
+    // census aggregation's
+    val p = planString("q_fn_base64")
+    val scans = p.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    assert(scans == 2, s"expected 1 scan (2 mentions), saw $scans")
+    Caches.releaseScoped()
+  }
 }
