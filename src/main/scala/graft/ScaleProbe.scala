@@ -203,7 +203,9 @@ object ScaleProbe {
         // round-7 batch 57: langid confusion eval
         "q_text_lang_confusion",
         // round-7 batch 58: calibration curve
-        "q_ml_calibration")
+        "q_ml_calibration",
+        // round-7 batch 59: Bollinger breakouts, exact two-sample KS
+        "q_ts_bollinger", "q_profile_ks")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

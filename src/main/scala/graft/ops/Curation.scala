@@ -1271,6 +1271,78 @@ object Curation {
            |FROM g
            |ORDER BY nationkey ASC NULLS FIRST""".stripMargin))
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic (round 7): the max
+    * ECDF gap between the BUILDING segment's balance distribution and
+    * everyone else's — the standard "did the distribution drift"
+    * two-sample test (train-vs-serve feature drift, cohort A/B shape
+    * comparison), computed EXACTLY: at every distinct value the gap
+    * |F1−F2| = |c1·n2 − c2·n1| / (n1·n2), so the max is an integer
+    * argmax with no floating point until the final e6 quantization.
+    * The value AT the max gap is reported too (tie → smallest value) —
+    * where the distributions diverge is usually the actionable part.
+    *
+    * Scale: one group-by collapses the corpus to the distinct-value
+    * relation carrying both samples' per-value counts; the cumulative
+    * window and argmax run value-distinct, never table-sized (the
+    * q_agg_skyline reduce-then-rank layout; a fleet range-partitions
+    * the prefix sum).
+    *
+    * Determinism (D1/D2): all int64 (c·n ≤ 3e7 at sf0.1, ×1e6 < 2⁵³);
+    * argmax order (gap DESC, cents ASC) is total.
+    */
+  private val profileKs = QueryDef(
+    "q_profile_ks",
+    (s, d) => {
+      val base = Tables.customer(s, d).select(
+        (dec(col("c_acctbal")) * 100).cast("long").as("cents"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("g1"))
+      val perVal = base.groupBy(col("cents"))
+        .agg(sum(col("g1")).as("a"),
+          sum(lit(1L) - col("g1")).as("b"))
+      val w = Window.orderBy(ascf("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = base.agg(sum(col("g1")).as("n1"),
+        sum(lit(1L) - col("g1")).as("n2"))
+      perVal
+        .withColumn("c1", sum(col("a")).over(w))
+        .withColumn("c2", sum(col("b")).over(w))
+        .join(broadcast(tot))
+        .select(col("cents"), col("n1"), col("n2"),
+          abs(col("c1") * col("n2") - col("c2") * col("n1")).as("gap"))
+        .orderBy(descl("gap"), ascf("cents"))
+        .limit(1)
+        .select(col("n1"), col("n2"), col("gap").as("ks_num"),
+          expr("(gap * 1000000) div (n1 * n2)").as("ks_e6"),
+          col("cents").as("ks_at_cents"))
+        .orderBy(ascf("n1"))
+    },
+    Some("""WITH base AS (SELECT
+           |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS cents,
+           |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1
+           |  FROM customer),
+           |pv AS (SELECT cents, CAST(sum(g1) AS BIGINT) AS a,
+           |    CAST(sum(1 - g1) AS BIGINT) AS b
+           |  FROM base GROUP BY cents),
+           |cum AS (SELECT cents,
+           |    CAST(sum(a) OVER (ORDER BY cents ASC ROWS BETWEEN
+           |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+           |    CAST(sum(b) OVER (ORDER BY cents ASC ROWS BETWEEN
+           |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2
+           |  FROM pv),
+           |t AS (SELECT CAST(sum(g1) AS BIGINT) AS n1,
+           |    CAST(sum(1 - g1) AS BIGINT) AS n2 FROM base),
+           |g AS (SELECT cents, t.n1, t.n2,
+           |    abs(c1 * t.n2 - c2 * t.n1) AS gap
+           |  FROM cum CROSS JOIN t
+           |  ORDER BY gap DESC NULLS LAST, cents ASC NULLS FIRST
+           |  LIMIT 1)
+           |SELECT n1, n2, gap AS ks_num,
+           |  CAST((gap * 1000000) // (n1 * n2) AS BIGINT) AS ks_e6,
+           |  cents AS ks_at_cents
+           |FROM g
+           |ORDER BY n1 ASC NULLS FIRST""".stripMargin))
+
   /** Source-priority canonical selection (round 7): when the same
     * document arrives from several sources, keep ONE canonical copy by
     * source-tier preference — curated > mirror > archive — the
@@ -1359,5 +1431,5 @@ object Curation {
     dedupIncremental, mixWeighted, lengthHist, mixTemperature, qualityGopher,
     mixUpsample, profileCols, profileSkew, profileDepth, dedupLines, textPii,
     textChunking, profileCorr, profileIqr, profileBenford, profileMad, dedupPriority,
-    profileTrimmed)
+    profileTrimmed, profileKs)
 }

@@ -1795,9 +1795,81 @@ object TimeSeries {
            |GROUP BY d.event_type
            |ORDER BY d.event_type ASC NULLS FIRST""".stripMargin))
 
+  /** Bollinger-style band breakouts (round 7): per event type, hours
+    * whose count leaves the trailing-20-hour mean ± 2σ band — the
+    * rolling-volatility breakout detector (the trading-chart band, and
+    * operationally the adaptive alert threshold that tightens in quiet
+    * periods and widens in noisy ones — where q_ts_anomaly's GLOBAL σ
+    * fence is one fixed width forever).
+    *
+    * The band test is EXACT integer arithmetic, no division anywhere:
+    * x outside mean ± 2σ ⇔ (x·n − S)² > 4·(n·SS − S²) over the window's
+    * count n, sum S, and sum-of-squares SS — the cross-multiplied form
+    * of (x − S/n)² > 4·(nSS − S²)/n², shared verbatim with the oracle.
+    *
+    * Scale: corpus → hour census in one partial agg; the rolling
+    * moments are ONE window pass (three aggregates, same frame) per
+    * type; magnitudes: counts ≤ ~1e4/hour ⇒ (x·n−S)² ≤ ~(2e5·20)² < 2⁵³.
+    *
+    * Determinism (D1/D2): all int64; windows need ≥ 2 trailing hours
+    * (n ≥ 2 pinned by CASE — a 1-point window has σ undefined and
+    * flags nothing on both engines).
+    */
+  private val bollinger = QueryDef(
+    "q_ts_bollinger",
+    (s, d) => {
+      val hours = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(ascf(col("hr")))
+        .rowsBetween(-20, -1)
+      val banded = hours
+        .withColumn("n", count(col("cnt")).over(w))
+        .withColumn("sw", sum(col("cnt")).over(w))
+        .withColumn("ss", sum(col("cnt") * col("cnt")).over(w))
+        .withColumn("outside", when(col("n") >= 2 &&
+          (col("cnt") * col("n") - col("sw")) *
+            (col("cnt") * col("n") - col("sw")) >
+            (col("n") * col("ss") - col("sw") * col("sw")) * 4,
+          1L).otherwise(0L))
+      banded.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_tested"),
+          sum(col("outside")).as("n_breakouts"),
+          coalesce(sum(when(col("outside") === 1,
+            unix_micros(col("hr")))), lit(0L)).as("breakout_checksum"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH h AS (SELECT event_type,
+           |    date_trunc('hour', ts::TIMESTAMP) AS hr, count(*) AS cnt
+           |  FROM events GROUP BY 1, 2),
+           |m AS (SELECT event_type, hr, cnt,
+           |    count(cnt) OVER w AS n,
+           |    sum(cnt) OVER w AS sw,
+           |    sum(cnt * cnt) OVER w AS ss
+           |  FROM h
+           |  WINDOW w AS (PARTITION BY event_type ORDER BY hr ASC
+           |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+           |b AS (SELECT event_type, hr, n,
+           |    CASE WHEN n >= 2 AND
+           |      (cnt * n - sw) * (cnt * n - sw)
+           |        > (n * ss - sw * sw) * 4
+           |      THEN 1 ELSE 0 END AS outside
+           |  FROM m)
+           |SELECT event_type,
+           |  CAST(count(*) AS BIGINT) AS n_hours,
+           |  CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_tested,
+           |  CAST(sum(outside) AS BIGINT) AS n_breakouts,
+           |  CAST(coalesce(sum(CASE WHEN outside = 1
+           |    THEN epoch_us(hr) END), 0) AS BIGINT) AS breakout_checksum
+           |FROM b GROUP BY event_type
+           |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
       theilSen, attrib, transitions, downsample, evalWape, latency,
-      period, crossCorr, movingMedian, tsRate, dtw, anomalyMad)
+      period, crossCorr, movingMedian, tsRate, dtw, anomalyMad, bollinger)
 }
