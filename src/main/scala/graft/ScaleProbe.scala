@@ -205,7 +205,9 @@ object ScaleProbe {
         // round-7 batch 58: calibration curve
         "q_ml_calibration",
         // round-7 batch 59: Bollinger breakouts, exact two-sample KS
-        "q_ts_bollinger", "q_profile_ks")
+        "q_ts_bollinger", "q_profile_ks",
+        // round-7 batch 60: STL-lite decomposition, systematic sampling
+        "q_ts_decompose", "q_sample_systematic")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

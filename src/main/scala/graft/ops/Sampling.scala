@@ -316,6 +316,53 @@ object Sampling {
            |GROUP BY a8.shard8
            |ORDER BY shard8 ASC NULLS FIRST""".stripMargin))
 
+  /** Stratified systematic sampling (round 7): within each nation,
+    * order customers by the avalanche mix (a deterministic "random"
+    * order), then keep every 17th starting at offset 3 — the classic
+    * every-k-th survey design (cheap, evenly spread through the frame,
+    * exactly reproducible), per-stratum so every nation is covered at
+    * the same rate. Complements [[sampleHash]] (Bernoulli by hash:
+    * binomially NOISY per-stratum counts) with the FIXED-rate design:
+    * the kept count per stratum is ⌈(n−3)/17⌉ by construction, which
+    * the census grades.
+    *
+    * Scale: rank = one window partitioned by the stratum (parallel
+    * per-nation sorts); census nation-sized. At fleet scale the same
+    * design runs on any key the frame is already sorted/bucketed by.
+    *
+    * Determinism (D1/D2): (mix, custkey) is a total order; the kept
+    * SET is pinned by an id checksum, not just counts.
+    */
+  private val sampleSystematic = QueryDef(
+    "q_sample_systematic",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(ascf("mx"), ascf("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .withColumn("mx", mix(col("c_custkey")))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(pmod(col("rn"), lit(17)) === 3, 1L).otherwise(0L))
+            .as("n_kept"),
+          coalesce(sum(when(pmod(col("rn"), lit(17)) === 3,
+            col("c_custkey"))), lit(0L)).as("kept_checksum"))
+        .orderBy(ascf("nationkey"))
+    },
+    Some(s"""WITH r AS (SELECT c_custkey, c_nationkey,
+           |    row_number() OVER (PARTITION BY c_nationkey
+           |      ORDER BY ${mixSql("c_custkey")} ASC, c_custkey ASC) AS rn
+           |  FROM customer)
+           |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CASE WHEN rn % 17 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_kept,
+           |  CAST(coalesce(sum(CASE WHEN rn % 17 = 3 THEN c_custkey END), 0)
+           |    AS BIGINT) AS kept_checksum
+           |FROM r GROUP BY c_nationkey
+           |ORDER BY nationkey ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(sampleHash, sampleStratified, splitTrainVal,
-    sampleBootstrap, sampleBalanced, shardRendezvous)
+    sampleBootstrap, sampleBalanced, shardRendezvous, sampleSystematic)
 }

@@ -1867,9 +1867,94 @@ object TimeSeries {
            |FROM b GROUP BY event_type
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
+  /** Additive trend/seasonal/residual decomposition (round 7, the STL
+    * shape with exact arithmetic): per event type's daily series —
+    * trend = centered ±3-day moving average (e6 floor), seasonal = the
+    * per-day-of-cycle mean of the detrended series (7-day cycle),
+    * residual = what's left. The graded census pins the trend mass,
+    * the seasonal AMPLITUDE (max−min over the 7 cycle positions — the
+    * "how strong is the weekly pattern" number), and the residual
+    * magnitude — the decomposition every capacity model runs before
+    * forecasting.
+    *
+    * Day-of-cycle is days-since-epoch mod 7, NOT dayofweek (rule D7:
+    * Spark and DuckDB number weekdays differently; an epoch offset is
+    * engine-neutral and cycle-equivalent).
+    *
+    * Scale: corpus → day census in one partial agg; one centered
+    * window per type; seasonal means are a 7×types-bounded aggregate
+    * re-joined by broadcast. All grids time-bounded.
+    *
+    * Determinism (D2/D12): everything int64 in e6 units; signed floors
+    * via subtract-pmod (detrended values go negative).
+    */
+  private val decompose = QueryDef(
+    "q_ts_decompose",
+    (s, d) => {
+      val days = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("pos", pmod(datediff(col("day"),
+          lit("1995-01-01").cast("date")), lit(7)).cast("long"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(ascf(col("day"))).rowsBetween(-3, 3)
+      val trended = days
+        .withColumn("n", count(col("cnt")).over(w))
+        .withColumn("sw", sum(col("cnt")).over(w))
+        .withColumn("trend_e6", expr("(sw * 1000000) div n"))
+        .withColumn("det", col("cnt") * 1000000L - col("trend_e6"))
+      val seas = trended.groupBy(col("event_type").as("st"),
+          col("pos").as("sp"))
+        .agg(sum(col("det")).as("ds"), count(lit(1)).as("dn"))
+        .withColumn("seasonal_e6",
+          expr("(ds - ((ds % dn + dn) % dn)) div dn"))
+      val joined = trended.join(broadcast(seas),
+          col("event_type") === col("st") && col("pos") === col("sp"))
+        .withColumn("resid", col("det") - col("seasonal_e6"))
+      joined.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("trend_e6")).as("trend_mass_e6"),
+          (max(col("seasonal_e6")) - min(col("seasonal_e6")))
+            .as("seasonal_amplitude_e6"),
+          sum(abs(col("resid"))).as("resid_abs_e6"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH days AS (SELECT event_type,
+           |    CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
+           |    count(*) AS cnt
+           |  FROM events GROUP BY 1, 2),
+           |p AS (SELECT event_type, day, cnt,
+           |    CAST(((datediff('day', DATE '1995-01-01', day) % 7) + 7) % 7
+           |      AS BIGINT) AS pos
+           |  FROM days),
+           |tr AS (SELECT event_type, day, cnt, pos,
+           |    (sum(cnt) OVER w * 1000000) // count(cnt) OVER w AS trend_e6
+           |  FROM p
+           |  WINDOW w AS (PARTITION BY event_type ORDER BY day ASC
+           |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+           |dt AS (SELECT event_type, day, pos, trend_e6,
+           |    cnt * 1000000 - trend_e6 AS det
+           |  FROM tr),
+           |se AS (SELECT event_type, pos,
+           |    (sum(det) - ((sum(det) % count(*) + count(*)) % count(*)))
+           |      // count(*) AS seasonal_e6
+           |  FROM dt GROUP BY 1, 2)
+           |SELECT dt.event_type AS event_type,
+           |  CAST(count(*) AS BIGINT) AS n_days,
+           |  CAST(sum(dt.trend_e6) AS BIGINT) AS trend_mass_e6,
+           |  CAST(max(se.seasonal_e6) - min(se.seasonal_e6) AS BIGINT)
+           |    AS seasonal_amplitude_e6,
+           |  CAST(sum(abs(dt.det - se.seasonal_e6)) AS BIGINT)
+           |    AS resid_abs_e6
+           |FROM dt JOIN se ON dt.event_type = se.event_type
+           |  AND dt.pos = se.pos
+           |GROUP BY dt.event_type
+           |ORDER BY dt.event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
       theilSen, attrib, transitions, downsample, evalWape, latency,
-      period, crossCorr, movingMedian, tsRate, dtw, anomalyMad, bollinger)
+      period, crossCorr, movingMedian, tsRate, dtw, anomalyMad, bollinger,
+      decompose)
 }
