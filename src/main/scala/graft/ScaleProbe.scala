@@ -207,7 +207,9 @@ object ScaleProbe {
         // round-7 batch 59: Bollinger breakouts, exact two-sample KS
         "q_ts_bollinger", "q_profile_ks",
         // round-7 batch 60: STL-lite decomposition, systematic sampling
-        "q_ts_decompose", "q_sample_systematic")
+        "q_ts_decompose", "q_sample_systematic",
+        // round-7 batch 61: token-bucket rate-limit audit
+        "q_win_ratelimit")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

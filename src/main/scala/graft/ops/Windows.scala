@@ -719,8 +719,113 @@ object Windows {
            |JOIN nation n ON ranked.nk = n.n_nationkey
            |ORDER BY n_name ASC NULLS FIRST""".stripMargin))
 
+  /** Token-bucket rate-limit audit (round 7): replay every user's event
+    * stream through a capacity-3, one-token-per-2h bucket and census
+    * which events WOULD have been throttled — the capacity-planning /
+    * abuse-tuning question ("what would this limiter catch") answered
+    * offline before a limiter ships. The bucket is the true stateful
+    * recurrence (tokens + anchored refill credit), not a windowed
+    * approximation: an accept changes every later decision, so this is
+    * a sequential per-user fold (aggregate HOF — the q_ts_holt
+    * pattern) emitting the throttled ids, mirrored by a recursive-CTE
+    * replay in the oracle.
+    *
+    * Scale: one exchange on user_id feeds the per-user fold (state = 2
+    * ints + the throttled-id list, bounded by the user's own events);
+    * the census re-joins throttled ids to types via the event_id key.
+    * Bucket parameters are knobs; the fold is the mechanism.
+    *
+    * Determinism (D1/D2): (ts_us, event_id) total order; all-integer
+    * credit arithmetic (elapsed div P, anchor += gained·P, credits
+    * beyond full reset the anchor — the rule spelled identically in
+    * both engines).
+    */
+  private val winRatelimit = QueryDef(
+    "q_win_ratelimit",
+    (s, d) => {
+      val P = 7200000000L // 2h in µs
+      val ev = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        col("event_type"))
+      val gained = s"IF(st.an < 0L, 0L, (e.ts_us - st.an) div ${P}L)"
+      val tk1 = s"least(3L, st.tk + $gained)"
+      val an1 = s"IF(st.an < 0L OR $tk1 >= 3L, e.ts_us, " +
+        s"st.an + $gained * ${P}L)"
+      val thr = ev.groupBy(col("user_id"))
+        .agg(expr(
+          s"""aggregate(
+             |  sort_array(collect_list(struct(ts_us, event_id))),
+             |  named_struct('tk', 3L, 'an', -1L,
+             |    'thr', cast(array() as array<bigint>)),
+             |  (st, e) -> named_struct(
+             |    'tk', IF($tk1 >= 1L, $tk1 - 1L, $tk1),
+             |    'an', $an1,
+             |    'thr', IF($tk1 >= 1L, st.thr,
+             |      array_append(st.thr, e.event_id))),
+             |  st -> st.thr)""".stripMargin).as("thr"))
+        .select(explode(col("thr")).as("tid"))
+      val thrByType = thr
+        .join(ev.select(col("event_id"), col("event_type").as("tt")),
+          col("tid") === col("event_id"))
+        .groupBy(col("tt"))
+        .agg(count(lit(1)).as("n_throttled"),
+          sum(col("tid")).as("throttled_checksum"))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .join(thrByType, col("event_type") === col("tt"), "left")
+        .select(col("event_type"), col("n_events"),
+          coalesce(col("n_throttled"), lit(0L)).as("n_throttled"),
+          coalesce(col("throttled_checksum"), lit(0L))
+            .as("throttled_checksum"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH RECURSIVE
+           |ev AS (SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+           |    event_id, event_type,
+           |    row_number() OVER (PARTITION BY user_id
+           |      ORDER BY epoch_us(ts::TIMESTAMP) ASC, event_id ASC) AS i
+           |  FROM events),
+           |dp AS (
+           |  SELECT user_id, CAST(0 AS BIGINT) AS i,
+           |    CAST(3 AS BIGINT) AS tk, CAST(-1 AS BIGINT) AS an,
+           |    CAST(NULL AS BIGINT) AS event_id,
+           |    CAST(NULL AS VARCHAR) AS event_type,
+           |    FALSE AS throttled
+           |  FROM (SELECT DISTINCT user_id FROM ev)
+           |  UNION ALL
+           |  SELECT e.user_id, e.i,
+           |    CASE WHEN least(3, dp.tk + CASE WHEN dp.an < 0 THEN 0
+           |        ELSE (e.ts_us - dp.an) // 7200000000 END) >= 1
+           |      THEN least(3, dp.tk + CASE WHEN dp.an < 0 THEN 0
+           |        ELSE (e.ts_us - dp.an) // 7200000000 END) - 1
+           |      ELSE least(3, dp.tk + CASE WHEN dp.an < 0 THEN 0
+           |        ELSE (e.ts_us - dp.an) // 7200000000 END) END AS tk,
+           |    CASE WHEN dp.an < 0 OR least(3, dp.tk +
+           |        CASE WHEN dp.an < 0 THEN 0
+           |          ELSE (e.ts_us - dp.an) // 7200000000 END) >= 3
+           |      THEN e.ts_us
+           |      ELSE dp.an + (CASE WHEN dp.an < 0 THEN 0
+           |        ELSE (e.ts_us - dp.an) // 7200000000 END) * 7200000000
+           |      END AS an,
+           |    e.event_id, e.event_type,
+           |    least(3, dp.tk + CASE WHEN dp.an < 0 THEN 0
+           |      ELSE (e.ts_us - dp.an) // 7200000000 END) < 1 AS throttled
+           |  FROM dp JOIN ev e ON e.user_id = dp.user_id
+           |    AND e.i = dp.i + 1)
+           |SELECT e.event_type AS event_type,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(coalesce(sum(CASE WHEN d.throttled THEN 1 ELSE 0 END), 0)
+           |    AS BIGINT) AS n_throttled,
+           |  CAST(coalesce(sum(CASE WHEN d.throttled THEN d.event_id END), 0)
+           |    AS BIGINT) AS throttled_checksum
+           |FROM ev e LEFT JOIN dp d
+           |  ON d.user_id = e.user_id AND d.i = e.i
+           |GROUP BY e.event_type
+           |ORDER BY e.event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     winRank, winRunning, winLeadLag, winRangeFrame, winNtilePct, winFirstLast,
     sortNulls, limitOffset, topkGroup, winSessionize, winStreak, winPattern,
-    winDistinct, winConcurrency, winIntervals, winRankDelta, winAlloc)
+    winDistinct, winConcurrency, winIntervals, winRankDelta, winAlloc,
+    winRatelimit)
 }
