@@ -903,10 +903,88 @@ object Aggregates {
            |FROM cum CROSS JOIN t
            |ORDER BY n_parts ASC NULLS FIRST""".stripMargin))
 
+  /** Market-basket association rules (round 7): support, confidence,
+    * and lift for same-order part-BRAND pairs — the frequent-pair
+    * statistics behind "customers who bought X also bought Y"
+    * (recommenders, merchandising, store layout). Brands rather than
+    * raw parts keep the item vocabulary dense enough that pairs recur
+    * (the standard pre-aggregation: baskets are itemsets over a
+    * bounded catalog dimension). Top-15 rules by lift among pairs with
+    * support ≥ 10 baskets.
+    *
+    * Scale: pair generation is a SELF-JOIN WITHIN each basket (a < b
+    * on the distinct brands of one order) — bounded by basket size²,
+    * never catalog²; item and pair counts are two hash aggregates;
+    * lift needs only the broadcast 1-row basket total. This is exactly
+    * the first pass of Apriori/FP-growth (pair-level), which at 100 TB
+    * is the only level most production basket analyses run.
+    *
+    * Determinism (D2/D12): counts int64; confidence/lift in e6 by
+    * floor division of non-negative ints (lift numerator n_ab·N ≤
+    * 1e6·1e7 ⇒ ×1e6 stages through DECIMAL(38,0)/HUGEINT on both
+    * engines); top-15 under the total order (lift DESC, a, b).
+    */
+  private val aggBasketLift = QueryDef(
+    "q_agg_basket_lift",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_partkey"))
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+      val items = graft.Caches.scoped(li
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+        .distinct())
+      val nb1 = items.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("nbk"))
+      val single = items.groupBy(col("b")).agg(count(lit(1)).as("nb"))
+      val pairs = items.as("x")
+        .join(items.select(col("ok").as("ok2"), col("b").as("b2")),
+          col("ok") === col("ok2") && col("b") < col("b2"))
+        .groupBy(col("b").as("ba"), col("b2").as("bb"))
+        .agg(count(lit(1)).as("nab"))
+        .filter(col("nab") >= 10)
+      pairs
+        .join(broadcast(single.select(col("b").as("sa"), col("nb").as("na"))),
+          col("ba") === col("sa"))
+        .join(broadcast(single.select(col("b").as("sb"), col("nb").as("nb2"))),
+          col("bb") === col("sb"))
+        .crossJoin(broadcast(nb1))
+        .select(col("ba"), col("bb"), col("nab"), col("na"),
+          col("nb2").as("nb"),
+          expr("(nab * 1000000) div nbk").as("support_e6"),
+          expr("(nab * 1000000) div na").as("conf_a_to_b_e6"),
+          expr("""cast((cast(nab as decimal(38,0)) * nbk * 1000000)
+                 | div (cast(na as decimal(38,0)) * nb2) as bigint)"""
+            .stripMargin).as("lift_e6"))
+        .orderBy(descl("lift_e6"), ascf("ba"), ascf("bb"))
+        .limit(15)
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+           |nb AS (SELECT count(DISTINCT ok) AS n FROM items),
+           |single AS (SELECT b, count(*) AS cnt FROM items GROUP BY b),
+           |pairs AS (SELECT x.b AS ba, y.b AS bb, count(*) AS nab
+           |  FROM items x JOIN items y ON x.ok = y.ok AND x.b < y.b
+           |  GROUP BY 1, 2
+           |  HAVING count(*) >= 10)
+           |SELECT p.ba, p.bb, p.nab,
+           |  CAST(sa.cnt AS BIGINT) AS na, CAST(sb.cnt AS BIGINT) AS nb,
+           |  CAST((p.nab * 1000000) // nbk.n AS BIGINT) AS support_e6,
+           |  CAST((p.nab * 1000000) // sa.cnt AS BIGINT) AS conf_a_to_b_e6,
+           |  CAST((CAST(p.nab AS HUGEINT) * nbk.n * 1000000)
+           |    // (CAST(sa.cnt AS HUGEINT) * sb.cnt) AS BIGINT) AS lift_e6
+           |FROM pairs p
+           |JOIN single sa ON p.ba = sa.b
+           |JOIN single sb ON p.bb = sb.b
+           |CROSS JOIN nb nbk
+           |ORDER BY lift_e6 DESC NULLS LAST, ba ASC NULLS FIRST,
+           |  bb ASC NULLS FIRST
+           |LIMIT 15""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggQ18, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
     aggPercentile, aggPivot, aggUnpivot, aggGrouping, aggMode, aggBitset,
     aggEntropy, aggQ14, aggQ6, aggGini, aggHhi, aggFiltered, aggSkyline,
-    aggPareto)
+    aggPareto, aggBasketLift)
 }
