@@ -870,7 +870,102 @@ object Multimodal {
          |ORDER BY b.sample_rate ASC NULLS FIRST""".stripMargin
     })
 
+  final case class HistEqFeatures(media_id: Long, width: Int,
+      orig_sum: Long, eq_sum: Long, eq_max: Long)
+
+  /** Histogram equalization through the raster codec (round 7): decode
+    * each GIM8 image, build its 128-bin pixel histogram, and remap
+    * every pixel by the classic CDF rule v' = (cdf(v) − cdf_min)·127
+    * div (n − cdf_min) — the contrast normalization a vision pipeline
+    * runs before feature extraction, where the REMAP TABLE is
+    * image-specific state derived from the image itself (vs
+    * q_mm_augment's fixed index arithmetic). Constant images (n =
+    * cdf_min) map to 0 by pinned CASE. Census per width: original
+    * brightness, equalized brightness, peak equalized value.
+    *
+    * Scale: decode + histogram + remap fuse into one mapPartitions
+    * pass (O(pixels + 128) per image, zero extra shuffle); the census
+    * is width-sized.
+    *
+    * Determinism (D2): all-integer CDF arithmetic; the oracle
+    * recomputes every remapped pixel from SOURCE chars (cdf(v) as a
+    * per-element ≤-count — O(n²) in SQL, O(n) in the engine; the
+    * asymmetry is the harness's, not the operator's).
+    */
+  private val mmHisteq = QueryDef(
+    "q_mm_histeq",
+    (s, d) => {
+      import s.implicits._
+      val imgs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val w = 8 + (id % 9).toInt
+          val h = text.length / w
+          val px = ascii7(text, 0, w * h)
+          ImageRec(id, graft.functions.Codecs.GrayImage.encode(w, h, px))
+        })
+      val feats = imgs.mapPartitions(_.map { r =>
+        val (w, _, px) = graft.functions.Codecs.GrayImage.decode(r.payload)
+        val n = px.length.toLong
+        val hist = new Array[Long](128)
+        var i = 0; var origSum = 0L
+        while (i < px.length) {
+          val v = px(i) & 0x7F; hist(v) += 1; origSum += v; i += 1
+        }
+        val cdf = new Array[Long](128)
+        var acc = 0L; var v = 0
+        while (v < 128) { acc += hist(v); cdf(v) = acc; v += 1 }
+        var cdfMin = 0L; v = 0
+        while (v < 128 && cdfMin == 0L) { cdfMin = cdf(v); v += 1 }
+        var eqSum = 0L; var eqMax = 0L; i = 0
+        while (i < px.length) {
+          val p = px(i) & 0x7F
+          val e = if (n > cdfMin) (cdf(p) - cdfMin) * 127L / (n - cdfMin)
+                  else 0L
+          eqSum += e; if (e > eqMax) eqMax = e; i += 1
+        }
+        HistEqFeatures(r.media_id, w, origSum, eqSum, eqMax)
+      })(org.apache.spark.sql.Encoders.product[HistEqFeatures])
+      feats.groupBy(col("width").cast("long").as("width"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("orig_sum")).as("orig_checksum"),
+          sum(col("eq_sum")).as("eq_checksum"),
+          max(col("eq_max")).as("max_eq"))
+        .orderBy(ascf("width"))
+    },
+    Some("""WITH d0 AS (SELECT doc_id, text,
+           |    8 + CAST(doc_id % 9 AS INTEGER) AS width FROM documents),
+           |d1 AS (SELECT doc_id, width,
+           |    list_transform(range(1,
+           |        width * CAST(len(text) // width AS INTEGER) + 1),
+           |      i -> ascii(substring(text, i, 1)) & 127) AS px
+           |  FROM d0),
+           |f AS (SELECT width,
+           |    CAST(len(px) AS BIGINT) AS n,
+           |    CAST(coalesce(list_sum(px), 0) AS BIGINT) AS orig_sum,
+           |    CAST(coalesce(len(list_filter(px,
+           |      y -> y = list_min(px))), 0) AS BIGINT) AS cdfmin,
+           |    px
+           |  FROM d1),
+           |e AS (SELECT width, orig_sum,
+           |    CAST(CASE WHEN n > cdfmin THEN coalesce(list_sum(
+           |      list_transform(px, x ->
+           |        (len(list_filter(px, y -> y <= x)) - cdfmin) * 127
+           |          // (n - cdfmin))), 0) ELSE 0 END AS BIGINT) AS eq_sum,
+           |    CAST(CASE WHEN n > cdfmin THEN coalesce(list_max(
+           |      list_transform(px, x ->
+           |        (len(list_filter(px, y -> y <= x)) - cdfmin) * 127
+           |          // (n - cdfmin))), 0) ELSE 0 END AS BIGINT) AS eq_max
+           |  FROM f)
+           |SELECT CAST(width AS BIGINT) AS width,
+           |  CAST(count(*) AS BIGINT) AS n_images,
+           |  CAST(sum(orig_sum) AS BIGINT) AS orig_checksum,
+           |  CAST(sum(eq_sum) AS BIGINT) AS eq_checksum,
+           |  CAST(max(eq_max) AS BIGINT) AS max_eq
+           |FROM e GROUP BY width
+           |ORDER BY width ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(mmBinary, mmFeatures, mmAudioPcm, mmImageGray,
     mmVideoFrames, mmImageResize, mmAudioDownsample, mmPhash, mmSceneChange,
-    mmAugment, mmWht)
+    mmAugment, mmWht, mmHisteq)
 }
