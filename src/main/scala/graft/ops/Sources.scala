@@ -510,8 +510,51 @@ object Sources {
     },
     Some(censusSql))
 
+  /** Whole-file text ingestion (round 7): Spark's `wholetext` mode —
+    * each FILE is one row — over a per-lang sharded text stage; the
+    * layout every document-per-file corpus (scraped HTML dumps, legal
+    * discovery, transcript drops) actually arrives in, where the
+    * line-oriented reader would shred documents at newlines. Lang is
+    * recovered from the PATH (`input_file_name`, the partition-dir
+    * pattern), so the census also pins path-derived metadata — the
+    * other half of whole-file reading.
+    *
+    * Grading is census-against-parquet-ground-truth: each lang's one
+    * file holds its docs newline-joined, so file_chars = Σ doc chars +
+    * (n_docs − 1) newlines + 1 trailing (the writer's per-row
+    * terminator) — a shred, a dropped terminator, or a mis-parsed
+    * path breaks the hash. Within-file doc ORDER is writer-partition
+    * arrival and deliberately not graded (order-free sums only).
+    *
+    * 100 TB note: wholetext makes one task per FILE and holds the file
+    * in memory — correct for document-sized files, wrong for giant
+    * ones; the per-lang coalesce(1) here is the harness's stage, while
+    * production keeps one DOCUMENT per file and the same reader.
+    */
+  private val sourceWholetext = QueryDef(
+    "q_source_wholetext",
+    (s, d) => {
+      val path = stage(d, "wholetext")
+      Tables.documents(s, d)
+        .select(col("lang"), col("text"))
+        .repartition(col("lang"))
+        .write.mode("overwrite").partitionBy("lang").option("compression",
+          "none").text(path)
+      val read = s.read.option("wholetext", "true").text(path)
+        .select(col("value"),
+          regexp_extract(input_file_name(), "lang=([a-z]+)", 1).as("lang"))
+      read.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(length(col("value"))).as("file_chars"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""SELECT lang, CAST(1 AS BIGINT) AS n_files,
+           |  CAST(sum(length(text)) + count(*) AS BIGINT) AS file_chars
+           |FROM documents GROUP BY lang
+           |ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(sourceCsv, sourceJson, sourceOrc,
     sourcePartitioned, sourceJsonNested, sourceText, sourceCorrupt,
     sourceEvolution, sourceJsonMultiline, sourceBinary, sourceCompressed,
-    sourceXml)
+    sourceXml, sourceWholetext)
 }

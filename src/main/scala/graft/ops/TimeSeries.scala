@@ -1951,10 +1951,57 @@ object TimeSeries {
            |GROUP BY dt.event_type
            |ORDER BY dt.event_type ASC NULLS FIRST""".stripMargin))
 
+  /** Period-over-period growth census (round 7): monthly order revenue
+    * with the previous month's value and the signed growth rate in e6
+    * units — the month-over-month table every business review opens
+    * with (q_win_rank_delta tracks RANK movement between periods; this
+    * tracks the VALUES). First month reports null-free 0 growth by
+    * pinned CASE.
+    *
+    * Scale: corpus → month-grain partial agg; lag is one window over
+    * the month-count-sized series. Growth = (cur−prev)·1e6 div prev
+    * with the signed subtract-pmod floor (declines are negative).
+    *
+    * Determinism (D1/D2): exact cents; months are a total order.
+    */
+  private val growth = QueryDef(
+    "q_ts_growth",
+    (s, d) => {
+      val m = Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
+        .agg(sum((dec(col("o_totalprice")) * 100).cast("long"))
+          .as("rev_cents"))
+      val w = Window.orderBy(ascf(col("mo")))
+      m.withColumn("prev", lag(col("rev_cents"), 1).over(w))
+        .select(epochUs(col("mo")).as("month_us"), col("rev_cents"),
+          coalesce(col("prev"), lit(0L)).as("prev_cents"),
+          when(col("prev").isNull || col("prev") === 0, 0L)
+            .otherwise(expr(
+              """((rev_cents - prev) * 1000000
+                | - ((((rev_cents - prev) * 1000000) % prev + prev) % prev))
+                | div prev""".stripMargin)).as("growth_e6"))
+        .orderBy(ascf("month_us"))
+    },
+    Some("""WITH m AS (SELECT date_trunc('month', o_orderdate) AS mo,
+           |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           |      AS BIGINT)) AS BIGINT) AS rev_cents
+           |  FROM orders GROUP BY 1),
+           |l AS (SELECT mo, rev_cents,
+           |    lag(rev_cents) OVER (ORDER BY mo ASC) AS prev
+           |  FROM m)
+           |SELECT epoch_us(mo) AS month_us, rev_cents,
+           |  CAST(coalesce(prev, 0) AS BIGINT) AS prev_cents,
+           |  CAST(CASE WHEN prev IS NULL OR prev = 0 THEN 0
+           |    ELSE ((rev_cents - prev) * 1000000
+           |      - ((((rev_cents - prev) * 1000000) % prev + prev) % prev))
+           |      // prev END AS BIGINT) AS growth_e6
+           |FROM l
+           |ORDER BY month_us ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
       theilSen, attrib, transitions, downsample, evalWape, latency,
       period, crossCorr, movingMedian, tsRate, dtw, anomalyMad, bollinger,
-      decompose)
+      decompose, growth)
 }
