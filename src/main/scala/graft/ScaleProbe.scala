@@ -217,7 +217,9 @@ object ScaleProbe {
         // round-7 batch 64: AMS F2 sketch
         "q_sketch_ams",
         // round-7 batch 65: MoM growth, whole-file ingestion
-        "q_ts_growth", "q_source_wholetext")
+        "q_ts_growth", "q_source_wholetext",
+        // round-7 batch 66: directed motifs, DAU/MAU stickiness
+        "q_graph_motifs", "q_ts_dau_mau")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

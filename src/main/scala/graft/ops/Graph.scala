@@ -1374,7 +1374,98 @@ object Graph {
          |  b ASC NULLS FIRST""".stripMargin
     })
 
+  /** Directed triangle motif census (round 7): over the directed top-3
+    * trade graph, count FEED-FORWARD triangles (a→b, b→c, a→c — the
+    * hierarchy/shortcut motif) vs CYCLIC triangles (a→b→c→a — the
+    * circular-flow motif) — the motif decomposition network analysis
+    * uses to characterize local structure beyond undirected triangle
+    * counts (q_graph_triangles): a trade graph dominated by
+    * feed-forward motifs is hierarchical, one rich in cycles is
+    * circular.
+    *
+    * Scale: two 2-hop joins over the node²-bounded directed edge
+    * relation (shuffled once, scoped persist); feed-forward triples
+    * are role-unique (source/middle/sink) so they count directly,
+    * while each 3-cycle appears once per rotation — canonicalized by
+    * requiring the minimum node first (a < b AND a < c), which keeps
+    * the two orientations of a cycle distinct, as they are.
+    *
+    * Determinism (D2): pure integer counting; share in e6 by floor
+    * division with the zero-triangle case pinned.
+    */
+  private val motifs = QueryDef(
+    "q_graph_motifs",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(descl("w"), ascf("dst"))
+      val e = graft.Caches.scoped(li
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("src").cast("long").as("u"),
+          col("dst").cast("long").as("v")))
+      val ff = e.as("e1")
+        .join(e.select(col("u").as("u2"), col("v").as("v2")),
+          col("v") === col("u2"))
+        .join(e.select(col("u").as("u3"), col("v").as("v3")),
+          col("u") === col("u3") && col("v2") === col("v3"))
+        .filter(col("u") =!= col("v2"))
+        .agg(count(lit(1)).as("n_ff"))
+      val cyc = e.as("c1")
+        .join(e.select(col("u").as("u2"), col("v").as("v2")),
+          col("v") === col("u2"))
+        .join(e.select(col("u").as("u3"), col("v").as("v3")),
+          col("v2") === col("u3") && col("v3") === col("u"))
+        .filter(col("u") < col("v") && col("u") < col("v2"))
+        .agg(count(lit(1)).as("n_cycle"))
+      val ne = e.agg(count(lit(1)).as("n_edges"))
+      ne.crossJoin(broadcast(ff)).crossJoin(broadcast(cyc))
+        .select(col("n_edges"), col("n_ff"), col("n_cycle"),
+          when(col("n_ff") + col("n_cycle") === 0, 0L)
+            .otherwise(expr("(n_ff * 1000000) div (n_ff + n_cycle)"))
+            .as("ff_share_e6"))
+        .orderBy(ascf("n_edges"))
+    },
+    Some("""WITH e0 AS (
+           |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           |    count(*) AS w
+           |  FROM lineitem l
+           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           |  WHERE c.c_nationkey <> s.s_nationkey
+           |  GROUP BY 1, 2),
+           |e AS (SELECT CAST(src AS BIGINT) AS u, CAST(dst AS BIGINT) AS v
+           |  FROM (SELECT src, dst, row_number() OVER (PARTITION BY src
+           |      ORDER BY w DESC, dst ASC) AS rn FROM e0)
+           |  WHERE rn <= 3),
+           |ff AS (SELECT count(*) AS n_ff
+           |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+           |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+           |  WHERE e1.u <> e2.v),
+           |cyc AS (SELECT count(*) AS n_cycle
+           |  FROM e c1 JOIN e c2 ON c1.v = c2.u
+           |  JOIN e c3 ON c3.u = c2.v AND c3.v = c1.u
+           |  WHERE c1.u < c1.v AND c1.u < c2.v),
+           |ne AS (SELECT count(*) AS n_edges FROM e)
+           |SELECT CAST(ne.n_edges AS BIGINT) AS n_edges,
+           |  CAST(ff.n_ff AS BIGINT) AS n_ff,
+           |  CAST(cyc.n_cycle AS BIGINT) AS n_cycle,
+           |  CAST(CASE WHEN ff.n_ff + cyc.n_cycle = 0 THEN 0
+           |    ELSE (ff.n_ff * 1000000) // (ff.n_ff + cyc.n_cycle) END
+           |    AS BIGINT) AS ff_share_e6
+           |FROM ne CROSS JOIN ff CROSS JOIN cyc
+           |ORDER BY n_edges ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(pagerank, triangles, bfs, degree,
     graphJaccard, labelProp, closeness, scc, kcore, copurchase,
-    adamicAdar, hits, assortativity, reciprocity, clustering, mst)
+    adamicAdar, hits, assortativity, reciprocity, clustering, mst, motifs)
 }

@@ -1998,10 +1998,60 @@ object TimeSeries {
            |FROM l
            |ORDER BY month_us ASC NULLS FIRST""".stripMargin))
 
+  /** DAU/MAU stickiness (round 7): per month, the mean daily active
+    * users over the monthly actives — the engagement ratio every
+    * product dashboard tracks (1/30 = everyone shows once; 1 =
+    * everyone every day). Exact integers: stickiness_e6 =
+    * ΣDAU·1e6 div (n_days·MAU).
+    *
+    * Scale: one (day, user) distinct collapses the corpus; DAU and
+    * MAU re-aggregate it at two grains (the month re-distinct is a
+    * second pass over the day-distinct relation, never the corpus).
+    *
+    * Determinism (D1/D2): all int64; months total-ordered.
+    */
+  private val dauMau = QueryDef(
+    "q_ts_dau_mau",
+    (s, d) => {
+      val du = graft.Caches.scoped(Tables.events(s, d)
+        .select(date_trunc("month", col("ts")).as("mo"),
+          to_date(col("ts")).as("day"), col("user_id"))
+        .distinct())
+      val dau = du.groupBy(col("mo")).agg(
+        countDistinct(col("day")).as("n_days"),
+        count(lit(1)).as("sum_dau"))
+      val mau = du.select(col("mo").as("mo2"), col("user_id")).distinct()
+        .groupBy(col("mo2")).agg(count(lit(1)).as("mau"))
+      dau.join(mau, col("mo") === col("mo2"))
+        .select(epochUs(col("mo")).as("month_us"), col("n_days"),
+          col("sum_dau"), col("mau"),
+          expr("(sum_dau * 1000000) div (n_days * mau)")
+            .as("stickiness_e6"))
+        .orderBy(ascf("month_us"))
+    },
+    Some("""WITH du AS (SELECT DISTINCT
+           |    date_trunc('month', ts::TIMESTAMP) AS mo,
+           |    CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
+           |    user_id
+           |  FROM events),
+           |dau AS (SELECT mo, CAST(count(DISTINCT day) AS BIGINT)
+           |      AS n_days,
+           |    CAST(count(*) AS BIGINT) AS sum_dau
+           |  FROM du GROUP BY mo),
+           |mau AS (SELECT mo, CAST(count(DISTINCT user_id) AS BIGINT)
+           |      AS mau
+           |  FROM du GROUP BY mo)
+           |SELECT epoch_us(dau.mo) AS month_us, dau.n_days, dau.sum_dau,
+           |  mau.mau,
+           |  CAST((dau.sum_dau * 1000000) // (dau.n_days * mau.mau)
+           |    AS BIGINT) AS stickiness_e6
+           |FROM dau JOIN mau ON dau.mo = mau.mo
+           |ORDER BY month_us ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
       theilSen, attrib, transitions, downsample, evalWape, latency,
       period, crossCorr, movingMedian, tsRate, dtw, anomalyMad, bollinger,
-      decompose, growth)
+      decompose, growth, dauMau)
 }
