@@ -981,10 +981,178 @@ object Aggregates {
            |  bb ASC NULLS FIRST
            |LIMIT 15""".stripMargin))
 
+  /** Cramér's V association census (round 7): is a customer's market
+    * segment associated with their nation? The χ² statistic over the
+    * (segment, nation) contingency table, normalized to [0, 1] — the
+    * categorical-vs-categorical twin of q_profile_corr (Pearson is for
+    * numeric pairs; V is THE drift/feature-redundancy statistic for
+    * categorical columns in a curation profile).
+    *
+    * Zero cells matter: a (segment, nation) pair that never occurs
+    * still contributes (r·c/N)²-shaped mass to χ², so the table is the
+    * FULL margin cross product (segments × nations, left-joined with
+    * observed counts, absent → 0), not just the observed group-by.
+    *
+    * Scale: the only corpus-sized pass is one (seg, nat) hash
+    * aggregate; margins re-aggregate that cell relation (≤ segs·nats
+    * rows), the grid is a broadcast cross join of two dimension-sized
+    * relations, and the final census is one global aggregate.
+    *
+    * Determinism (D2/D12): each cell's χ² term is ((o·N − r·c)² ·
+    * 1e6) div (N·r·c) — the square stages through DECIMAL(38,0) /
+    * HUGEINT (diff ≤ N² ≈ 2.25e10 at the 10× probe; squared ≈ 5e20
+    * needs 128-bit before the ×1e6). Per-cell floor division is
+    * engine-identical, so chi2_e6 is a pure int64 sum; only the final
+    * sqrt(φ²/k) is double, from the same int on both sides.
+    */
+  private val aggCramersV = QueryDef(
+    "q_agg_cramers_v",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_mktsegment").as("seg"),
+          col("c_nationkey").cast("long").as("nat"))
+      // one corpus pass; everything below re-aggregates these cells
+      val obs = graft.Caches.scoped(cust.groupBy(col("seg"), col("nat"))
+        .agg(count(lit(1)).as("o")))
+      val rows = obs.groupBy(col("seg")).agg(sum(col("o")).as("r"))
+      val cols = obs.groupBy(col("nat")).agg(sum(col("o")).as("c"))
+      val tot = obs.agg(sum(col("o")).as("n"),
+        count_distinct(col("seg")).as("n_seg"),
+        count_distinct(col("nat")).as("n_nat"))
+      rows.crossJoin(cols)
+        .join(obs, Seq("seg", "nat"), "left")
+        .withColumn("o0", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("term_e6",
+          expr("""cast(cast(o0 * n - r * c as decimal(38,0))
+                 |  * cast(o0 * n - r * c as decimal(38,0)) * 1000000
+                 |  div (cast(n as decimal(38,0)) * r * c) as bigint)"""
+            .stripMargin))
+        .groupBy(col("n"), col("n_seg"), col("n_nat"))
+        .agg(sum(col("term_e6")).as("chi2_e6"))
+        .withColumn("v2_e6",
+          expr("chi2_e6 div (n * (least(n_seg, n_nat) - 1))"))
+        .withColumn("cramers_v",
+          sqrt(col("v2_e6").cast("double") / 1000000d))
+        .select(col("n"), col("n_seg"), col("n_nat"), col("chi2_e6"),
+          col("v2_e6"), col("cramers_v"))
+        .orderBy(ascf("n"))
+    },
+    Some("""WITH obs AS (SELECT c_mktsegment AS seg,
+           |    CAST(c_nationkey AS BIGINT) AS nat, count(*) AS o
+           |  FROM customer GROUP BY 1, 2),
+           |r AS (SELECT seg, CAST(sum(o) AS BIGINT) AS r FROM obs
+           |  GROUP BY seg),
+           |c AS (SELECT nat, CAST(sum(o) AS BIGINT) AS c FROM obs
+           |  GROUP BY nat),
+           |t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+           |    CAST(count(DISTINCT seg) AS BIGINT) AS n_seg,
+           |    CAST(count(DISTINCT nat) AS BIGINT) AS n_nat FROM obs),
+           |cells AS (SELECT r.seg, c.nat, r.r, c.c,
+           |    CAST(coalesce(obs.o, 0) AS BIGINT) AS o0
+           |  FROM r CROSS JOIN c
+           |  LEFT JOIN obs ON obs.seg = r.seg AND obs.nat = c.nat),
+           |chi AS (SELECT t.n, t.n_seg, t.n_nat,
+           |    CAST(sum(CAST(o0 * n - r * c AS HUGEINT)
+           |      * CAST(o0 * n - r * c AS HUGEINT) * 1000000
+           |      // (CAST(n AS HUGEINT) * r * c)) AS BIGINT) AS chi2_e6
+           |  FROM cells CROSS JOIN t
+           |  GROUP BY 1, 2, 3)
+           |SELECT n, n_seg, n_nat, chi2_e6,
+           |  CAST(chi2_e6 // (n * (least(n_seg, n_nat) - 1)) AS BIGINT)
+           |    AS v2_e6,
+           |  sqrt(CAST(chi2_e6 // (n * (least(n_seg, n_nat) - 1))
+           |    AS DOUBLE) / 1000000) AS cramers_v
+           |FROM chi ORDER BY n ASC NULLS FIRST""".stripMargin))
+
+  /** Mann–Whitney U / Wilcoxon rank-sum census (round 7): are returned
+    * ('A') line items priced differently from refused ('R') ones? The
+    * nonparametric two-sample location test — the distribution-free
+    * alternative to a t-test, and via AUC = U/(n₁n₂) the EXACT
+    * statistic behind ROC-AUC evaluation of any scorer (the q_profile_ks
+    * twin: KS compares CDFs' max gap, U compares the whole mass).
+    *
+    * Rank computation never sorts the corpus row-by-row: rows collapse
+    * to the distinct-VALUE relation first (one hash aggregate keeping
+    * per-value counts for both samples), then one window over that
+    * value-distinct sketch assigns midrank mass algebraically — ties get
+    * the exact average rank via 2·rank arithmetic (the doubled sum
+    * 2R_A = Σ n_A(v)·(2·cum_less(v) + t(v) + 1) is integer even when
+    * midranks are .5).
+    *
+    * Scale: the "reduce, then window the sketch" layout (q_agg_skyline
+    * precedent) — the unpartitioned window scans value-distinct rows
+    * (≤ distinct prices), never the table; at fleet scale that window
+    * becomes a range-partitioned prefix sum.
+    *
+    * Determinism (D2/D12): cent-exact prices; all rank mass is int64
+    * (2R_A ≤ 2n² ≈ 3.2e13 at the 10× probe); the e6 effect sizes stage
+    * the ×1e6 through DECIMAL(38,0)/HUGEINT where u2·1e6 would pass
+    * 2⁶³.
+    */
+  private val aggMannWhitney = QueryDef(
+    "q_agg_mannwhitney",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val vals = Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select((dec(col("l_extendedprice")) * 100).cast("long").as("v"),
+          when(col("l_returnflag") === "A", 1L).otherwise(0L).as("a"))
+      val byVal = vals.groupBy(col("v"))
+        .agg(sum(col("a")).as("na"), sum(lit(1L) - col("a")).as("nb"))
+      val w = Window.orderBy(ascf("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byVal
+        .withColumn("cum_less",
+          coalesce(sum(col("na") + col("nb")).over(w), lit(0L)))
+        .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+          sum(col("na") * (lit(2L) * col("cum_less") + col("na")
+            + col("nb") + lit(1L))).as("r2_a"))
+        .withColumn("u2_a", col("r2_a") - col("n_a") * (col("n_a") + 1L))
+        .withColumn("auc_e6",
+          expr("""cast(cast(u2_a as decimal(38,0)) * 1000000
+                 |  div (2 * cast(n_a as decimal(38,0)) * n_b) as bigint)"""
+            .stripMargin))
+        .withColumn("rb_e6",
+          expr("""cast(cast(u2_a as decimal(38,0)) * 1000000
+                 |  div (cast(n_a as decimal(38,0)) * n_b) - 1000000
+                 |  as bigint)""".stripMargin))
+        .select(col("n_a"), col("n_b"), col("r2_a"), col("u2_a"),
+          col("auc_e6"), col("rb_e6"))
+        .orderBy(ascf("n_a"))
+    },
+    Some("""WITH vals AS (SELECT
+           |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+           |      AS BIGINT) AS v,
+           |    CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS a
+           |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+           |byval AS (SELECT v, CAST(sum(a) AS BIGINT) AS na,
+           |    CAST(sum(1 - a) AS BIGINT) AS nb
+           |  FROM vals GROUP BY v),
+           |cum AS (SELECT v, na, nb,
+           |    coalesce(CAST(sum(na + nb) OVER (ORDER BY v ASC NULLS FIRST
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS BIGINT), 0) AS cum_less
+           |  FROM byval),
+           |agg AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+           |    CAST(sum(nb) AS BIGINT) AS n_b,
+           |    CAST(sum(na * (2 * cum_less + na + nb + 1)) AS BIGINT)
+           |      AS r2_a
+           |  FROM cum),
+           |u AS (SELECT n_a, n_b, r2_a,
+           |    r2_a - n_a * (n_a + 1) AS u2_a FROM agg)
+           |SELECT n_a, n_b, r2_a, CAST(u2_a AS BIGINT) AS u2_a,
+           |  CAST(CAST(u2_a AS HUGEINT) * 1000000
+           |    // (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS auc_e6,
+           |  CAST(CAST(u2_a AS HUGEINT) * 1000000
+           |    // (CAST(n_a AS HUGEINT) * n_b) - 1000000 AS BIGINT)
+           |    AS rb_e6
+           |FROM u ORDER BY n_a ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggQ18, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
     aggPercentile, aggPivot, aggUnpivot, aggGrouping, aggMode, aggBitset,
     aggEntropy, aggQ14, aggQ6, aggGini, aggHhi, aggFiltered, aggSkyline,
-    aggPareto, aggBasketLift)
+    aggPareto, aggBasketLift, aggCramersV, aggMannWhitney)
 }
