@@ -221,7 +221,9 @@ object ScaleProbe {
         // round-7 batch 66: directed motifs, DAU/MAU stickiness
         "q_graph_motifs", "q_ts_dau_mau",
         // round-7 batch 67: categorical association, rank-sum test
-        "q_agg_cramers_v", "q_agg_mannwhitney")
+        "q_agg_cramers_v", "q_agg_mannwhitney",
+        // round-7 batch 68: SAX day-words, Simpson diversity
+        "q_ts_sax", "q_text_simpson")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

@@ -1987,10 +1987,70 @@ object Text {
         |ORDER BY c.lang ASC NULLS FIRST, c.pred_lang ASC NULLS FIRST"""
         .stripMargin))
 
+  /** Simpson lexical-diversity census per language (round 7): the
+    * probability two tokens drawn without replacement are the SAME
+    * word — Simpson's D = Σ n_w(n_w−1) / (N(N−1)) — plus its inverse
+    * (the "effective vocabulary": how many equally-common words would
+    * produce this concentration) and Berger–Parker dominance
+    * (top word share). The repetition-sensitive complement of
+    * q_text_vocab's TTR and q_agg_entropy: TTR counts types, entropy
+    * weights all of the tail logarithmically, D is dominated by the
+    * HEAD — a templated/boilerplate shard spikes D long before TTR
+    * moves (ecology's diversity index, applied to corpus QA).
+    *
+    * Scale: one explode → (lang, word) partial agg is the only
+    * corpus-sized shuffle (the q_text_vocab plan); the diversity
+    * census re-aggregates the vocabulary-sized frequency relation.
+    *
+    * Determinism (D2/D12): all moments are int64 (Σ n(n−1) ≈ N²/V ≤
+    * ~1e16 at the 10× probe); the e6 ratios floor-divide, staging
+    * N(N−1)·1e6 through DECIMAL(38,0)/HUGEINT where it would pass 2⁶³.
+    */
+  private val simpson = QueryDef(
+    "q_text_simpson",
+    (s, d) => {
+      val freq = Tables.documents(s, d)
+        .select(col("lang"), explode(toks).as("w"))
+        .groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("f"))
+      freq.groupBy(col("lang"))
+        .agg(sum(col("f")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(col("f") * (col("f") - 1L)).as("sum_nn1"),
+          max(col("f")).as("max_f"))
+        .select(col("lang"), col("n_tokens"), col("vocab"),
+          expr("""cast(cast(sum_nn1 as decimal(38,0)) * 1000000
+                 |  div (cast(n_tokens as decimal(38,0))
+                 |    * (n_tokens - 1)) as bigint)""".stripMargin)
+            .as("simpson_e6"),
+          expr("""cast(cast(n_tokens as decimal(38,0)) * (n_tokens - 1)
+                 |  * 1000000 div cast(sum_nn1 as decimal(38,0))
+                 |  as bigint)""".stripMargin).as("inv_simpson_e6"),
+          expr("(max_f * 1000000) div n_tokens").as("berger_e6"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH f AS (SELECT lang, w, count(*) AS f
+           |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+           |        FROM documents)
+           |  GROUP BY lang, w),
+           |m AS (SELECT lang, CAST(sum(f) AS BIGINT) AS n_tokens,
+           |    count(*) AS vocab,
+           |    CAST(sum(f * (f - 1)) AS BIGINT) AS sum_nn1,
+           |    CAST(max(f) AS BIGINT) AS max_f
+           |  FROM f GROUP BY lang)
+           |SELECT lang, n_tokens, vocab,
+           |  CAST(CAST(sum_nn1 AS HUGEINT) * 1000000
+           |    // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+           |    AS BIGINT) AS simpson_e6,
+           |  CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1) * 1000000
+           |    // CAST(sum_nn1 AS HUGEINT) AS BIGINT) AS inv_simpson_e6,
+           |  CAST((max_f * 1000000) // n_tokens AS BIGINT) AS berger_e6
+           |FROM m ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,
     langid, quality, tokens, fingerprint, levenshteinPairs, tfidf,
     collocations, vocab, zipf, keyphrase, bigramLm, perplexity, bpe,
     textUnicode, bm25, bpeEncode, winnowing, stem, hashvec, lexicon,
-    divergence, reassembly, generate, langConfusion)
+    divergence, reassembly, generate, langConfusion, simpson)
 }

@@ -2048,10 +2048,103 @@ object TimeSeries {
            |FROM dau JOIN mau ON dau.mo = mau.mo
            |ORDER BY month_us ASC NULLS FIRST""".stripMargin))
 
+  /** SAX symbolization census (round 7): each event type's activity
+    * series compressed to one 4-symbol WORD per day — PAA over four
+    * 6-hour segments, each segment's total symbolized into an
+    * equal-depth quartile alphabet (1..4; an absent segment reads 0).
+    * Symbolic Aggregate approXimation is the standard front-end for
+    * series indexing/motif discovery/anomaly flagging at scale: words
+    * are joinable integers, so "find days shaped like this" becomes a
+    * hash join instead of a distance scan (the time-series analogue of
+    * what q_dedup_minhash_exact does for documents).
+    *
+    * Equal-depth (empirical-quartile) breakpoints rather than the
+    * classic Gaussian table: rank-based, so symbolization is exact
+    * integer work — no mean/stddev normalization, no float breakpoint
+    * literals to keep in sync across engines. Segment TOTALS stand in
+    * for PAA means (equal-width segments ⇒ same order, and missing
+    * hours count 0 implicitly).
+    *
+    * Scale: the corpus collapses to hour-grain counts in one partial
+    * agg; segments, ntile symbolization, day-words, and the census all
+    * run on that sketch (per-type windows over ≤ hours/6 rows — range-
+    * partitioned prefix ranks at fleet scale). Output per type: day
+    * and distinct-word counts, the modal word (argmax count, min-word
+    * tiebreak), and Σ word as a path checksum pinning every symbol.
+    *
+    * Determinism (D1/D12): ntile over the total order (ssum, seg) is
+    * engine-identical (standard SQL first-buckets-larger split); words
+    * are 4-digit ints; ties in the modal word break on the total order
+    * (n DESC, word ASC).
+    */
+  private val sax = QueryDef(
+    "q_ts_sax",
+    (s, d) => {
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"),
+          floorDiv(unix_micros(col("ts")), HourUs).as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("c"))
+      val seg = hourly
+        .groupBy(col("event_type"), floorDiv(col("hr"), 6L).as("seg"))
+        .agg(sum(col("c")).as("ssum"))
+      val wq = Window.partitionBy(col("event_type"))
+        .orderBy(ascf("ssum"), ascf("seg"))
+      val words = seg
+        .withColumn("sym", ntile(4).over(wq).cast("long"))
+        .groupBy(col("event_type"), floorDiv(col("seg"), 4L).as("day"))
+        .agg(sum(col("sym") *
+          expr("cast(pow(10, 3 - (seg % 4)) as bigint)")).as("word"))
+      val counts = words.groupBy(col("event_type"), col("word"))
+        .agg(count(lit(1)).as("n"))
+      val wTop = Window.partitionBy(col("event_type"))
+        .orderBy(descl("n"), ascf("word"))
+      val top = counts.withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("word").as("top_word"),
+          col("n").as("top_word_n"))
+      words.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          count_distinct(col("word")).as("n_words"),
+          sum(col("word")).as("words_checksum"))
+        .join(top, Seq("event_type"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH h AS (SELECT event_type,
+           |    epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+           |  FROM events GROUP BY 1, 2),
+           |seg AS (SELECT event_type, hr // 6 AS seg,
+           |    CAST(sum(c) AS BIGINT) AS ssum
+           |  FROM h GROUP BY 1, 2),
+           |sym AS (SELECT event_type, seg,
+           |    CAST(ntile(4) OVER (PARTITION BY event_type
+           |      ORDER BY ssum ASC, seg ASC) AS BIGINT) AS sym
+           |  FROM seg),
+           |words AS (SELECT event_type, seg // 4 AS day,
+           |    CAST(sum(sym * CAST(pow(10, 3 - (seg % 4)) AS BIGINT))
+           |      AS BIGINT) AS word
+           |  FROM sym GROUP BY 1, 2),
+           |wc AS (SELECT event_type, word, count(*) AS n
+           |  FROM words GROUP BY 1, 2),
+           |top AS (SELECT event_type, word AS top_word,
+           |    CAST(n AS BIGINT) AS top_word_n
+           |  FROM (SELECT event_type, word, n, row_number() OVER (
+           |      PARTITION BY event_type ORDER BY n DESC, word ASC) AS rk
+           |    FROM wc)
+           |  WHERE rk = 1),
+           |census AS (SELECT event_type, count(*) AS n_days,
+           |    CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+           |    CAST(sum(word) AS BIGINT) AS words_checksum
+           |  FROM words GROUP BY 1)
+           |SELECT c.event_type, c.n_days, c.n_words, c.words_checksum,
+           |  t.top_word, t.top_word_n
+           |FROM census c JOIN top t ON c.event_type = t.event_type
+           |ORDER BY c.event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
       theilSen, attrib, transitions, downsample, evalWape, latency,
       period, crossCorr, movingMedian, tsRate, dtw, anomalyMad, bollinger,
-      decompose, growth, dauMau)
+      decompose, growth, dauMau, sax)
 }
