@@ -1168,6 +1168,114 @@ object Clustering {
            |FROM g
            |ORDER BY bin ASC NULLS FIRST""".stripMargin))
 
+  /** Brier score with the Murphy decomposition (round 7): the proper
+    * scoring rule for probabilistic classifiers — mean squared error
+    * between forecast probability and 0/1 outcome — split into
+    * reliability (calibration error), resolution (how much the
+    * forecaster separates outcomes), and uncertainty (base-rate
+    * variance): Brier ≈ REL − RES + UNC. Completes the evaluation
+    * tier: confusion (hard labels) ✓ calibration curve (per-bin) ✓
+    * Brier (one proper-score number + its diagnosis) ✓. Graded on the
+    * same forecaster as q_ml_calibration (the quantity-bin propensity
+    * rule scoring y = high-price), so curve and score cannot drift.
+    *
+    * The forecast is constant within a bin, so the row-level squared
+    * error collapses algebraically: Σ_rows (p−y)² = n·p² − 2p·pos +
+    * pos·1e12 (y² = y) — bin-grain aggregates suffice, no row-level
+    * re-join of predictions.
+    *
+    * Scale: one corpus pass builds the bin-grain (n, pos, lo, hi)
+    * relation; score and decomposition are censuses over ≤ 10 bins
+    * with a broadcast 1-row base rate.
+    *
+    * Determinism (D2/D12): p, o, ō in e6 by floor division; all
+    * squared-error sums stage through DECIMAL(38,0)/HUGEINT (n·p² ≈
+    * 6e18 at the 10× probe passes 2⁶³); each output is one floor
+    * division of exact integers.
+    */
+  private val brier = QueryDef(
+    "q_ml_brier",
+    (s, d) => {
+      val li = graft.Tables.lineitem(s, d).select(
+        col("l_quantity").cast("long").as("qty"),
+        when(col("l_extendedprice") >= 52000.0, lit(1L)).otherwise(lit(0L))
+          .as("y"))
+      val bins = li.withColumn("bin", expr("(qty - 1) div 5"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_k"), sum(col("y")).as("pos_k"),
+          min(col("qty")).as("qty_lo"), max(col("qty")).as("qty_hi"))
+        .withColumn("p_k",
+          expr("""CASE WHEN qty_lo >= 25 THEN 1000000
+                 | WHEN qty_hi < 25 THEN 0
+                 | ELSE ((qty_hi - 25 + 1) * 1000000)
+                 |   div (qty_hi - qty_lo + 1) END""".stripMargin))
+        .withColumn("o_k", expr("(pos_k * 1000000) div n_k"))
+      val base = bins.agg(sum(col("n_k")).as("n"),
+        sum(col("pos_k")).as("pos"))
+        .withColumn("obar", expr("(pos * 1000000) div n"))
+      bins.crossJoin(broadcast(base))
+        .groupBy(col("n"), col("pos"), col("obar"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(expr("""cast(n_k as decimal(38,0)) * p_k * p_k
+                     |  - 2 * cast(p_k as decimal(38,0)) * pos_k * 1000000
+                     |  + cast(pos_k as decimal(38,0)) * 1000000000000"""
+            .stripMargin)).as("sq"),
+          sum(expr("""cast(n_k as decimal(38,0)) * (p_k - o_k)
+                     |  * (p_k - o_k)""".stripMargin)).as("rel"),
+          sum(expr("""cast(n_k as decimal(38,0)) * (o_k - obar)
+                     |  * (o_k - obar)""".stripMargin)).as("res"))
+        .select(col("n"), col("n_bins"),
+          expr("cast(sq div (cast(n as decimal(38,0)) * 1000000) as bigint)")
+            .as("brier_e6"),
+          expr("cast(rel div (cast(n as decimal(38,0)) * 1000000) as bigint)")
+            .as("reliability_e6"),
+          expr("cast(res div (cast(n as decimal(38,0)) * 1000000) as bigint)")
+            .as("resolution_e6"),
+          expr("(obar * (1000000 - obar)) div 1000000")
+            .as("uncertainty_e6"))
+        .orderBy(ascf("n"))
+    },
+    Some("""WITH b AS (SELECT
+           |    (CAST(l_quantity AS BIGINT) - 1) // 5 AS bin,
+           |    CAST(l_quantity AS BIGINT) AS qty,
+           |    CASE WHEN l_extendedprice >= 52000.0 THEN 1 ELSE 0 END AS y
+           |  FROM lineitem),
+           |g AS (SELECT bin, count(*) AS n_k,
+           |    CAST(sum(y) AS BIGINT) AS pos_k,
+           |    min(qty) AS qty_lo, max(qty) AS qty_hi
+           |  FROM b GROUP BY bin),
+           |p AS (SELECT *,
+           |    CAST(CASE WHEN qty_lo >= 25 THEN 1000000
+           |      WHEN qty_hi < 25 THEN 0
+           |      ELSE ((qty_hi - 25 + 1) * 1000000)
+           |        // (qty_hi - qty_lo + 1) END AS BIGINT) AS p_k,
+           |    CAST((pos_k * 1000000) // n_k AS BIGINT) AS o_k
+           |  FROM g),
+           |t AS (SELECT CAST(sum(n_k) AS BIGINT) AS n,
+           |    CAST(sum(pos_k) AS BIGINT) AS pos FROM p),
+           |t2 AS (SELECT n, pos,
+           |    CAST((pos * 1000000) // n AS BIGINT) AS obar FROM t),
+           |a AS (SELECT t2.n, t2.obar, count(*) AS n_bins,
+           |    sum(CAST(n_k AS HUGEINT) * p_k * p_k
+           |      - 2 * CAST(p_k AS HUGEINT) * pos_k * 1000000
+           |      + CAST(pos_k AS HUGEINT) * 1000000000000) AS sq,
+           |    sum(CAST(n_k AS HUGEINT) * (p_k - o_k) * (p_k - o_k))
+           |      AS rel,
+           |    sum(CAST(n_k AS HUGEINT) * (o_k - t2.obar)
+           |      * (o_k - t2.obar)) AS res
+           |  FROM p CROSS JOIN t2
+           |  GROUP BY t2.n, t2.obar)
+           |SELECT n, CAST(n_bins AS BIGINT) AS n_bins,
+           |  CAST(sq // (CAST(n AS HUGEINT) * 1000000) AS BIGINT)
+           |    AS brier_e6,
+           |  CAST(rel // (CAST(n AS HUGEINT) * 1000000) AS BIGINT)
+           |    AS reliability_e6,
+           |  CAST(res // (CAST(n AS HUGEINT) * 1000000) AS BIGINT)
+           |    AS resolution_e6,
+           |  CAST((obar * (1000000 - obar)) // 1000000 AS BIGINT)
+           |    AS uncertainty_e6
+           |FROM a ORDER BY n ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(kmeans, perceptron, naiveBayes, stump,
-    linreg, knn, tree, confusion, alsStep, calibration)
+    linreg, knn, tree, confusion, alsStep, calibration, brier)
 }

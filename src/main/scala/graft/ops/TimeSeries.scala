@@ -2141,10 +2141,121 @@ object TimeSeries {
            |FROM census c JOIN top t ON c.event_type = t.event_type
            |ORDER BY c.event_type ASC NULLS FIRST""".stripMargin))
 
+  /** Permutation entropy census (round 7): the Shannon entropy of
+    * order-3 ORDINAL patterns over each event type's hourly count
+    * series — the standard complexity/regularity statistic (Bandt &
+    * Pompe): a flat/periodic series concentrates on few up/down shapes
+    * (low PE), noise spreads over all of them (high PE). The shape
+    * complement of q_ts_autocorr's linear memory — PE sees nonlinear
+    * structure correlation misses, and it is rank-based, so the
+    * symbolization is exact integer work (no normalization).
+    *
+    * Patterns include ties as their own symbols: code = 9·s(c₂−c₁) +
+    * 3·s(c₃−c₂) + s(c₃−c₁) with s ∈ {0 below, 1 equal, 2 above} —
+    * 27 codes, of which the 13 consistent orderings occur. Windows
+    * slide over consecutive PRESENT hours (the sampled-series
+    * convention; absent hours are gaps, not zeros — the zero-filled
+    * variant is q_win_gapfill's domain).
+    *
+    * Scale: one hour-grain partial agg collapses the corpus; the lag
+    * windows, the 27-row-per-type pattern census, and the entropy sum
+    * all run on that sketch. ln through [[graft.functions.DetMath]]
+    * (D12: bit-identical staged series on both engines).
+    */
+  private val permEntropy = QueryDef(
+    "q_ts_perm_entropy",
+    (s, d) => {
+      import graft.functions.DetMath
+      def sgn(x: org.apache.spark.sql.Column) =
+        when(x < 0, 0L).when(x === 0, 1L).otherwise(2L)
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"),
+          floorDiv(unix_micros(col("ts")), HourUs).as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(ascf("hr"))
+      val pat = hourly
+        .withColumn("c1", lag(col("c"), 2).over(w))
+        .withColumn("c2", lag(col("c"), 1).over(w))
+        .filter(col("c1").isNotNull)
+        .select(col("event_type"),
+          (sgn(col("c2") - col("c1")) * 9
+            + sgn(col("c") - col("c2")) * 3
+            + sgn(col("c") - col("c1"))).as("code"))
+      val cnt = graft.Caches.scoped(pat
+        .groupBy(col("event_type"), col("code"))
+        .agg(count(lit(1)).as("pc")))
+      val tot = cnt.groupBy(col("event_type")).agg(sum(col("pc")).as("n"))
+      val wTop = Window.partitionBy(col("event_type"))
+        .orderBy(descl("pc"), ascf("code"))
+      val top = cnt.withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("code").as("top_code"),
+          col("pc").as("top_code_n"))
+      cnt.join(tot, "event_type")
+        .withColumn("term_e6",
+          floor((DetMath.lnInt(col("n")) - DetMath.lnInt(col("pc")))
+            * lit(1000000.0) * col("pc").cast("double")).cast("long"))
+        .groupBy(col("event_type"), col("n"))
+        .agg(count(lit(1)).as("n_patterns"),
+          sum(col("term_e6")).as("se"))
+        .select(col("event_type"), col("n").as("n_windows"),
+          col("n_patterns"), expr("se div n").as("pe_e6"))
+        .join(top, Seq("event_type"))
+        .orderBy(ascf("event_type"))
+    },
+    Some {
+      import graft.functions.DetMath._
+      s"""WITH h AS (SELECT event_type,
+         |    epoch_us(ts) // 3600000000 AS hr, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |lagd AS (SELECT event_type,
+         |    lag(c, 2) OVER w AS c1, lag(c, 1) OVER w AS c2, c AS c3
+         |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr ASC)),
+         |pat AS (SELECT event_type,
+         |    (CASE WHEN c2 < c1 THEN 0 WHEN c2 = c1 THEN 1 ELSE 2 END) * 9
+         |    + (CASE WHEN c3 < c2 THEN 0 WHEN c3 = c2 THEN 1 ELSE 2 END) * 3
+         |    + (CASE WHEN c3 < c1 THEN 0 WHEN c3 = c1 THEN 1 ELSE 2 END)
+         |      AS code
+         |  FROM lagd WHERE c1 IS NOT NULL),
+         |cnt AS (SELECT event_type, code, count(*) AS pc
+         |  FROM pat GROUP BY 1, 2),
+         |tot AS (SELECT event_type, CAST(sum(pc) AS BIGINT) AS n
+         |  FROM cnt GROUP BY 1),
+         |top AS (SELECT event_type, CAST(code AS BIGINT) AS top_code,
+         |    CAST(pc AS BIGINT) AS top_code_n
+         |  FROM (SELECT event_type, code, pc, row_number() OVER (
+         |      PARTITION BY event_type ORDER BY pc DESC, code ASC) AS rk
+         |    FROM cnt)
+         |  WHERE rk = 1),
+         |j AS (SELECT cnt.event_type, cnt.pc, tot.n
+         |  FROM cnt JOIN tot ON cnt.event_type = tot.event_type),
+         |r1 AS (SELECT *, ${kSql("n")} AS kn, ${kSql("pc")} AS kc FROM j),
+         |r2 AS (SELECT *, ${mSql("n", "kn")} AS mn,
+         |    ${mSql("pc", "kc")} AS mc FROM r1),
+         |r3 AS (SELECT *, ${zSql("mn")} AS zn, ${zSql("mc")} AS zc FROM r2),
+         |r4 AS (SELECT *, zn * zn AS z2n, zc * zc AS z2c FROM r3),
+         |r5 AS (SELECT *, ${hornerSql("z2n")} AS hn,
+         |    ${hornerSql("z2c")} AS hc FROM r4),
+         |tm AS (SELECT event_type, n, CAST(floor(
+         |    (${lnSql("kn", "zn", "hn")} - ${lnSql("kc", "zc", "hc")})
+         |      * CAST(1000000 AS DOUBLE) * CAST(pc AS DOUBLE)) AS BIGINT)
+         |    AS term_e6 FROM r5),
+         |pe AS (SELECT event_type, n AS n_windows,
+         |    count(*) AS n_patterns,
+         |    CAST(sum(term_e6) // n AS BIGINT) AS pe_e6
+         |  FROM tm GROUP BY event_type, n)
+         |SELECT pe.event_type, pe.n_windows,
+         |  CAST(pe.n_patterns AS BIGINT) AS n_patterns, pe.pe_e6,
+         |  top.top_code, top.top_code_n
+         |FROM pe JOIN top ON pe.event_type = top.event_type
+         |ORDER BY pe.event_type ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
       theilSen, attrib, transitions, downsample, evalWape, latency,
       period, crossCorr, movingMedian, tsRate, dtw, anomalyMad, bollinger,
-      decompose, growth, dauMau, sax)
+      decompose, growth, dauMau, sax, permEntropy)
 }
