@@ -225,7 +225,9 @@ object ScaleProbe {
         // round-7 batch 68: SAX day-words, Simpson diversity
         "q_ts_sax", "q_text_simpson",
         // round-7 batch 69: Brier decomposition, permutation entropy
-        "q_ml_brier", "q_ts_perm_entropy")
+        "q_ml_brier", "q_ts_perm_entropy",
+        // round-7 batch 70: RLE codec census, eccentricity/diameter
+        "q_mm_rle", "q_graph_eccentric")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

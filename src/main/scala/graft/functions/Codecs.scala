@@ -111,6 +111,56 @@ object Codecs {
     }
   }
 
+  /** Run-length coding: magic "RLE1" + LE raw length + (value byte,
+    * LE int32 run length) pairs. The run length is 32-bit rather than
+    * the classic one byte so a run NEVER splits — pair count therefore
+    * equals the true boundary-change count, which is what the oracle
+    * recomputes from source characters (a capped-length format would
+    * make pair count depend on cap-splitting arithmetic the SQL side
+    * can't cheaply mirror). decode validates magic, exact decoded
+    * length, and positive run lengths, so a broken encode cannot
+    * round-trip.
+    */
+  object Rle {
+    val Magic = "RLE1"
+
+    /** Returns the encoded bytes; n_runs = (length − 8) / 5. */
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Byte, Int)]
+      var i = 0
+      while (i < raw.length) {
+        var j = i + 1
+        while (j < raw.length && raw(j) == raw(i)) j += 1
+        runs += ((raw(i), j - i)); i = j
+      }
+      val bb = ByteBuffer.allocate(8 + 5 * runs.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(Magic.getBytes("US-ASCII")).putInt(raw.length)
+      runs.foreach { case (v, n) => bb.put(v).putInt(n) }
+      bb.array()
+    }
+
+    /** Returns the decoded bytes; validates magic/length/run shape. */
+    def decode(bytes: Array[Byte]): Array[Byte] = {
+      require(bytes.length >= 8 && (bytes.length - 8) % 5 == 0,
+        s"bad RLE container: ${bytes.length} bytes")
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val t = new Array[Byte](4); bb.get(t)
+      require(new String(t, "US-ASCII") == Magic, "bad RLE magic")
+      val rawLen = bb.getInt
+      require(rawLen >= 0, s"negative raw length $rawLen")
+      val out = new Array[Byte](rawLen)
+      var pos = 0
+      while (bb.remaining() >= 5) {
+        val v = bb.get(); val n = bb.getInt
+        require(n > 0 && pos + n <= rawLen, s"bad run length $n at $pos")
+        java.util.Arrays.fill(out, pos, pos + n, v); pos += n
+      }
+      require(pos == rawLen, s"decoded $pos of $rawLen bytes")
+      out
+    }
+  }
+
   /** GENUINELY COMPRESSED container: magic "GZC1" + LE raw length +
     * LE Adler-32 of the raw bytes + a raw DEFLATE stream
     * (`java.util.zip.Deflater`/`Inflater`, nowrap) — the JDK ships the

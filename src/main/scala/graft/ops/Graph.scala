@@ -1465,7 +1465,103 @@ object Graph {
            |FROM ne CROSS JOIN ff CROSS JOIN cyc
            |ORDER BY n_edges ASC NULLS FIRST""".stripMargin))
 
+  /** Eccentricity / radius / diameter census (round 7): per-node
+    * longest shortest path over the trade graph, with the graph's
+    * center (ecc = radius) and periphery (ecc = diameter) flagged —
+    * the placement/latency-bound statistic (how far can a message
+    * originating here have to travel). The all-pairs complement of
+    * q_graph_bfs (one source) and q_graph_closeness (5 seeds, average
+    * nearness): eccentricity is the worst case, so it needs every
+    * pair.
+    *
+    * All-pairs distances by MIN-PLUS DOUBLING, not per-seed BFS: 3
+    * rounds of dist ∪ (dist ⋈ dist) reach 2³ = 8 hops — O(log D)
+    * rounds over the node²-bounded distance relation (625 rows here),
+    * never the fact table. `statsTruncate` between rounds per the
+    * q_graph_mst precedent (self-join loops compound size estimates
+    * exponentially). Unreachable pairs simply never appear; ecc is
+    * over the reachable set and n_reach exposes it.
+    *
+    * Determinism: pure integer hop counts; flags by equality against
+    * the broadcast 1-row radius/diameter census.
+    */
+  private val eccentric = QueryDef(
+    "q_graph_eccentric",
+    (s, d) => {
+      val und = undirectedTop3(s, d)
+      val adj = und.select(col("a").as("u"), col("b").as("v"))
+        .union(und.select(col("b").as("u"), col("a").as("v")))
+      val nodes = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("node"))
+      var dist = adj.select(col("u").as("a"), col("v").as("b"),
+          lit(1L).as("dd"))
+        .union(nodes.select(col("node").as("a"), col("node").as("b"),
+          lit(0L).as("dd")))
+      for (_ <- 1 to 3) {
+        val comp = dist.as("x")
+          .join(dist.select(col("a").as("a2"), col("b").as("b2"),
+            col("dd").as("dd2")), col("b") === col("a2"))
+          .select(col("a"), col("b2").as("b"),
+            (col("dd") + col("dd2")).as("dd"))
+        dist = graft.Dsl.statsTruncate(
+          dist.union(comp).groupBy(col("a"), col("b"))
+            .agg(min(col("dd")).as("dd")))
+      }
+      val ecc = dist.groupBy(col("a"))
+        .agg(max(col("dd")).as("ecc"), count(lit(1)).as("n_reach"))
+      val rd = ecc.agg(min(col("ecc")).as("radius"),
+        max(col("ecc")).as("diameter"))
+      ecc.crossJoin(broadcast(rd))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))),
+          col("a") === col("nk"))
+        .select(col("n_name"), col("ecc"), col("n_reach"),
+          (col("ecc") === col("radius")).cast("long").as("is_central"),
+          (col("ecc") === col("diameter")).cast("long").as("is_peripheral"))
+        .orderBy(ascf("n_name"))
+    },
+    Some {
+      // every round referenced twice (x ⋈ y) — MATERIALIZED per the
+      // q_ml_kmeans precedent, else DuckDB inlines each reference and
+      // the corpus-scan CTE under d0 re-expands 2^rounds times
+      def round(i: Int): String = {
+        val p = s"d${i - 1}"
+        s"""d$i AS MATERIALIZED (SELECT a, b, CAST(min(dd) AS BIGINT) AS dd
+           |  FROM (
+           |    SELECT a, b, dd FROM $p
+           |    UNION ALL
+           |    SELECT x.a, y.b, x.dd + y.dd
+           |    FROM $p x JOIN $p y ON x.b = y.a)
+           |  GROUP BY a, b)""".stripMargin
+      }
+      s"""WITH $UndSql,
+         |adj AS (SELECT a AS u, b AS v FROM und
+         |  UNION ALL SELECT b AS u, a AS v FROM und),
+         |d0 AS MATERIALIZED (
+         |  SELECT CAST(u AS BIGINT) AS a, CAST(v AS BIGINT) AS b,
+         |    CAST(1 AS BIGINT) AS dd FROM adj
+         |  UNION ALL
+         |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+         |    CAST(0 AS BIGINT) FROM nation),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |ecc AS (SELECT a, max(dd) AS ecc, count(*) AS n_reach
+         |  FROM d3 GROUP BY a),
+         |rd AS (SELECT min(ecc) AS radius, max(ecc) AS diameter FROM ecc)
+         |SELECT n.n_name, CAST(ecc.ecc AS BIGINT) AS ecc,
+         |  CAST(ecc.n_reach AS BIGINT) AS n_reach,
+         |  CAST(CASE WHEN ecc.ecc = rd.radius THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_central,
+         |  CAST(CASE WHEN ecc.ecc = rd.diameter THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_peripheral
+         |FROM ecc CROSS JOIN rd
+         |JOIN nation n ON ecc.a = n.n_nationkey
+         |ORDER BY n.n_name ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(pagerank, triangles, bfs, degree,
     graphJaccard, labelProp, closeness, scc, kcore, copurchase,
-    adamicAdar, hits, assortativity, reciprocity, clustering, mst, motifs)
+    adamicAdar, hits, assortativity, reciprocity, clustering, mst, motifs,
+    eccentric)
 }

@@ -965,7 +965,81 @@ object Multimodal {
            |FROM e GROUP BY width
            |ORDER BY width ASC NULLS FIRST""".stripMargin))
 
+  final case class RleFeatures(media_id: Long, width: Int, orig_bytes: Long,
+      n_runs: Long, comp_bytes: Long, decoded_checksum: Long)
+
+  /** Run-length compression census (round 7): each document rendered
+    * as the standard raster (width 8+(id%9), pixels = 7-bit leading
+    * chars), RLE-encoded through `Codecs.Rle` (value + 32-bit run
+    * pairs), decoded BACK, and profiled — runs, coded size, and a
+    * checksum over the round-tripped pixels. The "is this shard
+    * compressible" screen every storage/transport layer runs, and on
+    * text-derived rasters an indirect repetition detector (the
+    * byte-level cousin of q_text_repetition).
+    *
+    * The oracle recomputes run boundaries from SOURCE characters
+    * (adjacent-difference census over the same 7-bit projection) and
+    * the checksum from raw chars — so a bug in either direction of the
+    * codec (wrong run split, wrong fill on decode) breaks the hash.
+    * 32-bit run lengths mean pair count = true boundary count (no
+    * cap-splitting for SQL to mirror); see `Codecs.Rle`.
+    *
+    * Scale: embarrassingly parallel per-partition codec work (the
+    * Multimodal family contract) + one width-grain census.
+    */
+  private val mmRle = QueryDef(
+    "q_mm_rle",
+    (s, d) => {
+      import s.implicits._
+      val feats = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val w = 8 + (id % 9).toInt
+          val h = text.length / w
+          val px = ascii7(text, 0, w * h)
+          val img = graft.functions.Codecs.GrayImage.encode(w, h, px)
+          val (_, _, raw) = graft.functions.Codecs.GrayImage.decode(img)
+          val coded = graft.functions.Codecs.Rle.encode(raw)
+          val back = graft.functions.Codecs.Rle.decode(coded)
+          var ck = 0L; var i = 0
+          while (i < back.length) { ck += (back(i) & 0xFF).toLong * (i + 1); i += 1 }
+          RleFeatures(id, w, raw.length.toLong,
+            (coded.length - 8L) / 5L, coded.length.toLong, ck)
+        })
+      feats.groupBy(col("width"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("orig_bytes")).as("orig_total"),
+          sum(col("n_runs")).as("runs_total"),
+          sum(col("comp_bytes")).as("comp_total"),
+          sum(col("decoded_checksum")).as("pixels_checksum"))
+        .withColumn("ratio_e6",
+          expr("(orig_total * 1000000) div comp_total"))
+        .orderBy(ascf("width"))
+    },
+    Some("""WITH d0 AS (SELECT doc_id, text,
+           |    8 + CAST(doc_id % 9 AS INTEGER) AS width FROM documents),
+           |d1 AS (SELECT doc_id, text, width,
+           |    width * CAST(len(text) // width AS INTEGER) AS n FROM d0),
+           |f AS (SELECT width, CAST(n AS BIGINT) AS orig_bytes,
+           |    CAST(CASE WHEN n = 0 THEN 0 ELSE 1 +
+           |      coalesce(len(list_filter(range(2, n + 1), i ->
+           |        (ascii(substring(text, i, 1)) & 127)
+           |          <> (ascii(substring(text, i - 1, 1)) & 127))), 0)
+           |      END AS BIGINT) AS n_runs,
+           |    CAST(coalesce(list_sum(list_transform(range(1, n + 1), i ->
+           |      (ascii(substring(text, i, 1)) & 127) * i)), 0) AS BIGINT)
+           |      AS ck
+           |  FROM d1)
+           |SELECT width, count(*) AS n_images,
+           |  CAST(sum(orig_bytes) AS BIGINT) AS orig_total,
+           |  CAST(sum(n_runs) AS BIGINT) AS runs_total,
+           |  CAST(sum(8 + 5 * n_runs) AS BIGINT) AS comp_total,
+           |  CAST(sum(ck) AS BIGINT) AS pixels_checksum,
+           |  CAST((sum(orig_bytes) * 1000000) // sum(8 + 5 * n_runs)
+           |    AS BIGINT) AS ratio_e6
+           |FROM f GROUP BY width ORDER BY width ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(mmBinary, mmFeatures, mmAudioPcm, mmImageGray,
     mmVideoFrames, mmImageResize, mmAudioDownsample, mmPhash, mmSceneChange,
-    mmAugment, mmWht, mmHisteq)
+    mmAugment, mmWht, mmHisteq, mmRle)
 }

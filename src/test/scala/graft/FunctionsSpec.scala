@@ -163,6 +163,38 @@ class FunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Flate.decode(badBody))
   }
 
+  test("Rle codec round-trips, counts true runs, and rejects malformed containers") {
+    import graft.functions.Codecs.Rle
+    val cases = Seq(
+      Array.empty[Byte],
+      Array[Byte](7),
+      "aaabbbbcdddd".getBytes("US-ASCII"),
+      Array.fill(1000)(42.toByte),                       // one long run
+      (0 until 257).map(_.toByte).toArray)               // no runs > 1
+    for (raw <- cases) {
+      val enc = Rle.encode(raw)
+      assert(Rle.decode(enc).sameElements(raw))
+      // pair count equals the true boundary-change count (the oracle's
+      // adjacent-difference census) — 32-bit lengths never split a run
+      val trueRuns = if (raw.isEmpty) 0
+        else 1 + raw.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+      assert((enc.length - 8) / 5 == trueRuns, s"runs for ${raw.length} bytes")
+    }
+    val enc = Rle.encode("aaabbb".getBytes("US-ASCII"))
+    val badMagic = enc.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Rle.decode(badMagic))
+    for (n <- Seq(0, 7)) {
+      intercept[IllegalArgumentException](Rle.decode(new Array[Byte](n)))
+    }
+    // truncated pair list (length no longer ≡ 0 mod 5)
+    intercept[IllegalArgumentException](Rle.decode(enc.dropRight(1)))
+    // run overruns the declared raw length
+    val badLen = enc.clone()
+    java.nio.ByteBuffer.wrap(badLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, 3)
+    intercept[IllegalArgumentException](Rle.decode(badLen))
+  }
+
   test("DetMath.lnInt matches its scalar replica bit-for-bit and real ln to 1e-14") {
     import graft.functions.DetMath
     val ns = ((1L to 256L) ++ Seq(1000L, 4096L, 65535L, 65536L, 1000000L,
