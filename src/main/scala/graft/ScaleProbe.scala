@@ -227,7 +227,11 @@ object ScaleProbe {
         // round-7 batch 69: Brier decomposition, permutation entropy
         "q_ml_brier", "q_ts_perm_entropy",
         // round-7 batch 70: RLE codec census, eccentricity/diameter
-        "q_mm_rle", "q_graph_eccentric")
+        "q_mm_rle", "q_graph_eccentric",
+        // round-7 batch 71: consistent-hash ring, burstiness
+        "q_shard_consistent", "q_text_burstiness",
+        // round-7 batch 72: Heaps growth, Markov entropy rate
+        "q_text_heaps", "q_ts_entropy_rate")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

@@ -363,6 +363,86 @@ object Sampling {
            |FROM r GROUP BY c_nationkey
            |ORDER BY nationkey ASC NULLS FIRST""".stripMargin))
 
+  /** Consistent-hash ring placement (round 7): 16 virtual nodes per
+    * shard on the mix-hash ring, each key owned by its clockwise
+    * successor vnode — the OTHER standard minimal-movement placement
+    * scheme next to [[shardRendezvous]] (HRW scores per node; the ring
+    * binary-searches one precomputed structure, which is why caches
+    * and distributed stores ship it). Graded on both rings: the 4-shard
+    * assignment census AND the movement when shard 4 joins —
+    * consistent hashing's contract is that keys only move TO the new
+    * shard (n_moved_sideways = 0 by construction, and by grade).
+    *
+    * The ring is PRECOMPUTED in Scala from the same mix() formula and
+    * shipped as parallel sorted literal arrays into both engines (the
+    * LSH-hyperplane precedent: no arithmetic re-derivation in SQL to
+    * keep in sync); lookup is count(positions < key) — a per-row
+    * expression over a 64/80-literal array, NO explode and NO window,
+    * so the plan is one corpus-sized projection + a shard-sized census
+    * (cheaper than rendezvous's ×N score explode; at fleet scale this
+    * is the same broadcast-ring lookup every router does).
+    *
+    * Determinism: vnode positions are distinct (asserted at
+    * construction — alignment of the parallel arrays cannot silently
+    * break); integer compares only.
+    */
+  private val shardConsistent = {
+    def posOf(shard: Long, vnode: Long): Long = {
+      val id = shard * 1000L + vnode
+      ((id % Fold31) * MixMul + MixAdd) % Mod32
+    }
+    def ring(nShards: Int): (Seq[Long], Seq[Long]) = {
+      val pv = for (sh <- 0 until nShards; v <- 0 until 16)
+        yield (posOf(sh.toLong, v.toLong), sh.toLong)
+      require(pv.map(_._1).distinct.size == pv.size,
+        "vnode position collision — pick different vnode ids")
+      val sorted = pv.sortBy(_._1)
+      (sorted.map(_._1), sorted.map(_._2))
+    }
+    val (pos4, own4) = ring(4)
+    val (pos5, own5) = ring(5)
+    def lookup(posArr: Seq[Long], ownArr: Seq[Long], kp: Column): Column =
+      element_at(typedlit(ownArr),
+        (size(filter(typedlit(posArr), p => p < kp)) % posArr.size) + 1)
+    def sqlArr(a: Seq[Long]): String = a.mkString("[", ", ", "]")
+    def lookupSql(posArr: Seq[Long], ownArr: Seq[Long], kp: String): String =
+      s"""list_extract(${sqlArr(ownArr)},
+         |    (len(list_filter(${sqlArr(posArr)}, p -> p < $kp))
+         |      % ${posArr.size}) + 1)""".stripMargin
+    QueryDef(
+      "q_shard_consistent",
+      (s, d) =>
+        Tables.documents(s, d).select(col("doc_id"))
+          .withColumn("kp", mix(col("doc_id")))
+          .withColumn("shard4", lookup(pos4, own4, col("kp")))
+          .withColumn("shard5", lookup(pos5, own5, col("kp")))
+          .groupBy(col("shard4"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_checksum"),
+            sum(when(col("shard5") =!= col("shard4"), 1L).otherwise(0L))
+              .as("n_moved"),
+            sum(when(col("shard5") =!= col("shard4") &&
+              col("shard5") =!= 4, 1L).otherwise(0L))
+              .as("n_moved_sideways"))
+          .orderBy(ascf("shard4")),
+      Some(s"""WITH k AS (SELECT doc_id, ${mixSql("doc_id")} AS kp
+             |  FROM documents),
+             |a AS (SELECT doc_id,
+             |    ${lookupSql(pos4, own4, "kp")} AS shard4,
+             |    ${lookupSql(pos5, own5, "kp")} AS shard5
+             |  FROM k)
+             |SELECT CAST(shard4 AS BIGINT) AS shard4,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+             |  CAST(sum(CASE WHEN shard5 <> shard4 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_moved,
+             |  CAST(sum(CASE WHEN shard5 <> shard4 AND shard5 <> 4
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_sideways
+             |FROM a GROUP BY shard4
+             |ORDER BY shard4 ASC NULLS FIRST""".stripMargin))
+  }
+
   def defs: Seq[QueryDef] = Seq(sampleHash, sampleStratified, splitTrainVal,
-    sampleBootstrap, sampleBalanced, shardRendezvous, sampleSystematic)
+    sampleBootstrap, sampleBalanced, shardRendezvous, sampleSystematic,
+    shardConsistent)
 }

@@ -2047,10 +2047,155 @@ object Text {
            |  CAST((max_f * 1000000) // n_tokens AS BIGINT) AS berger_e6
            |FROM m ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** Word burstiness census (round 7): Church–Gale burstiness — mean
+    * occurrences per CONTAINING document, cf/df — for each language's
+    * top bursty words among those in ≥ 5 documents. A function word
+    * appears once almost everywhere (burst ≈ 1); a topical or
+    * templated word concentrates (burst ≫ 1) — which is why burstiness
+    * ranks boilerplate and topic markers that raw frequency (zipf) and
+    * document rate (tfidf's df) both miss. The term-level twin of
+    * q_text_repetition's within-doc signal.
+    *
+    * Scale: cf and df come from ONE (lang, word, doc) partial
+    * aggregate (count + grouped distinct in the same pass via the
+    * per-doc pre-count), then the top-10 window runs per lang on the
+    * vocabulary-sized relation.
+    *
+    * Determinism (D1/D2): integer counts; burst_e6 by floor division;
+    * top-10 under the total order (burst DESC, w ASC).
+    */
+  private val burstiness = QueryDef(
+    "q_text_burstiness",
+    (s, d) => {
+      val perDoc = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), explode(toks).as("w"))
+        .groupBy(col("lang"), col("w"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+      val wf = perDoc.groupBy(col("lang"), col("w"))
+        .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"))
+        .filter(col("df") >= 5)
+        .withColumn("burst_e6", expr("(cf * 1000000) div df"))
+      val win = Window.partitionBy(col("lang"))
+        .orderBy(descl("burst_e6"), ascf("w"))
+      wf.withColumn("rk", row_number().over(win))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("rk").cast("long").as("rk"), col("w"),
+          col("cf"), col("df"), col("burst_e6"))
+        .orderBy(ascf("lang"), ascf("rk"))
+    },
+    Some("""WITH pd AS (SELECT lang, w, doc_id, count(*) AS c
+           |  FROM (SELECT lang, doc_id,
+           |          unnest(string_split(text, ' ')) AS w
+           |        FROM documents)
+           |  GROUP BY 1, 2, 3),
+           |wf AS (SELECT lang, w, CAST(sum(c) AS BIGINT) AS cf,
+           |    CAST(count(*) AS BIGINT) AS df
+           |  FROM pd GROUP BY 1, 2
+           |  HAVING count(*) >= 5),
+           |r AS (SELECT lang, w, cf, df,
+           |    CAST((cf * 1000000) // df AS BIGINT) AS burst_e6
+           |  FROM wf),
+           |t AS (SELECT *, row_number() OVER (PARTITION BY lang
+           |    ORDER BY burst_e6 DESC, w ASC) AS rk FROM r)
+           |SELECT lang, CAST(rk AS BIGINT) AS rk, w, cf, df, burst_e6
+           |FROM t WHERE rk <= 10
+           |ORDER BY lang ASC NULLS FIRST, rk ASC NULLS FIRST""".stripMargin))
+
+  /** Heaps'-law vocabulary growth per language (round 7): vocabulary
+    * size V at three nested corpus prefixes (¼, ½, full of each
+    * language's docs in doc_id order) and the fitted growth exponent
+    * β from V ≈ K·N^β — THE statistic for sizing tokenizer
+    * vocabularies and predicting how much new data still buys new
+    * types (β ≈ 0.5 for natural text; β near 0 flags a closed/
+    * templated vocabulary, near 1 flags id-like token pollution).
+    * Corpus-growth sequel to q_text_vocab's point-in-time TTR.
+    *
+    * Prefixes by per-lang doc RANK (row_number over doc_id), not by
+    * raw id thresholds — every prefix is nonempty by construction.
+    * All three (N, V) points come from ONE pass: explode once, then
+    * conditional aggregates (count / count-distinct FILTERed by the
+    * rank cutoffs); β = (ln V₃ − ln V₁)/(ln N₃ − ln N₁) through
+    * [[graft.functions.DetMath]] on integer inputs (D12), floored to
+    * e6.
+    *
+    * Scale: the doc-rank window is doc-grain (pre-explode); the
+    * explode + 6 conditional aggregates is one corpus-sized partial
+    * agg — no second pass per prefix.
+    */
+  private val heaps = QueryDef(
+    "q_text_heaps",
+    (s, d) => {
+      import graft.functions.DetMath
+      val wd = Window.partitionBy(col("lang")).orderBy(ascf("doc_id"))
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), toks.as("ts"))
+        .withColumn("rn", row_number().over(wd).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy(col("lang"))))
+      val ex = docs.select(col("lang"), col("rn"), col("cnt"),
+        explode(col("ts")).as("w"))
+      val q1 = col("rn") <= expr("(cnt + 3) div 4")
+      val q2 = col("rn") <= expr("(cnt + 1) div 2")
+      val m = ex.groupBy(col("lang"))
+        .agg(sum(when(q1, 1L).otherwise(0L)).as("n1"),
+          count_distinct(when(q1, col("w"))).as("v1"),
+          sum(when(q2, 1L).otherwise(0L)).as("n2"),
+          count_distinct(when(q2, col("w"))).as("v2"),
+          count(lit(1)).as("n3"),
+          count_distinct(col("w")).as("v3"))
+      m.withColumn("beta_e6",
+          floor((DetMath.lnInt(col("v3")) - DetMath.lnInt(col("v1")))
+            / (DetMath.lnInt(col("n3")) - DetMath.lnInt(col("n1")))
+            * lit(1000000.0)).cast("long"))
+        .orderBy(ascf("lang"))
+    },
+    Some {
+      import graft.functions.DetMath._
+      s"""WITH dr AS (SELECT lang, text,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY doc_id ASC NULLS FIRST) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS cnt
+         |  FROM documents),
+         |ex AS (SELECT lang, rn, cnt,
+         |    unnest(string_split(text, ' ')) AS w
+         |  FROM dr),
+         |m AS (SELECT lang,
+         |    CAST(sum(CASE WHEN rn <= (cnt + 3) // 4 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n1,
+         |    CAST(count(DISTINCT CASE WHEN rn <= (cnt + 3) // 4 THEN w
+         |      END) AS BIGINT) AS v1,
+         |    CAST(sum(CASE WHEN rn <= (cnt + 1) // 2 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n2,
+         |    CAST(count(DISTINCT CASE WHEN rn <= (cnt + 1) // 2 THEN w
+         |      END) AS BIGINT) AS v2,
+         |    CAST(count(*) AS BIGINT) AS n3,
+         |    CAST(count(DISTINCT w) AS BIGINT) AS v3
+         |  FROM ex GROUP BY lang),
+         |r1 AS (SELECT *, ${kSql("v3")} AS kv3, ${kSql("v1")} AS kv1,
+         |    ${kSql("n3")} AS kn3, ${kSql("n1")} AS kn1 FROM m),
+         |r2 AS (SELECT *, ${mSql("v3", "kv3")} AS mv3,
+         |    ${mSql("v1", "kv1")} AS mv1, ${mSql("n3", "kn3")} AS mn3,
+         |    ${mSql("n1", "kn1")} AS mn1 FROM r1),
+         |r3 AS (SELECT *, ${zSql("mv3")} AS zv3, ${zSql("mv1")} AS zv1,
+         |    ${zSql("mn3")} AS zn3, ${zSql("mn1")} AS zn1 FROM r2),
+         |r4 AS (SELECT *, zv3 * zv3 AS z2v3, zv1 * zv1 AS z2v1,
+         |    zn3 * zn3 AS z2n3, zn1 * zn1 AS z2n1 FROM r3),
+         |r5 AS (SELECT *, ${hornerSql("z2v3")} AS hv3,
+         |    ${hornerSql("z2v1")} AS hv1, ${hornerSql("z2n3")} AS hn3,
+         |    ${hornerSql("z2n1")} AS hn1 FROM r4)
+         |SELECT lang, n1, v1, n2, v2, n3, v3,
+         |  CAST(floor(
+         |    (${lnSql("kv3", "zv3", "hv3")} - ${lnSql("kv1", "zv1", "hv1")})
+         |    / (${lnSql("kn3", "zn3", "hn3")} - ${lnSql("kn1", "zn1", "hn1")})
+         |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS beta_e6
+         |FROM r5 ORDER BY lang ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,
     langid, quality, tokens, fingerprint, levenshteinPairs, tfidf,
     collocations, vocab, zipf, keyphrase, bigramLm, perplexity, bpe,
     textUnicode, bm25, bpeEncode, winnowing, stem, hashvec, lexicon,
-    divergence, reassembly, generate, langConfusion, simpson)
+    divergence, reassembly, generate, langConfusion, simpson, burstiness,
+    heaps)
 }

@@ -2252,10 +2252,93 @@ object TimeSeries {
          |ORDER BY pe.event_type ASC NULLS FIRST""".stripMargin
     })
 
+  /** Markov entropy-rate census (round 7): how predictable is the NEXT
+    * event given the current one? Per state: the conditional entropy
+    * H(next | from) of the empirical transition row (0 = deterministic
+    * follow-on, ln(#types) = uniform), plus the chain's entropy rate
+    * Σ_s π(s)·H(·|s) under the empirical state weights — which
+    * collapses to (Σ all terms)/N exactly, so the rate needs no
+    * separate π estimate. The one-number sequel to q_ts_transitions
+    * (the matrix) and the sequential complement of q_agg_entropy's
+    * marginal: a skewed marginal can still be perfectly predictable
+    * step-to-step, and only the rate sees that.
+    *
+    * Scale: the (from, to) census is one lead-window + partial agg
+    * (the q_ts_transitions plan, shared scoped build); entropy terms
+    * run on the types²-bounded relation through [[graft.functions
+    * .DetMath]] (D12).
+    */
+  private val entropyRate = QueryDef(
+    "q_ts_entropy_rate",
+    (s, d) => {
+      import graft.functions.DetMath
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(ascf("ts"), ascf("event_id"))
+      val census = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("nxt").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = census.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+      val terms = census.join(tot, "from_type")
+        .withColumn("term_e6",
+          floor((DetMath.lnInt(col("tot")) - DetMath.lnInt(col("n")))
+            * lit(1000000.0) * col("n").cast("double")).cast("long"))
+      val perFrom = terms.groupBy(col("from_type"), col("tot"))
+        .agg(count(lit(1)).as("n_succ"), sum(col("term_e6")).as("se"))
+        .withColumn("h_e6", expr("se div tot"))
+      val rate = perFrom.agg(sum(col("se")).as("se_all"),
+        sum(col("tot")).as("n_all"))
+        .select(expr("se_all div n_all").as("rate_e6"))
+      perFrom.crossJoin(broadcast(rate))
+        .select(col("from_type"), col("tot"), col("n_succ"), col("h_e6"),
+          col("rate_e6"))
+        .orderBy(ascf("from_type"))
+    },
+    Some {
+      import graft.functions.DetMath._
+      s"""WITH seq AS (SELECT event_type,
+         |    lead(event_type) OVER
+         |      (PARTITION BY user_id
+         |       ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
+         |      AS nxt
+         |  FROM events),
+         |c AS (SELECT event_type AS from_type, nxt AS to_type,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+         |  FROM c GROUP BY 1),
+         |j AS (SELECT c.from_type, c.n, t.tot
+         |  FROM c JOIN t ON c.from_type = t.from_type),
+         |r1 AS (SELECT *, ${kSql("tot")} AS kt, ${kSql("n")} AS kn FROM j),
+         |r2 AS (SELECT *, ${mSql("tot", "kt")} AS mt,
+         |    ${mSql("n", "kn")} AS mn FROM r1),
+         |r3 AS (SELECT *, ${zSql("mt")} AS zt, ${zSql("mn")} AS zn FROM r2),
+         |r4 AS (SELECT *, zt * zt AS z2t, zn * zn AS z2n FROM r3),
+         |r5 AS (SELECT *, ${hornerSql("z2t")} AS ht,
+         |    ${hornerSql("z2n")} AS hn FROM r4),
+         |tm AS (SELECT from_type, tot, CAST(floor(
+         |    (${lnSql("kt", "zt", "ht")} - ${lnSql("kn", "zn", "hn")})
+         |      * CAST(1000000 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT)
+         |    AS term_e6 FROM r5),
+         |pf AS (SELECT from_type, tot, count(*) AS n_succ,
+         |    CAST(sum(term_e6) AS BIGINT) AS se
+         |  FROM tm GROUP BY from_type, tot),
+         |rt AS (SELECT CAST(sum(se) // sum(tot) AS BIGINT) AS rate_e6
+         |  FROM pf)
+         |SELECT pf.from_type, pf.tot, CAST(pf.n_succ AS BIGINT) AS n_succ,
+         |  CAST(pf.se // pf.tot AS BIGINT) AS h_e6, rt.rate_e6
+         |FROM pf CROSS JOIN rt
+         |ORDER BY pf.from_type ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
       theilSen, attrib, transitions, downsample, evalWape, latency,
       period, crossCorr, movingMedian, tsRate, dtw, anomalyMad, bollinger,
-      decompose, growth, dauMau, sax, permEntropy)
+      decompose, growth, dauMau, sax, permEntropy, entropyRate)
 }
