@@ -231,7 +231,9 @@ object ScaleProbe {
         // round-7 batch 71: consistent-hash ring, burstiness
         "q_shard_consistent", "q_text_burstiness",
         // round-7 batch 72: Heaps growth, Markov entropy rate
-        "q_text_heaps", "q_ts_entropy_rate")
+        "q_text_heaps", "q_ts_entropy_rate",
+        // round-7 batch 73: Theil decomposition, delta-varint codec
+        "q_agg_theil", "q_mm_delta")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

@@ -111,6 +111,65 @@ object Codecs {
     }
   }
 
+  /** Delta + zigzag + varint coding for PCM16 sample streams: magic
+    * "DZV1" + LE sample count, then per sample the zigzag-mapped delta
+    * against the previous sample (first sample deltas against 0) as a
+    * little-endian base-128 varint (7 payload bits per byte, high bit
+    * = continuation) — the standard time-series/column-store integer
+    * codec (Gorilla/Parquet DELTA_BINARY_PACKED family, varint as in
+    * protobuf). decode validates magic, exact sample count, varint
+    * termination, and the int16 range of every reconstructed sample.
+    */
+  object DeltaVarint {
+    val Magic = "DZV1"
+
+    def encode(samples: Array[Short]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(8 + samples.length * 2)
+      out.write(Magic.getBytes("US-ASCII"))
+      val hdr = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(samples.length).array()
+      out.write(hdr)
+      var prev = 0
+      var i = 0
+      while (i < samples.length) {
+        val d = samples(i) - prev
+        var z = (d << 1) ^ (d >> 31) // zigzag: non-neg, small |d| small
+        while ((z & ~0x7F) != 0) { out.write((z & 0x7F) | 0x80); z >>>= 7 }
+        out.write(z)
+        prev = samples(i); i += 1
+      }
+      out.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): Array[Short] = {
+      require(bytes.length >= 8, s"truncated DZV header: ${bytes.length}")
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val t = new Array[Byte](4); bb.get(t)
+      require(new String(t, "US-ASCII") == Magic, "bad DZV magic")
+      val n = bb.getInt
+      require(n >= 0, s"negative sample count $n")
+      val out = new Array[Short](n)
+      var prev = 0
+      var i = 0
+      while (i < n) {
+        var z = 0; var shift = 0; var more = true
+        while (more) {
+          require(bb.hasRemaining, s"truncated varint at sample $i")
+          require(shift <= 28, s"varint overflow at sample $i")
+          val b = bb.get() & 0xFF
+          z |= (b & 0x7F) << shift; shift += 7; more = (b & 0x80) != 0
+        }
+        val d = (z >>> 1) ^ -(z & 1) // un-zigzag
+        val v = prev + d
+        require(v >= Short.MinValue && v <= Short.MaxValue,
+          s"sample $i out of int16 range: $v")
+        out(i) = v.toShort; prev = v; i += 1
+      }
+      require(!bb.hasRemaining, s"${bb.remaining()} trailing bytes")
+      out
+    }
+  }
+
   /** Run-length coding: magic "RLE1" + LE raw length + (value byte,
     * LE int32 run length) pairs. The run length is 32-bit rather than
     * the classic one byte so a run NEVER splits — pair count therefore

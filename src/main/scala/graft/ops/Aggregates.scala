@@ -1149,10 +1149,131 @@ object Aggregates {
            |    AS rb_e6
            |FROM u ORDER BY n_a ASC NULLS FIRST""".stripMargin))
 
+  /** Theil-T inequality with between/within decomposition (round 7):
+    * T = (1/N)Σ(x/μ)ln(x/μ) over ACTIVE suppliers' cent-exact revenue,
+    * split across nations — the third member of the concentration
+    * family and the only DECOMPOSABLE one: Gini ranks a distribution,
+    * HHI measures the head, Theil answers "is the inequality BETWEEN
+    * nations or WITHIN them" (the question every fleet/cost/skew
+    * attribution actually asks). T ≈ T_between + T_within (exact
+    * before quantization; each output is defined by its own floor).
+    *
+    * Identity used: ln(x/μ) = ln x − ln S + ln N on integers, so every
+    * logarithm runs through [[graft.functions.DetMath]] (D12); the
+    * between term distributes over rows as S_g(...)/N_g per member so
+    * ALL three statistics come from ONE row-grain relation and one
+    * staged-ln chain.
+    *
+    * Scale: the corpus collapses to supplier-grain revenue in one
+    * partial agg; nation margins broadcast; the census is global.
+    * Sums of e6 terms stage through DECIMAL(38,0)/HUGEINT (per-row
+    * terms reach ~1e16 at the 10× probe).
+    */
+  private val aggTheil = QueryDef(
+    "q_agg_theil",
+    (s, d) => {
+      import graft.functions.DetMath
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg((sum(dec(col("l_extendedprice"))) * 100).cast("long").as("x"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey").as("nat"))),
+          col("l_suppkey") === col("s_suppkey"))
+      val grp = rev.groupBy(col("nat"))
+        .agg(sum(col("x")).as("sg"), count(lit(1)).as("ng"))
+      val tot = grp.agg(sum(col("sg")).as("stot"), sum(col("ng")).as("n"),
+        count(lit(1)).as("n_groups"))
+      val rows = rev.join(broadcast(grp), "nat").crossJoin(broadcast(tot))
+      val lx = DetMath.lnInt(col("x"))
+      val lsg = DetMath.lnInt(col("sg"))
+      val lng = DetMath.lnInt(col("ng"))
+      val ls = DetMath.lnInt(col("stot"))
+      val ln_ = DetMath.lnInt(col("n"))
+      rows
+        .withColumn("t_tot", floor((lx - ls + ln_) * lit(1000000.0)
+          * col("x").cast("double")).cast("long"))
+        .withColumn("t_win", floor((lx - lsg + lng) * lit(1000000.0)
+          * col("x").cast("double")).cast("long"))
+        .withColumn("t_btw", floor((lsg - ls - lng + ln_) * lit(1000000.0)
+          * (col("sg").cast("double") / col("ng").cast("double")))
+          .cast("long"))
+        .groupBy(col("n"), col("n_groups"), col("stot"))
+        .agg(sum(col("t_tot").cast("decimal(38,0)")).as("st"),
+          sum(col("t_win").cast("decimal(38,0)")).as("sw"),
+          sum(col("t_btw").cast("decimal(38,0)")).as("sb"))
+        .select(col("n"), col("n_groups"), col("stot").as("s_cents"),
+          expr("cast(st div cast(stot as decimal(38,0)) as bigint)")
+            .as("theil_e6"),
+          expr("cast(sb div cast(stot as decimal(38,0)) as bigint)")
+            .as("between_e6"),
+          expr("cast(sw div cast(stot as decimal(38,0)) as bigint)")
+            .as("within_e6"))
+        .orderBy(ascf("n"))
+    },
+    Some {
+      import graft.functions.DetMath._
+      s"""WITH rev AS (SELECT l_suppkey,
+         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+         |      AS BIGINT) AS x
+         |  FROM lineitem GROUP BY 1),
+         |rn AS (SELECT rev.x, s.s_nationkey AS nat
+         |  FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey),
+         |grp AS (SELECT nat, CAST(sum(x) AS BIGINT) AS sg,
+         |    CAST(count(*) AS BIGINT) AS ng
+         |  FROM rn GROUP BY nat),
+         |tot AS (SELECT CAST(sum(sg) AS BIGINT) AS stot,
+         |    CAST(sum(ng) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS n_groups FROM grp),
+         |rows_ AS (SELECT rn.x, grp.sg, grp.ng, tot.stot, tot.n,
+         |    tot.n_groups
+         |  FROM rn JOIN grp ON rn.nat = grp.nat CROSS JOIN tot),
+         |r1 AS (SELECT *, ${kSql("x")} AS kx, ${kSql("sg")} AS ksg,
+         |    ${kSql("ng")} AS kng, ${kSql("stot")} AS ks,
+         |    ${kSql("n")} AS kn FROM rows_),
+         |r2 AS (SELECT *, ${mSql("x", "kx")} AS mx,
+         |    ${mSql("sg", "ksg")} AS msg, ${mSql("ng", "kng")} AS mng,
+         |    ${mSql("stot", "ks")} AS ms, ${mSql("n", "kn")} AS mn
+         |  FROM r1),
+         |r3 AS (SELECT *, ${zSql("mx")} AS zx, ${zSql("msg")} AS zsg,
+         |    ${zSql("mng")} AS zng, ${zSql("ms")} AS zs,
+         |    ${zSql("mn")} AS zn FROM r2),
+         |r4 AS (SELECT *, zx * zx AS z2x, zsg * zsg AS z2sg,
+         |    zng * zng AS z2ng, zs * zs AS z2s, zn * zn AS z2n FROM r3),
+         |r5 AS (SELECT *, ${hornerSql("z2x")} AS hx,
+         |    ${hornerSql("z2sg")} AS hsg, ${hornerSql("z2ng")} AS hng,
+         |    ${hornerSql("z2s")} AS hs, ${hornerSql("z2n")} AS hn
+         |  FROM r4),
+         |lns AS (SELECT x, sg, ng, stot, n, n_groups,
+         |    ${lnSql("kx", "zx", "hx")} AS lx,
+         |    ${lnSql("ksg", "zsg", "hsg")} AS lsg,
+         |    ${lnSql("kng", "zng", "hng")} AS lng,
+         |    ${lnSql("ks", "zs", "hs")} AS ls,
+         |    ${lnSql("kn", "zn", "hn")} AS ln_
+         |  FROM r5),
+         |tm AS (SELECT n, n_groups, stot,
+         |    CAST(floor((lx - ls + ln_) * CAST(1000000 AS DOUBLE)
+         |      * CAST(x AS DOUBLE)) AS HUGEINT) AS t_tot,
+         |    CAST(floor((lx - lsg + lng) * CAST(1000000 AS DOUBLE)
+         |      * CAST(x AS DOUBLE)) AS HUGEINT) AS t_win,
+         |    CAST(floor((lsg - ls - lng + ln_) * CAST(1000000 AS DOUBLE)
+         |      * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))) AS HUGEINT)
+         |      AS t_btw
+         |  FROM lns)
+         |SELECT n, n_groups, stot AS s_cents,
+         |  CAST(sum(t_tot) // CAST(stot AS HUGEINT) AS BIGINT)
+         |    AS theil_e6,
+         |  CAST(sum(t_btw) // CAST(stot AS HUGEINT) AS BIGINT)
+         |    AS between_e6,
+         |  CAST(sum(t_win) // CAST(stot AS HUGEINT) AS BIGINT)
+         |    AS within_e6
+         |FROM tm GROUP BY n, n_groups, stot
+         |ORDER BY n ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggQ18, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
     aggPercentile, aggPivot, aggUnpivot, aggGrouping, aggMode, aggBitset,
     aggEntropy, aggQ14, aggQ6, aggGini, aggHhi, aggFiltered, aggSkyline,
-    aggPareto, aggBasketLift, aggCramersV, aggMannWhitney)
+    aggPareto, aggBasketLift, aggCramersV, aggMannWhitney, aggTheil)
 }

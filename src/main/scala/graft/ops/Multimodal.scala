@@ -1039,7 +1039,99 @@ object Multimodal {
            |    AS BIGINT) AS ratio_e6
            |FROM f GROUP BY width ORDER BY width ASC NULLS FIRST""".stripMargin))
 
+  final case class DeltaFeatures(media_id: Long, sample_rate: Int,
+      n_samples: Long, coded_bytes: Long, sample_checksum: Long)
+
+  /** Delta+zigzag+varint compression census (round 7): every clip's
+    * PCM16 stream through `Codecs.DeltaVarint` (per-sample delta →
+    * zigzag → base-128 varint — the Gorilla/Parquet-DELTA/protobuf
+    * integer codec family) and BACK, profiled per sample rate against
+    * the 2-bytes/sample raw size. The time-series compression twin of
+    * q_mm_rle's byte-level runs: smooth signals (small deltas) code
+    * near 1 byte/sample, noisy ones inflate past raw — the
+    * storage-planning signal for telemetry lakes.
+    *
+    * The oracle recomputes the per-sample varint WIDTH from source
+    * characters (char-delta dc ⇒ zigzag 512·dc / −512·dc−1 ⇒ 1/2/3
+    * bytes) and the round-trip checksum from raw chars — so both the
+    * encoder's width arithmetic and the decoder's reconstruction are
+    * pinned cell-exactly.
+    *
+    * Scale: per-partition codec map + one rate-grain census (the
+    * Multimodal family contract).
+    */
+  private val mmDelta = QueryDef(
+    "q_mm_delta",
+    (s, d) => {
+      val feats = wavClips(s, d).mapPartitions(_.map { c =>
+        val (sr, samples) = graft.functions.Codecs.Wav.decode(c.payload)
+        val enc = graft.functions.Codecs.DeltaVarint.encode(samples)
+        val back = graft.functions.Codecs.DeltaVarint.decode(enc)
+        var ck = 0L; var i = 0
+        while (i < back.length) { ck += back(i).toLong * (i + 1); i += 1 }
+        DeltaFeatures(c.media_id, sr, back.length.toLong,
+          enc.length.toLong, ck)
+      })(org.apache.spark.sql.Encoders.product[DeltaFeatures])
+      feats.groupBy(col("sample_rate"))
+        .agg(count(lit(1)).as("n_clips"),
+          sum(col("n_samples")).as("total_samples"),
+          sum(col("coded_bytes")).as("coded_total"),
+          sum(col("sample_checksum")).as("samples_checksum"))
+        .withColumn("raw_total", col("total_samples") * 2L)
+        .withColumn("ratio_e6",
+          expr("(raw_total * 1000000) div coded_total"))
+        .select(col("sample_rate"), col("n_clips"), col("total_samples"),
+          col("raw_total"), col("coded_total"), col("ratio_e6"),
+          col("samples_checksum"))
+        .orderBy(ascf("sample_rate"))
+    },
+    Some("""WITH f AS (SELECT
+           |    8000 + CAST(doc_id % 8 AS INTEGER) * 1000 AS sample_rate,
+           |    CAST(len(text) AS BIGINT) AS n,
+           |    CAST(8 + coalesce(list_sum(list_transform(
+           |      range(1, len(text) + 1), i ->
+           |      CASE WHEN (CASE WHEN i = 1
+           |          THEN (ascii(substring(text, 1, 1)) & 127) - 78
+           |          ELSE (ascii(substring(text, i, 1)) & 127)
+           |            - (ascii(substring(text, i - 1, 1)) & 127) END)
+           |          >= 0
+           |        THEN (CASE WHEN 512 * (CASE WHEN i = 1
+           |            THEN (ascii(substring(text, 1, 1)) & 127) - 78
+           |            ELSE (ascii(substring(text, i, 1)) & 127)
+           |              - (ascii(substring(text, i - 1, 1)) & 127) END)
+           |            < 128 THEN 1
+           |          WHEN 512 * (CASE WHEN i = 1
+           |            THEN (ascii(substring(text, 1, 1)) & 127) - 78
+           |            ELSE (ascii(substring(text, i, 1)) & 127)
+           |              - (ascii(substring(text, i - 1, 1)) & 127) END)
+           |            < 16384 THEN 2 ELSE 3 END)
+           |        ELSE (CASE WHEN -512 * (CASE WHEN i = 1
+           |            THEN (ascii(substring(text, 1, 1)) & 127) - 78
+           |            ELSE (ascii(substring(text, i, 1)) & 127)
+           |              - (ascii(substring(text, i - 1, 1)) & 127) END)
+           |            - 1 < 128 THEN 1
+           |          WHEN -512 * (CASE WHEN i = 1
+           |            THEN (ascii(substring(text, 1, 1)) & 127) - 78
+           |            ELSE (ascii(substring(text, i, 1)) & 127)
+           |              - (ascii(substring(text, i - 1, 1)) & 127) END)
+           |            - 1 < 16384 THEN 2 ELSE 3 END)
+           |      END)), 0) AS BIGINT) AS coded,
+           |    CAST(256 * coalesce(list_sum(list_transform(
+           |      range(1, len(text) + 1), i ->
+           |      ((ascii(substring(text, i, 1)) & 127) - 78) * i)), 0)
+           |      AS BIGINT) AS ck
+           |  FROM documents)
+           |SELECT sample_rate, count(*) AS n_clips,
+           |  CAST(sum(n) AS BIGINT) AS total_samples,
+           |  CAST(sum(n) * 2 AS BIGINT) AS raw_total,
+           |  CAST(sum(coded) AS BIGINT) AS coded_total,
+           |  CAST((sum(n) * 2 * 1000000) // sum(coded) AS BIGINT)
+           |    AS ratio_e6,
+           |  CAST(sum(ck) AS BIGINT) AS samples_checksum
+           |FROM f GROUP BY sample_rate
+           |ORDER BY sample_rate ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(mmBinary, mmFeatures, mmAudioPcm, mmImageGray,
     mmVideoFrames, mmImageResize, mmAudioDownsample, mmPhash, mmSceneChange,
-    mmAugment, mmWht, mmHisteq, mmRle)
+    mmAugment, mmWht, mmHisteq, mmRle, mmDelta)
 }

@@ -195,6 +195,33 @@ class FunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Rle.decode(badLen))
   }
 
+  test("DeltaVarint codec round-trips PCM16 and rejects malformed streams") {
+    import graft.functions.Codecs.DeltaVarint
+    val cases = Seq(
+      Array.empty[Short],
+      Array[Short](0),
+      Array[Short](Short.MinValue, Short.MaxValue, 0, -1, 1),
+      (0 until 1000).map(i => ((i * 37) % 200 - 100).toShort).toArray,
+      Array.fill[Short](500)(12345))
+    for (raw <- cases) {
+      val enc = DeltaVarint.encode(raw)
+      assert(DeltaVarint.decode(enc).sameElements(raw))
+    }
+    // a constant stream codes ~1 byte/sample after the first delta
+    val flat = DeltaVarint.encode(Array.fill[Short](1000)(777))
+    assert(flat.length <= 8 + 2 + 999, s"no delta win: ${flat.length}")
+    val enc = DeltaVarint.encode(Array[Short](100, 200, 300))
+    val badMagic = enc.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException](DeltaVarint.decode(badMagic))
+    for (n <- Seq(0, 7)) {
+      intercept[IllegalArgumentException](DeltaVarint.decode(new Array[Byte](n)))
+    }
+    // truncated varint stream (fewer samples than the header claims)
+    intercept[IllegalArgumentException](DeltaVarint.decode(enc.dropRight(1)))
+    // trailing garbage after the declared sample count
+    intercept[IllegalArgumentException](DeltaVarint.decode(enc :+ 0.toByte))
+  }
+
   test("DetMath.lnInt matches its scalar replica bit-for-bit and real ln to 1e-14") {
     import graft.functions.DetMath
     val ns = ((1L to 256L) ++ Seq(1000L, 4096L, 65535L, 65536L, 1000000L,
