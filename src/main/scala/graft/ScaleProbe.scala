@@ -233,7 +233,9 @@ object ScaleProbe {
         // round-7 batch 72: Heaps growth, Markov entropy rate
         "q_text_heaps", "q_ts_entropy_rate",
         // round-7 batch 73: Theil decomposition, delta-varint codec
-        "q_agg_theil", "q_mm_delta")
+        "q_agg_theil", "q_mm_delta",
+        // round-7 batch 74: mutual information, k-truss edge support
+        "q_agg_mutual_info", "q_graph_truss")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

@@ -1270,10 +1270,135 @@ object Aggregates {
          |ORDER BY n ASC NULLS FIRST""".stripMargin
     })
 
+  /** Mutual information I(segment; nation) with marginal/joint entropies
+    * and the uncertainty coefficient U(seg|nat) = I/H(seg) (round 7):
+    * the information-theoretic twin of q_agg_cramers_v — χ² asks "is the
+    * grid independent", MI answers "how many NATS does knowing one
+    * column buy about the other", which is the statistic feature
+    * selection and redundant-column pruning actually rank by, and U
+    * normalizes it to [0,1] without the min(r,c)−1 shape term.
+    *
+    * Every statistic is one sum over the OBSERVED cell relation (zero
+    * cells carry no mass in c·ln c, unlike χ² where they carry
+    * (r·c/N)² — so no grid cross join here): the marginal entropies
+    * distribute over cells because Σ_{cells of x} o·f(x) = r_x·f(x),
+    * exactly the q_agg_theil distribute-the-group-term trick, so ONE
+    * row-grain relation and one staged-ln chain yields H(X), H(Y),
+    * H(X,Y), I = those three with signs, and U.
+    *
+    * Scale: the corpus collapses to the (seg, nat) contingency cells in
+    * one partial agg; margins re-aggregate the cells and broadcast.
+    *
+    * Determinism (D12): all logs are DetMath staged-ln on integer
+    * counts; per-cell e6 terms floor to int64 and sum through
+    * DECIMAL(38,0)/HUGEINT; U is an integer division of the two sum
+    * numerators (the common 1/N cancels), zero-entropy guarded
+    * identically in both engines.
+    */
+  private val aggMutualInfo = QueryDef(
+    "q_agg_mutual_info",
+    (s, d) => {
+      import graft.functions.DetMath
+      val cust = Tables.customer(s, d)
+        .select(col("c_mktsegment").as("seg"),
+          col("c_nationkey").cast("long").as("nat"))
+      val obs = graft.Caches.scoped(cust.groupBy(col("seg"), col("nat"))
+        .agg(count(lit(1)).as("o")))
+      val rx = obs.groupBy(col("seg")).agg(sum(col("o")).as("r"))
+      val cy = obs.groupBy(col("nat")).agg(sum(col("o")).as("c"))
+      val tot = obs.agg(sum(col("o")).as("n"), count(lit(1)).as("n_cells"))
+      val j = obs.join(broadcast(rx), "seg").join(broadcast(cy), "nat")
+        .crossJoin(broadcast(tot))
+      val lo = DetMath.lnInt(col("o"))
+      val lr = DetMath.lnInt(col("r"))
+      val lc = DetMath.lnInt(col("c"))
+      val ln_ = DetMath.lnInt(col("n"))
+      j
+        .withColumn("t_hx", floor((ln_ - lr) * lit(1000000.0)
+          * col("o").cast("double")).cast("long"))
+        .withColumn("t_hy", floor((ln_ - lc) * lit(1000000.0)
+          * col("o").cast("double")).cast("long"))
+        .withColumn("t_hxy", floor((ln_ - lo) * lit(1000000.0)
+          * col("o").cast("double")).cast("long"))
+        .withColumn("t_mi", floor((lo - lr - lc + ln_) * lit(1000000.0)
+          * col("o").cast("double")).cast("long"))
+        .groupBy(col("n"), col("n_cells"))
+        .agg(sum(col("t_hx").cast("decimal(38,0)")).as("shx"),
+          sum(col("t_hy").cast("decimal(38,0)")).as("shy"),
+          sum(col("t_hxy").cast("decimal(38,0)")).as("shxy"),
+          sum(col("t_mi").cast("decimal(38,0)")).as("smi"))
+        .select(col("n"), col("n_cells"),
+          expr("cast(shx div cast(n as decimal(38,0)) as bigint)")
+            .as("h_seg_e6"),
+          expr("cast(shy div cast(n as decimal(38,0)) as bigint)")
+            .as("h_nat_e6"),
+          expr("cast(shxy div cast(n as decimal(38,0)) as bigint)")
+            .as("h_joint_e6"),
+          expr("cast(smi div cast(n as decimal(38,0)) as bigint)")
+            .as("mi_e6"),
+          expr("""case when shx = 0 then 0
+                 |  else cast((smi * 1000000) div shx as bigint) end"""
+            .stripMargin).as("u_seg_e6"))
+        .orderBy(ascf("n"))
+    },
+    Some {
+      import graft.functions.DetMath._
+      s"""WITH obs AS (SELECT c_mktsegment AS seg,
+         |    CAST(c_nationkey AS BIGINT) AS nat,
+         |    CAST(count(*) AS BIGINT) AS o
+         |  FROM customer GROUP BY 1, 2),
+         |rm AS (SELECT seg, CAST(sum(o) AS BIGINT) AS r FROM obs
+         |  GROUP BY seg),
+         |cm AS (SELECT nat, CAST(sum(o) AS BIGINT) AS c FROM obs
+         |  GROUP BY nat),
+         |t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS n_cells FROM obs),
+         |j AS (SELECT obs.o, rm.r, cm.c, t.n, t.n_cells
+         |  FROM obs JOIN rm USING (seg) JOIN cm USING (nat) CROSS JOIN t),
+         |r1 AS (SELECT *, ${kSql("o")} AS ko, ${kSql("r")} AS kr,
+         |    ${kSql("c")} AS kc, ${kSql("n")} AS kn FROM j),
+         |r2 AS (SELECT *, ${mSql("o", "ko")} AS mo, ${mSql("r", "kr")} AS mr,
+         |    ${mSql("c", "kc")} AS mc, ${mSql("n", "kn")} AS mn FROM r1),
+         |r3 AS (SELECT *, ${zSql("mo")} AS zo, ${zSql("mr")} AS zr,
+         |    ${zSql("mc")} AS zc, ${zSql("mn")} AS zn FROM r2),
+         |r4 AS (SELECT *, zo * zo AS z2o, zr * zr AS z2r,
+         |    zc * zc AS z2c, zn * zn AS z2n FROM r3),
+         |r5 AS (SELECT *, ${hornerSql("z2o")} AS ho, ${hornerSql("z2r")} AS hr,
+         |    ${hornerSql("z2c")} AS hc, ${hornerSql("z2n")} AS hn FROM r4),
+         |lns AS (SELECT o, n, n_cells,
+         |    ${lnSql("ko", "zo", "ho")} AS lo,
+         |    ${lnSql("kr", "zr", "hr")} AS lr,
+         |    ${lnSql("kc", "zc", "hc")} AS lc,
+         |    ${lnSql("kn", "zn", "hn")} AS ln_
+         |  FROM r5),
+         |tm AS (SELECT n, n_cells,
+         |    CAST(floor((ln_ - lr) * CAST(1000000 AS DOUBLE)
+         |      * CAST(o AS DOUBLE)) AS HUGEINT) AS t_hx,
+         |    CAST(floor((ln_ - lc) * CAST(1000000 AS DOUBLE)
+         |      * CAST(o AS DOUBLE)) AS HUGEINT) AS t_hy,
+         |    CAST(floor((ln_ - lo) * CAST(1000000 AS DOUBLE)
+         |      * CAST(o AS DOUBLE)) AS HUGEINT) AS t_hxy,
+         |    CAST(floor((lo - lr - lc + ln_) * CAST(1000000 AS DOUBLE)
+         |      * CAST(o AS DOUBLE)) AS HUGEINT) AS t_mi
+         |  FROM lns),
+         |agg AS (SELECT n, n_cells, sum(t_hx) AS shx, sum(t_hy) AS shy,
+         |    sum(t_hxy) AS shxy, sum(t_mi) AS smi
+         |  FROM tm GROUP BY n, n_cells)
+         |SELECT n, n_cells,
+         |  CAST(shx // CAST(n AS HUGEINT) AS BIGINT) AS h_seg_e6,
+         |  CAST(shy // CAST(n AS HUGEINT) AS BIGINT) AS h_nat_e6,
+         |  CAST(shxy // CAST(n AS HUGEINT) AS BIGINT) AS h_joint_e6,
+         |  CAST(smi // CAST(n AS HUGEINT) AS BIGINT) AS mi_e6,
+         |  CAST(CASE WHEN shx = 0 THEN 0
+         |    ELSE (smi * 1000000) // shx END AS BIGINT) AS u_seg_e6
+         |FROM agg ORDER BY n ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggQ18, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
     aggPercentile, aggPivot, aggUnpivot, aggGrouping, aggMode, aggBitset,
     aggEntropy, aggQ14, aggQ6, aggGini, aggHhi, aggFiltered, aggSkyline,
-    aggPareto, aggBasketLift, aggCramersV, aggMannWhitney, aggTheil)
+    aggPareto, aggBasketLift, aggCramersV, aggMannWhitney, aggTheil,
+    aggMutualInfo)
 }

@@ -1560,8 +1560,69 @@ object Graph {
          |ORDER BY n.n_name ASC NULLS FIRST""".stripMargin
     })
 
+  /** Per-EDGE triangle-support census — the k-truss first peel
+    * (round 7): for every undirected trade edge {a,b}, support =
+    * |N(a) ∩ N(b)| (triangles through the edge), bucketed into a
+    * support histogram with an id checksum. q_graph_triangles counts
+    * per NODE and q_graph_clustering normalizes per node; truss
+    * decomposition is the EDGE-grain refinement — community cores are
+    * defined by edges with support ≥ k−2, and "support 0" edges are
+    * exactly the bridges no triangle reinforces. The histogram is the
+    * peel schedule: bucket < 2 is what the 4-truss peel would remove
+    * first.
+    *
+    * Scale: support is the canonical edge-support join — edge {a,b}
+    * joins the both-direction adjacency on each endpoint with the
+    * common-neighbor equality, so candidates are Σ_{(a,b)} d(a)·d(b),
+    * bounded linear-in-edges under the top-3 degree cap (and at fleet
+    * scale by the standard degree-ordered orientation). One shuffle on
+    * the session-shared [[undirectedTop3]] relation; the census is
+    * edge-grain.
+    *
+    * Determinism: pure integer counting; zero-support edges kept via
+    * left join + coalesce; checksum Σ(31a + b) is support-bucket
+    * invariant under any join order.
+    */
+  private val truss = QueryDef(
+    "q_graph_truss",
+    (s, d) => {
+      val und = undirectedTop3(s, d)
+      val adj = und.select(col("a").as("u"), col("b").as("v"))
+        .union(und.select(col("b").as("u"), col("a").as("v")))
+      val sup = und.as("e")
+        .join(adj.select(col("u").as("u1"), col("v").as("w1")),
+          col("u1") === col("e.a"))
+        .join(adj.select(col("u").as("u2"), col("v").as("w2")),
+          col("u2") === col("e.b") && col("w2") === col("w1"))
+        .groupBy(col("e.a").as("sa"), col("e.b").as("sb"))
+        .agg(count(lit(1)).as("s"))
+      und
+        .join(sup, col("a") === col("sa") && col("b") === col("sb"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("s"), lit(0L)).as("support"))
+        .groupBy(col("support"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(col("a") * 31 + col("b")).as("ab_checksum"))
+        .orderBy(ascf("support"))
+    },
+    Some(s"""WITH $UndSql,
+           |adj AS (SELECT a AS u, b AS v FROM und
+           |  UNION ALL SELECT b, a FROM und),
+           |sup AS (SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS s
+           |  FROM und e
+           |  JOIN adj n1 ON n1.u = e.a
+           |  JOIN adj n2 ON n2.u = e.b AND n2.v = n1.v
+           |  GROUP BY e.a, e.b),
+           |es AS (SELECT und.a, und.b,
+           |    CAST(coalesce(sup.s, 0) AS BIGINT) AS support
+           |  FROM und LEFT JOIN sup ON sup.a = und.a AND sup.b = und.b)
+           |SELECT support, CAST(count(*) AS BIGINT) AS n_edges,
+           |  CAST(sum(a * 31 + b) AS BIGINT) AS ab_checksum
+           |FROM es GROUP BY support
+           |ORDER BY support ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(pagerank, triangles, bfs, degree,
     graphJaccard, labelProp, closeness, scc, kcore, copurchase,
     adamicAdar, hits, assortativity, reciprocity, clustering, mst, motifs,
-    eccentric)
+    eccentric, truss)
 }
