@@ -1394,11 +1394,165 @@ object Aggregates {
          |FROM agg ORDER BY n ASC NULLS FIRST""".stripMargin
     })
 
+  /** Welch's two-sample t-test, A-vs-R line-item prices (round 7):
+    * the parametric member of the two-sample tier — q_profile_ks grades
+    * the CDF gap, q_agg_mannwhitney the rank mass, this one the
+    * mean-difference-in-SE-units location statistic plus the
+    * Welch–Satterthwaite degrees of freedom and Cohen's d effect size
+    * (the "is the shift real AND is it big" pair every A/B readout
+    * reports).
+    *
+    * Both samples reduce in ONE conditional-aggregate pass (no second
+    * scan, no pivot): n/Σx/Σx² per flag via CASE sums. Everything
+    * downstream is closed-form on those six numbers — variance
+    * numerators n·Σx²−(Σx)² stay exact in DECIMAL(38,0)/HUGEINT
+    * (Σx² alone passes 2⁶³ at the 10× probe, and the dm numerator
+    * s₁n₂−s₂n₁ passes it too, so BOTH stage through wide decimals
+    * BEFORE multiplying), variances quantize to e4 int64 — NOT e6:
+    * Spark's `div` always lands in BIGINT, and cent²-variance ×1e6
+    * (~9e18) brushes the int64 ceiling, so e4 buys 100× headroom and
+    * every later product re-stages through decimal — and t/d emerge
+    * as doubles from mirrored IEEE expressions over identical int64
+    * inputs (< 2⁵³, so the double conversions are exact). Integer div
+    * truncates toward zero in BOTH engines (Spark `div`, DuckDB `//`
+    * — verified on negatives), so the possibly-negative dm_e6 is safe.
+    *
+    * Scale: one partial-aggregate scan; the test itself is a 1-row
+    * closed form.
+    */
+  private val aggTtest = QueryDef(
+    "q_agg_ttest",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("f"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("x"))
+        .withColumn("xd", col("x").cast("decimal(18,0)"))
+      val agg = li.agg(
+        sum(when(col("f") === "A", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("f") === "A", col("x")).otherwise(0L)).as("s1"),
+        sum(when(col("f") === "A", col("xd") * col("xd"))
+          .otherwise(lit(0).cast("decimal(37,0)"))).as("q1"),
+        sum(when(col("f") === "R", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("f") === "R", col("x")).otherwise(0L)).as("s2"),
+        sum(when(col("f") === "R", col("xd") * col("xd"))
+          .otherwise(lit(0).cast("decimal(37,0)"))).as("q2"))
+      agg
+        .withColumn("v1e4", expr(
+          """(cast(n1 as decimal(38,0)) * q1
+            |  - cast(s1 as decimal(38,0)) * cast(s1 as decimal(38,0)))
+            |  * 10000 div cast(n1 * (n1 - 1) as decimal(38,0))"""
+            .stripMargin))
+        .withColumn("v2e4", expr(
+          """(cast(n2 as decimal(38,0)) * q2
+            |  - cast(s2 as decimal(38,0)) * cast(s2 as decimal(38,0)))
+            |  * 10000 div cast(n2 * (n2 - 1) as decimal(38,0))"""
+            .stripMargin))
+        .withColumn("a_e4", expr("v1e4 div n1"))
+        .withColumn("b_e4", expr("v2e4 div n2"))
+        .withColumn("se2_e4", col("a_e4") + col("b_e4"))
+        .withColumn("dm_e6", expr(
+          """cast((cast(s1 as decimal(38,0)) * n2
+            |  - cast(s2 as decimal(38,0)) * n1) * 1000000
+            |  div cast(n1 * n2 as decimal(38,0)) as bigint)""".stripMargin))
+        .withColumn("sp2", expr(
+          """(cast(n1 - 1 as decimal(38,0)) * v1e4
+            |  + cast(n2 - 1 as decimal(38,0)) * v2e4)
+            |  div (cast(n1 + n2 - 2 as decimal(38,0)) * 10000)"""
+            .stripMargin))
+        .withColumn("dof_e3", expr(
+          """cast(case when n1 < 2 or n2 < 2 then 0 else
+            |  (cast(a_e4 + b_e4 as decimal(38,0))
+            |    * cast(a_e4 + b_e4 as decimal(38,0))
+            |    * cast((n1 - 1) * (n2 - 1) as decimal(38,0)) * 1000)
+            |  div (cast(a_e4 as decimal(38,0)) * cast(a_e4 as decimal(38,0))
+            |         * (n2 - 1)
+            |       + cast(b_e4 as decimal(38,0)) * cast(b_e4 as decimal(38,0))
+            |         * (n1 - 1)) end as bigint)""".stripMargin))
+        .select(
+          col("n1").as("n_a"), col("n2").as("n_r"),
+          (col("s1").cast("double") / col("n1").cast("double")).as("mean_a"),
+          (col("s2").cast("double") / col("n2").cast("double")).as("mean_r"),
+          col("dm_e6"),
+          when(col("se2_e4") === 0, lit(0.0))
+            .otherwise(col("dm_e6").cast("double")
+              / (lit(10000.0) * sqrt(col("se2_e4").cast("double"))))
+            .as("t_welch"),
+          col("dof_e3"),
+          when(col("sp2") === 0, lit(0.0))
+            .otherwise(col("dm_e6").cast("double")
+              / (lit(1000000.0) * sqrt(col("sp2").cast("double"))))
+            .as("cohens_d"))
+        .orderBy(ascf("n_a"))
+    },
+    Some("""WITH base AS (SELECT l_returnflag AS f,
+           |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS x
+           |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+           |agg AS (SELECT
+           |    CAST(sum(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n1,
+           |    CAST(sum(CASE WHEN f = 'A' THEN x ELSE 0 END) AS BIGINT)
+           |      AS s1,
+           |    sum(CASE WHEN f = 'A'
+           |      THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+           |      ELSE CAST(0 AS HUGEINT) END) AS q1,
+           |    CAST(sum(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n2,
+           |    CAST(sum(CASE WHEN f = 'R' THEN x ELSE 0 END) AS BIGINT)
+           |      AS s2,
+           |    sum(CASE WHEN f = 'R'
+           |      THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+           |      ELSE CAST(0 AS HUGEINT) END) AS q2
+           |  FROM base),
+           |v AS (SELECT *,
+           |    (CAST(n1 AS HUGEINT) * q1
+           |      - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT))
+           |      * 10000 // CAST(n1 * (n1 - 1) AS HUGEINT) AS v1e4,
+           |    (CAST(n2 AS HUGEINT) * q2
+           |      - CAST(s2 AS HUGEINT) * CAST(s2 AS HUGEINT))
+           |      * 10000 // CAST(n2 * (n2 - 1) AS HUGEINT) AS v2e4
+           |  FROM agg),
+           |w AS (SELECT *,
+           |    CAST(v1e4 // n1 AS BIGINT) AS a_e4,
+           |    CAST(v2e4 // n2 AS BIGINT) AS b_e4,
+           |    CAST((CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1)
+           |      * 1000000 // CAST(n1 * n2 AS HUGEINT) AS BIGINT) AS dm_e6,
+           |    CAST((CAST(n1 - 1 AS HUGEINT) * v1e4
+           |        + CAST(n2 - 1 AS HUGEINT) * v2e4)
+           |      // (CAST(n1 + n2 - 2 AS HUGEINT) * 10000) AS BIGINT)
+           |      AS sp2
+           |  FROM v),
+           |x2 AS (SELECT *, a_e4 + b_e4 AS se2_e4,
+           |    CAST(CASE WHEN n1 < 2 OR n2 < 2 THEN 0 ELSE
+           |      (CAST(a_e4 + b_e4 AS HUGEINT)
+           |        * CAST(a_e4 + b_e4 AS HUGEINT)
+           |        * CAST((n1 - 1) * (n2 - 1) AS HUGEINT) * 1000)
+           |      // (CAST(a_e4 AS HUGEINT) * CAST(a_e4 AS HUGEINT)
+           |            * (n2 - 1)
+           |          + CAST(b_e4 AS HUGEINT) * CAST(b_e4 AS HUGEINT)
+           |            * (n1 - 1)) END AS BIGINT) AS dof_e3
+           |  FROM w)
+           |SELECT n1 AS n_a, n2 AS n_r,
+           |  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_a,
+           |  CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean_r,
+           |  dm_e6,
+           |  CASE WHEN se2_e4 = 0 THEN 0.0
+           |    ELSE CAST(dm_e6 AS DOUBLE)
+           |      / (CAST(10000 AS DOUBLE) * sqrt(CAST(se2_e4 AS DOUBLE)))
+           |    END AS t_welch,
+           |  dof_e3,
+           |  CASE WHEN sp2 = 0 THEN 0.0
+           |    ELSE CAST(dm_e6 AS DOUBLE)
+           |      / (CAST(1000000 AS DOUBLE) * sqrt(CAST(sp2 AS DOUBLE)))
+           |    END AS cohens_d
+           |FROM x2 ORDER BY n_a ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggQ18, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
     aggPercentile, aggPivot, aggUnpivot, aggGrouping, aggMode, aggBitset,
     aggEntropy, aggQ14, aggQ6, aggGini, aggHhi, aggFiltered, aggSkyline,
     aggPareto, aggBasketLift, aggCramersV, aggMannWhitney, aggTheil,
-    aggMutualInfo)
+    aggMutualInfo, aggTtest)
 }

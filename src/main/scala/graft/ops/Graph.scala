@@ -1621,8 +1621,98 @@ object Graph {
            |FROM es GROUP BY support
            |ORDER BY support ASC NULLS FIRST""".stripMargin))
 
+  /** Newman modularity of the REGION partition over the trade graph
+    * (round 7): Q = Σ_c (e_c/m − (d_c/2m)²) — "does the region
+    * grouping explain the trade edges better than a degree-preserving
+    * random graph would". The evaluation half of community detection
+    * (q_graph_label_prop finds communities; modularity SCORES a
+    * partition), and with regions as the candidate partition it is the
+    * geography-vs-trade question directly. Per-region contributions are
+    * graded alongside the global Q, so a region that trades mostly
+    * outside itself shows its negative term explicitly.
+    *
+    * Scale: degrees re-aggregate the session-shared edge relation;
+    * the within-community edge count is one broadcast-mapped pass over
+    * edges; the census is community-grain (5 rows). All statistics are
+    * closed-form on (e_c, d_c, m).
+    *
+    * Determinism: Q·4m² is exact int64 (t_c = 4·m·e_c − d_c²);
+    * contributions and Q floor to e6 by integer division, truncation
+    * toward zero identical in both engines; isolated nations carry
+    * d = 0 via left join + coalesce.
+    */
+  private val modularity = QueryDef(
+    "q_graph_modularity",
+    (s, d) => {
+      val und = undirectedTop3(s, d)
+      val nodeC = Tables.nation(s, d)
+        .select(col("n_nationkey").as("nk"), col("n_regionkey").as("rk"))
+        .join(broadcast(Tables.region(s, d)
+          .select(col("r_regionkey"), col("r_name"))),
+          col("rk") === col("r_regionkey"))
+        .select(col("nk"), col("r_name"))
+      val m = und.agg(count(lit(1)).as("m"))
+      val deg = und.select(col("a").as("v"))
+        .union(und.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val dcs = nodeC.join(deg, col("nk") === col("v"), "left")
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"),
+          sum(coalesce(col("deg"), lit(0L))).as("deg_sum"))
+      val ein = und
+        .join(broadcast(nodeC.select(col("nk").as("na"),
+          col("r_name").as("ra"))), col("a") === col("na"))
+        .join(broadcast(nodeC.select(col("nk").as("nb"),
+          col("r_name").as("rb"))), col("b") === col("nb"))
+        .filter(col("ra") === col("rb"))
+        .groupBy(col("ra")).agg(count(lit(1)).as("e_within"))
+      dcs
+        .join(ein, col("r_name") === col("ra"), "left")
+        .select(col("r_name"), col("n_nations"), col("deg_sum"),
+          coalesce(col("e_within"), lit(0L)).as("e_within"))
+        .crossJoin(broadcast(m))
+        .withColumn("t_c",
+          lit(4L) * col("m") * col("e_within")
+            - col("deg_sum") * col("deg_sum"))
+        .select(col("r_name"), col("n_nations"), col("deg_sum"),
+          col("e_within"),
+          expr("(t_c * 1000000) div (4 * m * m)").as("contrib_e6"),
+          expr("(sum(t_c) over () * 1000000) div (4 * m * m)").as("q_e6"))
+        .orderBy(ascf("r_name"))
+    },
+    Some(s"""WITH $UndSql,
+           |nodec AS (SELECT n.n_nationkey AS nk, r.r_name
+           |  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+           |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+           |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+           |  GROUP BY v),
+           |dcs AS (SELECT nodec.r_name,
+           |    CAST(count(*) AS BIGINT) AS n_nations,
+           |    CAST(sum(coalesce(deg.deg, 0)) AS BIGINT) AS deg_sum
+           |  FROM nodec LEFT JOIN deg ON nodec.nk = deg.v
+           |  GROUP BY nodec.r_name),
+           |ein AS (SELECT ca.r_name AS ra, CAST(count(*) AS BIGINT)
+           |      AS e_within
+           |  FROM und
+           |  JOIN nodec ca ON und.a = ca.nk
+           |  JOIN nodec cb ON und.b = cb.nk
+           |  WHERE ca.r_name = cb.r_name
+           |  GROUP BY ca.r_name),
+           |base AS (SELECT dcs.r_name, dcs.n_nations, dcs.deg_sum,
+           |    CAST(coalesce(ein.e_within, 0) AS BIGINT) AS e_within,
+           |    m.m,
+           |    4 * m.m * CAST(coalesce(ein.e_within, 0) AS BIGINT)
+           |      - dcs.deg_sum * dcs.deg_sum AS t_c
+           |  FROM dcs LEFT JOIN ein ON dcs.r_name = ein.ra CROSS JOIN m)
+           |SELECT r_name, n_nations, deg_sum, e_within,
+           |  CAST((t_c * 1000000) // (4 * m * m) AS BIGINT) AS contrib_e6,
+           |  CAST((sum(t_c) OVER () * 1000000) // (4 * m * m) AS BIGINT)
+           |    AS q_e6
+           |FROM base ORDER BY r_name ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(pagerank, triangles, bfs, degree,
     graphJaccard, labelProp, closeness, scc, kcore, copurchase,
     adamicAdar, hits, assortativity, reciprocity, clustering, mst, motifs,
-    eccentric, truss)
+    eccentric, truss, modularity)
 }
