@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import graft.Dsl._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregations (SURVEY.md §2.5).
@@ -1548,11 +1549,118 @@ object Aggregates {
            |    END AS cohens_d
            |FROM x2 ORDER BY n_a ASC NULLS FIRST""".stripMargin))
 
+  /** Grouped Spearman rank correlation (round 7): per nation, the
+    * rank correlation between a supplier's account balance and its
+    * realized line-item revenue — "does capital predict throughput?"
+    * as the distribution-free counterpart of q_profile_corr's Pearson
+    * (monotone association, immune to the heavy right tail revenue
+    * has). Completes the correlation tier: Pearson (linear), Kendall-
+    * free Spearman (monotone), Mann–Whitney (two-sample location).
+    *
+    * Exact midranks via the q_agg_mannwhitney identity: 2·midrank =
+    * 2·rank() + ties − 1, so u,v stay int64 with no half-units; rho is
+    * then Pearson on (u, v) — the doubled scale cancels algebraically,
+    * so no correction term exists to drift. Moments n·Σuv−Σu·Σv etc.
+    * are exact int64 (u ≤ 2n, so n·Σu² ≤ 4n⁴ ≈ 1e11 even at the 10×
+    * probe's n=400 — far under 2⁵³); rho emerges as a double from the
+    * MIRRORED IEEE expression num/(sqrt(d1)·sqrt(d2)) over identical
+    * int64 inputs (the q_profile_corr discipline: sqrt/mul/div are
+    * each correctly rounded, identical operands ⇒ identical bits).
+    * Groups with a zero denominator (constant ranks) pin rho = 0 by
+    * CASE on both engines.
+    *
+    * Scale: the corpus collapses to supplier grain in ONE partial agg
+    * (revenue per suppkey — map-side combinable); ranking windows run
+    * on the supplier-sized relation partitioned BY NATION (parallel
+    * across groups, never a global sort); nation names broadcast.
+    *
+    * Determinism (D1/D2): cents exact via DECIMAL staging; ranks and
+    * moments all int64; nations total-ordered by name.
+    */
+  private val aggSpearman = QueryDef(
+    "q_agg_spearman",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(sum((dec(col("l_extendedprice")) * 100).cast("long"))
+          .as("rev"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"),
+          (dec(col("s_acctbal")) * 100).cast("long").as("bal"))
+      val base = sup
+        .join(rev, col("s_suppkey") === col("l_suppkey"), "left")
+        .select(col("s_nationkey").as("nk"), col("bal"),
+          coalesce(col("rev"), lit(0L)).as("rv"))
+      val wb = Window.partitionBy(col("nk")).orderBy(ascf(col("bal")))
+      val wr = Window.partitionBy(col("nk")).orderBy(ascf(col("rv")))
+      val ranked = base
+        .withColumn("u", (lit(2L) * rank().over(wb)
+          + count(lit(1)).over(Window.partitionBy(col("nk"), col("bal")))
+          - 1L).cast("long"))
+        .withColumn("v", (lit(2L) * rank().over(wr)
+          + count(lit(1)).over(Window.partitionBy(col("nk"), col("rv")))
+          - 1L).cast("long"))
+      val m = ranked.groupBy(col("nk")).agg(
+        count(lit(1)).as("n_sup"),
+        sum(col("u")).as("su"), sum(col("v")).as("sv"),
+        sum(col("u") * col("u")).as("suu"),
+        sum(col("v") * col("v")).as("svv"),
+        sum(col("u") * col("v")).as("suv"))
+      val nat = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name")))
+      m.join(nat, col("nk") === col("n_nationkey"))
+        .withColumn("num", col("n_sup") * col("suv") - col("su") * col("sv"))
+        .withColumn("d1", col("n_sup") * col("suu") - col("su") * col("su"))
+        .withColumn("d2", col("n_sup") * col("svv") - col("sv") * col("sv"))
+        .select(col("n_name"), col("n_sup"), col("num"), col("d1"),
+          col("d2"),
+          when(col("d1") === 0 || col("d2") === 0, lit(0.0))
+            .otherwise(col("num").cast("double")
+              / (sqrt(col("d1").cast("double"))
+                * sqrt(col("d2").cast("double")))).as("rho"))
+        .orderBy(ascf("n_name"))
+    },
+    Some("""WITH rev AS (SELECT l_suppkey,
+           |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+           |      AS BIGINT)) AS BIGINT) AS rev
+           |  FROM lineitem GROUP BY l_suppkey),
+           |base AS (SELECT s_nationkey AS nk,
+           |    CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS bal,
+           |    CAST(coalesce(rev, 0) AS BIGINT) AS rv
+           |  FROM supplier LEFT JOIN rev ON s_suppkey = l_suppkey),
+           |ranked AS (SELECT nk,
+           |    CAST(2 * rank() OVER (PARTITION BY nk ORDER BY bal ASC)
+           |      + count(*) OVER (PARTITION BY nk, bal) - 1 AS BIGINT)
+           |      AS u,
+           |    CAST(2 * rank() OVER (PARTITION BY nk ORDER BY rv ASC)
+           |      + count(*) OVER (PARTITION BY nk, rv) - 1 AS BIGINT)
+           |      AS v
+           |  FROM base),
+           |m AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_sup,
+           |    CAST(sum(u) AS BIGINT) AS su, CAST(sum(v) AS BIGINT) AS sv,
+           |    CAST(sum(u * u) AS BIGINT) AS suu,
+           |    CAST(sum(v * v) AS BIGINT) AS svv,
+           |    CAST(sum(u * v) AS BIGINT) AS suv
+           |  FROM ranked GROUP BY nk)
+           |SELECT n_name, n_sup,
+           |  CAST(n_sup * suv - su * sv AS BIGINT) AS num,
+           |  CAST(n_sup * suu - su * su AS BIGINT) AS d1,
+           |  CAST(n_sup * svv - sv * sv AS BIGINT) AS d2,
+           |  CASE WHEN n_sup * suu - su * su = 0
+           |      OR n_sup * svv - sv * sv = 0 THEN 0.0
+           |    ELSE CAST(n_sup * suv - su * sv AS DOUBLE)
+           |      / (sqrt(CAST(n_sup * suu - su * su AS DOUBLE))
+           |        * sqrt(CAST(n_sup * svv - sv * sv AS DOUBLE))) END
+           |    AS rho
+           |FROM m JOIN nation ON nk = n_nationkey
+           |ORDER BY n_name ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggQ18, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
     aggPercentile, aggPivot, aggUnpivot, aggGrouping, aggMode, aggBitset,
     aggEntropy, aggQ14, aggQ6, aggGini, aggHhi, aggFiltered, aggSkyline,
     aggPareto, aggBasketLift, aggCramersV, aggMannWhitney, aggTheil,
-    aggMutualInfo, aggTtest)
+    aggMutualInfo, aggTtest, aggSpearman)
 }

@@ -823,9 +823,84 @@ object Windows {
            |GROUP BY e.event_type
            |ORDER BY e.event_type ASC NULLS FIRST""".stripMargin))
 
+  /** Running-peak drawdown census (round 7): per nation, the daily
+    * order-revenue series against its historical peak — worst absolute
+    * decline, worst relative decline, and days spent underwater. The
+    * finance-desk max-drawdown statistic applied to the ops metric
+    * every revenue dashboard tracks ("how far below our best day are
+    * we, and for how long?"). q_ts_bollinger flags band BREAKOUTS;
+    * this measures depth-below-PEAK — the cumulative-maximum frame
+    * member of the window family.
+    *
+    * Scale: the corpus collapses to (nation, day) grain in one partial
+    * agg (~nations × days rows); the running max is ONE window pass
+    * partitioned by nation (parallel across nations, frames spelled
+    * ROWS UNBOUNDED PRECEDING explicitly — day is unique within a
+    * nation so ROWS ≡ RANGE, and spelling ROWS keeps WindowExec on the
+    * O(1)-per-row running-max path); the census re-aggregates the
+    * day-grain relation. Nation names broadcast.
+    *
+    * Determinism (D1/D2): exact cents; dd ≥ 0 and peak > 0 (revenues
+    * positive), so the e6 ratio's floor division is trunc-safe on both
+    * engines; nations total-ordered by name.
+    */
+  private val winDrawdown = QueryDef(
+    "q_win_drawdown",
+    (s, d) => {
+      val days = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum((dec(col("o_totalprice")) * 100).cast("long"))
+          .as("rev"))
+      val w = Window.partitionBy(col("nk")).orderBy(ascf(col("day")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = days
+        .withColumn("peak", max(col("rev")).over(w))
+        .withColumn("dd", col("peak") - col("rev"))
+        .withColumn("ddr_e6", expr("(dd * 1000000) div peak"))
+      val nat = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name")))
+      dd.groupBy(col("nk")).agg(
+        count(lit(1)).as("n_days"),
+        max(col("rev")).as("peak_cents"),
+        max(col("dd")).as("max_dd_cents"),
+        max(col("ddr_e6")).as("max_ddr_e6"),
+        sum(when(col("dd") > 0, 1L).otherwise(0L)).as("n_underwater"))
+        .join(nat, col("nk") === col("n_nationkey"))
+        .select(col("n_name"), col("n_days"), col("peak_cents"),
+          col("max_dd_cents"), col("max_ddr_e6"), col("n_underwater"))
+        .orderBy(ascf("n_name"))
+    },
+    Some("""WITH days AS (SELECT c_nationkey AS nk,
+           |    CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+           |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           |      AS BIGINT)) AS BIGINT) AS rev
+           |  FROM orders JOIN customer ON o_custkey = c_custkey
+           |  GROUP BY 1, 2),
+           |dd AS (SELECT nk, rev,
+           |    max(rev) OVER (PARTITION BY nk ORDER BY day ASC
+           |      ROWS UNBOUNDED PRECEDING) AS peak
+           |  FROM days),
+           |agg AS (SELECT nk,
+           |    CAST(count(*) AS BIGINT) AS n_days,
+           |    CAST(max(rev) AS BIGINT) AS peak_cents,
+           |    CAST(max(peak - rev) AS BIGINT) AS max_dd_cents,
+           |    CAST(max(((peak - rev) * 1000000) // peak) AS BIGINT)
+           |      AS max_ddr_e6,
+           |    CAST(sum(CASE WHEN peak > rev THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_underwater
+           |  FROM dd GROUP BY nk)
+           |SELECT n_name, n_days, peak_cents, max_dd_cents, max_ddr_e6,
+           |  n_underwater
+           |FROM agg JOIN nation ON nk = n_nationkey
+           |ORDER BY n_name ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     winRank, winRunning, winLeadLag, winRangeFrame, winNtilePct, winFirstLast,
     sortNulls, limitOffset, topkGroup, winSessionize, winStreak, winPattern,
     winDistinct, winConcurrency, winIntervals, winRankDelta, winAlloc,
-    winRatelimit)
+    winRatelimit, winDrawdown)
 }
