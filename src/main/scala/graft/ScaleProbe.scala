@@ -239,7 +239,9 @@ object ScaleProbe {
         // round-7 batch 75: Welch t-test, region-partition modularity
         "q_agg_ttest", "q_graph_modularity",
         // round-7 batch 76: grouped Spearman, running-peak drawdown
-        "q_agg_spearman", "q_win_drawdown")
+        "q_agg_spearman", "q_win_drawdown",
+        // round-7 batch 77: CUSUM drift detection, vocab coverage curve
+        "q_ts_cusum", "q_text_coverage")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

@@ -2191,11 +2191,89 @@ object Text {
          |FROM r5 ORDER BY lang ASC NULLS FIRST""".stripMargin
     })
 
+  /** Vocabulary coverage curve (round 7): per language, what fraction
+    * of the corpus token MASS the top-5/10/20 most frequent words
+    * carry, plus the smallest rank whose cumulative mass reaches 90% —
+    * the "how big a vocab do you actually need" readout every
+    * tokenizer/vocab design starts from (q_text_zipf fits the
+    * rank-frequency SLOPE; this reads the curve's integral at the
+    * operating points that matter). Heaps (vocab growth) + Zipf
+    * (frequency decay) + coverage (cumulative mass) complete the
+    * corpus-statistics triptych.
+    *
+    * Scale: ONE explode of the session-shared token relation collapses
+    * to (lang, word) counts (map-side combinable); ranking and the
+    * cumulative sum run on the VOCAB-sized relation partitioned by
+    * lang (never the corpus); per-lang totals broadcast back. The
+    * coverage points are conditional sums in the same census pass.
+    *
+    * Determinism (D1): rank = row_number over (cnt DESC NULLS LAST,
+    * word ASC NULLS FIRST) — a total order under ties on both engines;
+    * e6 ratios by floor division of exact int64.
+    */
+  private val coverage = QueryDef(
+    "q_text_coverage",
+    (s, d) => {
+      val wc = sharedDocTokens(s, d)
+        .select(col("lang"), explode(col("ts")).as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+      val wr = Window.partitionBy(col("lang"))
+        .orderBy(descl(col("cnt")), ascf(col("w")))
+      val wcum = Window.partitionBy(col("lang"))
+        .orderBy(ascf(col("rnk")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = wc.groupBy(col("lang").as("l2"))
+        .agg(sum(col("cnt")).as("tt"))
+      wc.withColumn("rnk", row_number().over(wr).cast("long"))
+        .withColumn("cum", sum(col("cnt")).over(wcum))
+        .join(broadcast(tot), col("lang") === col("l2"))
+        .groupBy(col("lang"), col("tt"))
+        .agg(count(lit(1)).as("n_vocab"),
+          sum(when(col("rnk") <= 5, col("cnt")).otherwise(0L)).as("c5"),
+          sum(when(col("rnk") <= 10, col("cnt")).otherwise(0L)).as("c10"),
+          sum(when(col("rnk") <= 20, col("cnt")).otherwise(0L)).as("c20"),
+          min(when(col("cum") * 10 >= col("tt") * 9, col("rnk")))
+            .as("k90"))
+        .select(col("lang"), col("tt").as("n_tokens"), col("n_vocab"),
+          expr("(c5 * 1000000) div tt").as("cov5_e6"),
+          expr("(c10 * 1000000) div tt").as("cov10_e6"),
+          expr("(c20 * 1000000) div tt").as("cov20_e6"),
+          col("k90"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH wc AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+           |  FROM documents),
+           |cnts AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM wc GROUP BY lang, w),
+           |ranked AS (SELECT lang, cnt,
+           |    CAST(row_number() OVER (PARTITION BY lang
+           |      ORDER BY cnt DESC NULLS LAST, w ASC NULLS FIRST)
+           |      AS BIGINT) AS rnk
+           |  FROM cnts),
+           |cum AS (SELECT *, sum(cnt) OVER (PARTITION BY lang
+           |    ORDER BY rnk ASC ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM ranked),
+           |tot AS (SELECT lang AS l2, CAST(sum(cnt) AS BIGINT) AS tt
+           |  FROM cnts GROUP BY lang)
+           |SELECT lang, tt AS n_tokens,
+           |  CAST(count(*) AS BIGINT) AS n_vocab,
+           |  CAST((sum(CASE WHEN rnk <= 5 THEN cnt ELSE 0 END) * 1000000)
+           |    // tt AS BIGINT) AS cov5_e6,
+           |  CAST((sum(CASE WHEN rnk <= 10 THEN cnt ELSE 0 END) * 1000000)
+           |    // tt AS BIGINT) AS cov10_e6,
+           |  CAST((sum(CASE WHEN rnk <= 20 THEN cnt ELSE 0 END) * 1000000)
+           |    // tt AS BIGINT) AS cov20_e6,
+           |  CAST(min(CASE WHEN cum * 10 >= tt * 9 THEN rnk END) AS BIGINT)
+           |    AS k90
+           |FROM cum JOIN tot ON lang = l2
+           |GROUP BY lang, tt
+           |ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,
     langid, quality, tokens, fingerprint, levenshteinPairs, tfidf,
     collocations, vocab, zipf, keyphrase, bigramLm, perplexity, bpe,
     textUnicode, bm25, bpeEncode, winnowing, stem, hashvec, lexicon,
     divergence, reassembly, generate, langConfusion, simpson, burstiness,
-    heaps)
+    heaps, coverage)
 }

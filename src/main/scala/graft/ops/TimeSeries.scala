@@ -2335,10 +2335,92 @@ object TimeSeries {
          |ORDER BY pf.from_type ASC NULLS FIRST""".stripMargin
     })
 
+  /** One-sided CUSUM change detection (round 7): per event type, the
+    * Page cumulative-sum statistic S_t = max(0, S_{t−1} + (x_t − μ))
+    * over the daily count series — the classic sequential detector for
+    * SUSTAINED upward shifts that point detectors miss (q_ts_anomaly*
+    * flag single outlier days; a 20-day drift of +5%/day never trips a
+    * z-score but accumulates linearly here). Breach when S_t exceeds
+    * one mean-day's mass.
+    *
+    * The recursive max(0, ·+·) fold is NOT window-expressible directly,
+    * but the textbook identity S_t = P_t − min(0, min_{j≤t} P_j) (P =
+    * prefix sum of deviations) turns it into TWO running-frame windows
+    * — running sum then running min — so the whole detector stays on
+    * WindowExec's O(1)-per-row path with no UDAF fold and no driver
+    * loop (the q_win_ratelimit problem, solved algebraically instead).
+    *
+    * Integers throughout: deviations are scaled by D (days) so μ = T/D
+    * never divides — dev_t = x_t·D − T, exact int64 (|P| ≤ T·D ≈ 7e7
+    * at the 10× probe). Threshold = T/10 (a tenth of a mean day,
+    * scaled) — a sensitivity CHOICE like every CUSUM allowance, picked
+    * so the breach branch actually fires on the fixtures' near-uniform
+    * synthetic counts at all SFs (at threshold = T nothing ever
+    * breaches and the conditional-min path would grade a constant).
+    *
+    * Scale: corpus → (type, day) grain in one partial agg; the tiny
+    * per-type totals broadcast back; two window passes partitioned by
+    * type; census re-aggregates day grain.
+    *
+    * Determinism (D1): all int64; first breach day is a conditional
+    * MIN over unique days (no argmin tie); types total-ordered.
+    */
+  private val cusum = QueryDef(
+    "q_ts_cusum",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val tot = daily.groupBy(col("event_type").as("et2"))
+        .agg(sum(col("x")).as("tt"), count(lit(1)).as("dd"))
+      val w = Window.partitionBy(col("event_type")).orderBy(ascf(col("day")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(broadcast(tot), col("event_type") === col("et2"))
+        .withColumn("dev", col("x") * col("dd") - col("tt"))
+        .withColumn("pp", sum(col("dev")).over(w))
+        .withColumn("mn", min(col("pp")).over(w))
+        .withColumn("cu", col("pp") - least(lit(0L), col("mn")))
+        .groupBy(col("event_type"), col("tt"), col("dd"))
+        .agg(max(col("cu")).as("max_cusum"),
+          sum(when(col("cu") > expr("tt div 10"), 1L).otherwise(0L))
+            .as("n_breach"),
+          coalesce(min(when(col("cu") > expr("tt div 10"),
+            epochUs(col("day")))), lit(0L)).as("first_breach_us"))
+        .select(col("event_type"), col("dd").as("n_days"),
+          col("tt").as("total_events"), col("max_cusum"),
+          col("n_breach"), col("first_breach_us"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH daily AS (SELECT event_type,
+           |    CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS day,
+           |    CAST(count(*) AS BIGINT) AS x
+           |  FROM events GROUP BY 1, 2),
+           |tot AS (SELECT event_type AS et2, CAST(sum(x) AS BIGINT) AS tt,
+           |    CAST(count(*) AS BIGINT) AS dd
+           |  FROM daily GROUP BY 1),
+           |p AS (SELECT event_type, day, tt, dd, x * dd - tt AS dev
+           |  FROM daily JOIN tot ON event_type = et2),
+           |c AS (SELECT *, sum(dev) OVER (PARTITION BY event_type
+           |    ORDER BY day ASC ROWS UNBOUNDED PRECEDING) AS pp
+           |  FROM p),
+           |m AS (SELECT *, min(pp) OVER (PARTITION BY event_type
+           |    ORDER BY day ASC ROWS UNBOUNDED PRECEDING) AS mn
+           |  FROM c),
+           |s AS (SELECT *, pp - least(0, mn) AS cu FROM m)
+           |SELECT event_type, dd AS n_days, tt AS total_events,
+           |  CAST(max(cu) AS BIGINT) AS max_cusum,
+           |  CAST(sum(CASE WHEN cu > tt // 10 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_breach,
+           |  CAST(coalesce(min(CASE WHEN cu > tt // 10
+           |      THEN epoch_us(CAST(day AS TIMESTAMP)) END), 0) AS BIGINT)
+           |    AS first_breach_us
+           |FROM s GROUP BY event_type, dd, tt
+           |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
       theilSen, attrib, transitions, downsample, evalWape, latency,
       period, crossCorr, movingMedian, tsRate, dtw, anomalyMad, bollinger,
-      decompose, growth, dauMau, sax, permEntropy, entropyRate)
+      decompose, growth, dauMau, sax, permEntropy, entropyRate, cusum)
 }
