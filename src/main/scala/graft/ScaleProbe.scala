@@ -241,7 +241,9 @@ object ScaleProbe {
         // round-7 batch 76: grouped Spearman, running-peak drawdown
         "q_agg_spearman", "q_win_drawdown",
         // round-7 batch 77: CUSUM drift detection, vocab coverage curve
-        "q_ts_cusum", "q_text_coverage")
+        "q_ts_cusum", "q_text_coverage",
+        // round-7 batch 78: Durbin–Levinson PACF, PSI drift monitor
+        "q_ts_pacf", "q_profile_psi")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

@@ -1427,9 +1427,130 @@ object Curation {
            |FROM ranked GROUP BY lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** Population stability index drift monitor (round 7): per event
+    * type, PSI = Σ_bins (p−q)·ln(p/q) between the FIRST and SECOND
+    * half of the time range (split at the epoch-µs midpoint), bins =
+    * hour-of-day — the production "did this feature's distribution
+    * move between training and serving" check every ML monitoring
+    * stack runs nightly (industry thresholds: 0.1 warn / 0.25 act,
+    * i.e. psi_e6 100000/250000). q_profile_ks grades a two-SAMPLE gap
+    * on a value column; PSI grades a two-PERIOD gap on a binned shape,
+    * plus WHICH bin moved most (worst_hod) — the actionable readout.
+    *
+    * Laplace +1 smoothing on the observed-cell relation keeps every
+    * log finite when a bin empties in one half (the standard PSI
+    * guard, made part of the CONTRACT: totals are smoothed sums, so
+    * both engines agree exactly). p/q never materialize as doubles:
+    * the sign mass (p−q) = (a'·B − b'·A)/(A·B) stays integer (a'·B ≤
+    * 10¹⁴ at the 10× probe; widen to DECIMAL first beyond that), and
+    * ln(p/q) = lnInt(a'·B) − lnInt(b'·A) through the staged-ln ladder
+    * (D12), floor-quantized to e6 per bin; term numerators widen to
+    * DECIMAL(38,0)/HUGEINT and divide ONCE per type by A·B (both
+    * engines truncate toward zero — Spark `div` ≡ DuckDB `//`).
+    *
+    * Scale: the corpus collapses to ≤ types·24 cells in one
+    * conditional-aggregate pass (a/b via CASE sums — no second scan
+    * per half); the midpoint is a 1-row bounds sketch cross-joined in
+    * (the q_lake_zorder pattern); everything downstream is cell-grain.
+    *
+    * Determinism: all-integer except the pinned lnInt doubles; the
+    * worst-bin argmax breaks ties to the SMALLEST hour via a
+    * conditional MIN against the per-type max |term| (D1).
+    */
+  private val profilePsi = QueryDef(
+    "q_profile_psi",
+    (s, d) => {
+      import graft.functions.DetMath
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      val bounds = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      val cells = ev.crossJoin(broadcast(bounds))
+        .withColumn("mid", expr("lo + (hi - lo) div 2"))
+        .withColumn("hod", floorDiv(col("us"), 3600000000L) % lit(24L))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(sum(when(col("us") <= col("mid"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("us") > col("mid"), 1L).otherwise(0L)).as("b"))
+        .withColumn("sa", col("a") + lit(1L))
+        .withColumn("sb", col("b") + lit(1L))
+      val tots = cells.groupBy(col("event_type").as("et2"))
+        .agg(sum(col("sa")).as("at2"), sum(col("sb")).as("bt2"),
+          sum(col("a")).as("rawa"), sum(col("b")).as("rawb"),
+          count(lit(1)).as("nb"))
+      val tb = cells
+        .join(broadcast(tots), col("event_type") === col("et2"))
+        .withColumn("xa", col("sa") * col("bt2"))
+        .withColumn("xb", col("sb") * col("at2"))
+        .withColumn("dln", floor(
+          (DetMath.lnInt(col("xa")) - DetMath.lnInt(col("xb")))
+            * lit(1000000.0)).cast("long"))
+        .withColumn("tnum", (col("xa") - col("xb")).cast(dec38) * col("dln"))
+        .withColumn("tb_e6", expr(
+          "cast(tnum div (cast(at2 as decimal(38,0)) * bt2) as bigint)"))
+      val w = Window.partitionBy(col("event_type"))
+      tb.withColumn("wabs", max(abs(col("tb_e6"))).over(w))
+        .groupBy(col("event_type"))
+        .agg(min(col("nb")).as("n_bins"),
+          min(col("rawa")).as("n_first"), min(col("rawb")).as("n_second"),
+          expr("""cast(sum(tnum) div
+                 |  (cast(min(at2) as decimal(38,0)) * min(bt2)) as bigint)"""
+            .stripMargin).as("psi_e6"),
+          min(col("wabs")).as("worst_abs_e6"),
+          min(when(abs(col("tb_e6")) === col("wabs"), col("hod")))
+            .as("worst_hod"))
+        .orderBy(ascf("event_type"))
+    },
+    Some {
+      import graft.functions.DetMath._
+      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+         |bd AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+         |cell AS (SELECT event_type, (us // 3600000000) % 24 AS hod,
+         |    CAST(sum(CASE WHEN us <= lo + (hi - lo) // 2
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(sum(CASE WHEN us > lo + (hi - lo) // 2
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS b
+         |  FROM ev CROSS JOIN bd GROUP BY 1, 2),
+         |sm AS (SELECT event_type, hod, a, b,
+         |    a + 1 AS sa, b + 1 AS sb FROM cell),
+         |tt AS (SELECT event_type AS et2, CAST(sum(sa) AS BIGINT) AS at2,
+         |    CAST(sum(sb) AS BIGINT) AS bt2, CAST(sum(a) AS BIGINT) AS rawa,
+         |    CAST(sum(b) AS BIGINT) AS rawb, CAST(count(*) AS BIGINT) AS nb
+         |  FROM sm GROUP BY 1),
+         |j AS (SELECT sm.event_type, sm.hod, sm.sa * tt.bt2 AS xa,
+         |    sm.sb * tt.at2 AS xb, tt.at2, tt.bt2, tt.rawa, tt.rawb, tt.nb
+         |  FROM sm JOIN tt ON sm.event_type = tt.et2),
+         |r1 AS (SELECT *, ${kSql("xa")} AS ka, ${kSql("xb")} AS kb FROM j),
+         |r2 AS (SELECT *, ${mSql("xa", "ka")} AS ma,
+         |    ${mSql("xb", "kb")} AS mb FROM r1),
+         |r3 AS (SELECT *, ${zSql("ma")} AS za, ${zSql("mb")} AS zb FROM r2),
+         |r4 AS (SELECT *, za * za AS z2a, zb * zb AS z2b FROM r3),
+         |r5 AS (SELECT *, ${hornerSql("z2a")} AS ha,
+         |    ${hornerSql("z2b")} AS hb FROM r4),
+         |tm AS (SELECT event_type, hod, xa, xb, at2, bt2, rawa, rawb, nb,
+         |    CAST(floor((${lnSql("ka", "za", "ha")}
+         |      - ${lnSql("kb", "zb", "hb")})
+         |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS dln
+         |  FROM r5),
+         |tb AS (SELECT *, CAST(xa - xb AS HUGEINT) * dln AS tnum,
+         |    CAST((CAST(xa - xb AS HUGEINT) * dln)
+         |      // (CAST(at2 AS HUGEINT) * bt2) AS BIGINT) AS tb_e6
+         |  FROM tm),
+         |ww AS (SELECT *, max(abs(tb_e6))
+         |    OVER (PARTITION BY event_type) AS wabs FROM tb)
+         |SELECT event_type, min(nb) AS n_bins, min(rawa) AS n_first,
+         |  min(rawb) AS n_second,
+         |  CAST(sum(tnum) // (CAST(min(at2) AS HUGEINT) * min(bt2))
+         |    AS BIGINT) AS psi_e6,
+         |  CAST(min(wabs) AS BIGINT) AS worst_abs_e6,
+         |  CAST(min(CASE WHEN abs(tb_e6) = wabs THEN hod END)
+         |    AS BIGINT) AS worst_hod
+         |FROM ww GROUP BY event_type
+         |ORDER BY event_type ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(packSequences, contamination, repetition,
     dedupIncremental, mixWeighted, lengthHist, mixTemperature, qualityGopher,
     mixUpsample, profileCols, profileSkew, profileDepth, dedupLines, textPii,
     textChunking, profileCorr, profileIqr, profileBenford, profileMad, dedupPriority,
-    profileTrimmed, profileKs)
+    profileTrimmed, profileKs, profilePsi)
 }

@@ -2417,10 +2417,149 @@ object TimeSeries {
            |FROM s GROUP BY event_type, dd, tt
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
+  /** Partial autocorrelation function, lags 1–3, per event type (round
+    * 7): the Durbin–Levinson PACF over the hourly count series — the
+    * AR-order selector (q_ts_autocorr answers "how much memory", PACF
+    * answers "how many AR TERMS explain it": an AR(p) process has
+    * nonzero PACF exactly through lag p, so pacf2≈0 with r1 large says
+    * one lag suffices — the readout Box–Jenkins model identification
+    * actually reads).
+    *
+    * Two layers, each deterministic its own way. Layer 1 (exact
+    * integers): deviations are mean-scaled d_t = n·x_t − S so the mean
+    * never divides; lag products stay int64 (|d| ≲ n·max(x) ≈ 10⁸ at
+    * the 10× probe, squares ≤ 10¹⁶) and their sums widen to
+    * DECIMAL(38,0)/HUGEINT; r_k·1e6 floor-divides EXACTLY by c₀ via the
+    * subtract-pmod construction (numerator can be negative — the
+    * q_ts_trend spelling, not q_ts_autocorr's non-negative shortcut).
+    * Layer 2 (pinned IEEE): the Durbin–Levinson recursion on the three
+    * QUANTIZED ratios runs in doubles through the identical +,−,×,÷
+    * tree on both engines — every input int is < 2⁵³ so the double
+    * conversions are exact, every later op is correctly rounded over
+    * bit-identical operands (the q_profile_corr discipline), and the
+    * final floor(·1e6) of a bit-identical double is bit-identical.
+    *
+    * Lag pairs are OBSERVED-index neighbors (lead(y,k) over the hour
+    * sort): PACF of the observed series, well-defined on irregular
+    * data; a calendar-grid variant composes with q_win_gapfill.
+    *
+    * Scale: corpus → (type, hr) partial agg; all three leads share ONE
+    * window sort; moments partial-aggregate; the recursion runs on 5
+    * rows. Degenerate guards are integer-exact: |r1|=1 (φ22 pole) and
+    * the φ33 denominator's exact-zero test behave identically because
+    * the doubles they test are bit-identical.
+    */
+  private val pacf = QueryDef(
+    "q_ts_pacf",
+    (s, d) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"),
+          floorDiv(unix_micros(col("ts")), HourUs).as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("y"))
+      val tot = hourly.groupBy(col("event_type").as("et2"))
+        .agg(sum(col("y")).as("ss"), count(lit(1)).as("nn"))
+      val w = Window.partitionBy(col("event_type")).orderBy(ascf("hr"))
+      val led = hourly
+        .withColumn("y1", lead(col("y"), 1).over(w))
+        .withColumn("y2", lead(col("y"), 2).over(w))
+        .withColumn("y3", lead(col("y"), 3).over(w))
+        .join(broadcast(tot), col("event_type") === col("et2"))
+        .withColumn("d0", col("y") * col("nn") - col("ss"))
+        .withColumn("d1", col("y1") * col("nn") - col("ss"))
+        .withColumn("d2", col("y2") * col("nn") - col("ss"))
+        .withColumn("d3", col("y3") * col("nn") - col("ss"))
+      val m = led.groupBy(col("event_type"), col("nn"))
+        .agg(sum((col("d0") * col("d0")).cast(dec38)).as("c0"),
+          sum((col("d0") * col("d1")).cast(dec38)).as("c1"),
+          sum((col("d0") * col("d2")).cast(dec38)).as("c2"),
+          sum((col("d0") * col("d3")).cast(dec38)).as("c3"))
+        .filter(col("nn") >= 4 && col("c0") > 0)
+      def rE6(ck: org.apache.spark.sql.Column,
+          c0: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val num = ck * lit(1000000L)
+        ((num - pmod(num, c0)) / c0).cast("long")
+      }
+      val r = m
+        .withColumn("r1_e6", rE6(col("c1"), col("c0")))
+        .withColumn("r2_e6", rE6(col("c2"), col("c0")))
+        .withColumn("r3_e6", rE6(col("c3"), col("c0")))
+      val r1 = col("r1_e6").cast("double") / lit(1000000.0)
+      val r2 = col("r2_e6").cast("double") / lit(1000000.0)
+      val r3 = col("r3_e6").cast("double") / lit(1000000.0)
+      val den2 = lit(1.0) - r1 * r1
+      val p22 = (r2 - r1 * r1) / den2
+      val p21 = r1 - p22 * r1
+      val den3 = lit(1.0) - p21 * r1 - p22 * r2
+      val p33 = (r3 - p21 * r2 - p22 * r1) / den3
+      val pole2 = col("r1_e6") * col("r1_e6") === lit(1000000000000L)
+      r.select(col("event_type"), col("nn").as("n_hours"),
+          col("r1_e6"), col("r2_e6"), col("r3_e6"),
+          when(pole2, lit(0L))
+            .otherwise(floor(p22 * lit(1000000.0)).cast("long"))
+            .as("pacf2_e6"),
+          when(pole2 || den3 === lit(0.0), lit(0L))
+            .otherwise(floor(p33 * lit(1000000.0)).cast("long"))
+            .as("pacf3_e6"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH h AS (SELECT event_type,
+           |    epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS y
+           |  FROM events GROUP BY 1, 2),
+           |t AS (SELECT event_type AS et2, CAST(sum(y) AS BIGINT) AS ss,
+           |    CAST(count(*) AS BIGINT) AS nn
+           |  FROM h GROUP BY 1),
+           |l AS (SELECT event_type, y,
+           |    lead(y, 1) OVER w AS y1, lead(y, 2) OVER w AS y2,
+           |    lead(y, 3) OVER w AS y3
+           |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr ASC)),
+           |dv AS (SELECT l.event_type, t.nn,
+           |    y * nn - ss AS d0, y1 * nn - ss AS d1,
+           |    y2 * nn - ss AS d2, y3 * nn - ss AS d3
+           |  FROM l JOIN t ON l.event_type = t.et2),
+           |m AS (SELECT event_type, nn,
+           |    sum(CAST(d0 * d0 AS HUGEINT)) AS c0,
+           |    sum(CAST(d0 * d1 AS HUGEINT)) AS c1,
+           |    sum(CAST(d0 * d2 AS HUGEINT)) AS c2,
+           |    sum(CAST(d0 * d3 AS HUGEINT)) AS c3
+           |  FROM dv GROUP BY 1, 2),
+           |f AS (SELECT * FROM m WHERE nn >= 4 AND c0 > 0),
+           |rr AS (SELECT event_type, nn,
+           |    CAST((c1 * 1000000 - ((c1 * 1000000 % c0) + c0) % c0) // c0
+           |      AS BIGINT) AS r1_e6,
+           |    CAST((c2 * 1000000 - ((c2 * 1000000 % c0) + c0) % c0) // c0
+           |      AS BIGINT) AS r2_e6,
+           |    CAST((c3 * 1000000 - ((c3 * 1000000 % c0) + c0) % c0) // c0
+           |      AS BIGINT) AS r3_e6
+           |  FROM f),
+           |dbl AS (SELECT *,
+           |    CAST(r1_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS r1,
+           |    CAST(r2_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS r2,
+           |    CAST(r3_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS r3
+           |  FROM rr),
+           |s2 AS (SELECT *,
+           |    (r2 - r1 * r1) / (CAST(1 AS DOUBLE) - r1 * r1) AS p22
+           |  FROM dbl),
+           |s3 AS (SELECT *, r1 - p22 * r1 AS p21 FROM s2),
+           |s4 AS (SELECT *,
+           |    CAST(1 AS DOUBLE) - p21 * r1 - p22 * r2 AS den3 FROM s3)
+           |SELECT event_type, nn AS n_hours, r1_e6, r2_e6, r3_e6,
+           |  CAST(CASE WHEN r1_e6 * r1_e6 = 1000000000000 THEN 0
+           |    ELSE floor(p22 * CAST(1000000 AS DOUBLE)) END AS BIGINT)
+           |    AS pacf2_e6,
+           |  CAST(CASE WHEN r1_e6 * r1_e6 = 1000000000000
+           |      OR den3 = CAST(0 AS DOUBLE) THEN 0
+           |    ELSE floor(((r3 - p21 * r2 - p22 * r1) / den3)
+           |      * CAST(1000000 AS DOUBLE)) END AS BIGINT) AS pacf3_e6
+           |FROM s4
+           |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
       theilSen, attrib, transitions, downsample, evalWape, latency,
       period, crossCorr, movingMedian, tsRate, dtw, anomalyMad, bollinger,
-      decompose, growth, dauMau, sax, permEntropy, entropyRate, cusum)
+      decompose, growth, dauMau, sax, permEntropy, entropyRate, cusum,
+      pacf)
 }

@@ -406,4 +406,83 @@ class Round7Spec extends SparkSpec {
       Caches.releaseScoped(); Caches.releaseShared()
     }
   }
+
+  test("q_ts_pacf: quantized Durbin–Levinson tracks the exact-double PACF") {
+    // The oracle pins the two engines to each other; this pins the
+    // ALGEBRA to an independent full-double-precision PACF (textbook
+    // ACF + Durbin–Levinson, no e6 quantization anywhere). The e6
+    // quantization of r_k perturbs φ22/φ33 by O(1e-6/den); dens on the
+    // fixtures are ≈1 (near-white hourly noise), so 1e-3 is generous.
+    val hourly = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        Dsl.floorDiv(unix_micros(col("ts")), 3600000000L).as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("y"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) =>
+        t -> rs.sortBy(_.getLong(1)).map(_.getLong(2).toDouble)
+      }
+    val expected = hourly.collect { case (t, xs) if xs.length >= 4 =>
+      val n = xs.length
+      val mean = xs.sum / n
+      def c(k: Int) =
+        (0 until n - k).map(i => (xs(i) - mean) * (xs(i + k) - mean)).sum
+      val c0 = c(0)
+      val (r1, r2, r3) = (c(1) / c0, c(2) / c0, c(3) / c0)
+      val p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+      val p21 = r1 - p22 * r1
+      val p33 = (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2)
+      t -> ((r1, p22, p33))
+    }
+    val got = q("q_ts_pacf").collect().map(r =>
+      r.getString(0) -> ((r.getLong(2) / 1e6, r.getLong(5) / 1e6,
+        r.getLong(6) / 1e6))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((t, (r1, p22, p33)) <- expected) {
+      val (gr1, g22, g33) = got(t)
+      assert(math.abs(gr1 - r1) < 1e-3, s"$t r1: $gr1 vs $r1")
+      assert(math.abs(g22 - p22) < 1e-3, s"$t pacf2: $g22 vs $p22")
+      assert(math.abs(g33 - p33) < 1e-3, s"$t pacf3: $g33 vs $p33")
+    }
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_profile_psi: quantized PSI tracks the exact-double PSI and " +
+    "is non-negative up to quantization") {
+    // Independent replica: full-double PSI over the same smoothed
+    // hour-of-day cells. The engine's only approximations are the e6
+    // floor of each ln ratio and one truncating division, so the gap
+    // is bounded by ~n_bins·1e-6 + 1e-6.
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val lo = rows.map(_._2).min
+    val hi = rows.map(_._2).max
+    val mid = lo + (hi - lo) / 2
+    val expected = rows.groupBy(_._1).map { case (t, rs) =>
+      // .toSeq before .map: mapping a Map to (Double, Double) pairs
+      // would rebuild a MAP and silently collapse bins that share an
+      // `a` count.
+      val cells = rs.groupBy(r => (r._2 / 3600000000L) % 24).toSeq
+        .map { case (_, cs) =>
+          (cs.count(_._2 <= mid) + 1.0, cs.count(_._2 > mid) + 1.0)
+        }
+      val a = cells.map(_._1).sum
+      val b = cells.map(_._2).sum
+      t -> cells.map { case (ca, cb) =>
+        val (p, qq) = (ca / a, cb / b)
+        (p - qq) * math.log(p / qq)
+      }.sum
+    }
+    val got = q("q_profile_psi").collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(got.keySet == expected.keySet)
+    for ((t, psi) <- expected) {
+      assert(math.abs(got(t) / 1e6 - psi) < 1e-4,
+        s"$t psi: ${got(t) / 1e6} vs $psi")
+      assert(got(t) >= -24, s"$t psi_e6 ${got(t)} below quantization floor")
+    }
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
 }
