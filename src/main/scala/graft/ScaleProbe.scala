@@ -243,7 +243,9 @@ object ScaleProbe {
         // round-7 batch 77: CUSUM drift detection, vocab coverage curve
         "q_ts_cusum", "q_text_coverage",
         // round-7 batch 78: Durbin–Levinson PACF, PSI drift monitor
-        "q_ts_pacf", "q_profile_psi")
+        "q_ts_pacf", "q_profile_psi",
+        // round-7 batch 79: A-ES weighted sampling, exact betweenness
+        "q_sample_weighted", "q_graph_betweenness")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

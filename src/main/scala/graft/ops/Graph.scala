@@ -1711,8 +1711,122 @@ object Graph {
            |    AS q_e6
            |FROM base ORDER BY r_name ASC NULLS FIRST""".stripMargin))
 
+  /** Exact betweenness centrality (round 7): for every nation, the
+    * summed pair dependency Σ_{s<t} σ_sv·σ_vt/σ_st over unordered
+    * reachable pairs with d(s,v)+d(v,t) = d(s,t) — the "who sits on
+    * the shortest paths" broker statistic, the one centrality the
+    * family still lacked (degree = local mass ✓, closeness = distance
+    * ✓, eccentricity = worst case ✓, pagerank/HITS = flow ✓;
+    * betweenness = MEDIATION: a node can be peripheral by all four
+    * and still be the single bridge every path crosses).
+    *
+    * Algorithm: level-synchronous BFS from ALL sources at once carrying
+    * shortest-path COUNTS — 8 unrolled rounds of frontier ⋈ adjacency
+    * with a Σσ merge and an anti-join against the settled set (8 ≥ the
+    * graph's diameter by the q_graph_eccentric measurement, and a
+    * fixture-regeneration-proof bound: the top-3-sparsified nation
+    * graph is node²-capped at 625 pair rows). Dependencies then need NO
+    * Brandes back-propagation: the midpoint identity (paths through v =
+    * σ_sv·σ_vt exactly when distances add) turns accumulation into two
+    * joins of the pair relation against itself — the join-algebra form,
+    * ≤ nodes³ rows, all shuffle-free at this grain.
+    *
+    * Scale: every round's frontier is node²-bounded; statsTruncate per
+    * round (the q_graph_mst estimate-blowup lesson). At fleet scale
+    * exact all-pairs betweenness is O(V·E) by nature — the standard
+    * answer is pivot SAMPLING (run the same plan from k hash-chosen
+    * sources), which changes only the d0 seed filter.
+    *
+    * Determinism: pure integer σ counting; per-pair dependency
+    * quantizes as σσ·1e6 div σ_st (all non-negative, trunc ≡ floor,
+    * identical both engines) and SUMS exactly; zero-betweenness
+    * nations kept by left join (D1 total order on names).
+    */
+  private val betweenness = QueryDef(
+    "q_graph_betweenness",
+    (s, d) => {
+      val und = undirectedTop3(s, d)
+      val adj = und.select(col("a").as("u"), col("b").as("v"))
+        .union(und.select(col("b").as("u"), col("a").as("v")))
+      val nodes = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("node"))
+      var bfs = nodes.select(col("node").as("s"), col("node").as("t"),
+        lit(0L).as("dd"), lit(1L).as("sig"))
+      for (r <- 1 to 8) {
+        val nxt = bfs.filter(col("dd") === (r - 1))
+          .join(adj, col("t") === col("u"))
+          .groupBy(col("s"), col("v"))
+          .agg(sum(col("sig")).as("sig"))
+          .join(bfs.select(col("s").as("ps"), col("t").as("pt")),
+            col("s") === col("ps") && col("v") === col("pt"), "left_anti")
+          .select(col("s"), col("v").as("t"), lit(r.toLong).as("dd"),
+            col("sig"))
+        bfs = graft.Dsl.statsTruncate(bfs.union(nxt))
+      }
+      val st = bfs.filter(col("dd") >= 1 && col("s") < col("t"))
+        .select(col("s").as("ss"), col("t").as("tt"),
+          col("dd").as("dst"), col("sig").as("sst"))
+      val sv = bfs.select(col("s").as("s1"), col("t").as("v1"),
+        col("dd").as("d1"), col("sig").as("g1"))
+      val vt = bfs.select(col("s").as("v2"), col("t").as("t2"),
+        col("dd").as("d2"), col("sig").as("g2"))
+      val dep = st
+        .join(sv, col("s1") === col("ss"))
+        .join(vt, col("v2") === col("v1") && col("t2") === col("tt"))
+        .filter(col("d1") + col("d2") === col("dst") &&
+          col("v1") =!= col("ss") && col("v1") =!= col("tt"))
+        .groupBy(col("v1").as("node"))
+        .agg(sum(expr("g1 * g2 * 1000000 div sst")).as("bc"),
+          count(lit(1)).as("np"))
+      Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+        .join(dep, col("nk") === col("node"), "left")
+        .select(col("n_name"),
+          coalesce(col("bc"), lit(0L)).as("bc_e6"),
+          coalesce(col("np"), lit(0L)).as("n_pairs"))
+        .orderBy(ascf("n_name"))
+    },
+    Some {
+      def round(i: Int): String = {
+        val p = s"b${i - 1}"
+        s"""b$i AS MATERIALIZED (
+           |  SELECT s, t, dd, sig FROM $p
+           |  UNION ALL
+           |  SELECT f.s, a.v AS t, CAST($i AS BIGINT) AS dd,
+           |    CAST(sum(f.sig) AS BIGINT) AS sig
+           |  FROM $p f JOIN adj a ON f.t = a.u
+           |  WHERE f.dd = ${i - 1}
+           |    AND NOT EXISTS (SELECT 1 FROM $p p2
+           |      WHERE p2.s = f.s AND p2.t = a.v)
+           |  GROUP BY f.s, a.v)""".stripMargin
+      }
+      s"""WITH $UndSql,
+         |adj AS (SELECT CAST(a AS BIGINT) AS u, CAST(b AS BIGINT) AS v
+         |  FROM und
+         |  UNION ALL SELECT CAST(b AS BIGINT), CAST(a AS BIGINT) FROM und),
+         |b0 AS MATERIALIZED (SELECT CAST(n_nationkey AS BIGINT) AS s,
+         |    CAST(n_nationkey AS BIGINT) AS t, CAST(0 AS BIGINT) AS dd,
+         |    CAST(1 AS BIGINT) AS sig FROM nation),
+         |${(1 to 8).map(round).mkString(",\n")},
+         |st AS (SELECT s AS ss, t AS tt, dd AS dst, sig AS sst
+         |  FROM b8 WHERE dd >= 1 AND s < t),
+         |dep AS (SELECT sv.t AS node,
+         |    CAST(sum(sv.sig * vt.sig * 1000000 // st.sst) AS BIGINT) AS bc,
+         |    CAST(count(*) AS BIGINT) AS np
+         |  FROM st
+         |  JOIN b8 sv ON sv.s = st.ss
+         |  JOIN b8 vt ON vt.s = sv.t AND vt.t = st.tt
+         |  WHERE sv.dd + vt.dd = st.dst
+         |    AND sv.t <> st.ss AND sv.t <> st.tt
+         |  GROUP BY sv.t)
+         |SELECT n.n_name, CAST(coalesce(dep.bc, 0) AS BIGINT) AS bc_e6,
+         |  CAST(coalesce(dep.np, 0) AS BIGINT) AS n_pairs
+         |FROM nation n LEFT JOIN dep ON n.n_nationkey = dep.node
+         |ORDER BY n.n_name ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(pagerank, triangles, bfs, degree,
     graphJaccard, labelProp, closeness, scc, kcore, copurchase,
     adamicAdar, hits, assortativity, reciprocity, clustering, mst, motifs,
-    eccentric, truss, modularity)
+    eccentric, truss, modularity, betweenness)
 }

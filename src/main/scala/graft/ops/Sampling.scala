@@ -442,7 +442,79 @@ object Sampling {
              |ORDER BY shard4 ASC NULLS FIRST""".stripMargin))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (round 7):
+    * Efraimidis–Spirtakis A-ES — each doc draws u ∈ (0,1] from the
+    * shared mix hash and is ranked by the exponential key −ln(u)/w
+    * (equivalently u^(1/w) descending); the k smallest keys per lang
+    * are EXACTLY a weight-proportional without-replacement sample.
+    * Weight = character mass, so the sampler is the "pick docs
+    * proportional to token budget" curation pass — q_sample_hash's
+    * uniform cut and q_sample_stratified's per-stratum top-k can't
+    * express inclusion ∝ size; A-ES is the standard one-pass
+    * distributed answer (and at 100 TB it is a codegen'd projection +
+    * one per-group top-k — the same shape as q_sample_stratified, no
+    * extra shuffle, trivially reservoir-mergeable per partition).
+    *
+    * Determinism: u = (mix(id)+1)/2³² never materializes — the key is
+    * −ln u = ln 2³² − lnInt(mix+1), with ln 2³² the EXACT double
+    * 32·LN2 (a power-of-two scaling of the nearest-double LN2 literal
+    * — no rounding, spliced as the same literal in both engines) and
+    * lnInt the staged D12 ladder; the division by the exact double of
+    * int w is correctly rounded over bit-identical operands; the sort
+    * key is floor(key·1e12) int64 (≤ 2.3e13) with doc_id tiebreak —
+    * fully integer ordering, no double ever compared.
+    */
+  private val sampleWeighted = QueryDef(
+    "q_sample_weighted",
+    (s, d) => {
+      import graft.functions.DetMath
+      val L = lit(22.18070977791825) // ln(2^32) = 32·LN2, exact
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("w", greatest(col("n_chars"), lit(1L)))
+        .withColumn("h1", mix(col("doc_id")) + lit(1L))
+        .withColumn("key_e12",
+          floor((L - DetMath.lnInt(col("h1"))) / col("w").cast("double")
+            * lit(1000000000000.0)).cast("long"))
+      val rn = Window.partitionBy(col("lang"))
+        .orderBy(ascf("key_e12"), ascf("doc_id"))
+      scored.withColumn("rn", row_number().over(rn))
+        .filter(col("rn") <= 16)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"),
+          sum(col("doc_id")).as("id_checksum"),
+          max(col("key_e12")).as("max_key_e12"))
+        .orderBy(ascf("lang"))
+    },
+    Some {
+      import graft.functions.DetMath._
+      s"""WITH base AS (SELECT doc_id, lang, n_chars,
+         |    greatest(n_chars, 1) AS w,
+         |    ${mixSql("doc_id")} + 1 AS h1
+         |  FROM documents),
+         |r1 AS (SELECT *, ${kSql("h1")} AS kh FROM base),
+         |r2 AS (SELECT *, ${mSql("h1", "kh")} AS mh FROM r1),
+         |r3 AS (SELECT *, ${zSql("mh")} AS zh FROM r2),
+         |r4 AS (SELECT *, zh * zh AS z2h FROM r3),
+         |r5 AS (SELECT *, ${hornerSql("z2h")} AS hh FROM r4),
+         |keyed AS (SELECT doc_id, lang, n_chars,
+         |    CAST(floor((CAST('22.18070977791825' AS DOUBLE)
+         |      - ${lnSql("kh", "zh", "hh")}) / CAST(w AS DOUBLE)
+         |      * CAST(1000000000000 AS DOUBLE)) AS BIGINT) AS key_e12
+         |  FROM r5),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY key_e12 ASC NULLS FIRST, doc_id ASC NULLS FIRST)
+         |    AS rn FROM keyed)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+         |  CAST(max(key_e12) AS BIGINT) AS max_key_e12
+         |FROM ranked WHERE rn <= 16
+         |GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(sampleHash, sampleStratified, splitTrainVal,
     sampleBootstrap, sampleBalanced, shardRendezvous, sampleSystematic,
-    shardConsistent)
+    shardConsistent, sampleWeighted)
 }

@@ -485,4 +485,84 @@ class Round7Spec extends SparkSpec {
     }
     Caches.releaseScoped(); Caches.releaseShared()
   }
+
+  test("q_graph_betweenness: join-algebra dependency equals a scalar " +
+    "BFS replica") {
+    // The engine computes betweenness WITHOUT Brandes back-propagation
+    // (midpoint identity as two pair-relation joins); this replays a
+    // textbook per-source BFS with path counts in plain Scala over the
+    // same collected edge set and requires the exact quantized sums.
+    val und = ops.Graph.undirectedTop3(spark, sfDir).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val nations = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nodes = nations.map(_._1)
+    // dist/sigma from every source by BFS
+    val ds = nodes.map { s0 =>
+      val dist = collection.mutable.Map(s0 -> 0L)
+      val sig = collection.mutable.Map(s0 -> 1L)
+      var frontier = Seq(s0)
+      while (frontier.nonEmpty) {
+        val nxt = collection.mutable.Map[Long, Long]()
+        for (f <- frontier; v <- adj.getOrElse(f, Set.empty)
+             if !dist.contains(v))
+          nxt(v) = nxt.getOrElse(v, 0L) + sig(f)
+        for ((v, g) <- nxt) { dist(v) = dist(frontier.head) + 1; sig(v) = g }
+        // dist of all frontier nodes is equal; head is representative
+        frontier = nxt.keys.toSeq
+      }
+      s0 -> ((dist.toMap, sig.toMap))
+    }.toMap
+    val bc = collection.mutable.Map[Long, (Long, Long)]()
+    for (s0 <- nodes; t0 <- nodes if s0 < t0;
+         dstT <- ds(s0)._1.get(t0) if dstT >= 1; v <- nodes
+         if v != s0 && v != t0;
+         d1 <- ds(s0)._1.get(v); d2 <- ds(v)._1.get(t0)
+         if d1 + d2 == dstT) {
+      val term = ds(s0)._2(v) * ds(v)._2(t0) * 1000000L / ds(s0)._2(t0)
+      val (b, n) = bc.getOrElse(v, (0L, 0L))
+      bc(v) = (b + term, n + 1)
+    }
+    val got = q("q_graph_betweenness").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val names = nations.toMap
+    val expected = nations.map { case (k, nm) =>
+      val (b, n) = bc.getOrElse(k, (0L, 0L))
+      (nm, b, n)
+    }.sortBy(_._1)
+    assert(got.toSeq == expected.toSeq,
+      s"betweenness mismatch: got=${got.toSeq.take(5)} " +
+        s"expected=${expected.take(5)} (names=${names.size})")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_sample_weighted: engine selection equals the A-ES scalar replica") {
+    // Third spelling of the exponential key: plain-Scala mix + DetMath
+    // scalar ln, exact floor-quantized ordering — the selected SET per
+    // lang must match the engine's id checksum exactly.
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val L = 22.18070977791825
+    val expected = docs.groupBy(_._2).map { case (lang, rs) =>
+      val keyed = rs.map { case (id, _, nc) =>
+        val h1 = ((id % 2147483648L) * 2654435761L + 1013904223L) %
+          4294967296L + 1L
+        val w = math.max(nc, 1L)
+        val key = math.floor(
+          (L - functions.DetMath.lnIntScalar(h1)) / w.toDouble * 1e12).toLong
+        (key, id, nc)
+      }.sortBy(k => (k._1, k._2)).take(16)
+      lang -> ((keyed.length.toLong, keyed.map(_._3).sum,
+        keyed.map(_._2).sum, keyed.map(_._1).max))
+    }
+    val got = q("q_sample_weighted").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == expected, s"A-ES mismatch: got=$got expected=$expected")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
 }
