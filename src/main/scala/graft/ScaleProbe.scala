@@ -245,7 +245,9 @@ object ScaleProbe {
         // round-7 batch 78: Durbin–Levinson PACF, PSI drift monitor
         "q_ts_pacf", "q_profile_psi",
         // round-7 batch 79: A-ES weighted sampling, exact betweenness
-        "q_sample_weighted", "q_graph_betweenness")
+        "q_sample_weighted", "q_graph_betweenness",
+        // round-7 batch 80: matrix-free PCA power step, FIFO matching
+        "q_vec_pca_power", "q_win_fifo")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

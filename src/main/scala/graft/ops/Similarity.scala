@@ -812,7 +812,108 @@ object Similarity {
         |LEFT JOIN nh ON p.pid = nh.pid
         |ORDER BY p.pid ASC NULLS FIRST""".stripMargin))
 
+  /** Matrix-free power iteration for the TOP PRINCIPAL DIRECTION of the
+    * embedding corpus (round 7): 3 unrolled rounds of w ← G·w over the
+    * uncentered Gram G = Σ_v q qᵀ — the dimensionality-reduction /
+    * whitening precursor (randproj preserves distances OBLIVIOUSLY;
+    * PCA finds the direction the data actually varies in, the first
+    * step of PCA-SQ quantizers, spectral outlier screens, and
+    * embedding-drift monitors).
+    *
+    * The Gram matrix NEVER materializes (64² cells × a corpus-sized
+    * build join at fleet scale): each round computes G·w = Σ_v q·(qᵀw)
+    * in ONE corpus pass — the per-row scalar s = qᵀw is a codegen'd
+    * exact dot against the broadcast 1-row w, and the per-dimension
+    * sums are a 64-row partial aggregate of the ×64 explode. That is
+    * the standard distributed matrix-free power method (and the same
+    * broadcast-model-row shape as q_ml_kmeans scoring).
+    *
+    * Determinism: all integer — q is e6-quantized (D3), s ≤ 64·10¹²
+    * int64, per-term q_k·s widens to DECIMAL(38,0)/HUGEINT BEFORE
+    * summation; normalization divides by the SIGNED component at the
+    * dimension of max |y| (ties → smallest dim), so the sign
+    * convention is pinned and that dimension is exactly ±1e6; `div`
+    * truncates toward zero in both engines (verified on negatives).
+    * Three rounds is a graded STEP, not a converged eigenvector — the
+    * synthetic embeddings are near-isotropic (λ2/λ1 ≈ 0.93), so full
+    * convergence needs ~100 rounds; the q_ml_als_step convention.
+    * Round7Spec pins the step to an unquantized 3-round replica and
+    * the per-step monotone Rayleigh-quotient gain.
+    * pivot = 0 would need G·w = 0 exactly (every corpus vector ⊥ w in
+    * every round) — structurally impossible for e6-quantized real
+    * embeddings; stated rather than guarded, the q_graph_adamic_adar
+    * convention.
+    */
+  private val vecPcaPower = QueryDef(
+    "q_vec_pca_power",
+    (s, d) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val emb = graft.Caches.scoped(
+        quantized(s, d).select(col("vec_id"), col("v")))
+      var ws = List(s.range(1)
+        .select(typedlit(Seq.fill(64)(1000000L)).as("w")))
+      for (_ <- 1 to 3) {
+        val scored = emb.crossJoin(broadcast(ws.head))
+          .withColumn("sv", VecOps.dot(col("v"), col("w")))
+        val y = graft.Caches.scoped(scored
+          .select(col("sv"), posexplode(col("v")).as(Seq("k", "qk")))
+          .groupBy(col("k"))
+          .agg(sum(col("qk").cast(dec38) * col("sv")).as("y")))
+        val mx = y.agg(max(abs(col("y"))).as("mx"))
+        val pk = y.crossJoin(broadcast(mx))
+          .filter(abs(col("y")) === col("mx"))
+          .agg(min(col("k")).as("pk"))
+        val pivot = y.crossJoin(broadcast(pk))
+          .filter(col("k") === col("pk")).select(col("y").as("pv"))
+        val wNext = y.crossJoin(broadcast(pivot))
+          .select(col("k"),
+            expr("cast((y * 1000000) div pv as bigint)").as("wv"))
+          .groupBy()
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(k, wv))), x -> x.wv)")
+            .as("w"))
+        ws = graft.Caches.scoped(wNext) :: ws
+      }
+      val fin = ws.head.select(posexplode(col("w")).as(Seq("dim", "w_e6")))
+      val prev = ws(1).select(posexplode(col("w")).as(Seq("dim2", "prev_e6")))
+      fin.join(broadcast(prev), col("dim") === col("dim2"))
+        .select(col("dim").cast("long").as("dim"), col("w_e6"),
+          col("prev_e6"))
+        .orderBy(ascf("dim"))
+    },
+    Some {
+      val w0 = Seq.fill(64)("1000000").mkString("[", ", ", "]")
+      def round(i: Int): String =
+        s"""s$i AS (SELECT e.v AS v,
+           |    CAST(list_sum(list_transform(range(1, 65),
+           |      k -> e.v[k] * w${i - 1}.w[k])) AS BIGINT) AS s
+           |  FROM e CROSS JOIN w${i - 1}),
+           |y$i AS MATERIALIZED (SELECT t.k,
+           |    sum(CAST(v[t.k] AS HUGEINT) * s) AS y
+           |  FROM s$i CROSS JOIN (SELECT unnest(range(1, 65)) AS k) t
+           |  GROUP BY t.k),
+           |p$i AS (SELECT min(k) AS pk FROM y$i
+           |  WHERE abs(y) = (SELECT max(abs(y)) FROM y$i)),
+           |v$i AS (SELECT y AS pv FROM y$i, p$i WHERE y$i.k = p$i.pk),
+           |w$i AS MATERIALIZED (SELECT
+           |    list(CAST((y * 1000000) // pv AS BIGINT) ORDER BY k) AS w
+           |  FROM y$i, v$i)""".stripMargin
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x ->
+         |      CAST(round(CAST(x AS DOUBLE)*1000000, 0) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |w0 AS (SELECT $w0 AS w),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT CAST(t.k - 1 AS BIGINT) AS dim,
+         |  CAST(w3.w[t.k] AS BIGINT) AS w_e6,
+         |  CAST(w2.w[t.k] AS BIGINT) AS prev_e6
+         |FROM w3 CROSS JOIN w2
+         |CROSS JOIN (SELECT unnest(range(1, 65)) AS k) t
+         |ORDER BY dim ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(
     dedupExact, simJaccard, simCosineTopk, simThresholdJoin, simKnnJoin,
-    dedupMinhash, sampleNegative, simCosineSets, vecRandproj, simRecall)
+    dedupMinhash, sampleNegative, simCosineSets, vecRandproj, simRecall,
+    vecPcaPower)
 }

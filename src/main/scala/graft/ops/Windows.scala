@@ -898,9 +898,124 @@ object Windows {
            |FROM agg JOIN nation ON nk = n_nationkey
            |ORDER BY n_name ASC NULLS FIRST""".stripMargin))
 
+  /** FIFO supply↔demand matching as a prefix-sum interval join (round
+    * 7): per part, finished lots (linestatus F, ship-date order) fill
+    * open demand (linestatus O, same order) first-in-first-out — the
+    * inventory/cost-basis allocation every warehouse and accounting
+    * ledger runs. The sequential pointer-walk formulation is inherently
+    * serial; the ALGEBRAIC form is not: give each supply row the
+    * cumulative interval [cs−q, cs) and each demand row [cd−q, cd),
+    * and FIFO matches are EXACTLY the pairwise interval intersections
+    * — matched(s,d) = min(cs,cd) − max(cs−q_s, cd−q_d) over pairs
+    * whose intervals overlap. Two window passes + one range join
+    * replace the serial replay (the q_ts_cusum trick — a recursive
+    * process rewritten as window algebra — applied to ALLOCATION).
+    *
+    * Scale: both cumsums partition by partkey (bounded partitions,
+    * ~30 rows/part) and reuse one exchange per stream; the pair join
+    * is an equi-join on partkey with range residuals, and each supply
+    * row overlaps O(1 + q_s/avg q_d) demand rows — output-linear, the
+    * same bound interval joins get elsewhere. Leftovers come from
+    * per-part totals, not the pair relation.
+    *
+    * Determinism: quantities are exact cents (dec12·100 — D2); rows
+    * pre-aggregate to the unique (pk, status, ship-µs, orderkey,
+    * linenumber) grain so the cumsum ORDER is total (D1 — raw
+    * lineitem duplicates would make per-row intervals order-dependent
+    * even though totals are not); everything downstream is int64.
+    */
+  private val winFifo = QueryDef(
+    "q_win_fifo",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("pk"), col("l_linestatus").as("st"),
+          epochUs(col("l_shipdate")).as("us"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          (dec12(col("l_quantity")) * lit(100)).cast("long").as("qc"))
+        .groupBy(col("pk"), col("st"), col("us"), col("ok"), col("ln"))
+        .agg(sum(col("qc")).as("q"))
+      val w = Window.partitionBy(col("pk"))
+        .orderBy(ascf("us"), ascf("ok"), ascf("ln"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sup = li.filter(col("st") === "F")
+        .withColumn("cs", sum(col("q")).over(w))
+        .select(col("pk"), col("q").as("qs"), col("cs"))
+      val dem = li.filter(col("st") === "O")
+        .withColumn("cd", sum(col("q")).over(w))
+        .select(col("pk").as("pkd"), col("q").as("qd"), col("cd"))
+      val pairs = sup.join(dem,
+          col("pk") === col("pkd") &&
+            col("cs") > col("cd") - col("qd") &&
+            col("cd") > col("cs") - col("qs"))
+        .select(col("pk"),
+          (least(col("cs"), col("cd")) -
+            greatest(col("cs") - col("qs"), col("cd") - col("qd")))
+            .as("m"))
+        .groupBy(col("pk"))
+        .agg(count(lit(1)).as("np"), sum(col("m")).as("ms"))
+        .select(col("pk").as("pkp"), col("np"), col("ms"))
+      val ts = sup.groupBy(col("pk")).agg(sum(col("qs")).as("tsup"))
+      val td = dem.groupBy(col("pkd")).agg(sum(col("qd")).as("tdem"))
+      val tot = ts.join(td, col("pk") === col("pkd"), "full")
+        .select(coalesce(col("pk"), col("pkd")).as("pkt"),
+          coalesce(col("tsup"), lit(0L)).as("tsup"),
+          coalesce(col("tdem"), lit(0L)).as("tdem"))
+      tot.join(pairs, col("pkt") === col("pkp"), "left")
+        .select(col("pkt"), col("tsup"), col("tdem"),
+          coalesce(col("np"), lit(0L)).as("np"),
+          coalesce(col("ms"), lit(0L)).as("ms"))
+        .groupBy(pmod(col("pkt"), lit(8L)).as("bucket"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("np")).as("n_pairs"),
+          sum(col("ms")).as("matched_cq"),
+          sum(col("tsup") - least(col("tsup"), col("tdem")))
+            .as("left_supply_cq"),
+          sum(col("tdem") - least(col("tsup"), col("tdem")))
+            .as("left_demand_cq"))
+        .orderBy(ascf("bucket"))
+    },
+    Some("""WITH li AS (SELECT l_partkey AS pk, l_linestatus AS st,
+           |    epoch_us(l_shipdate::TIMESTAMP) AS us,
+           |    l_orderkey AS ok, l_linenumber AS ln,
+           |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qc
+           |  FROM lineitem),
+           |g AS (SELECT pk, st, us, ok, ln, CAST(sum(qc) AS BIGINT) AS q
+           |  FROM li GROUP BY 1, 2, 3, 4, 5),
+           |sup AS (SELECT pk, q AS qs, sum(q) OVER (PARTITION BY pk
+           |    ORDER BY us ASC, ok ASC, ln ASC ROWS UNBOUNDED PRECEDING)
+           |    AS cs
+           |  FROM g WHERE st = 'F'),
+           |dem AS (SELECT pk AS pkd, q AS qd, sum(q) OVER (PARTITION BY pk
+           |    ORDER BY us ASC, ok ASC, ln ASC ROWS UNBOUNDED PRECEDING)
+           |    AS cd
+           |  FROM g WHERE st = 'O'),
+           |pr AS (SELECT pk,
+           |    least(cs, cd) - greatest(cs - qs, cd - qd) AS m
+           |  FROM sup JOIN dem ON pk = pkd
+           |    AND cs > cd - qd AND cd > cs - qs),
+           |pa AS (SELECT pk AS pkp, CAST(count(*) AS BIGINT) AS np,
+           |    CAST(sum(m) AS BIGINT) AS ms FROM pr GROUP BY 1),
+           |ts AS (SELECT pk, CAST(sum(qs) AS BIGINT) AS tsup
+           |  FROM sup GROUP BY 1),
+           |td AS (SELECT pkd, CAST(sum(qd) AS BIGINT) AS tdem
+           |  FROM dem GROUP BY 1),
+           |tot AS (SELECT coalesce(ts.pk, td.pkd) AS pkt,
+           |    coalesce(tsup, 0) AS tsup, coalesce(tdem, 0) AS tdem
+           |  FROM ts FULL JOIN td ON ts.pk = td.pkd),
+           |j AS (SELECT pkt, tsup, tdem, coalesce(np, 0) AS np,
+           |    coalesce(ms, 0) AS ms
+           |  FROM tot LEFT JOIN pa ON tot.pkt = pa.pkp)
+           |SELECT pkt % 8 AS bucket, CAST(count(*) AS BIGINT) AS n_parts,
+           |  CAST(sum(np) AS BIGINT) AS n_pairs,
+           |  CAST(sum(ms) AS BIGINT) AS matched_cq,
+           |  CAST(sum(tsup - least(tsup, tdem)) AS BIGINT)
+           |    AS left_supply_cq,
+           |  CAST(sum(tdem - least(tsup, tdem)) AS BIGINT)
+           |    AS left_demand_cq
+           |FROM j GROUP BY 1 ORDER BY bucket ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     winRank, winRunning, winLeadLag, winRangeFrame, winNtilePct, winFirstLast,
     sortNulls, limitOffset, topkGroup, winSessionize, winStreak, winPattern,
     winDistinct, winConcurrency, winIntervals, winRankDelta, winAlloc,
-    winRatelimit, winDrawdown)
+    winRatelimit, winDrawdown, winFifo)
 }
