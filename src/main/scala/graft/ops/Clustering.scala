@@ -1276,6 +1276,193 @@ object Clustering {
            |    AS uncertainty_e6
            |FROM a ORDER BY n ASC NULLS FIRST""".stripMargin))
 
+  /** Gradient-boosted regression, two rounds (round 7): F₀ = global
+    * mean, then per round the exhaustive SSE-optimal stump on the
+    * CURRENT RESIDUALS with mean leaf values — the additive-model
+    * mechanics of every GBDT (q_ml_stump grades one split on raw
+    * labels; boosting grades the residual RE-FIT, which is what makes
+    * a forest of weak learners a strong one). Per round: the chosen
+    * (feature, threshold), leaf values, split sizes, the variance this
+    * split explains, and the SSE ratio after the update — round 2's
+    * numbers are computed on residuals round 1 already shrank, so a
+    * residual-update bug anywhere breaks round 2's hash.
+    *
+    * Target: the exact multiplier (1−discount)(1+tax) in e4 units — a
+    * KNOWN two-factor interaction, chosen because the fixture's
+    * extendedprice is statistically independent of every feature
+    * (measured corr(qty, price) = 0.003 at sf0.01; a price target
+    * makes the best split explain 0.009% of variance — a vacuous
+    * argmax). Here round 1 must discover discount, round 2 must
+    * discover tax on the shrunk residuals, and quantity is the
+    * planted DISTRACTOR the exhaustive search has to reject — all
+    * three behaviors graded non-vacuously.
+    *
+    * Scale: exactly the GBDT histogram recipe — per round ONE unpivoted
+    * corpus pass partial-aggs to a (feature, value) histogram carrying
+    * (count, Σr, Σr²); split search = cumulative windows over the tiny
+    * histogram; SSE before/after comes from the SAME moments (never a
+    * second corpus pass: SSE_side = Σr² − 2γΣr + nγ²); the residual
+    * update is a map-side CASE against the broadcast 1-row best split.
+    *
+    * Determinism: y = the exact DECIMAL product (1−d)(1+t) ×10⁴ —
+    * hundredth-valued factors cast to DECIMAL(3,2) BEFORE multiplying
+    * (D2; a double product would sit on tie boundaries); residuals
+    * exact int64; Σr² widens to
+    * DECIMAL(38,0)/HUGEINT before summation; gains compare as
+    * per-candidate truncating divisions SL²÷nL + SR²÷nR (part of the
+    * contract); argmax tiebreak (gain desc, feature asc, v asc); leaf
+    * γ = Σr÷n truncates toward zero identically on negatives.
+    */
+  private val boost = QueryDef(
+    "q_ml_boost",
+    (s, d) => {
+      val base = Caches.scoped(graft.Tables.lineitem(s, d).select(
+        col("l_quantity").cast("long").as("qty"),
+        (pct(col("l_discount")) * 100).cast("long").as("disc_c"),
+        (pct(col("l_tax")) * 100).cast("long").as("tax_c"),
+        ((oneMinus(col("l_discount")) * onePlus(col("l_tax")))
+          .cast(DecimalType(8, 4)) * 10000).cast("long").as("y_e4")))
+      val f0 = base.agg(sum(col("y_e4")).as("sy"), count(lit(1)).as("n"))
+        .select(expr("cast(sy div n as bigint)").as("f0"))
+      // rows stays an UNCACHED projection over the cached base: the
+      // residual chain is a map-side CASE per round, and re-running it
+      // is cheaper than materializing a corpus-sized cache per round
+      // (measured 13.6 s → cache only the 1-row split results instead)
+      var rows = base.crossJoin(broadcast(f0))
+        .select(col("qty"), col("disc_c"), col("tax_c"),
+          (col("y_e4") - col("f0")).as("r"))
+      val out = (1 to 2).map { round =>
+        val long = rows.select(col("r"), explode(expr(
+          """array(struct('quantity' AS feature, qty AS v),
+            |      struct('discount' AS feature, disc_c AS v),
+            |      struct('tax' AS feature, tax_c AS v))""".stripMargin))
+          .as("fv"))
+          .select(col("fv.feature").as("feature"), col("fv.v").as("v"),
+            col("r"))
+        val hist = long.groupBy(col("feature"), col("v"))
+          .agg(count(lit(1)).as("c"), sum(col("r")).as("sr"),
+            sum(col("r").cast(DecimalType(38, 0)) * col("r")).as("sr2"))
+        val wf = Window.partitionBy(col("feature")).orderBy(ascf("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy(col("feature"))
+        val scored = hist
+          .withColumn("cl", sum(col("c")).over(wf))
+          .withColumn("sl", sum(col("sr")).over(wf))
+          .withColumn("ct", sum(col("c")).over(wt))
+          .withColumn("st", sum(col("sr")).over(wt))
+          .withColumn("s2t", sum(col("sr2")).over(wt))
+          .filter(col("cl") < col("ct"))
+          .withColumn("gain", expr(
+            """cast(sl as decimal(38,0)) * sl div cast(cl as decimal(38,0))
+              |  + cast(st - sl as decimal(38,0)) * (st - sl)
+              |    div cast(ct - cl as decimal(38,0))""".stripMargin))
+        val best = scored.withColumn("rn", row_number().over(
+            Window.orderBy(descl("gain"), ascf("feature"), ascf("v"))))
+          .filter(col("rn") === 1)
+        val bb = Caches.scoped(best
+          .select(col("feature").as("bf"), col("v").as("bv"),
+            col("cl").as("nl"), (col("ct") - col("cl")).as("nr"),
+            col("sl"), (col("st") - col("sl")).as("srr"), col("s2t"))
+          .withColumn("gl", expr("cast(sl div nl as bigint)"))
+          .withColumn("gr", expr("cast(srr div nr as bigint)"))
+          .withColumn("sse_after", expr(
+            """s2t - 2 * cast(gl as decimal(38,0)) * sl
+              |  + cast(nl as decimal(38,0)) * gl * gl
+              |  - 2 * cast(gr as decimal(38,0)) * srr
+              |  + cast(nr as decimal(38,0)) * gr * gr""".stripMargin)))
+        val row = bb.select(lit(round.toLong).as("round"),
+          col("bf").as("feature"), col("bv").as("threshold"),
+          col("nl").as("n_left"), col("nr").as("n_right"),
+          col("gl").as("gamma_l_e4"), col("gr").as("gamma_r_e4"),
+          expr("cast((s2t - sse_after) * 1000000 div s2t as bigint)")
+            .as("ve_e6"),
+          expr("cast(sse_after * 1000000 div s2t as bigint)")
+            .as("sse_ratio_e6"))
+        rows = rows
+          .crossJoin(broadcast(bb.select(col("bf"), col("bv"),
+            col("gl"), col("gr"))))
+          .withColumn("x", expr(
+            """case bf when 'quantity' then qty
+              |  when 'discount' then disc_c else tax_c end""".stripMargin))
+          .select(col("qty"), col("disc_c"), col("tax_c"),
+            (col("r") - when(col("x") <= col("bv"), col("gl"))
+              .otherwise(col("gr"))).as("r"))
+        row
+      }
+      out.reduce(_ unionByName _).orderBy(ascf("round"))
+    },
+    Some {
+      def round(i: Int): String = {
+        val rrel = if (i == 1) "r1" else s"res${i - 1}"
+        s"""long$i AS (
+           |  SELECT 'quantity' AS feature, qty AS v, r FROM $rrel
+           |  UNION ALL SELECT 'discount', disc_c, r FROM $rrel
+           |  UNION ALL SELECT 'tax', tax_c, r FROM $rrel),
+           |h$i AS (SELECT feature, v, CAST(count(*) AS BIGINT) AS c,
+           |    CAST(sum(r) AS BIGINT) AS sr,
+           |    sum(CAST(r AS HUGEINT) * r) AS sr2
+           |  FROM long$i GROUP BY 1, 2),
+           |c$i AS (SELECT feature, v,
+           |    sum(c) OVER wf AS cl, sum(sr) OVER wf AS sl,
+           |    sum(c) OVER wt AS ct, sum(sr) OVER wt AS st,
+           |    sum(sr2) OVER wt AS s2t
+           |  FROM h$i
+           |  WINDOW wf AS (PARTITION BY feature ORDER BY v ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |  wt AS (PARTITION BY feature)),
+           |g$i AS (SELECT *,
+           |    CAST(sl AS HUGEINT) * sl // cl
+           |      + CAST(st - sl AS HUGEINT) * (st - sl) // (ct - cl) AS gain
+           |  FROM c$i WHERE cl < ct),
+           |b$i AS MATERIALIZED (SELECT feature AS bf, v AS bv,
+           |    CAST(cl AS BIGINT) AS nl, CAST(ct - cl AS BIGINT) AS nr,
+           |    sl, st - sl AS srr, s2t,
+           |    CAST(sl // cl AS BIGINT) AS gl,
+           |    CAST((st - sl) // (ct - cl) AS BIGINT) AS gr
+           |  FROM g$i
+           |  ORDER BY gain DESC, feature ASC, v ASC LIMIT 1),
+           |e$i AS MATERIALIZED (SELECT *,
+           |    s2t - 2 * CAST(gl AS HUGEINT) * sl
+           |      + CAST(nl AS HUGEINT) * gl * gl
+           |      - 2 * CAST(gr AS HUGEINT) * srr
+           |      + CAST(nr AS HUGEINT) * gr * gr AS sse_after
+           |  FROM b$i),
+           |res$i AS MATERIALIZED (SELECT qty, disc_c, tax_c,
+           |    r - CASE WHEN (CASE bf WHEN 'quantity' THEN qty
+           |        WHEN 'discount' THEN disc_c ELSE tax_c END) <= bv
+           |      THEN gl ELSE gr END AS r
+           |  FROM $rrel CROSS JOIN e$i)""".stripMargin
+      }
+      s"""WITH base AS (SELECT
+         |    CAST(l_quantity AS BIGINT) AS qty,
+         |    CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS BIGINT)
+         |      AS disc_c,
+         |    CAST(CAST(l_tax AS DECIMAL(3,2)) * 100 AS BIGINT) AS tax_c,
+         |    CAST(CAST((1 - CAST(l_discount AS DECIMAL(3,2)))
+         |      * (1 + CAST(l_tax AS DECIMAL(3,2))) AS DECIMAL(8,4))
+         |      * 10000 AS BIGINT) AS y_e4
+         |  FROM lineitem),
+         |f0 AS (SELECT CAST(sum(y_e4) // count(*) AS BIGINT) AS f0
+         |  FROM base),
+         |r1 AS MATERIALIZED (SELECT qty, disc_c, tax_c, y_e4 - f0 AS r
+         |  FROM base CROSS JOIN f0),
+         |${round(1)},
+         |${round(2)}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS round, bf AS feature,
+         |    CAST(bv AS BIGINT) AS threshold, nl AS n_left, nr AS n_right,
+         |    gl AS gamma_l_e4, gr AS gamma_r_e4,
+         |    CAST((s2t - sse_after) * 1000000 // s2t AS BIGINT) AS ve_e6,
+         |    CAST(sse_after * 1000000 // s2t AS BIGINT) AS sse_ratio_e6
+         |  FROM e1
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), bf, CAST(bv AS BIGINT), nl, nr, gl, gr,
+         |    CAST((s2t - sse_after) * 1000000 // s2t AS BIGINT),
+         |    CAST(sse_after * 1000000 // s2t AS BIGINT)
+         |  FROM e2)
+         |ORDER BY round ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(kmeans, perceptron, naiveBayes, stump,
-    linreg, knn, tree, confusion, alsStep, calibration, brier)
+    linreg, knn, tree, confusion, alsStep, calibration, brier, boost)
 }

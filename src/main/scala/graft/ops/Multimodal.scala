@@ -1131,7 +1131,104 @@ object Multimodal {
            |FROM f GROUP BY sample_rate
            |ORDER BY sample_rate ASC NULLS FIRST""".stripMargin))
 
+  final case class SpecFeatures(media_id: Long, sample_rate: Int,
+      n_frames: Long, band: Long, energy: Long, even_energy: Long,
+      max_abs: Long)
+
+  /** Time–frequency spectrogram features through the WAV codec (round
+    * 7): decode each clip, frame into NON-overlapping 8-sample windows,
+    * compute all 8 WHT coefficients PER FRAME, and census per
+    * (sample_rate, band) the total |coefficient| mass, the mass on
+    * EVEN frame indices only, and the peak coefficient — the
+    * featurization an audio model actually trains on (q_mm_wht grades
+    * one frame's transform; a spectrogram is the transform × TIME, and
+    * the even-frame split makes frame INDEXING gradeable: a stride or
+    * boundary bug that preserves totals still flips even/odd mass).
+    *
+    * Scale: decode + framing + 8×8 transform fuse into the one
+    * mapPartitions pass (the multimodal shape — zero shuffle before
+    * the 64-group census); 8 rows leave per clip, never per frame.
+    *
+    * Determinism (D2): exact int16-in-int64 samples; per-frame |c_k| ≤
+    * 8·2¹⁵, per-clip band mass ≤ frames·1.6e5 — int64 at any corpus
+    * size since the census sums are per-band. The oracle recomputes
+    * every frame coefficient from SOURCE chars by index arithmetic
+    * (f·8+j), so a codec, framing, or Hadamard-sign bug breaks the
+    * hash. Clips shorter than one frame emit no rows (min fixture doc
+    * is 47 chars ⇒ ≥ 5 frames — none in practice, stated).
+    */
+  private val mmSpectrogram = QueryDef(
+    "q_mm_spectrogram",
+    (s, d) => {
+      import s.implicits._
+      val feats = wavClips(s, d).flatMap { c =>
+        val (sr, samples) = graft.functions.Codecs.Wav.decode(c.payload)
+        val nf = samples.length / 8
+        if (nf == 0) Iterator.empty
+        else (0 until 8).iterator.map { k =>
+          var e = 0L; var ev = 0L; var mx = 0L
+          var f = 0
+          while (f < nf) {
+            var acc = 0L; var j = 0
+            while (j < 8) {
+              val sign =
+                if (java.lang.Integer.bitCount(j & k) % 2 == 0) 1L else -1L
+              acc += sign * samples(f * 8 + j); j += 1
+            }
+            val a = math.abs(acc)
+            e += a; if (f % 2 == 0) ev += a; if (a > mx) mx = a
+            f += 1
+          }
+          SpecFeatures(c.media_id, sr, nf.toLong, k.toLong, e, ev, mx)
+        }
+      }(org.apache.spark.sql.Encoders.product[SpecFeatures])
+      feats.groupBy(col("sample_rate").cast("long").as("sample_rate"),
+          col("band"))
+        .agg(count(lit(1)).as("n_clips"),
+          sum(col("n_frames")).as("total_frames"),
+          sum(col("energy")).as("energy_checksum"),
+          sum(col("even_energy")).as("even_checksum"),
+          max(col("max_abs")).as("max_coef"))
+        .orderBy(ascf("sample_rate"), ascf("band"))
+    },
+    Some {
+      def sample(idx: String) =
+        s"(((ascii(substring(text, CAST($idx AS INTEGER), 1)) & 127) - 78)" +
+          " * 256)"
+      def coef(k: Int) = (0 until 8).map { j =>
+        val sign = if (java.lang.Integer.bitCount(j & k) % 2 == 0) "+" else "-"
+        s"$sign ${sample(s"f * 8 + ${j + 1}")}"
+      }.mkString(" ").stripPrefix("+ ")
+      def bandExprs(k: Int) =
+        s"""CAST(coalesce(list_sum(list_transform(range(0, nf),
+           |      f -> abs(${coef(k)}))), 0) AS BIGINT) AS e$k,
+           |    CAST(coalesce(list_sum(list_transform(range(0, nf),
+           |      f -> CASE WHEN f % 2 = 0 THEN abs(${coef(k)})
+           |        ELSE 0 END)), 0) AS BIGINT) AS ev$k,
+           |    CAST(coalesce(list_max(list_transform(range(0, nf),
+           |      f -> abs(${coef(k)}))), 0) AS BIGINT) AS mx$k""".stripMargin
+      val arms = (0 to 7).map(k =>
+        s"SELECT sample_rate, CAST($k AS BIGINT) AS band, nf, e$k AS e, " +
+          s"ev$k AS ev, mx$k AS mx FROM co").mkString("\n|  UNION ALL ")
+      s"""WITH base AS (SELECT doc_id, text,
+         |    8000 + CAST(doc_id % 8 AS BIGINT) * 1000 AS sample_rate,
+         |    CAST(len(text) // 8 AS BIGINT) AS nf FROM documents),
+         |co AS (SELECT sample_rate, nf,
+         |    ${(0 to 7).map(bandExprs).mkString(",\n|    ")}
+         |  FROM base WHERE nf >= 1),
+         |u AS (
+         |  $arms)
+         |SELECT sample_rate, band, CAST(count(*) AS BIGINT) AS n_clips,
+         |  CAST(sum(nf) AS BIGINT) AS total_frames,
+         |  CAST(sum(e) AS BIGINT) AS energy_checksum,
+         |  CAST(sum(ev) AS BIGINT) AS even_checksum,
+         |  CAST(max(mx) AS BIGINT) AS max_coef
+         |FROM u GROUP BY 1, 2
+         |ORDER BY sample_rate ASC NULLS FIRST, band ASC NULLS FIRST"""
+        .stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(mmBinary, mmFeatures, mmAudioPcm, mmImageGray,
     mmVideoFrames, mmImageResize, mmAudioDownsample, mmPhash, mmSceneChange,
-    mmAugment, mmWht, mmHisteq, mmRle, mmDelta)
+    mmAugment, mmWht, mmHisteq, mmRle, mmDelta, mmSpectrogram)
 }

@@ -665,4 +665,99 @@ class Round7Spec extends SparkSpec {
       s"FIFO mismatch: got=$got expected=$expected")
     Caches.releaseScoped(); Caches.releaseShared()
   }
+
+  test("q_ml_boost: engine rounds equal a scalar boosting replica") {
+    // Third spelling of the histogram split search + residual update:
+    // plain Scala over the collected rows, exact integer arithmetic.
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity").cast("long"),
+        (col("l_discount").cast(org.apache.spark.sql.types
+          .DecimalType(3, 2)) * 100).cast("long"),
+        (col("l_tax").cast(org.apache.spark.sql.types
+          .DecimalType(3, 2)) * 100).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val y = rows.map { case (_, dc, tc) => (100 - dc) * (100 + tc) }
+    val f0 = y.sum / y.length
+    var r = y.map(_ - f0)
+    val feats = Seq[(String, ((Long, Long, Long)) => Long)](
+      ("discount", _._2), ("quantity", _._1), ("tax", _._3))
+    val expected = (1 to 2).map { round =>
+      // candidate grid: per feature, observed values with cumulative
+      // (count, sum); global SSE0 from the residuals once per round
+      val s2t = r.map(x => BigInt(x) * x).sum
+      val cands = for {
+        (fn, fv) <- feats
+        grid = rows.zip(r).groupBy(p => fv(p._1)).toSeq.sortBy(_._1)
+        cum = grid.scanLeft((0L, 0L)) { case ((c, sr), (_, g)) =>
+          (c + g.length, sr + g.map(_._2).sum)
+        }.tail
+        tot = cum.last
+        ((v, _), (cl, sl)) <- grid.zip(cum) if cl < tot._1
+      } yield {
+        val (ct, st) = tot
+        val gain = BigInt(sl) * sl / cl +
+          BigInt(st - sl) * (st - sl) / (ct - cl)
+        (gain, fn, v, cl, ct - cl, sl, st - sl, ct)
+      }
+      val best = cands.minBy { case (g, fn, v, _, _, _, _, _) =>
+        (-g, fn, v)
+      }
+      val (_, bf, bv, nl, nr, sl, srr, _) = best
+      val gl = sl / nl
+      val gr = srr / nr
+      val sseAfter = s2t - 2 * BigInt(gl) * sl + BigInt(nl) * gl * gl -
+        2 * BigInt(gr) * srr + BigInt(nr) * gr * gr
+      val fv = feats.find(_._1 == bf).get._2
+      r = rows.zip(r).map { case (row, rr) =>
+        rr - (if (fv(row) <= bv) gl else gr)
+      }
+      (round.toLong, bf, bv, nl, nr, gl, gr,
+        ((s2t - sseAfter) * 1000000 / s2t).toLong,
+        (sseAfter * 1000000 / s2t).toLong)
+    }
+    val got = q("q_ml_boost").collect().map(rr =>
+      (rr.getLong(0), rr.getString(1), rr.getLong(2), rr.getLong(3),
+        rr.getLong(4), rr.getLong(5), rr.getLong(6), rr.getLong(7),
+        rr.getLong(8)))
+    assert(got.toSeq == expected.toSeq,
+      s"boost mismatch:\n got=${got.toSeq}\n exp=${expected.toSeq}")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_mm_spectrogram: codec-path census equals a text-direct replica") {
+    // The engine synthesizes WAV bytes, round-trips the codec, frames,
+    // and transforms; this recomputes the same census STRAIGHT from the
+    // document text (no codec) — a header, framing, or sign bug on the
+    // engine path diverges.
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val agg = collection.mutable.Map[(Long, Long), (Long, Long, Long, Long,
+      Long)]()
+    for ((id, text) <- docs) {
+      val sr = 8000 + (id % 8) * 1000
+      val samples = text.map(c => (((c & 0x7F) - 78) * 256).toLong).toArray
+      val nf = samples.length / 8
+      if (nf > 0) for (k <- 0 until 8) {
+        var e = 0L; var ev = 0L; var mx = 0L
+        for (f <- 0 until nf) {
+          val acc = (0 until 8).map(j =>
+            (if (java.lang.Integer.bitCount(j & k) % 2 == 0) 1L else -1L) *
+              samples(f * 8 + j)).sum
+          val a = math.abs(acc)
+          e += a; if (f % 2 == 0) ev += a; if (a > mx) mx = a
+        }
+        val key = (sr, k.toLong)
+        val (n0, tf0, e0, ev0, m0) = agg.getOrElse(key, (0L, 0L, 0L, 0L, 0L))
+        agg(key) = (n0 + 1, tf0 + nf, e0 + e, ev0 + ev, math.max(m0, mx))
+      }
+    }
+    val got = q("q_mm_spectrogram").collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == agg.toMap, s"spectrogram mismatch: ${got.size} vs " +
+      s"${agg.size} cells")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
 }
