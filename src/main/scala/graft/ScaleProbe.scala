@@ -249,7 +249,9 @@ object ScaleProbe {
         // round-7 batch 80: matrix-free PCA power step, FIFO matching
         "q_vec_pca_power", "q_win_fifo",
         // round-7 batch 81: residual boosting, WHT spectrogram
-        "q_ml_boost", "q_mm_spectrogram")
+        "q_ml_boost", "q_mm_spectrogram",
+        // round-7 batch 82: adaptive Kalman fold, per-file bloom index
+        "q_ts_kalman", "q_lake_bloom_index")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

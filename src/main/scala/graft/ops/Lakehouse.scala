@@ -784,7 +784,119 @@ object Lakehouse {
            |FROM v2
            |ORDER BY n_rows ASC NULLS FIRST""".stripMargin))
 
+  /** Per-file Bloom-filter index + probe-skipping census (round 7):
+    * lineitem cut into 32 "files" (the zorder layout harness), a k=3
+    * m=65536-bit Bloom filter built PER FILE over its partkeys, then a
+    * data-derived probe set asks "which files might contain this key"
+    * — the file-skipping index Delta/Iceberg attach to point-lookup
+    * columns where zone maps are useless (partkey is uncorrelated with
+    * file order, so min/max prunes nothing; a Bloom filter prunes by
+    * CONTENT). Graded: per probe bucket, files bloom-positive vs files
+    * TRULY containing the key — the gap is the exact false-positive
+    * cost, the skip ratio is the planner win (no false negatives by
+    * construction, so true ⊆ positive; both counted).
+    *
+    * Scale: the per-file bit relation is the index artifact — built in
+    * one scan partial-agg'd to ≤ files·m cells (written at compaction
+    * time in production, the q_lake_compact hook); probes broadcast
+    * against it; nothing pair-explodes beyond probes×files. The ntile
+    * file assignment is the same single-partition harness shape
+    * q_lake_zorder documents (real layouts come from the lake writer).
+    *
+    * Determinism: the mod-prime hash family of q_sketch_bloom (spelled
+    * identically in both engines); file assignment ordered by
+    * (orderkey, linenumber, partkey) so duplicate sort keys carry the
+    * same partkey and any tie order yields the same per-file partkey
+    * multiset; pure integer counting downstream (D1 bucket order).
+    */
+  private val lakeBloomIndex = QueryDef(
+    "q_lake_bloom_index",
+    (s, d) => {
+      val hashE =
+        "((x % 2147483647) * (CASE i WHEN 0 THEN 1299721 WHEN 1 THEN " +
+          "15485863 ELSE 32452843 END) + (CASE i WHEN 0 THEN 7 WHEN 1 " +
+          "THEN 101 ELSE 1009 END)) % 2147483647 % 65536"
+      val lanes = explode(array((0 until 3).map(i => lit(i)): _*)).as("i")
+      val filed = graft.Caches.scoped(Tables.lineitem(s, d)
+        .select(col("l_partkey").cast("long").as("x"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("f", ntile(32).over(Window.orderBy(
+          ascf("l_orderkey"), ascf("l_linenumber"), ascf("x"))))
+        .select(col("f"), col("x")))
+      val bits = filed.select(col("f"), col("x"), lanes)
+        .withColumn("pos", expr(hashE))
+        .select(col("f"), col("pos")).distinct()
+      val truth = filed.distinct()
+      val probes = Tables.part(s, d)
+        .filter(pmod(col("p_partkey"), lit(29)) === 0)
+        .select(col("p_partkey").cast("long").as("x")).distinct()
+      val pos = probes.select(col("x"), lanes)
+        .withColumn("pos", expr(hashE))
+        .join(bits, Seq("pos"))
+        .select(col("x"), col("f"), col("i")).distinct()
+        .groupBy(col("x"), col("f"))
+        .agg(count(lit(1)).as("nh"))
+        .filter(col("nh") === 3)
+        .groupBy(col("x")).agg(count(lit(1)).as("n_pos"))
+      val tru = probes.join(truth.withColumnRenamed("x", "tx"),
+          col("x") === col("tx"))
+        .groupBy(col("x")).agg(count(lit(1)).as("n_true"))
+      probes
+        .join(pos, Seq("x"), "left")
+        .join(tru, Seq("x"), "left")
+        .select(col("x"), coalesce(col("n_pos"), lit(0L)).as("np"),
+          coalesce(col("n_true"), lit(0L)).as("nt"))
+        .groupBy(pmod(col("x"), lit(8L)).as("bucket"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(col("np")).as("files_positive"),
+          sum(col("nt")).as("files_true"),
+          sum(col("np") - col("nt")).as("files_false_pos"),
+          expr("""cast((32 * count(*) - sum(np)) * 1000000
+                 |  div (32 * count(*)) as bigint)""".stripMargin)
+            .as("skip_ratio_e6"))
+        .orderBy(ascf("bucket"))
+    },
+    Some {
+      val hashE =
+        "((x % 2147483647) * (CASE i WHEN 0 THEN 1299721 WHEN 1 THEN " +
+          "15485863 ELSE 32452843 END) + (CASE i WHEN 0 THEN 7 WHEN 1 " +
+          "THEN 101 ELSE 1009 END)) % 2147483647 % 65536"
+      s"""WITH filed AS (SELECT
+         |    ntile(32) OVER (ORDER BY l_orderkey ASC, l_linenumber ASC,
+         |      CAST(l_partkey AS BIGINT) ASC) AS f,
+         |    CAST(l_partkey AS BIGINT) AS x
+         |  FROM lineitem),
+         |bits AS (SELECT DISTINCT f, ($hashE) AS pos
+         |  FROM filed CROSS JOIN range(0, 3) t(i)),
+         |truth AS (SELECT DISTINCT f, x FROM filed),
+         |pr AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS x
+         |  FROM part WHERE p_partkey % 29 = 0),
+         |pp AS (SELECT DISTINCT pr.x, b.f, t.i
+         |  FROM pr CROSS JOIN range(0, 3) t(i)
+         |  JOIN bits b ON b.pos = ((pr.x % 2147483647)
+         |    * (CASE t.i WHEN 0 THEN 1299721 WHEN 1 THEN 15485863
+         |       ELSE 32452843 END)
+         |    + (CASE t.i WHEN 0 THEN 7 WHEN 1 THEN 101 ELSE 1009 END))
+         |    % 2147483647 % 65536),
+         |ps AS (SELECT x, f FROM pp GROUP BY x, f HAVING count(*) = 3),
+         |np AS (SELECT x, CAST(count(*) AS BIGINT) AS n_pos
+         |  FROM ps GROUP BY x),
+         |nt AS (SELECT pr.x, CAST(count(*) AS BIGINT) AS n_true
+         |  FROM pr JOIN truth ON pr.x = truth.x GROUP BY pr.x),
+         |j AS (SELECT pr.x, coalesce(np.n_pos, 0) AS np,
+         |    coalesce(nt.n_true, 0) AS nt
+         |  FROM pr LEFT JOIN np ON pr.x = np.x
+         |  LEFT JOIN nt ON pr.x = nt.x)
+         |SELECT x % 8 AS bucket, CAST(count(*) AS BIGINT) AS n_probes,
+         |  CAST(sum(np) AS BIGINT) AS files_positive,
+         |  CAST(sum(nt) AS BIGINT) AS files_true,
+         |  CAST(sum(np - nt) AS BIGINT) AS files_false_pos,
+         |  CAST((32 * count(*) - sum(np)) * 1000000
+         |    // (32 * count(*)) AS BIGINT) AS skip_ratio_e6
+         |FROM j GROUP BY 1 ORDER BY bucket ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(lakeMerge, joinBucketed, lakeScd2, lakeZorder,
     lakeTimetravel, lakeCdc, lakeVacuum, lakeCompact, lakeScd2Read,
-    lakeClone)
+    lakeClone, lakeBloomIndex)
 }

@@ -2555,11 +2555,100 @@ object TimeSeries {
            |FROM s4
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
+  /** 1-D Kalman filter over daily counts per type (round 7): the
+    * ADAPTIVE-gain smoother — q_ts_ewma and q_ts_holt apply FIXED
+    * blending weights; a Kalman filter carries a variance state p and
+    * derives the gain g = p/(p+R) from it each step, so it starts
+    * maximally trusting the data (p₀ = R ⇒ g = 0.5) and relaxes to the
+    * steady-state Riccati gain (≈ 0.22 at Q/R = 1/16) as evidence
+    * accumulates — the sensor-fusion / metric-smoothing recurrence.
+    *
+    * Same execution shape as q_ts_holt: the recurrence is inherently
+    * sequential per key, so it runs as ONE `aggregate` HOF fold over
+    * the per-type day array (day grain: calendar-bounded, ~30 elements
+    * — collect_list of a corpus-sized series would be wrong, stated)
+    * vs a recursive-CTE oracle — two engines, one integer recurrence,
+    * plus a third plain-Scala replica in Round7Spec.
+    *
+    * Integer recurrence (e6-scaled estimate, Q = 2²⁰, R = 2²⁴ in
+    * variance units): p⁺ = p + Q; g_e6 = p⁺·10⁶ div (p⁺ + R);
+    * x += g·(z·10⁶ − x) div 10⁶; p = p⁺·(10⁶ − g) div 10⁶ — every
+    * step exact int64 (z·10⁶ ≤ 10¹¹ at the probe, ×g ≤ 10¹⁷), `div`
+    * truncation identical in both engines on the possibly-negative
+    * innovation product. Innovation |z·10⁶ − x_pred| accumulates as a
+    * checksum so EVERY intermediate x is load-bearing, not just the
+    * final state.
+    */
+  private val kalman = QueryDef(
+    "q_ts_kalman",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          floorDiv(unix_micros(col("ts")), DayUs).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("c"))
+      daily.groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("day"), col("c"))))
+          .as("xs"))
+        .withColumn("st", expr(
+          """aggregate(xs,
+            |  named_struct('x', 0L, 'p', 0L, 'n', 0L, 'ic', 0L, 'g', 0L),
+            |  (st, e) -> CASE WHEN st.n = 0
+            |    THEN named_struct('x', e.c * 1000000L, 'p', 16777216L,
+            |      'n', 1L, 'ic', 0L, 'g', 0L)
+            |    ELSE named_struct(
+            |      'x', st.x + (((st.p + 1048576L) * 1000000L
+            |              div (st.p + 1048576L + 16777216L))
+            |            * (e.c * 1000000L - st.x)) div 1000000L,
+            |      'p', ((st.p + 1048576L) * (1000000L
+            |              - ((st.p + 1048576L) * 1000000L
+            |                 div (st.p + 1048576L + 16777216L))))
+            |            div 1000000L,
+            |      'n', st.n + 1L,
+            |      'ic', st.ic + abs(e.c * 1000000L - st.x),
+            |      'g', (st.p + 1048576L) * 1000000L
+            |             div (st.p + 1048576L + 16777216L)) END)"""
+            .stripMargin))
+        .select(col("event_type"), col("st.n").as("n_days"),
+          col("st.x").as("x_e6"), col("st.p").as("p_final"),
+          col("st.g").as("gain_e6"), col("st.ic").as("innov_checksum"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH RECURSIVE h AS (SELECT event_type,
+           |    epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS c
+           |  FROM events GROUP BY 1, 2),
+           |hr AS (SELECT event_type, c, row_number() OVER (
+           |    PARTITION BY event_type ORDER BY day ASC) AS rn FROM h),
+           |s AS (
+           |  SELECT event_type, rn, c * 1000000 AS x,
+           |    CAST(16777216 AS BIGINT) AS p, CAST(0 AS BIGINT) AS ic,
+           |    CAST(0 AS BIGINT) AS g
+           |  FROM hr WHERE rn = 1
+           |  UNION ALL
+           |  SELECT hr.event_type, hr.rn,
+           |    s.x + (((s.p + 1048576) * 1000000
+           |        // (s.p + 1048576 + 16777216))
+           |      * (hr.c * 1000000 - s.x)) // 1000000,
+           |    ((s.p + 1048576) * (1000000 - ((s.p + 1048576) * 1000000
+           |        // (s.p + 1048576 + 16777216)))) // 1000000,
+           |    s.ic + abs(hr.c * 1000000 - s.x),
+           |    (s.p + 1048576) * 1000000 // (s.p + 1048576 + 16777216)
+           |  FROM s JOIN hr ON hr.event_type = s.event_type
+           |    AND hr.rn = s.rn + 1),
+           |fin AS (SELECT s.*, row_number() OVER (
+           |    PARTITION BY event_type ORDER BY rn DESC) AS rr FROM s)
+           |SELECT event_type, CAST(rn AS BIGINT) AS n_days,
+           |  CAST(x AS BIGINT) AS x_e6, CAST(p AS BIGINT) AS p_final,
+           |  CAST(g AS BIGINT) AS gain_e6,
+           |  CAST(ic AS BIGINT) AS innov_checksum
+           |FROM fin WHERE rr = 1
+           |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
       theilSen, attrib, transitions, downsample, evalWape, latency,
       period, crossCorr, movingMedian, tsRate, dtw, anomalyMad, bollinger,
       decompose, growth, dauMau, sax, permEntropy, entropyRate, cusum,
-      pacf)
+      pacf, kalman)
 }

@@ -760,4 +760,88 @@ class Round7Spec extends SparkSpec {
       s"${agg.size} cells")
     Caches.releaseScoped(); Caches.releaseShared()
   }
+
+  test("q_ts_kalman: engine fold equals the scalar-replica recurrence") {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        Dsl.floorDiv(unix_micros(col("ts")), 86400000000L).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.sortBy(_.getLong(1)).map(_.getLong(2)) }
+    val Q = 1048576L; val R = 16777216L
+    val expected = daily.map { case (t, zs) =>
+      var x = 0L; var p = 0L; var ic = 0L; var g = 0L; var n = 0L
+      zs.foreach { z =>
+        if (n == 0) { x = z * 1000000L; p = R; n = 1 }
+        else {
+          val p1 = p + Q
+          g = p1 * 1000000L / (p1 + R)
+          ic += math.abs(z * 1000000L - x)
+          x = x + (g * (z * 1000000L - x)) / 1000000L
+          p = (p1 * (1000000L - g)) / 1000000L
+          n += 1
+        }
+      }
+      t -> ((n, x, p, g, ic))
+    }
+    val got = q("q_ts_kalman").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, s"kalman mismatch: got=$got expected=$expected")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_lake_bloom_index: census equals a scalar bloom replica and " +
+    "has no false negatives") {
+    // Rebuild the per-file partkey sets + blooms in plain Scala,
+    // including ntile's exact bucket-size arithmetic (first n mod 32
+    // buckets get the extra row), and require census equality.
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(r => (r._1, r._2.toLong, r._3))
+    val n = li.length
+    val base = n / 32; val extra = n % 32
+    val fileOf = (0 until n).map { idx =>
+      // ntile: first `extra` buckets hold base+1 rows
+      val cut = extra * (base + 1)
+      if (idx < cut) idx / (base + 1) else extra + (idx - cut) / base
+    }
+    val P = 2147483647L
+    val as = Seq(1299721L, 15485863L, 32452843L)
+    val bs = Seq(7L, 101L, 1009L)
+    def hashes(x: Long) = (0 until 3).map(i =>
+      ((x % P) * as(i) + bs(i)) % P % 65536)
+    val fileKeys = li.zipWithIndex.groupBy(p => fileOf(p._2))
+      .map { case (f, rs) => f -> rs.map(_._1._3).toSet }
+    val fileBits = fileKeys.map { case (f, ks) =>
+      f -> ks.flatMap(hashes)
+    }
+    val probes = Tables.part(spark, sfDir)
+      .filter(pmod(col("p_partkey"), lit(29)) === 0)
+      .select(col("p_partkey").cast("long")).distinct().collect()
+      .map(_.getLong(0))
+    val agg = collection.mutable.Map[Long, (Long, Long, Long, Long)]()
+    for (x <- probes) {
+      val hs = hashes(x)
+      val np = fileBits.count { case (_, bits) => hs.forall(bits.contains) }
+      val nt = fileKeys.count { case (_, ks) => ks.contains(x) }
+      assert(nt <= np, s"false negative for probe $x")
+      val b = x % 8
+      val (c0, p0, t0, f0) = agg.getOrElse(b, (0L, 0L, 0L, 0L))
+      agg(b) = (c0 + 1, p0 + np, t0 + nt, f0 + (np - nt))
+    }
+    val expected = agg.map { case (b, (c, p, t, f)) =>
+      b -> ((c, p, t, f, (32 * c - p) * 1000000L / (32 * c)))
+    }.toMap
+    val got = q("q_lake_bloom_index").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, s"bloom census mismatch:\n got=$got\n " +
+      s"exp=$expected")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
 }
