@@ -251,7 +251,9 @@ object ScaleProbe {
         // round-7 batch 81: residual boosting, WHT spectrogram
         "q_ml_boost", "q_mm_spectrogram",
         // round-7 batch 82: adaptive Kalman fold, per-file bloom index
-        "q_ts_kalman", "q_lake_bloom_index")
+        "q_ts_kalman", "q_lake_bloom_index",
+        // round-7 batch 83: banding recall eval, two-hop transitions
+        "q_text_dedup_eval", "q_graph_walk2")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

@@ -1825,8 +1825,102 @@ object Graph {
          |ORDER BY n.n_name ASC NULLS FIRST""".stripMargin
     })
 
+  /** Two-hop transition structure P² over the directed weighted trade
+    * graph (round 7): one step of transition-matrix squaring — the
+    * building block of personalized PageRank, node2vec context
+    * distributions, and diffusion features (pagerank iterates P from a
+    * uniform start; P² answers the LOCAL question "where does a walk
+    * FROM s stand after two steps", including mass returning to s).
+    * Per source: reachable-in-2 count, total quantized two-hop mass
+    * (≤ 1e6; the shortfall IS the visible quantization loss, graded),
+    * and the argmax destination with its probability.
+    *
+    * Scale: the fact table collapses to ≤ nations² edges once (the
+    * pagerank/HITS shape); the squaring join and all windows run on
+    * that node²-bounded relation. k-step features = repeat the same
+    * join — cost per step is edge-relation-sized, never corpus-sized.
+    *
+    * Determinism: p_e6 = w·1e6 div outw exact trunc; two-hop
+    * numerators Σ p·p ≤ 25·10¹² int64; argmax tiebreak smallest
+    * destination key; mass div 1e6 trunc-identical (D1 name order).
+    */
+  private val walk2 = QueryDef(
+    "q_graph_walk2",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      val edges = li
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").cast("long").as("src"),
+          col("s_nationkey").cast("long").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val outw = edges.groupBy(col("src").as("src2"))
+        .agg(sum(col("w")).as("ow"))
+      val p = graft.Caches.scoped(edges
+        .join(outw, col("src") === col("src2"))
+        .select(col("src"), col("dst"),
+          expr("w * 1000000L div ow").as("p")))
+      val two = p.alias("a").join(p.alias("b"), col("a.dst") === col("b.src"))
+        .groupBy(col("a.src").as("s"), col("b.dst").as("t"))
+        .agg(sum(col("a.p") * col("b.p")).as("n2"))
+      val w2 = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+      val per = two.withColumn("mx", max(col("n2")).over(w2))
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("n_two_hop"),
+          expr("cast(sum(n2) div 1000000L as bigint)").as("mass_e6"),
+          min(when(col("n2") === col("mx"), col("t"))).as("top_t"),
+          expr("cast(min(mx) div 1000000L as bigint)").as("top_p2_e6"))
+      val names = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+      names.join(per, col("nk") === col("s"), "left")
+        .join(broadcast(names.select(col("nk").as("nk2"),
+          col("n_name").as("top_name"))), col("top_t") === col("nk2"), "left")
+        .select(col("n_name"),
+          coalesce(col("n_two_hop"), lit(0L)).as("n_two_hop"),
+          coalesce(col("mass_e6"), lit(0L)).as("mass_e6"),
+          coalesce(col("top_name"), lit("-")).as("top_name"),
+          coalesce(col("top_p2_e6"), lit(0L)).as("top_p2_e6"))
+        .orderBy(ascf("n_name"))
+    },
+    Some("""WITH edges AS (
+           |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+           |    CAST(s.s_nationkey AS BIGINT) AS dst,
+           |    CAST(count(*) AS BIGINT) AS w
+           |  FROM lineitem l
+           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           |  GROUP BY 1, 2),
+           |ow AS (SELECT src AS src2, CAST(sum(w) AS BIGINT) AS ow
+           |  FROM edges GROUP BY 1),
+           |p AS MATERIALIZED (SELECT src, dst,
+           |    CAST(w * 1000000 // ow AS BIGINT) AS p
+           |  FROM edges JOIN ow ON src = src2),
+           |two AS (SELECT a.src AS s, b.dst AS t,
+           |    CAST(sum(a.p * b.p) AS BIGINT) AS n2
+           |  FROM p a JOIN p b ON a.dst = b.src GROUP BY 1, 2),
+           |mx AS (SELECT *, max(n2) OVER (PARTITION BY s) AS mx FROM two),
+           |per AS (SELECT s, CAST(count(*) AS BIGINT) AS n_two_hop,
+           |    CAST(sum(n2) // 1000000 AS BIGINT) AS mass_e6,
+           |    min(CASE WHEN n2 = mx THEN t END) AS top_t,
+           |    CAST(min(mx) // 1000000 AS BIGINT) AS top_p2_e6
+           |  FROM mx GROUP BY s)
+           |SELECT n.n_name,
+           |  coalesce(per.n_two_hop, 0) AS n_two_hop,
+           |  coalesce(per.mass_e6, 0) AS mass_e6,
+           |  coalesce(n2n.n_name, '-') AS top_name,
+           |  coalesce(per.top_p2_e6, 0) AS top_p2_e6
+           |FROM nation n
+           |LEFT JOIN per ON n.n_nationkey = per.s
+           |LEFT JOIN nation n2n ON per.top_t = n2n.n_nationkey
+           |ORDER BY n.n_name ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(pagerank, triangles, bfs, degree,
     graphJaccard, labelProp, closeness, scc, kcore, copurchase,
     adamicAdar, hits, assortativity, reciprocity, clustering, mst, motifs,
-    eccentric, truss, modularity, betweenness)
+    eccentric, truss, modularity, betweenness, walk2)
 }

@@ -1129,41 +1129,86 @@ object Pipeline {
     * checksums. At 100 TB every stage is candidate- or grain-bounded;
     * the recall CLAIM stays owned by MinHashSpec's property tests.
     */
+  /** The char-polynomial token-int relation (doc_id, lang, t) behind
+    * the exactly-graded MinHash keys — scoped-cached per consumer.
+    * Shared by q_dedup_minhash_exact and q_text_dedup_eval (round 7).
+    */
+  private[graft] def minhashTokenInts(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.scoped(Text.sharedDocTokens(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(col("ts"))).as("w"))
+      .withColumn("t",
+        ascii(substring(col("w"), 1, 1)).cast("bigint") * 29791 +
+          ascii(substring(col("w"), 2, 1)).cast("bigint") * 961 +
+          ascii(substring(col("w"), 3, 1)).cast("bigint") * 31 +
+          ascii(substring(col("w"), 4, 1)).cast("bigint") +
+          length(col("w")).cast("bigint") * 97)
+      .select(col("doc_id"), col("lang"), col("t"))
+      .distinct())
+
+  /** Same-(lang, band, value) MinHash candidate pairs (lang, d1, d2)
+    * from the 16-permutation / 4-band family — the banding stage of
+    * q_dedup_minhash_exact, reusable for banding-quality evaluation.
+    */
+  private[graft] def minhashBandCandidates(
+      toks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val P = 2147483647L
+    val mh = toks
+      .select(col("doc_id"), col("lang"), col("t"),
+        explode(sequence(lit(0L), lit(15L))).as("j"))
+      .withColumn("hj", expr(s"((t % $P) * (2 * j + 3) + 97 * j + 13) % $P"))
+      .groupBy(col("doc_id"), col("lang"), col("j"))
+      .agg(min(col("hj")).as("m"))
+    val bands = mh
+      .withColumn("k", expr("j div 4"))
+      .withColumn("mult", expr(
+        "CASE CAST(j % 4 AS INT) WHEN 0 THEN bigint(1) WHEN 1 THEN bigint(31) " +
+          "WHEN 2 THEN bigint(961) ELSE bigint(29791) END"))
+      .groupBy(col("doc_id"), col("lang"), col("k"))
+      .agg(sum(col("m") * col("mult")).as("bandv"))
+    bands.alias("x").join(bands.alias("y"),
+        col("x.lang") === col("y.lang") && col("x.k") === col("y.k") &&
+          col("x.bandv") === col("y.bandv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.lang").as("lang"), col("x.doc_id").as("d1"),
+        col("y.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** DuckDB CTE chain computing the same candidate relation, ending in
+    * `cd(lang, d1, d2)` — prepend-able (no WITH keyword).
+    */
+  private[ops] val oracleMinhashCand: String =
+    """tk AS (SELECT DISTINCT doc_id, lang,
+      |    CAST(ascii(substring(w, 1, 1)) AS BIGINT) * 29791 +
+      |    CAST(ascii(substring(w, 2, 1)) AS BIGINT) * 961 +
+      |    CAST(ascii(substring(w, 3, 1)) AS BIGINT) * 31 +
+      |    CAST(ascii(substring(w, 4, 1)) AS BIGINT) +
+      |    CAST(length(w) AS BIGINT) * 97 AS t
+      |  FROM (SELECT doc_id, lang,
+      |    unnest(list_distinct(string_split(text, ' '))) AS w
+      |    FROM documents)),
+      |mh AS (SELECT doc_id, lang, r.range AS j,
+      |    min(((t % 2147483647) * (2 * r.range + 3) + 97 * r.range + 13)
+      |      % 2147483647) AS m
+      |  FROM tk CROSS JOIN range(16) r GROUP BY 1, 2, 3),
+      |bd AS (SELECT doc_id, lang, j // 4 AS k,
+      |    CAST(sum(m * (CASE CAST(j % 4 AS INTEGER) WHEN 0 THEN 1
+      |      WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END)) AS BIGINT)
+      |      AS bandv
+      |  FROM mh GROUP BY 1, 2, 3),
+      |cd AS MATERIALIZED (SELECT DISTINCT x.lang AS lang, x.doc_id AS d1,
+      |    y.doc_id AS d2
+      |  FROM bd x JOIN bd y ON x.lang = y.lang AND x.k = y.k
+      |    AND x.bandv = y.bandv AND x.doc_id < y.doc_id)""".stripMargin
+
   private val dedupMinhashExact = QueryDef(
     "q_dedup_minhash_exact",
     (s, d) => {
-      val P = 2147483647L
-      val toks = graft.Caches.scoped(Text.sharedDocTokens(s, d)
-        .select(col("doc_id"), col("lang"),
-          explode(array_distinct(col("ts"))).as("w"))
-        .withColumn("t",
-          ascii(substring(col("w"), 1, 1)).cast("bigint") * 29791 +
-            ascii(substring(col("w"), 2, 1)).cast("bigint") * 961 +
-            ascii(substring(col("w"), 3, 1)).cast("bigint") * 31 +
-            ascii(substring(col("w"), 4, 1)).cast("bigint") +
-            length(col("w")).cast("bigint") * 97)
-        .select(col("doc_id"), col("lang"), col("t"))
-        .distinct())
-      val mh = toks
-        .select(col("doc_id"), col("lang"), col("t"),
-          explode(sequence(lit(0L), lit(15L))).as("j"))
-        .withColumn("hj", expr(s"((t % $P) * (2 * j + 3) + 97 * j + 13) % $P"))
-        .groupBy(col("doc_id"), col("lang"), col("j"))
-        .agg(min(col("hj")).as("m"))
-      val bands = mh
-        .withColumn("k", expr("j div 4"))
-        .withColumn("mult", expr(
-          "CASE CAST(j % 4 AS INT) WHEN 0 THEN bigint(1) WHEN 1 THEN bigint(31) " +
-            "WHEN 2 THEN bigint(961) ELSE bigint(29791) END"))
-        .groupBy(col("doc_id"), col("lang"), col("k"))
-        .agg(sum(col("m") * col("mult")).as("bandv"))
-      val cand = bands.alias("x").join(bands.alias("y"),
-          col("x.lang") === col("y.lang") && col("x.k") === col("y.k") &&
-            col("x.bandv") === col("y.bandv") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.lang").as("lang"), col("x.doc_id").as("d1"),
-          col("y.doc_id").as("d2"))
-        .distinct()
+      val toks = minhashTokenInts(s, d)
+      val cand = minhashBandCandidates(toks)
       val sz = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = cand
         .join(toks.select(col("doc_id").as("d1"), col("t")), "d1")
@@ -1444,9 +1489,91 @@ object Pipeline {
         |ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST
         |LIMIT 10""".stripMargin))
 
+  /** Banding-quality evaluation (round 7): the dedup family's
+    * q_sim_recall — per lang, how many of the TRUE near-dup pairs
+    * (exact token-set Jaccard ≥ 0.95, the PPJoin-verified
+    * sharedJaccardPairs relation) does the MinHash BAND stage surface
+    * as candidates, and how many banded candidates are true — the
+    * recall/precision readout that decides banding parameters (bands ×
+    * rows) before a fleet-scale dedup run. Theory says recall ≈
+    * 1−(1−J⁴)⁴ ≈ 0.9987 at J = 0.95; the EXACT miss count is graded
+    * (MinHashSpec owns the statistical claim; this key owns the
+    * measured census — q_sim_recall's division of labor).
+    *
+    * Scale: composes two relations that are each candidate-bounded
+    * (prefix-filtered exact join; bucket-bounded banding) — the eval
+    * itself is pair-grain joins on those small relations; the truth
+    * side is session-shared with its three existing consumers.
+    *
+    * Determinism: pure integer counting; recall_e6 = trunc-div with
+    * the empty-truth lang pinned to 1e6 by CASE in both engines; lang
+    * spine from documents so zero-pair langs still grade the zero path.
+    */
+  private val textDedupEval = QueryDef(
+    "q_text_dedup_eval",
+    (s, d) => {
+      val cand = minhashBandCandidates(minhashTokenInts(s, d))
+      val truePairs = Similarity.sharedJaccardPairs(s, d)
+        .select(col("d1"), col("d2"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val trueL = truePairs.join(docs, col("d1") === col("doc_id"))
+        .select(col("lang"), col("d1"), col("d2"))
+      val caught = trueL
+        .join(cand.withColumn("hit", lit(1L)), Seq("lang", "d1", "d2"),
+          "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+      val candStats = cand
+        .join(truePairs.withColumn("tp", lit(1L)), Seq("d1", "d2"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_cand"),
+          sum(coalesce(col("tp"), lit(0L))).as("n_cand_true"))
+      docs.select(col("lang")).distinct()
+        .join(caught, Seq("lang"), "left")
+        .join(candStats, Seq("lang"), "left")
+        .select(col("lang"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+          expr("""case when coalesce(n_true, 0) = 0 then 1000000L
+                 |  else coalesce(n_caught, 0) * 1000000L div n_true end"""
+            .stripMargin).as("recall_e6"),
+          coalesce(col("n_cand"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_cand_true"), lit(0L)).as("n_cand_true95"))
+        .orderBy(ascf("lang"))
+    },
+    Some {
+      s"""${Similarity.oracleJaccardCte},
+         |dl AS (SELECT d.lang, jp.d1, jp.d2
+         |  FROM jp JOIN documents d ON jp.d1 = d.doc_id),
+         |$oracleMinhashCand,
+         |ca AS (SELECT dl.lang, CAST(count(*) AS BIGINT) AS n_true,
+         |    CAST(sum(CASE WHEN cd.d1 IS NULL THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS n_caught
+         |  FROM dl LEFT JOIN cd ON cd.lang = dl.lang AND cd.d1 = dl.d1
+         |    AND cd.d2 = dl.d2
+         |  GROUP BY 1),
+         |cs AS (SELECT cd.lang, CAST(count(*) AS BIGINT) AS n_cand,
+         |    CAST(sum(CASE WHEN jp.d1 IS NULL THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS n_cand_true
+         |  FROM cd LEFT JOIN jp ON jp.d1 = cd.d1 AND jp.d2 = cd.d2
+         |  GROUP BY 1),
+         |sp AS (SELECT DISTINCT lang FROM documents)
+         |SELECT sp.lang, coalesce(ca.n_true, 0) AS n_true,
+         |  coalesce(ca.n_caught, 0) AS n_caught,
+         |  CAST(CASE WHEN coalesce(ca.n_true, 0) = 0 THEN 1000000
+         |    ELSE coalesce(ca.n_caught, 0) * 1000000 // ca.n_true END
+         |    AS BIGINT) AS recall_e6,
+         |  coalesce(cs.n_cand, 0) AS n_candidates,
+         |  coalesce(cs.n_cand_true, 0) AS n_cand_true95
+         |FROM sp LEFT JOIN ca ON sp.lang = ca.lang
+         |LEFT JOIN cs ON sp.lang = cs.lang
+         |ORDER BY sp.lang ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(
     dedupSimhash, dedupNgram, dedupEmbed, simAnnLsh, simCentroid, simAnnIvf,
     simAnnSq, simAnnServe, pipelineE2e, dedupComponents, containment,
     dedupSimhashExact, dedupMinhashExact, dedupSubstr, dedupClusterRep,
-    simAnnPq)
+    simAnnPq, textDedupEval)
 }

@@ -844,4 +844,77 @@ class Round7Spec extends SparkSpec {
       s"exp=$expected")
     Caches.releaseScoped(); Caches.releaseShared()
   }
+
+  test("q_text_dedup_eval: counts are consistent with the graded " +
+    "sibling keys") {
+    // n_true must equal q_sim_jaccard_pairs' per-lang pair count and
+    // n_candidates must equal q_dedup_minhash_exact's — the eval key
+    // composes exactly those two relations, so any drift between the
+    // builders shows here; plus the lattice: caught ≤ true,
+    // cand_true ≤ min(cand, true).
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val jacByLang = q("q_sim_jaccard_pairs").collect()
+      .groupBy(r => docs(r.getLong(0))).map { case (l, rs) =>
+        l -> rs.length.toLong
+      }
+    val candByLang = q("q_dedup_minhash_exact").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val eval = q("q_text_dedup_eval").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    for ((lang, nTrue, nCaught, recall, nCand, nCandTrue) <- eval) {
+      assert(nTrue == jacByLang.getOrElse(lang, 0L),
+        s"$lang n_true $nTrue != jaccard_pairs ${jacByLang.get(lang)}")
+      assert(nCand == candByLang.getOrElse(lang, 0L),
+        s"$lang n_cand $nCand != minhash_exact ${candByLang.get(lang)}")
+      assert(nCaught <= nTrue && nCandTrue <= math.min(nCand, nTrue))
+      if (nTrue > 0) assert(recall == nCaught * 1000000L / nTrue)
+    }
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_graph_walk2: census equals a dense matrix-squaring replica") {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = collection.mutable.Map[(Long, Long), Long]()
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .foreach { r =>
+        val e = (c(o(r.getLong(0))), sp(r.getLong(1)))
+        w(e) = w.getOrElse(e, 0L) + 1
+      }
+    val ow = w.groupBy(_._1._1).map { case (s, es) => s -> es.values.sum }
+    val p = w.map { case ((s, t), wv) => (s, t) -> wv * 1000000L / ow(s) }
+    val n2 = collection.mutable.Map[(Long, Long), Long]()
+    for (((s, m), p1) <- p; ((m2, t), p2) <- p if m2 == m) {
+      n2((s, t)) = n2.getOrElse((s, t), 0L) + p1 * p2
+    }
+    val names = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = names.map { case (nk, nm) =>
+      val row = n2.filter(_._1._1 == nk)
+      if (row.isEmpty) nm -> ((0L, 0L, "-", 0L))
+      else {
+        val mx = row.values.max
+        val topT = row.collect { case ((_, t), v) if v == mx => t }.min
+        nm -> ((row.size.toLong, row.values.sum / 1000000L,
+          names(topT), mx / 1000000L))
+      }
+    }
+    val got = q("q_graph_walk2").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))).toMap
+    assert(got == expected, s"walk2 mismatch: got=$got expected=$expected")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
 }
