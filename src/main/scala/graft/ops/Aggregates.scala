@@ -1656,11 +1656,67 @@ object Aggregates {
            |FROM m JOIN nation ON nk = n_nationkey
            |ORDER BY n_name ASC NULLS FIRST""".stripMargin))
 
+  /** Exponentially time-decayed activity counters (round 7): per
+    * (event type, user shard), Σ 2^(−age_weeks) at the corpus's max
+    * day — the feature-store "decayed engagement" counter that makes
+    * recent activity dominate without a cutoff cliff (a plain count
+    * weights a 30-day-old event like yesterday's; a window drops it
+    * entirely; exponential decay is the standard middle, and HALVING
+    * per week makes it EXACT: weight_e6 = 10⁶ shifted right by the
+    * integer week age — dyadic decay needs no transcendental function
+    * and no rounding contract at all).
+    *
+    * The decayed counter is also the MAINTAINABLE one at scale:
+    * tomorrow's score = today's score halved (plus today's events), so
+    * the nightly job is state-sized, never a history re-scan — the
+    * q_agg_incremental argument applied to recency weighting. Graded
+    * here as the direct whole-corpus computation.
+    *
+    * Determinism: age = (max_day − day) via integer epoch-day
+    * floor-div; shift capped at 62 (beyond that the weight is 0 in
+    * both engines anyway — 10⁶ < 2²⁰); all-integer sums; 1-row max
+    * sketch cross-joined (zorder pattern).
+    */
+  private val aggDecay = QueryDef(
+    "q_agg_decay",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"),
+          floorDiv(unix_micros(col("ts")), 86400000000L).as("day"))
+      val mx = ev.agg(max(col("day")).as("mxd"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("wk", expr("least((mxd - day) div 7, 62L)"))
+        .withColumn("w_e6", expr("1000000L div (1L << cast(wk as int))"))
+        .groupBy(col("event_type"),
+          pmod(col("user_id"), lit(16L)).as("shard"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("w_e6")).as("score_e6"),
+          max(col("day")).as("last_day"),
+          sum(when(col("wk") === 0, 1L).otherwise(0L)).as("n_this_week"))
+        .orderBy(ascf("event_type"), ascf("shard"))
+    },
+    Some("""WITH ev AS (SELECT event_type, user_id,
+           |    epoch_us(ts) // 86400000000 AS day FROM events),
+           |mx AS (SELECT max(day) AS mxd FROM ev),
+           |wk AS (SELECT event_type, user_id, day,
+           |    least((mxd - day) // 7, 62) AS wk
+           |  FROM ev CROSS JOIN mx)
+           |SELECT event_type, user_id % 16 AS shard,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(sum(1000000 // (CAST(1 AS BIGINT) << CAST(wk AS INTEGER)))
+           |    AS BIGINT) AS score_e6,
+           |  CAST(max(day) AS BIGINT) AS last_day,
+           |  CAST(sum(CASE WHEN wk = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_this_week
+           |FROM wk GROUP BY 1, 2
+           |ORDER BY event_type ASC NULLS FIRST, shard ASC NULLS FIRST"""
+      .stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggQ18, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
     aggPercentile, aggPivot, aggUnpivot, aggGrouping, aggMode, aggBitset,
     aggEntropy, aggQ14, aggQ6, aggGini, aggHhi, aggFiltered, aggSkyline,
     aggPareto, aggBasketLift, aggCramersV, aggMannWhitney, aggTheil,
-    aggMutualInfo, aggTtest, aggSpearman)
+    aggMutualInfo, aggTtest, aggSpearman, aggDecay)
 }

@@ -2644,11 +2644,140 @@ object TimeSeries {
            |FROM fin WHERE rr = 1
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
+  /** Rescaled-range Hurst exponent over hourly counts per type (round
+    * 7): the LONG-MEMORY estimator — autocorr measures lag-1 memory,
+    * permutation entropy local complexity; the Hurst H asks whether
+    * deviations COMPOUND across scales (H > 0.5 trending/persistent,
+    * < 0.5 mean-reverting, = 0.5 memoryless), read off the slope of
+    * ln(R/S) against ln(window) over dyadic windows w ∈ {16,32,64,128}
+    * — the statistic capacity planning uses to decide whether load
+    * bursts aggregate away or stack.
+    *
+    * Exactness layering: within each full w-sized segment (observed-
+    * index, the PACF convention) deviations are mean-SCALED d = w·x −
+    * S_seg (exact int64), the cumulative range R is an integer window
+    * max−min, and the variance w·Σx²−S² is exact; rs_e6 =
+    * floor(R·10⁶ / sqrt(var)) is one correctly-rounded sqrt+div over
+    * identical ints. ln(rs) goes through the D12 staged ladder and
+    * floors to e6; per-(type,w) means are trunc-divs. The final slope
+    * collapses to a CLOSED FORM because the four ln w are equally
+    * spaced in ln 2, so the OLS slope reduces to H_e6 =
+    * floor((3(y₁₂₈−y₁₆) + (y₆₄−y₃₂)) / (10·ln 2)) with 10·ln 2 the
+    * literal 6.931471805599453 — one double division by a constant,
+    * no regression machinery.
+    *
+    * Scale: one hour-grain partial agg; segmentation, windows, and ln
+    * chains run on the ≤ span-sized series relation (segments ≈
+    * span/16 rows); nothing corpus-sized past the first shuffle.
+    */
+  private val hurst = QueryDef(
+    "q_ts_hurst",
+    (s, d) => {
+      import graft.functions.DetMath
+      val hourly = graft.Caches.scoped(Tables.events(s, d)
+        .select(col("event_type"),
+          floorDiv(unix_micros(col("ts")), HourUs).as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(ascf("hr")))))
+      val sizes = Seq(16, 32, 64, 128)
+      val perW = sizes.map { w =>
+        val seg = hourly
+          .withColumn("sg", expr(s"(rn - 1) div $w"))
+        val stats = seg.groupBy(col("event_type"), col("sg"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("ss"),
+            sum(col("x") * col("x")).as("sxx"))
+          .filter(col("n") === w &&
+            col("sxx") * w - col("ss") * col("ss") > 0)
+        val wcum = Window.partitionBy(col("event_type"), col("sg"))
+          .orderBy(ascf("rn"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dev = seg
+          .join(stats.select(col("event_type").as("et2"), col("sg").as("sg2"),
+            col("ss"), col("sxx")),
+            col("event_type") === col("et2") && col("sg") === col("sg2"))
+          .withColumn("cd", sum(col("x") * w - col("ss")).over(wcum))
+        val rs = dev.groupBy(col("event_type"), col("sg"),
+            col("ss"), col("sxx"))
+          .agg((max(col("cd")) - min(col("cd"))).as("rr"))
+          .withColumn("rs_e6", floor(col("rr").cast("double")
+            * lit(1000000.0)
+            / sqrt((col("sxx") * w - col("ss") * col("ss")).cast("double")))
+            .cast("long"))
+          .filter(col("rs_e6") >= 1)
+        rs.withColumn("lnrs_e6",
+            floor(DetMath.lnInt(col("rs_e6")) * lit(1000000.0)).cast("long"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as(s"n$w"),
+            expr(s"cast(sum(lnrs_e6) div count(*) as bigint)").as(s"y$w"))
+      }
+      val joined = perW.reduce((a, b) =>
+        a.join(b, Seq("event_type")))
+      joined.select(col("event_type"),
+          (col("n16") + col("n32") + col("n64") + col("n128"))
+            .as("n_segments"),
+          col("y16"), col("y32"), col("y64"), col("y128"),
+          floor(((col("y128") - col("y16")) * lit(3L) +
+            (col("y64") - col("y32"))).cast("double")
+            / lit(6.931471805599453)).cast("long").as("h_e6"))
+        .orderBy(ascf("event_type"))
+    },
+    Some {
+      import graft.functions.DetMath._
+      def wCte(w: Int): String =
+        s"""sg$w AS (SELECT event_type, (rn - 1) // $w AS sg, rn, x
+           |  FROM hourly),
+           |st$w AS (SELECT event_type, sg, CAST(sum(x) AS BIGINT) AS ss,
+           |    CAST(sum(x * x) AS BIGINT) AS sxx
+           |  FROM sg$w GROUP BY 1, 2
+           |  HAVING count(*) = $w AND sum(x * x) * $w - sum(x) * sum(x) > 0),
+           |dv$w AS (SELECT g.event_type, g.sg, g.rn, t.ss, t.sxx,
+           |    sum(g.x * $w - t.ss) OVER (PARTITION BY g.event_type, g.sg
+           |      ORDER BY g.rn ASC ROWS UNBOUNDED PRECEDING) AS cd
+           |  FROM sg$w g JOIN st$w t ON g.event_type = t.event_type
+           |    AND g.sg = t.sg),
+           |rr$w AS (SELECT event_type, sg, ss, sxx,
+           |    CAST(max(cd) - min(cd) AS BIGINT) AS rr
+           |  FROM dv$w GROUP BY 1, 2, 3, 4),
+           |rs$w AS (SELECT event_type,
+           |    CAST(floor(CAST(rr AS DOUBLE) * CAST(1000000 AS DOUBLE)
+           |      / sqrt(CAST(sxx * $w - ss * ss AS DOUBLE))) AS BIGINT)
+           |      AS rs_e6
+           |  FROM rr$w),
+           |rf$w AS (SELECT event_type, rs_e6 AS x FROM rs$w
+           |  WHERE rs_e6 >= 1),
+           |l1$w AS (SELECT event_type, x, ${kSql("x")} AS k FROM rf$w),
+           |l2$w AS (SELECT *, ${mSql("x", "k")} AS m FROM l1$w),
+           |l3$w AS (SELECT *, ${zSql("m")} AS z FROM l2$w),
+           |l4$w AS (SELECT *, z * z AS z2 FROM l3$w),
+           |l5$w AS (SELECT *, ${hornerSql("z2")} AS h FROM l4$w),
+           |yy$w AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n$w,
+           |    CAST(sum(CAST(floor(${lnSql("k", "z", "h")}
+           |      * CAST(1000000 AS DOUBLE)) AS BIGINT)) // count(*)
+           |      AS BIGINT) AS y$w
+           |  FROM l5$w GROUP BY 1)""".stripMargin
+      s"""WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         |    CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |hourly AS MATERIALIZED (SELECT event_type, x, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY hr ASC) AS rn FROM h),
+         |${Seq(16, 32, 64, 128).map(wCte).mkString(",\n")}
+         |SELECT yy16.event_type,
+         |  CAST(n16 + n32 + n64 + n128 AS BIGINT) AS n_segments,
+         |  y16, y32, y64, y128,
+         |  CAST(floor(CAST((y128 - y16) * 3 + (y64 - y32) AS DOUBLE)
+         |    / CAST('6.931471805599453' AS DOUBLE)) AS BIGINT) AS h_e6
+         |FROM yy16 JOIN yy32 USING (event_type)
+         |  JOIN yy64 USING (event_type) JOIN yy128 USING (event_type)
+         |ORDER BY event_type ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
       theilSen, attrib, transitions, downsample, evalWape, latency,
       period, crossCorr, movingMedian, tsRate, dtw, anomalyMad, bollinger,
       decompose, growth, dauMau, sax, permEntropy, entropyRate, cusum,
-      pacf, kalman)
+      pacf, kalman, hurst)
 }

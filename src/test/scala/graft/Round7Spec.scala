@@ -917,4 +917,88 @@ class Round7Spec extends SparkSpec {
     assert(got == expected, s"walk2 mismatch: got=$got expected=$expected")
     Caches.releaseScoped(); Caches.releaseShared()
   }
+
+  test("q_ts_hurst: engine R/S chain equals a scalar replica") {
+    val hourly = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        Dsl.floorDiv(unix_micros(col("ts")), 3600000000L).as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("x"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.sortBy(_.getLong(1)).map(_.getLong(2)) }
+    def lnrsMean(xs: Array[Long], w: Int): Option[(Long, Long)] = {
+      val segs = xs.grouped(w).filter(_.length == w).toSeq
+      val lnrs = segs.flatMap { seg =>
+        val ss = seg.sum
+        val sxx = seg.map(v => v * v).sum
+        val v = sxx * w - ss * ss
+        if (v <= 0) None
+        else {
+          var cd = 0L; var mx = Long.MinValue; var mn = Long.MaxValue
+          seg.foreach { x =>
+            cd += x * w - ss
+            if (cd > mx) mx = cd; if (cd < mn) mn = cd
+          }
+          val rs = math.floor((mx - mn).toDouble * 1e6 /
+            math.sqrt(v.toDouble)).toLong
+          if (rs >= 1)
+            Some(math.floor(
+              functions.DetMath.lnIntScalar(rs) * 1e6).toLong)
+          else None
+        }
+      }
+      if (lnrs.isEmpty) None
+      else Some((lnrs.length.toLong, lnrs.sum / lnrs.length))
+    }
+    val expected = hourly.flatMap { case (t, xs) =>
+      val ys = Seq(16, 32, 64, 128).map(w => lnrsMean(xs, w))
+      if (ys.exists(_.isEmpty)) None
+      else {
+        val Seq(a, b, c2, d2) = ys.map(_.get)
+        val h = math.floor(((d2._2 - a._2) * 3 + (c2._2 - b._2)).toDouble /
+          6.931471805599453).toLong
+        Some(t -> ((a._1 + b._1 + c2._1 + d2._1, a._2, b._2, c2._2, d2._2,
+          h)))
+      }
+    }
+    val got = q("q_ts_hurst").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expected, s"hurst mismatch: got=$got expected=$expected")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_agg_decay: engine scores equal the dyadic replica and obey " +
+    "the halving maintenance identity") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"),
+        Dsl.floorDiv(unix_micros(col("ts")), 86400000000L).as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mxd = ev.map(_._3).max
+    def wk(day: Long) = math.min((mxd - day) / 7, 62L)
+    val groups = ev.groupBy(e => (e._1, ((e._2 % 16) + 16) % 16))
+    val expected = groups.map { case (k, es) =>
+      k -> ((es.length.toLong,
+        es.map(e => 1000000L / (1L << wk(e._3))).sum,
+        es.map(_._3).max,
+        es.count(e => wk(e._3) == 0).toLong))
+    }
+    val got = q("q_agg_decay").collect().map(r =>
+      (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, s"decay mismatch")
+    // maintenance identity: total score = fresh·1e6 + Σ(older weights
+    // halved per event) — per-event right shifts compose (a>>k =
+    // (a>>k-1)>>1), so aging the anchor by one week halves every
+    // surviving weight exactly
+    for ((k, es) <- groups) {
+      val (_, score, _, fresh) = got(k)
+      val older = es.filter(e => wk(e._3) >= 1)
+        .map(e => 1000000L / (1L << (wk(e._3) - 1)) / 2).sum
+      assert(score == fresh * 1000000L + older,
+        s"$k halving identity broken")
+    }
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
 }
