@@ -255,7 +255,9 @@ object ScaleProbe {
         // round-7 batch 83: banding recall eval, two-hop transitions
         "q_text_dedup_eval", "q_graph_walk2",
         // round-7 batch 84: R/S Hurst exponent, dyadic decayed counters
-        "q_ts_hurst", "q_agg_decay")
+        "q_ts_hurst", "q_agg_decay",
+        // round-7 batch 85: MIPS-vs-cosine divergence, dynamic pruning
+        "q_sim_mips", "q_join_dpp")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

@@ -1028,11 +1028,67 @@ object Relational {
            |  CAST(passed AS BIGINT) AS passed
            |FROM v ORDER BY check_name ASC NULLS FIRST""".stripMargin))
 
-  def defs: Seq[QueryDef] = Seq(
-    scanProject, scanPushdown, scanEventsNs,
+  /** Dynamic partition pruning (round 7): a day-partitioned fact lake
+    * joined to a SELECTIVE dimension of days — the runtime-pruning
+    * shape that makes star joins feasible at 100 TB (the fact's
+    * qualifying partitions are not known at plan time, only after the
+    * dim side is evaluated; DPP turns the dim into a runtime subquery
+    * filter on the fact's PARTITION column so the scan reads 1/5 of
+    * the lake instead of all of it). Graded output = the enrichment
+    * census; the PLAN claim (a dynamicpruning expression inside the
+    * fact scan's PartitionFilters) is pinned by PlanSpec — the
+    * q_join_bucketed division of labor.
+    *
+    * Scale: staging writes the events fact partitioned by UTC day
+    * (~30 partitions); the dim derives the "audit days" (epoch-day ≡ 0
+    * mod 5) and broadcasts — at 100 TB the dim is a calendar/campaign
+    * table and the fact scan skips 4/5 of its files BEFORE reading.
+    *
+    * Determinism: day strings via date_format under the pinned UTC
+    * session; the oracle filters the raw table by the same integer
+    * epoch-day predicate (no partition layout on its side — identical
+    * rows); value mass as floor(value·1e6) int64 (q_win_gapfill rule).
+    */
+  private val joinDpp = QueryDef(
+    "q_join_dpp",
+    (s, d) => {
+      val path = s"/tmp/graft_dpp/${d.replaceAll("[^A-Za-z0-9_]", "_")}"
+      Tables.events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .select(col("event_type"), col("user_id"), col("value"), col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      val fact = s.read.parquet(path)
+      val dim = Tables.events(s, d)
+        .select(floorDiv(unix_micros(col("ts")), 86400000000L).as("dd"))
+        .distinct()
+        .filter(pmod(col("dd"), lit(5L)) === 0)
+        .select(date_format(
+          timestamp_micros(col("dd") * lit(86400000000L)), "yyyy-MM-dd")
+          .as("day2"))
+      fact.join(broadcast(dim), col("day") === col("day2"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * lit(1000000.0)).cast("long"))
+            .as("value_e6_sum"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("day")).as("n_days"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+           |    AS value_e6_sum,
+           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           |  CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+           |    AS n_days
+           |FROM events
+           |WHERE (epoch_us(ts) // 86400000000) % 5 = 0
+           |GROUP BY event_type
+           |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(scanProject, scanPushdown, scanEventsNs,
     filterCompound, filterExpr,
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
     joinCross, joinTheta, joinRange, joinAsof, joinAsofNearest, joinStar, joinBroadcast,
     joinQ5, joinQ3, joinQ10, joinQ19, joinNullSafe, joinSalted, joinBloom,
-    subqScalar, subqExists, auditFk, auditExpectations)
+    subqScalar, subqExists, auditFk, auditExpectations, joinDpp)
 }

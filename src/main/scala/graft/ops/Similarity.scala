@@ -912,8 +912,117 @@ object Similarity {
          |ORDER BY dim ASC NULLS FIRST""".stripMargin
     })
 
+  /** Maximum-inner-product search vs cosine ranking (round 7): per
+    * probe, the exact top-5 by RAW dot product and by cosine, plus how
+    * far they agree — recommender scoring ranks by dot (preference =
+    * magnitude × direction), retrieval by cosine (direction only), and
+    * the two diverge exactly when norms vary; MIPS is its own problem
+    * (norm-augmentation reductions exist precisely because of this).
+    * The overlap column measures the fixture's norm bias directly.
+    *
+    * Scale: probes (id ≡ 0 mod 1000) broadcast; the corpus side never
+    * shuffles for SCORING — the per-probe exchange carries only the
+    * scored relation, and both rankings share ONE (probe) partition
+    * sort (two windows, one exchange). At fleet scale the dot side
+    * plugs into the same candidate generators as the cosine ANN ladder
+    * after the standard MIPS→cosine augmentation.
+    *
+    * Determinism: dots exact int64 (e6-quantized, |dot| ≤ 64·10¹²) so
+    * the dot rank order is pure-integer total (dp desc, vec_id asc);
+    * the cosine rank uses the D10-pinned 6dp-rounded cosine with the
+    * same vec_id tiebreak — q_sim_cosine_topk's graded convention,
+    * bit-identical across engines by the same argument.
+    */
+  private val simMips = QueryDef(
+    "q_sim_mips",
+    (s, d) => {
+      // popularity scaling k = 1 + id mod 5: the fixture embeddings are
+      // unit-normalized (measured norms 1 ± 1e-7), so raw MIPS over
+      // them DEGENERATES to cosine (n_common was constant 5); scaling
+      // item magnitude by a deterministic popularity factor is the
+      // standard recommender setup and makes the dot-vs-cos divergence
+      // a real, graded quantity. cos is scale-invariant, so the cosine
+      // ranking is unchanged by construction.
+      val emb = graft.Caches.scoped(quantized(s, d)
+        .select(col("vec_id"),
+          transform(col("v"),
+            x => x * (pmod(col("vec_id"), lit(5L)) + lit(1L))).as("v"))
+        .withColumn("nn", dot(col("v"), col("v"))))
+      val probes = emb.filter(pmod(col("vec_id"), lit(1000L)) === 0)
+        .select(col("vec_id").as("pid"), col("v").as("pv"),
+          col("nn").as("pnn"))
+      val scored = emb
+        .crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("pid"))
+        .select(col("pid"), col("vec_id"),
+          dot(col("v"), col("pv")).as("dp"),
+          (round(cosine(dot(col("v"), col("pv")), col("nn"), col("pnn")), 6)
+            + lit(0.0)).as("cos"))
+      val wD = Window.partitionBy(col("pid"))
+        .orderBy(descl("dp"), ascf("vec_id"))
+      val wC = Window.partitionBy(col("pid"))
+        .orderBy(descl("cos"), ascf("vec_id"))
+      val ranked = scored
+        .withColumn("rd", row_number().over(wD))
+        .withColumn("rc", row_number().over(wC))
+      val dotTop = ranked.filter(col("rd") <= 5)
+        .groupBy(col("pid"))
+        .agg(max(when(col("rd") === 1, col("vec_id"))).as("top_dot_id"),
+          max(when(col("rd") === 1, col("dp"))).as("top_dot"),
+          sum(col("vec_id")).as("idsum_dot"))
+      val cosTop = ranked.filter(col("rc") <= 5)
+        .groupBy(col("pid"))
+        .agg(sum(col("vec_id")).as("idsum_cos"))
+      val common = ranked.filter(col("rd") <= 5 && col("rc") <= 5)
+        .groupBy(col("pid")).agg(count(lit(1)).as("n_common"))
+      dotTop.join(cosTop, Seq("pid"))
+        .join(common, Seq("pid"), "left")
+        .select(col("pid"), col("top_dot_id"), col("top_dot"),
+          col("idsum_dot"), col("idsum_cos"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"))
+        .orderBy(ascf("pid"))
+    },
+    Some(oracleQuantized +
+      """,
+        |n2 AS (SELECT vec_id,
+        |    list_transform(v, x -> x * (vec_id % 5 + 1)) AS v
+        |  FROM n),
+        |n3 AS (SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nn
+        |  FROM n2),
+        |pr AS (SELECT vec_id AS pid, v AS pv, nn AS pnn FROM n3
+        |  WHERE vec_id % 1000 = 0),
+        |sc AS (SELECT pr.pid, a.vec_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      k -> a.v[k] * pr.pv[k])) AS BIGINT) AS dp,
+        |    round(CAST(list_sum(list_transform(range(1, 65),
+        |        k -> a.v[k] * pr.pv[k])) AS DOUBLE)
+        |      / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(pr.pnn AS DOUBLE))),
+        |      6) + 0.0 AS cos
+        |  FROM n3 a CROSS JOIN pr WHERE a.vec_id <> pr.pid),
+        |rk AS (SELECT *,
+        |    row_number() OVER (PARTITION BY pid
+        |      ORDER BY dp DESC NULLS LAST, vec_id ASC NULLS FIRST) AS rd,
+        |    row_number() OVER (PARTITION BY pid
+        |      ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST) AS rc
+        |  FROM sc),
+        |dt AS (SELECT pid,
+        |    max(CASE WHEN rd = 1 THEN vec_id END) AS top_dot_id,
+        |    max(CASE WHEN rd = 1 THEN dp END) AS top_dot,
+        |    CAST(sum(vec_id) AS BIGINT) AS idsum_dot
+        |  FROM rk WHERE rd <= 5 GROUP BY pid),
+        |ct AS (SELECT pid, CAST(sum(vec_id) AS BIGINT) AS idsum_cos
+        |  FROM rk WHERE rc <= 5 GROUP BY pid),
+        |cm AS (SELECT pid, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM rk WHERE rd <= 5 AND rc <= 5 GROUP BY pid)
+        |SELECT dt.pid, dt.top_dot_id, dt.top_dot, dt.idsum_dot,
+        |  ct.idsum_cos, coalesce(cm.n_common, 0) AS n_common
+        |FROM dt JOIN ct ON dt.pid = ct.pid
+        |LEFT JOIN cm ON dt.pid = cm.pid
+        |ORDER BY dt.pid ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     dedupExact, simJaccard, simCosineTopk, simThresholdJoin, simKnnJoin,
     dedupMinhash, sampleNegative, simCosineSets, vecRandproj, simRecall,
-    vecPcaPower)
+    vecPcaPower, simMips)
 }

@@ -188,6 +188,17 @@ class PlanSpec extends SparkSpec {
     assert(pf.contains("lang"), s"no partition filter on lang:\n${p.take(2000)}")
   }
 
+  test("q_join_dpp carries a dynamic-pruning subquery on the fact scan") {
+    // the dim side must turn into a RUNTIME partition filter on the
+    // day-partitioned fact (dynamicpruning expression), not a plain
+    // join over a full scan — at 100 TB this is reading 1/5 of the
+    // lake vs all of it
+    val p = planString("q_join_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning in the dpp plan:\n${p.take(3000)}")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
   test("q_ts_moving computes all rolling aggregates in one Window operator") {
     // sum/max/count share the RANGE frame spec, so Catalyst must fuse
     // them — a second Window node would mean a second sort of the

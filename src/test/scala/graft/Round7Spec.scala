@@ -1001,4 +1001,48 @@ class Round7Spec extends SparkSpec {
     }
     Caches.releaseScoped(); Caches.releaseShared()
   }
+
+  test("q_sim_mips: dot ranking equals a scalar replica and the cosine " +
+    "side is scale-invariant") {
+    val vecs = ops.VecOps.quantized(spark, sfDir)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val scaled = vecs.map { case (id, v) =>
+      (id, v.map(_ * (id % 5 + 1)))
+    }
+    val probes = scaled.filter(_._1 % 1000 == 0)
+    val got = q("q_sim_mips").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5)))).toMap
+    for ((pid, pv) <- probes) {
+      def dotOf(v: Array[Long]) = v.zip(pv).map { case (a, b) => a * b }.sum
+      val ranked = scaled.filter(_._1 != pid)
+        .map { case (id, v) => (id, dotOf(v)) }
+        .sortBy { case (id, dp) => (-dp, id) }
+      val top5dot = ranked.take(5)
+      // cosine is scale-invariant: ranking by cos over SCALED vectors
+      // must equal ranking over the raw vectors (up to the 6dp round,
+      // checked here with full doubles — ties broken by id both ways)
+      def cosRank(vs: Array[(Long, Array[Long])]) = {
+        val pr = vs.find(_._1 == pid).get._2
+        val prn = math.sqrt(pr.map(x => x.toDouble * x).sum)
+        vs.filter(_._1 != pid).map { case (id, v) =>
+          val c = BigDecimal(v.zip(pr).map { case (a, b) => a * b }.sum
+            .toDouble / (math.sqrt(v.map(x => x.toDouble * x).sum) * prn))
+            .setScale(6, BigDecimal.RoundingMode.HALF_EVEN)
+          (id, c)
+        }.sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+      }
+      val (topDotId, topDot, idsumDot, nCommon) = got(pid)
+      assert(topDotId == top5dot.head._1 && topDot == top5dot.head._2,
+        s"probe $pid top-dot mismatch")
+      assert(idsumDot == top5dot.map(_._1).sum, s"probe $pid idsum")
+      val cosSet = cosRank(scaled)
+      assert(nCommon == top5dot.map(_._1).toSet.intersect(cosSet).size,
+        s"probe $pid overlap")
+      assert(cosRank(vecs) == cosSet, s"probe $pid cosine not " +
+        "scale-invariant in the replica")
+    }
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
 }
