@@ -257,7 +257,12 @@ object ScaleProbe {
         // round-7 batch 84: R/S Hurst exponent, dyadic decayed counters
         "q_ts_hurst", "q_agg_decay",
         // round-7 batch 85: MIPS-vs-cosine divergence, dynamic pruning
-        "q_sim_mips", "q_join_dpp")
+        "q_sim_mips", "q_join_dpp",
+        // round-7 batch 86: zone-map skipping census, clipped-precision
+        // BLEU eval
+        "q_lake_zonemap", "q_text_bleu",
+        // round-7 batch 87: per-dim embedding stats, FD violation census
+        "q_vec_stats", "q_audit_fd")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

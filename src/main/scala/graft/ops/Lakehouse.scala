@@ -896,7 +896,172 @@ object Lakehouse {
          |FROM j GROUP BY 1 ORDER BY bucket ASC NULLS FIRST""".stripMargin
     })
 
+  /** Per-file min/max zone maps + range-probe skipping census (round 7):
+    * the third leg of the pruning triad — q_source_partitioned prunes by
+    * STATIC partition value, q_join_bloom/q_lake_bloom_index prune by
+    * CONTENT, zone maps prune by RANGE, and which one works depends
+    * entirely on whether the probe column correlates with file order.
+    * This key grades that dependence directly: the same 32-file ntile
+    * layout as q_lake_bloom_index (ordered by l_orderkey), min/max zones
+    * kept for BOTH l_orderkey (clustered — ntile order IS orderkey
+    * order, so zones tile the domain and a range probe touches ~⌈32/16⌉
+    * files) and l_partkey (scattered — every file's [min,max] spans
+    * nearly the whole domain, so zones prune nothing; this is exactly
+    * the column the Bloom key rescues). 16 disjoint equal-width range
+    * probes per column, derived from the data max; per probe: files the
+    * zone map cannot skip vs files TRULY holding a row in range (true ⊆
+    * overlap by interval soundness — the gap is the clustering cost).
+    *
+    * Scale: ONE windowed corpus pass builds the entire index — per
+    * file, both columns' min/max zones plus the distinct probe-bucket
+    * sets (parquet writers persist the min/max for free as row-group
+    * stats); probes×zones is a broadcast nested-loop over two
+    * metadata-sized relations; truth needs no theta join AT ALL — the
+    * probes tile the domain disjointly, so a row's probe is a map-side
+    * `div` folded into the same aggregate. The ntile file assignment is
+    * the single-partition harness shape q_lake_zorder documents (real
+    * layouts come from the lake writer).
+    *
+    * Determinism: same total file order as the Bloom key ((l_orderkey,
+    * l_linenumber, partkey) = a superkey of lineitem's PK); pure integer
+    * interval logic; probe width = max div 16 + 1 so `x div w` ≤ 15
+    * always; D1 on (kind, q).
+    */
+  private val lakeZonemap = QueryDef(
+    "q_lake_zonemap",
+    (s, d) => {
+      // Probe widths via a 1-row driver collect from a WINDOWLESS scan
+      // agg — the parameter-server pattern (q_ml_perceptron): an index
+      // builder legitimately knows the domain bounds before binning, and
+      // shipping them back as LITERALS keeps the expensive windowed task
+      // below fully codegen'd. The first draft joined a width relation
+      // into that task instead — the BroadcastNestedLoopJoin +
+      // collect_set broke whole-stage codegen for the single-partition
+      // Sort+Window+aggregate pipeline and the one task ran 15 s at the
+      // 10x probe (vs < 0.5 s for the sibling Bloom key's codegen'd
+      // equivalent; SparkListener stage timing).
+      val wRow = Tables.lineitem(s, d)
+        .agg(max(col("l_orderkey").cast("long")).as("mok"),
+          max(col("l_partkey").cast("long")).as("mpk"))
+        .select(expr("mok div 16 + 1"), expr("mpk div 16 + 1"))
+        .head()
+      val (wok, wpk) = (wRow.getLong(0), wRow.getLong(1))
+      // ONE windowed corpus pass builds the whole index: per file, the
+      // min/max zones for both columns AND the distinct probe-bucket
+      // sets (probes tile the domain, so a row's bucket is a map-side
+      // literal `div` — truth needs no theta join against the probe
+      // ranges, and each file contributes ≤ 16 bucket ids per column).
+      // Only this files-sized relation is cached (an index is
+      // metadata-sized; persisting the 6M-row filed corpus to build it
+      // measured ~15 s of single-partition cache write at the 10x
+      // probe — the whole query's cost). collect_set runs in a SECOND
+      // file-grain aggregate over the 2·16·files bucket cells, never in
+      // the corpus-sized task.
+      val cells = Tables.lineitem(s, d)
+        .select(col("l_orderkey").cast("long").as("ok"),
+          col("l_partkey").cast("long").as("pk"),
+          col("l_linenumber"))
+        .withColumn("f", ntile(32).over(Window.orderBy(
+          ascf("ok"), ascf("l_linenumber"), ascf("pk"))))
+        // repartition BEFORE aggregating: without it the partial agg
+        // fuses into the window's single-partition task and one thread
+        // hash-probes all 6M rows (~8 s at the 10x probe); with it the
+        // window task streams straight into the exchange (the Bloom
+        // key's profile) and the aggregate runs on every core
+        .repartition(col("f"))
+        .groupBy(col("f"), expr(s"ok div $wok").as("okq"),
+          expr(s"pk div $wpk").as("pkq"))
+        .agg(min(col("ok")).as("okmin"), max(col("ok")).as("okmax"),
+          min(col("pk")).as("pkmin"), max(col("pk")).as("pkmax"))
+      val zones = graft.Caches.scoped(cells
+        .groupBy(col("f"))
+        .agg(min(col("okmin")).as("okmin"), max(col("okmax")).as("okmax"),
+          min(col("pkmin")).as("pkmin"), max(col("pkmax")).as("pkmax"),
+          collect_set(col("okq")).as("okqs"),
+          collect_set(col("pkq")).as("pkqs")))
+      // materialized before the broadcast subtrees fork off it —
+      // broadcast BUILD jobs run before the probe side, and each would
+      // otherwise recompute the window
+      zones.count()
+      val probes = s.range(0, 16).select(
+          lit("clustered_orderkey").as("kind"), col("id").as("q"),
+          (col("id") * wok).as("lo"), ((col("id") + 1) * wok - 1).as("hi"))
+        .unionByName(s.range(0, 16).select(
+          lit("scattered_partkey").as("kind"), col("id").as("q"),
+          (col("id") * wpk).as("lo"), ((col("id") + 1) * wpk - 1).as("hi")))
+      val zl = zones.select(lit("clustered_orderkey").as("kind"),
+          col("okmin").as("zmin"), col("okmax").as("zmax"))
+        .unionByName(zones.select(lit("scattered_partkey").as("kind"),
+          col("pkmin").as("zmin"), col("pkmax").as("zmax")))
+      val overlap = probes.join(broadcast(zl), Seq("kind"))
+        .filter(col("zmin") <= col("hi") && col("zmax") >= col("lo"))
+        .groupBy(col("kind"), col("q"))
+        .agg(count(lit(1)).as("files_overlap"))
+      val tru = zones.select(lit("clustered_orderkey").as("kind"),
+          explode(col("okqs")).as("q"))
+        .unionByName(zones.select(lit("scattered_partkey").as("kind"),
+          explode(col("pkqs")).as("q")))
+        .groupBy(col("kind"), col("q"))
+        .agg(count(lit(1)).as("files_true"))
+      probes.join(overlap, Seq("kind", "q"), "left")
+        .join(tru, Seq("kind", "q"), "left")
+        .select(col("kind"), col("q"), col("lo"), col("hi"),
+          coalesce(col("files_overlap"), lit(0L)).as("files_overlap"),
+          coalesce(col("files_true"), lit(0L)).as("files_true"))
+        .withColumn("files_false_pos",
+          col("files_overlap") - col("files_true"))
+        .withColumn("skip_ratio_e6",
+          expr("(32 - files_overlap) * 1000000 div 32"))
+        .orderBy(ascf("kind"), ascf("q"))
+    },
+    Some("""WITH filed AS (SELECT
+           |    ntile(32) OVER (ORDER BY CAST(l_orderkey AS BIGINT) ASC,
+           |      l_linenumber ASC, CAST(l_partkey AS BIGINT) ASC) AS f,
+           |    CAST(l_orderkey AS BIGINT) AS ok,
+           |    CAST(l_partkey AS BIGINT) AS pk
+           |  FROM lineitem),
+           |w AS (SELECT max(ok) // 16 + 1 AS wok, max(pk) // 16 + 1 AS wpk
+           |  FROM filed),
+           |zones AS (SELECT f, min(ok) AS okmin, max(ok) AS okmax,
+           |    min(pk) AS pkmin, max(pk) AS pkmax
+           |  FROM filed GROUP BY f),
+           |probes AS (
+           |  SELECT 'clustered_orderkey' AS kind, t.q AS q,
+           |      t.q * w.wok AS lo, (t.q + 1) * w.wok - 1 AS hi
+           |    FROM range(0, 16) t(q), w
+           |  UNION ALL
+           |  SELECT 'scattered_partkey', t.q, t.q * w.wpk,
+           |      (t.q + 1) * w.wpk - 1
+           |    FROM range(0, 16) t(q), w),
+           |zl AS (
+           |  SELECT 'clustered_orderkey' AS kind, okmin AS zmin,
+           |      okmax AS zmax FROM zones
+           |  UNION ALL
+           |  SELECT 'scattered_partkey', pkmin, pkmax FROM zones),
+           |ov AS (SELECT p.kind, p.q, CAST(count(*) AS BIGINT) AS files_overlap
+           |  FROM probes p JOIN zl ON p.kind = zl.kind
+           |    AND zl.zmin <= p.hi AND zl.zmax >= p.lo
+           |  GROUP BY 1, 2),
+           |tr AS (SELECT kind, q, CAST(count(*) AS BIGINT) AS files_true
+           |  FROM (SELECT DISTINCT 'clustered_orderkey' AS kind,
+           |          ok // w.wok AS q, f FROM filed, w
+           |        UNION
+           |        SELECT DISTINCT 'scattered_partkey', pk // w.wpk, f
+           |          FROM filed, w)
+           |  GROUP BY 1, 2)
+           |SELECT p.kind, p.q, p.lo, p.hi,
+           |  coalesce(ov.files_overlap, 0) AS files_overlap,
+           |  coalesce(tr.files_true, 0) AS files_true,
+           |  coalesce(ov.files_overlap, 0) - coalesce(tr.files_true, 0)
+           |    AS files_false_pos,
+           |  (32 - coalesce(ov.files_overlap, 0)) * 1000000 // 32
+           |    AS skip_ratio_e6
+           |FROM probes p
+           |LEFT JOIN ov ON p.kind = ov.kind AND p.q = ov.q
+           |LEFT JOIN tr ON p.kind = tr.kind AND p.q = tr.q
+           |ORDER BY p.kind ASC NULLS FIRST, p.q ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(lakeMerge, joinBucketed, lakeScd2, lakeZorder,
     lakeTimetravel, lakeCdc, lakeVacuum, lakeCompact, lakeScd2Read,
-    lakeClone, lakeBloomIndex)
+    lakeClone, lakeBloomIndex, lakeZonemap)
 }

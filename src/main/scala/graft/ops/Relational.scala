@@ -1085,10 +1085,83 @@ object Relational {
            |GROUP BY event_type
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
+  /** Functional-dependency violation census (round 7): the key- and
+    * dependency-DISCOVERY primitive of every data profiler (Deequ's
+    * uniqueness checks, schema-inference "is A a key? does A determine
+    * B?"). Six candidate FDs A→B across the star schema, each graded by
+    * the same four facts: determinant groups, groups where B is NOT
+    * functionally determined (>1 distinct B), the worst group's distinct
+    * count, and the violation rate. Two candidates HOLD by construction
+    * (o_orderkey→o_orderdate and c_custkey→c_nationkey are key FDs —
+    * their graded zero is the "this column is a key" discovery answer);
+    * four are genuinely violated with data-driven rates. q_audit_fk
+    * audits BETWEEN-table references; this audits WITHIN-table
+    * determinism — together they are the profiler's integrity pair.
+    *
+    * Scale: each FD is one two-level aggregate (per-A distinct-B with
+    * map-side partials, then a global fold) — the shuffle carries
+    * (A, B) group keys, never rows; candidates are independent and the
+    * census output is candidate-list-sized. At 100 TB this is exactly
+    * how FD mining runs: a candidate generation pass proposes pairs,
+    * each validated by one such aggregate.
+    *
+    * Determinism (D1): pure integer counting; viol_e6 trunc-div; fd name
+    * total order.
+    */
+  private val auditFd = QueryDef(
+    "q_audit_fd",
+    (s, d) => {
+      def fd(name: String, df: org.apache.spark.sql.DataFrame,
+          a: Column, b: Column): org.apache.spark.sql.DataFrame =
+        df.groupBy(a.as("a")).agg(countDistinct(b).as("nb"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("nb") > 1, 1L).otherwise(0L)).as("n_violated"),
+            max(col("nb")).as("max_rhs"))
+          .select(lit(name).as("fd"), col("n_groups"), col("n_violated"),
+            col("max_rhs"),
+            expr("n_violated * 1000000 div n_groups").as("viol_e6"))
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      fd("cust_key_to_nation", Tables.customer(s, d),
+          col("c_custkey"), col("c_nationkey"))
+        .unionByName(fd("li_order_to_status", li,
+          col("l_orderkey"), col("l_linestatus")))
+        .unionByName(fd("li_part_to_supp", li,
+          col("l_partkey"), col("l_suppkey")))
+        .unionByName(fd("ord_cust_to_priority", ord,
+          col("o_custkey"), col("o_orderpriority")))
+        .unionByName(fd("ord_key_to_date", ord,
+          col("o_orderkey"), col("o_orderdate")))
+        .unionByName(fd("part_brand_to_type", Tables.part(s, d),
+          col("p_brand"), col("p_type")))
+        .orderBy(ascf("fd"))
+    },
+    Some {
+      def fdSql(name: String, table: String, a: String, b: String) =
+        s"""SELECT '$name' AS fd,
+           |  CAST(count(*) AS BIGINT) AS n_groups,
+           |  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violated,
+           |  CAST(max(nb) AS BIGINT) AS max_rhs,
+           |  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) * 1000000
+           |    // count(*) AS BIGINT) AS viol_e6
+           |FROM (SELECT $a AS a, count(DISTINCT $b) AS nb
+           |      FROM $table GROUP BY $a)""".stripMargin
+      Seq(
+        fdSql("cust_key_to_nation", "customer", "c_custkey", "c_nationkey"),
+        fdSql("li_order_to_status", "lineitem", "l_orderkey", "l_linestatus"),
+        fdSql("li_part_to_supp", "lineitem", "l_partkey", "l_suppkey"),
+        fdSql("ord_cust_to_priority", "orders", "o_custkey",
+          "o_orderpriority"),
+        fdSql("ord_key_to_date", "orders", "o_orderkey", "o_orderdate"),
+        fdSql("part_brand_to_type", "part", "p_brand", "p_type"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fd ASC NULLS FIRST")
+    })
+
   def defs: Seq[QueryDef] = Seq(scanProject, scanPushdown, scanEventsNs,
     filterCompound, filterExpr,
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
     joinCross, joinTheta, joinRange, joinAsof, joinAsofNearest, joinStar, joinBroadcast,
     joinQ5, joinQ3, joinQ10, joinQ19, joinNullSafe, joinSalted, joinBloom,
-    subqScalar, subqExists, auditFk, auditExpectations, joinDpp)
+    subqScalar, subqExists, auditFk, auditExpectations, joinDpp, auditFd)
 }

@@ -1021,8 +1021,68 @@ object Similarity {
         |LEFT JOIN cm ON dt.pid = cm.pid
         |ORDER BY dt.pid ASC NULLS FIRST""".stripMargin))
 
+  /** Per-dimension embedding statistics (round 7): the StandardScaler /
+    * quantizer FIT — for every dimension of the 64-d embedding column:
+    * count, exact e6 sum and sum-of-squares, min/max (the SQ quantizer's
+    * range, graded as an output instead of an internal), positive-
+    * component count (dead-dimension detection: n_pos ≈ 0 or ≈ n flags
+    * a collapsed feature), truncated mean, and exact variance. Every
+    * normalization downstream of a 100 TB embedding corpus — z-scoring,
+    * clipping, scalar quantization, PCA preconditioning — starts from
+    * exactly this relation.
+    *
+    * Scale: one corpus pass, posexplode to (dim, component) grain with
+    * MAP-SIDE partial aggregation — the shuffle carries ≤ 64×partitions
+    * partial rows, never the corpus; output is dimension-sized. This is
+    * the canonical fit/apply split: the fit is this census, the apply is
+    * a broadcast join of its 64 rows.
+    *
+    * Determinism (D2/D3): components e6-quantized once (VecOps.e6, the
+    * same relation every vector key shares), so sums/squares are exact
+    * int64 (|x|≤2e6 ⇒ Σx² ≤ n·4e12); the variance numerator n·Σx²−(Σx)²
+    * stages through DECIMAL(38,0)/HUGEINT and divides back to an int64
+    * e12 quantity (σ² of e6 values ≤ ~4e12); trunc-div identical on
+    * negative means (the q_ml_boost contract).
+    */
+  private val vecStats = QueryDef(
+    "q_vec_stats",
+    (s, d) => {
+      VecOps.quantized(s, d)
+        .select(posexplode(col("v")).as(Seq("p", "x")))
+        .select((col("p") + 1).cast("long").as("dim"), col("x"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("x")).as("sum_q"),
+          sum(col("x") * col("x")).as("ssq_q"),
+          min(col("x")).as("min_q"), max(col("x")).as("max_q"),
+          sum(when(col("x") > 0, 1L).otherwise(0L)).as("n_pos"))
+        .withColumn("mean_e6", expr("sum_q div n_vecs"))
+        .withColumn("var_e12", expr(
+          """CAST((CAST(n_vecs AS DECIMAL(38,0)) * ssq_q
+            |  - CAST(sum_q AS DECIMAL(38,0)) * sum_q)
+            |  div (CAST(n_vecs AS DECIMAL(38,0)) * n_vecs) AS BIGINT)"""
+            .stripMargin))
+        .orderBy(ascf("dim"))
+    },
+    Some(VecOps.oracleQuantized +
+      s""",
+         |c AS (SELECT t.k AS dim, v[t.k] AS x
+         |  FROM n CROSS JOIN range(1, 65) t(k))
+         |SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(x) AS BIGINT) AS sum_q,
+         |  CAST(sum(x * x) AS BIGINT) AS ssq_q,
+         |  min(x) AS min_q, max(x) AS max_q,
+         |  CAST(sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST(sum(x) // count(*) AS BIGINT) AS mean_e6,
+         |  CAST((CAST(count(*) AS HUGEINT) * sum(x * x)
+         |    - CAST(sum(x) AS HUGEINT) * sum(x))
+         |    // (CAST(count(*) AS HUGEINT) * count(*)) AS BIGINT)
+         |    AS var_e12
+         |FROM c GROUP BY dim
+         |ORDER BY dim ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     dedupExact, simJaccard, simCosineTopk, simThresholdJoin, simKnnJoin,
     dedupMinhash, sampleNegative, simCosineSets, vecRandproj, simRecall,
-    vecPcaPower, simMips)
+    vecPcaPower, simMips, vecStats)
 }

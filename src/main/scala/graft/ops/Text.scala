@@ -2269,11 +2269,148 @@ object Text {
            |GROUP BY lang, tt
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** BLEU-style clipped n-gram precision (round 7): the LLM-evaluation
+    * metric — per candidate/reference pair, how many candidate n-grams
+    * appear in the reference, CLIPPED at the reference's own count (the
+    * clip is what stops "the the the the" from scoring: each reference
+    * occurrence can be matched at most once). Micro-averaged per lang at
+    * unigram and bigram order (the corpus-BLEU convention: one ratio of
+    * summed matches over summed candidate totals, not a mean of per-pair
+    * ratios), plus the brevity-penalty ingredients (candidate/reference
+    * token totals and the count of too-short candidates) — everything a
+    * geometric-mean BLEU needs except the engine-hostile exp, left to
+    * the reader of the census.
+    *
+    * Pairing: in production the candidate and reference join on a prompt
+    * id; the fixtures carry no model outputs, so consecutive same-lang
+    * docs (rank 2k−1 = candidate, 2k = reference under the doc_id total
+    * order) stand in — the JOIN SHAPE is identical, the scores are just
+    * honest near-zero baselines for unrelated text. Langs with a single
+    * doc have no pair and drop out (both engines, by the inner pairing
+    * join).
+    *
+    * Scale: pairing is one per-lang window over doc-grain rows; clipped
+    * matching never materializes a cross product — each side explodes to
+    * (pair, gram)-grain counts with map-side combine, the two sides
+    * equi-join on (pair, gram), and `min(cand, ref)` sums back to pair
+    * grain; census output is lang-sized. At a fleet eval over billions
+    * of generations the same plan holds: everything is keyed by the pair
+    * id, nothing is quadratic in corpus size.
+    *
+    * Determinism (D1/D2): pure integer counting; p*_e6 by floor
+    * division; zero-bigram candidates contribute 0/0 pinned to 0 by
+    * CASE in both engines; lang total order.
+    */
+  private def gramExpr(c: String, n: Int): String =
+    if (n == 1) c
+    else
+      s"""CASE WHEN size($c) >= $n
+         |  THEN transform(sequence(1, size($c) - ${n - 1}),
+         |    i -> concat_ws(' ', slice($c, i, $n)))
+         |  ELSE cast(array() as array<string>) END""".stripMargin
+
+  private val bleu = QueryDef(
+    "q_text_bleu",
+    (s, d) => {
+      val ranked = sharedDocTokens(s, d)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(ascf("doc_id"))))
+      val cand = ranked.filter(expr("rk % 2 = 1"))
+        .select(col("lang"), expr("(rk + 1) div 2").as("pid"),
+          col("ts").as("cts"))
+      val ref = ranked.filter(expr("rk % 2 = 0"))
+        .select(col("lang"), expr("rk div 2").as("pid"),
+          col("ts").as("rts"))
+      // scoped: the pair relation feeds the per-pair totals and both
+      // n-gram orders' explodes (4 consumers of one window pass)
+      val pairs = graft.Caches.scoped(cand.join(ref, Seq("lang", "pid")))
+      def matched(n: Int) = {
+        val cu = pairs.select(col("lang"), col("pid"),
+            explode(expr(gramExpr("cts", n))).as("g"))
+          .groupBy(col("lang"), col("pid"), col("g"))
+          .agg(count(lit(1)).as("cc"))
+        val ru = pairs.select(col("lang"), col("pid"),
+            explode(expr(gramExpr("rts", n))).as("g"))
+          .groupBy(col("lang"), col("pid"), col("g"))
+          .agg(count(lit(1)).as("rc"))
+        cu.join(ru, Seq("lang", "pid", "g"))
+          .groupBy(col("lang"), col("pid"))
+          .agg(sum(least(col("cc"), col("rc"))).as(s"m$n"))
+      }
+      pairs.select(col("lang"), col("pid"),
+          size(col("cts")).cast("long").as("t1"),
+          greatest(size(col("cts")) - 1, lit(0)).cast("long").as("t2"),
+          size(col("rts")).cast("long").as("rlen"))
+        .join(matched(1), Seq("lang", "pid"), "left")
+        .join(matched(2), Seq("lang", "pid"), "left")
+        .select(col("lang"), col("t1"), col("t2"), col("rlen"),
+          coalesce(col("m1"), lit(0L)).as("m1"),
+          coalesce(col("m2"), lit(0L)).as("m2"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("m1")).as("match_1"), sum(col("t1")).as("total_1"),
+          sum(col("m2")).as("match_2"), sum(col("t2")).as("total_2"),
+          sum(col("rlen")).as("ref_tokens"),
+          sum(when(col("t1") < col("rlen"), 1L).otherwise(0L))
+            .as("n_brevity"))
+        .withColumn("p1_e6", expr("match_1 * 1000000 div total_1"))
+        .withColumn("p2_e6", expr(
+          "CASE WHEN total_2 = 0 THEN 0 ELSE match_2 * 1000000 div total_2 END"))
+        .select(col("lang"), col("n_pairs"), col("match_1"),
+          col("total_1"), col("p1_e6"), col("match_2"), col("total_2"),
+          col("p2_e6"), col("ref_tokens"), col("n_brevity"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ts
+           |  FROM documents),
+           |r AS (SELECT lang, ts,
+           |    row_number() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS rk
+           |  FROM d),
+           |p AS (SELECT c.lang AS lang, c.pid AS pid, c.ts AS cts, f.ts AS rts
+           |  FROM (SELECT lang, (rk + 1) // 2 AS pid, ts FROM r WHERE rk % 2 = 1) c
+           |  JOIN (SELECT lang, rk // 2 AS pid, ts FROM r WHERE rk % 2 = 0) f
+           |    ON c.lang = f.lang AND c.pid = f.pid),
+           |cu1 AS (SELECT lang, pid, g, count(*) AS cc
+           |  FROM p, unnest(cts) AS u(g) GROUP BY 1, 2, 3),
+           |ru1 AS (SELECT lang, pid, g, count(*) AS rc
+           |  FROM p, unnest(rts) AS u(g) GROUP BY 1, 2, 3),
+           |m1 AS (SELECT lang, pid, sum(least(cc, rc)) AS m1
+           |  FROM cu1 JOIN ru1 USING (lang, pid, g) GROUP BY 1, 2),
+           |cb AS (SELECT lang, pid, g, count(*) AS cc FROM (
+           |    SELECT lang, pid, unnest(list_transform(range(1, len(cts)),
+           |      i -> cts[i] || ' ' || cts[i + 1])) AS g FROM p)
+           |  GROUP BY 1, 2, 3),
+           |rb AS (SELECT lang, pid, g, count(*) AS rc FROM (
+           |    SELECT lang, pid, unnest(list_transform(range(1, len(rts)),
+           |      i -> rts[i] || ' ' || rts[i + 1])) AS g FROM p)
+           |  GROUP BY 1, 2, 3),
+           |m2 AS (SELECT lang, pid, sum(least(cc, rc)) AS m2
+           |  FROM cb JOIN rb USING (lang, pid, g) GROUP BY 1, 2),
+           |per AS (SELECT p.lang, p.pid,
+           |    len(cts) AS t1, greatest(len(cts) - 1, 0) AS t2,
+           |    len(rts) AS rlen,
+           |    coalesce(m1.m1, 0) AS m1, coalesce(m2.m2, 0) AS m2
+           |  FROM p LEFT JOIN m1 ON p.lang = m1.lang AND p.pid = m1.pid
+           |  LEFT JOIN m2 ON p.lang = m2.lang AND p.pid = m2.pid)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(m1) AS BIGINT) AS match_1,
+           |  CAST(sum(t1) AS BIGINT) AS total_1,
+           |  CAST(sum(m1) * 1000000 // sum(t1) AS BIGINT) AS p1_e6,
+           |  CAST(sum(m2) AS BIGINT) AS match_2,
+           |  CAST(sum(t2) AS BIGINT) AS total_2,
+           |  CAST(CASE WHEN sum(t2) = 0 THEN 0
+           |    ELSE sum(m2) * 1000000 // sum(t2) END AS BIGINT) AS p2_e6,
+           |  CAST(sum(rlen) AS BIGINT) AS ref_tokens,
+           |  CAST(sum(CASE WHEN t1 < rlen THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_brevity
+           |FROM per GROUP BY lang
+           |ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,
     langid, quality, tokens, fingerprint, levenshteinPairs, tfidf,
     collocations, vocab, zipf, keyphrase, bigramLm, perplexity, bpe,
     textUnicode, bm25, bpeEncode, winnowing, stem, hashvec, lexicon,
     divergence, reassembly, generate, langConfusion, simpson, burstiness,
-    heaps, coverage)
+    heaps, coverage, bleu)
 }

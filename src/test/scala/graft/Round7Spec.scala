@@ -1045,4 +1045,134 @@ class Round7Spec extends SparkSpec {
     }
     Caches.releaseScoped(); Caches.releaseShared()
   }
+
+  test("q_text_bleu: plain-Scala clipped-precision replica matches") {
+    // Third execution of the metric (engine HOF plan and DuckDB SQL are
+    // the graded two): pair consecutive same-lang docs by doc_id order,
+    // count clipped unigram/bigram matches with Scala Maps, and require
+    // the per-lang census to be identical.
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def grams(ts: Array[String], n: Int): Seq[String] =
+      if (ts.length < n) Seq.empty
+      else ts.sliding(n).map(_.mkString(" ")).toSeq
+    def clipped(c: Seq[String], r: Seq[String]): Long = {
+      val rc = r.groupBy(identity).map { case (k, v) => k -> v.size }
+      c.groupBy(identity).map { case (k, v) =>
+        math.min(v.size, rc.getOrElse(k, 0)).toLong }.sum
+    }
+    val want = docs.groupBy(_._1).flatMap { case (lang, ds) =>
+      val ordered = ds.sortBy(_._2).map(_._3.split(" "))
+      val pairs = ordered.grouped(2).filter(_.length == 2)
+        .map(p => (p(0), p(1))).toSeq
+      if (pairs.isEmpty) None else {
+        val m1 = pairs.map(p => clipped(grams(p._1, 1), grams(p._2, 1))).sum
+        val t1 = pairs.map(_._1.length.toLong).sum
+        val m2 = pairs.map(p => clipped(grams(p._1, 2), grams(p._2, 2))).sum
+        val t2 = pairs.map(p => math.max(p._1.length - 1, 0).toLong).sum
+        val rl = pairs.map(_._2.length.toLong).sum
+        val nb = pairs.count(p => p._1.length < p._2.length).toLong
+        Some(lang -> ((pairs.size.toLong, m1, t1, m1 * 1000000L / t1,
+          m2, t2, if (t2 == 0) 0L else m2 * 1000000L / t2, rl, nb)))
+      }
+    }
+    val got = q("q_text_bleu").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9)))).toMap
+    assert(got == want, s"bleu census drift: got=$got want=$want")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_lake_zonemap: pruning is sound and clustering decides its power") {
+    // Soundness: a zone map may scan too much but NEVER skips a file
+    // that truly holds a matching row (files_true <= files_overlap).
+    // Power: on the column the layout is ordered by, zones prune most
+    // files; on the uncorrelated column they prune nearly nothing — in
+    // aggregate the clustered side must scan strictly fewer files.
+    val rows = q("q_lake_zonemap").collect()
+    assert(rows.length == 32, s"expected 32 probe rows, got ${rows.length}")
+    rows.foreach { r =>
+      val (overlap, tru) = (r.getLong(4), r.getLong(5))
+      assert(tru <= overlap,
+        s"zone map SKIPPED a file with matching rows: $r")
+      assert(overlap >= 0 && overlap <= 32, s"file count out of range: $r")
+      assert(r.getLong(6) == overlap - tru, s"false-pos arithmetic: $r")
+    }
+    def sumOverlap(kind: String) =
+      rows.filter(_.getString(0) == kind).map(_.getLong(4)).sum
+    assert(sumOverlap("clustered_orderkey") < sumOverlap("scattered_partkey"),
+      "clustered column did not prune better than the scattered one")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_vec_stats: exact BigInt scalar replica, and no dimension is dead") {
+    val vecs = ops.VecOps.quantized(spark, sfDir)
+      .select(col("v")).collect().map(_.getSeq[Long](0).toArray)
+    val n = vecs.length.toLong
+    val got = q("q_vec_stats").collect()
+    assert(got.length == 64)
+    got.foreach { r =>
+      val dim = r.getLong(0).toInt
+      val xs = vecs.map(_(dim - 1))
+      assert(r.getLong(1) == n, s"dim $dim n_vecs")
+      val sum = xs.sum
+      val ssq = xs.map(x => x * x).sum
+      assert(r.getLong(2) == sum && r.getLong(3) == ssq,
+        s"dim $dim sum/ssq drift")
+      assert(r.getLong(4) == xs.min && r.getLong(5) == xs.max,
+        s"dim $dim min/max drift")
+      assert(r.getLong(6) == xs.count(_ > 0), s"dim $dim n_pos drift")
+      assert(r.getLong(7) == sum / n, s"dim $dim mean drift")
+      val varNum = BigInt(n) * BigInt(ssq) - BigInt(sum) * BigInt(sum)
+      assert(BigInt(r.getLong(8)) == varNum / (BigInt(n) * BigInt(n)),
+        s"dim $dim variance drift")
+      assert(varNum >= 0, s"dim $dim Cauchy-Schwarz broken")
+      // fixture embeddings are dense: a dim with n_pos == 0 or == n
+      // would mean the quantize/explode path collapsed a feature
+      assert(r.getLong(6) > 0 && r.getLong(6) < n, s"dim $dim is dead")
+    }
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_audit_fd: plain-Scala dependency replica; key FDs hold") {
+    def groups[A, B](rows: Seq[(A, B)]): (Long, Long, Long) = {
+      val g = rows.groupBy(_._1).map { case (_, v) =>
+        v.map(_._2).distinct.size.toLong }
+      (g.size.toLong, g.count(_ > 1).toLong, g.max)
+    }
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_partkey"),
+        col("l_suppkey")).collect()
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderpriority"), col("o_orderkey"),
+        col("o_orderdate")).collect()
+    val want = Map(
+      "li_order_to_status" ->
+        groups(li.map(r => (r.getLong(0), r.getString(1)))),
+      "li_part_to_supp" ->
+        groups(li.map(r => (r.getLong(2), r.getLong(3)))),
+      "ord_cust_to_priority" ->
+        groups(ord.map(r => (r.getLong(0), r.getString(1)))),
+      "ord_key_to_date" ->
+        groups(ord.map(r => (r.getLong(2), r.get(3)))))
+    val got = q("q_audit_fd").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    want.foreach { case (name, (ng, nv, mx)) =>
+      val (gg, gv, gm, ge) = got(name)
+      assert((gg, gv, gm) == ((ng, nv, mx)), s"$name census drift")
+      assert(ge == nv * 1000000L / ng, s"$name rate drift")
+    }
+    // key FDs: the graded zero IS the "this column is a key" answer
+    Seq("ord_key_to_date", "cust_key_to_nation").foreach { k =>
+      assert(got(k)._2 == 0L && got(k)._3 == 1L, s"$k should HOLD")
+    }
+    // and the data-driven ones are genuinely violated at every sf
+    Seq("li_part_to_supp", "ord_cust_to_priority").foreach { k =>
+      assert(got(k)._2 > 0L, s"$k expected violations")
+    }
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
 }
