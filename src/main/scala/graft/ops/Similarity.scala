@@ -1081,8 +1081,110 @@ object Similarity {
          |FROM c GROUP BY dim
          |ORDER BY dim ASC NULLS FIRST""".stripMargin))
 
+  /** Maximal-marginal-relevance selection (round 7, Carbonell &
+    * Goldstein SIGIR'98): the diversity-aware top-k every RAG reranker
+    * runs — greedily pick the candidate maximizing relevance-to-query
+    * MINUS similarity-to-already-selected, so the result set covers the
+    * query's neighborhood instead of returning 8 near-duplicates of the
+    * same best hit (plain top-k is q_sim_cosine_topk; this is its
+    * redundancy-penalized sibling). Score = 2·rel − max_sel(dot), i.e.
+    * λ = 1/2 cleared to integers; query = the min-vec_id embedding;
+    * k = 8 rounds; ties by vec_id.
+    *
+    * Scale: each greedy round is ONE data-parallel scan scoring every
+    * remaining candidate against the broadcast selected set (k·64
+    * longs) — the argmax is an aggregate, never a driver-side sort of
+    * candidates; the k-row selection state lives in the driver (the
+    * parameter-server pattern of q_ml_perceptron). In production MMR
+    * reranks an ANN candidate pool, so the scans run pool-sized, and
+    * the engine-side plan here is exactly that reranker.
+    *
+    * Determinism (D3): e6-quantized vectors make every dot an exact
+    * int64 (≤ 64·4e12), so scores are pure-integer and the argmax total
+    * order (score DESC, vec_id ASC) is engine-independent. The oracle
+    * re-runs the whole greedy selection as 8 unrolled MATERIALIZED
+    * CTEs — two independent executions of the full iterate.
+    */
+  private val vecMmr: QueryDef = {
+    val build = (s: org.apache.spark.sql.SparkSession, d: String) => {
+      val emb = graft.Caches.scoped(
+        VecOps.quantized(s, d).select(col("vec_id"), col("v")))
+      val qid = emb.agg(min(col("vec_id"))).head().getLong(0)
+      val qv: Seq[Long] = emb.filter(col("vec_id") === qid)
+        .head().getSeq[Long](1)
+      val rel = VecOps.dot(col("v"), typedlit(qv))
+      var sel = Vector.empty[(Long, Seq[Long], Long, Long, Long)]
+      for (_ <- 1 to 8) {
+        val excluded = qid +: sel.map(_._1)
+        val pen =
+          if (sel.isEmpty) lit(0L)
+          else if (sel.size == 1)
+            VecOps.dot(col("v"), typedlit(sel.head._2))
+          else greatest(sel.map(sv =>
+            VecOps.dot(col("v"), typedlit(sv._2))): _*)
+        val win = emb.filter(!col("vec_id").isInCollection(excluded))
+          .select(col("vec_id"), col("v"), rel.as("rel"), pen.as("pen"))
+          .withColumn("score", lit(2L) * col("rel") - col("pen"))
+          .orderBy(descl("score"), ascf("vec_id"))
+          .limit(1).head()
+        sel = sel :+ ((win.getLong(0), win.getSeq[Long](1),
+          win.getLong(2), win.getLong(3), win.getLong(4)))
+      }
+      val rows = sel.zipWithIndex.map { case ((id, _, r, p, sc), i) =>
+        org.apache.spark.sql.Row((i + 1).toLong, id, r, p, sc) }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("rel",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("pen",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+        .orderBy(ascf("rank"))
+    }
+    def dotSql(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, 65), k -> $a.v[k] * $b.v[k])) AS BIGINT)"
+    val rounds = (1 to 8).map { i =>
+      if (i == 1)
+        """s1 AS MATERIALIZED (SELECT vec_id, v, rel,
+          |    CAST(0 AS BIGINT) AS pen, 2 * rel AS score
+          |  FROM r ORDER BY 2 * rel DESC, vec_id ASC LIMIT 1)""".stripMargin
+      else {
+        val prev = (1 until i).map(j => s"s$j")
+        val penE =
+          if (prev.size == 1) dotSql("r", "s1")
+          else "greatest(" + prev.map(p => dotSql("r", p))
+            .mkString(", ") + ")"
+        val notIn = prev.map(p => s"r.vec_id <> $p.vec_id")
+          .mkString(" AND ")
+        s"""s$i AS MATERIALIZED (SELECT r.vec_id, r.v, r.rel,
+           |    $penE AS pen, 2 * r.rel - $penE AS score
+           |  FROM r, ${prev.mkString(", ")} WHERE $notIn
+           |  ORDER BY score DESC, r.vec_id ASC LIMIT 1)""".stripMargin
+      }
+    }.mkString(",\n")
+    val finalSel = (1 to 8).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, vec_id, rel, pen, score FROM s$i")
+      .mkString("\nUNION ALL\n")
+    QueryDef("q_vec_mmr", build, Some(
+      VecOps.oracleQuantized +
+        s""",
+           |q AS (SELECT vec_id AS vid, v FROM n
+           |  WHERE vec_id = (SELECT min(vec_id) FROM n)),
+           |r AS (SELECT n.vec_id, n.v,
+           |    ${dotSql("n", "q")} AS rel
+           |  FROM n, q WHERE n.vec_id <> q.vid),
+           |$rounds
+           |$finalSel
+           |ORDER BY rank ASC NULLS FIRST""".stripMargin))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     dedupExact, simJaccard, simCosineTopk, simThresholdJoin, simKnnJoin,
     dedupMinhash, sampleNegative, simCosineSets, vecRandproj, simRecall,
-    vecPcaPower, simMips, vecStats)
+    vecPcaPower, simMips, vecStats, vecMmr)
 }

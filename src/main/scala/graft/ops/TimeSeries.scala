@@ -2773,11 +2773,118 @@ object TimeSeries {
          |ORDER BY event_type ASC NULLS FIRST""".stripMargin
     })
 
+  /** MACD crossover detection (round 7): the chained-EMA momentum
+    * indicator — fast EMA(12) minus slow EMA(26) gives the MACD line, a
+    * third EMA(9) of THAT line gives the signal, and sign changes of
+    * (macd − signal) are the buy/sell crossings every momentum monitor
+    * (finance or infra-capacity) alerts on. The step up from q_ts_holt:
+    * not one recurrence but three, the third consuming the difference
+    * of the first two — state is a 3-EMA tuple plus the previous
+    * divergence for crossing detection, and the divergence checksum
+    * pins every intermediate step of all three chains at once.
+    *
+    * Exact integer contract: counts ×4096, each EMA step the truncating
+    * rational e' = (2·x + (n−1)·e) div (n+1) with n = 12/26/9 (α =
+    * 2/(n+1), the standard EMA smoothing, no floats anywhere); both
+    * EMAs seed at the first observation, the signal seeds at 0 and
+    * folds from the second day (documented convention — both engines
+    * spell the identical CASE). Spark `div` ≡ DuckDB `//` toward zero,
+    * verified on negative divergences (declining series make macd < 0,
+    * the q_ts_holt precedent).
+    *
+    * Spark has no recursive SQL: the fold runs as one `aggregate` HOF
+    * over each type's day-sorted array vs a recursive-CTE oracle — two
+    * maximally-different executions of the same integer recurrence,
+    * both generated from ONE Scala template so the arithmetic cannot
+    * drift between engines.
+    *
+    * Scale: the day-grain partial agg is the only corpus-sized shuffle;
+    * the fold touches type-grain arrays (≤ days elements). A tick-grain
+    * series downsamples through q_ts_ohlc first — exactly how
+    * production MACD is computed.
+    */
+  private val macd: QueryDef = {
+      // one template, two engines: s/`x`/day count/, s/`st.`/state./
+      def e12(x: String, st: String) = s"((2L*$x*4096L + 11L*$st.e12) div 13L)"
+      def e26(x: String, st: String) = s"((2L*$x*4096L + 25L*$st.e26) div 27L)"
+      def macdN(x: String, st: String) = s"(${e12(x, st)} - ${e26(x, st)})"
+      def sigN(x: String, st: String) =
+        s"((2L*${macdN(x, st)} + 8L*$st.sig) div 10L)"
+      def diffN(x: String, st: String) =
+        s"(${macdN(x, st)} - ${sigN(x, st)})"
+      val build = (s: org.apache.spark.sql.SparkSession, d: String) => {
+        val daily = Tables.events(s, d)
+          .select(col("event_type"),
+            floorDiv(unix_micros(col("ts")), DayUs).as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("c"))
+        val (x, st) = ("x.c", "st")
+        daily.groupBy(col("event_type"))
+          .agg(array_sort(collect_list(struct(col("day"), col("c"))))
+            .as("xs"))
+          .withColumn("st", expr(
+            s"""aggregate(xs,
+               |  named_struct('e12', 0L, 'e26', 0L, 'sig', 0L, 'pd', 0L,
+               |    'cr', 0L, 'sd', 0L, 'n', 0L),
+               |  (st, x) -> CASE WHEN st.n = 0L THEN named_struct(
+               |      'e12', x.c * 4096L, 'e26', x.c * 4096L, 'sig', 0L,
+               |      'pd', 0L, 'cr', 0L, 'sd', 0L, 'n', 1L)
+               |    ELSE named_struct(
+               |      'e12', ${e12(x, st)}, 'e26', ${e26(x, st)},
+               |      'sig', ${sigN(x, st)},
+               |      'pd', ${diffN(x, st)},
+               |      'cr', st.cr + CASE WHEN (${diffN(x, st)} > 0L
+               |          AND st.pd < 0L) OR (${diffN(x, st)} < 0L
+               |          AND st.pd > 0L) THEN 1L ELSE 0L END,
+               |      'sd', st.sd + ${diffN(x, st)},
+               |      'n', st.n + 1L) END)""".stripMargin))
+          .select(col("event_type"), col("st.n").as("n_days"),
+            (col("st.e12") - col("st.e26")).as("macd_x4096"),
+            col("st.sig").as("signal_x4096"),
+            col("st.pd").as("diff_x4096"),
+            col("st.cr").as("n_cross"),
+            col("st.sd").as("diff_checksum"))
+          .orderBy(ascf("event_type"))
+      }
+      // SQL spelling of the same template: x → hr.c, state → s, div → //
+      def sql(t: (String, String) => String) =
+        t("hr.c", "s").replace(" div ", " // ").replace("L", "")
+      QueryDef("q_ts_macd", build, Some(
+        s"""WITH RECURSIVE h AS (SELECT event_type,
+           |    epoch_us(ts) // 86400000000 AS day, count(*) AS c
+           |  FROM events GROUP BY 1, 2),
+           |hr AS (SELECT event_type, c, row_number() OVER (
+           |    PARTITION BY event_type ORDER BY day ASC) AS rn FROM h),
+           |s AS (
+           |  SELECT event_type, rn, c * 4096 AS e12, c * 4096 AS e26,
+           |    CAST(0 AS BIGINT) AS sig, CAST(0 AS BIGINT) AS pd,
+           |    CAST(0 AS BIGINT) AS cr, CAST(0 AS BIGINT) AS sd
+           |  FROM hr WHERE rn = 1
+           |  UNION ALL
+           |  SELECT hr.event_type, hr.rn,
+           |    ${sql(e12)}, ${sql(e26)}, ${sql(sigN)}, ${sql(diffN)},
+           |    s.cr + CASE WHEN (${sql(diffN)} > 0 AND s.pd < 0)
+           |      OR (${sql(diffN)} < 0 AND s.pd > 0) THEN 1 ELSE 0 END,
+           |    s.sd + ${sql(diffN)}
+           |  FROM s JOIN hr ON hr.event_type = s.event_type
+           |    AND hr.rn = s.rn + 1),
+           |fin AS (SELECT s.*, row_number() OVER (
+           |    PARTITION BY event_type ORDER BY rn DESC) AS rr FROM s)
+           |SELECT event_type, CAST(rn AS BIGINT) AS n_days,
+           |  CAST(e12 - e26 AS BIGINT) AS macd_x4096,
+           |  CAST(sig AS BIGINT) AS signal_x4096,
+           |  CAST(pd AS BIGINT) AS diff_x4096,
+           |  CAST(cr AS BIGINT) AS n_cross,
+           |  CAST(sd AS BIGINT) AS diff_checksum
+           |FROM fin WHERE rr = 1
+           |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+    }
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
       theilSen, attrib, transitions, downsample, evalWape, latency,
       period, crossCorr, movingMedian, tsRate, dtw, anomalyMad, bollinger,
       decompose, growth, dauMau, sax, permEntropy, entropyRate, cusum,
-      pacf, kalman, hurst)
+      pacf, kalman, hurst, macd)
 }

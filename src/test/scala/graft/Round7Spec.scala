@@ -1175,4 +1175,77 @@ class Round7Spec extends SparkSpec {
     }
     Caches.releaseScoped(); Caches.releaseShared()
   }
+
+  test("q_ts_macd: engine fold equals the scalar-replica recurrence") {
+    // Third execution of the 3-EMA recurrence (HOF fold and recursive
+    // CTE are the graded two), plain Scala over the same daily counts.
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        Dsl.floorDiv(unix_micros(col("ts")), 86400000000L).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) =>
+        t -> rs.sortBy(_.getLong(1)).map(_.getLong(2)) }
+    val want = daily.map { case (t, cs) =>
+      var (e12, e26, sig, pd, cr, sd) = (0L, 0L, 0L, 0L, 0L, 0L)
+      cs.zipWithIndex.foreach { case (c, i) =>
+        if (i == 0) { e12 = c * 4096; e26 = c * 4096 }
+        else {
+          e12 = (2 * c * 4096 + 11 * e12) / 13
+          e26 = (2 * c * 4096 + 25 * e26) / 27
+          val m = e12 - e26
+          sig = (2 * m + 8 * sig) / 10
+          val diff = m - sig
+          if ((diff > 0 && pd < 0) || (diff < 0 && pd > 0)) cr += 1
+          pd = diff; sd += diff
+        }
+      }
+      t -> ((cs.length.toLong, e12 - e26, sig, pd, cr, sd))
+    }
+    val got = q("q_ts_macd").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == want, s"macd recurrence drift: got=$got want=$want")
+    // crossing detection must be live somewhere, else cr is vacuous
+    assert(got.values.map(_._5).sum > 0, "no crossings anywhere")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_vec_mmr: scalar greedy replica matches; penalty really binds") {
+    val vecs = ops.VecOps.quantized(spark, sfDir)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val qid = vecs.map(_._1).min
+    val qv = vecs.find(_._1 == qid).get._2
+    var sel = Vector.empty[(Long, Array[Long], Long, Long, Long)]
+    for (_ <- 1 to 8) {
+      val cand = vecs.filter(v =>
+        v._1 != qid && !sel.exists(_._1 == v._1))
+      val scored = cand.map { case (id, v) =>
+        val rel = dot(v, qv)
+        val pen = if (sel.isEmpty) 0L else sel.map(s => dot(v, s._2)).max
+        (id, v, rel, pen, 2 * rel - pen)
+      }
+      sel = sel :+ scored.minBy { case (id, _, _, _, sc) => (-sc, id) }
+    }
+    val want = sel.zipWithIndex.map { case ((id, _, r, p, sc), i) =>
+      (i + 1).toLong -> ((id, r, p, sc)) }.toMap
+    val got = q("q_vec_mmr").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == want, s"mmr greedy drift: got=$got want=$want")
+    // diversity must bind: at least one later pick out-scores an
+    // earlier-relevance candidate only because of the penalty (i.e. the
+    // MMR set differs from plain top-8 by relevance)
+    val top8rel = vecs.filter(_._1 != qid)
+      .map { case (id, v) => (id, dot(v, qv)) }
+      .sortBy { case (id, r) => (-r, id) }.take(8).map(_._1).toSet
+    assert(sel.map(_._1).toSet != top8rel,
+      "MMR degenerated to plain top-k: penalty never bound")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
 }
