@@ -264,7 +264,9 @@ object ScaleProbe {
         // round-7 batch 87: per-dim embedding stats, FD violation census
         "q_vec_stats", "q_audit_fd",
         // round-7 batch 88: 3-EMA MACD crossings, MMR diverse top-k
-        "q_ts_macd", "q_vec_mmr")
+        "q_ts_macd", "q_vec_mmr",
+        // round-7 batch 89: propose-accept matching, 8x8 block 2-D WHT
+        "q_graph_matching", "q_mm_blockwht")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

@@ -1228,7 +1228,149 @@ object Multimodal {
         .stripMargin
     })
 
+  final case class BlockWhtFeatures(media_id: Long, width: Int,
+      n_blocks: Long, dc_sum: Long, ac_abs: Long, u_band: Long,
+      v_band: Long, max_ac: Long)
+
+  /** 8×8 block 2-D Walsh–Hadamard features through the raster codec
+    * (round 7): the JPEG-shaped block transform — tile each decoded
+    * GIM8 image into 8×8 pixel blocks, apply the separable 2-D WHT
+    * (coefficient (u,v) = Σ_{r,c} px(r,c)·(−1)^(popcount(u∧r)+popcount(v∧c)),
+    * the integer stand-in for block DCT), and census per width: blocks,
+    * DC mass, AC magnitude mass, peak AC — plus the u-band (v=0, u>0,
+    * vertical structure) and v-band (u=0, v>0, horizontal structure)
+    * split, which makes the 2-D INDEXING itself gradeable: a
+    * transposed-block bug preserves every total but swaps the two
+    * bands (the q_mm_spectrogram even/odd-frame trick in two
+    * dimensions). q_mm_wht is one 1-D frame transform; this is
+    * transform × SPACE.
+    *
+    * Scale: decode + tiling + 64 coefficients/block fuse into the one
+    * mapPartitions pass (≤ 4096 multiply-adds per block, zero extra
+    * shuffle); census output is width-sized. Images shorter than one
+    * block row land in the zero-block census path (LEFT-JOIN grade).
+    *
+    * Determinism (D2): all-integer signs and sums (|coef| ≤ 64·127);
+    * the oracle recomputes every coefficient of every block from
+    * SOURCE chars by (block, row, col) index arithmetic, so codec,
+    * tiling, and sign bugs all break the hash.
+    */
+  private val mmBlockWht = QueryDef(
+    "q_mm_blockwht",
+    (s, d) => {
+      import s.implicits._
+      val imgs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val w = 8 + (id % 9).toInt
+          val h = text.length / w
+          val px = ascii7(text, 0, w * h)
+          ImageRec(id, graft.functions.Codecs.GrayImage.encode(w, h, px))
+        })
+      val feats = imgs.mapPartitions(_.map { r =>
+        val (w, h, px) = graft.functions.Codecs.GrayImage.decode(r.payload)
+        val bw = w / 8; val bh = h / 8
+        var nb = 0L; var dc = 0L; var acAbs = 0L
+        var uBand = 0L; var vBand = 0L; var maxAc = 0L
+        var bj = 0
+        while (bj < bh) {
+          var bi = 0
+          while (bi < bw) {
+            nb += 1
+            var u = 0
+            while (u < 8) {
+              var v = 0
+              while (v < 8) {
+                var acc = 0L
+                var rr = 0
+                while (rr < 8) {
+                  var cc = 0
+                  while (cc < 8) {
+                    val sign = if ((java.lang.Integer.bitCount(u & rr) +
+                        java.lang.Integer.bitCount(v & cc)) % 2 == 0) 1L
+                      else -1L
+                    acc += sign *
+                      (px((bj * 8 + rr) * w + bi * 8 + cc) & 0xFF)
+                    cc += 1
+                  }
+                  rr += 1
+                }
+                if (u == 0 && v == 0) dc += acc
+                else {
+                  val a = math.abs(acc)
+                  acAbs += a
+                  if (a > maxAc) maxAc = a
+                  if (v == 0) uBand += a
+                  else if (u == 0) vBand += a
+                }
+                v += 1
+              }
+              u += 1
+            }
+            bi += 1
+          }
+          bj += 1
+        }
+        BlockWhtFeatures(r.media_id, w, nb, dc, acAbs, uBand, vBand, maxAc)
+      })(org.apache.spark.sql.Encoders.product[BlockWhtFeatures])
+      feats.groupBy(col("width").cast("long").as("width"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(when(col("n_blocks") === 0, 1L).otherwise(0L))
+            .as("n_blockless"),
+          sum(col("n_blocks")).as("total_blocks"),
+          sum(col("dc_sum")).as("dc_checksum"),
+          sum(col("ac_abs")).as("ac_abs_checksum"),
+          sum(col("u_band")).as("u_band_checksum"),
+          sum(col("v_band")).as("v_band_checksum"),
+          max(col("max_ac")).as("max_ac"))
+        .orderBy(ascf("width"))
+    },
+    Some("""WITH base AS (SELECT doc_id, text,
+           |    8 + CAST(doc_id % 9 AS BIGINT) AS w,
+           |    len(text) // (8 + CAST(doc_id % 9 AS BIGINT)) AS h
+           |  FROM documents),
+           |blocks AS (SELECT doc_id, text, w, bi.x AS bi, bj.x AS bj
+           |  FROM base
+           |  CROSS JOIN LATERAL unnest(range(0, w // 8)) bi(x)
+           |  CROSS JOIN LATERAL unnest(range(0, h // 8)) bj(x)),
+           |co AS (SELECT doc_id, w, u.x AS u, v.x AS v,
+           |    CAST(list_sum(list_transform(range(0, 64), i ->
+           |      (ascii(substring(text,
+           |         CAST((bj * 8 + i // 8) * w + bi * 8 + (i % 8) + 1
+           |           AS INTEGER), 1)) & 127)
+           |      * (1 - 2 * ((bit_count(u.x & (i // 8))
+           |                   + bit_count(v.x & (i % 8))) % 2))))
+           |      AS BIGINT) AS c
+           |  FROM blocks
+           |  CROSS JOIN LATERAL unnest(range(0, 8)) u(x)
+           |  CROSS JOIN LATERAL unnest(range(0, 8)) v(x)),
+           |img AS (SELECT doc_id, w,
+           |    CAST(count(*) // 64 AS BIGINT) AS n_blocks,
+           |    CAST(sum(CASE WHEN u = 0 AND v = 0 THEN c ELSE 0 END)
+           |      AS BIGINT) AS dc_sum,
+           |    CAST(sum(CASE WHEN u = 0 AND v = 0 THEN 0 ELSE abs(c) END)
+           |      AS BIGINT) AS ac_abs,
+           |    CAST(sum(CASE WHEN v = 0 AND u > 0 THEN abs(c) ELSE 0 END)
+           |      AS BIGINT) AS u_band,
+           |    CAST(sum(CASE WHEN u = 0 AND v > 0 THEN abs(c) ELSE 0 END)
+           |      AS BIGINT) AS v_band,
+           |    CAST(max(CASE WHEN u = 0 AND v = 0 THEN 0 ELSE abs(c) END)
+           |      AS BIGINT) AS max_ac
+           |  FROM co GROUP BY 1, 2)
+           |SELECT b.w AS width, CAST(count(*) AS BIGINT) AS n_images,
+           |  CAST(sum(CASE WHEN img.doc_id IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_blockless,
+           |  CAST(coalesce(sum(img.n_blocks), 0) AS BIGINT) AS total_blocks,
+           |  CAST(coalesce(sum(img.dc_sum), 0) AS BIGINT) AS dc_checksum,
+           |  CAST(coalesce(sum(img.ac_abs), 0) AS BIGINT) AS ac_abs_checksum,
+           |  CAST(coalesce(sum(img.u_band), 0) AS BIGINT) AS u_band_checksum,
+           |  CAST(coalesce(sum(img.v_band), 0) AS BIGINT) AS v_band_checksum,
+           |  CAST(coalesce(max(img.max_ac), 0) AS BIGINT) AS max_ac
+           |FROM base b LEFT JOIN img ON b.doc_id = img.doc_id
+           |GROUP BY b.w
+           |ORDER BY width ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(mmBinary, mmFeatures, mmAudioPcm, mmImageGray,
     mmVideoFrames, mmImageResize, mmAudioDownsample, mmPhash, mmSceneChange,
-    mmAugment, mmWht, mmHisteq, mmRle, mmDelta, mmSpectrogram)
+    mmAugment, mmWht, mmHisteq, mmRle, mmDelta, mmSpectrogram, mmBlockWht)
 }

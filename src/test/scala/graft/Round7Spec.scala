@@ -1248,4 +1248,89 @@ class Round7Spec extends SparkSpec {
       "MMR degenerated to plain top-k: penalty never bound")
     Caches.releaseScoped(); Caches.releaseShared()
   }
+
+  test("q_graph_matching: scalar greedy replica matches; matching is valid") {
+    val edges = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      .agg(count(lit(1)).as("w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var matched = Vector.empty[(Long, Long, Long)]
+    for (_ <- 1 to 4) {
+      val ms = matched.map(_._1).toSet; val mp = matched.map(_._2).toSet
+      val avail = edges.filter(e => !ms(e._1) && !mp(e._2))
+      val prop = avail.groupBy(_._1).values
+        .map(_.minBy(e => (-e._3, e._2))).toSeq
+      val acc = prop.groupBy(_._2).values
+        .map(_.minBy(e => (-e._3, e._1))).toSeq
+      matched ++= acc
+    }
+    // validity: an endpoint is matched at most once
+    assert(matched.map(_._1).distinct.size == matched.size, "supplier reused")
+    assert(matched.map(_._2).distinct.size == matched.size, "part reused")
+    val nations = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySupp = matched.map(m => m._1 -> m._3).toMap
+    val want = nations.groupBy(_._2).map { case (nn, ss) =>
+      nn -> ((ss.size.toLong,
+        ss.count(s => bySupp.contains(s._1)).toLong,
+        ss.flatMap(s => bySupp.get(s._1)).sum))
+    }
+    val got = q("q_graph_matching").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want, s"matching census drift: got=$got want=$want")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_mm_blockwht: text-direct replica matches and Parseval holds") {
+    // Recompute the census straight from source chars (no codec), and
+    // pin the transform itself with the WHT energy identity
+    // Σ_{u,v} c(u,v)² = 64 · Σ px² per block.
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def sign(a: Int, b: Int): Long =
+      if (java.lang.Integer.bitCount(a & b) % 2 == 0) 1L else -1L
+    val per = docs.map { case (id, text) =>
+      val w = 8 + (id % 9).toInt
+      val h = text.length / w
+      val (bw, bh) = (w / 8, h / 8)
+      var nb = 0L; var dc = 0L; var acAbs = 0L
+      var uB = 0L; var vB = 0L; var mx = 0L
+      for (bj <- 0 until bh; bi <- 0 until bw) {
+        nb += 1
+        var energy = 0L; var pxSq = 0L
+        for (u <- 0 until 8; v <- 0 until 8) {
+          var acc = 0L
+          for (rr <- 0 until 8; cc <- 0 until 8) {
+            val px = (text.charAt((bj * 8 + rr) * w + bi * 8 + cc) & 0x7F).toLong
+            acc += sign(u, rr) * sign(v, cc) * px
+            if (u == 0 && v == 0) pxSq += px * px
+          }
+          energy += acc * acc
+          if (u == 0 && v == 0) dc += acc
+          else {
+            val a = math.abs(acc); acAbs += a
+            if (a > mx) mx = a
+            if (v == 0) uB += a else if (u == 0) vB += a
+          }
+        }
+        assert(energy == 64L * pxSq, s"Parseval broken doc $id block $bi,$bj")
+      }
+      (w.toLong, nb, dc, acAbs, uB, vB, mx)
+    }
+    val want = per.groupBy(_._1).map { case (w, rs) =>
+      w -> ((rs.length.toLong, rs.count(_._2 == 0).toLong,
+        rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum,
+        rs.map(_._5).sum, rs.map(_._6).sum, rs.map(_._7).max))
+    }
+    val got = q("q_mm_blockwht").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))).toMap
+    assert(got == want, s"blockwht census drift: got=$got want=$want")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
 }
