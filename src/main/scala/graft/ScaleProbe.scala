@@ -266,7 +266,9 @@ object ScaleProbe {
         // round-7 batch 88: 3-EMA MACD crossings, MMR diverse top-k
         "q_ts_macd", "q_vec_mmr",
         // round-7 batch 89: propose-accept matching, 8x8 block 2-D WHT
-        "q_graph_matching", "q_mm_blockwht")
+        "q_graph_matching", "q_mm_blockwht",
+        // round-7 batch 90: Kaplan-Meier churn curve, Luby coloring
+        "q_ts_survival", "q_graph_coloring")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

@@ -2009,8 +2009,97 @@ object Graph {
          |ORDER BY n_name ASC NULLS FIRST""".stripMargin
     })
 
+  /** Greedy graph coloring via independent-set rounds (round 7): the
+    * conflict-free SCHEDULING primitive — nodes sharing an edge must
+    * not share a color (maintenance slots for co-dependent services,
+    * wavelengths, exam timetables). Four Luby-style rounds over the
+    * shared trade graph: in round r, an uncolored node takes color r
+    * iff it beats every uncolored neighbor under the static priority
+    * (degree DESC, id ASC) — beats is a total order, so each round's
+    * winner set is independent BY CONSTRUCTION and the result is a
+    * proper partial coloring; greedy-largest-degree-first is the
+    * classic Welsh–Powell order, distributed. q_graph_matching
+    * allocates EDGES under exclusivity; this allocates NODE SLOTS
+    * under adjacency — the two canonical combinatorial allocation
+    * primitives.
+    *
+    * Scale: each round is one join of the symmetric edge relation
+    * against the uncolored set plus an anti-join — edge-relation-sized
+    * work on a relation that SHRINKS as nodes color; the per-node
+    * priority is computed once. Isolated nodes (no edges) win round 1
+    * trivially — graded, not special-cased.
+    *
+    * Determinism: pure integer priorities with total tiebreak; census
+    * per color with id checksums; the oracle unrolls the identical 4
+    * rounds.
+    */
+  private val coloring = QueryDef(
+    "q_graph_coloring",
+    (s, d) => {
+      val und = undirectedTop3(s, d)
+      val sym = und.select(col("a").as("v"), col("b").as("u"))
+        .unionByName(und.select(col("b").as("v"), col("a").as("u")))
+      val nodes = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("v"))
+      val deg = graft.Caches.scoped(nodes
+        .join(sym.groupBy(col("v")).agg(count(lit(1)).as("dv")),
+          Seq("v"), "left")
+        .select(col("v"), coalesce(col("dv"), lit(0L)).as("dv")))
+      var colored = deg.select(col("v"), lit(0L).as("color")).filter(lit(false))
+      for (r <- 1 to 4) {
+        val unc = deg.join(colored.select(col("v")), Seq("v"), "left_anti")
+        val nbr = unc.select(col("v").as("u"), col("dv").as("du"))
+        val losers = sym.join(unc, Seq("v")).join(nbr, Seq("u"))
+          .filter(col("du") > col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")))
+          .select(col("v")).distinct()
+        val winners = unc.join(losers, Seq("v"), "left_anti")
+          .select(col("v"), lit(r.toLong).as("color"))
+        colored = graft.Dsl.statsTruncate(colored.unionByName(winners))
+      }
+      deg.join(colored, Seq("v"), "left")
+        .select(col("v"), coalesce(col("color"), lit(0L)).as("color"))
+        .groupBy(col("color"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("v")).as("id_sum"),
+          min(col("v")).as("min_id"), max(col("v")).as("max_id"))
+        .orderBy(ascf("color"))
+    },
+    Some {
+      val rounds = (1 to 4).map { r =>
+        val prev = s"c${r - 1}"
+        s"""un$r AS (SELECT deg.v, deg.dv FROM deg
+           |  WHERE deg.v NOT IN (SELECT v FROM $prev)),
+           |lo$r AS (SELECT DISTINCT a.v FROM sym
+           |  JOIN un$r a ON sym.v = a.v
+           |  JOIN un$r b ON sym.u = b.v
+           |  WHERE b.dv > a.dv OR (b.dv = a.dv AND b.v < a.v)),
+           |w$r AS MATERIALIZED (SELECT v, CAST($r AS BIGINT) AS color
+           |  FROM un$r WHERE v NOT IN (SELECT v FROM lo$r)),
+           |c$r AS MATERIALIZED (SELECT v, color FROM $prev
+           |  UNION ALL SELECT v, color FROM w$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $UndSql,
+         |sym AS (SELECT a AS v, b AS u FROM und
+         |  UNION ALL SELECT b AS v, a AS u FROM und),
+         |deg AS (SELECT CAST(n.n_nationkey AS BIGINT) AS v,
+         |    CAST(coalesce(dc.c, 0) AS BIGINT) AS dv
+         |  FROM nation n LEFT JOIN (SELECT v, count(*) AS c FROM sym
+         |    GROUP BY v) dc ON n.n_nationkey = dc.v),
+         |c0 AS (SELECT CAST(NULL AS BIGINT) AS v,
+         |    CAST(NULL AS BIGINT) AS color WHERE false),
+         |$rounds
+         |SELECT coalesce(c4.color, 0) AS color,
+         |  CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(sum(deg.v) AS BIGINT) AS id_sum,
+         |  CAST(min(deg.v) AS BIGINT) AS min_id,
+         |  CAST(max(deg.v) AS BIGINT) AS max_id
+         |FROM deg LEFT JOIN c4 ON deg.v = c4.v
+         |GROUP BY 1
+         |ORDER BY color ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(pagerank, triangles, bfs, degree,
     graphJaccard, labelProp, closeness, scc, kcore, copurchase,
     adamicAdar, hits, assortativity, reciprocity, clustering, mst, motifs,
-    eccentric, truss, modularity, betweenness, walk2, matching)
+    eccentric, truss, modularity, betweenness, walk2, matching, coloring)
 }

@@ -2880,11 +2880,106 @@ object TimeSeries {
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
     }
 
+  /** Kaplan–Meier survival curve (round 7): the churn/lifetime
+    * estimator — per (user, event-type) subject,
+    * lifetime = days between its first and last event; subjects still active on the corpus's final day are CENSORED
+    * (we know their lifetime is ≥ t, not = t — simply dropping them is
+    * the classic churn-analysis bias KM exists to fix: censored users
+    * leave the at-risk denominator without counting as churn). At each
+    * observed lifetime t: n_risk = users with lifetime ≥ t, n_churn =
+    * uncensored lifetimes = t, and the survival estimate folds
+    * S ← S·(n_risk−n_churn)/n_risk. q_win_retention grades fixed
+    * day-k return RATES; this grades the lifetime DISTRIBUTION with
+    * censoring handled correctly.
+    *
+    * Scale: one corpus pass to user grain, one partial agg to lifetime
+    * grain (≤ span days rows); n_risk is a descending cumulative window
+    * and the survival product is an `aggregate` HOF fold over the
+    * span-bounded array vs a recursive-CTE oracle (the q_ts_holt
+    * two-engines-one-recurrence pattern). The global max day rides a
+    * windowless 1-row broadcast.
+    *
+    * Determinism (D2): integer epoch-day lifetimes; the product is
+    * e6-scaled with a truncating div at every step (documented
+    * convention, same both engines); surv_e6 is non-increasing by
+    * construction — pinned in Round7Spec.
+    */
+  private val survival = QueryDef(
+    "q_ts_survival",
+    (s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          floorDiv(unix_micros(col("ts")), DayUs).as("day"))
+      val users = days.groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+      val mx = users.agg(max(col("l")).as("mxd"))
+      val dur = users.crossJoin(broadcast(mx))
+        .select((col("l") - col("f")).as("t"),
+          when(col("l") === col("mxd"), 1L).otherwise(0L).as("c"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("nu"),
+          sum(lit(1L) - col("c")).as("n_churn"),
+          sum(col("c")).as("n_censored"))
+      // ≤ span-days rows from here on: the single-partition window and
+      // the fold run on the lifetime-grain sketch, never the corpus
+      val risk = dur.withColumn("n_risk", sum(col("nu")).over(
+        Window.orderBy(ascf("t"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      risk.agg(array_sort(collect_list(struct(col("t"), col("n_risk"),
+          col("n_churn"), col("n_censored")))).as("xs"))
+        .select(explode(expr(
+          """aggregate(xs,
+            |  named_struct('s', 1000000L,
+            |    'out', cast(array() as array<struct<t:bigint,
+            |      n_risk:bigint,n_churn:bigint,n_censored:bigint,
+            |      surv_e6:bigint>>)),
+            |  (st, x) -> named_struct(
+            |    's', (st.s * (x.n_risk - x.n_churn)) div x.n_risk,
+            |    'out', array_append(st.out, named_struct(
+            |      't', x.t, 'n_risk', x.n_risk, 'n_churn', x.n_churn,
+            |      'n_censored', x.n_censored,
+            |      'surv_e6',
+            |      (st.s * (x.n_risk - x.n_churn)) div x.n_risk))),
+            |  st -> st.out)""".stripMargin)).as("r"))
+        .select(col("r.t").as("t_days"), col("r.n_risk"),
+          col("r.n_churn"), col("r.n_censored"), col("r.surv_e6"))
+        .orderBy(ascf("t_days"))
+    },
+    Some("""WITH RECURSIVE u AS (SELECT user_id, event_type,
+           |    min(epoch_us(ts) // 86400000000) AS f,
+           |    max(epoch_us(ts) // 86400000000) AS l
+           |  FROM events GROUP BY 1, 2),
+           |m AS (SELECT max(l) AS mxd FROM u),
+           |du AS (SELECT l - f AS t,
+           |    CASE WHEN l = m.mxd THEN 1 ELSE 0 END AS c FROM u, m),
+           |dur AS (SELECT t, count(*) AS nu,
+           |    CAST(sum(1 - c) AS BIGINT) AS ch,
+           |    CAST(sum(c) AS BIGINT) AS ce
+           |  FROM du GROUP BY t),
+           |rk AS (SELECT t, nu, ch, ce,
+           |    CAST(sum(nu) OVER (ORDER BY t DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS nrisk,
+           |    row_number() OVER (ORDER BY t ASC) AS rn
+           |  FROM dur),
+           |s AS (
+           |  SELECT t, nu, ch, ce, nrisk, rn,
+           |    (1000000 * (nrisk - ch)) // nrisk AS surv
+           |  FROM rk WHERE rn = 1
+           |  UNION ALL
+           |  SELECT rk.t, rk.nu, rk.ch, rk.ce, rk.nrisk, rk.rn,
+           |    (s.surv * (rk.nrisk - rk.ch)) // rk.nrisk
+           |  FROM s JOIN rk ON rk.rn = s.rn + 1)
+           |SELECT t AS t_days, nrisk AS n_risk, ch AS n_churn,
+           |  ce AS n_censored, CAST(surv AS BIGINT) AS surv_e6
+           |FROM s
+           |ORDER BY t_days ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
       theilSen, attrib, transitions, downsample, evalWape, latency,
       period, crossCorr, movingMedian, tsRate, dtw, anomalyMad, bollinger,
       decompose, growth, dauMau, sax, permEntropy, entropyRate, cusum,
-      pacf, kalman, hurst, macd)
+      pacf, kalman, hurst, macd, survival)
 }

@@ -1333,4 +1333,74 @@ class Round7Spec extends SparkSpec {
     assert(got == want, s"blockwht census drift: got=$got want=$want")
     Caches.releaseScoped(); Caches.releaseShared()
   }
+
+  test("q_ts_survival: scalar KM replica matches; curve is non-increasing") {
+    val subj = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        Dsl.floorDiv(unix_micros(col("ts")), 86400000000L).as("day"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    val mxd = subj.map(_._2).max
+    val durs = subj.map { case (f, l) => (l - f, l == mxd) }
+    val byT = durs.groupBy(_._1).toSeq.sortBy(_._1)
+    var atRisk = durs.length.toLong
+    var s6 = 1000000L
+    val want = byT.map { case (t, rs) =>
+      val churn = rs.count(!_._2).toLong
+      val cens = rs.count(_._2).toLong
+      val nRisk = atRisk
+      s6 = s6 * (nRisk - churn) / nRisk
+      atRisk -= rs.length
+      t -> ((nRisk, churn, cens, s6))
+    }.toMap
+    val got = q("q_ts_survival").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == want, s"KM drift: got=$got want=$want")
+    val curve = got.toSeq.sortBy(_._1).map(_._2._4)
+    assert(curve.zip(curve.tail).forall { case (a, b) => b <= a },
+      "survival curve increased")
+    // censoring must be live: the final-day subjects are censored
+    assert(got.values.map(_._3).sum > 0, "no censored subjects")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_graph_coloring: replica matches and the coloring is PROPER") {
+    val und = ops.Graph.undirectedTop3(spark, sfDir)
+      .select(col("a").cast("long"), col("b").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("long")).collect().map(_.getLong(0))
+    val deg = nodes.map(v =>
+      v -> und.count(e => e._1 == v || e._2 == v).toLong).toMap
+    def beats(b: Long, a: Long): Boolean =
+      deg(b) > deg(a) || (deg(b) == deg(a) && b < a)
+    var color = Map.empty[Long, Long]
+    for (r <- 1 to 4) {
+      val unc = nodes.filterNot(color.contains).toSet
+      val winners = unc.filter { v =>
+        !und.exists { case (a, b) =>
+          (a == v && unc(b) && beats(b, v)) ||
+            (b == v && unc(a) && beats(a, v)) }
+      }
+      winners.foreach(v => color += v -> r.toLong)
+    }
+    // properness: no edge joins two same-colored nodes
+    und.foreach { case (a, b) =>
+      (color.get(a), color.get(b)) match {
+        case (Some(ca), Some(cb)) =>
+          assert(ca != cb, s"edge ($a,$b) shares color $ca")
+        case _ => ()
+      }
+    }
+    val want = nodes.groupBy(v => color.getOrElse(v, 0L))
+      .map { case (c, vs) =>
+        c -> ((vs.length.toLong, vs.sum, vs.min, vs.max)) }
+    val got = q("q_graph_coloring").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == want, s"coloring census drift: got=$got want=$want")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
 }
