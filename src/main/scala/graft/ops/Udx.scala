@@ -361,7 +361,109 @@ object Udx {
            |GROUP BY n.n_name
            |ORDER BY n_name ASC NULLS FIRST""".stripMargin))
 
+  final case class SecSortRow(user_id: Long, tu: Long,
+      event_id: Long, code: Int)
+  final case class SecSortAgg(user_id: Long, n_events: Long,
+      first_code: Long, last_code: Long, pos_checksum: Long,
+      n_changes: Long)
+
+  /** MR secondary sort (round 7): THE canonical MapReduce idiom the
+    * veneer set still lacked — deliver each key's values to the reducer
+    * IN ORDER without buffering them (composite key (user, ts) shuffle,
+    * partition by user only, so the framework's sort does the ordering
+    * and the reducer streams with O(1) state). Spark spelling:
+    * `repartition(user)` + `sortWithinPartitions(user, ts, id)` + a
+    * streaming mapPartitions that folds adjacent same-user runs —
+    * exactly the plan MR's secondary sort compiles to, and the only
+    * shape that works when one key's value list exceeds reducer memory
+    * (a groupBy+collect_list would buffer it). Graded artifacts are all
+    * ORDER-SENSITIVE: first/last event code, the position-weighted
+    * checksum Σ rank·code (any permutation of a user's events breaks
+    * it), and adjacent-change counts.
+    *
+    * Scale: one hash exchange + per-partition sort (the groupBy shuffle
+    * plus the sort MR always paid); reducer state is one accumulator
+    * per in-flight user, never a value list. Census per user-shard.
+    *
+    * Determinism (D1): (ts, event_id) is a total order per user; pure
+    * integer artifacts.
+    */
+  private val mrSecondarySort = QueryDef(
+    "q_mr_secondary_sort",
+    (s, d) => {
+      import s.implicits._
+      val rows = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+          col("event_id"),
+          ascii(substring(col("event_type"), 1, 1)).as("code"))
+        .as[SecSortRow]
+      val perUser = rows
+        .repartition(col("user_id"))
+        .sortWithinPartitions(ascf("user_id"), ascf("tu"), ascf("event_id"))
+        .mapPartitions { it =>
+          new Iterator[SecSortAgg] {
+            private var pending: Option[SecSortRow] = None
+            def hasNext: Boolean = pending.isDefined || it.hasNext
+            def next(): SecSortAgg = {
+              val head = pending.getOrElse(it.next())
+              pending = None
+              var n = 1L; val first = head.code.toLong
+              var last = head.code.toLong
+              var ck = head.code.toLong; var ch = 0L
+              var prev = head.code
+              var done = false
+              while (!done && it.hasNext) {
+                val r = it.next()
+                if (r.user_id != head.user_id) { pending = Some(r); done = true }
+                else {
+                  n += 1
+                  if (r.code != prev) ch += 1
+                  prev = r.code; last = r.code.toLong
+                  ck += n * r.code
+                }
+              }
+              SecSortAgg(head.user_id, n, first, last, ck, ch)
+            }
+          }
+        }(Encoders.product[SecSortAgg])
+      perUser.groupBy(pmod(col("user_id"), lit(16L)).as("bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_events")).as("n_events"),
+          sum(col("first_code")).as("first_checksum"),
+          sum(col("last_code")).as("last_checksum"),
+          sum(col("pos_checksum")).as("pos_checksum"),
+          sum(col("n_changes")).as("n_changes"),
+          max(col("n_events")).as("max_events"))
+        .orderBy(ascf("bucket"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id,
+           |    ascii(substring(event_type, 1, 1)) AS code FROM events),
+           |r AS (SELECT user_id, code,
+           |    row_number() OVER wu AS rn,
+           |    lag(code) OVER wu AS pc,
+           |    count(*) OVER (PARTITION BY user_id) AS n
+           |  FROM e
+           |  WINDOW wu AS (PARTITION BY user_id
+           |    ORDER BY tu ASC, event_id ASC)),
+           |u AS (SELECT user_id, max(n) AS n,
+           |    sum(CASE WHEN rn = 1 THEN code ELSE 0 END) AS fst,
+           |    sum(CASE WHEN rn = n THEN code ELSE 0 END) AS lst,
+           |    CAST(sum(rn * code) AS BIGINT) AS ck,
+           |    CAST(sum(CASE WHEN pc IS NOT NULL AND pc <> code
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS ch
+           |  FROM r GROUP BY user_id)
+           |SELECT user_id % 16 AS bucket,
+           |  CAST(count(*) AS BIGINT) AS n_users,
+           |  CAST(sum(n) AS BIGINT) AS n_events,
+           |  CAST(sum(fst) AS BIGINT) AS first_checksum,
+           |  CAST(sum(lst) AS BIGINT) AS last_checksum,
+           |  CAST(sum(ck) AS BIGINT) AS pos_checksum,
+           |  CAST(sum(ch) AS BIGINT) AS n_changes,
+           |  CAST(max(n) AS BIGINT) AS max_events
+           |FROM u GROUP BY 1
+           |ORDER BY bucket ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(udfScalar, udafGeomean, udafWavg, udtfTokenize, mrWordcount,
-      mrInvidx, mrGrep, mrSort, mrJoin)
+      mrInvidx, mrGrep, mrSort, mrJoin, mrSecondarySort)
 }

@@ -1013,9 +1013,89 @@ object Windows {
            |    AS left_demand_cq
            |FROM j GROUP BY 1 ORDER BY bucket ASC NULLS FIRST""".stripMargin))
 
+  /** FIFO queue replay via the Lindley recurrence as WINDOW ALGEBRA
+    * (round 7): per (event_type, hour) worker queue, arrivals in
+    * (ts, event_id) order, deterministic service s = 1 + id mod 30
+    * minutes — how long did each job WAIT behind its predecessors?
+    * The textbook recurrence depart_i = max(arr_i, depart_{i−1}) + s_i
+    * is sequential, but it has the closed form
+    *   depart_i = S_i + max_{j≤i}(arr_j − S_{j−1}),  S = prefix-sum(s)
+    * so the whole simulation collapses to one prefix-sum window and one
+    * running-max window — the q_ts_cusum recursive→window-algebra trick
+    * applied to queueing theory. No fold, no recursion, no state: the
+    * oracle is plain window SQL and the Spark plan is two frames over
+    * one exchange.
+    *
+    * Scale: queues are sharded by (server, hour window), so per-group
+    * state is window-bounded no matter the corpus — exactly how a fleet
+    * replays its job logs (per-worker-per-window); the two windows
+    * share one (type, hour) exchange+sort; census output is type-sized.
+    *
+    * Determinism (D1/D2): integer seconds throughout; (ts, event_id)
+    * total arrival order; util_e6 trunc-div.
+    */
+  private val winQueueReplay = QueryDef(
+    "q_win_queue_replay",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          floorDiv(unix_micros(col("ts")), 1000000L).as("arr"),
+          floorDiv(unix_micros(col("ts")), 3600000000L).as("hr"),
+          col("event_id"),
+          (lit(60L) * (lit(1L) + pmod(col("event_id"), lit(30L))))
+            .as("svc"))
+      val w = Window.partitionBy(col("event_type"), col("hr"))
+        .orderBy(ascf("arr"), ascf("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sim = ev
+        .withColumn("sp", sum(col("svc")).over(w))
+        .withColumn("m", max(col("arr") - (col("sp") - col("svc"))).over(w))
+        .withColumn("wait", col("sp") - col("svc") + col("m") - col("arr"))
+      sim.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_jobs"),
+          countDistinct(col("hr")).as("n_queues"),
+          sum(col("wait")).as("total_wait_s"),
+          max(col("wait")).as("max_wait_s"),
+          sum(when(col("wait") > 0, 1L).otherwise(0L)).as("n_delayed"),
+          sum(col("svc")).as("total_svc_s"))
+        .withColumn("avg_wait_e6",
+          expr("total_wait_s * 1000000 div n_jobs"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH e AS (SELECT event_type,
+           |    epoch_us(ts) // 1000000 AS arr,
+           |    epoch_us(ts) // 3600000000 AS hr,
+           |    event_id,
+           |    60 * (1 + event_id % 30) AS svc
+           |  FROM events),
+           |s1 AS (SELECT event_type, hr, svc, arr, event_id,
+           |    sum(svc) OVER wq AS sp
+           |  FROM e
+           |  WINDOW wq AS (PARTITION BY event_type, hr
+           |    ORDER BY arr ASC, event_id ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |s2 AS (SELECT event_type, hr, svc, arr, sp,
+           |    max(arr - (sp - svc)) OVER wq AS m
+           |  FROM s1
+           |  WINDOW wq AS (PARTITION BY event_type, hr
+           |    ORDER BY arr ASC, event_id ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |wt AS (SELECT event_type, hr, svc,
+           |    sp - svc + m - arr AS wait FROM s2)
+           |SELECT event_type, CAST(count(*) AS BIGINT) AS n_jobs,
+           |  CAST(count(DISTINCT hr) AS BIGINT) AS n_queues,
+           |  CAST(sum(wait) AS BIGINT) AS total_wait_s,
+           |  CAST(max(wait) AS BIGINT) AS max_wait_s,
+           |  CAST(sum(CASE WHEN wait > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_delayed,
+           |  CAST(sum(svc) AS BIGINT) AS total_svc_s,
+           |  CAST(sum(wait) * 1000000 // count(*) AS BIGINT) AS avg_wait_e6
+           |FROM wt GROUP BY event_type
+           |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     winRank, winRunning, winLeadLag, winRangeFrame, winNtilePct, winFirstLast,
     sortNulls, limitOffset, topkGroup, winSessionize, winStreak, winPattern,
     winDistinct, winConcurrency, winIntervals, winRankDelta, winAlloc,
-    winRatelimit, winDrawdown, winFifo)
+    winRatelimit, winDrawdown, winFifo, winQueueReplay)
 }

@@ -1403,4 +1403,76 @@ class Round7Spec extends SparkSpec {
     assert(got == want, s"coloring census drift: got=$got want=$want")
     Caches.releaseScoped(); Caches.releaseShared()
   }
+
+  test("q_win_queue_replay: window algebra equals the SEQUENTIAL Lindley " +
+    "recurrence") {
+    // The graded plan computes departures via the closed form
+    // depart_i = S_i + max_j(arr_j − S_{j−1}); this replays the textbook
+    // sequential recurrence depart_i = max(arr, depart_prev) + svc per
+    // queue and requires identical per-type censuses — proving the
+    // window-algebra rewrite, not just agreeing with the oracle's
+    // identical spelling.
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        Dsl.floorDiv(unix_micros(col("ts")), 1000000L).as("arr"),
+        Dsl.floorDiv(unix_micros(col("ts")), 3600000000L).as("hr"),
+        col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = ev.groupBy(e => (e._1, e._3)).toSeq
+      .flatMap { case ((t, _), jobs) =>
+        var depart = Long.MinValue
+        jobs.sortBy(j => (j._2, j._4)).map { j =>
+          val svc = 60L * (1 + j._4 % 30)
+          val start = math.max(j._2, depart)
+          depart = start + svc
+          (t, start - j._2, svc)
+        }
+      }
+      .groupBy(_._1).map { case (t, ws) =>
+        val waits = ws.map(_._2)
+        t -> ((ws.size.toLong, waits.sum, waits.max,
+          waits.count(_ > 0).toLong, ws.map(_._3).sum))
+      }
+    val got = q("q_win_queue_replay").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))).toMap
+    val wantShaped = want.map { case (t, (n, tw, mw, nd, ts)) =>
+      t -> ((n, tw, mw, nd, ts)) }
+    assert(got == wantShaped,
+      s"Lindley drift: got=$got want=$wantShaped")
+    assert(got.values.map(_._4).sum > 0, "no job ever waited — vacuous")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_mr_secondary_sort: streaming reducer equals a sort-group replica") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+        col("event_id"),
+        ascii(substring(col("event_type"), 1, 1)).as("code")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val perUser = ev.groupBy(_._1).map { case (u, rs) =>
+      val codes = rs.sortBy(r => (r._2, r._3)).map(_._4.toLong)
+      val ck = codes.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+      val ch = codes.zip(codes.tail).count { case (a, b) => a != b }.toLong
+      (u, codes.length.toLong, codes.head, codes.last, ck, ch)
+    }
+    val want = perUser.groupBy(_._1 % 16).map { case (b, us) =>
+      b -> ((us.size.toLong, us.map(_._2).sum, us.map(_._3).sum,
+        us.map(_._4).sum, us.map(_._5).sum, us.map(_._6).sum,
+        us.map(_._2).max))
+    }
+    val got = q("q_mr_secondary_sort").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got == want, s"secondary-sort drift: got=$got want=$want")
+    // order sensitivity: reversing any multi-event user's order must
+    // change its positional checksum (the artifact that grades ORDER)
+    perUser.find(u => u._2 > 1 && u._3 != u._4).foreach { u =>
+      val codes = ev.filter(_._1 == u._1).sortBy(r => (r._2, r._3))
+        .map(_._4.toLong).reverse
+      val ckRev = codes.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+      assert(ckRev != u._5, "pos_checksum is order-insensitive")
+    }
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
 }
