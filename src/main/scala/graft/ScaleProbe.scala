@@ -270,7 +270,9 @@ object ScaleProbe {
         // round-7 batch 90: Kaplan-Meier churn curve, Luby coloring
         "q_ts_survival", "q_graph_coloring",
         // round-7 batch 91: Lindley queue replay, MR secondary sort
-        "q_win_queue_replay", "q_mr_secondary_sort")
+        "q_win_queue_replay", "q_mr_secondary_sort",
+        // round-7 batch 92: seasonal Holt-Winters, Lorenz deciles
+        "q_ts_holt_winters", "q_agg_lorenz")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

@@ -1712,11 +1712,76 @@ object Aggregates {
            |ORDER BY event_type ASC NULLS FIRST, shard ASC NULLS FIRST"""
       .stripMargin))
 
+  /** Lorenz curve deciles (round 7): the inequality CURVE behind the
+    * q_agg_gini scalar — customers ranked by total spend, cut into ten
+    * equal-count deciles, and for each decile the cumulative share of
+    * all revenue earned by customers up to and including it. The gini
+    * key answers "how unequal" in one number; this key is the artifact
+    * an analyst actually plots (and the 80/20 q_agg_pareto cut is one
+    * point on it).
+    *
+    * Scale: one orders pass to customer grain, one ntile over the
+    * customer-grain relation (single-partition window — the harness
+    * shape q_lake_zorder documents; a fleet run uses range
+    * partitioning), then all curve math on the 10-row decile sketch
+    * (the grand total rides a broadcast-size window over 10 rows).
+    *
+    * Determinism (D1/D2): spend in exact cents; ntile over the total
+    * (spend, custkey) order; share_e6/cum_share_e6 trunc-div.
+    */
+  private val aggLorenz = QueryDef(
+    "q_agg_lorenz",
+    (s, d) => {
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("cents"))
+      val ranked = spend.withColumn("decile",
+        ntile(10).over(Window.orderBy(ascf("cents"), ascf("o_custkey")))
+          .cast("long"))
+      val dec10 = ranked.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("decile_cents"))
+      val w = Window.orderBy(ascf("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(ascf("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      dec10
+        .withColumn("cum_cents", sum(col("decile_cents")).over(w))
+        .withColumn("total_cents", sum(col("decile_cents")).over(wAll))
+        .select(col("decile"), col("n_customers"), col("decile_cents"),
+          expr("decile_cents * 1000000 div total_cents").as("share_e6"),
+          expr("cum_cents * 1000000 div total_cents").as("cum_share_e6"))
+        .orderBy(ascf("decile"))
+    },
+    Some("""WITH sp AS (SELECT o_custkey,
+           |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+           |      AS BIGINT) AS cents
+           |  FROM orders GROUP BY 1),
+           |r AS (SELECT cents, ntile(10) OVER (
+           |    ORDER BY cents ASC, o_custkey ASC) AS decile FROM sp),
+           |d AS (SELECT CAST(decile AS BIGINT) AS decile,
+           |    CAST(count(*) AS BIGINT) AS n_customers,
+           |    CAST(sum(cents) AS BIGINT) AS decile_cents
+           |  FROM r GROUP BY 1),
+           |c AS (SELECT *,
+           |    CAST(sum(decile_cents) OVER (ORDER BY decile ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum_cents,
+           |    CAST(sum(decile_cents) OVER () AS BIGINT) AS total_cents
+           |  FROM d)
+           |SELECT decile, n_customers, decile_cents,
+           |  CAST(decile_cents * 1000000 // total_cents AS BIGINT)
+           |    AS share_e6,
+           |  CAST(cum_cents * 1000000 // total_cents AS BIGINT)
+           |    AS cum_share_e6
+           |FROM c
+           |ORDER BY decile ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggQ18, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
     aggPercentile, aggPivot, aggUnpivot, aggGrouping, aggMode, aggBitset,
     aggEntropy, aggQ14, aggQ6, aggGini, aggHhi, aggFiltered, aggSkyline,
     aggPareto, aggBasketLift, aggCramersV, aggMannWhitney, aggTheil,
-    aggMutualInfo, aggTtest, aggSpearman, aggDecay)
+    aggMutualInfo, aggTtest, aggSpearman, aggDecay, aggLorenz)
 }

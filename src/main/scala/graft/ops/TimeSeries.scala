@@ -2975,11 +2975,122 @@ object TimeSeries {
            |FROM s
            |ORDER BY t_days ASC NULLS FIRST""".stripMargin))
 
+  /** Holt–Winters additive triple smoothing (round 7): the top of the
+    * exponential ladder — q_ts_ewma carries LEVEL, q_ts_holt adds
+    * TREND, this adds a 7-slot weekly SEASONAL state: per event type,
+    * the day-count series folds through
+    *   l' = ((x − s_slot) + (l + b)) div 2          (α = 1/2)
+    *   b' = (b + l' − l) div 2                      (β = 1/2)
+    *   s_slot' = ((x − l') + s_slot) div 2          (γ = 1/2)
+    * with slot = n mod 7, all in exact int64 4096ths, folded UNIFORMLY
+    * from the zero state (no init special case — a documented
+    * convention both engines spell identically; the first cycle's
+    * seasonal slots warm up from 0). The state is now a STRUCT WITH AN
+    * ARRAY — each step rewrites one seasonal slot — which is exactly
+    * what makes HW the interesting grade: a slot-index bug preserves
+    * level/trend but breaks the per-slot checksums.
+    *
+    * Spark: one `aggregate` HOF whose accumulator carries the 7-element
+    * array; DuckDB: a recursive CTE carrying a LIST column, updated via
+    * list_transform — the two most different spellings of stateful
+    * seasonal smoothing these engines can express, generated from one
+    * Scala template (the q_ts_macd discipline) so the arithmetic cannot
+    * drift.
+    *
+    * Scale: the day-grain partial agg is the only corpus-sized shuffle;
+    * the fold touches type-grain arrays.
+    */
+  private val holtWinters: QueryDef = {
+    // template pieces; `x` = the day count ref, `st` = state ref,
+    // `slot` = this step's seasonal slot value ref
+    def lN(x: String, slot: String, st: String) =
+      s"(($x*4096L - $slot + $st.l + $st.b) div 2L)"
+    def bN(x: String, slot: String, st: String) =
+      s"(($st.b + ${lN(x, slot, st)} - $st.l) div 2L)"
+    def sN(x: String, slot: String, st: String) =
+      s"(($x*4096L - ${lN(x, slot, st)} + $slot) div 2L)"
+    val build = (s: org.apache.spark.sql.SparkSession, d: String) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          floorDiv(unix_micros(col("ts")), DayUs).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("c"))
+      val slot = "element_at(st.sa, int(st.n % 7L) + 1)"
+      val (x, st) = ("x.c", "st")
+      daily.groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("day"), col("c"))))
+          .as("xs"))
+        .withColumn("st", expr(
+          s"""aggregate(xs,
+             |  named_struct('l', 0L, 'b', 0L,
+             |    'sa', array(0L, 0L, 0L, 0L, 0L, 0L, 0L),
+             |    'suml', 0L, 'n', 0L),
+             |  (st, x) -> named_struct(
+             |    'l', ${lN(x, slot, st)},
+             |    'b', ${bN(x, slot, st)},
+             |    'sa', transform(sequence(0, 6), i ->
+             |      CASE WHEN i = int(st.n % 7L)
+             |        THEN ${sN(x, slot, st)}
+             |        ELSE element_at(st.sa, i + 1) END),
+             |    'suml', st.suml + ${lN(x, slot, st)},
+             |    'n', st.n + 1L))""".stripMargin))
+        .select(col("event_type"), col("st.n").as("n_days"),
+          col("st.l").as("level_x4096"), col("st.b").as("trend_x4096"),
+          expr("aggregate(st.sa, 0L, (a, v) -> a + v)")
+            .as("season_sum_x4096"),
+          expr("aggregate(st.sa, 0L, (a, v) -> a + abs(v))")
+            .as("season_abs_x4096"),
+          col("st.suml").as("suml_x4096"))
+        .orderBy(ascf("event_type"))
+    }
+    // SQL spelling: x → hr.c, state fields → s.…, slot → the list cell
+    def sql(t: (String, String, String) => String) =
+      t("hr.c", "s.sa[CAST(s.n % 7 AS INTEGER) + 1]", "s")
+        .replace(" div ", " // ").replace("L", "")
+        .replace("s.sa[CAST(s.n % 7 AS INTEGER) + 1]",
+          "s.sa[CAST(s.n % 7 AS INTEGER) + 1]")
+    QueryDef("q_ts_holt_winters", build, Some(
+      s"""WITH RECURSIVE h AS (SELECT event_type,
+         |    epoch_us(ts) // 86400000000 AS day, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |hr AS (SELECT event_type, c, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY day ASC) AS rn FROM h),
+         |z AS (SELECT DISTINCT event_type, CAST(0 AS BIGINT) AS l,
+         |    CAST(0 AS BIGINT) AS b,
+         |    [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] AS sa,
+         |    CAST(0 AS BIGINT) AS suml, CAST(0 AS BIGINT) AS n
+         |  FROM h),
+         |s AS (
+         |  SELECT event_type, l, b, sa, suml, n FROM z
+         |  UNION ALL
+         |  SELECT hr.event_type,
+         |    ${sql(lN)},
+         |    ${sql(bN)},
+         |    list_transform(range(0, 7), i ->
+         |      CASE WHEN i = s.n % 7 THEN ${sql(sN)}
+         |        ELSE s.sa[CAST(i AS INTEGER) + 1] END),
+         |    s.suml + ${sql(lN)},
+         |    s.n + 1
+         |  FROM s JOIN hr ON hr.event_type = s.event_type
+         |    AND hr.rn = s.n + 1),
+         |fin AS (SELECT s.*, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY n DESC) AS rr FROM s)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+         |  CAST(l AS BIGINT) AS level_x4096,
+         |  CAST(b AS BIGINT) AS trend_x4096,
+         |  CAST(list_sum(sa) AS BIGINT) AS season_sum_x4096,
+         |  CAST(list_sum(list_transform(sa, v -> abs(v))) AS BIGINT)
+         |    AS season_abs_x4096,
+         |  CAST(suml AS BIGINT) AS suml_x4096
+         |FROM fin WHERE rr = 1
+         |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+  }
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
       theilSen, attrib, transitions, downsample, evalWape, latency,
       period, crossCorr, movingMedian, tsRate, dtw, anomalyMad, bollinger,
       decompose, growth, dauMau, sax, permEntropy, entropyRate, cusum,
-      pacf, kalman, hurst, macd, survival)
+      pacf, kalman, hurst, macd, survival, holtWinters)
 }

@@ -1475,4 +1475,73 @@ class Round7Spec extends SparkSpec {
     }
     Caches.releaseScoped(); Caches.releaseShared()
   }
+
+  test("q_ts_holt_winters: engine fold equals the scalar seasonal replica") {
+    // Third execution of the triple recurrence (HOF fold and recursive
+    // CTE are the graded two) — including the 7-slot seasonal array a
+    // slot-index bug would corrupt.
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        Dsl.floorDiv(unix_micros(col("ts")), 86400000000L).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) =>
+        t -> rs.sortBy(_.getLong(1)).map(_.getLong(2)) }
+    val want = daily.map { case (t, cs) =>
+      var l = 0L; var b = 0L; var suml = 0L
+      val sa = Array.fill(7)(0L)
+      cs.zipWithIndex.foreach { case (c, i) =>
+        val slot = i % 7
+        val lp = (c * 4096 - sa(slot) + l + b) / 2
+        val bp = (b + lp - l) / 2
+        sa(slot) = (c * 4096 - lp + sa(slot)) / 2
+        l = lp; b = bp; suml += lp
+      }
+      t -> ((cs.length.toLong, l, b, sa.sum, sa.map(math.abs).sum, suml))
+    }
+    val got = q("q_ts_holt_winters").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == want, s"holt-winters drift: got=$got want=$want")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_agg_lorenz: replica matches and the curve is a Lorenz curve") {
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(Dsl.dec(col("o_totalprice"))) * 100).cast("long")
+        .as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (k, c) => (c, k) }
+    val n = spend.length
+    // ntile(10) semantics: first (n mod 10) tiles get ceil(n/10) rows
+    val base = n / 10; val extra = n % 10
+    val sizes = (0 until 10).map(i => base + (if (i < extra) 1 else 0))
+    val cuts = sizes.scanLeft(0)(_ + _)
+    val total = spend.map(_._2).sum
+    var cum = 0L
+    val want = (0 until 10).map { i =>
+      val slice = spend.slice(cuts(i), cuts(i + 1))
+      val dc = slice.map(_._2).sum
+      cum += dc
+      (i + 1).toLong -> ((slice.length.toLong, dc,
+        dc * 1000000L / total, cum * 1000000L / total))
+    }.toMap
+    val got = q("q_agg_lorenz").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == want, s"lorenz drift: got=$got want=$want")
+    // curve properties: per-decile shares non-decreasing (sorted by
+    // spend), cumulative share below the diagonal, ends at ~100%
+    val shares = (1 to 10).map(i => got(i.toLong)._3)
+    assert(shares.zip(shares.tail).forall { case (a, b) => b >= a },
+      "decile shares must be non-decreasing under the spend order")
+    (1 to 9).foreach { i =>
+      assert(got(i.toLong)._4 <= i * 100000L + 1,
+        s"Lorenz curve above the diagonal at decile $i") }
+    assert(math.abs(got(10L)._4 - 1000000L) <= 1, "curve must end at 1")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
 }
