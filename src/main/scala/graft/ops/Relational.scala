@@ -1158,10 +1158,101 @@ object Relational {
         .mkString("", "\nUNION ALL\n", "\nORDER BY fd ASC NULLS FIRST")
     })
 
+  /** Relational DIVISION (round 7): the "for ALL" join — which
+    * suppliers supply EVERY part in a probe set — the one classical
+    * relational-algebra operator the inventory still lacked (σ π ⋈ ∪ ∩
+    * − ÷; division is the universal-quantifier query SQL can only spell
+    * through double negation or counting). Implemented the counting
+    * way: hits-per-supplier against the broadcast probe set, full
+    * qualification ⇔ hits = |probe set|. The probe set is data-driven —
+    * the busiest supplier's 3 most-popular parts, so the quotient is
+    * NON-EMPTY by construction at every SF (the anchor supplier always
+    * qualifies; popularity-only probes measured an empty quotient at
+    * sf0.1's sparse incidence) — and the census also grades the
+    * MISSING-ONE tier: division is unforgiving, and the near-miss
+    * count proves the counting path rather than a vacuous
+    * intersection.
+    *
+    * Scale: the supplier×part incidence relation is built once
+    * (distinct, the corpus shuffle); the probe set is 3 rows broadcast;
+    * hits aggregate supplier-sized; census nation-sized. This is the
+    * textbook division plan — never a nested NOT EXISTS per row.
+    *
+    * Determinism (D1): probe selection under total (count DESC,
+    * partkey ASC) order; pure integer counting; id checksums.
+    */
+  private val joinDivision = QueryDef(
+    "q_join_division",
+    (s, d) => {
+      val sp = graft.Caches.scoped(Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct())
+      // probe = the busiest supplier's 3 most-popular parts ("who else
+      // could replace supplier X on these?"): the anchor supplier is a
+      // guaranteed quotient member BY CONSTRUCTION, so the universal
+      // quantifier stays satisfiable at every SF — probes chosen by
+      // global or co-occurrence popularity alone both measured an
+      // EMPTY quotient at sf0.1, where the incidence is too sparse for
+      // any 3 independent parts to share a supplier
+      val s0 = sp.groupBy(col("sk"))
+        .agg(count(lit(1)).as("np"))
+        .orderBy(descl("np"), ascf("sk"))
+        .limit(1)
+        .select(col("sk"))
+      val pcount = sp.groupBy(col("pk")).agg(count(lit(1)).as("nsup"))
+      val probe = sp.join(broadcast(s0), Seq("sk"))
+        .join(pcount, Seq("pk"))
+        .orderBy(descl("nsup"), ascf("pk"))
+        .limit(3)
+        .select(col("pk"))
+      val hits = sp.join(broadcast(probe), Seq("pk"))
+        .groupBy(col("sk")).agg(count(lit(1)).as("nhit"))
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(hits, col("s_suppkey") === col("sk"), "left")
+        .select(col("n_name"), col("s_suppkey"),
+          coalesce(col("nhit"), lit(0L)).as("nhit"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(when(col("nhit") === 3, 1L).otherwise(0L)).as("n_full"),
+          sum(when(col("nhit") === 2, 1L).otherwise(0L))
+            .as("n_missing_one"),
+          sum(when(col("nhit") === 3, col("s_suppkey")).otherwise(0L))
+            .as("full_id_checksum"))
+        .orderBy(ascf("n_name"))
+    },
+    Some("""WITH sp AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS sk,
+           |    CAST(l_partkey AS BIGINT) AS pk FROM lineitem),
+           |s0 AS (SELECT sk FROM (
+           |    SELECT sk, count(*) AS np FROM sp GROUP BY sk)
+           |  ORDER BY np DESC, sk ASC LIMIT 1),
+           |pc AS (SELECT pk, count(*) AS nsup FROM sp GROUP BY pk),
+           |probe AS (SELECT pk FROM sp
+           |  JOIN s0 USING (sk) JOIN pc USING (pk)
+           |  ORDER BY nsup DESC, pk ASC LIMIT 3),
+           |hits AS (SELECT sk, CAST(count(*) AS BIGINT) AS nhit
+           |  FROM sp JOIN probe USING (pk) GROUP BY sk)
+           |SELECT n.n_name AS n_name,
+           |  CAST(count(*) AS BIGINT) AS n_suppliers,
+           |  CAST(sum(CASE WHEN h.nhit = 3 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_full,
+           |  CAST(sum(CASE WHEN h.nhit = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_missing_one,
+           |  CAST(sum(CASE WHEN h.nhit = 3 THEN su.s_suppkey ELSE 0 END)
+           |    AS BIGINT) AS full_id_checksum
+           |FROM supplier su
+           |JOIN nation n ON su.s_nationkey = n.n_nationkey
+           |LEFT JOIN hits h ON su.s_suppkey = h.sk
+           |GROUP BY n.n_name
+           |ORDER BY n_name ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(scanProject, scanPushdown, scanEventsNs,
     filterCompound, filterExpr,
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
     joinCross, joinTheta, joinRange, joinAsof, joinAsofNearest, joinStar, joinBroadcast,
     joinQ5, joinQ3, joinQ10, joinQ19, joinNullSafe, joinSalted, joinBloom,
-    subqScalar, subqExists, auditFk, auditExpectations, joinDpp, auditFd)
+    subqScalar, subqExists, auditFk, auditExpectations, joinDpp, auditFd,
+    joinDivision)
 }

@@ -1544,4 +1544,57 @@ class Round7Spec extends SparkSpec {
     assert(math.abs(got(10L)._4 - 1000000L) <= 1, "curve must end at 1")
     Caches.releaseScoped(); Caches.releaseShared()
   }
+
+  test("q_join_division: scalar replica matches; the anchor supplier " +
+    "guarantees a non-empty quotient") {
+    val sp = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val anchor = sp.groupBy(_._1).toSeq
+      .map { case (sk, ps) => (sk, ps.length) }
+      .minBy { case (sk, np) => (-np, sk) }._1
+    val pop = sp.groupBy(_._2).map { case (pk, ss) => pk -> ss.length }
+    val probe = sp.filter(_._1 == anchor).map(_._2)
+      .sortBy(pk => (-pop(pk), pk)).take(3).toSet
+    assert(probe.size == 3)
+    val hits = sp.filter(e => probe(e._2)).groupBy(_._1)
+      .map { case (sk, es) => sk -> es.length.toLong }
+    val nations = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = nations.groupBy(_._2).map { case (nn, ss) =>
+      nn -> ((ss.length.toLong,
+        ss.count(s => hits.getOrElse(s._1, 0L) == 3L).toLong,
+        ss.count(s => hits.getOrElse(s._1, 0L) == 2L).toLong,
+        ss.filter(s => hits.getOrElse(s._1, 0L) == 3L).map(_._1).sum))
+    }
+    val got = q("q_join_division").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == want, s"division drift: got=$got want=$want")
+    assert(got.values.map(_._2).sum >= 1,
+      "quotient empty — the anchor supplier must qualify by construction")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_lake_mor_deletes: deletes apply without touching data files") {
+    val rows = q("q_lake_mor_deletes").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // replica straight from orders
+    val base = Tables.orders(spark, sfDir)
+      .filter(pmod(col("o_orderkey"), lit(20)) === 0)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val live = base.filter(k => k % 100 != 0 && k % 140 != 0)
+    assert(r.getLong(0) == live.length.toLong, "live row count drift")
+    assert(r.getLong(1) == live.sum, "live key checksum drift")
+    // merge-on-read contract: something WAS deleted, and the delete
+    // commits did not rewrite the immutable base (still 2 data files)
+    assert(live.length < base.length, "no row was ever deleted — vacuous")
+    assert(r.getLong(4) == 2L, "data files were rewritten (not MoR)")
+    assert(r.getLong(5) == 2L, "expected exactly 2 delete sidecars")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
 }
