@@ -2098,8 +2098,107 @@ object Graph {
          |ORDER BY color ASC NULLS FIRST""".stripMargin
     })
 
+  /** 2-approximate vertex cover via locally-dominant edges (round 7):
+    * the classic approximation-algorithm pairing with q_graph_matching
+    * (bipartite propose-accept) and q_graph_coloring (independent
+    * sets) — a maximal matching's ENDPOINTS form a vertex cover at
+    * most 2× optimal (every cover must hit each matched edge at least
+    * once), and the distributed maximal matching on a GENERAL graph
+    * uses locally-dominant edges: in each round an edge joins iff it
+    * is the minimum (a, b)-lexicographic live edge at BOTH endpoints
+    * (mutual minima cannot conflict, so each round's picks are a
+    * matching by construction). Graded census: matched edges, cover
+    * size, the cover id checksum, and n_uncovered_edges — the
+    * maximality readout (0 ⇔ the matching is maximal ⇔ the cover is
+    * valid).
+    *
+    * Scale: per round, one incidence expansion (2 rows per live edge),
+    * one per-node windowed argmin, one self-join of the rank-1 rows —
+    * all edge-relation-sized on a relation that shrinks as endpoints
+    * get covered; K = 4 rounds reach maximality on any
+    * bounded-diameter sparse graph (asserted by the graded
+    * n_uncovered_edges = 0 at every SF).
+    *
+    * Determinism: (a, b)-lexicographic edge priority is total; pure
+    * integer census.
+    */
+  private val vertexCover = QueryDef(
+    "q_graph_vertex_cover",
+    (s, d) => {
+      val und = graft.Caches.scoped(undirectedTop3(s, d)
+        .select(col("a").cast("long").as("a"),
+          col("b").cast("long").as("b")))
+      var cover = und.select(col("a").as("v")).filter(lit(false))
+      for (_ <- 1 to 4) {
+        val live = und
+          .join(cover.select(col("v").as("a")), Seq("a"), "left_anti")
+          .join(cover.select(col("v").as("b")), Seq("b"), "left_anti")
+        val inc = live.select(col("a").as("node"), col("a"), col("b"))
+          .unionByName(live.select(col("b").as("node"), col("a"), col("b")))
+        val top = inc.withColumn("rn", row_number().over(Window
+            .partitionBy(col("node")).orderBy(ascf("a"), ascf("b"))))
+          .filter(col("rn") === 1)
+          .select(col("node"), col("a"), col("b"))
+        val dominant = top.groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("nends"))
+          .filter(col("nends") === 2)
+        cover = graft.Dsl.statsTruncate(cover
+          .unionByName(dominant.select(col("a").as("v")))
+          .unionByName(dominant.select(col("b").as("v"))))
+      }
+      val cv = cover.distinct()
+      val uncovered = und
+        .join(cv.select(col("v").as("a")), Seq("a"), "left_anti")
+        .join(cv.select(col("v").as("b")), Seq("b"), "left_anti")
+      und.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(cv.agg(count(lit(1)).as("cover_size"),
+          coalesce(sum(col("v")), lit(0L)).as("cover_checksum")))
+        .crossJoin(uncovered.agg(count(lit(1)).as("n_uncovered_edges")))
+        .select(col("n_edges"),
+          expr("cover_size div 2").as("n_matched"),
+          col("cover_size"), col("cover_checksum"),
+          col("n_uncovered_edges"))
+        .orderBy(ascf("n_edges"))
+    },
+    Some {
+      val rounds = (1 to 4).map { k =>
+        val prev = s"c${k - 1}"
+        s"""lv$k AS (SELECT u.a, u.b FROM ud u
+           |  WHERE u.a NOT IN (SELECT v FROM $prev)
+           |    AND u.b NOT IN (SELECT v FROM $prev)),
+           |tp$k AS (SELECT node, a, b FROM (
+           |    SELECT node, a, b, row_number() OVER (
+           |      PARTITION BY node ORDER BY a ASC, b ASC) AS rn
+           |    FROM (SELECT a AS node, a, b FROM lv$k
+           |          UNION ALL SELECT b AS node, a, b FROM lv$k))
+           |  WHERE rn = 1),
+           |dm$k AS MATERIALIZED (SELECT a, b FROM tp$k
+           |  GROUP BY a, b HAVING count(*) = 2),
+           |c$k AS MATERIALIZED (SELECT v FROM $prev
+           |  UNION ALL SELECT a AS v FROM dm$k
+           |  UNION ALL SELECT b AS v FROM dm$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $UndSql,
+         |ud AS (SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+         |  FROM und),
+         |c0 AS (SELECT CAST(NULL AS BIGINT) AS v WHERE false),
+         |$rounds,
+         |cv AS (SELECT DISTINCT v FROM c4),
+         |unc AS (SELECT count(*) AS n FROM ud
+         |  WHERE a NOT IN (SELECT v FROM cv)
+         |    AND b NOT IN (SELECT v FROM cv))
+         |SELECT CAST((SELECT count(*) FROM ud) AS BIGINT) AS n_edges,
+         |  CAST((SELECT count(*) FROM cv) // 2 AS BIGINT) AS n_matched,
+         |  CAST((SELECT count(*) FROM cv) AS BIGINT) AS cover_size,
+         |  CAST((SELECT coalesce(sum(v), 0) FROM cv) AS BIGINT)
+         |    AS cover_checksum,
+         |  CAST((SELECT n FROM unc) AS BIGINT) AS n_uncovered_edges
+         |ORDER BY n_edges ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(pagerank, triangles, bfs, degree,
     graphJaccard, labelProp, closeness, scc, kcore, copurchase,
     adamicAdar, hits, assortativity, reciprocity, clustering, mst, motifs,
-    eccentric, truss, modularity, betweenness, walk2, matching, coloring)
+    eccentric, truss, modularity, betweenness, walk2, matching, coloring,
+    vertexCover)
 }

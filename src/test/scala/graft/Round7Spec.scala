@@ -1597,4 +1597,51 @@ class Round7Spec extends SparkSpec {
     assert(r.getLong(5) == 2L, "expected exactly 2 delete sidecars")
     Caches.releaseScoped(); Caches.releaseShared()
   }
+
+  test("q_fn_variant: typed extraction equals source-derived truth") {
+    // The exercised JSON is synthesized from fixture columns, so the
+    // replica needs no JSON parser at all: recompute every graded
+    // number straight from the source columns and require the VARIANT
+    // path (parse_json → variant_get) to agree.
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).map { case (t, rs) =>
+      t -> ((rs.length.toLong, rs.map(_._4).sum,
+        rs.map(e => e._3 % 5).sum, rs.map(e => e._4 % 7).sum,
+        rs.length.toLong, rs.length.toLong, rs.length.toLong))
+    }
+    val got = q("q_fn_variant").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got == want, s"variant drift: got=$got want=$want")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_graph_vertex_cover: replica matches and the cover COVERS") {
+    val und = ops.Graph.undirectedTop3(spark, sfDir)
+      .select(col("a").cast("long"), col("b").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var cover = Set.empty[Long]
+    for (_ <- 1 to 4) {
+      val live = und.filter(e => !cover(e._1) && !cover(e._2))
+      val minAt = live.flatMap(e => Seq(e._1 -> e, e._2 -> e))
+        .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).min }
+      val dominant = live.filter(e => minAt(e._1) == e && minAt(e._2) == e)
+      cover ++= dominant.flatMap(e => Seq(e._1, e._2))
+    }
+    // validity of the replica's own cover (maximal matching ⇒ cover)
+    val uncovered = und.count(e => !cover(e._1) && !cover(e._2))
+    val r = q("q_graph_vertex_cover").collect().head
+    assert(r.getLong(0) == und.length.toLong, "edge count drift")
+    assert(r.getLong(1) == cover.size.toLong / 2, "matched count drift")
+    assert(r.getLong(2) == cover.size.toLong, "cover size drift")
+    assert(r.getLong(3) == cover.sum, "cover checksum drift")
+    assert(r.getLong(4) == uncovered.toLong, "uncovered count drift")
+    assert(r.getLong(4) == 0L,
+      "matching not maximal after 4 rounds — cover is NOT a cover")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
 }
