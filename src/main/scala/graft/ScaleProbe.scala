@@ -276,7 +276,9 @@ object ScaleProbe {
         // round-7 batch 93: relational division, merge-on-read deletes
         "q_join_division", "q_lake_mor_deletes",
         // round-7 batch 94: VARIANT typed extraction, 2-approx cover
-        "q_fn_variant", "q_graph_vertex_cover")
+        "q_fn_variant", "q_graph_vertex_cover",
+        // round-7 batch 95: farthest-first k-center, cooldown debounce
+        "q_vec_kcenter", "q_win_debounce")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

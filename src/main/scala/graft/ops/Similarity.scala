@@ -1183,8 +1183,101 @@ object Similarity {
            |ORDER BY rank ASC NULLS FIRST""".stripMargin))
   }
 
+  /** Farthest-first k-center seeding (round 7, Gonzalez '85): pick k=5
+    * centers by repeatedly taking the point FARTHEST from the chosen
+    * set (exact squared L2 over the e6-quantized vectors, maximin with
+    * id tiebreak) — the 2-approximation for the k-center objective and
+    * the standard deterministic stand-in for k-means++ seeding /
+    * coreset construction. The graded output carries each center's
+    * selection distance (non-increasing by construction) AND the final
+    * COVERAGE RADIUS — max over all points of the distance to their
+    * nearest center, i.e. the k-center objective value itself, which
+    * the 2-approx guarantee bounds.
+    *
+    * Scale: each greedy round is one data-parallel scan computing the
+    * min-distance-to-centers (centers broadcast, ≤ k·64 longs) and an
+    * argmax AGGREGATE — never a driver-side sort; the k-row selection
+    * state is driver-held (the q_vec_mmr parameter-server loop). This
+    * is exactly how k-means|| and coreset builders seed at fleet scale.
+    *
+    * Determinism (D3): exact int64 squared distances ⇒ pure-integer
+    * argmax under (d2 DESC, vec_id ASC); the oracle re-runs the whole
+    * greedy traversal as unrolled MATERIALIZED CTEs.
+    */
+  private val vecKcenter: QueryDef = {
+    val K = 5
+    val build = (s: org.apache.spark.sql.SparkSession, d: String) => {
+      val emb = graft.Caches.scoped(
+        VecOps.quantized(s, d).select(col("vec_id"), col("v")))
+      def d2To(cv: Seq[Long]) = {
+        val diff2 = (1 to 64).map(k =>
+          (element_at(col("v"), k) - lit(cv(k - 1))) *
+            (element_at(col("v"), k) - lit(cv(k - 1))))
+        diff2.reduce(_ + _)
+      }
+      val c1 = emb.orderBy(ascf("vec_id")).limit(1).head()
+      var centers = Vector((c1.getLong(0), c1.getSeq[Long](1), 0L))
+      for (_ <- 2 to K) {
+        val minD = centers.map(c => d2To(c._2)).reduce(least(_, _))
+        val win = emb
+          .filter(!col("vec_id").isInCollection(centers.map(_._1)))
+          .select(col("vec_id"), col("v"), minD.as("d2"))
+          .orderBy(descl("d2"), ascf("vec_id"))
+          .limit(1).head()
+        centers = centers :+ ((win.getLong(0), win.getSeq[Long](1),
+          win.getLong(2)))
+      }
+      val minAll = centers.map(c => d2To(c._2)).reduce(least(_, _))
+      val radius = emb.agg(max(minAll)).head().getLong(0)
+      val rows = centers.zipWithIndex.map { case ((id, _, d2), i) =>
+        org.apache.spark.sql.Row((i + 1).toLong, id, d2, radius) }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("sel_d2",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("radius_d2",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+        .orderBy(ascf("rank"))
+    }
+    def d2Sql(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, 65), k -> " +
+        s"($a.v[k] - $b.v[k]) * ($a.v[k] - $b.v[k]))) AS BIGINT)"
+    val rounds = (2 to K).map { i =>
+      val prev = (1 until i).map(j => s"s$j")
+      val minE =
+        if (prev.size == 1) d2Sql("n", "s1")
+        else "least(" + prev.map(p => d2Sql("n", p)).mkString(", ") + ")"
+      val notIn = prev.map(p => s"n.vec_id <> $p.vec_id").mkString(" AND ")
+      s"""s$i AS MATERIALIZED (SELECT n.vec_id, n.v, $minE AS d2
+         |  FROM n, ${prev.mkString(", ")} WHERE $notIn
+         |  ORDER BY d2 DESC, n.vec_id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val allC = (1 to K).map(j => s"s$j").mkString(", ")
+    val minAllE = "least(" + (1 to K).map(j => d2Sql("n", s"s$j"))
+      .mkString(", ") + ")"
+    val sel = (1 to K).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, vec_id, " +
+        s"${if (i == 1) "CAST(0 AS BIGINT)" else "d2"} AS sel_d2 FROM s$i")
+      .mkString("\nUNION ALL\n")
+    QueryDef("q_vec_kcenter", build, Some(
+      VecOps.oracleQuantized +
+        s""",
+           |s1 AS MATERIALIZED (SELECT vec_id, v FROM n
+           |  ORDER BY vec_id ASC LIMIT 1),
+           |$rounds,
+           |rad AS (SELECT max($minAllE) AS r FROM n, $allC)
+           |SELECT c.rank, c.vec_id, c.sel_d2,
+           |  CAST(rad.r AS BIGINT) AS radius_d2
+           |FROM ($sel) c, rad
+           |ORDER BY rank ASC NULLS FIRST""".stripMargin))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     dedupExact, simJaccard, simCosineTopk, simThresholdJoin, simKnnJoin,
     dedupMinhash, sampleNegative, simCosineSets, vecRandproj, simRecall,
-    vecPcaPower, simMips, vecStats, vecMmr)
+    vecPcaPower, simMips, vecStats, vecMmr, vecKcenter)
 }

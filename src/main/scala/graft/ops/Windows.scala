@@ -1093,9 +1093,89 @@ object Windows {
            |FROM wt GROUP BY event_type
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
+  /** Cooldown debounce (round 7): per user, keep an event only if ≥ 24 h
+    * have passed since the last KEPT event — the notification-throttle /
+    * alert-dedup primitive. The deliberate contrast with
+    * q_win_queue_replay: the Lindley recurrence had a window-algebra
+    * closed form, but debounce kept-ness depends on the kept
+    * PREDECESSOR (a lag() of a column being defined decides which rows
+    * exist to lag over), so it is genuinely sequential — no frame
+    * expresses it, and the engines are graded on the fold itself
+    * (aggregate HOF vs recursive-CTE oracle, the q_ts_holt pattern at
+    * USER grain). q_win_sessionize keys on raw inter-event gaps;
+    * debounce keys on gaps TO THE LAST SURVIVOR — one dropped event
+    * changes every later decision.
+    *
+    * Scale: per-user arrays are stream-length-bounded (≈ tens–hundreds
+    * of events; a hot user would shard by day first, the queue-replay
+    * windowing); one corpus shuffle to user grain; census per
+    * user-shard.
+    *
+    * Determinism (D1/D2): µs integer timestamps under the
+    * (ts, event_id) total order; checksum of kept SECONDS exact.
+    */
+  private val winDebounce = QueryDef(
+    "q_win_debounce",
+    (s, d) => {
+      val W = 86400000000L
+      Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+          col("event_id"))
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("tu"), col("event_id"))))
+          .as("xs"))
+        .withColumn("st", expr(
+          s"""aggregate(xs,
+             |  named_struct('last', 0L, 'nk', 0L, 'cks', 0L),
+             |  (st, x) -> CASE
+             |    WHEN st.nk = 0L OR x.tu - st.last >= ${W}L
+             |      THEN named_struct('last', x.tu, 'nk', st.nk + 1L,
+             |        'cks', st.cks + x.tu div 1000000L)
+             |    ELSE st END)""".stripMargin))
+        .select(col("user_id"), size(col("xs")).cast("long").as("ne"),
+          col("st.nk").as("nk"), col("st.cks").as("cks"))
+        .groupBy(pmod(col("user_id"), lit(16L)).as("bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("ne")).as("n_events"),
+          sum(col("nk")).as("n_kept"),
+          sum(col("cks")).as("kept_ts_checksum"),
+          max(col("nk")).as("max_kept"))
+        .orderBy(ascf("bucket"))
+    },
+    Some("""WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) AS tu,
+           |    event_id FROM events),
+           |hr AS (SELECT user_id, tu, row_number() OVER (
+           |    PARTITION BY user_id ORDER BY tu ASC, event_id ASC) AS rn
+           |  FROM e),
+           |s AS (
+           |  SELECT user_id, rn, tu AS last, CAST(1 AS BIGINT) AS nk,
+           |    tu // 1000000 AS cks
+           |  FROM hr WHERE rn = 1
+           |  UNION ALL
+           |  SELECT hr.user_id, hr.rn,
+           |    CASE WHEN hr.tu - s.last >= 86400000000
+           |      THEN hr.tu ELSE s.last END,
+           |    s.nk + CASE WHEN hr.tu - s.last >= 86400000000
+           |      THEN 1 ELSE 0 END,
+           |    s.cks + CASE WHEN hr.tu - s.last >= 86400000000
+           |      THEN hr.tu // 1000000 ELSE 0 END
+           |  FROM s JOIN hr ON hr.user_id = s.user_id
+           |    AND hr.rn = s.rn + 1),
+           |fin AS (SELECT s.*, row_number() OVER (
+           |    PARTITION BY user_id ORDER BY rn DESC) AS rr FROM s)
+           |SELECT user_id % 16 AS bucket,
+           |  CAST(count(*) AS BIGINT) AS n_users,
+           |  CAST(sum(rn) AS BIGINT) AS n_events,
+           |  CAST(sum(nk) AS BIGINT) AS n_kept,
+           |  CAST(sum(cks) AS BIGINT) AS kept_ts_checksum,
+           |  CAST(max(nk) AS BIGINT) AS max_kept
+           |FROM fin WHERE rr = 1
+           |GROUP BY 1
+           |ORDER BY bucket ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     winRank, winRunning, winLeadLag, winRangeFrame, winNtilePct, winFirstLast,
     sortNulls, limitOffset, topkGroup, winSessionize, winStreak, winPattern,
     winDistinct, winConcurrency, winIntervals, winRankDelta, winAlloc,
-    winRatelimit, winDrawdown, winFifo, winQueueReplay)
+    winRatelimit, winDrawdown, winFifo, winQueueReplay, winDebounce)
 }

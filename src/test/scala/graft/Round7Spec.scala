@@ -1644,4 +1644,68 @@ class Round7Spec extends SparkSpec {
       "matching not maximal after 4 rounds — cover is NOT a cover")
     Caches.releaseScoped(); Caches.releaseShared()
   }
+
+  test("q_vec_kcenter: greedy replica matches; the k-center invariants hold") {
+    val vecs = ops.VecOps.quantized(spark, sfDir)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var centers = Vector(vecs.minBy(_._1))
+    var selD = Vector(0L)
+    for (_ <- 2 to 5) {
+      val win = vecs.filter(v => !centers.exists(_._1 == v._1))
+        .map(v => (v._1, v._2, centers.map(c => d2(v._2, c._2)).min))
+        .minBy { case (id, _, dd) => (-dd, id) }
+      centers = centers :+ ((win._1, win._2)); selD = selD :+ win._3
+    }
+    val radius = vecs.map(v => centers.map(c => d2(v._2, c._2)).min).max
+    val got = q("q_vec_kcenter").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).toVector == centers.map(_._1), "center ids drift")
+    assert(got.map(_._3).toVector == selD, "selection distances drift")
+    assert(got.forall(_._4 == radius), "radius drift")
+    // greedy invariants: selection distances non-increasing (rounds
+    // 2..k), and the final radius is what round k+1 WOULD select, so
+    // it cannot exceed the last selection distance
+    val ds = selD.drop(1)
+    assert(ds.zip(ds.tail).forall { case (a, b) => b <= a },
+      "selection distances must be non-increasing")
+    assert(radius <= ds.last, "radius exceeds the last selection distance")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_win_debounce: scalar replica matches; kept set is a fixpoint") {
+    val W = 86400000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def debounce(ts: Seq[Long]): Seq[Long] = {
+      var last = Long.MinValue / 4; val out = Seq.newBuilder[Long]
+      ts.foreach { t => if (t - last >= W) { out += t; last = t } }
+      out.result()
+    }
+    val perUser = ev.groupBy(_._1).map { case (u, rs) =>
+      val ts = rs.sortBy(r => (r._2, r._3)).map(_._2)
+      val kept = debounce(ts)
+      // fixpoint: debouncing the SURVIVORS keeps them all — the
+      // cascade semantics (gaps measured to the last survivor) imply
+      // idempotence; gap-to-previous-raw-event semantics would not be
+      assert(debounce(kept) == kept, s"user $u kept set not a fixpoint")
+      (u, ts.length.toLong, kept.length.toLong,
+        kept.map(_ / 1000000L).sum)
+    }
+    val want = perUser.groupBy(_._1 % 16).map { case (b, us) =>
+      b -> ((us.size.toLong, us.map(_._2).sum, us.map(_._3).sum,
+        us.map(_._4).sum, us.map(_._3).max))
+    }
+    val got = q("q_win_debounce").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want, s"debounce drift: got=$got want=$want")
+    assert(got.values.map(_._3).sum < got.values.map(_._2).sum,
+      "nothing was ever debounced — vacuous")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
 }
