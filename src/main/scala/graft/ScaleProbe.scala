@@ -278,7 +278,9 @@ object ScaleProbe {
         // round-7 batch 94: VARIANT typed extraction, 2-approx cover
         "q_fn_variant", "q_graph_vertex_cover",
         // round-7 batch 95: farthest-first k-center, cooldown debounce
-        "q_vec_kcenter", "q_win_debounce")
+        "q_vec_kcenter", "q_win_debounce",
+        // round-7 batch 96: CUPED adjustment, empirical-Bayes shrinkage
+        "q_agg_cuped", "q_agg_bayes_shrink")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

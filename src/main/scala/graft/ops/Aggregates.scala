@@ -1777,11 +1777,182 @@ object Aggregates {
            |FROM c
            |ORDER BY decile ASC NULLS FIRST""".stripMargin))
 
+  /** CUPED variance reduction (round 7): the A/B-testing workhorse —
+    * adjust each user's experiment-period metric y by their
+    * PRE-period metric x (adj = y − θx with θ = cov(x,y)/var(x)), which
+    * provably shrinks variance by the squared correlation while leaving
+    * treatment-effect estimates unbiased. Pre = each user's first-15-day
+    * spend-weighted event value, post = the rest; variant = user mod 2
+    * (an A/A split — the graded quantity is the MACHINERY: θ, the
+    * adjusted sums, and the achieved variance-reduction ratio, which
+    * the spec cross-checks against ρ²).
+    *
+    * Scale: two user-grain partial aggs (one scan); θ's moment sums are
+    * global scalars broadcast back; the adjusted census is one more
+    * pass over user-grain rows. All the fleet-scale cost is the scan —
+    * exactly how experiment platforms compute CUPED nightly.
+    *
+    * Determinism (D2): cents-exact metrics; θ cleared of denominators
+    * (θ_num = nΣxy−ΣxΣy, θ_den = nΣx²−(Σx)²) through DECIMAL(38,0)/
+    * HUGEINT and truncated to θ_e6 once; adjusted values are then exact
+    * int64 e6 quantities; the variance-reduction ratio divides two
+    * decimal-staged second moments to one e6 int.
+    */
+  private val aggCuped = QueryDef(
+    "q_agg_cuped",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          floorDiv(unix_micros(col("ts")), 86400000000L).as("day"),
+          (dec(col("value")) * 100).cast("long").as("cents"))
+      val firstDay = ev.agg(min(col("day")).as("d0"))
+      val users = graft.Caches.scoped(ev.crossJoin(broadcast(firstDay))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") < col("d0") + 15, col("cents"))
+            .otherwise(0L)).as("x"),
+          sum(when(col("day") >= col("d0") + 15, col("cents"))
+            .otherwise(0L)).as("y")))
+      val theta = users.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(expr(
+          """CAST((CAST(n AS DECIMAL(38,0)) * sxy
+            |  - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000
+            |  div (CAST(n AS DECIMAL(38,0)) * sxx
+            |  - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)"""
+            .stripMargin).as("theta_e6"))
+      users.crossJoin(broadcast(theta))
+        .select(pmod(col("user_id"), lit(2L)).as("variant"),
+          col("y"), col("theta_e6"),
+          (col("y") * 1000000L - col("theta_e6") * col("x")).as("adj"))
+        // rescale e6→e3 BEFORE squaring: the second moments of the e6
+        // quantities overflow even DECIMAL(38)/HUGEINT at the 10x probe
+        // (n·Σadj² ≈ 2·10³⁸); both engines rescale identically so the
+        // ratio is still exact to its printed precision
+        .withColumn("adjk", expr("adj div 1000"))
+        .withColumn("yk", col("y") * 1000L)
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("y")).as("y_sum_cents"),
+          sum(col("adj")).as("adj_sum_e6"),
+          max(col("theta_e6")).as("theta_e6"),
+          expr(
+            """CAST((CAST(count(1) AS DECIMAL(38,0))
+              |    * sum(CAST(adjk AS DECIMAL(38,0)) * adjk)
+              |  - CAST(sum(adjk) AS DECIMAL(38,0)) * sum(adjk)) * 1000000
+              |  div (CAST(count(1) AS DECIMAL(38,0))
+              |    * sum(CAST(yk AS DECIMAL(38,0)) * yk)
+              |  - CAST(sum(yk) AS DECIMAL(38,0)) * sum(yk))
+              |  AS BIGINT)""".stripMargin).as("var_ratio_e6"))
+        .orderBy(ascf("variant"))
+    },
+    Some("""WITH e AS (SELECT user_id,
+           |    epoch_us(ts) // 86400000000 AS day,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           |  FROM events),
+           |d0 AS (SELECT min(day) AS d0 FROM e),
+           |u AS (SELECT user_id,
+           |    CAST(sum(CASE WHEN day < d0.d0 + 15 THEN cents ELSE 0 END)
+           |      AS BIGINT) AS x,
+           |    CAST(sum(CASE WHEN day >= d0.d0 + 15 THEN cents ELSE 0 END)
+           |      AS BIGINT) AS y
+           |  FROM e, d0 GROUP BY user_id),
+           |th AS (SELECT CAST((CAST(count(*) AS HUGEINT) * sum(x * y)
+           |    - CAST(sum(x) AS HUGEINT) * sum(y)) * 1000000
+           |    // (CAST(count(*) AS HUGEINT) * sum(x * x)
+           |    - CAST(sum(x) AS HUGEINT) * sum(x)) AS BIGINT) AS theta_e6
+           |  FROM u),
+           |a AS (SELECT user_id % 2 AS variant, y, th.theta_e6,
+           |    y * 1000000 - th.theta_e6 * x AS adj,
+           |    (y * 1000000 - th.theta_e6 * x) // 1000 AS adjk,
+           |    y * 1000 AS yk
+           |  FROM u, th)
+           |SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+           |  CAST(sum(y) AS BIGINT) AS y_sum_cents,
+           |  CAST(sum(adj) AS BIGINT) AS adj_sum_e6,
+           |  CAST(max(theta_e6) AS BIGINT) AS theta_e6,
+           |  CAST((CAST(count(*) AS HUGEINT)
+           |      * sum(CAST(adjk AS HUGEINT) * adjk)
+           |    - CAST(sum(adjk) AS HUGEINT) * sum(adjk)) * 1000000
+           |    // (CAST(count(*) AS HUGEINT)
+           |      * sum(CAST(yk AS HUGEINT) * yk)
+           |    - CAST(sum(yk) AS HUGEINT) * sum(yk))
+           |    AS BIGINT) AS var_ratio_e6
+           |FROM a GROUP BY variant
+           |ORDER BY variant ASC NULLS FIRST""".stripMargin))
+
+  /** Empirical-Bayes rate shrinkage (round 7): per-part return rates
+    * smoothed toward the prior (k+α)/(n+α+β) with a fixed α=β=25
+    * pseudo-count prior — the CTR/conversion-rate smoothing every
+    * ranking system applies so a 1-for-1 part doesn't outrank a
+    * 900-for-1000 one. The census grades the smoothing MECHANICS per
+    * brand: raw pooled rate, mean shrunk rate, how many parts sit at a
+    * raw extreme (0 or 1 — exactly the rows shrinkage exists to fix),
+    * and the largest absolute raw→shrunk shift.
+    *
+    * Scale: one lineitem scan to (part) grain with map-side combine, a
+    * broadcast part→brand dim, brand-sized census — the nightly
+    * feature-store job shape.
+    *
+    * Determinism (D1/D2): pure integer counting; all rates e6 by
+    * trunc-div; max-shift via abs of exact e6 ints.
+    */
+  private val aggBayesShrink = QueryDef(
+    "q_agg_bayes_shrink",
+    (s, d) => {
+      val pk = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("k"))
+        .withColumn("raw_e6", expr("k * 1000000 div n"))
+        .withColumn("shrunk_e6",
+          expr("(k + 25) * 1000000 div (n + 50)"))
+      pk.join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("n")).as("n_lines"),
+          sum(col("k")).as("n_returned"),
+          expr("sum(k) * 1000000 div sum(n)").as("raw_pooled_e6"),
+          expr("sum(shrunk_e6) div count(1)").as("mean_shrunk_e6"),
+          sum(when(col("raw_e6") === 0L || col("raw_e6") === 1000000L, 1L)
+            .otherwise(0L)).as("n_extreme_raw"),
+          max(abs(col("shrunk_e6") - col("raw_e6"))).as("max_shift_e6"))
+        .orderBy(ascf("p_brand"))
+    },
+    Some("""WITH pk AS (SELECT l_partkey, count(*) AS n,
+           |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS k
+           |  FROM lineitem GROUP BY 1),
+           |r AS (SELECT l_partkey, n, k,
+           |    k * 1000000 // n AS raw_e6,
+           |    (k + 25) * 1000000 // (n + 50) AS shrunk_e6
+           |  FROM pk)
+           |SELECT p.p_brand AS p_brand,
+           |  CAST(count(*) AS BIGINT) AS n_parts,
+           |  CAST(sum(r.n) AS BIGINT) AS n_lines,
+           |  CAST(sum(r.k) AS BIGINT) AS n_returned,
+           |  CAST(sum(r.k) * 1000000 // sum(r.n) AS BIGINT)
+           |    AS raw_pooled_e6,
+           |  CAST(sum(r.shrunk_e6) // count(*) AS BIGINT)
+           |    AS mean_shrunk_e6,
+           |  CAST(sum(CASE WHEN r.raw_e6 = 0 OR r.raw_e6 = 1000000
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme_raw,
+           |  CAST(max(abs(r.shrunk_e6 - r.raw_e6)) AS BIGINT)
+           |    AS max_shift_e6
+           |FROM r JOIN part p ON r.l_partkey = p.p_partkey
+           |GROUP BY p.p_brand
+           |ORDER BY p_brand ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggQ18, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
     aggPercentile, aggPivot, aggUnpivot, aggGrouping, aggMode, aggBitset,
     aggEntropy, aggQ14, aggQ6, aggGini, aggHhi, aggFiltered, aggSkyline,
     aggPareto, aggBasketLift, aggCramersV, aggMannWhitney, aggTheil,
-    aggMutualInfo, aggTtest, aggSpearman, aggDecay, aggLorenz)
+    aggMutualInfo, aggTtest, aggSpearman, aggDecay, aggLorenz, aggCuped,
+    aggBayesShrink)
 }

@@ -1708,4 +1708,83 @@ class Round7Spec extends SparkSpec {
       "nothing was ever debounced — vacuous")
     Caches.releaseScoped(); Caches.releaseShared()
   }
+
+  test("q_agg_cuped: BigInt replica of theta and the adjusted census") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        Dsl.floorDiv(unix_micros(col("ts")), 86400000000L).as("day"),
+        (Dsl.dec(col("value")) * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val d0 = ev.map(_._2).min
+    val users = ev.groupBy(_._1).map { case (u, rs) =>
+      (u, rs.filter(_._2 < d0 + 15).map(_._3).sum,
+        rs.filter(_._2 >= d0 + 15).map(_._3).sum)
+    }.toSeq
+    val n = BigInt(users.size)
+    val sx = users.map(u => BigInt(u._2)).sum
+    val sy = users.map(u => BigInt(u._3)).sum
+    val sxx = users.map(u => BigInt(u._2) * u._2).sum
+    val sxy = users.map(u => BigInt(u._2) * u._3).sum
+    val theta = (n * sxy - sx * sy) * 1000000 / (n * sxx - sx * sx)
+    val want = users.groupBy(_._1 % 2).map { case (v, us) =>
+      val adj = us.map(u =>
+        BigInt(u._3) * 1000000 - theta * u._2)
+      val adjk = adj.map(_ / 1000)
+      val yk = us.map(u => BigInt(u._3) * 1000)
+      val m = BigInt(us.size)
+      val ratio = ((m * adjk.map(a => a * a).sum
+        - adjk.sum * adjk.sum) * 1000000) /
+        (m * yk.map(a => a * a).sum - yk.sum * yk.sum)
+      v -> ((us.size.toLong, us.map(_._3).sum,
+        adj.sum.toLong, theta.toLong, ratio.toLong))
+    }
+    val got = q("q_agg_cuped").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want, s"cuped drift: got=$got want=$want")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_agg_bayes_shrink: every shrunk rate moves toward the prior") {
+    // Per-part check (finer than the graded brand census): the
+    // posterior mean (k+25)/(n+50) always lies between the raw rate
+    // and the prior mean 1/2 — 1 e6-unit slack for the two floors.
+    val pk = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("k"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    pk.foreach { case (n, k) =>
+      val raw = k * 1000000L / n
+      val shrunk = (k + 25) * 1000000L / (n + 50)
+      assert(math.abs(shrunk - 500000L) <= math.abs(raw - 500000L) + 1,
+        s"shrinkage moved AWAY from the prior: n=$n k=$k")
+      if (raw < 500000L)
+        assert(shrunk + 1 >= raw, s"overshot below: n=$n k=$k")
+      else assert(shrunk <= raw + 1, s"overshot above: n=$n k=$k")
+    }
+    // and the graded census is consistent with a direct replica
+    val parts = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val byPart = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = byPart.groupBy(p => parts(p._1)).map { case (b, ps) =>
+      val shr = ps.map(p => (p._3 + 25) * 1000000L / (p._2 + 50))
+      b -> ((ps.length.toLong, ps.map(_._2).sum, ps.map(_._3).sum,
+        ps.map(_._3).sum * 1000000L / ps.map(_._2).sum,
+        shr.sum / ps.length,
+        ps.count(p => p._3 == 0 || p._3 == p._2).toLong,
+        ps.map(p => math.abs((p._3 + 25) * 1000000L / (p._2 + 50)
+          - p._3 * 1000000L / p._2)).max))
+    }
+    val got = q("q_agg_bayes_shrink").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got == want, s"bayes shrink drift: got=$got want=$want")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
 }
