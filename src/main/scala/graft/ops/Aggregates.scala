@@ -1947,6 +1947,82 @@ object Aggregates {
            |GROUP BY p.p_brand
            |ORDER BY p_brand ASC NULLS FIRST""".stripMargin))
 
+  /** Hierarchy subtree rollup via ancestor-path explosion (round 7):
+    * the org-chart / bill-of-materials aggregate — every node's revenue
+    * summed over its ENTIRE subtree. The hierarchy is the synthetic
+    * decimal 10-ary tree over custkeys (parent = key div 10; keys 1–9
+    * are roots; custkey 0 — whose consistent ancestry would need
+    * unbounded depth — is excluded by the anc ≥ 1 filter in BOTH
+    * engines), and the plan is the warehouse-native one: instead of
+    * iterating levels (or a recursive CTE), each node EXPLODES its ≤ 5
+    * ancestor prefixes (key div 10^k) and one groupBy(ancestor) folds
+    * every subtree simultaneously — the flattened-hierarchy rollup that
+    * replaces CONNECT BY at scale. The census grades per depth: node
+    * count, total subtree revenue, and the largest subtree by size and
+    * by revenue (depth = digit-count − 1, pinning the ancestor
+    * arithmetic from a second direction).
+    *
+    * Scale: ancestor explosion is ×depth (≤ 5 here, ≤ ~20 for any real
+    * hierarchy), then ONE partial-agg'd shuffle keyed by ancestor —
+    * O(nodes·depth) total, no iteration, no per-level barrier; the
+    * revenue base is one orders pass.
+    *
+    * Determinism (D1/D2): exact cents; integer div-10^k ancestors;
+    * depth census under total order.
+    */
+  private val aggHierarchy = QueryDef(
+    "q_agg_hierarchy",
+    (s, d) => {
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("ck"))
+        .agg((sum(dec(col("o_totalprice"))) * 100).cast("long")
+          .as("cents"))
+      val base = graft.Caches.scoped(Tables.customer(s, d)
+        .select(col("c_custkey").as("ck"))
+        .join(rev, Seq("ck"), "left")
+        .select(col("ck"), coalesce(col("cents"), lit(0L)).as("cents")))
+      val sub = base
+        .select(explode(expr(
+          """filter(transform(sequence(0, 4),
+            |  k -> ck div cast(pow(10, k) as bigint)), a -> a >= 1)"""
+            .stripMargin)).as("anc"), col("cents"))
+        .groupBy(col("anc"))
+        .agg(count(lit(1)).as("subtree_size"),
+          sum(col("cents")).as("subtree_cents"))
+      base.select(col("ck")).join(sub, col("ck") === col("anc"))
+        .withColumn("depth", (length(col("ck").cast("string")) - 1)
+          .cast("long"))
+        .groupBy(col("depth"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("subtree_cents")).as("sum_subtree_cents"),
+          max(col("subtree_size")).as("max_subtree_size"),
+          max(col("subtree_cents")).as("max_subtree_cents"))
+        .orderBy(ascf("depth"))
+    },
+    Some("""WITH rev AS (SELECT o_custkey AS ck,
+           |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+           |      AS BIGINT) AS cents
+           |  FROM orders GROUP BY 1),
+           |base AS (SELECT c.c_custkey AS ck,
+           |    CAST(coalesce(rev.cents, 0) AS BIGINT) AS cents
+           |  FROM customer c LEFT JOIN rev ON c.c_custkey = rev.ck),
+           |anc AS (SELECT b.ck // CAST(pow(10, t.k) AS BIGINT) AS anc,
+           |    b.cents
+           |  FROM base b CROSS JOIN range(0, 5) t(k)
+           |  WHERE b.ck // CAST(pow(10, t.k) AS BIGINT) >= 1),
+           |sub AS (SELECT anc, CAST(count(*) AS BIGINT) AS subtree_size,
+           |    CAST(sum(cents) AS BIGINT) AS subtree_cents
+           |  FROM anc GROUP BY anc)
+           |SELECT CAST(length(CAST(b.ck AS VARCHAR)) - 1 AS BIGINT)
+           |    AS depth,
+           |  CAST(count(*) AS BIGINT) AS n_nodes,
+           |  CAST(sum(s.subtree_cents) AS BIGINT) AS sum_subtree_cents,
+           |  CAST(max(s.subtree_size) AS BIGINT) AS max_subtree_size,
+           |  CAST(max(s.subtree_cents) AS BIGINT) AS max_subtree_cents
+           |FROM base b JOIN sub s ON b.ck = s.anc
+           |GROUP BY 1
+           |ORDER BY depth ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggQ18, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
@@ -1954,5 +2030,5 @@ object Aggregates {
     aggEntropy, aggQ14, aggQ6, aggGini, aggHhi, aggFiltered, aggSkyline,
     aggPareto, aggBasketLift, aggCramersV, aggMannWhitney, aggTheil,
     aggMutualInfo, aggTtest, aggSpearman, aggDecay, aggLorenz, aggCuped,
-    aggBayesShrink)
+    aggBayesShrink, aggHierarchy)
 }

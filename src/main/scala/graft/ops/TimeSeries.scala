@@ -3086,11 +3086,71 @@ object TimeSeries {
          |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
   }
 
+  /** New-vs-returning daily split (round 7): the acquisition census
+    * every growth dashboard leads with — per day, how many active users
+    * are seen for the FIRST time vs returning, plus the running total
+    * of distinct users ever seen. Completes the engagement tier:
+    * q_ts_dau_mau grades stickiness, q_win_retention day-k return
+    * rates, q_ts_survival lifetime distributions — this grades the
+    * acquisition/repeat split those all condition on.
+    *
+    * Scale: one corpus pass to (user, day) grain with map-side combine;
+    * first-seen day is a per-user min folded in the same aggregate; the
+    * day census and the cumulative window run on the ≤ span-days
+    * relation. The classic two-level shape — nothing user-grain ever
+    * shuffles twice.
+    *
+    * Determinism (D1/D2): integer epoch days; pure counting;
+    * new_share_e6 trunc-div.
+    */
+  private val newReturning = QueryDef(
+    "q_ts_new_returning",
+    (s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          floorDiv(unix_micros(col("ts")), DayUs).as("day"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n_ev"))
+      val withFirst = ud.withColumn("first_day",
+        min(col("day")).over(Window.partitionBy(col("user_id"))))
+      val daily = withFirst.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("n_new"),
+          sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+            .as("n_returning"),
+          sum(col("n_ev")).as("n_events"))
+      daily.withColumn("cum_users", sum(col("n_new")).over(
+          Window.orderBy(ascf("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("new_share_e6", expr("n_new * 1000000 div n_active"))
+        .orderBy(ascf("day"))
+    },
+    Some("""WITH ud AS (SELECT user_id,
+           |    epoch_us(ts) // 86400000000 AS day, count(*) AS n_ev
+           |  FROM events GROUP BY 1, 2),
+           |f AS (SELECT *, min(day) OVER (PARTITION BY user_id)
+           |    AS first_day FROM ud),
+           |daily AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+           |    CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_new,
+           |    CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_returning,
+           |    CAST(sum(n_ev) AS BIGINT) AS n_events
+           |  FROM f GROUP BY day)
+           |SELECT day, n_active, n_new, n_returning, n_events,
+           |  CAST(sum(n_new) OVER (ORDER BY day ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    AS BIGINT) AS cum_users,
+           |  CAST(n_new * 1000000 // n_active AS BIGINT) AS new_share_e6
+           |FROM daily
+           |ORDER BY day ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
       theilSen, attrib, transitions, downsample, evalWape, latency,
       period, crossCorr, movingMedian, tsRate, dtw, anomalyMad, bollinger,
       decompose, growth, dauMau, sax, permEntropy, entropyRate, cusum,
-      pacf, kalman, hurst, macd, survival, holtWinters)
+      pacf, kalman, hurst, macd, survival, holtWinters, newReturning)
 }

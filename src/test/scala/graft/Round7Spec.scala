@@ -1787,4 +1787,67 @@ class Round7Spec extends SparkSpec {
     assert(got == want, s"bayes shrink drift: got=$got want=$want")
     Caches.releaseScoped(); Caches.releaseShared()
   }
+
+  test("q_agg_hierarchy: path explosion equals a recursive tree replica") {
+    // The graded plan never recurses; this replica builds the tree the
+    // slow way (explicit children lists, bottom-up fold) and must agree
+    // — proving the ancestor-explosion rewrite, not just its spelling.
+    val rev = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(Dsl.dec(col("o_totalprice"))) * 100).cast("long")
+        .as("cents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // custkey 0 is the virtual root: both engines exclude it from the
+    // tree (the anc >= 1 filter) — it would otherwise need unbounded
+    // ancestor depth to be consistent
+    val keys = Tables.customer(spark, sfDir)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+      .filter(_ >= 1)
+    val keySet = keys.toSet
+    val children = keys.groupBy(_ / 10)
+    def subtree(c: Long): (Long, Long) = {
+      val kids = children.getOrElse(c, Array.empty[Long])
+        .filter(k => k != c && keySet(k))
+      val folded = kids.map(subtree)
+      (1L + folded.map(_._1).sum,
+        rev.getOrElse(c, 0L) + folded.map(_._2).sum)
+    }
+    val per = keys.map(c => (c, subtree(c)))
+    val want = per.groupBy(c => c._1.toString.length.toLong - 1)
+      .map { case (dep, ns) =>
+        dep -> ((ns.length.toLong, ns.map(_._2._2).sum,
+          ns.map(_._2._1).max, ns.map(_._2._2).max)) }
+    val got = q("q_agg_hierarchy").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == want, s"hierarchy drift: got=$got want=$want")
+    // conservation: the root level's subtree revenues must sum to the
+    // whole tree's revenue (every node has exactly one root ancestor)
+    assert(per.filter(c => c._1 >= 1 && c._1 <= 9).map(_._2._2).sum
+      == keys.map(k => rev.getOrElse(k, 0L)).sum,
+      "root subtrees do not partition total revenue")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_ts_new_returning: first-seen split replica and conservation") {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        Dsl.floorDiv(unix_micros(col("ts")), 86400000000L).as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val firstSeen = ud.groupBy(_._1).map { case (u, ds) =>
+      u -> ds.map(_._2).min }
+    val got = q("q_ts_new_returning").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    got.foreach { case (day, (act, nw, ret)) =>
+      val active = ud.filter(_._2 == day)
+      assert(act == active.length.toLong, s"day $day active drift")
+      assert(nw == active.count(u => firstSeen(u._1) == day).toLong,
+        s"day $day new drift")
+      assert(act == nw + ret, s"day $day split does not conserve")
+    }
+    // every user is new exactly once
+    assert(got.map(_._2._2).sum == firstSeen.size.toLong,
+      "sum of new users != distinct users")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
 }
