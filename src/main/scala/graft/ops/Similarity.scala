@@ -1276,8 +1276,126 @@ object Similarity {
            |ORDER BY rank ASC NULLS FIRST""".stripMargin))
   }
 
+  /** Filtered vector search: pre-filter vs post-filter (round 7) — THE
+    * vector-database design question: a query wants neighbors
+    * SATISFYING A PREDICATE (here: the probe's own label). Pre-filter
+    * ranks within the predicate's pool (always finds k if the pool has
+    * k); post-filter takes the global top-20 THEN applies the
+    * predicate — cheaper against a global index, but it finds only
+    * what survived the cutoff, and the graded census measures exactly
+    * that gap per probe: predicate-pool size, how many of the true
+    * (pre-filter) top-5 the post-filter route recovers, and whether
+    * the two routes even agree on the best hit. Ranking is by exact
+    * integer dot (the q_sim_mips convention) so every ordering is
+    * pure-integer with id tiebreaks.
+    *
+    * Scale: probes broadcast against the corpus (the ANN-serving
+    * shape); both routes share ONE scored relation and differ only in
+    * window partitioning; at fleet scale the pre-filter route becomes
+    * a per-label index probe (q_join_bucketed's layout argument) while
+    * post-filter rides the global index — this census is the decision
+    * data between them.
+    *
+    * Determinism (D3): exact int64 dots; (dot DESC, vec_id ASC) total
+    * orders; pure integer census.
+    */
+  private val simFilteredTopk = QueryDef(
+    "q_sim_filtered_topk",
+    (s, d) => {
+      val emb = VecOps.quantized(s, d)
+      val probes = emb.filter(pmod(col("vec_id"), lit(250L)) === 0)
+        .select(col("vec_id").as("pid"), col("label").as("plabel"),
+          col("v").as("pv"))
+      val scored = graft.Caches.scoped(emb.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("pid"))
+        .select(col("pid"), col("plabel"), col("vec_id"), col("label"),
+          VecOps.dot(col("v"), col("pv")).as("dp")))
+      val wPre = Window.partitionBy(col("pid"))
+        .orderBy(descl("dp"), ascf("vec_id"))
+      val pre = scored.filter(col("label") === col("plabel"))
+        .withColumn("rk", row_number().over(wPre))
+        .filter(col("rk") <= 5)
+        .select(col("pid"), col("vec_id"), col("rk"))
+      val post = scored
+        .withColumn("grk", row_number().over(wPre))
+        .filter(col("grk") <= 20)
+        .filter(col("label") === col("plabel"))
+        .withColumn("prk", row_number().over(Window.partitionBy(col("pid"))
+          .orderBy(ascf("grk"))))
+        .filter(col("prk") <= 5)
+        .select(col("pid").as("qid"), col("vec_id").as("pvid"),
+          col("prk"))
+      val pool = scored.filter(col("label") === col("plabel"))
+        .groupBy(col("pid")).agg(count(lit(1)).as("n_pool"))
+      val overlap = pre.join(post,
+          col("pid") === col("qid") && col("vec_id") === col("pvid"))
+        .groupBy(col("pid")).agg(count(lit(1)).as("n_overlap"))
+      val top1 = pre.filter(col("rk") === 1)
+        .select(col("pid"), col("vec_id").as("pre1"))
+        .join(post.filter(col("prk") === 1)
+          .select(col("qid").as("pid"), col("pvid").as("post1")),
+          Seq("pid"), "left")
+      probes.select(col("pid"))
+        .join(pool, Seq("pid"), "left")
+        .join(post.groupBy(col("qid").as("pid"))
+          .agg(count(lit(1)).as("n_post")), Seq("pid"), "left")
+        .join(overlap, Seq("pid"), "left")
+        .join(top1, Seq("pid"), "left")
+        .select(col("pid"),
+          coalesce(col("n_pool"), lit(0L)).as("n_pool"),
+          coalesce(col("n_post"), lit(0L)).as("n_post_found"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          when(col("pre1") === col("post1"), 1L).otherwise(0L)
+            .as("top1_agrees"))
+        .orderBy(ascf("pid"))
+    },
+    Some(VecOps.oracleQuantized +
+      s""",
+         |pr AS (SELECT vec_id AS pid, label AS plabel, v AS pv
+         |  FROM n WHERE vec_id % 250 = 0),
+         |sc AS (SELECT pr.pid, pr.plabel, n.vec_id, n.label,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      k -> n.v[k] * pr.pv[k])) AS BIGINT) AS dp
+         |  FROM n, pr WHERE n.vec_id <> pr.pid),
+         |pre AS (SELECT pid, vec_id, rk FROM (
+         |    SELECT pid, vec_id, row_number() OVER (PARTITION BY pid
+         |      ORDER BY dp DESC, vec_id ASC) AS rk
+         |    FROM sc WHERE label = plabel)
+         |  WHERE rk <= 5),
+         |post AS (SELECT pid AS qid, vec_id AS pvid, prk FROM (
+         |    SELECT pid, vec_id, label, plabel, row_number() OVER (
+         |      PARTITION BY pid ORDER BY grk ASC) AS prk FROM (
+         |      SELECT pid, vec_id, label, plabel, row_number() OVER (
+         |        PARTITION BY pid ORDER BY dp DESC, vec_id ASC) AS grk
+         |      FROM sc)
+         |    WHERE grk <= 20 AND label = plabel)
+         |  WHERE prk <= 5),
+         |pool AS (SELECT pid, CAST(count(*) AS BIGINT) AS n_pool
+         |  FROM sc WHERE label = plabel GROUP BY pid),
+         |ov AS (SELECT pre.pid, CAST(count(*) AS BIGINT) AS n_overlap
+         |  FROM pre JOIN post ON pre.pid = post.qid
+         |    AND pre.vec_id = post.pvid
+         |  GROUP BY pre.pid),
+         |t1 AS (SELECT a.pid, a.vec_id AS pre1, b.pvid AS post1
+         |  FROM (SELECT pid, vec_id FROM pre WHERE rk = 1) a
+         |  LEFT JOIN (SELECT qid, pvid FROM post WHERE prk = 1) b
+         |    ON a.pid = b.qid)
+         |SELECT pr.pid AS pid,
+         |  CAST(coalesce(pool.n_pool, 0) AS BIGINT) AS n_pool,
+         |  CAST(coalesce(np.n_post, 0) AS BIGINT) AS n_post_found,
+         |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  CAST(CASE WHEN t1.pre1 = t1.post1 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS top1_agrees
+         |FROM pr
+         |LEFT JOIN pool ON pr.pid = pool.pid
+         |LEFT JOIN (SELECT qid, CAST(count(*) AS BIGINT) AS n_post
+         |  FROM post GROUP BY qid) np ON pr.pid = np.qid
+         |LEFT JOIN ov ON pr.pid = ov.pid
+         |LEFT JOIN t1 ON pr.pid = t1.pid
+         |ORDER BY pid ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     dedupExact, simJaccard, simCosineTopk, simThresholdJoin, simKnnJoin,
     dedupMinhash, sampleNegative, simCosineSets, vecRandproj, simRecall,
-    vecPcaPower, simMips, vecStats, vecMmr, vecKcenter)
+    vecPcaPower, simMips, vecStats, vecMmr, vecKcenter, simFilteredTopk)
 }

@@ -1850,4 +1850,65 @@ class Round7Spec extends SparkSpec {
       "sum of new users != distinct users")
     Caches.releaseScoped(); Caches.releaseShared()
   }
+
+  test("q_sim_filtered_topk: scalar replica; pre-filter dominates post") {
+    val vecs = ops.VecOps.quantized(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("string"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Long](2).toArray))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val probes = vecs.filter(_._1 % 250 == 0)
+    val got = q("q_sim_filtered_topk").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    probes.foreach { case (pid, plabel, pv) =>
+      val scored = vecs.filter(_._1 != pid)
+        .map(v => (v._1, v._2, dot(v._3, pv)))
+      val pre = scored.filter(_._2 == plabel)
+        .sortBy(v => (-v._3, v._1)).take(5).map(_._1)
+      val post = scored.sortBy(v => (-v._3, v._1)).take(20)
+        .filter(_._2 == plabel).take(5).map(_._1)
+      val (nPool, nPost, nOv, t1) = got(pid)
+      assert(nPool == scored.count(_._2 == plabel).toLong, s"$pid pool")
+      assert(nPost == post.length.toLong, s"$pid post count")
+      assert(nOv == pre.toSet.intersect(post.toSet).size.toLong,
+        s"$pid overlap")
+      assert(t1 == (if (post.nonEmpty && pre.head == post.head) 1L else 0L),
+        s"$pid top1")
+      // dominance: everything post-filter finds IS in the true top-5
+      // of the predicate pool (post is a subsequence of pre)
+      assert(post.toSet.subsetOf(pre.toSet), s"$pid post ⊄ pre")
+    }
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_sample_layers: assignment replica; layers are near-orthogonal") {
+    val keys = Tables.customer(spark, sfDir)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    def b(k: Long, a: Long, off: Long) = {
+      val v = ((k % 2147483647L) * a + off) % 2147483647L
+      v * v % 2147483647L % 20L
+    }
+    val cells = keys.map(k => (b(k, 1299721L, 7L), b(k, 15485863L, 101L)))
+      .groupBy(identity).map { case (c, v) => c -> v.size.toLong }
+    val want = cells.groupBy(_._1._1).map { case (b1, cs) =>
+      b1 -> ((cs.values.sum, cs.size.toLong, cs.values.max,
+        cs.values.min, cs.values.map(n => n * n).sum))
+    }
+    val got = q("q_sample_layers").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want, s"layers drift: got=$got want=$want")
+    // orthogonality: the joint collision statistic must be within 2x
+    // of the independent-uniform expectation n²/400 + n (a dependent
+    // pair — e.g. b2 = b1 — would put the whole mass on 20 cells and
+    // blow this bound by ~10x)
+    val n = keys.length.toLong
+    val stat = got.values.map(_._5).sum
+    val expected = n * n / 400 + n
+    assert(stat < 2 * expected,
+      s"layers correlate: collision stat $stat vs expected ~$expected")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
 }
