@@ -90,6 +90,69 @@ object Dsl {
   def descl(c: Column): Column = c.desc_nulls_last
   def descl(name: String): Column = col(name).desc_nulls_last
 
+  /** Distributed exact `ntile(k) OVER (ORDER BY sortCols)` (VERDICT r7
+    * #1). Spark plans a partitionBy-less window as ONE task holding the
+    * whole relation — fine on value-bounded inputs, a scale-killer on a
+    * corpus. This helper reproduces the ntile result bit-for-bit with no
+    * single-partition stage, so oracle SQL can keep the plain `ntile(k)
+    * OVER (ORDER BY ...)` spelling:
+    *
+    *   1. `repartitionByRange(parts, sortCols)` — a sampled range
+    *      exchange; partition i holds a contiguous slice of the total
+    *      order (RangePartitioner sampling is seeded deterministically,
+    *      so the two jobs below see identical boundaries).
+    *   2. per-partition row counts (32-row relation) → running-sum
+    *      prefix offsets + grand total N, via a window over the COUNTS
+    *      relation (value-bounded: ≤ parts rows).
+    *   3. global rank = broadcast-joined prefix offset + local
+    *      `row_number` within the range partition (the only window over
+    *      corpus rows is partitioned by `spark_partition_id()`).
+    *   4. ntile arithmetic on (rank, N): with q = N div k, rem = N % k,
+    *      the first rem tiles take q+1 rows — exactly Spark's and
+    *      DuckDB's ntile. Requires sortCols to be a total order (no
+    *      ties), which every call site guarantees with a PK suffix.
+    */
+  def globalNtile(df: org.apache.spark.sql.DataFrame, k: Int, out: String,
+      sortCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = math.max(k, 32)
+    // Persisted (scoped lifetime): the COUNTS job and the RANK job must
+    // observe the SAME range boundaries, but RangePartitioner samples
+    // its boundaries from the input's physical layout — and when the
+    // input itself contains AQE-replanned shuffles, two independent
+    // executions can sample different layouts and disagree (measured:
+    // the nested q_lake_zorder call mis-sized files by ±30 rows until
+    // this persist). A production layout rewrite materializes this
+    // staged sort anyway — it IS the output being written.
+    val parted = Caches.scoped(df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__gnt_pid", spark_partition_id()))
+    val counts = parted.groupBy(col("__gnt_pid"))
+      .agg(count(lit(1)).as("__gnt_cnt"))
+    val wOff = Window.orderBy(col("__gnt_pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("__gnt_pid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = counts
+      .withColumn("__gnt_off",
+        coalesce(sum(col("__gnt_cnt")).over(wOff), lit(0L)))
+      .withColumn("__gnt_n", sum(col("__gnt_cnt")).over(wAll))
+      .select(col("__gnt_pid"), col("__gnt_off"), col("__gnt_n"))
+    val tile =
+      s"""CASE WHEN __gnt_r <= ((__gnt_n div ${k}L) + 1L) * (__gnt_n % ${k}L)
+         |  THEN CAST((__gnt_r - 1L) div ((__gnt_n div ${k}L) + 1L) + 1L AS INT)
+         |  ELSE CAST((__gnt_n % ${k}L)
+         |    + (__gnt_r - 1L - ((__gnt_n div ${k}L) + 1L) * (__gnt_n % ${k}L))
+         |      div (__gnt_n div ${k}L) + 1L AS INT)
+         |END""".stripMargin
+    parted
+      .withColumn("__gnt_rn", row_number().over(
+        Window.partitionBy(col("__gnt_pid")).orderBy(sortCols: _*)))
+      .join(broadcast(offsets), Seq("__gnt_pid"))
+      .withColumn("__gnt_r", col("__gnt_off") + col("__gnt_rn"))
+      .withColumn(out, expr(tile))
+      .select(df.columns.map(col).toIndexedSeq :+ col(out): _*)
+  }
+
   /** Lineage AND stats truncation for iterative loops. Spark 4's
     * (local)checkpoint keeps the origin plan's size estimate on the
     * LogicalRDD, and the sizeInBytes-only join estimate is the PRODUCT

@@ -219,16 +219,14 @@ object Lakehouse {
     * hash-proven, not asserted.
     *
     * Shape at 100 TB: the interleave is 32 codegen'd integer ops per
-    * row; a production layout rewrite runs a range-partitioned total
-    * sort (repartitionByRange on z) and assigns files per partition.
-    * HARNESS-ONLY SHAPE (ADVICE r6): the ntile file-cut below uses
-    * `Window.orderBy` with no partitionBy, which Spark plans as a
-    * single-partition global window — fine at fixture scale and
-    * required for an exactly-equal 32-way cut the oracle can mirror,
-    * but NOT the 100 TB plan (that one trades exact-equal file sizes
-    * for range-boundary sizes, which zone maps don't care about). The
-    * probe census is 32 files × 8 literals; the global min/max is a
-    * 1-row broadcast (the "1-row-sketch crossJoin" house pattern).
+    * row; the file cut is `Dsl.globalNtile` (VERDICT r7 #1) — a
+    * range-partitioned two-pass assignment (sampled range exchange →
+    * per-partition counts → broadcast prefix offsets + local
+    * row_number) that reproduces `ntile(32) OVER (ORDER BY ...)`
+    * bit-for-bit with NO single-partition window task; the oracle keeps
+    * the plain ntile spelling. The probe census is 32 files × 8
+    * literals; the global min/max is a 1-row broadcast (the
+    * "1-row-sketch crossJoin" house pattern).
     */
   private val lakeZorder = QueryDef(
     "q_lake_zorder",
@@ -240,11 +238,13 @@ object Lakehouse {
       val bounds = li.agg(min(col("pk")).as("pk_lo"), max(col("pk")).as("pk_hi"),
         min(col("sk")).as("sk_lo"), max(col("sk")).as("sk_hi"))
       val keyed = li.withColumn("z", zColumn(col("pk"), col("sk")))
-      val wz = Window.orderBy(ascf("z"), ascf("l_orderkey"), ascf("l_linenumber"))
-      val wn = Window.orderBy(ascf("l_orderkey"), ascf("l_linenumber"))
-      val files = keyed
-        .withColumn("fz", ntile(32).over(wz).cast("long"))
-        .withColumn("fn", ntile(32).over(wn).cast("long"))
+      val tiled = globalNtile(
+        globalNtile(keyed, 32, "fzi",
+          Seq(ascf("z"), ascf("l_orderkey"), ascf("l_linenumber"))),
+        32, "fni", Seq(ascf("l_orderkey"), ascf("l_linenumber")))
+      val files = tiled
+        .withColumn("fz", col("fzi").cast("long"))
+        .withColumn("fn", col("fni").cast("long"))
         .select(explode(array(
           struct(lit("zorder").as("layout"), col("fz").as("file_id"),
             col("pk"), col("sk")),
@@ -800,8 +800,8 @@ object Lakehouse {
     * one scan partial-agg'd to ≤ files·m cells (written at compaction
     * time in production, the q_lake_compact hook); probes broadcast
     * against it; nothing pair-explodes beyond probes×files. The ntile
-    * file assignment is the same single-partition harness shape
-    * q_lake_zorder documents (real layouts come from the lake writer).
+    * file assignment is `Dsl.globalNtile` — the range-partitioned
+    * two-pass cut q_lake_zorder documents, no single-partition window.
     *
     * Determinism: the mod-prime hash family of q_sketch_bloom (spelled
     * identically in both engines); file assignment ordered by
@@ -817,11 +817,11 @@ object Lakehouse {
           "15485863 ELSE 32452843 END) + (CASE i WHEN 0 THEN 7 WHEN 1 " +
           "THEN 101 ELSE 1009 END)) % 2147483647 % 65536"
       val lanes = explode(array((0 until 3).map(i => lit(i)): _*)).as("i")
-      val filed = graft.Caches.scoped(Tables.lineitem(s, d)
-        .select(col("l_partkey").cast("long").as("x"),
-          col("l_orderkey"), col("l_linenumber"))
-        .withColumn("f", ntile(32).over(Window.orderBy(
-          ascf("l_orderkey"), ascf("l_linenumber"), ascf("x"))))
+      val filed = graft.Caches.scoped(globalNtile(
+        Tables.lineitem(s, d)
+          .select(col("l_partkey").cast("long").as("x"),
+            col("l_orderkey"), col("l_linenumber")),
+        32, "f", Seq(ascf("l_orderkey"), ascf("l_linenumber"), ascf("x")))
         .select(col("f"), col("x")))
       val bits = filed.select(col("f"), col("x"), lanes)
         .withColumn("pos", expr(hashE))
@@ -912,15 +912,15 @@ object Lakehouse {
     * zone map cannot skip vs files TRULY holding a row in range (true ⊆
     * overlap by interval soundness — the gap is the clustering cost).
     *
-    * Scale: ONE windowed corpus pass builds the entire index — per
-    * file, both columns' min/max zones plus the distinct probe-bucket
-    * sets (parquet writers persist the min/max for free as row-group
-    * stats); probes×zones is a broadcast nested-loop over two
+    * Scale: one range-partitioned corpus pass builds the entire index —
+    * per file, both columns' min/max zones plus the distinct
+    * probe-bucket sets (parquet writers persist the min/max for free as
+    * row-group stats); probes×zones is a broadcast nested-loop over two
     * metadata-sized relations; truth needs no theta join AT ALL — the
     * probes tile the domain disjointly, so a row's probe is a map-side
     * `div` folded into the same aggregate. The ntile file assignment is
-    * the single-partition harness shape q_lake_zorder documents (real
-    * layouts come from the lake writer).
+    * `Dsl.globalNtile` — the range-partitioned two-pass cut
+    * q_lake_zorder documents, no single-partition window.
     *
     * Determinism: same total file order as the Bloom key ((l_orderkey,
     * l_linenumber, partkey) = a superkey of lineitem's PK); pure integer
@@ -933,42 +933,40 @@ object Lakehouse {
       // Probe widths via a 1-row driver collect from a WINDOWLESS scan
       // agg — the parameter-server pattern (q_ml_perceptron): an index
       // builder legitimately knows the domain bounds before binning, and
-      // shipping them back as LITERALS keeps the expensive windowed task
+      // shipping them back as LITERALS keeps the corpus-pass tasks
       // below fully codegen'd. The first draft joined a width relation
       // into that task instead — the BroadcastNestedLoopJoin +
-      // collect_set broke whole-stage codegen for the single-partition
-      // Sort+Window+aggregate pipeline and the one task ran 15 s at the
-      // 10x probe (vs < 0.5 s for the sibling Bloom key's codegen'd
-      // equivalent; SparkListener stage timing).
+      // collect_set broke whole-stage codegen for the file-assignment
+      // pipeline and one task ran 15 s at the 10x probe (vs < 0.5 s for
+      // the sibling Bloom key's codegen'd equivalent; SparkListener
+      // stage timing).
       val wRow = Tables.lineitem(s, d)
         .agg(max(col("l_orderkey").cast("long")).as("mok"),
           max(col("l_partkey").cast("long")).as("mpk"))
         .select(expr("mok div 16 + 1"), expr("mpk div 16 + 1"))
         .head()
       val (wok, wpk) = (wRow.getLong(0), wRow.getLong(1))
-      // ONE windowed corpus pass builds the whole index: per file, the
-      // min/max zones for both columns AND the distinct probe-bucket
-      // sets (probes tile the domain, so a row's bucket is a map-side
-      // literal `div` — truth needs no theta join against the probe
-      // ranges, and each file contributes ≤ 16 bucket ids per column).
-      // Only this files-sized relation is cached (an index is
+      // One range-partitioned corpus pass builds the whole index: per
+      // file, the min/max zones for both columns AND the distinct
+      // probe-bucket sets (probes tile the domain, so a row's bucket is
+      // a map-side literal `div` — truth needs no theta join against
+      // the probe ranges, and each file contributes ≤ 16 bucket ids per
+      // column). Only this files-sized relation is cached (an index is
       // metadata-sized; persisting the 6M-row filed corpus to build it
-      // measured ~15 s of single-partition cache write at the 10x
-      // probe — the whole query's cost). collect_set runs in a SECOND
-      // file-grain aggregate over the 2·16·files bucket cells, never in
-      // the corpus-sized task.
-      val cells = Tables.lineitem(s, d)
-        .select(col("l_orderkey").cast("long").as("ok"),
-          col("l_partkey").cast("long").as("pk"),
-          col("l_linenumber"))
-        .withColumn("f", ntile(32).over(Window.orderBy(
-          ascf("ok"), ascf("l_linenumber"), ascf("pk"))))
-        // repartition BEFORE aggregating: without it the partial agg
-        // fuses into the window's single-partition task and one thread
-        // hash-probes all 6M rows (~8 s at the 10x probe); with it the
-        // window task streams straight into the exchange (the Bloom
-        // key's profile) and the aggregate runs on every core
-        .repartition(col("f"))
+      // measured ~15 s of cache write at the 10x probe — the whole
+      // query's cost). collect_set runs in a SECOND file-grain
+      // aggregate over the 2·16·files bucket cells, never in the
+      // corpus-sized task.
+      val cells = globalNtile(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").cast("long").as("ok"),
+            col("l_partkey").cast("long").as("pk"),
+            col("l_linenumber")),
+        32, "f", Seq(ascf("ok"), ascf("l_linenumber"), ascf("pk")))
+        // globalNtile leaves the corpus range-partitioned across 32
+        // tasks, so the partial agg below runs on every core and feeds
+        // the (f, okq, pkq) exchange directly — the explicit
+        // repartition(f) the old single-partition window needed is gone
         .groupBy(col("f"), expr(s"ok div $wok").as("okq"),
           expr(s"pk div $wpk").as("pkq"))
         .agg(min(col("ok")).as("okmin"), max(col("ok")).as("okmax"),

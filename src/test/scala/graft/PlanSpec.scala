@@ -383,6 +383,39 @@ class PlanSpec extends SparkSpec {
     Caches.releaseScoped()
   }
 
+  test("lake layout keys plan no corpus-grain global window (VERDICT r7 #1)") {
+    // A `Window.orderBy` with no partitionBy runs as ONE task holding
+    // its whole input — fatal when the input is corpus-grain. The three
+    // lake-layout keys now cut files via Dsl.globalNtile (range
+    // exchange + broadcast prefix offsets); the only empty-partitionSpec
+    // windows left must sit above an aggregate (value-bounded input:
+    // the 32-row per-partition counts relation).
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case a: AdaptiveSparkPlanExec => bounded(a.executedPlan)
+      case q: QueryStageExec => bounded(q.plan)
+      case r: ReusedExchangeExec => bounded(r.child)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        bounded(m.relation.cachedPlan)
+      case _: org.apache.spark.sql.execution.RangeExec => true
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+      case l if l.children.isEmpty => false // file/RDD scan: corpus-grain
+      case other => other.children.forall(bounded)
+    }
+    for (q <- Seq("q_lake_zorder", "q_lake_zonemap", "q_lake_bloom_index")) {
+      val nodes = collectAll(executedPlan(q))
+      val bad = nodes.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) => w
+      }
+      assert(bad.isEmpty,
+        s"$q plans a corpus-grain global window: " +
+          bad.map(_.simpleString(120)).mkString("; "))
+      Caches.releaseScoped()
+    }
+  }
+
   test("q_fn_base64 codecs stay in one pass before the lang census") {
     // per-row codec projections: one scan; the only exchanges are the
     // census aggregation's
