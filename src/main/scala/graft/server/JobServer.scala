@@ -167,6 +167,9 @@ final class JobServer(spark: SparkSession, outRoot: String,
     Option(jobs.get(id)).getOrElse(
       throw new NoSuchElementException(s"unknown job id: $id"))
 
+  /** Retained job-record count (terminal + in-flight) — health surface. */
+  def jobCount: Int = jobs.size
+
   /** Block until the job reaches a terminal state (or timeout). */
   def await(id: Long, timeoutMs: Long = 300000L): Status = {
     val latch = Option(done.get(id)).getOrElse(
@@ -205,10 +208,13 @@ final class JobServer(spark: SparkSession, outRoot: String,
   }
 }
 
-/** Standalone server entry point: a FILE-SPOOL job queue (round 7). The
-  * sandbox has no network, and a drop-folder is the zero-dependency
-  * spelling of "submit a job to a resident server" — the same protocol
-  * Hadoop shops ran for years as hot-folder ingestion. Submitters drop
+/** Standalone server entry point: a FILE-SPOOL job queue (round 7). A
+  * drop-folder is the zero-dependency spelling of "submit a job to a
+  * resident server" — the same protocol Hadoop shops ran for years as
+  * hot-folder ingestion. (Round 8 adds the wire protocol proper:
+  * [[HttpEndpoint]], a loopback HTTP listener over this same API for
+  * non-JVM clients; the spool remains for file-drop workflows.)
+  * Submitters drop
   *   `<name>.sql`  (raw ANSI SQL over the fixture tables), or
   *   `<name>.key`  (a registered contract key, file content = key name)
   * into the spool dir; the server answers with `<name>.status`

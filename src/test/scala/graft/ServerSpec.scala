@@ -215,6 +215,104 @@ class ServerSpec extends SparkSpec {
     assert(st == "CANCELLED", s"expected CANCELLED, got: $st")
   }
 
+  // -- HTTP endpoint (VERDICT r7 missing #1) --------------------------
+
+  private def httpGet(url: String): (Int, String) = {
+    val c = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    c.setConnectTimeout(10000); c.setReadTimeout(60000)
+    val code = c.getResponseCode
+    val in = if (code >= 400) c.getErrorStream else c.getInputStream
+    val body = new String(in.readAllBytes(), "UTF-8")
+    c.disconnect(); (code, body)
+  }
+
+  private def httpPost(url: String, body: String): (Int, String) = {
+    val c = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    c.setRequestMethod("POST"); c.setDoOutput(true)
+    c.setConnectTimeout(10000); c.setReadTimeout(60000)
+    c.getOutputStream.write(body.getBytes("UTF-8"))
+    val code = c.getResponseCode
+    val in = if (code >= 400) c.getErrorStream else c.getInputStream
+    val resp = new String(in.readAllBytes(), "UTF-8")
+    c.disconnect(); (code, resp)
+  }
+
+  private def idOf(json: String): Long =
+    "\"id\":([0-9]+)".r.findFirstMatchIn(json).get.group(1).toLong
+
+  private def pollState(base: String, id: Long, until: Set[String],
+      timeoutMs: Long = 120000L): String = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var st = ""
+    while (!until.contains(st) && System.nanoTime() < deadline) {
+      st = "\"state\":\"([A-Z]+)\"".r
+        .findFirstMatchIn(httpGet(s"$base/v1/jobs/$id")._2)
+        .map(_.group(1)).getOrElse("")
+      if (!until.contains(st)) Thread.sleep(50)
+    }
+    st
+  }
+
+  test("http endpoint serves submit -> poll -> rows for key and sql jobs") {
+    val out = java.nio.file.Files.createTempDirectory("jobhttp").toString
+    val ep = new graft.server.HttpEndpoint(spark, out, sfDir).start()
+    val base = s"http://127.0.0.1:${ep.boundPort}"
+    try {
+      val (hc, hb) = httpGet(s"$base/health")
+      assert(hc == 200 && hb.contains("\"ok\":true"), s"$hc $hb")
+      // a registry key end-to-end
+      val (kc, kb) = httpPost(s"$base/v1/keys", "q_agg_global")
+      assert(kc == 200, s"$kc $kb")
+      val kid = idOf(kb)
+      assert(pollState(base, kid, Set("DONE", "FAILED")) == "DONE")
+      val (rc, rows) = httpGet(s"$base/v1/jobs/$kid/rows?limit=10")
+      assert(rc == 200 && rows.trim.nonEmpty && rows.startsWith("{"),
+        s"$rc $rows")
+      // ad-hoc SQL end-to-end, rows checked against the engine
+      val (sc, sb) = httpPost(s"$base/v1/sql",
+        "SELECT count(*) AS n FROM region")
+      assert(sc == 200, s"$sc $sb")
+      val sid = idOf(sb)
+      assert(pollState(base, sid, Set("DONE", "FAILED")) == "DONE")
+      val (_, srows) = httpGet(s"$base/v1/jobs/$sid/rows")
+      assert(srows.trim ==
+        s"""{"n":${Tables.region(spark, sfDir).count()}}""", srows)
+      // error contract: unknown key 400, unknown id 404, rows-on-running 409
+      assert(httpPost(s"$base/v1/keys", "q_no_such_query")._1 == 400)
+      assert(httpGet(s"$base/v1/jobs/99999")._1 == 404)
+      assert(httpPost(s"$base/v1/jobs/99999/cancel", "")._1 == 404)
+      assert(httpGet(s"$base/no/such/route")._1 == 404)
+      // a FAILED job reports its error through the status JSON
+      val (_, fb) = httpPost(s"$base/v1/sql", "SELECT * FROM no_such_table")
+      val fid = idOf(fb)
+      assert(pollState(base, fid, Set("DONE", "FAILED")) == "FAILED")
+      assert(httpGet(s"$base/v1/jobs/$fid")._2.contains("error"))
+      assert(httpGet(s"$base/v1/jobs/$fid/rows")._1 == 409)
+    } finally ep.stop()
+  }
+
+  test("http endpoint cancels a running job through the wire") {
+    val out = java.nio.file.Files.createTempDirectory("jobhttp").toString
+    val ep = new graft.server.HttpEndpoint(spark, out, sfDir).start()
+    val base = s"http://127.0.0.1:${ep.boundPort}"
+    try {
+      val (_, sb) = httpPost(s"$base/v1/sql",
+        "SELECT count(*) AS n FROM lineitem a, lineitem b, lineitem c")
+      val id = idOf(sb)
+      assert(pollState(base, id, Set("RUNNING", "DONE", "FAILED")) == "RUNNING")
+      Thread.sleep(200) // let it get into Spark tasks
+      val (cc, cb) = httpPost(s"$base/v1/jobs/$id/cancel", "")
+      assert(cc == 200 && cb.contains("\"cancelled\":true"), s"$cc $cb")
+      assert(pollState(base, id, Set("CANCELLED", "DONE", "FAILED")) ==
+        "CANCELLED")
+      // the endpoint keeps serving after a cancel
+      val (_, ab) = httpPost(s"$base/v1/keys", "q_agg_global")
+      assert(pollState(base, idOf(ab), Set("DONE", "FAILED")) == "DONE")
+    } finally ep.stop()
+  }
+
   test("cancelling a queued job skips it without running") {
     val out = java.nio.file.Files.createTempDirectory("jobsrv").toString
     // parallelism 1: the second submission is guaranteed to queue
