@@ -53,6 +53,80 @@ class RuntimeSpec extends SparkSpec {
     assert(day.count() > 0)
   }
 
+  test("concurrent committers land distinct versions — never a silent overwrite") {
+    // VERDICT r7 missing #2: two committers both computing v = current+1
+    // used to last-writer-win the manifest rename silently. With
+    // exclusive-create version reservation, each must land as its OWN
+    // immutable version, in reservation order, with both readable.
+    val dir = Files.createTempDirectory("graft_occ").toString + "/lake"
+    val base = Tables.events(spark, sfDir).limit(500)
+    val n = base.count()
+    val baseSum = base.agg(sum(col("event_id"))).head.getLong(0)
+    assert(Lake.versionedWrite(base, "ts", dir) == 1L)
+    // distinct payloads so each version's checksum identifies exactly
+    // one writer — a torn/overwritten commit cannot match either
+    val payloadA = base.withColumn("event_id", col("event_id") + 1000000L)
+    val payloadB = base.withColumn("event_id", col("event_id") + 2000000L)
+    val got = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val errs = new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def committer(name: String, df: org.apache.spark.sql.DataFrame) =
+      new Thread(() => {
+        barrier.await()
+        try got.put(name, Lake.versionedWrite(df, "ts", dir))
+        catch { case e: Throwable => errs.put(name, e) }
+      })
+    val ts = Seq(committer("a", payloadA), committer("b", payloadB))
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(errs.isEmpty, s"committer failed: $errs")
+    val (va, vb) = (got.get("a"), got.get("b"))
+    assert(Set(va, vb) == Set(2L, 3L), s"expected versions {2,3}, got $va/$vb")
+    def sumAt(v: Long): Long = Lake.versionedReadAt(spark, dir, v)
+      .agg(sum(col("event_id"))).head.getLong(0)
+    assert(sumAt(va) == baseSum + 1000000L * n, "version A content clobbered")
+    assert(sumAt(vb) == baseSum + 2000000L * n, "version B content clobbered")
+    assert(Lake.currentVersion(dir).contains(3L))
+    // no leftover reservation locks once both commits released theirs
+    val locks = Option(new java.io.File(dir, "_manifests").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".inprogress"))
+    assert(locks.isEmpty, locks.mkString(", "))
+  }
+
+  test("expectedVersion OCC fails cleanly when someone committed first") {
+    val dir = Files.createTempDirectory("graft_occ2").toString + "/lake"
+    val base = Tables.events(spark, sfDir).limit(100)
+    assert(Lake.versionedWrite(base, "ts", dir) == 1L)
+    // another writer commits on top → current = 2
+    assert(Lake.versionedWrite(base, "ts", dir) == 2L)
+    // a read-modify-write client that based its snapshot on v1 must fail
+    // BEFORE writing any data, loudly
+    intercept[Lake.CommitConflictException] {
+      Lake.versionedWrite(base, "ts", dir, expectedVersion = Some(1L))
+    }
+    assert(Lake.currentVersion(dir).contains(2L))
+    assert(!new java.io.File(dir, "data-00000003").exists(),
+      "conflicted commit must not write data")
+    // the contract: re-read the winner, rebuild, retry on top of it
+    assert(Lake.versionedWrite(base, "ts", dir,
+      expectedVersion = Some(2L)) == 3L)
+  }
+
+  test("a crashed writer's stale reservation burns its slot; vacuum clears it") {
+    val dir = Files.createTempDirectory("graft_occ3").toString + "/lake"
+    val base = Tables.events(spark, sfDir).limit(100)
+    assert(Lake.versionedWrite(base, "ts", dir) == 1L)
+    // simulate a writer that died holding the v2 reservation
+    val stale = new java.io.File(dir, "_manifests/v00000002.inprogress")
+    java.nio.file.Files.createFile(stale.toPath)
+    // the next committer skips the burned slot — no wait, no collision
+    assert(Lake.versionedWrite(base, "ts", dir) == 3L)
+    assert(stale.isFile, "an in-flight-looking lock must not be stolen")
+    // after v3 commits the v2 lock is superseded; vacuum clears it
+    Lake.vacuum(dir)
+    assert(!stale.exists(), "vacuum must clear superseded locks")
+    assert(Lake.versionedRead(spark, dir).count() == 100L)
+  }
+
   test("versioned lake commits atomically: readers see old-or-new, never torn") {
     val dir = Files.createTempDirectory("graft_vlake").toString + "/lake"
     // v1: deliberately fragmented multi-partition table
