@@ -381,13 +381,17 @@ object Sources {
     * array files (one per API page/export), which parallelize per file;
     * ingestion converts to a splittable format on first touch, which is
     * exactly what this key's write-side does NOT grade (that is
-    * q_source_json's job).
+    * q_source_json's job). The staging collect is mod-sampled 1/5
+    * (VERDICT r7 #6, the q_source_binary discipline) so driver memory
+    * during staging is bounded by the sample at any sf; the oracle
+    * re-derives the same sample.
     */
   private val sourceJsonMultiline = QueryDef(
     "q_source_json_multiline",
     (s, d) => {
       val path = stage(d, "jsonarr")
       val rows = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(5)) === 0)
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
         .orderBy(ascf("doc_id"))
@@ -399,7 +403,13 @@ object Sources {
       census(s.read.option("multiLine", "true").schema(docSchema)
         .json(f.toString))
     },
-    Some(censusSql))
+    Some("""SELECT lang, source, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+           |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+           |FROM documents WHERE doc_id % 5 = 0 GROUP BY lang, source
+           |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST"""
+      .stripMargin))
 
   /** Spark's `binaryFile` source (round 7): the raw-blob ingestion path
     * every multimodal pipeline starts from — one file per asset, read
