@@ -153,6 +153,25 @@ object Dsl {
       .select(df.columns.map(col).toIndexedSeq :+ col(out): _*)
   }
 
+  /** Broadcast a label-sized pointer map only while it is driver-safe
+    * (VERDICT r7 #8). At fixture scale the doubling maps of the
+    * dbscan/mst label loops are tiny and broadcast is the right plan;
+    * a percolated 100× core graph could grow a map past driver memory.
+    * Above `spark.graft.broadcastLabelLimit` rows (default 2,000,000 —
+    * a ~32 MB two-long-column broadcast), fall back to a SHUFFLE_HASH
+    * hint: same result keyed on the same join column, executor-bounded
+    * memory, no sort. `rows` is the caller's already-known count (the
+    * maps are statsTruncate'd, so counting one is a cached-RDD scan,
+    * not a lineage replay).
+    */
+  def maybeBroadcastMap(m: org.apache.spark.sql.DataFrame,
+      rows: Long): DataFrame = {
+    val limit = m.sparkSession.conf
+      .getOption("spark.graft.broadcastLabelLimit")
+      .map(_.toLong).getOrElse(2000000L)
+    if (rows <= limit) broadcast(m) else m.hint("shuffle_hash")
+  }
+
   /** Lineage AND stats truncation for iterative loops. Spark 4's
     * (local)checkpoint keeps the origin plan's size estimate on the
     * LogicalRDD, and the sizeInBytes-only join estimate is the PRODUCT

@@ -208,8 +208,10 @@ object Geo {
     * edge-sized data (uncontracted, each round re-joined the full
     * node-pair relation — the 10× probe ran past 10 minutes; contracted
     * it is seconds). Label state is stats/lineage-truncated per round
-    * (Dsl.statsTruncate); the doubling map is broadcast at harness
-    * scale — a fleet swaps it for a key-partitioned join, same shape.
+    * (Dsl.statsTruncate); the doubling map broadcasts while small and
+    * falls back to a shuffle-hash join past
+    * spark.graft.broadcastLabelLimit rows (Dsl.maybeBroadcastMap), so
+    * a percolated core graph cannot overflow the driver.
     *
     * Determinism (D1/D2): exact integer geometry (squared distances, no
     * sqrt); min-label hooks and (l < p) cycle resolution are
@@ -284,19 +286,28 @@ object Geo {
           lab.select(col("label").as("l")).distinct()
             .join(p1, Seq("l"), "left")
             .select(col("l"), coalesce(col("p"), col("l")).as("p")))
+        // one row per live label, invariant across the jumps (the l set
+        // never changes within a round) — count once on the truncated
+        // frame, then broadcast only while driver-safe (VERDICT r7 #8:
+        // above spark.graft.broadcastLabelLimit the joins fall back to
+        // shuffle-hash, so a percolated 100× core graph cannot overflow
+        // the driver; RuntimeSpec pins both plans)
+        val mapRows = map.count()
+        def bcm(m: org.apache.spark.sql.DataFrame) =
+          graft.Dsl.maybeBroadcastMap(m, mapRows)
         for (_ <- 1 to dbscanJumps) {
           map = map
-            .join(broadcast(map.select(col("l").as("l2"), col("p").as("p2"))),
+            .join(bcm(map.select(col("l").as("l2"), col("p").as("p2"))),
               col("p") === col("l2"))
             .select(col("l"), col("p2").as("p"))
         }
         lab = graft.Dsl.statsTruncate(
-          lab.join(broadcast(map), lab("label") === map("l"))
+          lab.join(bcm(map), lab("label") === map("l"))
             .select(col("node"), col("p").as("label")))
         edgesR = graft.Dsl.statsTruncate(edgesR
-          .join(broadcast(map.select(col("l").as("ul"), col("p").as("pu"))),
+          .join(bcm(map.select(col("l").as("ul"), col("p").as("pu"))),
             col("u") === col("ul"))
-          .join(broadcast(map.select(col("l").as("vl"), col("p").as("pv"))),
+          .join(bcm(map.select(col("l").as("vl"), col("p").as("pv"))),
             col("v") === col("vl"))
           .filter(col("pu") =!= col("pv"))
           .select(col("pu").as("u"), col("pv").as("v")).distinct())

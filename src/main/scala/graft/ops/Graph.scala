@@ -1313,13 +1313,18 @@ object Graph {
         var map = truncate(lab.select(col("label").as("l")).distinct()
           .join(p1, Seq("l"), "left")
           .select(col("l"), coalesce(col("p"), col("l")).as("p")))
+        // label-count rows, invariant across the jumps; broadcast only
+        // while driver-safe (VERDICT r7 #8 — see Dsl.maybeBroadcastMap)
+        val mapRows = map.count()
+        def bcm(m: org.apache.spark.sql.DataFrame) =
+          graft.Dsl.maybeBroadcastMap(m, mapRows)
         for (_ <- 1 to mstJumps) {
           map = map
-            .join(broadcast(map.select(col("l").as("l2"), col("p").as("p2"))),
+            .join(bcm(map.select(col("l").as("l2"), col("p").as("p2"))),
               col("p") === col("l2"))
             .select(col("l"), col("p2").as("p"))
         }
-        lab = truncate(lab.join(broadcast(map), lab("label") === map("l"))
+        lab = truncate(lab.join(bcm(map), lab("label") === map("l"))
           .select(col("node"), col("p").as("label")))
       }
       chosen.orderBy(ascf("w"), ascf("a"), ascf("b"))
