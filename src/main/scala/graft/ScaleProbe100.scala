@@ -1,0 +1,161 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 100× scale probe for the heaviest iterative keys (VERDICT r7 #7).
+  * The 10× band (ScaleProbe) is well-trodden; 100× is where broadcast
+  * label maps and driver-held model rows would first crack. Run with
+  * `SPARK_DRIVER_MEM=64g sbt "runMain graft.ScaleProbe100"` (staging is
+  * idempotent under /tmp/graft_sf10).
+  *
+  * Two probe families:
+  *
+  *  1. END-TO-END at 100× fixtures (60 M lineitem / 15 M orders /
+  *     500 k documents / 200 k embeddings): q_graph_mst, q_ml_boost,
+  *     q_vec_pca_power, q_dedup_components. Fact tables replicate
+  *     sf0.1 with shifted keys (the ScaleProbe recipe); DIMENSIONS
+  *     (customer/supplier/part/nation/region) stay at 1× — a real
+  *     warehouse scales facts onto a fixed dimensional cardinality,
+  *     and the 10× probe's duplicated dims multiply dim-join fan-out
+  *     by copies² (q_graph_mst at 100× would be a 600-billion-row
+  *     intermediate, a staging artifact, not a plan property).
+  *     Documents are REGENERATED (deterministic md5-word text, 4%
+  *     identical-text 2-cliques) instead of duplicated: key-shifted
+  *     copies make every doc a 100-clique in the pair graph (~500 M
+  *     edges — the duplicated-corpus caveat SQUARED, not a corpus
+  *     shape), while a real 100× crawl holds the dup RATE roughly
+  *     constant. The corpus-sized stages (tokenize, postings, prefix
+  *     filter) still scale the full 100×.
+  *
+  *  2. LOOP probes at 100× LABEL scale — the part fixtures cannot
+  *     reach (dbscan's core graph is supercritical under duplication,
+  *     mst's label set is nation-sized): drive the SAME factored loop
+  *     code on synthetic graphs — `Geo.contractedHookLabels` on a
+  *     1.5 M-node chain forest (10 k components of 150) and
+  *     `Pipeline.componentLabels` on a 2 M-node blocked graph — and
+  *     check the exact component counts. The hook loop runs twice:
+  *     broadcast maps (default) and the shuffle-hash fallback
+  *     (spark.graft.broadcastLabelLimit=100000), so BOTH plans are
+  *     timed at scale.
+  */
+object ScaleProbe100 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    val dst = "/tmp/graft_sf10"
+    val copies = 100
+    val off = 1000000000L
+    if (!new java.io.File(s"$dst/_done").exists()) {
+      def rep(name: String, shifts: Map[String, Boolean],
+          nCopies: Int = copies): Unit = {
+        if (new java.io.File(s"$dst/_done_$name").exists()) return
+        val base = spark.read.parquet(s"$src/$name.parquet")
+        val out = (0 until nCopies).map { i =>
+          shifts.foldLeft(base) { case (df, (c, shift)) =>
+            if (shift) df.withColumn(c, col(c) + lit(i * off)) else df
+          }
+        }.reduce(_ unionByName _)
+        out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+        println(s"staged $name: ${spark.read.parquet(s"$dst/$name.parquet").count()}")
+        new java.io.File(s"$dst/_done_$name").createNewFile()
+      }
+      rep("lineitem", Map("l_orderkey" -> true))
+      rep("orders", Map("o_orderkey" -> true)) // o_custkey kept: fan-out
+      // dimensions at 1×: facts fan out onto a FIXED dim cardinality
+      rep("customer", Map.empty, nCopies = 1)
+      rep("part", Map.empty, nCopies = 1)
+      rep("supplier", Map.empty, nCopies = 1)
+      rep("nation", Map.empty, nCopies = 1)
+      rep("region", Map.empty, nCopies = 1)
+      rep("embeddings", Map("vec_id" -> true))
+      // documents: regenerated, not duplicated (see scaladoc). Text =
+      // 80 deterministic md5-derived words; docs j with j%50 ∈ {0,1}
+      // share one group id → identical text → an exact-Jaccard 2-clique
+      // (4% of docs paired); everything else is (whp) pairless.
+      val nDocs = 500000L
+      if (!new java.io.File(s"$dst/_done_documents").exists())
+      spark.range(nDocs).select(col("id").as("doc_id"),
+          when(pmod(col("id"), lit(50)) < 2,
+            col("id") - pmod(col("id"), lit(50))).otherwise(col("id"))
+            .as("gid"))
+        .withColumn("text", expr(
+          """concat_ws(' ', transform(sequence(0, 79),
+            |  i -> substr(md5(concat(cast(gid as string), '-',
+            |    cast(i as string))), 1, 8)))""".stripMargin))
+        .select(col("doc_id"), col("text"),
+          element_at(array(lit("en"), lit("de"), lit("fr"), lit("es"),
+            lit("zh")), (pmod(col("gid"), lit(5)) + 1).cast("int"))
+            .as("lang"),
+          concat(lit("src"), pmod(col("gid"), lit(7))).as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      println(s"staged documents: " +
+        s"${spark.read.parquet(s"$dst/documents.parquet").count()}")
+      new java.io.File(s"$dst/_done").createNewFile()
+    }
+    def timed(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"SCALE100 $name: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+      Caches.releaseScoped(); Caches.releaseShared()
+    }
+    // warmup (mirrors Bench)
+    spark.read.parquet(s"$dst/lineitem.parquet")
+      .groupBy(col("l_returnflag")).count().count()
+
+    // -- family 1: end-to-end at 100× fixtures ------------------------
+    for (q <- Seq("q_vec_pca_power", "q_graph_mst", "q_ml_boost",
+        "q_dedup_components") if args.isEmpty || args.contains(q))
+      timed(q)(Registry.queries(q)(spark, dst).count())
+
+    // -- family 2: loop probes at 100× label scale ---------------------
+    // chain forest: 10 000 components × 150 nodes; both edge directions
+    def chainEdges = {
+      val fwd = spark.range(1500000)
+        .filter(pmod(col("id"), lit(150)) =!= 0)
+        .select(col("id").as("u"), (col("id") - 1).as("v"))
+      fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
+        .repartition(64)
+    }
+    def hookNodes = spark.range(1500000)
+      .select(col("id").as("node"), col("id").as("label"))
+    if (args.isEmpty || args.contains("hook_loop"))
+      timed("hook_loop_1500k_broadcast") {
+        val lab = ops.Geo.contractedHookLabels(chainEdges, hookNodes, 6, 6)
+        val n = lab.select(col("label")).distinct().count()
+        require(n == 10000L, s"expected 10000 components, got $n")
+        lab.count()
+      }
+    if (args.isEmpty || args.contains("hook_loop_fallback")) {
+      spark.conf.set("spark.graft.broadcastLabelLimit", "100000")
+      try timed("hook_loop_1500k_shufflehash") {
+        val lab = ops.Geo.contractedHookLabels(chainEdges, hookNodes, 6, 6)
+        val n = lab.select(col("label")).distinct().count()
+        require(n == 10000L, s"expected 10000 components, got $n")
+        lab.count()
+      } finally spark.conf.unset("spark.graft.broadcastLabelLimit")
+    }
+    // blocked graph for the propagate+compress loop: 500 k components × 4
+    if (args.isEmpty || args.contains("component_loop"))
+      timed("component_loop_2m") {
+        val fwd = spark.range(2000000)
+          .filter(pmod(col("id"), lit(4)) =!= 0)
+          .select(col("id").as("d1"), (col("id") - 1).as("d2"))
+        val edges = Caches.scoped(
+          fwd.unionByName(fwd.select(col("d2").as("d1"), col("d1").as("d2")))
+            .repartition(col("d2")))
+        val verts = ops.Pipeline.componentVerts(edges)
+        val lab = ops.Pipeline.componentLabels(edges, verts,
+          ops.Pipeline.componentRounds)
+        val n = lab.select(col("root")).distinct().count()
+        require(n == 500000L, s"expected 500000 components, got $n")
+        lab.count()
+      }
+    spark.stop()
+  }
+}

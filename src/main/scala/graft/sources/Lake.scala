@@ -115,8 +115,12 @@ object Lake {
 
   /** Newest committed version under `path`, if any. */
   def currentVersion(path: String): Option[Long] =
+    committedVersions(path).lastOption
+
+  /** All committed (non-vacuumed) versions under `path`, ascending. */
+  def committedVersions(path: String): Seq[Long] =
     Option(manifestDir(path).listFiles()).getOrElse(Array.empty[java.io.File])
-      .toSeq.flatMap(manifestVersion(_)).sorted.lastOption
+      .toSeq.flatMap(manifestVersion(_)).sorted
 
   private def readManifest(path: String, v: Long): String =
     new String(java.nio.file.Files.readAllBytes(

