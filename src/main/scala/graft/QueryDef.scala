@@ -153,6 +153,38 @@ object Dsl {
       .select(df.columns.map(col).toIndexedSeq :+ col(out): _*)
   }
 
+  /** Distributed exact running sum — `sum(valueCol) OVER (ORDER BY
+    * sortCols ROWS UNBOUNDED PRECEDING..CURRENT ROW)` with no
+    * single-partition window (the globalNtile machinery applied to a
+    * prefix SUM): range exchange → per-partition value sums → broadcast
+    * prefix offsets → within-partition running sum + offset. Requires
+    * sortCols to be a total order (ROWS ≡ RANGE only without ties);
+    * every call site guarantees it with a PK suffix. The staged
+    * relation is persisted for the same two-job boundary-consistency
+    * reason globalNtile documents.
+    */
+  def globalCumSum(df: org.apache.spark.sql.DataFrame, valueCol: String,
+      out: String, sortCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted = Caches.scoped(df.repartitionByRange(32, sortCols: _*)
+      .withColumn("__gcs_pid", spark_partition_id()))
+    val sums = parted.groupBy(col("__gcs_pid"))
+      .agg(sum(col(valueCol)).as("__gcs_sum"))
+    val wOff = Window.orderBy(col("__gcs_pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sums
+      .withColumn("__gcs_off",
+        coalesce(sum(col("__gcs_sum")).over(wOff), lit(0L)))
+      .select(col("__gcs_pid"), col("__gcs_off"))
+    parted
+      .withColumn("__gcs_run", sum(col(valueCol)).over(
+        Window.partitionBy(col("__gcs_pid")).orderBy(sortCols: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offsets), Seq("__gcs_pid"))
+      .withColumn(out, col("__gcs_off") + col("__gcs_run"))
+      .select(df.columns.map(col).toIndexedSeq :+ col(out): _*)
+  }
+
   /** Broadcast a label-sized pointer map only while it is driver-safe
     * (VERDICT r7 #8). At fixture scale the doubling maps of the
     * dbscan/mst label loops are tiny and broadcast is the right plan;

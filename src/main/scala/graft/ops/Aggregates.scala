@@ -850,11 +850,12 @@ object Aggregates {
     * inequality, Pareto tells you WHERE to cut).
     *
     * Scale: the corpus collapses to a part-sized revenue aggregate in
-    * one shuffle; the cumulative window runs over the part-sized
-    * relation (unpartitioned at harness scale — the q_lake_zorder
-    * note; a range-partitioned prefix sum at fleet scale). The minimal
-    * prefix count for threshold X is Σ[100·(cum−rev) < X·total] — one
-    * conditional aggregate, no second pass.
+    * one shuffle; the cumulative sum is `Dsl.globalCumSum` — the
+    * range-partitioned two-pass prefix sum (part grain GROWS with SF,
+    * so a single-partition window here was the q_lake_zorder shape;
+    * VERDICT r7 watch-list, closed round 8). The minimal prefix count
+    * for threshold X is Σ[100·(cum−rev) < X·total] — one conditional
+    * aggregate, no second pass.
     *
     * Determinism (D1/D2): exact integer cents; the rank order
     * (rev DESC, partkey ASC) is total; threshold compares are pure
@@ -863,14 +864,12 @@ object Aggregates {
   private val aggPareto = QueryDef(
     "q_agg_pareto",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val rev = Tables.lineitem(s, d)
         .groupBy(col("l_partkey"))
         .agg(sum((dec(col("l_extendedprice")) * 100).cast("long"))
           .as("rev"))
-      val w = Window.orderBy(descl("rev"), ascf("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = rev.withColumn("cum", sum(col("rev")).over(w))
+      val cum = globalCumSum(rev, "rev", "cum",
+        Seq(descl("rev"), ascf("l_partkey")))
       val tot = cum.agg(sum(col("rev")).as("total"))
       cum.join(broadcast(tot))
         .agg(count(lit(1)).as("n_parts"),
@@ -1720,11 +1719,12 @@ object Aggregates {
     * an analyst actually plots (and the 80/20 q_agg_pareto cut is one
     * point on it).
     *
-    * Scale: one orders pass to customer grain, one ntile over the
-    * customer-grain relation (single-partition window — the harness
-    * shape q_lake_zorder documents; a fleet run uses range
-    * partitioning), then all curve math on the 10-row decile sketch
-    * (the grand total rides a broadcast-size window over 10 rows).
+    * Scale: one orders pass to customer grain; the decile cut is
+    * `Dsl.globalNtile` — a range-partitioned two-pass assignment, no
+    * single-partition window over the SF-growing customer grain
+    * (VERDICT r7 watch-list, closed round 8) — then all curve math on
+    * the 10-row decile sketch (the grand total rides a broadcast-size
+    * window over 10 rows).
     *
     * Determinism (D1/D2): spend in exact cents; ntile over the total
     * (spend, custkey) order; share_e6/cum_share_e6 trunc-div.
@@ -1735,9 +1735,12 @@ object Aggregates {
       val spend = Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("cents"))
-      val ranked = spend.withColumn("decile",
-        ntile(10).over(Window.orderBy(ascf("cents"), ascf("o_custkey")))
-          .cast("long"))
+      // customer grain grows with SF — the decile cut is Dsl.globalNtile
+      // (range-partitioned two-pass), not a single-partition window
+      // (VERDICT r7 watch-list, closed round 8)
+      val ranked = globalNtile(spend, 10, "decile10",
+          Seq(ascf("cents"), ascf("o_custkey")))
+        .withColumn("decile", col("decile10").cast("long"))
       val dec10 = ranked.groupBy(col("decile"))
         .agg(count(lit(1)).as("n_customers"),
           sum(col("cents")).as("decile_cents"))
