@@ -284,7 +284,9 @@ object ScaleProbe {
         // round-7 batch 97: hierarchy rollup, acquisition split
         "q_agg_hierarchy", "q_ts_new_returning",
         // round-7 batch 98: filtered vector search, experiment layers
-        "q_sim_filtered_topk", "q_sample_layers")
+        "q_sim_filtered_topk", "q_sample_layers",
+        // round-8 batch 99: exact range splits, logistic GD steps
+        "q_shard_range_splits", "q_ml_logreg_step")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

@@ -1463,6 +1463,115 @@ object Clustering {
          |ORDER BY round ASC NULLS FIRST""".stripMargin
     })
 
+  /** Logistic-regression gradient steps (round 8, batch 99): two
+    * full-batch gradient-descent steps of a logistic classifier
+    * (predict discount ≥ 5% from quantity and tax cents) with the
+    * HARD sigmoid σ(m) = clamp(½ + m/4, 0, 1) in e6 fixed point — the
+    * piecewise-linear surrogate quantized/embedded inference uses,
+    * chosen here because it is EXACTLY representable in both engines
+    * (the real exp-sigmoid is not cross-engine bit-stable; rule D7).
+    * Per step: one map-side pass computes the error-weighted feature
+    * sums against broadcast weights, the 1-row gradient ships back to
+    * the driver (the q_ml_perceptron parameter-server pattern), the
+    * update w := w − ⌊⌊Σe·x/n⌋/16⌋ is exact integer floor math, and a
+    * second pass grades post-step training accuracy. Graded output:
+    * per-step weights (e6) + accuracy (e6).
+    *
+    * Scale: the only corpus-sized work is two codegen'd scans per step
+    * (gradient + accuracy); weights are 3 driver longs at any SF — the
+    * full-batch GD shape every distributed LR implementation runs.
+    * Per-row addend |e·x| ≤ 5·10⁷, so the int64 sum holds to ~10¹¹
+    * rows; beyond that the sums widen to DECIMAL(38,0) (same knob as
+    * q_agg_cuped).
+    *
+    * Determinism (D1/D2): all divisions of possibly-negative values
+    * TRUNCATE TOWARD ZERO on both engines — DuckDB's integer `//`
+    * truncates (measured: −7 // 2 = −3, despite the "floor" folklore),
+    * as do Scala's Long `/` and the (c − c % m)/m spelling used for
+    * the sigmoid shift; the hard sigmoid clamp is least/greatest;
+    * labels and features are exact ints off the fixture.
+    */
+  private val logregStep = QueryDef(
+    "q_ml_logreg_step",
+    (s, d) => {
+      val base = Caches.scoped(graft.Tables.lineitem(s, d).select(
+        col("l_quantity").cast("long").as("x1"),
+        (pct(col("l_tax")) * 100).cast("long").as("x2"),
+        when(pct(col("l_discount")) * 100 >= 5, 1L).otherwise(0L).as("y")))
+      val n = base.count()
+      var w = Array(0L, 0L, 0L) // e6 fixed-point (intercept, x1, x2)
+      def margin = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+      // truncating division of a possibly-negative long column: Spark %
+      // carries the dividend's sign, so (c − c % m)/m is exact and
+      // truncates toward zero — DuckDB's integer `//` semantics
+      def tdiv(c: org.apache.spark.sql.Column, m: Long) =
+        ((c - c % m) / m).cast("long")
+      val out = (1 to 2).map { step =>
+        val p = least(greatest(lit(500000L) + tdiv(margin, 4L),
+          lit(0L)), lit(1000000L))
+        val e = p - col("y") * 1000000L
+        val g = base.agg(
+          sum(e).as("g0"), sum(e * col("x1")).as("g1"),
+          sum(e * col("x2")).as("g2")).head()
+        for (j <- 0 to 2)
+          w(j) -= g.getLong(j) / n / 16L
+        val acc = base.agg(sum(
+          when((margin >= 0L) === (col("y") === 1L), 1L).otherwise(0L))
+          .as("c")).head().getLong(0)
+        (step.toLong, w(0), w(1), w(2), acc * 1000000L / n)
+      }
+      import s.implicits._
+      out.toDF("step", "w0_e6", "w1_e6", "w2_e6", "acc_e6")
+        .orderBy(ascf("step"))
+    },
+    Some {
+      // unrolled two-step mirror; step 1's margin is identically 0
+      // (w = 0), so p = 500000 exactly on both engines
+      """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x1,
+        |    CAST(CAST(l_tax AS DECIMAL(3,2)) * 100 AS BIGINT) AS x2,
+        |    CASE WHEN CAST(l_discount AS DECIMAL(3,2)) * 100 >= 5
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |nn AS (SELECT count(*) AS n FROM b),
+        |g1 AS (SELECT sum(500000 - y * 1000000) AS s0,
+        |    sum((500000 - y * 1000000) * x1) AS s1,
+        |    sum((500000 - y * 1000000) * x2) AS s2
+        |  FROM b),
+        |w1 AS (SELECT -((s0 // n) // 16) AS w0, -((s1 // n) // 16) AS w1,
+        |    -((s2 // n) // 16) AS w2 FROM g1 CROSS JOIN nn),
+        |a1 AS (SELECT sum(CASE WHEN
+        |      ((w0 + w1 * x1 + w2 * x2) >= 0) = (y = 1)
+        |      THEN 1 ELSE 0 END) AS c
+        |  FROM b CROSS JOIN w1),
+        |e2 AS (SELECT y, x1, x2,
+        |    least(greatest(500000 + ((w0 + w1 * x1 + w2 * x2) // 4),
+        |      0), 1000000) - y * 1000000 AS e
+        |  FROM b CROSS JOIN w1),
+        |g2 AS (SELECT sum(e) AS s0, sum(e * x1) AS s1, sum(e * x2) AS s2
+        |  FROM e2),
+        |w2t AS (SELECT w1.w0 - ((s0 // n) // 16) AS w0,
+        |    w1.w1 - ((s1 // n) // 16) AS w1,
+        |    w1.w2 - ((s2 // n) // 16) AS w2
+        |  FROM g2 CROSS JOIN w1 CROSS JOIN nn),
+        |a2 AS (SELECT sum(CASE WHEN
+        |      ((w0 + w1 * x1 + w2 * x2) >= 0) = (y = 1)
+        |      THEN 1 ELSE 0 END) AS c
+        |  FROM b CROSS JOIN w2t)
+        |SELECT CAST(step AS BIGINT) AS step,
+        |  CAST(w0 AS BIGINT) AS w0_e6, CAST(w1 AS BIGINT) AS w1_e6,
+        |  CAST(w2 AS BIGINT) AS w2_e6, CAST(acc AS BIGINT) AS acc_e6
+        |FROM (
+        |  SELECT 1 AS step, w1.w0 AS w0, w1.w1 AS w1, w1.w2 AS w2,
+        |    a1.c * 1000000 // nn.n AS acc
+        |  FROM w1 CROSS JOIN a1 CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT 2 AS step, w2t.w0, w2t.w1, w2t.w2,
+        |    a2.c * 1000000 // nn.n AS acc
+        |  FROM w2t CROSS JOIN a2 CROSS JOIN nn)
+        |ORDER BY step ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(kmeans, perceptron, naiveBayes, stump,
-    linreg, knn, tree, confusion, alsStep, calibration, brier, boost)
+    linreg, knn, tree, confusion, alsStep, calibration, brier, boost,
+    logregStep)
 }

@@ -578,7 +578,50 @@ object Sampling {
            |FROM c GROUP BY b1
            |ORDER BY b1 ASC NULLS FIRST""".stripMargin))
 
+  /** Balanced range-split boundaries (round 8, batch 99): the artifact
+    * a range partitioner / TeraSort job computes before it can shuffle —
+    * cut the corpus's total (l_partkey, l_orderkey, l_linenumber) order
+    * into 16 EXACTLY balanced splits and publish each split's row
+    * count and inclusive key range. Sampled-boundary partitioners
+    * (RangePartitioner, TeraSort's sampler) approximate this; the
+    * exact version is the ground truth they are judged against, and
+    * writing it IS a distributed job (the sort the splits describe).
+    *
+    * Scale: the cut is `Dsl.globalNtile` — a range-partitioned
+    * two-pass assignment with no single-partition window — followed by
+    * a 16-group aggregate; nothing corpus-sized crosses a boundary
+    * twice. Boundary monotonicity (split i's hi ≤ split i+1's lo on
+    * the full sort key) is implied by the exact tile assignment and
+    * hash-graded via the per-split min/max.
+    *
+    * Determinism (D1): the sort key is a superkey of lineitem's PK, so
+    * the total order is unique; counts/min/max are order-free.
+    */
+  private val shardRangeSplits = QueryDef(
+    "q_shard_range_splits",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_partkey").cast("long").as("pk"),
+        col("l_orderkey"), col("l_linenumber"))
+      globalNtile(li, 16, "split_id",
+          Seq(ascf("pk"), ascf("l_orderkey"), ascf("l_linenumber")))
+        .groupBy(col("split_id").cast("long").as("split_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("pk")).as("key_lo"), max(col("pk")).as("key_hi"))
+        .orderBy(ascf("split_id"))
+    },
+    Some("""WITH t AS (SELECT CAST(l_partkey AS BIGINT) AS pk,
+           |    ntile(16) OVER (ORDER BY CAST(l_partkey AS BIGINT) ASC,
+           |      l_orderkey ASC, l_linenumber ASC) AS split_id
+           |  FROM lineitem)
+           |SELECT CAST(split_id AS BIGINT) AS split_id,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(min(pk) AS BIGINT) AS key_lo,
+           |  CAST(max(pk) AS BIGINT) AS key_hi
+           |FROM t GROUP BY 1
+           |ORDER BY split_id ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(sampleHash, sampleStratified, splitTrainVal,
     sampleBootstrap, sampleBalanced, shardRendezvous, sampleSystematic,
-    shardConsistent, sampleWeighted, sampleLayers)
+    shardConsistent, sampleWeighted, sampleLayers, shardRangeSplits)
 }
