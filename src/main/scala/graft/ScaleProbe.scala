@@ -286,7 +286,9 @@ object ScaleProbe {
         // round-7 batch 98: filtered vector search, experiment layers
         "q_sim_filtered_topk", "q_sample_layers",
         // round-8 batch 99: exact range splits, logistic GD steps
-        "q_shard_range_splits", "q_ml_logreg_step")
+        "q_shard_range_splits", "q_ml_logreg_step",
+        // round-8 batch 100: entity-resolution blocking
+        "q_er_blocking")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)
