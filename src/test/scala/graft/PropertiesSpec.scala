@@ -490,4 +490,40 @@ class PropertiesSpec extends SparkSpec {
       assert(got == want.toList, s"ss=$ss a=$a b=$b")
     }
   }
+
+  test("globalNtile equals the single-partition ntile window for any input") {
+    // the round-8 distributed file-cut helper must be bit-identical to
+    // Spark's own ntile on ANY size/k, including n < k and n = 0 —
+    // sizes chosen to straddle the 32 range partitions it stages
+    val gen = Gen.zip(Gen.choose(0, 200), Gen.oneOf(1, 3, 10, 16, 32, 50))
+    samples(gen, 6).foreach { case (n, k) =>
+      val df = spark.range(n.toLong).select(
+        pmod(col("id") * 2654435761L, lit(997L)).as("v"), col("id"))
+      val want = df.withColumn("t",
+          ntile(k).over(Window.orderBy(col("v").asc, col("id").asc)))
+        .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+      val got = Dsl.globalNtile(df, k, "t",
+          Seq(col("v").asc, col("id").asc))
+        .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+      Caches.releaseScoped()
+      assert(got == want, s"n=$n k=$k")
+    }
+  }
+
+  test("globalCumSum equals the single-partition running-sum window") {
+    val gen = Gen.zip(Gen.choose(0, 200), Gen.const(0))
+    samples(gen, 4).foreach { case (n, _) =>
+      val df = spark.range(n.toLong).select(col("id"),
+        (pmod(col("id") * 2654435761L, lit(997L)) - 500L).as("v"))
+      val want = df.withColumn("c", sum(col("v")).over(
+          Window.orderBy(col("v").asc, col("id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val got = Dsl.globalCumSum(df, "v", "c",
+          Seq(col("v").asc, col("id").asc))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      Caches.releaseScoped()
+      assert(got == want, s"n=$n")
+    }
+  }
 }
