@@ -290,7 +290,9 @@ object ScaleProbe {
         // round-8 batch 100: entity-resolution blocking
         "q_er_blocking",
         // round-8 batch 101: the remaining OSDI §2.3 examples
-        "q_mr_url_freq", "q_mr_revlink", "q_mr_termvector")
+        "q_mr_url_freq", "q_mr_revlink", "q_mr_termvector",
+        // round-8 batch 102: ratio-metric delta-method variance
+        "q_agg_delta_method")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

@@ -2026,6 +2026,102 @@ object Aggregates {
            |GROUP BY 1
            |ORDER BY depth ASC NULLS FIRST""".stripMargin))
 
+  /** Delta-method variance for RATIO metrics (round 8, batch 102): the
+    * missing leg of the experimentation stack (q_agg_cuped adjusts,
+    * q_agg_ttest tests, THIS estimates the variance of the metric
+    * every platform actually ships — spend per order, clicks per
+    * session — whose denominator is itself random, so the naive
+    * per-unit variance is WRONG). Per market segment over CUSTOMER
+    * analysis units: R̂ = ΣX/ΣY and Var(R̂) ≈ (S_X² − 2R·S_XY +
+    * R²·S_Y²)/(n·Ȳ²), computed with denominators cleared:
+    *
+    *   a = n·Sxx − Sx², b = n·Sxy − Sx·Sy, c = n·Syy − Sy²
+    *   num = Sy²·a − 2·Sx·Sy·b + Sx²·c,   den = n·Sy⁴
+    *   Var = num/den  (emitted ×10¹² as a double)
+    *
+    * Scale: one orders pass to customer grain (broadcast customer dim
+    * for the segment), one 5-group moment aggregate; everything after
+    * is 5-row arithmetic. The standard nightly-experimentation shape.
+    *
+    * Determinism (D2/D9): X is whole dollars (cents div 100 — exact by
+    * definition, and it keeps num < 10³⁸ through sf10); all moments
+    * and the cleared-denominator algebra run in DECIMAL(38,0) ↔
+    * HUGEINT, exact on both engines; the ONLY inexact step is the
+    * final correctly-rounded decimal→double casts and one IEEE
+    * divide/multiply, spelled identically on both sides; ratio_e6 is
+    * a truncating div of non-negative exacts.
+    */
+  private val aggDeltaMethod = QueryDef(
+    "q_agg_delta_method",
+    (s, d) => {
+      val cust = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(expr("sum(cast(cast(o_totalprice as decimal(18,2)) * 100 " +
+            "as bigint)) div 100").as("x"),
+          count(lit(1)).as("y"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+          col("o_custkey") === col("c_custkey"))
+      val m = cust.groupBy(col("segment")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * cast(x as decimal(38,0))"))
+          .as("sxx"),
+        sum(expr("cast(x as decimal(38,0)) * cast(y as decimal(38,0))"))
+          .as("sxy"),
+        sum(expr("cast(y as decimal(38,0)) * cast(y as decimal(38,0))"))
+          .as("syy"))
+      m.select(col("segment"), col("n"), col("sx"), col("sy"),
+          expr("sx * 1000000 div sy").as("ratio_e6"),
+          expr("""cast(cast(
+            |  cast(sy as decimal(38,0)) * cast(sy as decimal(38,0))
+            |    * (cast(n as decimal(38,0)) * sxx
+            |       - cast(sx as decimal(38,0)) * cast(sx as decimal(38,0)))
+            |  - 2 * cast(sx as decimal(38,0)) * cast(sy as decimal(38,0))
+            |    * (cast(n as decimal(38,0)) * sxy
+            |       - cast(sx as decimal(38,0)) * cast(sy as decimal(38,0)))
+            |  + cast(sx as decimal(38,0)) * cast(sx as decimal(38,0))
+            |    * (cast(n as decimal(38,0)) * syy
+            |       - cast(sy as decimal(38,0)) * cast(sy as decimal(38,0)))
+            |  as double) / cast(
+            |  cast(n as decimal(38,0)) * cast(sy as decimal(38,0))
+            |    * cast(sy as decimal(38,0)) * cast(sy as decimal(38,0))
+            |    * cast(sy as decimal(38,0)) as double)
+            |* 1000000000000.0D as double)""".stripMargin).as("var_e12"))
+        .orderBy(ascf("segment"))
+    },
+    Some("""WITH cu AS (SELECT o_custkey,
+           |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           |      AS BIGINT)) // 100 AS BIGINT) AS x,
+           |    CAST(count(*) AS BIGINT) AS y
+           |  FROM orders GROUP BY 1),
+           |j AS (SELECT c.c_mktsegment AS segment, cu.x, cu.y
+           |  FROM cu JOIN customer c ON cu.o_custkey = c.c_custkey),
+           |m AS (SELECT segment, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+           |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+           |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+           |  FROM j GROUP BY 1)
+           |SELECT segment, n, sx, sy,
+           |  CAST(sx * 1000000 // sy AS BIGINT) AS ratio_e6,
+           |  CAST(
+           |    CAST(CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT)
+           |        * (CAST(n AS HUGEINT) * sxx
+           |           - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT))
+           |      - 2 * CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT)
+           |        * (CAST(n AS HUGEINT) * sxy
+           |           - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT))
+           |      + CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+           |        * (CAST(n AS HUGEINT) * syy
+           |           - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT))
+           |      AS DOUBLE)
+           |    / CAST(CAST(n AS HUGEINT) * CAST(sy AS HUGEINT)
+           |        * CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT)
+           |        * CAST(sy AS HUGEINT) AS DOUBLE)
+           |    * 1000000000000.0 AS DOUBLE) AS var_e12
+           |FROM m ORDER BY segment ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggQ18, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
@@ -2033,5 +2129,5 @@ object Aggregates {
     aggEntropy, aggQ14, aggQ6, aggGini, aggHhi, aggFiltered, aggSkyline,
     aggPareto, aggBasketLift, aggCramersV, aggMannWhitney, aggTheil,
     aggMutualInfo, aggTtest, aggSpearman, aggDecay, aggLorenz, aggCuped,
-    aggBayesShrink, aggHierarchy)
+    aggBayesShrink, aggHierarchy, aggDeltaMethod)
 }
