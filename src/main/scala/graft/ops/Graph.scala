@@ -2216,9 +2216,100 @@ object Graph {
          |ORDER BY n_edges ASC NULLS FIRST""".stripMargin
     })
 
+  /** Community conductance (round 8, batch 103): the cut-quality
+    * metric that complements q_graph_modularity's density score — for
+    * each REGION community of the trade graph, φ(S) = cut(S) /
+    * min(vol(S), vol(V∖S)): the fraction of a community's edge volume
+    * that leaks across its boundary (low φ = well-separated community;
+    * φ is the Cheeger/sparsest-cut quantity spectral partitioning
+    * bounds). Graded per region: member nodes, edge volume, cut size,
+    * conductance (e6).
+    *
+    * Scale: degrees are one pass over the node²-bounded shared edge
+    * relation; community tags ride the broadcast nation dim; cut
+    * counting is a projection + 5-group aggregate. Nothing touches the
+    * fact table beyond the session-shared graph build.
+    *
+    * Determinism: pure integer counting; conductance is a truncating
+    * div of non-negative ints, pinned 0 when a side is empty; D1 on
+    * region.
+    */
+  private val conductance = QueryDef(
+    "q_graph_conductance",
+    (s, d) => {
+      val und = undirectedTop3(s, d)
+      val nat = Tables.nation(s, d).select(
+        col("n_nationkey").cast("long").as("nk"),
+        col("n_regionkey").cast("long").as("rk"))
+      val deg = und.select(col("a").as("n"))
+        .unionByName(und.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        .join(broadcast(nat), col("n") === col("nk"))
+      val vol = deg.groupBy(col("rk"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("volume"))
+      val tv = deg.agg(sum(col("deg")).as("totvol"))
+      val cut = und
+        .join(broadcast(nat.select(col("nk").as("ak"), col("rk").as("ra"))),
+          col("a") === col("ak"))
+        .join(broadcast(nat.select(col("nk").as("bk"), col("rk").as("rb"))),
+          col("b") === col("bk"))
+        .filter(col("ra") =!= col("rb"))
+        .select(explode(array(col("ra"), col("rb"))).as("rk"))
+        .groupBy(col("rk")).agg(count(lit(1)).as("n_cut"))
+      Tables.nation(s, d)
+        .select(col("n_regionkey").cast("long").as("region")).distinct()
+        .join(vol.withColumnRenamed("rk", "region"), Seq("region"), "left")
+        .join(cut.withColumnRenamed("rk", "region"), Seq("region"), "left")
+        .crossJoin(broadcast(tv))
+        .select(col("region"),
+          coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+          coalesce(col("volume"), lit(0L)).as("volume"),
+          coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+          col("totvol"))
+        .withColumn("conductance_e6", expr(
+          """case when least(volume, totvol - volume) > 0
+            |then n_cut * 1000000 div least(volume, totvol - volume)
+            |else 0 end""".stripMargin))
+        .drop("totvol")
+        .orderBy(ascf("region"))
+    },
+    Some(s"""WITH $UndSql,
+           |dg AS (SELECT n, count(*) AS deg FROM (
+           |    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+           |  GROUP BY 1),
+           |nd AS (SELECT dg.n, dg.deg,
+           |    CAST(na.n_regionkey AS BIGINT) AS rk
+           |  FROM dg JOIN nation na ON dg.n = na.n_nationkey),
+           |vol AS (SELECT rk, CAST(count(*) AS BIGINT) AS n_nodes,
+           |    CAST(sum(deg) AS BIGINT) AS volume FROM nd GROUP BY 1),
+           |tv AS (SELECT CAST(sum(deg) AS BIGINT) AS totvol FROM nd),
+           |ce AS (SELECT CAST(x.n_regionkey AS BIGINT) AS ra,
+           |    CAST(y.n_regionkey AS BIGINT) AS rb
+           |  FROM und JOIN nation x ON und.a = x.n_nationkey
+           |  JOIN nation y ON und.b = y.n_nationkey),
+           |ct AS (SELECT rk, CAST(count(*) AS BIGINT) AS n_cut FROM (
+           |    SELECT ra AS rk FROM ce WHERE ra <> rb
+           |    UNION ALL SELECT rb AS rk FROM ce WHERE ra <> rb)
+           |  GROUP BY 1),
+           |rg AS (SELECT DISTINCT CAST(n_regionkey AS BIGINT) AS region
+           |  FROM nation)
+           |SELECT rg.region AS region,
+           |  CAST(coalesce(vol.n_nodes, 0) AS BIGINT) AS n_nodes,
+           |  CAST(coalesce(vol.volume, 0) AS BIGINT) AS volume,
+           |  CAST(coalesce(ct.n_cut, 0) AS BIGINT) AS n_cut,
+           |  CAST(CASE WHEN least(coalesce(vol.volume, 0),
+           |      tv.totvol - coalesce(vol.volume, 0)) > 0
+           |    THEN coalesce(ct.n_cut, 0) * 1000000
+           |      // least(coalesce(vol.volume, 0),
+           |           tv.totvol - coalesce(vol.volume, 0))
+           |    ELSE 0 END AS BIGINT) AS conductance_e6
+           |FROM rg LEFT JOIN vol ON rg.region = vol.rk
+           |LEFT JOIN ct ON rg.region = ct.rk CROSS JOIN tv
+           |ORDER BY region ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(pagerank, triangles, bfs, degree,
     graphJaccard, labelProp, closeness, scc, kcore, copurchase,
     adamicAdar, hits, assortativity, reciprocity, clustering, mst, motifs,
     eccentric, truss, modularity, betweenness, walk2, matching, coloring,
-    vertexCover)
+    vertexCover, conductance)
 }

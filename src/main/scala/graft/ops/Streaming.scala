@@ -358,6 +358,84 @@ object Streaming {
            |FROM f GROUP BY event_type
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
+  private val upsertStates =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Run the real streaming CDC upsert once per (session, sfDir): the
+    * events table is staged as three micro-batch files, replayed
+    * through `readStream` + `Streams.runUpsertToParquet` (foreachBatch
+    * last-version-wins keyed-state maintenance, `maxFilesPerTrigger=1`
+    * so the upsert genuinely folds MULTIPLE batches), and the final
+    * keyed state parquet is what the graded census reads.
+    */
+  private def upsertState(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    upsertStates.computeIfAbsent(s"${graft.Caches.sessionKey(s)}:$d", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_upsert").toString
+      val stage = s"$root/in"
+      val ev = Tables.events(s, d).select(
+        col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"),
+        col("event_type"),
+        round(col("value") * 1000000, 0).cast("long").as("value_e6"))
+      (0 until 3).foreach { i =>
+        ev.filter(pmod(col("event_id"), lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(stage)
+      }
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      graft.streaming.Streams.runUpsertToParquet(src, Seq("user_id"),
+        "event_id", s"$root/state", s"$root/ckpt")
+      s"$root/state"
+    })
+
+  /** Streaming CDC upsert, graded on the contract surface (round 8,
+    * batch 103): the `Streams.runUpsertToParquet` path — a keyed
+    * last-version-wins state maintained by `foreachBatch` over a file
+    * stream — has been StreamingSpec-covered since round 7; this key
+    * puts its END STATE under the DuckDB hash gate. Events are treated
+    * as a change feed keyed by user (version = event_id); the stream
+    * drains three micro-batches; the graded census summarizes the
+    * final state per user bucket. The oracle recomputes
+    * last-version-wins over ALL events relationally, so the batch
+    * split, replay order, and every upsert fold are invisible exactly
+    * when the CDC apply is CORRECT — version order beating arrival
+    * order is the graded property.
+    *
+    * Scale: each micro-batch costs one window over (resident ∪ batch)
+    * keyed state — the q_lake_merge shape per trigger; state size is
+    * key-bounded, not history-bounded. Staging + stream run once per
+    * session (the q_lake_timetravel memoization precedent); the graded
+    * read is a plain scan of the state parquet.
+    *
+    * Determinism: versions (event_id) are globally unique, so
+    * last-version-wins has no ties and the final state is independent
+    * of batch order; census sums are exact ints (value quantized e6,
+    * the q_stream_tumbling rounding).
+    */
+  private val streamUpsert = QueryDef(
+    "q_stream_upsert",
+    (s, d) => s.read.parquet(upsertState(s, d))
+      .groupBy(pmod(col("user_id"), lit(8L)).as("bucket"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("event_id")).as("version_checksum"),
+        sum(col("value_e6")).as("value_sum_e6"))
+      .orderBy(ascf("bucket")),
+    Some("""WITH r AS (SELECT CAST(event_id AS BIGINT) AS event_id,
+           |    CAST(user_id AS BIGINT) AS user_id,
+           |    CAST(round(value * 1000000, 0) AS BIGINT) AS value_e6
+           |  FROM events),
+           |f AS (SELECT * FROM (SELECT *, row_number() OVER (
+           |    PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM r)
+           |  WHERE rn = 1)
+           |SELECT user_id % 8 AS bucket,
+           |  CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(sum(event_id) AS BIGINT) AS version_checksum,
+           |  CAST(sum(value_e6) AS BIGINT) AS value_sum_e6
+           |FROM f GROUP BY 1
+           |ORDER BY bucket ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, session, dedup, streamJoin,
-    streamEnrich, streamFunnel, streamTopk, streamLate)
+    streamEnrich, streamFunnel, streamTopk, streamLate, streamUpsert)
 }
