@@ -1394,8 +1394,94 @@ object Similarity {
          |LEFT JOIN t1 ON pr.pid = t1.pid
          |ORDER BY pid ASC NULLS FIRST""".stripMargin))
 
+  /** Hybrid retrieval with reciprocal-rank fusion (round 8, batch 104):
+    * the modern search-stack shape — a LEXICAL ranked list (term
+    * frequency of the 4-term query over documents) and a VECTOR ranked
+    * list (exact e6 dot against the vec_id-0 probe, ids shared with
+    * doc_id) fused by RRF: score = Σ 1/(60 + rank) over the lists that
+    * ranked the id (Cormack et al.'s k=60), emitted ×10⁶ integer.
+    * Documents only one leg ranked still fuse (the full-outer
+    * semantics that makes RRF robust to modality gaps) — the graded
+    * output carries both per-leg ranks so a leg silently dropping out
+    * breaks the hash, not just the ordering.
+    *
+    * Scale: each leg is a distributed top-100 (orderBy+limit plans as
+    * TakeOrderedAndProject — per-partition top-k + merge, no global
+    * sort); the rank windows and the fusion join run on ≤100-row
+    * relations; the corpus-sized work is one token scan and one dot
+    * scan (the DotLongArrays codegen path).
+    *
+    * Determinism: integer tf/dot ranks with id tiebreaks; RRF
+    * contributions are truncating divs of positive ints; final top-20
+    * re-ranked by (score DESC, id ASC).
+    */
+  private val simHybridRrf = QueryDef(
+    "q_sim_hybrid_rrf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val qterms = Seq("join", "vector", "stream", "filter")
+      val lexTop = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").isin(qterms: _*))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("tf"))
+        .orderBy(descl("tf"), ascf("doc_id")).limit(100)
+      val lexR = lexTop.withColumn("rank_lex", row_number().over(
+        Window.orderBy(descl("tf"), ascf("doc_id"))).cast("long"))
+      val emb = quantized(s, d)
+      val probe = emb.filter(col("vec_id") === 0).select(col("v").as("pv"))
+      val vecTop = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), dot(col("v"), col("pv")).as("dp"))
+        .orderBy(descl("dp"), ascf("vec_id")).limit(100)
+      val vecR = vecTop.withColumn("rank_vec", row_number().over(
+        Window.orderBy(descl("dp"), ascf("vec_id"))).cast("long"))
+      val fused = lexR.select(col("doc_id").as("id"), col("rank_lex"))
+        .join(vecR.select(col("vec_id").as("id"), col("rank_vec")),
+          Seq("id"), "full_outer")
+        .withColumn("rrf_e6",
+          expr("coalesce(1000000 div (60 + rank_lex), 0) " +
+            "+ coalesce(1000000 div (60 + rank_vec), 0)"))
+        .orderBy(descl("rrf_e6"), ascf("id")).limit(20)
+      fused.withColumn("fused_rank", row_number().over(
+          Window.orderBy(descl("rrf_e6"), ascf("id"))).cast("long"))
+        .select(col("fused_rank"), col("id"), col("rrf_e6"),
+          coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
+          coalesce(col("rank_vec"), lit(0L)).as("rank_vec"))
+        .orderBy(ascf("fused_rank"))
+    },
+    Some(oracleQuantized +
+      """,
+        |p AS (SELECT v FROM n WHERE vec_id = 0),
+        |lex0 AS (SELECT doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  WHERE w IN ('join', 'vector', 'stream', 'filter') GROUP BY 1),
+        |lexr AS (SELECT doc_id, row_number() OVER (
+        |    ORDER BY tf DESC, doc_id ASC) AS rank_lex
+        |  FROM lex0 QUALIFY rank_lex <= 100),
+        |vec0 AS (SELECT a.vec_id, CAST(list_sum(list_transform(
+        |    range(1, 65), k -> a.v[k] * p.v[k])) AS BIGINT) AS dp
+        |  FROM n a, p WHERE a.vec_id <> 0),
+        |vecr AS (SELECT vec_id, row_number() OVER (
+        |    ORDER BY dp DESC, vec_id ASC) AS rank_vec
+        |  FROM vec0 QUALIFY rank_vec <= 100),
+        |f AS (SELECT coalesce(lexr.doc_id, vecr.vec_id) AS id,
+        |    lexr.rank_lex AS rank_lex, vecr.rank_vec AS rank_vec,
+        |    coalesce(1000000 // (60 + lexr.rank_lex), 0)
+        |      + coalesce(1000000 // (60 + vecr.rank_vec), 0) AS rrf_e6
+        |  FROM lexr FULL OUTER JOIN vecr ON lexr.doc_id = vecr.vec_id),
+        |t AS (SELECT *, row_number() OVER (
+        |    ORDER BY rrf_e6 DESC, id ASC) AS fused_rank
+        |  FROM f QUALIFY fused_rank <= 20)
+        |SELECT CAST(fused_rank AS BIGINT) AS fused_rank,
+        |  CAST(id AS BIGINT) AS id, CAST(rrf_e6 AS BIGINT) AS rrf_e6,
+        |  CAST(coalesce(rank_lex, 0) AS BIGINT) AS rank_lex,
+        |  CAST(coalesce(rank_vec, 0) AS BIGINT) AS rank_vec
+        |FROM t ORDER BY fused_rank ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     dedupExact, simJaccard, simCosineTopk, simThresholdJoin, simKnnJoin,
     dedupMinhash, sampleNegative, simCosineSets, vecRandproj, simRecall,
-    vecPcaPower, simMips, vecStats, vecMmr, vecKcenter, simFilteredTopk)
+    vecPcaPower, simMips, vecStats, vecMmr, vecKcenter, simFilteredTopk,
+    simHybridRrf)
 }
