@@ -416,6 +416,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("hybrid RRF legs select candidates with distributed TakeOrdered") {
+    // both retrieval legs must plan per-partition top-k + merge (the
+    // q_sim_ann_sq discipline); a global Sort would serialize the
+    // corpus through one task at scale
+    val p = planString("q_sim_hybrid_rrf")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p.take(2000))
+    Caches.releaseScoped()
+  }
+
+  test("range-split assignment plans no corpus-grain global window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case a: AdaptiveSparkPlanExec => bounded(a.executedPlan)
+      case q: QueryStageExec => bounded(q.plan)
+      case r: ReusedExchangeExec => bounded(r.child)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        bounded(m.relation.cachedPlan)
+      case l if l.children.isEmpty => false
+      case other => other.children.forall(bounded)
+    }
+    val nodes = collectAll(executedPlan("q_shard_range_splits"))
+    val bad = nodes.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) => w
+    }
+    assert(bad.isEmpty, bad.map(_.simpleString(120)).mkString("; "))
+    Caches.releaseScoped()
+  }
+
   test("q_fn_base64 codecs stay in one pass before the lang census") {
     // per-row codec projections: one scan; the only exchanges are the
     // census aggregation's
