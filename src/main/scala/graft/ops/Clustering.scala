@@ -1571,7 +1571,104 @@ object Clustering {
         |ORDER BY step ASC NULLS FIRST""".stripMargin
     })
 
+  /** K-fold cross-validated model selection (round 8, batch 105): the
+    * evaluation protocol none of the other q_ml_* keys grade — pick a
+    * threshold classifier ("predict discount ≥ 5% iff quantity ≥ v")
+    * by 3-fold CV: for each fold, train on the OUT-of-fold rows (argmax
+    * training accuracy over all candidate thresholds via one histogram
+    * + exclusive-prefix windows — TP(v) + TN(v) from cumulative counts,
+    * never a per-threshold scan) and score on the held-out fold.
+    * Graded per fold: chosen threshold, train accuracy, test accuracy
+    * (e6) — so fold assignment, split search, and the generalization
+    * gap are all hash-pinned.
+    *
+    * Scale: per fold one corpus histogram pass (map-side combine to ≤
+    * |qty domain| cells) + one test-scoring pass against the broadcast
+    * 1-row winner; the threshold search runs entirely on the
+    * value-bounded histogram (the q_ml_stump discipline). Folds are a
+    * deterministic key mod — the q_sample_hash reproducibility
+    * contract applied to CV.
+    *
+    * Determinism: integer counts; argmax total order (correct DESC,
+    * v ASC); accuracies are truncating divs of non-negative ints.
+    */
+  private val cvStump = QueryDef(
+    "q_ml_cv_stump",
+    (s, d) => {
+      val base = Caches.scoped(graft.Tables.lineitem(s, d).select(
+        col("l_quantity").cast("long").as("qty"),
+        when(pct(col("l_discount")) * 100 >= 5, 1L).otherwise(0L).as("y"),
+        pmod(col("l_orderkey"), lit(3)).as("fold")))
+      import org.apache.spark.sql.expressions.Window
+      val out = (0L to 2L).map { f =>
+        val hist = base.filter(col("fold") =!= f)
+          .groupBy(col("qty"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+        val wB = Window.orderBy(ascf("qty"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val best = hist
+          .withColumn("bn", coalesce(sum(col("n")).over(wB), lit(0L)))
+          .withColumn("bp", coalesce(sum(col("npos")).over(wB), lit(0L)))
+          .crossJoin(broadcast(hist.agg(sum(col("n")).as("tn"),
+            sum(col("npos")).as("tp"))))
+          .select(col("qty").as("v"),
+            ((col("tp") - col("bp")) + (col("bn") - col("bp")))
+              .as("correct"),
+            col("tn"))
+          .orderBy(descl("correct"), ascf("v"))
+          .head()
+        val (bv, trainCorrect, trainN) =
+          (best.getLong(0), best.getLong(1), best.getLong(2))
+        val t = base.filter(col("fold") === f)
+          .agg(count(lit(1)).as("n"),
+            sum(when((col("qty") >= bv) === (col("y") === 1L), 1L)
+              .otherwise(0L)).as("c")).head()
+        (f, bv, trainCorrect * 1000000L / trainN,
+          t.getLong(1) * 1000000L / t.getLong(0))
+      }
+      import s.implicits._
+      out.toDF("fold", "best_v", "train_acc_e6", "test_acc_e6")
+        .orderBy(ascf("fold"))
+    },
+    Some {
+      def foldSql(f: Int): String =
+        s"""h$f AS (SELECT qty, count(*) AS n, sum(y) AS npos
+           |  FROM b WHERE fold <> $f GROUP BY 1),
+           |t$f AS (SELECT sum(n) AS tn, sum(npos) AS tp FROM h$f),
+           |c$f AS (SELECT qty,
+           |    coalesce(sum(n) OVER (ORDER BY qty ASC ROWS BETWEEN
+           |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bn,
+           |    coalesce(sum(npos) OVER (ORDER BY qty ASC ROWS BETWEEN
+           |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bp
+           |  FROM h$f),
+           |best$f AS (SELECT qty AS v,
+           |    (tp - bp) + (bn - bp) AS correct, tn
+           |  FROM c$f CROSS JOIN t$f
+           |  ORDER BY correct DESC, v ASC LIMIT 1),
+           |test$f AS (SELECT count(*) AS n,
+           |    sum(CASE WHEN (b.qty >= best$f.v) = (b.y = 1)
+           |      THEN 1 ELSE 0 END) AS c
+           |  FROM b CROSS JOIN best$f WHERE b.fold = $f),
+           |row$f AS (SELECT $f AS fold, best$f.v AS best_v,
+           |    best$f.correct * 1000000 // best$f.tn AS train_acc_e6,
+           |    test$f.c * 1000000 // test$f.n AS test_acc_e6
+           |  FROM best$f CROSS JOIN test$f)""".stripMargin
+      s"""WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+         |    CASE WHEN CAST(l_discount AS DECIMAL(3,2)) * 100 >= 5
+         |      THEN 1 ELSE 0 END AS y,
+         |    l_orderkey % 3 AS fold
+         |  FROM lineitem),
+         |${(0 to 2).map(foldSql).mkString(",\n")}
+         |SELECT CAST(fold AS BIGINT) AS fold, CAST(best_v AS BIGINT)
+         |    AS best_v,
+         |  CAST(train_acc_e6 AS BIGINT) AS train_acc_e6,
+         |  CAST(test_acc_e6 AS BIGINT) AS test_acc_e6
+         |FROM (SELECT * FROM row0 UNION ALL SELECT * FROM row1
+         |      UNION ALL SELECT * FROM row2)
+         |ORDER BY fold ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(kmeans, perceptron, naiveBayes, stump,
     linreg, knn, tree, confusion, alsStep, calibration, brier, boost,
-    logregStep)
+    logregStep, cvStump)
 }
