@@ -298,7 +298,9 @@ object ScaleProbe {
         // round-8 batch 104: RRF hybrid retrieval, partition evolution
         "q_sim_hybrid_rrf", "q_lake_partition_evolution",
         // round-8 batch 105: k-fold CV model selection
-        "q_ml_cv_stump")
+        "q_ml_cv_stump",
+        // round-8 batch 106: water-filling mix plan
+        "q_mix_plan")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

@@ -1673,9 +1673,90 @@ object Curation {
            |FROM t LEFT JOIN v ON t.nation = v.nation
            |ORDER BY nation ASC NULLS FIRST""".stripMargin))
 
+  /** Corpus mixing PLAN with cap-and-redistribute (round 8, batch 106):
+    * q_mix_weighted/q_mix_temperature EXECUTE a mix; this key computes
+    * the plan document a training run publishes first — weighted
+    * target shares (weight = source id mod 4 + 1, the fixture stand-in
+    * for per-domain quality weights) over an 80%-of-corpus budget make
+    * the naive quota OVERSHOOT the heavy sources' availability, so the
+    * plan caps those at availability and redistributes their surplus
+    * to the uncapped sources proportionally to remaining capacity (one
+    * deterministic water-filling round; the remainder a truncating
+    * proportional split cannot place is stated, not hidden). Graded
+    * per source: available docs, naive target, planned count, sampling
+    * rate (e6), capped flag.
+    *
+    * Scale: ONE corpus pass to the source census; every plan
+    * computation is arithmetic on that census crossed with two 1-row
+    * aggregates — the cost profile of a plan, not a mix.
+    *
+    * Determinism: all-integer quotas and truncating proportional
+    * splits; D1 on source.
+    */
+  private val mixPlan = QueryDef(
+    "q_mix_plan",
+    (s, d) => {
+      val counts = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("w",
+          expr("cast(substring(source, 4) as bigint) % 4 + 1"))
+      val tot = counts.agg(sum(col("n_docs")).as("total"),
+        sum(col("w")).as("sw"))
+      val base = counts.crossJoin(broadcast(tot))
+        .withColumn("target", expr("(total * 4 div 5) * w div sw"))
+        .withColumn("capped",
+          when(col("n_docs") < col("target"), 1L).otherwise(0L))
+      val pools = base.agg(
+        sum(when(col("capped") === 1L, col("target") - col("n_docs"))
+          .otherwise(0L)).as("surplus"),
+        sum(when(col("capped") === 0L, col("n_docs") - col("target"))
+          .otherwise(0L)).as("capacity"))
+      base.crossJoin(broadcast(pools))
+        .withColumn("planned",
+          when(col("capped") === 1L, col("n_docs"))
+            .otherwise(col("target") + when(col("capacity") > 0,
+              expr("surplus * (n_docs - target) div capacity"))
+              .otherwise(lit(0L))))
+        .select(col("source"), col("n_docs"), col("target"),
+          col("planned"),
+          expr("planned * 1000000 div n_docs").as("rate_e6"),
+          col("capped"))
+        .orderBy(ascf("source"))
+    },
+    Some("""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS w
+           |  FROM documents GROUP BY 1),
+           |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+           |    CAST(sum(w) AS BIGINT) AS sw FROM c),
+           |b AS (SELECT c.source, c.n_docs,
+           |    (t.total * 4 // 5) * c.w // t.sw AS target,
+           |    CASE WHEN c.n_docs < (t.total * 4 // 5) * c.w // t.sw
+           |      THEN 1 ELSE 0 END AS capped
+           |  FROM c CROSS JOIN t),
+           |p AS (SELECT
+           |    CAST(sum(CASE WHEN capped = 1 THEN target - n_docs
+           |      ELSE 0 END) AS BIGINT) AS surplus,
+           |    CAST(sum(CASE WHEN capped = 0 THEN n_docs - target
+           |      ELSE 0 END) AS BIGINT) AS capacity
+           |  FROM b)
+           |SELECT b.source AS source, b.n_docs AS n_docs,
+           |  CAST(b.target AS BIGINT) AS target,
+           |  CAST(CASE WHEN b.capped = 1 THEN b.n_docs
+           |    ELSE b.target + CASE WHEN p.capacity > 0
+           |      THEN p.surplus * (b.n_docs - b.target) // p.capacity
+           |      ELSE 0 END END AS BIGINT) AS planned,
+           |  CAST((CASE WHEN b.capped = 1 THEN b.n_docs
+           |    ELSE b.target + CASE WHEN p.capacity > 0
+           |      THEN p.surplus * (b.n_docs - b.target) // p.capacity
+           |      ELSE 0 END END) * 1000000 // b.n_docs AS BIGINT)
+           |    AS rate_e6,
+           |  CAST(b.capped AS BIGINT) AS capped
+           |FROM b CROSS JOIN p
+           |ORDER BY source ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(packSequences, contamination, repetition,
     dedupIncremental, mixWeighted, lengthHist, mixTemperature, qualityGopher,
     mixUpsample, profileCols, profileSkew, profileDepth, dedupLines, textPii,
     textChunking, profileCorr, profileIqr, profileBenford, profileMad, dedupPriority,
-    profileTrimmed, profileKs, profilePsi, erBlocking)
+    profileTrimmed, profileKs, profilePsi, erBlocking, mixPlan)
 }
