@@ -153,6 +153,34 @@ object Dsl {
       .select(df.columns.map(col).toIndexedSeq :+ col(out): _*)
   }
 
+  /** Distributed exact `row_number() OVER (ORDER BY sortCols)` — the
+    * third member of the globalNtile family: range exchange →
+    * per-partition counts → broadcast prefix offsets + local
+    * row_number. Same total-order and persist requirements as
+    * globalNtile (which computes exactly this rank internally before
+    * the tile arithmetic).
+    */
+  def globalRowNumber(df: org.apache.spark.sql.DataFrame, out: String,
+      sortCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted = Caches.scoped(df.repartitionByRange(32, sortCols: _*)
+      .withColumn("__grn_pid", spark_partition_id()))
+    val counts = parted.groupBy(col("__grn_pid"))
+      .agg(count(lit(1)).as("__grn_cnt"))
+    val wOff = Window.orderBy(col("__grn_pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__grn_off",
+        coalesce(sum(col("__grn_cnt")).over(wOff), lit(0L)))
+      .select(col("__grn_pid"), col("__grn_off"))
+    parted
+      .withColumn("__grn_rn", row_number().over(
+        Window.partitionBy(col("__grn_pid")).orderBy(sortCols: _*)))
+      .join(broadcast(offsets), Seq("__grn_pid"))
+      .withColumn(out, col("__grn_off") + col("__grn_rn"))
+      .select(df.columns.map(col).toIndexedSeq :+ col(out): _*)
+  }
+
   /** Distributed exact running sum — `sum(valueCol) OVER (ORDER BY
     * sortCols ROWS UNBOUNDED PRECEDING..CURRENT ROW)` with no
     * single-partition window (the globalNtile machinery applied to a

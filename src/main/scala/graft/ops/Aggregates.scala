@@ -2122,6 +2122,61 @@ object Aggregates {
            |    * 1000000000000.0 AS DOUBLE) AS var_e12
            |FROM m ORDER BY segment ASC NULLS FIRST""".stripMargin))
 
+  /** Sample-ratio-mismatch guardrail (round 8, batch 107): the FIRST
+    * check every experimentation platform runs before reading any
+    * metric — does the observed variant split match the intended
+    * 50/50? Per event type over events (variant = user mod 2, an A/A
+    * assignment whose MACHINERY is what's graded): observed counts,
+    * exact expected counts (e_a = n div 2, e_b = n − e_a — the
+    * off-by-one stays exact), the χ² statistic ×10⁶, and the SRM flag
+    * against the 1-dof 5% critical value 3.841458 (a spelled constant
+    * on both engines).
+    *
+    * Scale: one corpus scan to a (type, variant) partial aggregate;
+    * everything after is per-type arithmetic. The nightly-guardrail
+    * cost profile.
+    *
+    * Determinism: integer counts; χ² cleared to e6 by truncating divs
+    * of non-negative ints; D1 on event_type.
+    */
+  private val aggSrm = QueryDef(
+    "q_agg_srm",
+    (s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L))
+            .as("n_a"))
+        .withColumn("n_b", col("n") - col("n_a"))
+        .withColumn("e_a", expr("n div 2"))
+        .withColumn("e_b", col("n") - expr("n div 2"))
+      counts
+        .withColumn("chi2_e6", expr(
+          """(n_a - e_a) * (n_a - e_a) * 1000000 div e_a
+            |+ (n_b - e_b) * (n_b - e_b) * 1000000 div e_b"""
+            .stripMargin))
+        .withColumn("srm_flag",
+          when(col("chi2_e6") > 3841458L, 1L).otherwise(0L))
+        .select(col("event_type"), col("n"), col("n_a"), col("n_b"),
+          col("chi2_e6"), col("srm_flag"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH c AS (SELECT event_type,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN CAST(user_id AS BIGINT) % 2 = 0
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a
+           |  FROM events GROUP BY 1),
+           |e AS (SELECT event_type, n, n_a, n - n_a AS n_b,
+           |    n // 2 AS e_a, n - n // 2 AS e_b FROM c)
+           |SELECT event_type, n, n_a, n_b,
+           |  CAST((n_a - e_a) * (n_a - e_a) * 1000000 // e_a
+           |    + (n_b - e_b) * (n_b - e_b) * 1000000 // e_b AS BIGINT)
+           |    AS chi2_e6,
+           |  CAST(CASE WHEN (n_a - e_a) * (n_a - e_a) * 1000000 // e_a
+           |      + (n_b - e_b) * (n_b - e_b) * 1000000 // e_b > 3841458
+           |    THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+           |FROM e ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggQ18, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
@@ -2129,5 +2184,5 @@ object Aggregates {
     aggEntropy, aggQ14, aggQ6, aggGini, aggHhi, aggFiltered, aggSkyline,
     aggPareto, aggBasketLift, aggCramersV, aggMannWhitney, aggTheil,
     aggMutualInfo, aggTtest, aggSpearman, aggDecay, aggLorenz, aggCuped,
-    aggBayesShrink, aggHierarchy, aggDeltaMethod)
+    aggBayesShrink, aggHierarchy, aggDeltaMethod, aggSrm)
 }

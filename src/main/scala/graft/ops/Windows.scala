@@ -1173,9 +1173,58 @@ object Windows {
            |GROUP BY 1
            |ORDER BY bucket ASC NULLS FIRST""".stripMargin))
 
+  /** Gaps-and-islands over an integer key sequence (round 8, batch
+    * 107): the classic SQL island analysis — q_win_sessionize finds
+    * TIME islands by gap threshold; this finds VALUE islands of
+    * consecutive integers via the key − row_number() invariant (inside
+    * a run of consecutive keys, key and rank advance in lockstep, so
+    * their difference is the island id). Input: distinct order keys
+    * with every key ≡ 3 (mod 7) removed — deterministic synthetic gaps
+    * at every SF. Graded: the island-LENGTH histogram plus span/
+    * missing-key accounting (n islands of each length, and Σ islands ×
+    * length must re-derive the present-key count — a wrong rank breaks
+    * the hash twice over).
+    *
+    * Scale: the global rank is `Dsl.globalRowNumber` — the
+    * range-partitioned two-pass rank, no single-partition window over
+    * the corpus-grain key relation; island grouping is one hash
+    * aggregate keyed on (key − rank); the histogram is a second,
+    * length-bounded aggregate.
+    *
+    * Determinism: keys are distinct ints (total order); island ids and
+    * lengths are exact integer arithmetic.
+    */
+  private val winGapIslands = QueryDef(
+    "q_win_gap_islands",
+    (s, d) => {
+      val keys = graft.Tables.orders(s, d)
+        .select(col("o_orderkey").cast("long").as("k")).distinct()
+        .filter(pmod(col("k"), lit(7)) =!= 3)
+      val islands = graft.Dsl
+        .globalRowNumber(keys, "rn", Seq(ascf("k")))
+        .groupBy((col("k") - col("rn")).as("island_id"))
+        .agg(count(lit(1)).as("len"))
+      islands.groupBy(col("len"))
+        .agg(count(lit(1)).as("n_islands"))
+        .withColumn("keys_covered", col("len") * col("n_islands"))
+        .orderBy(ascf("len"))
+    },
+    Some("""WITH keys AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k
+           |  FROM orders WHERE CAST(o_orderkey AS BIGINT) % 7 <> 3),
+           |r AS (SELECT k, row_number() OVER (ORDER BY k ASC) AS rn
+           |  FROM keys),
+           |isl AS (SELECT k - rn AS island_id,
+           |    CAST(count(*) AS BIGINT) AS len
+           |  FROM r GROUP BY 1)
+           |SELECT len, CAST(count(*) AS BIGINT) AS n_islands,
+           |  CAST(len * count(*) AS BIGINT) AS keys_covered
+           |FROM isl GROUP BY len
+           |ORDER BY len ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     winRank, winRunning, winLeadLag, winRangeFrame, winNtilePct, winFirstLast,
     sortNulls, limitOffset, topkGroup, winSessionize, winStreak, winPattern,
     winDistinct, winConcurrency, winIntervals, winRankDelta, winAlloc,
-    winRatelimit, winDrawdown, winFifo, winQueueReplay, winDebounce)
+    winRatelimit, winDrawdown, winFifo, winQueueReplay, winDebounce,
+    winGapIslands)
 }
