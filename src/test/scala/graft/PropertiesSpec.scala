@@ -510,6 +510,22 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("globalRowNumber equals the single-partition row_number window") {
+    val gen = Gen.choose(0, 200)
+    samples(gen, 4).foreach { n =>
+      val df = spark.range(n.toLong).select(col("id"),
+        pmod(col("id") * 2654435761L, lit(997L)).as("v"))
+      val want = df.withColumn("r", row_number().over(
+          Window.orderBy(col("v").asc, col("id").asc)))
+        .collect().map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+      val got = Dsl.globalRowNumber(df, "r",
+          Seq(col("v").asc, col("id").asc))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      Caches.releaseScoped()
+      assert(got == want, s"n=$n")
+    }
+  }
+
   test("globalCumSum equals the single-partition running-sum window") {
     val gen = Gen.zip(Gen.choose(0, 200), Gen.const(0))
     samples(gen, 4).foreach { case (n, _) =>
