@@ -302,7 +302,9 @@ object ScaleProbe {
         // round-8 batch 106: water-filling mix plan
         "q_mix_plan",
         // round-8 batch 107: gaps-and-islands, SRM guardrail
-        "q_win_gap_islands", "q_agg_srm")
+        "q_win_gap_islands", "q_agg_srm",
+        // round-8 batch 108: embedded-newline CSV round-trip
+        "q_source_csv_multiline")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

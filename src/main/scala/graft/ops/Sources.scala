@@ -563,8 +563,65 @@ object Sources {
            |FROM documents GROUP BY lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** CSV round-trip with EMBEDDED NEWLINES (round 8, batch 108):
+    * q_source_csv sets `multiLine` defensively, but the fixture text is
+    * newline-free, so the graded path never actually exercised a
+    * quoted field spanning physical lines — the exact case that shears
+    * into two records under the default line-splitting reader. This
+    * key stages a derived corpus whose text embeds REAL newlines
+    * (spaces → \n over the first 120 chars), writes it through the
+    * quoting CSV writer, reads it back under `multiLine`, and grades a
+    * census that counts the newlines THEMSELVES — a sheared record
+    * changes n_docs, sum_chars and sum_newlines all at once.
+    *
+    * Scale, stated honestly: `multiLine` CSV files are one parse unit
+    * per file (not line-splittable) — the writer's many output files
+    * keep parallelism per file, the q_source_json_multiline story.
+    *
+    * Determinism: the derived text is a pure per-row transform both
+    * engines spell identically (translate + substring); census sums
+    * exact ints.
+    */
+  private val sourceCsvMultiline = QueryDef(
+    "q_source_csv_multiline",
+    (s, d) => {
+      val path = stage(d, "csvml")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          translate(substring(col("text"), 1, 120), " ", "\n").as("txt2"),
+          col("lang"), col("source"))
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
+      val sch = StructType(Seq(StructField("doc_id", LongType),
+        StructField("txt2", StringType), StructField("lang", StringType),
+        StructField("source", StringType)))
+      s.read.schema(sch).option("header", "true").option("escape", "\"")
+        .option("multiLine", "true").csv(path)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("txt2"))).as("sum_chars"),
+          sum(length(col("txt2"))
+            - length(translate(col("txt2"), "\n", ""))).as("sum_newlines"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy(ascf("lang"), ascf("source"))
+    },
+    Some("""WITH r AS (SELECT doc_id,
+           |    translate(substring(text, 1, 120), ' ', chr(10)) AS txt2,
+           |    lang, source FROM documents)
+           |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(length(txt2)) AS BIGINT) AS sum_chars,
+           |  CAST(sum(length(txt2) - length(translate(txt2, chr(10), '')))
+           |    AS BIGINT) AS sum_newlines,
+           |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+           |FROM r GROUP BY 1, 2
+           |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST"""
+      .stripMargin))
+
   def defs: Seq[QueryDef] = Seq(sourceCsv, sourceJson, sourceOrc,
     sourcePartitioned, sourceJsonNested, sourceText, sourceCorrupt,
     sourceEvolution, sourceJsonMultiline, sourceBinary, sourceCompressed,
-    sourceXml, sourceWholetext)
+    sourceXml, sourceWholetext, sourceCsvMultiline)
 }
