@@ -304,7 +304,9 @@ object ScaleProbe {
         // round-8 batch 107: gaps-and-islands, SRM guardrail
         "q_win_gap_islands", "q_agg_srm",
         // round-8 batch 108: embedded-newline CSV round-trip
-        "q_source_csv_multiline")
+        "q_source_csv_multiline",
+        // round-8 batch 109: experiment power analysis
+        "q_agg_power")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

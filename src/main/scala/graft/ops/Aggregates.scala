@@ -2177,6 +2177,75 @@ object Aggregates {
            |    THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
            |FROM e ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
+  /** Power analysis / minimum detectable sample size (round 8, batch
+    * 109): the question asked BEFORE an experiment runs — how many
+    * units per variant to detect a 5%-of-mean lift at α=0.05 (two-
+    * sided), power 0.8? Closed form n = 2(z_α/2 + z_β)²·σ²/δ² with
+    * 2(1.959964 + 0.841621)² = 15.698 spelled as the integer constant
+    * 15698e−3 on both engines. Per event type: exact moment-based
+    * variance of the e6-quantized value, the 5% MDE, and the CEILING
+    * sample size (ceil(a/b) = (a + b − 1) div b on non-negative ints).
+    *
+    * Scale: one corpus scan to per-type moment sums (map-side
+    * combine); everything after is 5-row arithmetic. Together with
+    * q_agg_srm (ratio check), q_agg_cuped (variance reduction),
+    * q_agg_delta_method (ratio-metric variance) and q_agg_ttest, this
+    * closes the experimentation lifecycle: size → guard → adjust →
+    * estimate → test.
+    *
+    * Determinism (D2): x is the exact e6 value; nΣx² widens to
+    * DECIMAL(38,0) ↔ HUGEINT before the subtraction; variance, MDE and
+    * the ceiling division are truncating integer ops of non-negative
+    * quantities, identical on both engines.
+    */
+  private val aggPower = QueryDef(
+    "q_agg_power",
+    (s, d) => {
+      val m = Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 1000, 0).cast("long").as("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(expr("cast(x as decimal(38,0)) * cast(x as decimal(38,0))"))
+            .as("sxx"))
+      m.withColumn("mean_e3", expr("sx div n"))
+        .withColumn("var_e6", expr(
+          """cast((cast(n as decimal(38,0)) * sxx
+            |  - cast(sx as decimal(38,0)) * cast(sx as decimal(38,0)))
+            |  div (cast(n as decimal(38,0)) * cast(n - 1 as decimal(38,0)))
+            |  as bigint)""".stripMargin))
+        .withColumn("delta_e3", expr("(sx div n) div 20"))
+        .withColumn("n_required", expr(
+          """case when delta_e3 > 0 then
+            |  (15698 * var_e6 + 1000 * delta_e3 * delta_e3 - 1)
+            |    div (1000 * delta_e3 * delta_e3)
+            |else 0 end""".stripMargin))
+        .select(col("event_type"), col("n"), col("mean_e3"),
+          col("var_e6"), col("delta_e3"), col("n_required"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH b AS (SELECT event_type,
+           |    CAST(round(value * 1000, 0) AS BIGINT) AS x
+           |  FROM events),
+           |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS BIGINT) AS sx,
+           |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+           |  FROM b GROUP BY 1),
+           |v AS (SELECT event_type, n, sx // n AS mean_e3,
+           |    CAST((CAST(n AS HUGEINT) * sxx
+           |      - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT))
+           |      // (CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT))
+           |      AS BIGINT) AS var_e6,
+           |    (sx // n) // 20 AS delta_e3
+           |  FROM m)
+           |SELECT event_type, n, CAST(mean_e3 AS BIGINT) AS mean_e3,
+           |  var_e6, CAST(delta_e3 AS BIGINT) AS delta_e3,
+           |  CAST(CASE WHEN delta_e3 > 0 THEN
+           |    (15698 * var_e6 + 1000 * delta_e3 * delta_e3 - 1)
+           |      // (1000 * delta_e3 * delta_e3)
+           |  ELSE 0 END AS BIGINT) AS n_required
+           |FROM v ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggQ18, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
@@ -2184,5 +2253,5 @@ object Aggregates {
     aggEntropy, aggQ14, aggQ6, aggGini, aggHhi, aggFiltered, aggSkyline,
     aggPareto, aggBasketLift, aggCramersV, aggMannWhitney, aggTheil,
     aggMutualInfo, aggTtest, aggSpearman, aggDecay, aggLorenz, aggCuped,
-    aggBayesShrink, aggHierarchy, aggDeltaMethod, aggSrm)
+    aggBayesShrink, aggHierarchy, aggDeltaMethod, aggSrm, aggPower)
 }
