@@ -113,6 +113,20 @@ object ScaleProbe100 {
         "q_dedup_components") if args.isEmpty || args.contains(q))
       timed(q)(Registry.queries(q)(spark, dst).count())
 
+    // -- family 1b: the banded similarity path at 100× embeddings
+    // (VERDICT r8 next #7: the loop families were measured at 100×,
+    // the banded candidate joins were not). The staged embeddings are
+    // 200 k key-shifted copies — identical vectors across copies, so
+    // same-band occupancy is the WORST plausible case for the bucket
+    // join; the candidate rowcount printed here is the sub-quadratic
+    // evidence (200 k² all-pairs would be 4·10¹⁰).
+    if (args.isEmpty || args.contains("band_candidates"))
+      timed("shared_band_candidates_200k")(
+        ops.VecOps.bandCandidatesWithCos(spark, dst).count())
+    for (q <- Seq("q_dedup_embed", "q_sim_threshold_join")
+        if args.isEmpty || args.contains(q))
+      timed(q)(Registry.queries(q)(spark, dst).count())
+
     // -- family 2: loop probes at 100× label scale ---------------------
     // chain forest: 10 000 components × 150 nodes; both edge directions
     def chainEdges = {

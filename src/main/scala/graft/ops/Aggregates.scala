@@ -2150,11 +2150,15 @@ object Aggregates {
         .withColumn("n_b", col("n") - col("n_a"))
         .withColumn("e_a", expr("n div 2"))
         .withColumn("e_b", col("n") - expr("n div 2"))
+      // e_a = n div 2 is 0 for a single-row group: Spark's div would
+      // yield NULL while DuckDB's // raises — guard on BOTH engines
+      // (ADVICE r8); a 1-row group has no testable split, chi2 := 0
       counts
         .withColumn("chi2_e6", expr(
-          """(n_a - e_a) * (n_a - e_a) * 1000000 div e_a
-            |+ (n_b - e_b) * (n_b - e_b) * 1000000 div e_b"""
-            .stripMargin))
+          """case when e_a > 0 then
+            |  (n_a - e_a) * (n_a - e_a) * 1000000 div e_a
+            |  + (n_b - e_b) * (n_b - e_b) * 1000000 div e_b
+            |else 0 end""".stripMargin))
         .withColumn("srm_flag",
           when(col("chi2_e6") > 3841458L, 1L).otherwise(0L))
         .select(col("event_type"), col("n"), col("n_a"), col("n_b"),
@@ -2169,12 +2173,15 @@ object Aggregates {
            |e AS (SELECT event_type, n, n_a, n - n_a AS n_b,
            |    n // 2 AS e_a, n - n // 2 AS e_b FROM c)
            |SELECT event_type, n, n_a, n_b,
-           |  CAST((n_a - e_a) * (n_a - e_a) * 1000000 // e_a
-           |    + (n_b - e_b) * (n_b - e_b) * 1000000 // e_b AS BIGINT)
-           |    AS chi2_e6,
-           |  CAST(CASE WHEN (n_a - e_a) * (n_a - e_a) * 1000000 // e_a
-           |      + (n_b - e_b) * (n_b - e_b) * 1000000 // e_b > 3841458
-           |    THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+           |  CAST(CASE WHEN e_a > 0 THEN
+           |    (n_a - e_a) * (n_a - e_a) * 1000000 // e_a
+           |    + (n_b - e_b) * (n_b - e_b) * 1000000 // e_b
+           |  ELSE 0 END AS BIGINT) AS chi2_e6,
+           |  CAST(CASE WHEN e_a > 0 THEN
+           |    CASE WHEN (n_a - e_a) * (n_a - e_a) * 1000000 // e_a
+           |        + (n_b - e_b) * (n_b - e_b) * 1000000 // e_b > 3841458
+           |      THEN 1 ELSE 0 END
+           |  ELSE 0 END AS BIGINT) AS srm_flag
            |FROM e ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
   /** Power analysis / minimum detectable sample size (round 8, batch
@@ -2208,12 +2215,17 @@ object Aggregates {
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
           sum(expr("cast(x as decimal(38,0)) * cast(x as decimal(38,0))"))
             .as("sxx"))
+      // the n−1 divisor is 0 for a single-row group: Spark div → NULL,
+      // DuckDB // → error (ADVICE r8) — guard both engines; a 1-row
+      // group has no sample variance, var := 0
       m.withColumn("mean_e3", expr("sx div n"))
         .withColumn("var_e6", expr(
-          """cast((cast(n as decimal(38,0)) * sxx
-            |  - cast(sx as decimal(38,0)) * cast(sx as decimal(38,0)))
-            |  div (cast(n as decimal(38,0)) * cast(n - 1 as decimal(38,0)))
-            |  as bigint)""".stripMargin))
+          """case when n > 1 then
+            |  cast((cast(n as decimal(38,0)) * sxx
+            |    - cast(sx as decimal(38,0)) * cast(sx as decimal(38,0)))
+            |    div (cast(n as decimal(38,0)) * cast(n - 1 as decimal(38,0)))
+            |    as bigint)
+            |else 0L end""".stripMargin))
         .withColumn("delta_e3", expr("(sx div n) div 20"))
         .withColumn("n_required", expr(
           """case when delta_e3 > 0 then
@@ -2232,10 +2244,11 @@ object Aggregates {
            |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
            |  FROM b GROUP BY 1),
            |v AS (SELECT event_type, n, sx // n AS mean_e3,
-           |    CAST((CAST(n AS HUGEINT) * sxx
-           |      - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT))
-           |      // (CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT))
-           |      AS BIGINT) AS var_e6,
+           |    CAST(CASE WHEN n > 1 THEN
+           |      (CAST(n AS HUGEINT) * sxx
+           |        - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT))
+           |        // (CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT))
+           |    ELSE 0 END AS BIGINT) AS var_e6,
            |    (sx // n) // 20 AS delta_e3
            |  FROM m)
            |SELECT event_type, n, CAST(mean_e3 AS BIGINT) AS mean_e3,

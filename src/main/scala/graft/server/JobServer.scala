@@ -61,11 +61,18 @@ final class JobServer(spark: SparkSession, outRoot: String,
 
   /** Enqueue a registry query against `sfDir`; returns the job id.
     * Unknown names fail HERE (the submitter's bug), not in the worker.
+    * `client` names the submitter's FAIR scheduler pool (VERDICT r8
+    * next #5): under `spark.scheduler.mode=FAIR` (set by the standalone
+    * mains) each client's jobs run in their own pool, so one client's
+    * heavy submission cannot starve another's trivial one — the
+    * multi-tenant contract of a resident job server. Under FIFO mode
+    * the pool property is inert and submissions behave as before.
     */
-  def submit(query: String, sfDir: String): Long = {
+  def submit(query: String, sfDir: String,
+      client: String = "default"): Long = {
     val build = Registry.queries.getOrElse(query,
       throw new IllegalArgumentException(s"unknown query: $query"))
-    enqueue(s"$query @ $sfDir")(s => build(s, sfDir))
+    enqueue(s"$query @ $sfDir", client)(s => build(s, sfDir))
   }
 
   /** Enqueue RAW ANSI SQL against the fixture tables of `sfDir`
@@ -84,8 +91,9 @@ final class JobServer(spark: SparkSession, outRoot: String,
     * table/column) and runtime errors all degrade to a `Failed` status
     * for THIS job — a bad statement never poisons the server.
     */
-  def submitSql(sql: String, sfDir: String): Long =
-    enqueue(s"sql @ $sfDir") { parent =>
+  def submitSql(sql: String, sfDir: String,
+      client: String = "default"): Long =
+    enqueue(s"sql @ $sfDir", client) { parent =>
       val session = parent.newSession()
       Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)](
         "region" -> graft.Tables.region, "nation" -> graft.Tables.nation,
@@ -103,7 +111,7 @@ final class JobServer(spark: SparkSession, outRoot: String,
       session.sql(sql)
     }
 
-  private def enqueue(desc: String)(
+  private def enqueue(desc: String, client: String = "default")(
       build: SparkSession => org.apache.spark.sql.DataFrame): Long = {
     val id = nextId.getAndIncrement()
     jobs.put(id, Queued)
@@ -127,6 +135,12 @@ final class JobServer(spark: SparkSession, outRoot: String,
         // per-submission, and attributed in the UI/event log
         spark.sparkContext.setJobGroup(groupId(id),
           desc, interruptOnCancel = true)
+        // per-CLIENT FAIR pool (pools materialize on first use; weight 1
+        // each → equal shares across clients under FAIR mode, inert
+        // under FIFO). Per-thread property, so concurrent workers
+        // serving different clients never clobber each other.
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+          s"graft-client-$client")
         val path = s"$outRoot/$id"
         val df = build(spark)
         df.write.mode("overwrite").parquet(path)
@@ -142,6 +156,7 @@ final class JobServer(spark: SparkSession, outRoot: String,
           if (cancelRequested.contains(id)) jobs.put(id, Cancelled)
           else jobs.put(id, Failed(String.valueOf(e)))
       } finally {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
         spark.sparkContext.clearJobGroup()
         // free THIS job's scoped persists (VERDICT r4 #1: a resident
         // surface must not accumulate them for its whole lifetime);
@@ -307,6 +322,9 @@ object JobServer {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // FAIR across per-client pools: one client's heavy job cannot
+      // starve another's trivial one (VERDICT r8 next #5)
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -35,11 +35,19 @@ object Catalog {
     new java.io.File(root, s"$name.table")
   }
 
-  /** Register (or re-point) `name` at a lake root. Atomic publish. */
+  /** Register (or re-point) `name` at a lake root. Atomic publish.
+    * The tmp file is unique PER CALL (ADVICE r8): with one fixed tmp
+    * path per name, two concurrent registrations interleave — the
+    * second write can be published under the first ATOMIC_MOVE and the
+    * loser's move throws NoSuchFileException. Per-call names make each
+    * write+move self-contained; concurrent registrations then serialize
+    * on the final rename (last publish wins, never torn).
+    */
   def register(root: String, name: String, lakePath: String): Unit = {
     val f = tableFile(root, name)
     f.getParentFile.mkdirs()
-    val tmp = new java.io.File(root, s".tmp-$name")
+    val tmp = new java.io.File(root,
+      s".tmp-$name-${java.util.UUID.randomUUID()}")
     java.nio.file.Files.write(tmp.toPath, lakePath.getBytes("UTF-8"))
     java.nio.file.Files.move(tmp.toPath, f.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,

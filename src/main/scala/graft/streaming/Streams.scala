@@ -140,39 +140,55 @@ object Streams {
   def runUpsertToParquet(df: DataFrame, keyCols: Seq[String],
       versionCol: String, statePath: String,
       checkpoint: String): StreamingQuery = {
-    import org.apache.spark.sql.expressions.Window
     val q = df.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        val state = new java.io.File(statePath)
-        val withSrc = batch.toDF().withColumn("__src", lit(1L))
-        val union =
-          if (state.exists())
-            spark.read.parquet(statePath).withColumn("__src", lit(0L))
-              .unionByName(withSrc)
-          else withSrc
-        val w = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col(versionCol).desc_nulls_last, col("__src").desc_nulls_last)
-        val staged = statePath.stripSuffix("/") + "__staging"
-        union.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn", "__src")
-          .write.mode("overwrite").parquet(staged)
-        val old = new java.io.File(statePath.stripSuffix("/") + "__old")
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(old)
-        if (state.exists())
-          require(state.renameTo(old), s"upsert: cannot stage out $statePath")
-        require(new java.io.File(staged).renameTo(state),
-          s"upsert: cannot swap in $staged")
-        rm(old)
-        ()
+        applyUpsertBatch(batch.toDF(), keyCols, versionCol, statePath)
       }
       .start()
     q.awaitTermination()
     q
+  }
+
+  /** One micro-batch of the upsert fold (the `foreachBatch` body of
+    * [[runUpsertToParquet]], factored out so StreamingSpec can wrap it
+    * with crash injection for the checkpoint-recovery test): resident
+    * state ∪ batch → keep the highest (versionCol, then batch-over-
+    * resident) row per key → atomic directory swap. IDEMPOTENT by
+    * construction — re-applying the same batch reproduces the same
+    * survivors — which is exactly the property foreachBatch sinks need:
+    * Structured Streaming guarantees at-least-once delivery to the
+    * sink, and a batch re-delivered after a crash-before-checkpoint-
+    * commit must converge, not double-apply.
+    */
+  def applyUpsertBatch(batch: DataFrame, keyCols: Seq[String],
+      versionCol: String, statePath: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val state = new java.io.File(statePath)
+    val withSrc = batch.withColumn("__src", lit(1L))
+    val union =
+      if (state.exists())
+        spark.read.parquet(statePath).withColumn("__src", lit(0L))
+          .unionByName(withSrc)
+      else withSrc
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc_nulls_last, col("__src").desc_nulls_last)
+    val staged = statePath.stripSuffix("/") + "__staging"
+    union.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__src")
+      .write.mode("overwrite").parquet(staged)
+    val old = new java.io.File(statePath.stripSuffix("/") + "__old")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(old)
+    if (state.exists())
+      require(state.renameTo(old), s"upsert: cannot stage out $statePath")
+    require(new java.io.File(staged).renameTo(state),
+      s"upsert: cannot swap in $staged")
+    rm(old)
+    ()
   }
 }

@@ -70,6 +70,21 @@ class PlanSpec extends SparkSpec {
       "small-dim join fell back to sort-merge")
   }
 
+  test("q_join_skew_aqe executes with an AQE skew-split sort-merge join") {
+    // VERDICT r8 next #6: the skew-handling plan a fleet actually runs.
+    // The key builds on a child session with probe-scaled skew
+    // thresholds; the FINAL adaptive plan must mark the hot-key join
+    // skew=true (OptimizeSkewedJoin fired), and the join must still be
+    // sort-merge (broadcast disabled — skew split only applies there).
+    val df = Registry.queries("q_join_skew_aqe")(spark, sfDir)
+    df.collect()
+    val nodes = collectAll(df.queryExecution.executedPlan)
+    val smj = nodes.collect { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, nodes.map(_.nodeName).distinct.mkString(", "))
+    assert(smj.exists(_.isSkewJoin),
+      s"AQE did not mark the skew join:\n${df.queryExecution.executedPlan}")
+  }
+
   test("flagship aggregation runs inside whole-stage codegen") {
     val nodes = collectAll(executedPlan("q_agg_q1"))
     assert(nodes.exists(_.isInstanceOf[WholeStageCodegenExec]),

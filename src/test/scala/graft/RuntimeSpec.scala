@@ -121,9 +121,46 @@ class RuntimeSpec extends SparkSpec {
     // the next committer skips the burned slot — no wait, no collision
     assert(Lake.versionedWrite(base, "ts", dir) == 3L)
     assert(stale.isFile, "an in-flight-looking lock must not be stolen")
-    // after v3 commits the v2 lock is superseded; vacuum clears it
+    // a default-retention vacuum must NOT reclaim the young lock — it
+    // is indistinguishable from a live concurrent writer (ADVICE r8)
     Lake.vacuum(dir)
-    assert(!stale.exists(), "vacuum must clear superseded locks")
+    assert(stale.isFile,
+      "a young unpublished lock may guard a live writer; vacuum must wait")
+    // past the retention window the writer is provably dead
+    Lake.vacuum(dir, lockRetentionMs = 0L)
+    assert(!stale.exists(), "vacuum must clear aged-out crashed locks")
+    assert(Lake.versionedRead(spark, dir).count() == 100L)
+  }
+
+  test("vacuum never clobbers an in-flight commit that lost the race (ADVICE r8)") {
+    // The interleaving the concurrent-committer test produces: writer A
+    // reserves v2 and is still writing when writer B reserves v3 and
+    // COMMITS FIRST. A vacuum in that window used to delete A's v2 lock
+    // (rv <= current) AND the half-written data-00000002 dir — after
+    // which A published a manifest pointing at clobbered files, a
+    // silently corrupt committed version.
+    val dir = Files.createTempDirectory("graft_occ4").toString + "/lake"
+    val base = Tables.events(spark, sfDir).limit(100)
+    assert(Lake.versionedWrite(base, "ts", dir) == 1L)
+    // writer A: holds the v2 reservation, data partially written
+    val lockA = new java.io.File(dir, "_manifests/v00000002.inprogress")
+    java.nio.file.Files.createFile(lockA.toPath)
+    val partialA = new java.io.File(dir, "data-00000002/p_date=2024-01-01")
+    partialA.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(partialA, "part-00000.parquet").toPath,
+      "in-flight".getBytes("UTF-8"))
+    // writer B: reserved after A, commits first → current jumps to 3
+    assert(Lake.versionedWrite(base, "ts", dir) == 3L)
+    Lake.vacuum(dir)
+    assert(lockA.isFile, "vacuum stole a live writer's reservation lock")
+    assert(new java.io.File(partialA, "part-00000.parquet").isFile,
+      "vacuum deleted an in-flight commit's data files")
+    // once the lock ages out (writer provably dead) BOTH are reclaimed
+    Lake.vacuum(dir, lockRetentionMs = 0L)
+    assert(!lockA.exists())
+    assert(!new java.io.File(dir, "data-00000002").exists(),
+      "an aged-out orphan data dir must be reclaimed with its lock")
     assert(Lake.versionedRead(spark, dir).count() == 100L)
   }
 
@@ -409,6 +446,42 @@ class RuntimeSpec extends SparkSpec {
         s"$t: obs=${r.getLong(1)} gaps=${r.getLong(2)} span=${spans(t)}")
     }
     Caches.releaseScoped()
+  }
+
+  test("exportVersion publishes an open Hive-layout dir readable without the manifest") {
+    // VERDICT r8 missing #2: a committed snapshot must be consumable by
+    // an engine that knows nothing of the manifest protocol
+    val dir = Files.createTempDirectory("graft_exp").toString + "/lake"
+    val dest = Files.createTempDirectory("graft_exp_dst").toString + "/out"
+    Lake.versionedWrite(Tables.events(spark, sfDir).limit(200), "ts", dir)
+    Lake.versionedWrite(Tables.events(spark, sfDir).limit(500), "ts", dir)
+    val n = Lake.exportVersion(dir, dest, Some(1L))
+    assert(n > 0L)
+    val plain = spark.read.parquet(dest) // stock reader, no Lake code
+    val viaManifest = Lake.versionedReadAt(spark, dir, 1L)
+    assert(plain.count() == viaManifest.count())
+    assert(plain.agg(sum(col("event_id"))).head.getLong(0) ==
+      viaManifest.agg(sum(col("event_id"))).head.getLong(0))
+    // partition layout survives: the p_date dirs are real Hive partitions
+    assert(plain.select(col("p_date")).distinct().count() ==
+      viaManifest.select(col("p_date")).distinct().count())
+    // provenance marker + file-pinning manifest (every listed path live)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dest, "_graft_export_version").toPath), "UTF-8") == "1")
+    val mf = new java.io.File(dest, "_symlink_format_manifest/manifest")
+    assert(mf.isFile)
+    val listed = new String(java.nio.file.Files.readAllBytes(mf.toPath),
+      "UTF-8").linesIterator.filter(_.nonEmpty).toSeq
+    assert(listed.size == n && listed.forall(p => new java.io.File(p).isFile),
+      s"manifest must pin $n live files, got: $listed")
+    // re-export of the newest version atomically replaces the old one
+    Lake.exportVersion(dir, dest)
+    val c2 = Lake.versionedReadAt(spark, dir, 2L).count()
+    assert(spark.read.parquet(dest).count() == c2)
+    // the export is isolated from a source vacuum (hard links keep the
+    // inodes alive even after the lake drops superseded versions)
+    Lake.vacuum(dir, lockRetentionMs = 0L)
+    assert(spark.read.parquet(dest).count() == c2)
   }
 
   test("shallow clone is zero-copy, isolated from commits, broken by vacuum") {

@@ -215,6 +215,65 @@ class ServerSpec extends SparkSpec {
     assert(st == "CANCELLED", s"expected CANCELLED, got: $st")
   }
 
+  test("a light client's job is not starved by a heavy client's (FAIR pools)") {
+    // VERDICT r8 next #5: two clients share one server — one submits an
+    // effectively unbounded cartesian, the other a trivial census. Under
+    // one FIFO queue the light job would wait behind the cartesian's
+    // task waves for the duration of the suite; per-client FAIR pools
+    // bound its latency to its own cost. The heavy job is cancelled at
+    // the end (it would never finish).
+    val out = java.nio.file.Files.createTempDirectory("jobsrv_fair").toString
+    val srv = new JobServer(spark, out, parallelism = 2)
+    try {
+      val heavy = srv.submitSql(
+        "SELECT count(*) AS n FROM lineitem a, lineitem b, lineitem c",
+        sfDir, client = "tenant-heavy")
+      // let the cartesian occupy the scheduler before the light submit
+      val deadline = System.nanoTime() + 30000000000L
+      while (srv.status(heavy) == srv.Queued && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      Thread.sleep(500)
+      val t0 = System.nanoTime()
+      val light = srv.submit("q_agg_global", sfDir, client = "tenant-light")
+      val st = srv.await(light, timeoutMs = 60000L)
+      val lightSecs = (System.nanoTime() - t0) / 1e9
+      assert(st.isInstanceOf[srv.Done], s"light job ended $st")
+      assert(srv.status(heavy) == srv.Running,
+        "heavy job must still be running — otherwise this test proves nothing")
+      assert(lightSecs < 30.0,
+        f"light client's latency $lightSecs%.1f s — starved by the heavy pool")
+      srv.cancel(heavy)
+      srv.await(heavy, timeoutMs = 60000L)
+    } finally srv.shutdown()
+  }
+
+  test("concurrent catalog registrations of one name never tear or throw (ADVICE r8)") {
+    // with one fixed tmp path per name, two racing register calls
+    // interleaved: the loser's ATOMIC_MOVE threw NoSuchFileException
+    import graft.sources.Catalog
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_race").toString
+    val paths = IndexedSeq("/lake/a", "/lake/b")
+    val errs = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    (0 until 2).foreach { i =>
+      pool.execute { () =>
+        try (0 until 200).foreach(_ =>
+          Catalog.register(root, "orders", paths(i)))
+        catch { case t: Throwable => errs.compareAndSet(null, t) }
+        finally latch.countDown()
+      }
+    }
+    latch.await()
+    pool.shutdown()
+    assert(errs.get() == null, s"a concurrent registration threw: ${errs.get()}")
+    assert(paths.contains(Catalog.tables(root)("orders")),
+      "published mapping must be one racer's full write, never torn")
+    val litter = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith(".tmp-"))
+    assert(litter.isEmpty, s"tmp litter: ${litter.mkString(",")}")
+  }
+
   test("cataloged lake tables serve ad-hoc SQL by name, with time travel") {
     // VERDICT r7 missing #4: a persistent name → lake mapping so SQL
     // sessions read committed versions (and old snapshots) WITHOUT
@@ -249,21 +308,25 @@ class ServerSpec extends SparkSpec {
 
   // -- HTTP endpoint (VERDICT r7 missing #1) --------------------------
 
-  private def httpGet(url: String): (Int, String) = {
+  private def httpGet(url: String,
+      headers: Seq[(String, String)] = Nil): (Int, String) = {
     val c = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     c.setConnectTimeout(10000); c.setReadTimeout(60000)
+    headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
     val code = c.getResponseCode
     val in = if (code >= 400) c.getErrorStream else c.getInputStream
     val body = new String(in.readAllBytes(), "UTF-8")
     c.disconnect(); (code, body)
   }
 
-  private def httpPost(url: String, body: String): (Int, String) = {
+  private def httpPost(url: String, body: String,
+      headers: Seq[(String, String)] = Nil): (Int, String) = {
     val c = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     c.setRequestMethod("POST"); c.setDoOutput(true)
     c.setConnectTimeout(10000); c.setReadTimeout(60000)
+    headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
     c.getOutputStream.write(body.getBytes("UTF-8"))
     val code = c.getResponseCode
     val in = if (code >= 400) c.getErrorStream else c.getInputStream
@@ -275,12 +338,13 @@ class ServerSpec extends SparkSpec {
     "\"id\":([0-9]+)".r.findFirstMatchIn(json).get.group(1).toLong
 
   private def pollState(base: String, id: Long, until: Set[String],
-      timeoutMs: Long = 120000L): String = {
+      timeoutMs: Long = 120000L,
+      headers: Seq[(String, String)] = Nil): String = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     var st = ""
     while (!until.contains(st) && System.nanoTime() < deadline) {
       st = "\"state\":\"([A-Z]+)\"".r
-        .findFirstMatchIn(httpGet(s"$base/v1/jobs/$id")._2)
+        .findFirstMatchIn(httpGet(s"$base/v1/jobs/$id", headers)._2)
         .map(_.group(1)).getOrElse("")
       if (!until.contains(st)) Thread.sleep(50)
     }
@@ -322,6 +386,46 @@ class ServerSpec extends SparkSpec {
       assert(pollState(base, fid, Set("DONE", "FAILED")) == "FAILED")
       assert(httpGet(s"$base/v1/jobs/$fid")._2.contains("error"))
       assert(httpGet(s"$base/v1/jobs/$fid/rows")._1 == 409)
+    } finally ep.stop()
+  }
+
+  test("http endpoint pages rows by offset/limit, 400s bad params, 401s a bad token") {
+    // VERDICT r8 #4: /rows was a single bounded read — a large result
+    // needed pagination; and ADVICE r8: limit parsed with an unguarded
+    // .toInt (500 on garbage, negative reached DataFrame.limit).
+    val out = java.nio.file.Files.createTempDirectory("jobhttp").toString
+    val ep = new graft.server.HttpEndpoint(spark, out, sfDir,
+      authToken = Some("s3cret-token")).start()
+    val base = s"http://127.0.0.1:${ep.boundPort}"
+    val auth = Seq("Authorization" -> "Bearer s3cret-token")
+    try {
+      // health stays open; every other route requires the bearer token
+      assert(httpGet(s"$base/health")._1 == 200)
+      assert(httpPost(s"$base/v1/keys", "q_agg_global")._1 == 401)
+      assert(httpGet(s"$base/v1/jobs/0")._1 == 401)
+      assert(httpPost(s"$base/v1/keys", "q_agg_global",
+        Seq("Authorization" -> "Bearer wrong"))._1 == 401)
+      // a 25-row result paged as 10 + 10 + 5 (third page comes up short
+      // → client stops); pages are disjoint and cover the result
+      val (sc, sb) = httpPost(s"$base/v1/sql",
+        "SELECT n_nationkey AS k FROM nation", auth)
+      assert(sc == 200, s"$sc $sb")
+      val id = idOf(sb)
+      assert(pollState(base, id, Set("DONE", "FAILED"), headers = auth) == "DONE")
+      val pages = Seq(0, 10, 20).map { off =>
+        val (c, b) = httpGet(s"$base/v1/jobs/$id/rows?limit=10&offset=$off", auth)
+        assert(c == 200, s"$c $b")
+        b.linesIterator.filter(_.nonEmpty).toSeq
+      }
+      assert(pages.map(_.size) == Seq(10, 10, 5))
+      val keys = pages.flatten
+        .map(l => "\"k\":([0-9]+)".r.findFirstMatchIn(l).get.group(1).toInt)
+      assert(keys.toSet == (0 until 25).toSet,
+        s"pages must be disjoint and exhaustive, got: $keys")
+      // malformed / negative paging params are the CLIENT's error: 400
+      assert(httpGet(s"$base/v1/jobs/$id/rows?limit=abc", auth)._1 == 400)
+      assert(httpGet(s"$base/v1/jobs/$id/rows?offset=-1", auth)._1 == 400)
+      assert(httpGet(s"$base/v1/jobs/$id/rows?limit=-5", auth)._1 == 400)
     } finally ep.stop()
   }
 

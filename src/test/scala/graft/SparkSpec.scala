@@ -14,6 +14,11 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    // FAIR like the standalone server mains, so ServerSpec's
+    // multi-client fairness test runs the production scheduling mode;
+    // semantics-neutral for every other suite (pools only exist where
+    // a test sets spark.scheduler.pool)
+    .config("spark.scheduler.mode", "FAIR")
     .config("spark.ui.enabled", "false")
     .appName(getClass.getSimpleName)
     .getOrCreate()

@@ -295,6 +295,110 @@ class StreamingSpec extends SparkSpec {
     assert(removed >= 10, s"only $removed state rows evicted across the soak")
   }
 
+  /** Three one-file micro-batches with deterministic batch order (the
+    * file source orders by modification time) for the recovery tests;
+    * k=1 sees versions 1, 3, 2 across batches so the final winner
+    * (v3 from the MIDDLE batch) is wrong under any skip/double-apply.
+    */
+  private def stageRecoverySource(): (String, org.apache.spark.sql.types.StructType) = {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_rec_src").toString
+    val batches = Seq(
+      Seq((1L, 1L, "a1"), (2L, 1L, "b1")),
+      Seq((1L, 3L, "a3"), (3L, 1L, "c1")),
+      Seq((1L, 2L, "a2"), (4L, 1L, "d1")))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = Files.createTempDirectory("graft_rec_tmp").toString
+      rows.toDF("k", "ver", "payload").coalesce(1).write
+        .mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, f"batch-$i%d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000000000L + i * 60000L)
+    }
+    (src, spark.read.parquet(src).schema)
+  }
+
+  private def expectedRecoveryState =
+    Set((1L, 3L, "a3"), (2L, 1L, "b1"), (3L, 1L, "c1"), (4L, 1L, "d1"))
+
+  private def runUpsertWithHook(src: String,
+      schema: org.apache.spark.sql.types.StructType, state: String,
+      ckpt: String, applied: scala.collection.mutable.Buffer[Long],
+      crashAt: Option[Long], crashAfterApply: Boolean = false): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        if (!crashAfterApply && crashAt.contains(id))
+          throw new RuntimeException(s"injected crash before batch $id")
+        graft.streaming.Streams.applyUpsertBatch(
+          b.toDF(), Seq("k"), "ver", state)
+        applied.synchronized { applied += id; () }
+        if (crashAfterApply && crashAt.contains(id))
+          throw new RuntimeException(s"injected crash after batch $id")
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  test("upsert stream killed between triggers restarts from the checkpoint, exactly-once") {
+    // VERDICT r8 next #1: the one untested durability path. Kill the
+    // drain after batch 0 commits, restart a NEW query on the SAME
+    // checkpoint dir: it must resume at batch 1 (batch 0 never
+    // re-delivered) and the final state must equal an uninterrupted
+    // run's, with every batch applied exactly once.
+    val (src, schema) = stageRecoverySource()
+    val state = Files.createTempDirectory("graft_rec_st").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft_rec_ck").toString
+    val applied = scala.collection.mutable.ArrayBuffer.empty[Long]
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runUpsertWithHook(src, schema, state, ckpt, applied, crashAt = Some(1L))
+    }
+    assert(applied.toSeq == Seq(0L),
+      s"crashed run must have applied exactly batch 0, got $applied")
+    // the restart: same source, same checkpoint, no injection
+    runUpsertWithHook(src, schema, state, ckpt, applied, crashAt = None)
+    assert(applied.toSeq == Seq(0L, 1L, 2L),
+      s"restart must resume at batch 1 and apply each batch once, got $applied")
+    // uninterrupted reference run on its own state + checkpoint
+    val refState = Files.createTempDirectory("graft_rec_ref").toString + "/state"
+    val refCkpt = Files.createTempDirectory("graft_rec_rck").toString
+    runUpsertWithHook(src, schema, refState, refCkpt,
+      scala.collection.mutable.ArrayBuffer.empty[Long], crashAt = None)
+    import spark.implicits._
+    val got = spark.read.parquet(state).as[(Long, Long, String)].collect().toSet
+    val ref = spark.read.parquet(refState).as[(Long, Long, String)].collect().toSet
+    assert(got == ref && got == expectedRecoveryState,
+      s"recovered state $got != uninterrupted $ref (expected $expectedRecoveryState)")
+  }
+
+  test("upsert crash AFTER apply but before checkpoint commit re-delivers idempotently") {
+    // the at-least-once half of exactly-once-EFFECT: batch 1 is applied,
+    // the query dies before its commit is recorded, the restart
+    // re-delivers batch 1 — the idempotent fold must converge to the
+    // same state, never double-apply.
+    val (src, schema) = stageRecoverySource()
+    val state = Files.createTempDirectory("graft_rec2_st").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft_rec2_ck").toString
+    val applied = scala.collection.mutable.ArrayBuffer.empty[Long]
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runUpsertWithHook(src, schema, state, ckpt, applied,
+        crashAt = Some(1L), crashAfterApply = true)
+    }
+    assert(applied.toSeq == Seq(0L, 1L), s"got $applied")
+    runUpsertWithHook(src, schema, state, ckpt, applied, crashAt = None)
+    assert(applied.toSeq == Seq(0L, 1L, 1L, 2L),
+      s"uncommitted batch 1 must be re-delivered exactly once, got $applied")
+    import spark.implicits._
+    val got = spark.read.parquet(state).as[(Long, Long, String)].collect().toSet
+    assert(got == expectedRecoveryState,
+      s"re-applied batch must fold idempotently, got $got")
+  }
+
   test("streaming upsert sink: version order wins over arrival order") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_upsert_src").toString
