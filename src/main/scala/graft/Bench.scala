@@ -108,8 +108,18 @@ object Bench {
       Caches.releaseScoped()
       name -> dt
     }
+    // toRdd.count(), NOT count() (round 9, measurement honesty): under
+    // count() Catalyst prunes every output column, and the distinct-key
+    // join-elimination rule then removes a left-outer join's entire
+    // RIGHT subtree when the right keys are unique — for a key like
+    // q_dedup_embed (census LEFT JOIN expensive-stats-by-key) the
+    // expensive side was never executed and the timing measured the
+    // census scan alone (caught at the 100× probe: "3.6 s" vs 530 s
+    // real). toRdd.count() executes the physical plan with the FULL
+    // output schema — every branch a consumer of the result would pay.
     def runAll(): Seq[(String, Double)] =
-      selected.map { case (name, fn) => timed(name)(fn(spark, sfDir).count()) }
+      selected.map { case (name, fn) =>
+        timed(name)(fn(spark, sfDir).queryExecution.toRdd.count()) }
     // Pass 0 — SHARED BUILDS, priced under their own labels: forced once
     // (count() materializes the MEMORY_AND_DISK persist) and kept
     // resident through BOTH passes, so no per-query number carries a

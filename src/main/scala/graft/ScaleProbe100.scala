@@ -120,12 +120,31 @@ object ScaleProbe100 {
     // same-band occupancy is the WORST plausible case for the bucket
     // join; the candidate rowcount printed here is the sub-quadratic
     // evidence (200 k² all-pairs would be 4·10¹⁰).
-    if (args.isEmpty || args.contains("band_candidates"))
-      timed("shared_band_candidates_200k")(
-        ops.VecOps.bandCandidatesWithCos(spark, dst).count())
-    for (q <- Seq("q_dedup_embed", "q_sim_threshold_join")
-        if args.isEmpty || args.contains(q))
-      timed(q)(Registry.queries(q)(spark, dst).count())
+    //
+    // Two measurement disciplines learned HERE (round 9):
+    //  - toRdd.count(), not count(): under count() the distinct-key
+    //    join-elimination rule removed q_dedup_embed's entire candidate
+    //    subtree (the census LEFT JOINs the stats) and the "probe"
+    //    timed a 200 k scan (3.6 s) instead of the real plan (530 s).
+    //  - the shared relation is priced ONCE and kept RESIDENT while the
+    //    consumers run (the Bench pass-0 shape): a session prices the
+    //    index build once, then consumers pay only their own deltas.
+    if (args.isEmpty || args.contains("band_candidates")) {
+      def full(df: org.apache.spark.sql.DataFrame): Long =
+        df.queryExecution.toRdd.count()
+      def timedFull(name: String)(body: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = body
+        println(f"SCALE100 $name: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+        Caches.releaseScoped() // shared relation deliberately kept
+      }
+      timedFull("shared_band_candidates_200k")(
+        full(ops.VecOps.bandCandidatesWithCos(spark, dst)))
+      for (q <- Seq("q_dedup_embed", "q_sim_threshold_join"))
+        timedFull(s"$q (shared resident)")(
+          full(Registry.queries(q)(spark, dst)))
+      Caches.releaseShared()
+    }
 
     // -- family 2: loop probes at 100× label scale ---------------------
     // chain forest: 10 000 components × 150 nodes; both edge directions

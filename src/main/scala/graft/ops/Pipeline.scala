@@ -109,22 +109,56 @@ object Pipeline {
         explode(col("gs")).as("w"))
       val dfreq = toks.groupBy(col("lang"), col("w"))
         .agg(count(lit(1)).as("df"))
+      // Round-9 verify-cost rewrite (found when the bench's count()
+      // elision fix exposed this key's true cost — 46 s at sf0.1, 39 s
+      // of it the 2.2 M-candidate STRING-array intersects; the char-3
+      // vocabulary is so small (~1.9 k grams) that the plain prefix
+      // filter barely prunes the synthetic corpus):
+      //  1. grams get DENSE PER-LANG INTEGER ids (row_number over the
+      //     vocab-sized dfreq relation — exact, 1:1, no hashing) and
+      //     the verify intersects sorted int arrays instead of string
+      //     arrays;
+      //  2. the PPJoin POSITIONAL filter runs before the intersect:
+      //     for a pair sharing a prefix gram at (p1, p2), the overlap
+      //     is ≤ 1 + min(n1−p1, n2−p2) (all shared grams lie at-or-
+      //     after the first shared gram in the global (df, w) order),
+      //     so pairs whose bound cannot reach α = ceil(t(n1+n2)/(1+t))
+      //     = ceil(9(n1+n2)/19) are dropped LOSSLESSLY — taking min
+      //     positions per pair only raises the bound, so no true pair
+      //     is lost; α is exact-integer ((9s+18) div 19).
+      // Both are Spark-side plan choices; the oracle's ground-truth
+      // postings count is unchanged and still grades the result.
+      val idw = Window.partitionBy(col("lang")).orderBy(ascf("w"))
+      // ids assigned on the vocab-grain dfreq (one row per (lang, w)),
+      // then joined out — a row_number over the postings would have
+      // numbered ROWS, not grams
+      val idMap = dfreq.withColumn("wid", row_number().over(idw))
+      val toksId = toks.join(idMap, Seq("lang", "w"))
+      val gsInt = toksId.groupBy(col("gid"))
+        .agg(sort_array(collect_list(col("wid"))).as("si"))
       val wG = Window.partitionBy(col("gid"))
-      val prefix = toks.join(dfreq, Seq("lang", "w"))
+      val prefix = toksId
         .withColumn("pos", row_number().over(wG.orderBy(ascf("df"), ascf("w"))))
         .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
       val cand = prefix.alias("a")
         .join(prefix.alias("b"),
           col("a.lang") === col("b.lang") && col("a.w") === col("b.w") &&
             col("a.gid") < col("b.gid"))
-        .select(col("a.lang").as("lang"), col("a.gid").as("g1"),
+        .groupBy(col("a.lang").as("lang"), col("a.gid").as("g1"),
           col("b.gid").as("g2"))
-        .distinct()
-      val ga = groups.select(col("gid").as("g1"), col("gs").as("s1"),
+        .agg(min(col("a.pos")).as("p1"), min(col("b.pos")).as("p2"))
+      // narrow (n, c) columns join ALL candidates; the wide int arrays
+      // join only the positional-filter SURVIVORS (8× fewer measured),
+      // so the array payload never rides the full candidate shuffle
+      val ga = groups.select(col("gid").as("g1"),
         col("n").as("n1"), col("c").as("c1"))
-      val gb = groups.select(col("gid").as("g2"), col("gs").as("s2"),
+      val gb = groups.select(col("gid").as("g2"),
         col("n").as("n2"), col("c").as("c2"))
       val crossNear = cand.join(ga, "g1").join(gb, "g2")
+        .filter(lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2"))
+          >= expr("(9 * (n1 + n2) + 18) div 19"))
+        .join(gsInt.select(col("gid").as("g1"), col("si").as("s1")), "g1")
+        .join(gsInt.select(col("gid").as("g2"), col("si").as("s2")), "g2")
         .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
         .filter(col("inter").cast("double")
           / (col("n1") + col("n2") - col("inter")) >= t)
@@ -1155,19 +1189,24 @@ object Pipeline {
       toks: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val P = 2147483647L
-    val mh = toks
-      .select(col("doc_id"), col("lang"), col("t"),
-        explode(sequence(lit(0L), lit(15L))).as("j"))
-      .withColumn("hj", expr(s"((t % $P) * (2 * j + 3) + 97 * j + 13) % $P"))
-      .groupBy(col("doc_id"), col("lang"), col("j"))
-      .agg(min(col("hj")).as("m"))
-    val bands = mh
-      .withColumn("k", expr("j div 4"))
-      .withColumn("mult", expr(
-        "CASE CAST(j % 4 AS INT) WHEN 0 THEN bigint(1) WHEN 1 THEN bigint(31) " +
-          "WHEN 2 THEN bigint(961) ELSE bigint(29791) END"))
-      .groupBy(col("doc_id"), col("lang"), col("k"))
-      .agg(sum(col("m") * col("mult")).as("bandv"))
+    // all 16 permutation minima as ONE aggregation over the token
+    // relation (round 9: the previous explode×16 pushed a 16× row
+    // blowup through the (doc, j) shuffle — exposed when the bench's
+    // count()-elision fix priced this key honestly). Arithmetic is
+    // unchanged expression-for-expression, so the band values — and the
+    // oracle's mirrored explode formulation — are bit-identical.
+    val minExprs = (0 until 16).map(j =>
+      min(expr(s"((t % $P) * (2 * $j + 3) + 97 * $j + 13) % $P")).as(s"m$j"))
+    val mins = toks.groupBy(col("doc_id"), col("lang"))
+      .agg(minExprs.head, minExprs.tail: _*)
+    val bands = mins.select(col("doc_id"), col("lang"),
+      explode(array((0 until 4).map(k => struct(
+        lit(k.toLong).as("k"),
+        (col(s"m${4 * k}") + col(s"m${4 * k + 1}") * 31 +
+          col(s"m${4 * k + 2}") * 961 +
+          col(s"m${4 * k + 3}") * 29791).as("bandv"))): _*)).as("b"))
+      .select(col("doc_id"), col("lang"),
+        col("b.k").as("k"), col("b.bandv").as("bandv"))
     bands.alias("x").join(bands.alias("y"),
         col("x.lang") === col("y.lang") && col("x.k") === col("y.k") &&
           col("x.bandv") === col("y.bandv") &&

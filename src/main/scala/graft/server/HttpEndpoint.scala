@@ -237,7 +237,10 @@ object HttpEndpoint {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val ep = new HttpEndpoint(spark, outRoot, sfDir, port).start()
+    // optional shared secret: set SPARK_GRAFT_HTTP_TOKEN to require
+    // `Authorization: Bearer <token>` on every route except /health
+    val ep = new HttpEndpoint(spark, outRoot, sfDir, port,
+      authToken = sys.env.get("SPARK_GRAFT_HTTP_TOKEN")).start()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outRoot, "port"), ep.boundPort.toString)
     val stopMarker = new java.io.File(outRoot, "stop")

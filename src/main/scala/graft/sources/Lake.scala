@@ -284,6 +284,32 @@ object Lake {
     cv
   }
 
+  /** IMPORT the inverse of [[exportVersion]]: commit an EXTERNAL plain
+    * parquet directory (Hive-partitioned or flat — anything the stock
+    * reader consumes) as the next version of a lake, by absolute-path
+    * manifest reference — the shallow-clone form, zero copy, one
+    * rename. Together with export this closes the interop loop: a
+    * snapshot can leave for a foreign engine and a foreign engine's
+    * output can enter version history, without either side knowing the
+    * other's format internals. The imported directory must be treated
+    * as immutable thereafter (same contract as committed data dirs).
+    */
+  def importDir(path: String, externalDir: String): Long = {
+    val abs = new java.io.File(externalDir)
+    require(abs.isDirectory, s"import source is not a directory: $externalDir")
+    val v = reserveVersion(path, expected = None)
+    try {
+      val md = manifestDir(path)
+      val tmp = new java.io.File(md, s".tmp-import-$v")
+      java.nio.file.Files.write(tmp.toPath,
+        abs.getAbsolutePath.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath,
+        new java.io.File(md, f"v$v%08d.manifest").toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      v
+    } finally lockFile(path, v).delete()
+  }
+
   /** Compaction through the commit protocol: rewrite the current
     * version compacted (one file per date), publish, vacuum. A reader
     * concurrent with ANY point of this sees old-or-new, never torn.

@@ -482,6 +482,17 @@ class RuntimeSpec extends SparkSpec {
     // inodes alive even after the lake drops superseded versions)
     Lake.vacuum(dir, lockRetentionMs = 0L)
     assert(spark.read.parquet(dest).count() == c2)
+    // the interop loop closes: the exported dir IMPORTS into a fresh
+    // lake as a committed version (zero-copy absolute-path manifest),
+    // readable through the manifest protocol with identical content
+    val lake2 = Files.createTempDirectory("graft_imp").toString + "/lake"
+    val iv = Lake.importDir(lake2, dest)
+    assert(iv == 1L)
+    val imported = Lake.versionedReadAt(spark, lake2, iv)
+    assert(imported.count() == c2)
+    assert(imported.agg(sum(col("event_id"))).head.getLong(0) ==
+      Lake.versionedReadAt(spark, dir, 2L)
+        .agg(sum(col("event_id"))).head.getLong(0))
   }
 
   test("shallow clone is zero-copy, isolated from commits, broken by vacuum") {
