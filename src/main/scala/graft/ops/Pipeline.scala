@@ -1248,15 +1248,23 @@ object Pipeline {
     (s, d) => {
       val toks = minhashTokenInts(s, d)
       val cand = minhashBandCandidates(toks)
-      val sz = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // verify on per-doc SORTED LONG ARRAYS instead of a postings join
+      // (round 9, exposed by the bench count()-elision fix): the
+      // synthetic corpus's banding prunes weakly (~2 M candidates at
+      // sf0.1), and candidate × token-postings exploded to ~45 M rows
+      // through two shuffles before the per-pair count. The doc-grain
+      // array relation is doc-sized (it is exactly the distinct token
+      // set, so |intersect| is the same count), joins to candidates
+      // once per side, and the intersect runs map-side per pair.
+      val toksArr = graft.Caches.scoped(toks.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("t"))).as("ti")))
       val inter = cand
-        .join(toks.select(col("doc_id").as("d1"), col("t")), "d1")
-        .join(toks.select(col("doc_id").as("d2"), col("t")), Seq("d2", "t"))
-        .groupBy(col("lang"), col("d1"), col("d2"))
-        .agg(count(lit(1)).as("inter"))
+        .join(toksArr.select(col("doc_id").as("d1"), col("ti").as("sa")), "d1")
+        .join(toksArr.select(col("doc_id").as("d2"), col("ti").as("sb")), "d2")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .select(col("lang"), col("d1"), col("d2"), col("inter"),
+          size(col("sa")).as("n1"), size(col("sb")).as("n2"))
       val verified = inter
-        .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-        .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
         .filter(col("inter") * 10 >= (col("n1") + col("n2") - col("inter")) * 9)
       val candC = cand.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_candidates"))
