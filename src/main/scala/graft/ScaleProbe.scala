@@ -252,8 +252,16 @@ object ScaleProbe {
         "q_ml_boost", "q_mm_spectrogram",
         // round-7 batch 82: adaptive Kalman fold, per-file bloom index
         "q_ts_kalman", "q_lake_bloom_index",
-        // round-7 batch 83: banding recall eval, two-hop transitions
-        "q_text_dedup_eval", "q_graph_walk2",
+        // round-7 batch 83: two-hop transitions. q_text_dedup_eval is
+        // deliberately NOT probed on this corpus since round 9 (the
+        // q_geo_dbscan precedent): banding-quality evaluation is
+        // TRUE-PAIR-driven by nature, and the key-shifted 10× staging
+        // is a 100%-dup-rate corpus — every doc a 10-clique — so the
+        // doc-level candidate∩truth joins are copies²-inflated
+        // (measured ~1000 s of pure staging artifact under the honest
+        // toRdd timing). Its scale row runs on the REGENERATED 100×
+        // corpus instead (constant dup rate; graft.ScaleProbe100).
+        "q_graph_walk2",
         // round-7 batch 84: R/S Hurst exponent, dyadic decayed counters
         "q_ts_hurst", "q_agg_decay",
         // round-7 batch 85: MIPS-vs-cosine divergence, dynamic pruning
@@ -306,7 +314,12 @@ object ScaleProbe {
         // round-8 batch 108: embedded-newline CSV round-trip
         "q_source_csv_multiline",
         // round-8 batch 109: experiment power analysis
-        "q_agg_power")
+        "q_agg_power",
+        // round-9 batch 110: open-layout export, AQE skew join
+        // (q_dedup_minhash_exact keeps its round-6 slot above — its
+        // round-9 group-collapse makes the 100%-dup 10× corpus the
+        // WORST case it now absorbs arithmetically)
+        "q_lake_export", "q_join_skew_aqe")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)
@@ -319,7 +332,11 @@ object ScaleProbe {
         // optional args = probe only the named keys (batch re-probes)
         if (args.isEmpty || args.contains(q))) {
       val t0 = System.nanoTime()
-      val n = Registry.queries(q)(spark, dst).count()
+      // toRdd.count(), not count() — full output schema, so a left-join
+      // census key cannot have its stats subtree join-eliminated out of
+      // the measurement (round 9, the Bench fix; q_dedup_embed and
+      // q_dedup_ngram rows published before round 9 under-measured)
+      val n = Registry.queries(q)(spark, dst).queryExecution.toRdd.count()
       println(f"SCALE10 $q: ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
       // release BOTH lifetimes between probed queries (review r5): with
       // shared relations resident, the first consumer would be billed

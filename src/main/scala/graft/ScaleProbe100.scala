@@ -109,9 +109,15 @@ object ScaleProbe100 {
       .groupBy(col("l_returnflag")).count().count()
 
     // -- family 1: end-to-end at 100× fixtures ------------------------
+    // (q_text_dedup_eval runs HERE, not on the key-shifted 10× corpus:
+    // banding-quality eval is true-pair-driven, and only the
+    // regenerated documents hold the dup RATE constant — see the
+    // ScaleProbe exclusion note)
     for (q <- Seq("q_vec_pca_power", "q_graph_mst", "q_ml_boost",
-        "q_dedup_components") if args.isEmpty || args.contains(q))
-      timed(q)(Registry.queries(q)(spark, dst).count())
+        "q_dedup_components", "q_text_dedup_eval",
+        "q_dedup_minhash_exact")
+        if args.isEmpty || args.contains(q))
+      timed(q)(Registry.queries(q)(spark, dst).queryExecution.toRdd.count())
 
     // -- family 1b: the banded similarity path at 100× embeddings
     // (VERDICT r8 next #7: the loop families were measured at 100×,

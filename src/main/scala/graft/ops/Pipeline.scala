@@ -1246,37 +1246,73 @@ object Pipeline {
   private val dedupMinhashExact = QueryDef(
     "q_dedup_minhash_exact",
     (s, d) => {
+      // Round-9 GROUP-COLLAPSE rewrite (the q_dedup_ngram /
+      // q_sim_jaccard_pairs trick, applied to minhash): docs with
+      // IDENTICAL token sets have identical signatures, so every
+      // intra-group doc pair is a band candidate with J = 1 — on a
+      // corpus with a 1000-doc duplicate cluster that is 10⁶ candidate
+      // pairs carrying zero information (measured: the 10× key-shifted
+      // probe corpus, 100% dup rate, exploded the doc-level verify to
+      // ~197 M pairs / ~20 min). Banding + verify now run on GROUP
+      // representatives (identical sets ⇒ identical signatures ⇒ the
+      // group-level candidate relation is exactly the doc-level one
+      // collapsed), and the doc-level census is recovered
+      // arithmetically: a group of c docs contributes C(c,2) intra
+      // pairs with inter = n and id-sum (c−1)·Σids; a verified cross
+      // pair (A,B) contributes c_A·c_B pairs with id-sum
+      // c_B·Σids_A + c_A·Σids_B. Output is bit-identical to the
+      // doc-level spelling (the oracle still computes per doc).
       val toks = minhashTokenInts(s, d)
-      val cand = minhashBandCandidates(toks)
-      // verify on per-doc SORTED LONG ARRAYS instead of a postings join
-      // (round 9, exposed by the bench count()-elision fix): the
-      // synthetic corpus's banding prunes weakly (~2 M candidates at
-      // sf0.1), and candidate × token-postings exploded to ~45 M rows
-      // through two shuffles before the per-pair count. The doc-grain
-      // array relation is doc-sized (it is exactly the distinct token
-      // set, so |intersect| is the same count), joins to candidates
-      // once per side, and the intersect runs map-side per pair.
-      val toksArr = graft.Caches.scoped(toks.groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("t"))).as("ti")))
-      val inter = cand
-        .join(toksArr.select(col("doc_id").as("d1"), col("ti").as("sa")), "d1")
-        .join(toksArr.select(col("doc_id").as("d2"), col("ti").as("sb")), "d2")
+      val toksArr = toks.groupBy(col("doc_id"), col("lang"))
+        .agg(sort_array(collect_list(col("t"))).as("ti"))
+      val groups = graft.Caches.scoped(toksArr
+        .groupBy(col("lang"), col("ti"))
+        .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("c"),
+          sum(col("doc_id")).as("ids"))
+        .withColumn("n", size(col("ti"))))
+      val gtoks = groups.filter(col("n") > 0)
+        .select(col("gid").as("doc_id"), col("lang"),
+          explode(col("ti")).as("t"))
+      val gcand = minhashBandCandidates(gtoks)
+      val ga = groups.select(col("gid").as("d1"), col("ti").as("sa"),
+        col("n").as("n1"), col("c").as("c1"), col("ids").as("ids1"))
+      val gb = groups.select(col("gid").as("d2"), col("ti").as("sb"),
+        col("n").as("n2"), col("c").as("c2"), col("ids").as("ids2"))
+      val cross = gcand.join(ga, "d1").join(gb, "d2")
         .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-        .select(col("lang"), col("d1"), col("d2"), col("inter"),
-          size(col("sa")).as("n1"), size(col("sb")).as("n2"))
-      val verified = inter
-        .filter(col("inter") * 10 >= (col("n1") + col("n2") - col("inter")) * 9)
-      val candC = cand.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_candidates"))
-      val dupC = verified.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_duplicates"),
-          sum(col("d1") + col("d2")).as("id_checksum"),
-          sum(col("inter")).as("inter_checksum"))
-      candC.join(dupC, Seq("lang"), "left")
-        .select(col("lang"), col("n_candidates"),
-          coalesce(col("n_duplicates"), lit(0L)).as("n_duplicates"),
-          coalesce(col("id_checksum"), lit(0L)).as("id_checksum"),
-          coalesce(col("inter_checksum"), lit(0L)).as("inter_checksum"))
+        .withColumn("pairs", col("c1") * col("c2"))
+        .withColumn("verified",
+          col("inter") * 10 >= (col("n1") + col("n2") - col("inter")) * 9)
+        .groupBy(col("lang"))
+        .agg(sum(col("pairs")).as("x_cand"),
+          sum(when(col("verified"), col("pairs")).otherwise(lit(0L)))
+            .as("x_dup"),
+          sum(when(col("verified"),
+            col("c2") * col("ids1") + col("c1") * col("ids2"))
+            .otherwise(lit(0L))).as("x_ids"),
+          sum(when(col("verified"), col("inter") * col("pairs"))
+            .otherwise(lit(0L))).as("x_inter"))
+      // intra-group arithmetic: every same-set pair (n > 0) is a
+      // candidate (identical signatures) and verified (J = 1)
+      val intra = groups.filter(col("n") > 0)
+        .groupBy(col("lang"))
+        .agg(sum(expr("c * (c - 1) div 2")).as("i_cand"),
+          sum(expr("(c - 1) * ids")).as("i_ids"),
+          sum(expr("n * (c * (c - 1) div 2)")).as("i_inter"))
+      intra.join(cross, Seq("lang"), "left")
+        .select(col("lang"),
+          (col("i_cand") + coalesce(col("x_cand"), lit(0L)))
+            .as("n_candidates"),
+          (col("i_cand") + coalesce(col("x_dup"), lit(0L)))
+            .as("n_duplicates"),
+          (col("i_ids") + coalesce(col("x_ids"), lit(0L)))
+            .as("id_checksum"),
+          (col("i_inter") + coalesce(col("x_inter"), lit(0L)))
+            .as("inter_checksum"))
+        // the oracle's row universe is langs WITH candidates (cc is
+        // grouped FROM cd) — a lang of all-singleton groups and no
+        // cross candidates must not emit a zero row here either
+        .filter(col("n_candidates") > 0)
         .orderBy(ascf("lang"))
     },
     Some("""WITH tk AS (SELECT DISTINCT doc_id, lang,
