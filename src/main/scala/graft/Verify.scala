@@ -6,6 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // published BEFORE the registry initializes: per-corpus oracle paths
+    // (q_lake_export/import/delta_log read engine output at a path that
+    // is a pure function of sfDir) render for THIS corpus, so parity
+    // holds at any scale factor, not just the driver's grading sf
+    sys.props("graft.sf.dir") = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
