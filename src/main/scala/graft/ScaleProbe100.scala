@@ -152,6 +152,45 @@ object ScaleProbe100 {
       Caches.releaseShared()
     }
 
+    // -- family 1c: the trade-graph family on a REGENERATED 100× feed
+    // (VERDICT r9 next #8). The plain staged fixtures duplicate
+    // customer/supplier UNSHIFTED, so the fact→edge join fans out
+    // copies× per dimension — copies² through the two dim joins: a
+    // staging artifact the r8/r9 graph rows (q_graph_scc/hits bands)
+    // measured instead of the engine. Here each copy is a DISJOINT,
+    // internally-consistent subgraph over the same 25 nations: fact
+    // keys AND their dimension foreign keys shift together, so every
+    // join stays 1:1 per row (constant density — the documents-corpus
+    // regeneration principle applied to the trade graph), facts and
+    // customers both really grow 100×, and the edge aggregation's
+    // input scales linearly.
+    val gdst = "/tmp/graft_sf10_graph"
+    if ((args.isEmpty || args.exists(_.startsWith("graph_regen"))) &&
+        !new java.io.File(s"$gdst/_done").exists()) {
+      def repg(name: String, shifts: Seq[String], nCopies: Int = copies): Unit = {
+        val base = spark.read.parquet(s"$src/$name.parquet")
+        val out = (0 until nCopies).map { i =>
+          shifts.foldLeft(base)((df, c) => df.withColumn(c, col(c) + lit(i * off)))
+        }.reduce(_ unionByName _)
+        out.write.mode("overwrite").parquet(s"$gdst/$name.parquet")
+        println(s"staged graph-feed $name: " +
+          s"${spark.read.parquet(s"$gdst/$name.parquet").count()}")
+      }
+      repg("lineitem", Seq("l_orderkey", "l_suppkey"))
+      repg("orders", Seq("o_orderkey", "o_custkey"))
+      repg("customer", Seq("c_custkey"))
+      repg("supplier", Seq("s_suppkey"))
+      repg("nation", Seq.empty, nCopies = 1)
+      repg("region", Seq.empty, nCopies = 1)
+      repg("part", Seq.empty, nCopies = 1)
+      new java.io.File(s"$gdst/_done").createNewFile()
+    }
+    if (args.isEmpty || args.contains("graph_regen"))
+      for (q <- Seq("q_graph_pagerank", "q_graph_degree", "q_graph_scc",
+          "q_graph_hits", "q_graph_reciprocity"))
+        timed(s"$q (regen graph)")(
+          Registry.queries(q)(spark, gdst).queryExecution.toRdd.count())
+
     // -- family 2: loop probes at 100× label scale ---------------------
     // chain forest: 10 000 components × 150 nodes; both edge directions
     def chainEdges = {
