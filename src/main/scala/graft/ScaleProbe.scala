@@ -319,7 +319,15 @@ object ScaleProbe {
         // (q_dedup_minhash_exact keeps its round-6 slot above — its
         // round-9 group-collapse makes the 100%-dup 10× corpus the
         // WORST case it now absorbs arithmetically)
-        "q_lake_export", "q_join_skew_aqe")
+        "q_lake_export", "q_join_skew_aqe",
+        // round-10 batches 111-112: retrieval-eval tier (shared
+        // supplier-grain items relation — the corpus stage is one
+        // suppkey agg), token-budget curation (globalCumSum), dedup-
+        // aware mixing (exact-dup-grain window), winsorized mean
+        // (bounded-domain histogram), ROUGE (BLEU's pair machinery)
+        "q_ml_auc", "q_ml_avg_precision", "q_ml_ndcg", "q_ml_mrr",
+        "q_ml_roc_curve", "q_ml_lift_gains", "q_mix_token_budget",
+        "q_mix_dedup_weight", "q_agg_winsorized", "q_text_rouge")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

@@ -2259,6 +2259,85 @@ object Aggregates {
            |  ELSE 0 END AS BIGINT) AS n_required
            |FROM v ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
+  /** Winsorized mean per group (round 10): the robust-location estimate
+    * that CLAMPS tail values to the P10/P90 order statistics instead of
+    * dropping them (q_profile_trimmed is the dropping variant) — the
+    * outlier treatment that keeps n constant, which matters whenever
+    * downstream weights assume every row still counts.
+    *
+    * Both engines compute the SAME explicit order-statistic definition
+    * rather than calling their (differently-interpolating) quantile
+    * builtins: lo = min v with cumcount ≥ ⌈n/10⌉, hi = min v with
+    * cumcount ≥ ⌈9n/10⌉, over the per-group value histogram — so parity
+    * is by construction, not by builtin coincidence.
+    *
+    * Scale: the corpus collapses to the (group, value) histogram in ONE
+    * partial-agg pass (value domain bounded: quantities 1..50); every
+    * window after runs on ≤ |groups|·|domain| rows. The winsorized sum
+    * is recovered from the histogram arithmetically — no second corpus
+    * scan.
+    *
+    * Determinism (D1/D2/D12): integer values, exact ceilings via
+    * (n+9) div 10 / (9n+9) div 10, e6 means by floor division.
+    */
+  private val aggWinsorized = QueryDef(
+    "q_agg_winsorized",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = graft.Tables.lineitem(s, d)
+        .select(col("l_linestatus").as("status"),
+          col("l_quantity").cast("long").as("v"))
+        .groupBy(col("status"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("status")).orderBy(ascf("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("status"))
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .withColumn("sum_raw", sum(col("v") * col("cnt")).over(wAll))
+      val thr = cum.groupBy(col("status"), col("n"), col("sum_raw"))
+        .agg(
+          min(when(col("cum") >= expr("(n + 9) div 10"), col("v")))
+            .as("lo"),
+          min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("v")))
+            .as("hi"))
+      hist.join(broadcast(thr), Seq("status"))
+        .withColumn("cv",
+          greatest(least(col("v"), col("hi")), col("lo")) * col("cnt"))
+        .groupBy(col("status"), col("n"), col("sum_raw"),
+          col("lo"), col("hi"))
+        .agg(sum(col("cv")).as("sum_wins"))
+        .select(col("status"), col("n"), col("lo").as("p10"),
+          col("hi").as("p90"),
+          expr("(sum_raw * 1000000) div n").as("mean_e6"),
+          expr("(sum_wins * 1000000) div n").as("wins_mean_e6"))
+        .orderBy(ascf("status"))
+    },
+    Some("""WITH h AS (SELECT l_linestatus AS status,
+           |    CAST(l_quantity AS BIGINT) AS v, count(*) AS cnt
+           |  FROM lineitem GROUP BY 1, 2),
+           |c AS (SELECT status, v, cnt,
+           |    sum(cnt) OVER (PARTITION BY status ORDER BY v ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |    sum(cnt) OVER (PARTITION BY status) AS n,
+           |    sum(v * cnt) OVER (PARTITION BY status) AS sum_raw
+           |  FROM h),
+           |t AS (SELECT status, n, sum_raw,
+           |    min(CASE WHEN cum >= (n + 9) // 10 THEN v END) AS lo,
+           |    min(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END) AS hi
+           |  FROM c GROUP BY status, n, sum_raw),
+           |w AS (SELECT h.status, t.n, t.sum_raw, t.lo, t.hi,
+           |    sum(greatest(least(h.v, t.hi), t.lo) * h.cnt) AS sum_wins
+           |  FROM h JOIN t ON h.status = t.status
+           |  GROUP BY h.status, t.n, t.sum_raw, t.lo, t.hi)
+           |SELECT status, CAST(n AS BIGINT) AS n,
+           |  CAST(lo AS BIGINT) AS p10, CAST(hi AS BIGINT) AS p90,
+           |  CAST((sum_raw * 1000000) // n AS BIGINT) AS mean_e6,
+           |  CAST((sum_wins * 1000000) // n AS BIGINT) AS wins_mean_e6
+           |FROM w
+           |ORDER BY status ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     aggQ1, aggQ18, aggGlobal, aggDistinct, aggHaving,
     aggRollup, aggCube, aggGsets, aggStats, aggApproxDistinct,
@@ -2266,5 +2345,6 @@ object Aggregates {
     aggEntropy, aggQ14, aggQ6, aggGini, aggHhi, aggFiltered, aggSkyline,
     aggPareto, aggBasketLift, aggCramersV, aggMannWhitney, aggTheil,
     aggMutualInfo, aggTtest, aggSpearman, aggDecay, aggLorenz, aggCuped,
-    aggBayesShrink, aggHierarchy, aggDeltaMethod, aggSrm, aggPower)
+    aggBayesShrink, aggHierarchy, aggDeltaMethod, aggSrm, aggPower,
+    aggWinsorized)
 }

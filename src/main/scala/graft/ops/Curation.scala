@@ -1754,9 +1754,132 @@ object Curation {
            |FROM b CROSS JOIN p
            |ORDER BY source ASC NULLS FIRST""".stripMargin))
 
+  /** Token-budget curation (round 10): the "fill the training budget
+    * with the best documents" op — rank the corpus by a deterministic
+    * quality score (e6 type-token ratio, the q_text_quality diversity
+    * axis) with doc_id as the total-order tie-break, then greedily take
+    * documents while the running token total stays within the budget
+    * (half the corpus's tokens, computed from the data so the key is
+    * scale-factor-free). Output is the per-language census of what the
+    * selection kept — the number every mixing plan negotiation starts
+    * from.
+    *
+    * Scale: the global running sum uses Dsl.globalCumSum (range
+    * exchange + broadcast prefix offsets), NOT a partitionBy-less
+    * window — no single-task corpus stage at any size; the budget is a
+    * broadcast 1-row cross join; the census is a 5-group rollup.
+    *
+    * Determinism (D1/D2/D12): score = (distinct_tokens·1e6) div tokens,
+    * exact int64; the selection threshold is cumulative-INCLUSIVE ≤
+    * budget with budget = total div 2, so membership is a pure integer
+    * predicate over an exactly-ordered prefix sum.
+    */
+  private val mixTokenBudget = QueryDef(
+    "q_mix_token_budget",
+    (s, d) => {
+      val t = split(col("text"), " ")
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          size(t).cast("long").as("toks"),
+          (size(array_distinct(t)).cast("long") * 1000000L).as("dist6"))
+        .withColumn("qscore", expr("dist6 div toks"))
+        .select(col("lang"), col("doc_id"), col("toks"), col("qscore"))
+      val withCum = graft.Dsl.globalCumSum(docs, "toks", "cum_toks",
+        Seq(descl("qscore"), ascf("doc_id")))
+      val budget = docs.agg(sum(col("toks")).as("total_toks"))
+        .withColumn("budget", expr("total_toks div 2"))
+      withCum.crossJoin(broadcast(budget))
+        .withColumn("sel", (col("cum_toks") <= col("budget")).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("tokens_total"),
+          sum(col("sel")).as("n_selected"),
+          sum(col("sel") * col("toks")).as("tokens_selected"),
+          sum(col("sel") * col("doc_id")).as("sel_id_checksum"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH t AS (SELECT lang, doc_id,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+           |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           |      * 1000000 AS dist6
+           |  FROM documents),
+           |q AS (SELECT lang, doc_id, toks, dist6 // toks AS qscore FROM t),
+           |c AS (SELECT lang, doc_id, toks,
+           |    sum(toks) OVER (ORDER BY qscore DESC NULLS LAST,
+           |      doc_id ASC NULLS FIRST
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS cum_toks
+           |  FROM q),
+           |b AS (SELECT sum(toks) // 2 AS budget FROM t),
+           |s AS (SELECT lang, doc_id, toks,
+           |    CASE WHEN cum_toks <= b.budget THEN 1 ELSE 0 END AS sel
+           |  FROM c CROSS JOIN b)
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(toks) AS BIGINT) AS tokens_total,
+           |  CAST(sum(sel) AS BIGINT) AS n_selected,
+           |  CAST(sum(sel * toks) AS BIGINT) AS tokens_selected,
+           |  CAST(sum(sel * doc_id) AS BIGINT) AS sel_id_checksum
+           |FROM s GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
+  /** Duplicate-cluster-downweighted corpus mass (round 10): the mixing
+    * correction every dedup-aware sampler applies — each document's
+    * weight is 1/|its exact-duplicate cluster| so a 1000-copy boilerplate
+    * page contributes ONE document of probability mass instead of 1000.
+    * Emits the per-language raw vs effective (weighted) doc and token
+    * masses; effective/raw is exactly the language's duplication factor,
+    * which is what decides whether to dedup before or after mixing.
+    *
+    * Scale: cluster size is a count over a window PARTITIONED BY the
+    * text key — one shuffle on the dedup grain (the q_dedup_exact
+    * exchange), then projection + a 5-group rollup. No driver state.
+    *
+    * Determinism (D2/D12): weights are e6 floor divisions of exact
+    * counts; per-row weighted tokens floor independently on both
+    * engines in the same order.
+    */
+  private val mixDedupWeight = QueryDef(
+    "q_mix_dedup_weight",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .withColumn("c", count(lit(1)).over(Window.partitionBy(col("text"))))
+        .withColumn("w_e6", expr("1000000 div c"))
+      docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_unique"),
+          sum(col("toks")).as("raw_tokens"),
+          sum(col("w_e6")).as("eff_docs_e6"),
+          sum(expr("(toks * w_e6) div 1000000")).as("eff_tokens"))
+        .withColumn("dup_factor_e6",
+          expr("""cast((cast(n_docs as decimal(38,0)) * 1000000000000)
+                 |  div eff_docs_e6 as bigint)""".stripMargin))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH t AS (SELECT lang, doc_id, text,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+           |    count(*) OVER (PARTITION BY text) AS c
+           |  FROM documents),
+           |w AS (SELECT lang, doc_id, toks, c,
+           |    CAST(1000000 // c AS BIGINT) AS w_e6 FROM t),
+           |g AS (SELECT lang, count(*) AS n_docs,
+           |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_unique,
+           |    CAST(sum(toks) AS BIGINT) AS raw_tokens,
+           |    CAST(sum(w_e6) AS BIGINT) AS eff_docs_e6,
+           |    CAST(sum((toks * w_e6) // 1000000) AS BIGINT) AS eff_tokens
+           |  FROM w GROUP BY lang)
+           |SELECT lang, n_docs, n_unique, raw_tokens, eff_docs_e6,
+           |  eff_tokens,
+           |  CAST((CAST(n_docs AS HUGEINT) * 1000000000000)
+           |    // eff_docs_e6 AS BIGINT) AS dup_factor_e6
+           |FROM g ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(packSequences, contamination, repetition,
     dedupIncremental, mixWeighted, lengthHist, mixTemperature, qualityGopher,
     mixUpsample, profileCols, profileSkew, profileDepth, dedupLines, textPii,
     textChunking, profileCorr, profileIqr, profileBenford, profileMad, dedupPriority,
-    profileTrimmed, profileKs, profilePsi, erBlocking, mixPlan)
+    profileTrimmed, profileKs, profilePsi, erBlocking, mixPlan,
+    mixTokenBudget, mixDedupWeight)
 }

@@ -1,0 +1,401 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.Dsl._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranking / retrieval evaluation metrics (round 10) — the eval tier a
+  * search or recommender pipeline runs after the q_sim_* / q_ml_als_step
+  * retrieval ops: ROC-AUC, average precision, NDCG@10, and MRR, each per
+  * "query". The shared scenario: every nation is a query, its suppliers
+  * are the ranked items, the model score is each supplier's total shipped
+  * quantity (an exact int64 census of lineitem), and ground-truth
+  * relevance derives from the supplier's account balance — binary
+  * (acctbal > 5000) for AUC/AP/MRR, graded 0–3 bands for NDCG. The score
+  * and the label are deliberately independent columns so every metric is
+  * a non-trivial value in (0, 1).
+  *
+  * Scale shape (shared by all four): ONE hash aggregate of the fact
+  * table on l_suppkey (map-side partials; exchange carries |suppliers|
+  * rows at any corpus size), a broadcast join against the supplier dim,
+  * then windows partitioned by the query key — never a partitionBy-less
+  * window over corpus rows. At 100 TB the fact scan dominates and is
+  * embarrassingly parallel; item grain is dim-sized.
+  *
+  * Determinism (D1/D2/D12): scores and ranks are exact int64; every
+  * metric is e6-quantized by floor division of non-negative integers
+  * (`div` ≡ DuckDB `//`); zero denominators (a nation with no positives
+  * or no negatives) pin to 0 by CASE on both engines; AP/NDCG/MRR rank
+  * on the total order (score DESC, suppkey ASC), while AUC uses
+  * midranks over the score alone (2·midrank = 2·rank + ties − 1 stays
+  * integer), so ties cannot drift between engines.
+  */
+object Ranking {
+
+  /** Items relation: one row per supplier — query key (nation), exact
+    * integer score (total shipped quantity; 0 for suppliers with no
+    * lineitem rows, which stay in the ranking), binary label y, graded
+    * gain (2^band − 1 ∈ {0,1,3,7}).
+    */
+  private def items(s: SparkSession, d: String): DataFrame = {
+    val score = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("score"))
+    Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("nationkey"),
+        when(col("s_acctbal") > 5000.0, lit(1L)).otherwise(lit(0L)).as("y"),
+        expr("""CASE WHEN s_acctbal >= 7500.0 THEN 7
+               | WHEN s_acctbal >= 5000.0 THEN 3
+               | WHEN s_acctbal >= 2500.0 THEN 1 ELSE 0 END""".stripMargin)
+          .as("gain"))
+      .join(score, col("s_suppkey") === col("l_suppkey"), "left")
+      .select(col("nationkey"), col("s_suppkey").as("item"),
+        coalesce(col("score"), lit(0L)).as("score"), col("y"), col("gain"))
+  }
+
+  private val itemsSql =
+    """items AS (
+      |  SELECT CAST(s.s_nationkey AS BIGINT) AS nationkey,
+      |    s.s_suppkey AS item,
+      |    coalesce(sc.score, 0) AS score,
+      |    CASE WHEN s.s_acctbal > 5000.0 THEN 1 ELSE 0 END AS y,
+      |    CASE WHEN s.s_acctbal >= 7500.0 THEN 7
+      |      WHEN s.s_acctbal >= 5000.0 THEN 3
+      |      WHEN s.s_acctbal >= 2500.0 THEN 1 ELSE 0 END AS gain
+      |  FROM supplier s LEFT JOIN (
+      |    SELECT l_suppkey,
+      |      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS score
+      |    FROM lineitem GROUP BY 1) sc ON s.s_suppkey = sc.l_suppkey)""".stripMargin
+
+  /** ROC-AUC per query via the midrank (Mann-Whitney) identity:
+    * AUC = (S − n₊(n₊+1)/2) / (n₊·n₋) with S the midrank sum of the
+    * positives under ascending score. Ties use midranks, so a constant
+    * scorer grades exactly 0.5. Everything stays integer by carrying 2S:
+    * 2·midrank = 2·rank_lo + ties − 1.
+    */
+  private val auc = QueryDef(
+    "q_ml_auc",
+    (s, d) => {
+      val it = items(s, d)
+        .withColumn("rk", rank().over(
+          Window.partitionBy(col("nationkey")).orderBy(col("score").asc)))
+        .withColumn("ties", count(lit(1)).over(
+          Window.partitionBy(col("nationkey"), col("score"))))
+      it.groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("y")).as("n_pos"),
+          sum(when(col("y") === 1L, lit(2L) * col("rk") + col("ties") - 1L)
+            .otherwise(lit(0L))).as("s2"))
+        .select(col("nationkey"), col("n_items"), col("n_pos"),
+          expr("""CASE WHEN n_pos = 0 OR n_pos = n_items THEN 0
+                 | ELSE ((s2 - n_pos * (n_pos + 1)) * 1000000)
+                 |   div (2 * n_pos * (n_items - n_pos)) END""".stripMargin)
+            .as("auc_e6"))
+        .orderBy(ascf("nationkey"))
+    },
+    Some(s"""WITH $itemsSql,
+            |r AS (SELECT nationkey, y,
+            |    rank() OVER (PARTITION BY nationkey ORDER BY score ASC) AS rk,
+            |    count(*) OVER (PARTITION BY nationkey, score) AS ties
+            |  FROM items),
+            |g AS (SELECT nationkey, count(*) AS n_items,
+            |    CAST(sum(y) AS BIGINT) AS n_pos,
+            |    CAST(sum(CASE WHEN y = 1 THEN 2 * rk + ties - 1
+            |      ELSE 0 END) AS BIGINT) AS s2
+            |  FROM r GROUP BY nationkey)
+            |SELECT nationkey, CAST(n_items AS BIGINT) AS n_items, n_pos,
+            |  CAST(CASE WHEN n_pos = 0 OR n_pos = n_items THEN 0
+            |    ELSE ((s2 - n_pos * (n_pos + 1)) * 1000000)
+            |      // (2 * n_pos * (n_items - n_pos)) END AS BIGINT) AS auc_e6
+            |FROM g
+            |ORDER BY nationkey ASC NULLS FIRST""".stripMargin))
+
+  /** Average precision per query: AP = (Σ_{relevant k} P@k) / n₊ over
+    * the total order (score DESC, item ASC). Each P@k is itself
+    * e6-floored before the sum — both engines apply the identical
+    * floor sequence, so parity is exact by construction.
+    */
+  private val avgPrecision = QueryDef(
+    "q_ml_avg_precision",
+    (s, d) => {
+      val w = Window.partitionBy(col("nationkey"))
+        .orderBy(descl("score"), ascf("item"))
+      val it = items(s, d)
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cp", sum(col("y")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      it.groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("y")).as("n_pos"),
+          sum(when(col("y") === 1L,
+              expr("(cp * 1000000) div rk")).otherwise(lit(0L)))
+            .as("sum_prec_e6"))
+        .select(col("nationkey"), col("n_items"), col("n_pos"),
+          expr("""CASE WHEN n_pos = 0 THEN 0
+                 | ELSE sum_prec_e6 div n_pos END""".stripMargin)
+            .as("ap_e6"))
+        .orderBy(ascf("nationkey"))
+    },
+    Some(s"""WITH $itemsSql,
+            |r AS (SELECT nationkey, y,
+            |    row_number() OVER (PARTITION BY nationkey
+            |      ORDER BY score DESC NULLS LAST, item ASC NULLS FIRST) AS rk,
+            |    sum(y) OVER (PARTITION BY nationkey
+            |      ORDER BY score DESC NULLS LAST, item ASC NULLS FIRST
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+            |  FROM items),
+            |g AS (SELECT nationkey, count(*) AS n_items,
+            |    CAST(sum(y) AS BIGINT) AS n_pos,
+            |    CAST(sum(CASE WHEN y = 1 THEN (cp * 1000000) // rk
+            |      ELSE 0 END) AS BIGINT) AS sum_prec_e6
+            |  FROM r GROUP BY nationkey)
+            |SELECT nationkey, CAST(n_items AS BIGINT) AS n_items, n_pos,
+            |  CAST(CASE WHEN n_pos = 0 THEN 0
+            |    ELSE sum_prec_e6 // n_pos END AS BIGINT) AS ap_e6
+            |FROM g
+            |ORDER BY nationkey ASC NULLS FIRST""".stripMargin))
+
+  /** log₂ discount table for NDCG@10: w(r) = ⌊1e6 / log₂(r+1)⌋ as
+    * LITERAL integers, identical on both engines by construction
+    * (runtime log() calls could differ in the last ulp between libm
+    * and the JVM — a literal table cannot).
+    */
+  private val discountCase: String =
+    """CASE rk WHEN 1 THEN 1000000 WHEN 2 THEN 630929 WHEN 3 THEN 500000
+      | WHEN 4 THEN 430676 WHEN 5 THEN 386852 WHEN 6 THEN 356207
+      | WHEN 7 THEN 333333 WHEN 8 THEN 315464 WHEN 9 THEN 301029
+      | WHEN 10 THEN 289064 ELSE 0 END""".stripMargin
+
+  /** NDCG@10 per query: DCG over the model order (score DESC, item ASC)
+    * against IDCG over the ideal order (gain DESC, item ASC), both with
+    * the literal e6 log₂ discount table; gains are 2^band − 1.
+    */
+  private val ndcg = QueryDef(
+    "q_ml_ndcg",
+    (s, d) => {
+      val base = graft.Caches.scoped(items(s, d)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("nationkey"))
+            .orderBy(descl("score"), ascf("item"))))
+        .withColumn("irk", row_number().over(
+          Window.partitionBy(col("nationkey"))
+            .orderBy(descl("gain"), ascf("item")))))
+      val dcg = base.filter(col("rk") <= 10)
+        .groupBy(col("nationkey"))
+        .agg(sum(col("gain") * expr(discountCase)).as("dcg_e6"))
+      val idcg = base.filter(col("irk") <= 10)
+        .withColumn("rk", col("irk"))
+        .groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n_top"),
+          sum(col("gain") * expr(discountCase)).as("idcg_e6"))
+      idcg.join(dcg, Seq("nationkey"), "left")
+        .select(col("nationkey"), col("n_top"),
+          coalesce(col("dcg_e6"), lit(0L)).as("dcg_e6"), col("idcg_e6"),
+          expr("""CASE WHEN idcg_e6 = 0 THEN 0
+                 | ELSE (coalesce(dcg_e6, 0) * 1000000) div idcg_e6 END"""
+            .stripMargin).as("ndcg_e6"))
+        .orderBy(ascf("nationkey"))
+    },
+    Some(s"""WITH $itemsSql,
+            |r AS (SELECT nationkey, gain,
+            |    row_number() OVER (PARTITION BY nationkey
+            |      ORDER BY score DESC NULLS LAST, item ASC NULLS FIRST) AS rk,
+            |    row_number() OVER (PARTITION BY nationkey
+            |      ORDER BY gain DESC NULLS LAST, item ASC NULLS FIRST) AS irk
+            |  FROM items),
+            |d AS (SELECT nationkey,
+            |    CAST(sum(gain * ($discountCase)) AS BIGINT) AS dcg_e6
+            |  FROM r WHERE rk <= 10 GROUP BY nationkey),
+            |i AS (SELECT nationkey, count(*) AS n_top,
+            |    CAST(sum(gain * (CASE irk WHEN 1 THEN 1000000
+            |      WHEN 2 THEN 630929 WHEN 3 THEN 500000 WHEN 4 THEN 430676
+            |      WHEN 5 THEN 386852 WHEN 6 THEN 356207 WHEN 7 THEN 333333
+            |      WHEN 8 THEN 315464 WHEN 9 THEN 301029 WHEN 10 THEN 289064
+            |      ELSE 0 END)) AS BIGINT) AS idcg_e6
+            |  FROM r WHERE irk <= 10 GROUP BY nationkey)
+            |SELECT i.nationkey, CAST(n_top AS BIGINT) AS n_top,
+            |  CAST(coalesce(d.dcg_e6, 0) AS BIGINT) AS dcg_e6, i.idcg_e6,
+            |  CAST(CASE WHEN i.idcg_e6 = 0 THEN 0
+            |    ELSE (coalesce(d.dcg_e6, 0) * 1000000) // i.idcg_e6 END
+            |    AS BIGINT) AS ndcg_e6
+            |FROM i LEFT JOIN d ON i.nationkey = d.nationkey
+            |ORDER BY i.nationkey ASC NULLS FIRST""".stripMargin))
+
+  /** Mean reciprocal rank: the rank of the FIRST relevant item per query
+    * under the total order; rr_e6 = 1e6 div that rank, 0 when the query
+    * has no relevant item (pinned by CASE, not NULL, so the census keeps
+    * every query row).
+    */
+  private val mrr = QueryDef(
+    "q_ml_mrr",
+    (s, d) => {
+      val it = items(s, d)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("nationkey"))
+            .orderBy(descl("score"), ascf("item"))))
+      it.groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("y")).as("n_pos"),
+          min(when(col("y") === 1L, col("rk"))).as("first_rk"))
+        .select(col("nationkey"), col("n_items"), col("n_pos"),
+          coalesce(col("first_rk"), lit(0L)).as("first_pos_rank"),
+          expr("""CASE WHEN first_rk IS NULL THEN 0
+                 | ELSE 1000000 div first_rk END""".stripMargin)
+            .as("rr_e6"))
+        .orderBy(ascf("nationkey"))
+    },
+    Some(s"""WITH $itemsSql,
+            |r AS (SELECT nationkey, y,
+            |    row_number() OVER (PARTITION BY nationkey
+            |      ORDER BY score DESC NULLS LAST, item ASC NULLS FIRST) AS rk
+            |  FROM items),
+            |g AS (SELECT nationkey, count(*) AS n_items,
+            |    CAST(sum(y) AS BIGINT) AS n_pos,
+            |    min(CASE WHEN y = 1 THEN rk END) AS first_rk
+            |  FROM r GROUP BY nationkey)
+            |SELECT nationkey, CAST(n_items AS BIGINT) AS n_items, n_pos,
+            |  CAST(coalesce(first_rk, 0) AS BIGINT) AS first_pos_rank,
+            |  CAST(CASE WHEN first_rk IS NULL THEN 0
+            |    ELSE 1000000 // first_rk END AS BIGINT) AS rr_e6
+            |FROM g
+            |ORDER BY nationkey ASC NULLS FIRST""".stripMargin))
+
+  /** The full ROC curve (round 10, second batch): one point per DISTINCT
+    * score per query — cumulative tp/fp of the decision rule
+    * "score ≥ threshold" as the threshold sweeps down the score domain.
+    * This is what q_ml_auc integrates; emitting the curve itself is the
+    * monitoring/threshold-picking op (the deployment question is "which
+    * threshold", and the curve is the answer).
+    *
+    * Scale: the curve grain is (query, distinct score) — already
+    * bounded by the item grain; one extra hash agg collapses ties, the
+    * windows stay partitioned by the query key.
+    *
+    * Determinism (D1/D2/D12): cum counts are exact int64 window sums
+    * over (nationkey ORDER BY score DESC) on the score-distinct grain
+    * (no ties by construction, so ROWS ≡ RANGE); rates e6-floored;
+    * degenerate denominators pin 0.
+    */
+  private val rocCurve = QueryDef(
+    "q_ml_roc_curve",
+    (s, d) => {
+      val byScore = items(s, d)
+        .groupBy(col("nationkey"), col("score"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val w = Window.partitionBy(col("nationkey"))
+        .orderBy(descl("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("nationkey"))
+      byScore
+        .withColumn("cum_tp", sum(col("pos")).over(w))
+        .withColumn("cum_fp", sum(col("n") - col("pos")).over(w))
+        .withColumn("n_pos", sum(col("pos")).over(wAll))
+        .withColumn("n_neg", sum(col("n") - col("pos")).over(wAll))
+        .select(col("nationkey"), col("score").as("threshold"),
+          col("cum_tp"), col("cum_fp"),
+          expr("""CASE WHEN n_pos = 0 THEN 0
+                 | ELSE (cum_tp * 1000000) div n_pos END""".stripMargin)
+            .as("tpr_e6"),
+          expr("""CASE WHEN n_neg = 0 THEN 0
+                 | ELSE (cum_fp * 1000000) div n_neg END""".stripMargin)
+            .as("fpr_e6"))
+        .orderBy(ascf("nationkey"), descl("threshold"))
+    },
+    Some(s"""WITH $itemsSql,
+            |g AS (SELECT nationkey, score, count(*) AS n,
+            |    CAST(sum(y) AS BIGINT) AS pos
+            |  FROM items GROUP BY nationkey, score),
+            |c AS (SELECT nationkey, score,
+            |    sum(pos) OVER (PARTITION BY nationkey ORDER BY score DESC
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            |      AS cum_tp,
+            |    sum(n - pos) OVER (PARTITION BY nationkey ORDER BY score DESC
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            |      AS cum_fp,
+            |    sum(pos) OVER (PARTITION BY nationkey) AS n_pos,
+            |    sum(n - pos) OVER (PARTITION BY nationkey) AS n_neg
+            |  FROM g)
+            |SELECT nationkey, score AS threshold,
+            |  CAST(cum_tp AS BIGINT) AS cum_tp,
+            |  CAST(cum_fp AS BIGINT) AS cum_fp,
+            |  CAST(CASE WHEN n_pos = 0 THEN 0
+            |    ELSE (cum_tp * 1000000) // n_pos END AS BIGINT) AS tpr_e6,
+            |  CAST(CASE WHEN n_neg = 0 THEN 0
+            |    ELSE (cum_fp * 1000000) // n_neg END AS BIGINT) AS fpr_e6
+            |FROM c
+            |ORDER BY nationkey ASC NULLS FIRST,
+            |  threshold DESC NULLS LAST""".stripMargin))
+
+  /** Decile gains / lift table (round 10, second batch): the campaign-
+    * targeting view of a scorer — items in GLOBAL score deciles (1 =
+    * highest-scored tenth), each decile's positive rate vs the overall
+    * base rate (lift) and the cumulative share of all positives
+    * captured through that decile (gains). "Top 2 deciles capture 40%
+    * of positives at 1.9× lift" is the sentence this table produces.
+    *
+    * Scale: the global decile assignment is Dsl.globalNtile (range
+    * exchange + broadcast prefix offsets), NOT a partitionBy-less
+    * ntile — no single-task corpus stage; the census after it is a
+    * 10-group rollup and a 10-row window.
+    *
+    * Determinism (D1/D2/D12): the decile sort is the total order
+    * (score DESC, item ASC) the helper requires; counts exact int64;
+    * rates/lift/gains e6-floored with zero-denominator pins.
+    */
+  private val liftGains = QueryDef(
+    "q_ml_lift_gains",
+    (s, d) => {
+      val ranked = graft.Dsl.globalNtile(items(s, d), 10, "decile",
+        Seq(descl("score"), ascf("item")))
+      val deciles = ranked.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val w = Window.orderBy(ascf("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      deciles
+        .withColumn("cum_pos", sum(col("pos")).over(w))
+        .withColumn("t_pos", sum(col("pos")).over(wAll))
+        .withColumn("t_n", sum(col("n")).over(wAll))
+        .select(col("decile"), col("n"), col("pos"),
+          expr("(pos * 1000000) div n").as("rate_e6"),
+          expr("""CASE WHEN t_pos = 0 THEN 0
+                 | ELSE (cum_pos * 1000000) div t_pos END""".stripMargin)
+            .as("gains_e6"),
+          expr("""CASE WHEN t_pos = 0 THEN 0
+                 | ELSE cast((cast(pos as decimal(38,0)) * t_n * 1000000)
+                 |   div (cast(n as decimal(38,0)) * t_pos) as bigint) END"""
+            .stripMargin).as("lift_e6"))
+        .orderBy(ascf("decile"))
+    },
+    Some(s"""WITH $itemsSql,
+            |r AS (SELECT y, ntile(10) OVER (
+            |    ORDER BY score DESC NULLS LAST, item ASC NULLS FIRST)
+            |    AS decile
+            |  FROM items),
+            |g AS (SELECT decile, count(*) AS n,
+            |    CAST(sum(y) AS BIGINT) AS pos
+            |  FROM r GROUP BY decile),
+            |c AS (SELECT decile, n, pos,
+            |    sum(pos) OVER (ORDER BY decile ASC
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            |      AS cum_pos,
+            |    sum(pos) OVER () AS t_pos,
+            |    sum(n) OVER () AS t_n
+            |  FROM g)
+            |SELECT CAST(decile AS INT) AS decile, CAST(n AS BIGINT) AS n,
+            |  pos,
+            |  CAST((pos * 1000000) // n AS BIGINT) AS rate_e6,
+            |  CAST(CASE WHEN t_pos = 0 THEN 0
+            |    ELSE (cum_pos * 1000000) // t_pos END AS BIGINT) AS gains_e6,
+            |  CAST(CASE WHEN t_pos = 0 THEN 0
+            |    ELSE (CAST(pos AS HUGEINT) * t_n * 1000000)
+            |      // (CAST(n AS HUGEINT) * t_pos) END AS BIGINT)
+            |    AS lift_e6
+            |FROM c
+            |ORDER BY decile ASC NULLS FIRST""".stripMargin))
+
+  def defs: Seq[QueryDef] = Seq(auc, avgPrecision, ndcg, mrr,
+    rocCurve, liftGains)
+}

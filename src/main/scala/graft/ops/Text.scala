@@ -2406,11 +2406,140 @@ object Text {
            |FROM per GROUP BY lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** ROUGE-1/2 (round 10): the RECALL-oriented complement to q_text_bleu
+    * on the same odd/even doc pairing — "how much of the REFERENCE did
+    * the candidate cover" (summarization's question) vs BLEU's "how much
+    * of the candidate is in the reference" (translation's). Emits per
+    * language the clipped match counts, both denominators, recall, and
+    * F1 — the F1 via the exact harmonic identity 2PR/(P+R) =
+    * 2m/(t_cand + t_ref), ONE floor division, so no precision/recall
+    * recombination drift (the q_ml_confusion F1 rule applied to grams).
+    *
+    * Scale: identical to q_text_bleu — the pair relation is scoped-
+    * cached and each n-gram order is two per-pair gram aggs + one join,
+    * all keyed on (lang, pid); nothing exceeds the corpus gram count.
+    *
+    * Determinism (D1/D2/D12): clipped counts are exact int64
+    * least(cc, rc) sums; metrics e6-floored; empty-denominator pairs
+    * pin 0 by CASE.
+    */
+  private val rouge = QueryDef(
+    "q_text_rouge",
+    (s, d) => {
+      val ranked = sharedDocTokens(s, d)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(ascf("doc_id"))))
+      val cand = ranked.filter(expr("rk % 2 = 1"))
+        .select(col("lang"), expr("(rk + 1) div 2").as("pid"),
+          col("ts").as("cts"))
+      val ref = ranked.filter(expr("rk % 2 = 0"))
+        .select(col("lang"), expr("rk div 2").as("pid"),
+          col("ts").as("rts"))
+      val pairs = graft.Caches.scoped(cand.join(ref, Seq("lang", "pid")))
+      def matched(n: Int) = {
+        val cu = pairs.select(col("lang"), col("pid"),
+            explode(expr(gramExpr("cts", n))).as("g"))
+          .groupBy(col("lang"), col("pid"), col("g"))
+          .agg(count(lit(1)).as("cc"))
+        val ru = pairs.select(col("lang"), col("pid"),
+            explode(expr(gramExpr("rts", n))).as("g"))
+          .groupBy(col("lang"), col("pid"), col("g"))
+          .agg(count(lit(1)).as("rc"))
+        cu.join(ru, Seq("lang", "pid", "g"))
+          .groupBy(col("lang"), col("pid"))
+          .agg(sum(least(col("cc"), col("rc"))).as(s"m$n"))
+      }
+      pairs.select(col("lang"), col("pid"),
+          size(col("cts")).cast("long").as("c1"),
+          greatest(size(col("cts")) - 1, lit(0)).cast("long").as("c2"),
+          size(col("rts")).cast("long").as("r1"),
+          greatest(size(col("rts")) - 1, lit(0)).cast("long").as("r2"))
+        .join(matched(1), Seq("lang", "pid"), "left")
+        .join(matched(2), Seq("lang", "pid"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("m1"), lit(0L))).as("match_1"),
+          sum(col("r1")).as("ref_1"), sum(col("c1")).as("cand_1"),
+          sum(coalesce(col("m2"), lit(0L))).as("match_2"),
+          sum(col("r2")).as("ref_2"), sum(col("c2")).as("cand_2"))
+        .select(col("lang"), col("n_pairs"),
+          col("match_1"), col("ref_1"),
+          expr("""CASE WHEN ref_1 = 0 THEN 0
+                 | ELSE (match_1 * 1000000) div ref_1 END""".stripMargin)
+            .as("rouge1_recall_e6"),
+          expr("""CASE WHEN cand_1 + ref_1 = 0 THEN 0
+                 | ELSE (2 * match_1 * 1000000) div (cand_1 + ref_1) END"""
+            .stripMargin).as("rouge1_f1_e6"),
+          col("match_2"), col("ref_2"),
+          expr("""CASE WHEN ref_2 = 0 THEN 0
+                 | ELSE (match_2 * 1000000) div ref_2 END""".stripMargin)
+            .as("rouge2_recall_e6"),
+          expr("""CASE WHEN cand_2 + ref_2 = 0 THEN 0
+                 | ELSE (2 * match_2 * 1000000) div (cand_2 + ref_2) END"""
+            .stripMargin).as("rouge2_f1_e6"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ts
+           |  FROM documents),
+           |r AS (SELECT lang, ts,
+           |    row_number() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS rk
+           |  FROM d),
+           |p AS (SELECT c.lang AS lang, c.pid AS pid, c.ts AS cts, f.ts AS rts
+           |  FROM (SELECT lang, (rk + 1) // 2 AS pid, ts FROM r WHERE rk % 2 = 1) c
+           |  JOIN (SELECT lang, rk // 2 AS pid, ts FROM r WHERE rk % 2 = 0) f
+           |    ON c.lang = f.lang AND c.pid = f.pid),
+           |cu1 AS (SELECT lang, pid, g, count(*) AS cc
+           |  FROM p, unnest(cts) AS u(g) GROUP BY 1, 2, 3),
+           |ru1 AS (SELECT lang, pid, g, count(*) AS rc
+           |  FROM p, unnest(rts) AS u(g) GROUP BY 1, 2, 3),
+           |m1 AS (SELECT lang, pid, sum(least(cc, rc)) AS m1
+           |  FROM cu1 JOIN ru1 USING (lang, pid, g) GROUP BY 1, 2),
+           |cb AS (SELECT lang, pid, g, count(*) AS cc FROM (
+           |    SELECT lang, pid, unnest(list_transform(range(1, len(cts)),
+           |      i -> cts[i] || ' ' || cts[i + 1])) AS g FROM p)
+           |  GROUP BY 1, 2, 3),
+           |rb AS (SELECT lang, pid, g, count(*) AS rc FROM (
+           |    SELECT lang, pid, unnest(list_transform(range(1, len(rts)),
+           |      i -> rts[i] || ' ' || rts[i + 1])) AS g FROM p)
+           |  GROUP BY 1, 2, 3),
+           |m2 AS (SELECT lang, pid, sum(least(cc, rc)) AS m2
+           |  FROM cb JOIN rb USING (lang, pid, g) GROUP BY 1, 2),
+           |per AS (SELECT p.lang, p.pid,
+           |    len(cts) AS c1, greatest(len(cts) - 1, 0) AS c2,
+           |    len(rts) AS r1, greatest(len(rts) - 1, 0) AS r2,
+           |    coalesce(m1.m1, 0) AS m1, coalesce(m2.m2, 0) AS m2
+           |  FROM p LEFT JOIN m1 ON p.lang = m1.lang AND p.pid = m1.pid
+           |  LEFT JOIN m2 ON p.lang = m2.lang AND p.pid = m2.pid),
+           |g AS (SELECT lang, count(*) AS n_pairs,
+           |    CAST(sum(m1) AS BIGINT) AS match_1,
+           |    CAST(sum(r1) AS BIGINT) AS ref_1,
+           |    CAST(sum(c1) AS BIGINT) AS cand_1,
+           |    CAST(sum(m2) AS BIGINT) AS match_2,
+           |    CAST(sum(r2) AS BIGINT) AS ref_2,
+           |    CAST(sum(c2) AS BIGINT) AS cand_2
+           |  FROM per GROUP BY lang)
+           |SELECT lang, n_pairs, match_1, ref_1,
+           |  CAST(CASE WHEN ref_1 = 0 THEN 0
+           |    ELSE (match_1 * 1000000) // ref_1 END AS BIGINT)
+           |    AS rouge1_recall_e6,
+           |  CAST(CASE WHEN cand_1 + ref_1 = 0 THEN 0
+           |    ELSE (2 * match_1 * 1000000) // (cand_1 + ref_1) END
+           |    AS BIGINT) AS rouge1_f1_e6,
+           |  match_2, ref_2,
+           |  CAST(CASE WHEN ref_2 = 0 THEN 0
+           |    ELSE (match_2 * 1000000) // ref_2 END AS BIGINT)
+           |    AS rouge2_recall_e6,
+           |  CAST(CASE WHEN cand_2 + ref_2 = 0 THEN 0
+           |    ELSE (2 * match_2 * 1000000) // (cand_2 + ref_2) END
+           |    AS BIGINT) AS rouge2_f1_e6
+           |FROM g
+           |ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,
     langid, quality, tokens, fingerprint, levenshteinPairs, tfidf,
     collocations, vocab, zipf, keyphrase, bigramLm, perplexity, bpe,
     textUnicode, bm25, bpeEncode, winnowing, stem, hashvec, lexicon,
     divergence, reassembly, generate, langConfusion, simpson, burstiness,
-    heaps, coverage, bleu)
+    heaps, coverage, bleu, rouge)
 }

@@ -1,0 +1,259 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Brute-force ground truth for the round-10 ranking-evaluation family
+  * and the two new mixing keys. Each test recomputes the metric from
+  * first principles on the collected sf0.001 relation (tiny) — pair
+  * counting for AUC, a sequential walk for AP/MRR/NDCG, a local greedy
+  * pass for the token budget — and requires exact equality with the
+  * graded query output, so the window/midrank algebra in the operators
+  * is pinned to the textbook definitions, not to itself.
+  */
+class RankingSpec extends SparkSpec {
+
+  private def q(name: String) = Registry.queries(name)(spark, sfDir)
+
+  /** (nationkey, item, score, y, gain) — the shared items relation,
+    * recomputed independently of ops.Ranking.items.
+    */
+  private lazy val items: Seq[(Long, Long, Long, Long, Long)] = {
+    val score = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Tables.supplier(spark, sfDir).collect().map { r =>
+      val bal = r.getDouble(r.fieldIndex("s_acctbal"))
+      (r.getInt(r.fieldIndex("s_nationkey")).toLong,
+        r.getLong(r.fieldIndex("s_suppkey")),
+        score.getOrElse(r.getLong(r.fieldIndex("s_suppkey")), 0L),
+        if (bal > 5000.0) 1L else 0L,
+        if (bal >= 7500.0) 7L else if (bal >= 5000.0) 3L
+        else if (bal >= 2500.0) 1L else 0L)
+    }.toSeq
+  }
+
+  private def byNation = items.groupBy(_._1)
+
+  test("q_ml_auc equals brute-force pair counting with half-credit ties") {
+    val expected = byNation.map { case (nat, its) =>
+      val pos = its.filter(_._4 == 1L).map(_._3)
+      val neg = its.filter(_._4 == 0L).map(_._3)
+      val auc =
+        if (pos.isEmpty || neg.isEmpty) 0L
+        else {
+          val conc = (for (p <- pos; n <- neg if p > n) yield 1L).sum
+          val ties = (for (p <- pos; n <- neg if p == n) yield 1L).sum
+          ((2 * conc + ties) * 1000000L) / (2L * pos.size * neg.size)
+        }
+      nat -> auc
+    }
+    val got = q("q_ml_auc").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == expected, s"AUC mismatch: got $got expected $expected")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_ml_avg_precision equals a sequential precision-at-k walk") {
+    val expected = byNation.map { case (nat, its) =>
+      val ordered = its.sortBy(t => (-t._3, t._2))
+      var cp = 0L
+      var sum = 0L
+      ordered.zipWithIndex.foreach { case (t, i) =>
+        if (t._4 == 1L) { cp += 1; sum += (cp * 1000000L) / (i + 1) }
+      }
+      val npos = its.count(_._4 == 1L)
+      nat -> (if (npos == 0) 0L else sum / npos)
+    }
+    val got = q("q_ml_avg_precision").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == expected, s"AP mismatch: got $got expected $expected")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  private val w10 = Array(1000000L, 630929L, 500000L, 430676L, 386852L,
+    356207L, 333333L, 315464L, 301029L, 289064L)
+
+  test("q_ml_ndcg equals the literal-table DCG/IDCG walk") {
+    val expected = byNation.map { case (nat, its) =>
+      val model = its.sortBy(t => (-t._3, t._2)).take(10).map(_._5)
+      val ideal = its.sortBy(t => (-t._5, t._2)).take(10).map(_._5)
+      val dcg = model.zipWithIndex.map { case (g, i) => g * w10(i) }.sum
+      val idcg = ideal.zipWithIndex.map { case (g, i) => g * w10(i) }.sum
+      nat -> (if (idcg == 0) 0L else dcg * 1000000L / idcg)
+    }
+    val got = q("q_ml_ndcg").collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got == expected, s"NDCG mismatch: got $got expected $expected")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_ml_mrr equals the first-relevant-rank walk") {
+    val expected = byNation.map { case (nat, its) =>
+      val ordered = its.sortBy(t => (-t._3, t._2))
+      val first = ordered.indexWhere(_._4 == 1L)
+      nat -> (if (first < 0) 0L else 1000000L / (first + 1))
+    }
+    val got = q("q_ml_mrr").collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got == expected, s"MRR mismatch: got $got expected $expected")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_mix_token_budget: greedy local replay reproduces the census") {
+    val docs = Tables.documents(spark, sfDir).collect().map { r =>
+      // split(text, ' ') in Spark keeps trailing empties (limit -1)
+      val toks = r.getString(r.fieldIndex("text")).split(" ", -1)
+      (r.getString(r.fieldIndex("lang")),
+        r.getLong(r.fieldIndex("doc_id")),
+        toks.length.toLong,
+        toks.distinct.length.toLong * 1000000L / toks.length)
+    }
+    val budget = docs.map(_._3).sum / 2
+    var cum = 0L
+    val selected = docs.sortBy(t => (-t._4, t._2)).takeWhile { t =>
+      cum += t._3; cum <= budget
+    }.map(_._2).toSet
+    val expected = docs.groupBy(_._1).map { case (lang, ds) =>
+      lang -> ((ds.length.toLong, ds.map(_._3).sum,
+        ds.count(d => selected(d._2)).toLong,
+        ds.filter(d => selected(d._2)).map(_._3).sum,
+        ds.filter(d => selected(d._2)).map(_._2).sum))
+    }
+    val got = q("q_mix_token_budget").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected,
+      s"token-budget mismatch: got $got expected $expected")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_ml_roc_curve equals the threshold-sweep walk and brackets AUC") {
+    val expected = byNation.flatMap { case (nat, its) =>
+      val npos = its.map(_._4).sum
+      val nneg = its.size - npos
+      val byScore = its.groupBy(_._3).toSeq.sortBy(-_._1)
+      var tp = 0L; var fp = 0L
+      byScore.map { case (score, rows) =>
+        tp += rows.map(_._4).sum
+        fp += rows.size - rows.map(_._4).sum
+        ((nat, score), (tp, fp,
+          if (npos == 0) 0L else tp * 1000000L / npos,
+          if (nneg == 0) 0L else fp * 1000000L / nneg))
+      }
+    }.toMap
+    val got = q("q_ml_roc_curve").collect().map(r =>
+      (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, s"ROC mismatch: ${got.size} vs ${expected.size}")
+    // final curve point is (1e6, 1e6) for every non-degenerate query
+    byNation.foreach { case (nat, its) =>
+      val npos = its.map(_._4).sum
+      if (npos > 0 && npos < its.size) {
+        val last = got.filter(_._1._1 == nat).maxBy(p => p._2._1 + p._2._2)
+        assert(last._2._3 == 1000000L && last._2._4 == 1000000L)
+      }
+    }
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_ml_lift_gains equals a local ntile replay; gains end at 1e6") {
+    val all = items.sortBy(t => (-t._3, t._2))
+    val n = all.size
+    val q10 = n / 10; val rem = n % 10
+    // ntile: first rem tiles get q10+1 rows
+    val deciles = all.zipWithIndex.map { case (t, i) =>
+      val tile = if (i < (q10 + 1) * rem) i / (q10 + 1) + 1
+      else rem + (i - (q10 + 1) * rem) / q10 + 1
+      (tile, t._4)
+    }
+    val g = deciles.groupBy(_._1).toSeq.sortBy(_._1)
+    val tPos = deciles.map(_._2).sum
+    var cum = 0L
+    val expected = g.map { case (dec, rows) =>
+      val pos = rows.map(_._2).sum
+      cum += pos
+      dec -> ((rows.size.toLong, pos,
+        pos * 1000000L / rows.size,
+        if (tPos == 0) 0L else cum * 1000000L / tPos,
+        if (tPos == 0) 0L
+        else pos * n.toLong * 1000000L / (rows.size.toLong * tPos)))
+    }.toMap
+    val got = q("q_ml_lift_gains").collect().map(r =>
+      r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, s"lift mismatch: got $got expected $expected")
+    assert(got.maxBy(_._1)._2._4 == 1000000L || tPos == 0L,
+      "cumulative gains must end at 1e6")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_agg_winsorized: clamped mean from a local order-statistic walk") {
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_linestatus"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = rows.groupBy(_._1).map { case (st, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length.toLong
+      val lo = sorted(((n + 9) / 10 - 1).toInt)
+      val hi = sorted(((9 * n + 9) / 10 - 1).toInt)
+      val wins = sorted.map(v => math.max(lo, math.min(hi, v))).sum
+      st -> ((n, lo, hi, sorted.sum * 1000000L / n, wins * 1000000L / n))
+    }
+    val got = q("q_agg_winsorized").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, s"winsorized mismatch: got $got expected $expected")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_text_rouge: F1 is the harmonic mean identity of BLEU-side counts") {
+    // ROUGE and BLEU share the pairing and clipped match counts: for
+    // every lang, rouge.match_n == bleu.match_n and rouge.cand_n ==
+    // bleu.total_n, and F1 = 2m/(cand+ref) exactly.
+    val bleu = q("q_text_bleu").collect().map(r =>
+      r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(5),
+        r.getLong(6)))).toMap // match_1, total_1, match_2, total_2
+    val rouge = q("q_text_rouge").collect()
+    assert(rouge.nonEmpty)
+    rouge.foreach { r =>
+      val lang = r.getString(0)
+      val (bm1, bt1, bm2, bt2) = bleu(lang)
+      val (m1, ref1, f1) = (r.getLong(2), r.getLong(3), r.getLong(5))
+      val (m2, ref2, f2) = (r.getLong(6), r.getLong(7), r.getLong(9))
+      assert(m1 == bm1 && m2 == bm2, s"$lang: clipped matches diverge")
+      assert(f1 == 2 * m1 * 1000000L / (bt1 + ref1), s"$lang: f1 identity")
+      assert((bt2 + ref2 == 0L && f2 == 0L)
+        || f2 == 2 * m2 * 1000000L / (bt2 + ref2), s"$lang: f2 identity")
+      assert(r.getLong(4) <= 1000000L && r.getLong(8) <= 1000000L,
+        s"$lang: recall bounded")
+    }
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_mix_dedup_weight: cluster weights sum to one per cluster") {
+    val docs = Tables.documents(spark, sfDir).collect().map { r =>
+      (r.getString(r.fieldIndex("lang")),
+        r.getString(r.fieldIndex("text")),
+        r.getString(r.fieldIndex("text")).split(" ", -1).length.toLong)
+    }
+    val csize = docs.groupBy(_._2).map { case (t, ds) => t -> ds.length.toLong }
+    val expected = docs.groupBy(_._1).map { case (lang, ds) =>
+      lang -> ((ds.length.toLong,
+        ds.count(d => csize(d._2) == 1L).toLong,
+        ds.map(d => 1000000L / csize(d._2)).sum,
+        ds.map(d => d._3 * (1000000L / csize(d._2)) / 1000000L).sum))
+    }
+    val got = q("q_mix_dedup_weight").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(5)))).toMap
+    assert(got == expected,
+      s"dedup-weight mismatch: got $got expected $expected")
+    // a corpus with duplicates must shrink: eff_docs_e6 < n_docs·1e6
+    // somewhere iff any cluster has size > 1
+    val anyDup = csize.values.exists(_ > 1L)
+    val shrank = got.exists { case (_, (n, _, eff, _)) => eff < n * 1000000L }
+    assert(shrank == anyDup, "effective mass must shrink iff dups exist")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+}
