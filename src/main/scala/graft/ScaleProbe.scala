@@ -327,7 +327,10 @@ object ScaleProbe {
         // (bounded-domain histogram), ROUGE (BLEU's pair machinery)
         "q_ml_auc", "q_ml_avg_precision", "q_ml_ndcg", "q_ml_mrr",
         "q_ml_roc_curve", "q_ml_lift_gains", "q_mix_token_budget",
-        "q_mix_dedup_weight", "q_agg_winsorized", "q_text_rouge")
+        "q_mix_dedup_weight", "q_agg_winsorized", "q_text_rouge",
+        // round-10 batch 114: frozen-centroid delta assignment,
+        // Neyman allocation, AR(1) fit+backtest
+        "q_sim_ann_incremental", "q_sample_neyman", "q_ts_ar1")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

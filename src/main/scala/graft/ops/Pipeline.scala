@@ -1660,9 +1660,110 @@ object Pipeline {
          |ORDER BY sp.lang ASC NULLS FIRST""".stripMargin
     })
 
+  /** Incremental ANN index maintenance (round 10): the op a production
+    * vector index runs between rebuilds — a DELTA batch of new vectors
+    * (vec_id ≡ 3 mod 5, ~20%) is absorbed into the EXISTING index by
+    * assigning each to its nearest FROZEN centroid (the per-cell mean of
+    * the base vectors that built the index), with the codebook itself
+    * untouched. Output is the per-cell maintenance census: base size,
+    * delta arrivals, how many deltas landed in a different cell than
+    * their own sign-cell would suggest (the drift signal that tells you
+    * when a REBUILD is due), and an assigned-id checksum pinning exactly
+    * which vector went where.
+    *
+    * Nearest-centroid in exact arithmetic: dist²(x, mean_cell) ∝
+    * Σ_k (c·x_k − sx_k)² / c² — numerators exact DECIMAL(38,0)/HUGEINT,
+    * the single double division is one correctly-rounded IEEE op on both
+    * engines (the q_sim_ann_ivf precedent), ties broken on cell id.
+    *
+    * Scale: the centroid table is (cells × dims) — a broadcast at any
+    * corpus size; the delta batch scores against it with NO scan of the
+    * base vectors (their contribution is pre-aggregated into sx/c, which
+    * is the whole point of centroid assignment); census joins are
+    * cell-grain.
+    */
+  private val simAnnIncremental = QueryDef(
+    "q_sim_ann_incremental",
+    (s, d) => {
+      val cellCol = (0 until 5).map(k =>
+        when(element_at(col("v"), k + 1) > 0, lit(1L << k)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val emb = quantized(s, d).withColumn("cell", cellCol)
+      val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 3)
+      val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 3)
+      val byDim = base
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
+        .withColumnRenamed("cell", "cand_cell")
+      val dx = col("c").cast(DecimalType(38, 0)) * col("x") - col("sx")
+      val scored = delta
+        .select(col("vec_id"), col("cell").as("own_cell"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .join(broadcast(byDim), Seq("pos"))
+        .groupBy(col("vec_id"), col("own_cell"), col("cand_cell"))
+        .agg(sum(dx * dx).as("num"), first(col("c")).as("c"))
+        .withColumn("dist2", col("num").cast("double")
+          / (col("c").cast("double") * col("c").cast("double")))
+      val assigned = scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(ascf("dist2"), ascf("cand_cell"))))
+        .filter(col("rk") === 1)
+      val baseCensus = base.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_base"))
+      val deltaCensus = assigned.groupBy(col("cand_cell").as("cell"))
+        .agg(count(lit(1)).as("n_delta"),
+          sum(when(col("own_cell") =!= col("cand_cell"), 1L).otherwise(0L))
+            .as("n_moved"),
+          sum(col("vec_id")).as("delta_id_checksum"))
+      baseCensus.join(deltaCensus, Seq("cell"), "left")
+        .select(col("cell"), col("n_base"),
+          coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+          coalesce(col("n_moved"), lit(0L)).as("n_moved"),
+          coalesce(col("delta_id_checksum"), lit(0L)).as("delta_id_checksum"))
+        .orderBy(ascf("cell"))
+    },
+    Some {
+      val cellSql = (0 until 5).map(k =>
+        s"(CASE WHEN v[${k + 1}] > 0 THEN ${1L << k} ELSE 0 END)")
+        .mkString(" + ")
+      VecOps.oracleQuantized +
+        s""",
+           |cl AS (SELECT vec_id, v, CAST($cellSql AS BIGINT) AS cell FROM n),
+           |base AS (SELECT * FROM cl WHERE vec_id % 5 <> 3),
+           |delta AS (SELECT * FROM cl WHERE vec_id % 5 = 3),
+           |bd AS (SELECT cell AS cand_cell, k AS pos,
+           |    CAST(sum(v[k]) AS BIGINT) AS sx, count(*) AS c
+           |  FROM base, range(1, 65) t(k) GROUP BY cell, k),
+           |sc AS (SELECT dl.vec_id, dl.cell AS own_cell, bd.cand_cell,
+           |    sum((CAST(bd.c AS HUGEINT) * dl.v[bd.pos] - bd.sx)
+           |      * (CAST(bd.c AS HUGEINT) * dl.v[bd.pos] - bd.sx)) AS num,
+           |    CAST(any_value(bd.c) AS BIGINT) AS c
+           |  FROM delta dl, bd GROUP BY 1, 2, 3),
+           |asg AS (SELECT vec_id, own_cell, cand_cell,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY
+           |      CAST(num AS DOUBLE) / (CAST(c AS DOUBLE) * CAST(c AS DOUBLE))
+           |        ASC NULLS FIRST,
+           |      cand_cell ASC NULLS FIRST) AS rk
+           |  FROM sc),
+           |bc AS (SELECT cell, count(*) AS n_base FROM base GROUP BY cell),
+           |dc AS (SELECT cand_cell AS cell, count(*) AS n_delta,
+           |    CAST(sum(CASE WHEN own_cell <> cand_cell THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_moved,
+           |    CAST(sum(vec_id) AS BIGINT) AS delta_id_checksum
+           |  FROM asg WHERE rk = 1 GROUP BY 1)
+           |SELECT bc.cell, CAST(bc.n_base AS BIGINT) AS n_base,
+           |  CAST(coalesce(dc.n_delta, 0) AS BIGINT) AS n_delta,
+           |  coalesce(dc.n_moved, 0) AS n_moved,
+           |  coalesce(dc.delta_id_checksum, 0) AS delta_id_checksum
+           |FROM bc LEFT JOIN dc ON bc.cell = dc.cell
+           |ORDER BY bc.cell ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(
     dedupSimhash, dedupNgram, dedupEmbed, simAnnLsh, simCentroid, simAnnIvf,
     simAnnSq, simAnnServe, pipelineE2e, dedupComponents, containment,
     dedupSimhashExact, dedupMinhashExact, dedupSubstr, dedupClusterRep,
-    simAnnPq, textDedupEval)
+    simAnnPq, textDedupEval, simAnnIncremental)
 }

@@ -5,6 +5,7 @@ import graft.Dsl._
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deterministic sampling / splitting (round 5) — the missing third leg
   * of the training-data-pipeline triad (dedup, quality, SAMPLE): every
@@ -621,7 +622,95 @@ object Sampling {
            |FROM t GROUP BY 1
            |ORDER BY split_id ASC NULLS FIRST""".stripMargin))
 
+  /** Neyman (optimal) stratified allocation (round 10): given a total
+    * sample budget of 10,000 rows, allocate per stratum proportionally
+    * to N_h·σ_h — the allocation that minimizes the estimator variance,
+    * vs q_sample_stratified's equal/proportional take. Strata are the
+    * return-flag segments; σ is the within-stratum standard deviation
+    * of the price in cents. The allocation integerizes by the same
+    * largest-remainder (Hamilton) rule as q_win_alloc, so the seats sum
+    * EXACTLY to the budget.
+    *
+    * Determinism (D2/D12): per-stratum moments are exact (decimal-
+    * staged c·Σx² − (Σx)², then one exact decimal floor division by c²
+    * → an int64 variance in cents² that stays < 2^53), so
+    * floor(sqrt(var)) is one correctly-rounded IEEE op on an EXACTLY
+    * representable integer input on both engines (the
+    * q_mix_temperature discipline); everything after is integer.
+    *
+    * Scale: one fact scan → 3-stratum moment census with map-side
+    * partials; the allocation runs on 3 rows.
+    */
+  private val sampleNeyman = QueryDef(
+    "q_sample_neyman",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_returnflag").as("stratum"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("x"))
+      val mo = li.groupBy(col("stratum"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("x")).as("sx"),
+          sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"))
+        .withColumn("var_cents2",
+          expr("""cast((cast(n_rows as decimal(38,0)) * sxx
+                 |  - cast(sx as decimal(38,0)) * sx)
+                 |  div (cast(n_rows as decimal(38,0)) * n_rows) as bigint)"""
+            .stripMargin))
+        .withColumn("sigma_cents",
+          floor(sqrt(col("var_cents2").cast("double"))).cast("long"))
+        .withColumn("w", col("n_rows") * col("sigma_cents"))
+      val t = mo.agg(sum(col("w")).as("t"))
+      val q = mo.join(broadcast(t))
+        .select(col("stratum"), col("n_rows"), col("sigma_cents"),
+          expr("(10000 * w) div t").as("base_alloc"),
+          expr("(10000 * w) % t").as("rem"))
+      val left = q.agg((lit(10000L) - sum(col("base_alloc"))).as("r"))
+      q.withColumn("rk",
+          row_number().over(Window.orderBy(descl("rem"), ascf("stratum"))))
+        .join(broadcast(left))
+        .select(col("stratum"), col("n_rows"), col("sigma_cents"),
+          col("base_alloc"),
+          (col("base_alloc") + when(col("rk") <= col("r"), 1L)
+            .otherwise(0L)).as("alloc"))
+        .orderBy(ascf("stratum"))
+    },
+    Some("""WITH li AS (SELECT l_returnflag AS stratum,
+           |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      AS x
+           |  FROM lineitem),
+           |mo AS (SELECT stratum, count(*) AS n_rows,
+           |    CAST(sum(x) AS BIGINT) AS sx,
+           |    sum(CAST(x AS HUGEINT) * x) AS sxx
+           |  FROM li GROUP BY stratum),
+           |v AS (SELECT stratum, n_rows,
+           |    CAST((CAST(n_rows AS HUGEINT) * sxx
+           |      - CAST(sx AS HUGEINT) * sx)
+           |      // (CAST(n_rows AS HUGEINT) * n_rows) AS BIGINT)
+           |      AS var_cents2
+           |  FROM mo),
+           |sg AS (SELECT stratum, n_rows,
+           |    CAST(floor(sqrt(CAST(var_cents2 AS DOUBLE))) AS BIGINT)
+           |      AS sigma_cents
+           |  FROM v),
+           |w AS (SELECT stratum, n_rows, sigma_cents,
+           |    n_rows * sigma_cents AS w FROM sg),
+           |t AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM w),
+           |q AS (SELECT stratum, n_rows, sigma_cents,
+           |    CAST((10000 * w) // t.t AS BIGINT) AS base_alloc,
+           |    CAST((10000 * w) % t.t AS BIGINT) AS rem
+           |  FROM w CROSS JOIN t),
+           |lft AS (SELECT 10000 - sum(base_alloc) AS r FROM q),
+           |rk AS (SELECT stratum, n_rows, sigma_cents, base_alloc,
+           |    row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rk
+           |  FROM q)
+           |SELECT stratum, CAST(n_rows AS BIGINT) AS n_rows, sigma_cents,
+           |  base_alloc,
+           |  CAST(base_alloc + CASE WHEN rk <= lft.r THEN 1 ELSE 0 END
+           |    AS BIGINT) AS alloc
+           |FROM rk CROSS JOIN lft
+           |ORDER BY stratum ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(sampleHash, sampleStratified, splitTrainVal,
     sampleBootstrap, sampleBalanced, shardRendezvous, sampleSystematic,
-    shardConsistent, sampleWeighted, sampleLayers, shardRangeSplits)
+    shardConsistent, sampleWeighted, sampleLayers, shardRangeSplits,
+    sampleNeyman)
 }

@@ -3146,11 +3146,116 @@ object TimeSeries {
            |FROM daily
            |ORDER BY day ASC NULLS FIRST""".stripMargin))
 
+  /** AR(1) fit + in-sample one-step backtest (round 10): the lag-1
+    * autoregression y_{t+1} = c + φ·y_t fitted by exact least squares on
+    * the adjacent-hour pairs of each event-type's hourly count series —
+    * φ = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) is a RATIONAL (q_ts_autocorr's
+    * r needs a sqrt; the regression slope does not), the intercept
+    * follows from the means, and the fitted model is immediately
+    * backtested: WAPE of the one-step forecasts against the observed
+    * next-hour counts. The simplest member of the model-fit family that
+    * q_ts_holt/holt_winters/kalman extend — and the one whose fit AND
+    * eval are both exactly oracle-able end to end.
+    *
+    * Determinism (D1/D2/D12): moments exact int64; the slope numerator
+    * stages through DECIMAL(38,0)/HUGEINT (covn·1e6 passes 2⁶³ around
+    * 100× the fixture's hourly volumes); signed floor division via the
+    * subtract-normalized-mod idiom on both engines; forecast errors and
+    * WAPE are integer arithmetic on the e6-scaled model.
+    *
+    * Scale: hourly partial agg on the scan; ONE (event_type, hr) sort
+    * shared by the lead() pairing; moments and model are |types|-grain;
+    * the backtest re-joins the broadcast 8-row model to the pair
+    * relation (scoped-cached, built once).
+    */
+  private val ar1 = QueryDef(
+    "q_ts_ar1",
+    (s, d) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"),
+          floorDiv(unix_micros(col("ts")), HourUs).as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("y"))
+      val w = Window.partitionBy(col("event_type")).orderBy(ascf("hr"))
+      val pairs = graft.Caches.scoped(hourly
+        .withColumn("nhr", lead(col("hr"), 1).over(w))
+        .withColumn("ny", lead(col("y"), 1).over(w))
+        .filter(col("nhr") === col("hr") + 1)
+        .select(col("event_type"), col("y"), col("ny")))
+      val model = pairs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y")).as("sx"), sum(col("ny")).as("sy"),
+          sum(col("y") * col("ny")).as("sxy"),
+          sum(col("y") * col("y")).as("sxx"))
+        .withColumn("covn", expr("n * sxy - sx * sy"))
+        .withColumn("varx", expr("n * sxx - sx * sx"))
+        .filter(col("varx") > 0)
+        .withColumn("num", col("covn").cast(dec38) * lit(1000000L))
+        .withColumn("phi_e6",
+          expr("""cast((num - ((num % varx + varx) % varx)) / varx
+                 |  as bigint)""".stripMargin))
+        .withColumn("c1", expr("sy * 1000000 - phi_e6 * sx"))
+        .withColumn("intercept_e6",
+          expr("(c1 - ((c1 % n + n) % n)) div n"))
+        .select(col("event_type"), col("n").as("n_pairs"),
+          col("phi_e6"), col("intercept_e6"))
+      pairs.join(broadcast(model), Seq("event_type"))
+        .withColumn("err",
+          abs(col("ny") * 1000000L
+            - (col("intercept_e6") + col("phi_e6") * col("y"))))
+        .groupBy(col("event_type"), col("n_pairs"), col("phi_e6"),
+          col("intercept_e6"))
+        .agg(sum(col("err")).as("serr"), sum(col("ny")).as("sny"))
+        .select(col("event_type"), col("n_pairs"), col("phi_e6"),
+          col("intercept_e6"),
+          expr("serr div sny").as("wape_e6"))
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH h AS (SELECT event_type,
+           |    epoch_us(ts) // 3600000000 AS hr, count(*) AS y
+           |  FROM events GROUP BY 1, 2),
+           |p AS (SELECT event_type, y,
+           |    lead(hr) OVER w AS nhr, lead(y) OVER w AS ny, hr
+           |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr ASC)),
+           |pp AS (SELECT event_type, y, ny FROM p WHERE nhr = hr + 1),
+           |m AS (SELECT event_type, count(*) AS n,
+           |    CAST(sum(y) AS BIGINT) AS sx, CAST(sum(ny) AS BIGINT) AS sy,
+           |    CAST(sum(y * ny) AS BIGINT) AS sxy,
+           |    CAST(sum(y * y) AS BIGINT) AS sxx
+           |  FROM pp GROUP BY event_type),
+           |c AS (SELECT event_type, n,
+           |    n * sxy - sx * sy AS covn, n * sxx - sx * sx AS varx,
+           |    sx, sy
+           |  FROM m WHERE n * sxx - sx * sx > 0),
+           |f AS (SELECT event_type, n, sx, sy, varx,
+           |    CAST(CAST(covn AS HUGEINT) * 1000000 AS HUGEINT) AS num
+           |  FROM c),
+           |md AS (SELECT event_type, n AS n_pairs, sx, sy,
+           |    CAST((num - ((num % varx + varx) % varx)) // varx AS BIGINT)
+           |      AS phi_e6
+           |  FROM f),
+           |md2 AS (SELECT event_type, n_pairs, phi_e6,
+           |    CAST(((sy * 1000000 - phi_e6 * sx)
+           |      - (((sy * 1000000 - phi_e6 * sx) % n_pairs + n_pairs)
+           |         % n_pairs)) // n_pairs AS BIGINT) AS intercept_e6
+           |  FROM md),
+           |bt AS (SELECT pp.event_type, md2.n_pairs, md2.phi_e6,
+           |    md2.intercept_e6,
+           |    abs(pp.ny * 1000000
+           |      - (md2.intercept_e6 + md2.phi_e6 * pp.y)) AS err,
+           |    pp.ny AS ny
+           |  FROM pp JOIN md2 ON pp.event_type = md2.event_type)
+           |SELECT event_type, n_pairs, phi_e6, intercept_e6,
+           |  CAST(sum(err) // sum(ny) AS BIGINT) AS wape_e6
+           |FROM bt GROUP BY event_type, n_pairs, phi_e6, intercept_e6
+           |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
       theilSen, attrib, transitions, downsample, evalWape, latency,
       period, crossCorr, movingMedian, tsRate, dtw, anomalyMad, bollinger,
       decompose, growth, dauMau, sax, permEntropy, entropyRate, cusum,
-      pacf, kalman, hurst, macd, survival, holtWinters, newReturning)
+      pacf, kalman, hurst, macd, survival, holtWinters, newReturning, ar1)
 }

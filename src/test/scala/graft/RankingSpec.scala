@@ -2,13 +2,16 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Brute-force ground truth for the round-10 ranking-evaluation family
-  * and the two new mixing keys. Each test recomputes the metric from
-  * first principles on the collected sf0.001 relation (tiny) — pair
-  * counting for AUC, a sequential walk for AP/MRR/NDCG, a local greedy
-  * pass for the token budget — and requires exact equality with the
-  * graded query output, so the window/midrank algebra in the operators
-  * is pinned to the textbook definitions, not to itself.
+/** Brute-force ground truth for the round-10 additions: the
+  * ranking-evaluation family, the mixing keys, the winsorized mean,
+  * ROUGE, Neyman allocation, AR(1), and incremental ANN maintenance.
+  * Each test recomputes the result from first principles on the
+  * collected sf0.001 relation (tiny) — pair counting for AUC, a
+  * sequential walk for AP/MRR/NDCG, a local greedy pass for the token
+  * budget, a local nearest-centroid argmin for the delta assignment —
+  * and requires exact equality with the graded query output, so the
+  * operator algebra is pinned to the textbook definitions, not to
+  * itself.
   */
 class RankingSpec extends SparkSpec {
 
@@ -228,6 +231,107 @@ class RankingSpec extends SparkSpec {
       assert(r.getLong(4) <= 1000000L && r.getLong(8) <= 1000000L,
         s"$lang: recall bounded")
     }
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_sim_ann_incremental equals a local nearest-centroid assignment") {
+    val vecs = ops.VecOps.quantized(spark, sfDir).collect().map { r =>
+      (r.getLong(r.fieldIndex("vec_id")),
+        r.getSeq[Long](r.fieldIndex("v")).toArray)
+    }
+    def cell(v: Array[Long]): Long =
+      (0 until 5).map(k => if (v(k) > 0) 1L << k else 0L).sum
+    val base = vecs.filter(t => t._1 % 5 != 3)
+    val delta = vecs.filter(t => t._1 % 5 == 3)
+    val byCell = base.groupBy(t => cell(t._2))
+    val cents = byCell.map { case (c, vs) =>
+      c -> ((vs.length.toLong,
+        (0 until 64).map(k => vs.map(_._2(k)).sum).toArray))
+    }
+    val assigned = delta.map { case (id, v) =>
+      val scored = cents.toSeq.map { case (cand, (c, sx)) =>
+        val num = (0 until 64).map { k =>
+          val dx = BigInt(c) * v(k) - sx(k); dx * dx
+        }.sum
+        (cand, num.toDouble / (c.toDouble * c.toDouble))
+      }
+      val best = scored.minBy(t => (t._2, t._1))._1
+      (id, cell(v), best)
+    }
+    val expected = byCell.map { case (c, vs) =>
+      val del = assigned.filter(_._3 == c)
+      c -> ((vs.length.toLong, del.length.toLong,
+        del.count(t => t._2 != t._3).toLong, del.map(_._1).sum))
+    }
+    val got = q("q_sim_ann_incremental").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == expected, s"ann-incremental mismatch: got $got")
+    assert(got.values.map(_._2).sum == delta.length.toLong,
+      "every delta vector must be assigned exactly once")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_sample_neyman: allocation sums exactly to the budget and " +
+    "follows N_h*sigma_h") {
+    val rows = q("q_sample_neyman").collect()
+    assert(rows.map(_.getLong(4)).sum == 10000L,
+      "largest-remainder allocation must sum exactly to the budget")
+    // allocation ordering must follow the weight ordering
+    val byW = rows.map(r => (r.getLong(1) * r.getLong(2), r.getLong(4)))
+    byW.sortBy(-_._1).zip(byW.sortBy(-_._2)).foreach { case (a, b) =>
+      assert(a._2 == b._2, "alloc must be monotone in N_h*sigma_h")
+    }
+    // sigma replays from the collected stratum rows
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        (graft.Dsl.dec(col("l_extendedprice")) * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val xs = li.filter(_._1 == r.getString(0)).map(_._2)
+      val n = BigInt(xs.length)
+      val varC = ((n * xs.map(x => BigInt(x) * x).sum
+        - BigInt(xs.sum) * BigInt(xs.sum)) / (n * n)).toLong
+      assert(r.getLong(2) == math.floor(math.sqrt(varC.toDouble)).toLong,
+        s"${r.getString(0)}: sigma mismatch")
+    }
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_ts_ar1: slope/intercept/backtest replay from collected pairs") {
+    val hourly = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        graft.Dsl.floorDiv(unix_micros(col("ts")), 3600000000L).as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def floorDivL(a: BigInt, b: BigInt): BigInt = {
+      val q = a / b; if (a % b != 0 && (a.signum * b.signum) < 0) q - 1 else q
+    }
+    val expected = hourly.groupBy(_._1).flatMap { case (et, rows) =>
+      val series = rows.sortBy(_._2)
+      val pairs = series.zip(series.drop(1))
+        .filter { case (a, b) => b._2 == a._2 + 1 }
+        .map { case (a, b) => (a._3, b._3) }
+      val n = BigInt(pairs.length)
+      val sx = BigInt(pairs.map(_._1).sum); val sy = BigInt(pairs.map(_._2).sum)
+      val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+      val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+      val varx = n * sxx - sx * sx
+      if (varx <= 0) None
+      else {
+        val phi = floorDivL((n * sxy - sx * sy) * 1000000, varx)
+        val c = floorDivL(sy * 1000000 - phi * sx, n)
+        val serr = pairs.map { case (x, y) =>
+          (BigInt(y) * 1000000 - (c + phi * x)).abs
+        }.sum
+        Some(et -> ((n.toLong, phi.toLong, c.toLong,
+          (serr / sy).toLong)))
+      }
+    }
+    val got = q("q_ts_ar1").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == expected, s"ar1 mismatch: got $got expected $expected")
     Caches.releaseScoped(); Caches.releaseShared()
   }
 
