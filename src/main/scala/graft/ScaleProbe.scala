@@ -330,7 +330,9 @@ object ScaleProbe {
         "q_mix_dedup_weight", "q_agg_winsorized", "q_text_rouge",
         // round-10 batch 114: frozen-centroid delta assignment,
         // Neyman allocation, AR(1) fit+backtest
-        "q_sim_ann_incremental", "q_sample_neyman", "q_ts_ar1")
+        "q_sim_ann_incremental", "q_sample_neyman", "q_ts_ar1",
+        // round-10 batch 115: DetMath WoE/IV screen, chrF2
+        "q_ml_woe_iv", "q_text_chrf")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

@@ -115,7 +115,12 @@ object ScaleProbe100 {
     // ScaleProbe exclusion note)
     for (q <- Seq("q_vec_pca_power", "q_graph_mst", "q_ml_boost",
         "q_dedup_components", "q_text_dedup_eval",
-        "q_dedup_minhash_exact")
+        "q_dedup_minhash_exact",
+        // round-10 batch 111/114 corpus keys: the globalCumSum
+        // selection and the exact-dup-grain window at a 500 k-doc
+        // regenerated corpus (constant 4% dup rate), plus ROUGE over
+        // 250 k pairs
+        "q_mix_token_budget", "q_mix_dedup_weight", "q_text_rouge")
         if args.isEmpty || args.contains(q))
       timed(q)(Registry.queries(q)(spark, dst).queryExecution.toRdd.count())
 

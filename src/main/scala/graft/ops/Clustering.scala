@@ -1668,7 +1668,106 @@ object Clustering {
          |ORDER BY fold ASC NULLS FIRST""".stripMargin
     })
 
+  /** Weight-of-evidence / information-value table (round 10): the
+    * credit-scoring feature-screening census — per quantity bin (the
+    * q_ml_calibration bins), WoE = ln(good-share) − ln(bad-share)
+    * against the shared high-price label, and the bin's IV contribution
+    * (share_good − share_bad)·WoE. Σ IV over bins is the standard
+    * "is this feature worth binning into the model" screen (< 0.02
+    * useless, > 0.3 strong). Laplace +1 smoothing on every cell so
+    * empty-cell bins stay defined (stated convention, applied
+    * identically on both engines).
+    *
+    * Determinism (D12): all four logs are DetMath.lnInt on exact
+    * positive integers — bit-identical cross-engine by construction (no
+    * libm); shares are e6 floor divisions; the IV term multiplies two
+    * ALREADY-QUANTIZED integers and floor-divides once, so no
+    * double-product crosses an engine boundary.
+    *
+    * Scale: one fact scan → 10-bin census with map-side partials;
+    * totals broadcast; everything after runs on 10 rows.
+    */
+  private val woeIv = QueryDef(
+    "q_ml_woe_iv",
+    (s, d) => {
+      import graft.functions.DetMath
+      val li = graft.Tables.lineitem(s, d).select(
+        expr("(cast(l_quantity as bigint) - 1) div 5").as("bin"),
+        when(col("l_extendedprice") >= 52000.0, lit(1L)).otherwise(lit(0L))
+          .as("y"))
+      val bins = li.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("good"))
+        .withColumn("bad", col("n") - col("good"))
+      val tot = bins.agg(sum(col("good")).as("tg"), sum(col("bad")).as("tb"),
+        count(lit(1)).as("nb"))
+      val rows = bins.crossJoin(broadcast(tot))
+        .withColumn("g1", col("good") + 1L)
+        .withColumn("b1", col("bad") + 1L)
+        .withColumn("tg1", col("tg") + col("nb"))
+        .withColumn("tb1", col("tb") + col("nb"))
+      val woe = (DetMath.lnInt(col("g1")) - DetMath.lnInt(col("tg1"))
+        - DetMath.lnInt(col("b1")) + DetMath.lnInt(col("tb1")))
+      rows
+        .withColumn("woe_e6", floor(woe * lit(1000000.0)).cast("long"))
+        .withColumn("share_g_e6", expr("(g1 * 1000000) div tg1"))
+        .withColumn("share_b_e6", expr("(b1 * 1000000) div tb1"))
+        .withColumn("iv_e6", expr(
+          """((share_g_e6 - share_b_e6) * woe_e6
+            | - pmod((share_g_e6 - share_b_e6) * woe_e6, 1000000))
+            | div 1000000""".stripMargin))
+        .select(col("bin"), col("n"), col("good"), col("bad"),
+          col("woe_e6"), col("share_g_e6"), col("share_b_e6"),
+          col("iv_e6"))
+        .orderBy(ascf("bin"))
+    },
+    Some {
+      import graft.functions.DetMath._
+      s"""WITH li AS (SELECT
+         |    (CAST(l_quantity AS BIGINT) - 1) // 5 AS bin,
+         |    CASE WHEN l_extendedprice >= 52000.0 THEN 1 ELSE 0 END AS y
+         |  FROM lineitem),
+         |b AS (SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS good
+         |  FROM li GROUP BY bin),
+         |b2 AS (SELECT bin, n, good, n - good AS bad FROM b),
+         |t AS (SELECT CAST(sum(good) AS BIGINT) AS tg,
+         |    CAST(sum(bad) AS BIGINT) AS tb, count(*) AS nb FROM b2),
+         |r0 AS (SELECT bin, n, good, bad,
+         |    good + 1 AS g1, bad + 1 AS b1,
+         |    tg + nb AS tg1, tb + nb AS tb1
+         |  FROM b2 CROSS JOIN t),
+         |r1 AS (SELECT *, ${kSql("g1")} AS kg, ${kSql("b1")} AS kb,
+         |    ${kSql("tg1")} AS ktg, ${kSql("tb1")} AS ktb FROM r0),
+         |r2 AS (SELECT *, ${mSql("g1", "kg")} AS mg,
+         |    ${mSql("b1", "kb")} AS mb, ${mSql("tg1", "ktg")} AS mtg,
+         |    ${mSql("tb1", "ktb")} AS mtb FROM r1),
+         |r3 AS (SELECT *, ${zSql("mg")} AS zg, ${zSql("mb")} AS zb,
+         |    ${zSql("mtg")} AS ztg, ${zSql("mtb")} AS ztb FROM r2),
+         |r4 AS (SELECT *, zg*zg AS zg2, zb*zb AS zb2, ztg*ztg AS ztg2,
+         |    ztb*ztb AS ztb2 FROM r3),
+         |r5 AS (SELECT *, ${hornerSql("zg2")} AS hg,
+         |    ${hornerSql("zb2")} AS hb, ${hornerSql("ztg2")} AS htg,
+         |    ${hornerSql("ztb2")} AS htb FROM r4),
+         |r6 AS (SELECT bin, n, good, bad, g1, b1, tg1, tb1,
+         |    CAST(floor((${lnSql("kg", "zg", "hg")}
+         |      - ${lnSql("ktg", "ztg", "htg")}
+         |      - ${lnSql("kb", "zb", "hb")}
+         |      + ${lnSql("ktb", "ztb", "htb")})
+         |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS woe_e6
+         |  FROM r5),
+         |r7 AS (SELECT bin, n, good, bad, woe_e6,
+         |    CAST((g1 * 1000000) // tg1 AS BIGINT) AS share_g_e6,
+         |    CAST((b1 * 1000000) // tb1 AS BIGINT) AS share_b_e6
+         |  FROM r6)
+         |SELECT bin, CAST(n AS BIGINT) AS n, good, bad, woe_e6,
+         |  share_g_e6, share_b_e6,
+         |  CAST(((share_g_e6 - share_b_e6) * woe_e6
+         |    - ((((share_g_e6 - share_b_e6) * woe_e6) % 1000000 + 1000000)
+         |       % 1000000)) // 1000000 AS BIGINT) AS iv_e6
+         |FROM r7
+         |ORDER BY bin ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] = Seq(kmeans, perceptron, naiveBayes, stump,
     linreg, knn, tree, confusion, alsStep, calibration, brier, boost,
-    logregStep, cvStump)
+    logregStep, cvStump, woeIv)
 }

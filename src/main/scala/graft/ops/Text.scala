@@ -2535,11 +2535,114 @@ object Text {
            |FROM g
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
+  /** chrF2 (round 10): the CHARACTER-level MT metric next to the
+    * word-level BLEU/ROUGE pair — clipped character-3-gram matches on
+    * the same odd/even doc pairing, scored as the β=2 F-measure, which
+    * algebraically collapses to ONE floor division:
+    * chrF2 = 5PR/(4P+R) with P = m/t_cand, R = m/t_ref
+    *       = 5m/(4·t_ref + t_cand).
+    * Character grams make the metric robust to tokenization and
+    * morphology — the reason WMT adopted it — and none of the other
+    * text keys touch the char-n-gram grain.
+    *
+    * Scale: identical shape to q_text_bleu/rouge — scoped pair
+    * relation, per-pair char-gram aggs keyed on (lang, pid); char
+    * grams are ~n_chars per doc, a constant factor over the word grams.
+    *
+    * Determinism (D1/D2/D12): clipped int64 matches; the single
+    * division is an e6 floor; empty denominators pin 0.
+    */
+  private val chrf = QueryDef(
+    "q_text_chrf",
+    (s, d) => {
+      val ranked = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(ascf("doc_id"))))
+      val cand = ranked.filter(expr("rk % 2 = 1"))
+        .select(col("lang"), expr("(rk + 1) div 2").as("pid"),
+          col("text").as("ct"))
+      val ref = ranked.filter(expr("rk % 2 = 0"))
+        .select(col("lang"), expr("rk div 2").as("pid"),
+          col("text").as("rt"))
+      val pairs = graft.Caches.scoped(cand.join(ref, Seq("lang", "pid")))
+      def grams(c: String) =
+        s"""CASE WHEN length($c) >= 3
+           |  THEN transform(sequence(1, length($c) - 2),
+           |    i -> substring($c, i, 3))
+           |  ELSE cast(array() as array<string>) END""".stripMargin
+      val cu = pairs.select(col("lang"), col("pid"),
+          explode(expr(grams("ct"))).as("g"))
+        .groupBy(col("lang"), col("pid"), col("g"))
+        .agg(count(lit(1)).as("cc"))
+      val ru = pairs.select(col("lang"), col("pid"),
+          explode(expr(grams("rt"))).as("g"))
+        .groupBy(col("lang"), col("pid"), col("g"))
+        .agg(count(lit(1)).as("rc"))
+      val m = cu.join(ru, Seq("lang", "pid", "g"))
+        .groupBy(col("lang"), col("pid"))
+        .agg(sum(least(col("cc"), col("rc"))).as("m"))
+      pairs.select(col("lang"), col("pid"),
+          greatest(length(col("ct")) - 2, lit(0)).cast("long").as("tc"),
+          greatest(length(col("rt")) - 2, lit(0)).cast("long").as("tr"))
+        .join(m, Seq("lang", "pid"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("m"), lit(0L))).as("match_3"),
+          sum(col("tc")).as("cand_3"), sum(col("tr")).as("ref_3"))
+        .select(col("lang"), col("n_pairs"), col("match_3"),
+          col("cand_3"), col("ref_3"),
+          expr("""CASE WHEN 4 * ref_3 + cand_3 = 0 THEN 0
+                 | ELSE (5 * match_3 * 1000000)
+                 |   div (4 * ref_3 + cand_3) END""".stripMargin)
+            .as("chrf2_e6"))
+        .orderBy(ascf("lang"))
+    },
+    Some("""WITH r AS (SELECT lang, text,
+           |    row_number() OVER (PARTITION BY lang ORDER BY doc_id ASC)
+           |      AS rk
+           |  FROM documents),
+           |p AS (SELECT c.lang AS lang, c.pid AS pid, c.text AS ct,
+           |    f.text AS rt
+           |  FROM (SELECT lang, (rk + 1) // 2 AS pid, text FROM r
+           |        WHERE rk % 2 = 1) c
+           |  JOIN (SELECT lang, rk // 2 AS pid, text FROM r
+           |        WHERE rk % 2 = 0) f
+           |    ON c.lang = f.lang AND c.pid = f.pid),
+           |cu AS (SELECT lang, pid, g, count(*) AS cc FROM (
+           |    SELECT lang, pid, unnest(list_transform(
+           |      range(1, greatest(length(ct) - 1, 1)),
+           |      i -> substr(ct, i, 3))) AS g FROM p)
+           |  GROUP BY 1, 2, 3),
+           |ru AS (SELECT lang, pid, g, count(*) AS rc FROM (
+           |    SELECT lang, pid, unnest(list_transform(
+           |      range(1, greatest(length(rt) - 1, 1)),
+           |      i -> substr(rt, i, 3))) AS g FROM p)
+           |  GROUP BY 1, 2, 3),
+           |m AS (SELECT lang, pid, sum(least(cc, rc)) AS m
+           |  FROM cu JOIN ru USING (lang, pid, g) GROUP BY 1, 2),
+           |per AS (SELECT p.lang, p.pid,
+           |    greatest(length(ct) - 2, 0) AS tc,
+           |    greatest(length(rt) - 2, 0) AS tr,
+           |    coalesce(m.m, 0) AS m
+           |  FROM p LEFT JOIN m ON p.lang = m.lang AND p.pid = m.pid),
+           |g AS (SELECT lang, count(*) AS n_pairs,
+           |    CAST(sum(m) AS BIGINT) AS match_3,
+           |    CAST(sum(tc) AS BIGINT) AS cand_3,
+           |    CAST(sum(tr) AS BIGINT) AS ref_3
+           |  FROM per GROUP BY lang)
+           |SELECT lang, n_pairs, match_3, cand_3, ref_3,
+           |  CAST(CASE WHEN 4 * ref_3 + cand_3 = 0 THEN 0
+           |    ELSE (5 * match_3 * 1000000) // (4 * ref_3 + cand_3) END
+           |    AS BIGINT) AS chrf2_e6
+           |FROM g
+           |ORDER BY lang ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(
     wordcount, grep, invidx, ngram, textStats,
     langid, quality, tokens, fingerprint, levenshteinPairs, tfidf,
     collocations, vocab, zipf, keyphrase, bigramLm, perplexity, bpe,
     textUnicode, bm25, bpeEncode, winnowing, stem, hashvec, lexicon,
     divergence, reassembly, generate, langConfusion, simpson, burstiness,
-    heaps, coverage, bleu, rouge)
+    heaps, coverage, bleu, rouge, chrf)
 }

@@ -335,6 +335,62 @@ class RankingSpec extends SparkSpec {
     Caches.releaseScoped(); Caches.releaseShared()
   }
 
+  test("q_ml_woe_iv: WoE/IV replay with the scalar DetMath ln") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(expr("(cast(l_quantity as bigint) - 1) div 5"),
+        when(col("l_extendedprice") >= 52000.0, 1L).otherwise(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bins = li.groupBy(_._1).map { case (b, rs) =>
+      (b, rs.length.toLong, rs.map(_._2).sum)
+    }.toSeq
+    val nb = bins.length.toLong
+    val tg = bins.map(_._3).sum + nb
+    val tb = bins.map(t => t._2 - t._3).sum + nb
+    def fdiv(a: Long, m: Long): Long = {
+      val r = ((a % m) + m) % m; (a - r) / m
+    }
+    val expected = bins.map { case (b, n, good) =>
+      val g1 = good + 1; val b1 = n - good + 1
+      val ln = graft.functions.DetMath.lnIntScalar _
+      val woe = math.floor(
+        (ln(g1) - ln(tg) - ln(b1) + ln(tb)) * 1000000.0).toLong
+      val sg = g1 * 1000000L / tg; val sb = b1 * 1000000L / tb
+      b -> ((n, good, woe, sg, sb, fdiv((sg - sb) * woe, 1000000L)))
+    }.toMap
+    val got = q("q_ml_woe_iv").collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got == expected, s"woe/iv mismatch: got $got expected $expected")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_text_chrf equals a local char-3-gram clipped-match replay") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def grams(t: String): Seq[String] =
+      if (t.length < 3) Seq.empty
+      else (0 to t.length - 3).map(i => t.substring(i, i + 3))
+    val expected = docs.groupBy(_._1).map { case (lang, ds) =>
+      val ordered = ds.sortBy(_._2).map(_._3)
+      val pairs = ordered.grouped(2).filter(_.length == 2).toSeq
+      var m = 0L; var tc = 0L; var tr = 0L
+      pairs.foreach { p =>
+        val cg = grams(p(0)).groupBy(identity).map { case (g, o) => g -> o.length }
+        val rg = grams(p(1)).groupBy(identity).map { case (g, o) => g -> o.length }
+        m += cg.map { case (g, c) => math.min(c, rg.getOrElse(g, 0)) }.sum
+        tc += math.max(p(0).length - 2, 0); tr += math.max(p(1).length - 2, 0)
+      }
+      lang -> ((pairs.length.toLong, m, tc, tr,
+        if (4 * tr + tc == 0) 0L else 5 * m * 1000000L / (4 * tr + tc)))
+    }
+    val got = q("q_text_chrf").collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, s"chrf mismatch: got $got expected $expected")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
   test("q_mix_dedup_weight: cluster weights sum to one per cluster") {
     val docs = Tables.documents(spark, sfDir).collect().map { r =>
       (r.getString(r.fieldIndex("lang")),
