@@ -469,4 +469,46 @@ class PlanSpec extends SparkSpec {
     assert(scans == 2, s"expected 1 scan (2 mentions), saw $scans")
     Caches.releaseScoped()
   }
+
+  test("round-10 global-order keys plan no corpus-grain global window") {
+    // q_ml_lift_gains rides Dsl.globalNtile and q_mix_token_budget
+    // rides Dsl.globalCumSum — the only empty-partitionSpec windows in
+    // either plan must sit above an aggregate or other value-bounded
+    // input (the 32-row partition-counts relation / the 10-row decile
+    // census), never above corpus-grain rows.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case a: AdaptiveSparkPlanExec => bounded(a.executedPlan)
+      case q: QueryStageExec => bounded(q.plan)
+      case r: ReusedExchangeExec => bounded(r.child)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        bounded(m.relation.cachedPlan)
+      case l if l.children.isEmpty => false
+      case other => other.children.forall(bounded)
+    }
+    for (q <- Seq("q_ml_lift_gains", "q_mix_token_budget")) {
+      val nodes = collectAll(executedPlan(q))
+      val bad = nodes.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) => w
+      }
+      assert(bad.isEmpty,
+        s"$q plans a corpus-grain global window: " +
+          bad.map(_.simpleString(120)).mkString("; "))
+      Caches.releaseScoped()
+    }
+  }
+
+  test("ann incremental maintenance broadcasts the centroid table") {
+    // the base corpus must never rescan per delta: its whole
+    // contribution is the pre-aggregated (cells x dims) centroid
+    // relation, which must arrive at the delta join as a BROADCAST —
+    // a shuffle join here would re-exchange the delta batch against a
+    // dim-sized table
+    val nodes = collectAll(executedPlan("q_sim_ann_incremental"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "expected the centroid (byDim) join to be a BroadcastHashJoin")
+    Caches.releaseScoped()
+  }
 }
