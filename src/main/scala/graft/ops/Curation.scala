@@ -1832,6 +1832,12 @@ object Curation {
     * Scale: cluster size is a count over a window PARTITIONED BY the
     * text key — one shuffle on the dedup grain (the q_dedup_exact
     * exchange), then projection + a 5-group rollup. No driver state.
+    * At 100 TB the exchange key would be a 128-bit content fingerprint
+    * (xxhash128/sha of the text) rather than the text itself — same
+    * plan, ~100× less shuffle payload; the text key is used here only
+    * because the DuckDB oracle must compute the IDENTICAL clustering
+    * and the engines share no hash function (rule D12's cross-engine
+    * constraint, stated rather than hidden).
     *
     * Determinism (D2/D12): weights are e6 floor divisions of exact
     * counts; per-row weighted tokens floor independently on both
