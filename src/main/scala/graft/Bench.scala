@@ -20,7 +20,10 @@ object Bench {
       "shared_jaccard_pairs" -> (ops.Similarity.sharedJaccardPairs(_, _)),
       "shared_component_labels" -> (ops.Pipeline.sharedComponentLabels(_, _)),
       "shared_band_candidates" -> (ops.VecOps.bandCandidatesWithCos(_, _)),
-      "shared_trade_graph" -> (ops.Graph.undirectedTop3(_, _)))
+      "shared_trade_graph" -> (ops.Graph.undirectedTop3(_, _)),
+      // round 11: the MT-eval triple's per-pair census (BLEU/ROUGE/chrF
+      // are each a lang-grain rollup of it — VERDICT r10 next #7)
+      "shared_mt_pairs" -> (ops.Text.sharedMtPairCensus(_, _)))
 
   private def loadavg(): String =
     try new String(java.nio.file.Files.readAllBytes(
@@ -28,17 +31,28 @@ object Bench {
     catch { case scala.util.control.NonFatal(_) => "unavailable" }
 
   def main(args: Array[String]): Unit = {
+    val wallStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_NOCACHE=1 → skip the table-cache warm pass entirely
     // (cold-scan numbers only)
     val skipCache = sys.env.get("SPARK_GRAFT_NOCACHE").contains("1")
-    // ≥ 3 warm passes by default (VERDICT r6 #2): the r6 bench ran under
-    // heavy co-tenant load and the raw total regressed 1.7× with zero
-    // plan changes. Per-query BEST across passes is the noise-robust
-    // statistic (a loaded scheduler only ever ADDS time).
+    // 2 warm passes by default (VERDICT r10 #1): per-query BEST across
+    // passes is still the noise-robust statistic (a loaded scheduler
+    // only ever ADDS time), but 3 warm passes blew the driver's wall
+    // budget under sustained host contention — the r10 bench died at
+    // rc=124 with NOTHING parseable. Two passes keep the noise floor;
+    // the wall budget below sheds the second one when the run is slow.
     val warmPasses = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_WARM_PASSES", "3").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_WARM_PASSES", "2").toInt)
+    // Wall budget (VERDICT r10 #1b): before each warm pass, if the
+    // elapsed time plus a conservative estimate of the next pass
+    // (1.2× the slowest completed full pass) would cross the budget,
+    // the remaining warm passes are SKIPPED — a self-truncated run
+    // with real numbers beats a timeout kill with none.
+    val wallBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_WALL_BUDGET_SEC", "1500").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -92,21 +106,32 @@ object Bench {
       require(selected.nonEmpty,
         s"SPARK_GRAFT_ONLY matched no registered query (names: ${o.mkString(",")})")
     }
-    def timed(name: String)(body: => Unit): (String, Double) = {
+    // Failure tracking (VERDICT r10 wrong #2): a throwing query records
+    // its time-to-exception — after the round-10 timeout kill stopped
+    // the SparkContext, every remaining query "completed" in ~4 ms and
+    // the run appended a poisoned history entry (q_vec_kcenter 0.004 s,
+    // real 3.2 s) that the regression gate would have compared against.
+    // Every timing now carries an ok flag: failed timings never enter
+    // the warm per-query minimum, and a run with ANY failure (or a
+    // stopped context) never appends to bench_history.
+    val failedKeys = scala.collection.mutable.LinkedHashSet[String]()
+    def timed(name: String)(body: => Unit): (String, Double, Boolean) = {
       val t0 = System.nanoTime()
-      try body catch { case e: Throwable =>
-        // never silent (review r5): a throwing query records its
-        // time-to-exception, which reads as an IMPROVEMENT in the
-        // totals unless the failure is visible
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
+      val ok =
+        try { body; true } catch { case e: Throwable =>
+          // never silent (review r5): a throwing query's time-to-
+          // exception reads as an IMPROVEMENT unless flagged
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failedKeys += name
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // release each query's scoped intermediates the moment it
       // finishes — the r4 lesson: six never-unpersisted internal
       // caches accumulated across 101 queries until the "warm" pass
       // came out 27% SLOWER than cold (108.9 s vs 85.5 s)
       Caches.releaseScoped()
-      name -> dt
+      (name, dt, ok)
     }
     // the timing method, carried in BENCH json + history entries so the
     // regression gate and the judge never compare across methodologies
@@ -120,31 +145,92 @@ object Bench {
     // census scan alone (caught at the 100× probe: "3.6 s" vs 530 s
     // real). toRdd.count() executes the physical plan with the FULL
     // output schema — every branch a consumer of the result would pay.
-    def runAll(): Seq[(String, Double)] =
+    def runAll(): Seq[(String, Double, Boolean)] =
       selected.map { case (name, fn) =>
         timed(name)(fn(spark, sfDir).queryExecution.toRdd.count()) }
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def jmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // Cumulative best-so-far emission (VERDICT r10 #1a): the round-10
+    // bench emitted its single parseable JSON line only at the very end,
+    // so the timeout kill left the driver NOTHING (`BENCH_r10.json`
+    // rc=124, parsed null) and voided the round's acceptance evidence.
+    // The driver reads the last 2000 chars of stdout, so later lines
+    // supersede earlier ones: a full budgeted line is now printed after
+    // EVERY completed pass — shared, cold, each warm — and a kill at any
+    // point leaves the best complete snapshot as the final stdout line.
+    // Intermediate lines carry "partial":true so a truncated run is
+    // self-describing in the artifact.
+    val lineBudget = 1800
+    def emit(shared: Seq[(String, Double)], cold: Seq[(String, Double)],
+             warm: Seq[(String, Double)], warmDone: Int,
+             partial: Boolean): Unit = {
+      val sharedTotal = shared.map(_._2).sum
+      val coldTotal = cold.map(_._2).sum
+      val warmTotal = warm.map(_._2).sum
+      val value =
+        if (cold.isEmpty) sharedTotal
+        else if (warm.isEmpty) coldTotal
+        else math.min(coldTotal, warmTotal)
+      val best =
+        if (cold.isEmpty) Seq.empty
+        else if (warm.isEmpty || warm.map(_._2).sum > coldTotal) cold
+        else warm
+      def line(rs: Seq[(String, Double)]): String =
+        s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
+          s""""timing":"$timingMethod",""" +
+          (if (partial) s""""partial":true,"warm_passes_done":$warmDone,""" else "") +
+          (if (failedKeys.nonEmpty)
+             s""""failed":${failedKeys.size},""" else "") +
+          s""""shared_value":${fmt(sharedTotal)},""" +
+          (if (cold.nonEmpty) s""""cold_value":${fmt(coldTotal)},""" else "") +
+          (if (warm.nonEmpty) s""""warm_value":${fmt(warmTotal)},""" else "") +
+          s""""queries":${jmap(rs.sortBy(_._1))},""" +
+          s""""value":${fmt(value)}}"""
+      // headline set: most expensive first, keep as many as fit
+      var kept = (shared ++ best).sortBy(-_._2)
+      while (kept.nonEmpty && line(kept).length > lineBudget)
+        kept = kept.dropRight(1)
+      println(line(kept))
+      System.out.flush()
+    }
     // Pass 0 — SHARED BUILDS, priced under their own labels: forced once
     // (count() materializes the MEMORY_AND_DISK persist) and kept
     // resident through BOTH passes, so no per-query number carries a
     // shared build it didn't author.
     // (skipped under the SPARK_GRAFT_ONLY dev filter — an isolated-key
     // run should pay only what that key itself triggers)
-    val sharedResults =
-      if (only.isDefined) Seq.empty[(String, Double)]
+    val sharedResults: Seq[(String, Double)] =
+      if (only.isDefined) Seq.empty
       else sharedBuilds.map { case (name, fn) =>
-        timed(name)(fn(spark, sfDir).count())
+        val (n, dt, _) = timed(name)(fn(spark, sfDir).count()); (n, dt)
       }
+    emit(sharedResults, Nil, Nil, 0, partial = true)
     // Pass 1 — COLD: no table cache, so every query's parquet-scan cost
     // is visible; scoped intermediates dropped per query. (Shared
     // relations stay — they are priced above, and dropping them made
     // cold totals scale with consumer count, not engine speed.)
-    val coldResults = runAll()
+    val coldRun = runAll()
+    val coldResults = coldRun.map { case (n, t, _) => (n, t) }
+    val coldSec = coldResults.map(_._2).sum
+    emit(sharedResults, coldResults, Nil, 0, partial = !skipCache)
     // Pass 2..N — WARM: shared-computation reuse across the recurring
     // workload (SURVEY.md §7.5): cache the source tables once, keep the
     // Caches.shared relations resident across queries — the classic
     // recurring-workload optimization, transparent to query semantics.
-    // Per-query best across the passes is reported.
-    val warmResults = if (skipCache) coldResults else {
+    // Per-query best across the passes is reported; only ok timings
+    // enter the minimum.
+    var slowestPassSec = coldSec
+    var warmPassesDone = 0
+    // the budget guard applies to the FIRST warm pass too: if the cold
+    // pass alone consumed the budget, one more full pass would hand the
+    // driver a timeout kill instead of the cold numbers already emitted
+    val warmBudgetOk = wallBudgetSec - elapsedSec >= slowestPassSec * 1.2
+    if (!skipCache && !warmBudgetOk) System.err.println(
+      f"[bench] wall budget: ${elapsedSec}%.0f s elapsed of " +
+        f"$wallBudgetSec%.0f s after cold — skipping all warm passes")
+    val warmResults: Seq[(String, Double)] =
+      if (skipCache || !warmBudgetOk) coldResults else {
       try {
         Seq[(SparkSession, String) => DataFrame](
           Tables.region, Tables.nation, Tables.customer, Tables.supplier,
@@ -154,37 +240,58 @@ object Bench {
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] table-cache warm failed: ${e.getMessage}")
       }
-      val passes = (1 to warmPasses).map { i =>
-        val r = runAll()
-        System.err.println(
-          f"[bench] warm pass $i/$warmPasses total ${r.map(_._2).sum}%.3f s, loadavg ${loadavg()}")
-        r
+      var acc: Seq[(String, Double, Boolean)] = Seq.empty
+      var i = 1
+      var stop = false
+      while (i <= warmPasses && !stop) {
+        val headroom = wallBudgetSec - elapsedSec
+        if (i > 1 && headroom < slowestPassSec * 1.2) {
+          System.err.println(
+            f"[bench] wall budget: ${elapsedSec}%.0f s elapsed of " +
+              f"$wallBudgetSec%.0f s, next pass needs ~${slowestPassSec * 1.2}%.0f s " +
+              f"— skipping warm passes $i..$warmPasses")
+          stop = true
+        } else {
+          val t0 = System.nanoTime()
+          val r = runAll()
+          val passSec = (System.nanoTime() - t0) / 1e9
+          slowestPassSec = math.max(slowestPassSec, passSec)
+          System.err.println(
+            f"[bench] warm pass $i/$warmPasses total ${r.map(_._2).sum}%.3f s, loadavg ${loadavg()}")
+          acc = if (acc.isEmpty) r
+            else acc.zip(r).map { case ((n, t1, ok1), (_, t2, ok2)) =>
+              // per-query minimum over OK timings only: a failed pass's
+              // time-to-exception must never masquerade as a best time
+              (ok1, ok2) match {
+                case (true, true) => (n, math.min(t1, t2), true)
+                case (true, false) => (n, t1, true)
+                case (false, true) => (n, t2, true)
+                case (false, false) => (n, math.min(t1, t2), false)
+              }
+            }
+          warmPassesDone = i
+          emit(sharedResults, coldResults,
+            acc.map { case (n, t, _) => (n, t) }, warmPassesDone,
+            partial = i < warmPasses)
+          i += 1
+        }
       }
-      // per-query minimum across passes (keys are identical per pass)
-      passes.transpose.map { timings =>
-        (timings.head._1, timings.map(_._2).min)
-      }
+      if (acc.isEmpty) coldResults else acc.map { case (n, t, _) => (n, t) }
     }
     Caches.releaseShared()
     val loadEnd = loadavg()
     System.err.println(s"[bench] loadavg at end: $loadEnd")
-    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def jmap(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val sharedTotal = sharedResults.map(_._2).sum
     val coldTotal = coldResults.map(_._2).sum
     val warmTotal = warmResults.map(_._2).sum
-    // headline `value` = the better pass (a real deployment picks its
-    // mode); both labeled maps + totals are emitted so round-over-round
-    // comparisons are never mode-confounded again (VERDICT r4 #1/#5)
-    val best = if (warmTotal <= coldTotal) warmResults else coldResults
-    // Full detail → stderr + a file under target/; stdout carries ONE
-    // budgeted JSON line (the driver parses the LAST 2000 chars of
-    // stdout; build.sbt's StdoutOutput + showSuccess := false make that
-    // line the literal end of stdout — VERDICT r6 #1).
+    // Full detail → stderr + a file under target/; stdout carries the
+    // budgeted JSON lines only (the driver parses the LAST 2000 chars
+    // of stdout; build.sbt's StdoutOutput + showSuccess := false make
+    // the final emit the literal end of stdout — VERDICT r6 #1).
     val detail = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
       s""""timing":"$timingMethod",""" +
-      s""""warm_passes":$warmPasses,"loadavg_end":"$loadEnd",""" +
+      s""""warm_passes":$warmPassesDone,"loadavg_end":"$loadEnd",""" +
+      s""""failed_keys":${failedKeys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""queries_shared":${jmap(sharedResults)},""" +
       s""""queries_cold":${jmap(coldResults)},""" +
       s""""queries_warm":${jmap(warmResults)},""" +
@@ -206,7 +313,21 @@ object Bench {
     // UNDER VERSION CONTROL, not target/ (VERDICT r8 next #8): a clean
     // checkout used to erase it between rounds, silently disarming the
     // regression gate exactly when a round most needs the comparison.
-    if (only.isEmpty) try {
+    // NEVER appended when any query failed or the context stopped
+    // (VERDICT r10 wrong #2): the round-10 timeout kill wrote an entry
+    // full of ~4 ms time-to-exception "timings" that the gate would
+    // have read as the baseline.
+    // warmPassesDone >= 1 also required: a budget-truncated run whose
+    // "warm" numbers are really cold timings would read as a mass
+    // regression at the next gate comparison
+    val clean = failedKeys.isEmpty && !spark.sparkContext.isStopped &&
+      (skipCache || warmPassesDone >= 1)
+    if (only.isEmpty && !clean) System.err.println(
+      s"[bench] NOT appending history: ${failedKeys.size} failed " +
+        s"(${failedKeys.take(5).mkString(", ")}${if (failedKeys.size > 5) ", …" else ""})" +
+        (if (spark.sparkContext.isStopped) "; SparkContext stopped" else "") +
+        (if (!skipCache && warmPassesDone == 0) "; no warm pass completed" else ""))
+    if (only.isEmpty && clean) try {
       val hist = java.nio.file.Paths.get("bench_history/history.jsonl")
       java.nio.file.Files.createDirectories(hist.getParent)
       // method-aware gate (VERDICT r9 wrong #2): comparing a toRdd-timed
@@ -240,7 +361,7 @@ object Bench {
         System.err.println(
           "[bench] no >25% per-key warm regressions vs previous run")
       val entry = s"""{"ts_ms":${System.currentTimeMillis()},""" +
-        s""""sf":"$sfDir","warm_passes":$warmPasses,""" +
+        s""""sf":"$sfDir","warm_passes":$warmPassesDone,""" +
         s""""timing":"$timingMethod",""" +
         s""""queries":${jmap((sharedResults ++ warmResults).sortBy(_._1))}}"""
       java.nio.file.Files.write(hist, (entry + "\n").getBytes("UTF-8"),
@@ -249,19 +370,11 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] history tracking failed: $e")
     }
-    val budget = 1800
-    def line(rs: Seq[(String, Double)]): String =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
-        s""""timing":"$timingMethod",""" +
-        s""""shared_value":${fmt(sharedTotal)},""" +
-        s""""cold_value":${fmt(coldTotal)},"warm_value":${fmt(warmTotal)},""" +
-        s""""queries":${jmap(rs.sortBy(_._1))},""" +
-        s""""value":${fmt(math.min(coldTotal, warmTotal))}}"""
-    // headline set: most expensive first, keep as many as fit
-    val byCost = (sharedResults ++ best).sortBy(-_._2)
-    var kept = byCost
-    while (kept.nonEmpty && line(kept).length > budget) kept = kept.dropRight(1)
-    println(line(kept))
+    // final authoritative line (same format, not partial) — supersedes
+    // every per-pass line as the last stdout content
+    emit(sharedResults, coldResults,
+      if (skipCache || warmPassesDone == 0) Nil else warmResults,
+      warmPassesDone, partial = false)
     spark.stop()
   }
 }

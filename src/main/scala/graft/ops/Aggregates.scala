@@ -2310,8 +2310,14 @@ object Aggregates {
         .agg(sum(col("cv")).as("sum_wins"))
         .select(col("status"), col("n"), col("lo").as("p10"),
           col("hi").as("p90"),
-          expr("(sum_raw * 1000000) div n").as("mean_e6"),
-          expr("(sum_wins * 1000000) div n").as("wins_mean_e6"))
+          // sum_raw/sum_wins are corpus-sized sums (~25·|lineitem| per
+          // status), so the ×1e6 product wraps int64 near SF 10k —
+          // staged through DECIMAL(38,0)/HUGEINT (ADVICE r10); the
+          // floored means themselves are row-scale and fit BIGINT
+          expr("cast((cast(sum_raw as decimal(38,0)) * 1000000) div n " +
+            "as bigint)").as("mean_e6"),
+          expr("cast((cast(sum_wins as decimal(38,0)) * 1000000) div n " +
+            "as bigint)").as("wins_mean_e6"))
         .orderBy(ascf("status"))
     },
     Some("""WITH h AS (SELECT l_linestatus AS status,
@@ -2333,8 +2339,10 @@ object Aggregates {
            |  GROUP BY h.status, t.n, t.sum_raw, t.lo, t.hi)
            |SELECT status, CAST(n AS BIGINT) AS n,
            |  CAST(lo AS BIGINT) AS p10, CAST(hi AS BIGINT) AS p90,
-           |  CAST((sum_raw * 1000000) // n AS BIGINT) AS mean_e6,
-           |  CAST((sum_wins * 1000000) // n AS BIGINT) AS wins_mean_e6
+           |  CAST((CAST(sum_raw AS HUGEINT) * 1000000) // n AS BIGINT)
+           |    AS mean_e6,
+           |  CAST((CAST(sum_wins AS HUGEINT) * 1000000) // n AS BIGINT)
+           |    AS wins_mean_e6
            |FROM w
            |ORDER BY status ASC NULLS FIRST""".stripMargin))
 

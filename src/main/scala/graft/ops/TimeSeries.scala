@@ -3157,11 +3157,13 @@ object TimeSeries {
     * q_ts_holt/holt_winters/kalman extend — and the one whose fit AND
     * eval are both exactly oracle-able end to end.
     *
-    * Determinism (D1/D2/D12): moments exact int64; the slope numerator
-    * stages through DECIMAL(38,0)/HUGEINT (covn·1e6 passes 2⁶³ around
-    * 100× the fixture's hourly volumes); signed floor division via the
-    * subtract-normalized-mod idiom on both engines; forecast errors and
-    * WAPE are integer arithmetic on the e6-scaled model.
+    * Determinism (D1/D2/D12): moments exact int64; the slope numerator,
+    * the intercept numerator c1, and the backtest error sum all stage
+    * through DECIMAL(38,0)/HUGEINT (covn·1e6 passes 2⁶³ around 100× the
+    * fixture's hourly volumes; c1 and Σerr are ~1e6·events-per-type and
+    * wrap near 9·10¹² events — ADVICE r10); signed floor division via
+    * the subtract-normalized-mod idiom on both engines; forecast errors
+    * and WAPE are integer arithmetic on the e6-scaled model.
     *
     * Scale: hourly partial agg on the scan; ONE (event_type, hr) sort
     * shared by the lead() pairing; moments and model are |types|-grain;
@@ -3195,9 +3197,15 @@ object TimeSeries {
         .withColumn("phi_e6",
           expr("""cast((num - ((num % varx + varx) % varx)) / varx
                  |  as bigint)""".stripMargin))
-        .withColumn("c1", expr("sy * 1000000 - phi_e6 * sx"))
+        // c1 staged through DECIMAL(38,0) like phi's numerator (ADVICE
+        // r10): sy·1e6 and phi_e6·sx are both ~1e6·(events per type),
+        // which wraps int64 near 9·10¹² events — the same volume class
+        // where covn·1e6 already needed the staging
+        .withColumn("c1",
+          col("sy").cast(dec38) * lit(1000000L)
+            - col("phi_e6").cast(dec38) * col("sx"))
         .withColumn("intercept_e6",
-          expr("(c1 - ((c1 % n + n) % n)) div n"))
+          expr("cast((c1 - ((c1 % n + n) % n)) div n as bigint)"))
         .select(col("event_type"), col("n").as("n_pairs"),
           col("phi_e6"), col("intercept_e6"))
       pairs.join(broadcast(model), Seq("event_type"))
@@ -3206,10 +3214,15 @@ object TimeSeries {
             - (col("intercept_e6") + col("phi_e6") * col("y"))))
         .groupBy(col("event_type"), col("n_pairs"), col("phi_e6"),
           col("intercept_e6"))
-        .agg(sum(col("err")).as("serr"), sum(col("ny")).as("sny"))
+        // per-pair err (~ny·1e6) fits int64; only its corpus-length SUM
+        // crosses 2⁶³ (~9·10¹² events per type), so the accumulator is
+        // the decimal (ADVICE r10) — DuckDB's integer sum() is already
+        // HUGEINT, so this also re-aligns the two engines' failure modes
+        .agg(sum(col("err").cast(dec38)).as("serr"),
+          sum(col("ny")).as("sny"))
         .select(col("event_type"), col("n_pairs"), col("phi_e6"),
           col("intercept_e6"),
-          expr("serr div sny").as("wape_e6"))
+          expr("cast(serr div sny as bigint)").as("wape_e6"))
         .orderBy(ascf("event_type"))
     },
     Some("""WITH h AS (SELECT event_type,
@@ -3235,11 +3248,14 @@ object TimeSeries {
            |    CAST((num - ((num % varx + varx) % varx)) // varx AS BIGINT)
            |      AS phi_e6
            |  FROM f),
-           |md2 AS (SELECT event_type, n_pairs, phi_e6,
-           |    CAST(((sy * 1000000 - phi_e6 * sx)
-           |      - (((sy * 1000000 - phi_e6 * sx) % n_pairs + n_pairs)
-           |         % n_pairs)) // n_pairs AS BIGINT) AS intercept_e6
+           |md1 AS (SELECT event_type, n_pairs, phi_e6,
+           |    CAST(sy AS HUGEINT) * 1000000
+           |      - CAST(phi_e6 AS HUGEINT) * sx AS c1
            |  FROM md),
+           |md2 AS (SELECT event_type, n_pairs, phi_e6,
+           |    CAST((c1 - ((c1 % n_pairs + n_pairs) % n_pairs))
+           |      // n_pairs AS BIGINT) AS intercept_e6
+           |  FROM md1),
            |bt AS (SELECT pp.event_type, md2.n_pairs, md2.phi_e6,
            |    md2.intercept_e6,
            |    abs(pp.ny * 1000000
@@ -3247,7 +3263,8 @@ object TimeSeries {
            |    pp.ny AS ny
            |  FROM pp JOIN md2 ON pp.event_type = md2.event_type)
            |SELECT event_type, n_pairs, phi_e6, intercept_e6,
-           |  CAST(sum(err) // sum(ny) AS BIGINT) AS wape_e6
+           |  CAST(sum(CAST(err AS HUGEINT)) // sum(ny) AS BIGINT)
+           |    AS wape_e6
            |FROM bt GROUP BY event_type, n_pairs, phi_e6, intercept_e6
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
