@@ -157,6 +157,29 @@ object ScaleProbe100 {
       Caches.releaseShared()
     }
 
+    // -- family 1d: the MT-eval triple on the round-11 shared census
+    // (VERDICT r10 next #7 landed): shared_mt_pairs is priced ONCE and
+    // kept resident (the Bench pass-0 shape), then BLEU/ROUGE/chrF run
+    // as the lang-grain rollups they now are. Family 1's standalone
+    // q_text_rouge row still prices the census+rollup a single-metric
+    // session pays.
+    if (args.isEmpty || args.contains("mt_triple")) {
+      def full(df: org.apache.spark.sql.DataFrame): Long =
+        df.queryExecution.toRdd.count()
+      def timedFull(name: String)(body: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = body
+        println(f"SCALE100 $name: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+        Caches.releaseScoped() // shared census deliberately kept
+      }
+      timedFull("shared_mt_pairs_500k")(
+        full(ops.Text.sharedMtPairCensus(spark, dst)))
+      for (q <- Seq("q_text_bleu", "q_text_rouge", "q_text_chrf"))
+        timedFull(s"$q (census resident)")(
+          full(Registry.queries(q)(spark, dst)))
+      Caches.releaseShared()
+    }
+
     // -- family 1c: the trade-graph family on a REGENERATED 100× feed
     // (VERDICT r9 next #8). The plain staged fixtures duplicate
     // customer/supplier UNSHIFTED, so the fact→edge join fans out

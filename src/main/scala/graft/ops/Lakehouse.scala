@@ -1578,9 +1578,145 @@ object Lakehouse {
             |    hive_partitioning = true, filename = true)
             |GROUP BY 1 ORDER BY month ASC NULLS FIRST""".stripMargin))
 
+  private[graft] def ckptDest(d: String): String =
+    s"/tmp/graft_lake_export/${corpusTag(d)}/orders_ckpt"
+
+  /** One checkpointed three-commit chain per (session, sfDir): a
+    * three-version lake (keys ≡0 mod 40, then +≡20, then +≡10 —
+    * month-grain) exported three times onto one destination, with a
+    * Delta CHECKPOINT written after the second export. The log then
+    * holds commits 0/1/2, `_delta_log/...1.checkpoint.parquet` (the
+    * full state at commit 1), and `_last_checkpoint` naming it —
+    * exactly the layout a long-lived Delta table converges to.
+    */
+  private val ckptDests =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def deltaCkptDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    ckptDests.computeIfAbsent(s"${graft.Caches.sessionKey(s)}:$d", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_lake").toString + "/orders"
+      val dest = ckptDest(d)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dest))
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_trunc("month", col("o_orderdate")).as("o_orderdate"))
+      val v1df = base.filter(pmod(col("o_orderkey"), lit(40)) === 0)
+      val v2df = v1df.unionByName(
+        base.filter(pmod(col("o_orderkey"), lit(40)) === 20))
+      val v3df = v2df.unionByName(
+        base.filter(pmod(col("o_orderkey"), lit(40)) === 10))
+      val v1 = graft.sources.Lake.versionedWrite(v1df, "o_orderdate", root)
+      val v2 = graft.sources.Lake.versionedWrite(v2df, "o_orderdate", root)
+      val v3 = graft.sources.Lake.versionedWrite(v3df, "o_orderdate", root)
+      def schemaOf(v: Long) =
+        graft.sources.Lake.versionedReadAt(s, root, v).schema.json
+      graft.sources.Lake.exportVersion(root, dest, Some(v1),
+        Some(schemaOf(v1)))
+      graft.sources.Lake.exportVersion(root, dest, Some(v2),
+        Some(schemaOf(v2)))
+      graft.sources.Lake.writeDeltaCheckpoint(s, dest)
+      graft.sources.Lake.exportVersion(root, dest, Some(v3),
+        Some(schemaOf(v3)))
+      dest
+    })
+
+  /** The checkpointed mount path a long-lived Delta table demands
+    * (round 11, the natural step after q_lake_delta_log_v2's chain):
+    * the Spark side mounts the export the way a Delta engine does —
+    * read `_last_checkpoint`, load the named checkpoint parquet (the
+    * full state at commit 1), and replay ONLY the commits after it
+    * (commit 2's removes supersede checkpoint adds; its adds join the
+    * snapshot) — never touching commits 0/1, so mount cost is
+    * O(live files + trailing commits), not O(chain). It censuses the
+    * reconstructed snapshot per month with the live file count, the
+    * chain length (pinned 3) and the checkpoint version (pinned 1);
+    * the DuckDB oracle recomputes the census from the exported
+    * DIRECTORY (disk holds exactly the third export's files). A
+    * checkpoint that missed a live file, carried a removed one, or a
+    * replay that ignored the trailing commit all open vanished files
+    * (crash) or census wrong rows (hash break).
+    *
+    * Scale: `_last_checkpoint` is one tiny JSON read; the checkpoint
+    * is one parquet file at file-grain; trailing commits are O(1)
+    * here and bounded by the checkpoint interval in production.
+    *
+    * Determinism: all three lake versions are pure functions of
+    * `orders`; the destination is rebuilt from scratch per process.
+    */
+  private val lakeDeltaCheckpoint = QueryDef(
+    "q_lake_delta_checkpoint",
+    (s, d) => {
+      val dest = deltaCkptDir(s, d)
+      import s.implicits._
+      // `_last_checkpoint` is a one-line O(1) metadata file; its leading
+      // underscore makes it invisible to Spark's data-file listing (the
+      // _SUCCESS rule), so it is read driver-side like the log file list
+      val ckptV = {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$dest/_delta_log/_last_checkpoint")),
+          "UTF-8")
+        """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toLong)
+          .getOrElse(throw new IllegalStateException(
+            s"_last_checkpoint under $dest carries no version: $txt"))
+      }
+      val ckpt = s.read.parquet(
+        f"$dest/_delta_log/$ckptV%020d.checkpoint.parquet")
+      val ckptAdds = ckpt.filter(col("add.path").isNotNull)
+        .select(col("add.path").as("rel"),
+          col("add.partitionValues.p_date").as("month"),
+          lit(ckptV).as("commit"))
+      val log = s.read.json(s"$dest/_delta_log/*.json")
+        .withColumn("commit",
+          regexp_extract(input_file_name(), "([0-9]{20})\\.json", 1)
+            .cast("long"))
+      val trailing = log.filter(col("commit") > ckptV)
+      val tAdds = trailing.filter(col("add.path").isNotNull)
+        .select(col("add.path").as("rel"),
+          col("add.partitionValues.p_date").as("month"), col("commit"))
+      val tRem =
+        if (log.schema.fieldNames.contains("remove"))
+          trailing.filter(col("remove.path").isNotNull)
+            .select(col("remove.path").as("rrel"),
+              col("commit").as("rcommit"))
+        else tAdds.select(col("rel").as("rrel"),
+          col("commit").as("rcommit")).limit(0)
+      val adds = ckptAdds.unionByName(tAdds)
+      val live = adds.join(tRem,
+        adds("rel") === tRem("rrel") && col("rcommit") > col("commit"),
+        "left_anti")
+      val nCommits = log.agg(max(col("commit"))).head().getLong(0) + 1L
+      val logFiles = live.groupBy(col("month"))
+        .agg(count(lit(1)).as("n_files"))
+      val files = live.select(col("rel")).as[String].collect()
+        .toSeq.sorted.map(r => s"$dest/$r")
+      val census = s.read.option("basePath", dest).parquet(files: _*)
+        .groupBy(date_format(col("p_date"), "yyyy-MM-dd").as("month"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sum"))
+      census.join(logFiles, Seq("month"), "full")
+        .select(col("month"), col("n_rows"), col("key_sum"), col("n_files"),
+          lit(nCommits).as("n_commits"), lit(ckptV).as("ckpt_version"))
+        .orderBy(ascf("month"))
+    },
+    Some(s"""SELECT strftime(CAST(p_date AS DATE), '%Y-%m-%d') AS month,
+            |  CAST(count(*) AS BIGINT) AS n_rows,
+            |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            |  CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
+            |  CAST(3 AS BIGINT) AS n_commits,
+            |  CAST(1 AS BIGINT) AS ckpt_version
+            |FROM read_parquet(
+            |    '${ckptDest(oracleSfDir)}/p_date=*/*.parquet',
+            |    hive_partitioning = true, filename = true)
+            |GROUP BY 1 ORDER BY month ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(lakeMerge, joinBucketed, lakeScd2, lakeZorder,
     lakeTimetravel, lakeCdc, lakeVacuum, lakeCompact, lakeScd2Read,
     lakeClone, lakeBloomIndex, lakeZonemap, lakeMorDeletes,
     lakePartitionEvolution, lakeExport, lakeImport, lakeDeltaLog,
-    lakeDeltaLogV2)
+    lakeDeltaLogV2, lakeDeltaCheckpoint)
 }

@@ -409,6 +409,16 @@ object Lake {
           java.nio.file.Files.copy(f.toPath,
             new java.io.File(stagedLog, f.getName).toPath)
         }
+        // checkpoints ride along: a later export must not orphan the
+        // `_last_checkpoint` pointer or drop the checkpoint parquet a
+        // reader may be about to load
+        Option(prevLogDir.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.getName.endsWith(".checkpoint.parquet") ||
+            f.getName == "_last_checkpoint")
+          .foreach { f =>
+            java.nio.file.Files.copy(f.toPath,
+              new java.io.File(stagedLog, f.getName).toPath)
+          }
         val lastV = prevCommits.last._1
         val prevLive = replayDeltaLive(prevCommits)
         val addRels = newRels.toSet -- prevLive
@@ -471,18 +481,72 @@ object Lake {
   /** Replay a commit chain to the LIVE file set: process commits in
     * version order, `add` inserts a path, `remove` deletes it.
     */
-  private def replayDeltaLive(commits: Seq[(Long, java.io.File)]): Set[String] = {
-    val live = scala.collection.mutable.LinkedHashSet[String]()
+  private def replayDeltaLive(commits: Seq[(Long, java.io.File)]): Set[String] =
+    replayDeltaAddLines(commits).keySet
+
+  /** Same replay, keeping each live path's FULL add-action line (the
+    * latest one) — what a checkpoint must carry verbatim.
+    */
+  private def replayDeltaAddLines(
+      commits: Seq[(Long, java.io.File)]): Map[String, String] = {
+    val live = scala.collection.mutable.LinkedHashMap[String, String]()
     commits.sortBy(_._1).foreach { case (_, f) =>
       new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         .split('\n').foreach { line =>
           if (line.contains("\"add\":"))
-            extractJsonString(line, "path").foreach(live += _)
+            extractJsonString(line, "path").foreach(live(_) = line)
           else if (line.contains("\"remove\":"))
             extractJsonString(line, "path").foreach(live -= _)
         }
     }
-    live.toSet
+    live.toMap
+  }
+
+  /** Delta CHECKPOINT for an exported chain (round 11): one parquet
+    * file `_delta_log/%020d.checkpoint.parquet` holding the FULL table
+    * state at the newest commit — the protocol and metaData actions
+    * carried from commit 0 plus one `add` row per LIVE file (post
+    * replay) — and a `_last_checkpoint` JSON naming it. This is the
+    * O(1)-mount entry point of the public Delta protocol: an engine
+    * reads `_last_checkpoint`, loads the named checkpoint, and replays
+    * only the commits AFTER it, so mount cost stops growing with chain
+    * length. The checkpoint rows are built by parsing the log's own
+    * action lines with Spark's JSON reader (the checkpoint schema IS
+    * the action schema), written via one coalesced parquet job and
+    * moved into place; `_last_checkpoint` is published by atomic
+    * rename last, so a reader never sees a pointer to a half-written
+    * checkpoint. Additive metadata only — concurrent readers of the
+    * data directory are unaffected. Returns the checkpointed version.
+    */
+  def writeDeltaCheckpoint(spark: SparkSession, destDir: String): Long = {
+    val logDir = new java.io.File(destDir, "_delta_log")
+    val commits = deltaCommitFiles(logDir)
+    require(commits.nonEmpty, s"no Delta commits under $destDir")
+    val v = commits.last._1
+    val c0 = new String(
+      java.nio.file.Files.readAllBytes(commits.head._2.toPath), "UTF-8")
+      .split('\n').toSeq
+    val header = c0.filter(l =>
+      l.contains("\"protocol\"") || l.contains("\"metaData\""))
+    val lines = header ++ replayDeltaAddLines(commits).values.toSeq.sorted
+    val df = spark.read.json(
+      spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("checkpoint write produced no file"))
+    val ckpt = new java.io.File(logDir, f"$v%020d.checkpoint.parquet")
+    java.nio.file.Files.move(part.toPath, ckpt.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val lcTmp = new java.io.File(logDir, "._last_checkpoint.tmp")
+    java.nio.file.Files.write(lcTmp.toPath,
+      s"""{"version":$v,"size":${lines.size}}""".getBytes("UTF-8"))
+    java.nio.file.Files.move(lcTmp.toPath,
+      new java.io.File(logDir, "_last_checkpoint").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    v
   }
 
   /** Commit N (N ≥ 1) of an export log chain: `remove` tombstones for

@@ -734,6 +734,64 @@ class RuntimeSpec extends SparkSpec {
       "re-export of an identical snapshot must not append a commit")
   }
 
+  test("Delta checkpoint carries the full state; checkpoint + trailing = disk") {
+    // round 11: the O(1)-mount entry point. After exports v1, v2, a
+    // checkpoint at commit 1, then v3 (commit 2), _last_checkpoint must
+    // name commit 1, the checkpoint parquet must hold protocol +
+    // metaData + exactly the files live AT commit 1, and a reader
+    // starting from the checkpoint and replaying only commit 2 must
+    // land on exactly the files on disk.
+    val dir = Files.createTempDirectory("graft_ckpt").toString + "/lake"
+    val dest = Files.createTempDirectory("graft_ckpt_dst").toString + "/out"
+    Lake.versionedWrite(Tables.events(spark, sfDir).limit(100), "ts", dir)
+    Lake.versionedWrite(Tables.events(spark, sfDir).limit(300), "ts", dir)
+    Lake.versionedWrite(Tables.events(spark, sfDir).limit(500), "ts", dir)
+    def schemaOf(v: Long) = Lake.versionedReadAt(spark, dir, v).schema.json
+    Lake.exportVersion(dir, dest, Some(1L), Some(schemaOf(1L)))
+    val n2 = Lake.exportVersion(dir, dest, Some(2L), Some(schemaOf(2L)))
+    val ckptV = Lake.writeDeltaCheckpoint(spark, dest)
+    assert(ckptV == 1L, s"checkpoint must land at the newest commit, got $ckptV")
+    Lake.exportVersion(dir, dest, Some(3L), Some(schemaOf(3L)))
+    // underscore-prefixed files are hidden from Spark's listing (the
+    // _SUCCESS rule) — the pointer is a one-line driver-side read
+    val lc = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dest, "_delta_log/_last_checkpoint").toPath), "UTF-8")
+    assert(lc.contains("\"version\":1"), s"_last_checkpoint must name commit 1: $lc")
+    val ckpt = spark.read.parquet(
+      s"$dest/_delta_log/00000000000000000001.checkpoint.parquet")
+    assert(ckpt.filter(col("protocol.minReaderVersion").isNotNull).count() == 1)
+    assert(ckpt.filter(col("metaData.id").isNotNull).count() == 1)
+    val ckptAdds = ckpt.filter(col("add.path").isNotNull)
+      .select(col("add.path")).collect().map(_.getString(0)).toSet
+    assert(ckptAdds.size.toLong == n2,
+      s"checkpoint must carry exactly commit 1's live set: ${ckptAdds.size} vs $n2")
+    // checkpoint + trailing commit 2 = on-disk file set (v3 files)
+    def actions(f: java.io.File): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .linesIterator.filter(_.nonEmpty).toSeq
+    def rel(line: String, after: String): String = {
+      val i = line.indexOf("\"path\":\"", line.indexOf(after))
+      line.substring(i + 8, line.indexOf('"', i + 8))
+    }
+    val c2 = actions(new java.io.File(dest,
+      "_delta_log/00000000000000000002.json"))
+    val removed = c2.filter(_.contains("\"remove\":"))
+      .map(rel(_, "\"remove\":")).toSet
+    val added = c2.filter(_.contains("\"add\":")).map(rel(_, "\"add\":")).toSet
+    val mounted = (ckptAdds -- removed) ++ added
+    def walk(f: java.io.File): Seq[java.io.File] = {
+      val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.filter(k => k.isFile && k.getName.endsWith(".parquet") &&
+        !k.getParentFile.getName.equals("_delta_log")) ++
+        kids.filter(_.isDirectory).flatMap(walk)
+    }
+    val onDisk = walk(new java.io.File(dest))
+      .map(f => new java.io.File(dest).toPath.relativize(f.toPath).toString)
+      .toSet
+    assert(mounted == onDisk,
+      "checkpoint + trailing replay must equal the on-disk file set")
+  }
+
   test("shallow clone is zero-copy, isolated from commits, broken by vacuum") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_clone_src").toString + "/t"
