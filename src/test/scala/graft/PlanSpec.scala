@@ -500,6 +500,55 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("MT-eval census windows stay lang-partitioned; no cartesian pairing") {
+    // round 11: the shared census the BLEU/ROUGE/chrF rollups ride. The
+    // pairing window must stay PARTITIONED BY lang (a bare window here
+    // would single-task the corpus), and the clipped-match joins must
+    // be keyed equi-joins — a cartesian anywhere in this plan would be
+    // the classic pairwise-text blowup the (lang, pid, g) keying exists
+    // to prevent.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val df = ops.Text.sharedMtPairCensus(spark, sfDir)
+    df.collect()
+    val nodes = collectAll(df.queryExecution.executedPlan)
+    val bare = nodes.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bare.isEmpty,
+      s"census plans a partitionBy-less window: " +
+        bare.map(_.simpleString(120)).mkString("; "))
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "census plans a cartesian product")
+    // the three metric rollups must be single-agg consumers: nothing
+    // but scan/exchange/aggregate ABOVE the resident census (traversal
+    // stops at the InMemoryTableScan boundary — collectAll would dive
+    // into the cached census plan, whose lang window is expected)
+    def aboveCache(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq.empty
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case w: WholeStageCodegenExec => Seq(w.child)
+        case _ => Seq.empty
+      }
+      Seq(p) ++ (p match {
+        case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq.empty
+        case _ => (p.children ++ nested).flatMap(aboveCache)
+      })
+    }
+    for (q <- Seq("q_text_bleu", "q_text_rouge", "q_text_chrf")) {
+      val qn = aboveCache(executedPlan(q))
+      assert(!qn.exists(_.isInstanceOf[WindowExec]),
+        s"$q must be a pure rollup of the resident census")
+      Caches.releaseScoped()
+    }
+    Caches.releaseShared()
+  }
+
   test("ann incremental maintenance broadcasts the centroid table") {
     // the base corpus must never rescan per delta: its whole
     // contribution is the pre-aggregated (cells x dims) centroid
