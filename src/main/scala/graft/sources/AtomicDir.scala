@@ -126,12 +126,24 @@ object AtomicDir {
   }
 
   /** Allocate a per-call unique staging sibling of `dest`, registered so
-    * stale-staging reclamation skips in-flight builds.
+    * stale-staging reclamation skips in-flight builds. The directory is
+    * created eagerly with a `.graft_staging` owner marker (pid:ts)
+    * inside: reclamation by ANOTHER process keys on that marker's age,
+    * because the in-JVM `activeStaging` set obviously cannot protect a
+    * sibling process's half-built tree (round 11 — found while writing
+    * the forked-JVM publish stress test: process A's reclamation
+    * deleted process B's in-flight staging and failed B's swap).
     */
   def newStaging(dest: String): java.io.File = {
     val f = new java.io.File(dest.stripSuffix("/") + "__staging-" +
       java.util.UUID.randomUUID().toString)
     activeStaging.add(f.getAbsolutePath)
+    f.mkdirs()
+    try java.nio.file.Files.write(
+      new java.io.File(f, ".graft_staging").toPath,
+      s"${ProcessHandle.current().pid()}:${System.currentTimeMillis()}"
+        .getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => }
     f
   }
 
@@ -184,12 +196,29 @@ object AtomicDir {
           throw e
         }
         activeStaging.remove(staged.getAbsolutePath)
+        // the owner marker rode the rename into dest (when the build
+        // preserved it) — it is staging metadata, not payload
+        new java.io.File(dest, ".graft_staging").delete()
         rm(old)
+        // stale-staging reclamation: skip this JVM's registered builds
+        // AND any sibling process's YOUNG build — only a genuinely dead
+        // builder's tree is removed. "Young" = the newest mtime among
+        // the owner marker, the dir itself, and its direct children is
+        // fresher than lockStaleMs (a Spark overwrite-mode write deletes
+        // the marker with the dir it recreates, but an in-progress write
+        // keeps the top levels' mtimes moving)
         val prefix = dest.getName + "__staging-"
+        val now = System.currentTimeMillis()
+        def newestTopMtime(f: java.io.File): Long =
+          (Seq(f.lastModified(),
+            new java.io.File(f, ".graft_staging").lastModified()) ++
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+              .map(_.lastModified()).toSeq).max
         Option(dest.getParentFile).flatMap(p => Option(p.listFiles()))
           .getOrElse(Array.empty[java.io.File])
           .filter(f => f.getName.startsWith(prefix) &&
-            !activeStaging.contains(f.getAbsolutePath))
+            !activeStaging.contains(f.getAbsolutePath) &&
+            now - newestTopMtime(f) >= lockStaleMs)
           .foreach(rm)
         ()
       } finally { lf.delete(); () }

@@ -604,6 +604,57 @@ class RuntimeSpec extends SparkSpec {
     assert(!lock.exists())
   }
 
+  test("two REAL JVMs publishing one destination never tear it") {
+    // the forked-JVM leg of the cross-process story: a second java
+    // process (PublishStressMain — pure file ops, sub-second startup)
+    // and this JVM hammer AtomicDir.publish on one destination for
+    // ~3 s. Every publish writes a marker and a payload carrying the
+    // same writer-id+sequence tag, so any interleaved rename pair —
+    // the pre-lock failure mode — leaves a destination whose payload
+    // disagrees with its marker. Afterwards: consistent final state,
+    // both writers actually ran, no locks or staging leftovers.
+    val destDir = Files.createTempDirectory("graft_2jvm").toString
+    val dest = new java.io.File(destDir, "out")
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val proc = new ProcessBuilder(javaBin, "-cp", cp,
+      "graft.sources.PublishStressMain", dest.getPath, "B", "3000")
+      .redirectErrorStream(true).start()
+    val deadline = System.currentTimeMillis() + 3000
+    var mine = 0
+    while (System.currentTimeMillis() < deadline) {
+      mine += 1
+      val tag = s"A-$mine"
+      val staged = graft.sources.AtomicDir.newStaging(dest.getPath)
+      java.nio.file.Files.write(
+        new java.io.File(staged, "marker").toPath, tag.getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        new java.io.File(staged, "payload").toPath,
+        (1 to 50).map(j => s"$tag line $j").mkString("", "\n", "\n")
+          .getBytes("UTF-8"))
+      graft.sources.AtomicDir.publish(staged, dest)
+      Thread.sleep(2)
+    }
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    assert(proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS),
+      "forked writer must finish")
+    assert(proc.exitValue() == 0, s"forked writer failed: $out")
+    assert(out.contains("STRESS_DONE B"), s"forked writer never ran: $out")
+    assert(mine > 10, s"local writer barely ran ($mine publishes)")
+    // final state: marker and payload from ONE publish, in full
+    val marker = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dest, "marker").toPath), "UTF-8")
+    val payload = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dest, "payload").toPath), "UTF-8")
+      .linesIterator.toSeq
+    assert(payload.size == 50 && payload.forall(_.startsWith(s"$marker line")),
+      s"torn destination: marker=$marker but payload=${payload.take(2)}")
+    // protocol hygiene: no lock, no __old, no staging trees left behind
+    val leftovers = Option(new java.io.File(destDir).listFiles())
+      .get.map(_.getName).filterNot(_ == "out")
+    assert(leftovers.isEmpty, s"leftovers after clean finish: ${leftovers.toSeq}")
+  }
+
   test("vacuum never touches absolute-path (imported) data dirs") {
     // VERDICT r9 next #3: foreign output enters version history by
     // absolute-path manifest; vacuum reclaims only LOCAL data-* dirs,
