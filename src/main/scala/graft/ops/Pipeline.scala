@@ -1761,9 +1761,144 @@ object Pipeline {
            |ORDER BY bc.cell ASC NULLS FIRST""".stripMargin
     })
 
+  /** Content-defined chunking dedup census (round 11): Rabin-style
+    * boundary chunking — cut after char i whenever the rolling
+    * polynomial hash of the trailing 8-char window satisfies
+    * (h mod 1000003) mod 32 = 0 — then a cross-doc duplicate census of
+    * the chunks per language. This is the SUB-document dedup grain the
+    * exact/minhash/simhash family lacks: a boilerplate paragraph
+    * embedded in otherwise-unique pages never pairs at doc grain, but
+    * its chunks collide exactly, and because boundaries depend only on
+    * LOCAL content, an insertion upstream shifts every byte offset yet
+    * leaves all downstream chunk identities intact (the property that
+    * makes CDC the backbone of dedup storage and crawl pipelines;
+    * fixed-width blocks lose all alignment after one insertion).
+    *
+    * The hash is the engine-shared integer construction (the
+    * q_text_fingerprint discipline): Σ ascii(cⱼ)·(131ʲ mod 1000003)
+    * summed over the window then mod 1000003 — every intermediate fits
+    * int64 on both engines, no library hash. Chunk identity here is
+    * the chunk STRING (the DuckDB oracle must compute the identical
+    * clustering and the engines share no hash function — rule D12,
+    * stated as in q_mix_dedup_weight); at 100 TB the group key becomes
+    * a 128-bit content fingerprint, same plan, ~20× less shuffle
+    * payload.
+    *
+    * Scale: chunking is per-row higher-order-function work — NO
+    * shuffle; the census is ONE exchange on the (lang, chunk) dedup
+    * grain, then a lang rollup. ~O(len·8) hash ops per doc.
+    *
+    * Determinism (D1/D2): exact integer hash, exact counts; the two
+    * e6 ratios floor-divide; a lang whose every chunk is unique pins
+    * dup_mass_e6 = 0 arithmetically.
+    */
+  private val dedupCdc = {
+    val w = 8
+    val P = 1000003L
+    val M = 32L
+    // 131^j mod P for j = 0..7 — literal table, no runtime pow
+    val pows = Seq(1L, 131L, 17161L, 248085L, 499039L, 373914L,
+      982590L, 718906L)
+    val powsSpark = pows.mkString("array(", ", ", ")")
+    val powsDuck = pows.mkString("[", ", ", "]")
+    QueryDef(
+      "q_dedup_cdc",
+      (s, d) => {
+        val chunksExpr =
+          s"""CASE WHEN length(text) >= $w THEN
+             |  transform(
+             |    sequence(1, size(cf) - 1),
+             |    k -> substring(text, element_at(cf, k) + 1,
+             |      element_at(cf, k + 1) - element_at(cf, k)))
+             |ELSE array(text) END""".stripMargin
+        val cutsExpr =
+          s"""CASE WHEN length(text) >= $w THEN
+             |  filter(
+             |    transform(sequence($w, length(text)), i ->
+             |      CASE WHEN (aggregate(sequence(0, ${w - 1}), bigint(0),
+             |          (acc, j) -> acc
+             |            + ascii(substring(text, i - ${w - 1} + j, 1))
+             |              * element_at($powsSpark, j + 1))
+             |        % $P) % $M = 0 THEN i ELSE -1 END),
+             |    x -> x != -1)
+             |ELSE array() END""".stripMargin
+        val cfExpr =
+          s"""concat(array(0), cuts,
+             |  CASE WHEN size(cuts) > 0
+             |      AND element_at(cuts, -1) = length(text)
+             |    THEN array()
+             |    ELSE array(length(text)) END)""".stripMargin
+        val chunks = Tables.documents(s, d)
+          .select(col("lang"), col("text"))
+          .withColumn("cuts", expr(cutsExpr))
+          .withColumn("cf", expr(cfExpr))
+          .select(col("lang"), explode(expr(chunksExpr)).as("chunk"))
+          .filter(length(col("chunk")) > 0)
+        chunks.groupBy(col("lang"), col("chunk"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("lang"))
+          .agg(sum(col("c")).as("n_chunks"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("c") - 1).as("dup_chunks"),
+            max(col("c")).as("max_copies"),
+            sum(length(col("chunk")).cast("long") * col("c"))
+              .as("sum_len"))
+          .select(col("lang"), col("n_chunks"), col("n_distinct"),
+            col("dup_chunks"), col("max_copies"),
+            expr("""cast((cast(dup_chunks as decimal(38,0)) * 1000000)
+                   |  div n_chunks as bigint)""".stripMargin)
+              .as("dup_mass_e6"),
+            expr("""cast((cast(sum_len as decimal(38,0)) * 1000000)
+                   |  div n_chunks as bigint)""".stripMargin)
+              .as("avg_len_e6"))
+          .orderBy(ascf("lang"))
+      },
+      Some(s"""WITH ch AS (SELECT lang,
+              |    CASE WHEN length(text) >= $w THEN
+              |      list_transform(range(1, len(cf)), k ->
+              |        substring(text, cf[k] + 1, cf[k + 1] - cf[k]))
+              |    ELSE [text] END AS chunks
+              |  FROM (
+              |    SELECT lang, text,
+              |      list_concat(list_concat([0], cuts),
+              |        CASE WHEN len(cuts) > 0
+              |            AND cuts[-1] = length(text)
+              |          THEN [] ELSE [length(text)] END) AS cf
+              |    FROM (
+              |      SELECT lang, text,
+              |        CASE WHEN length(text) >= $w THEN
+              |          list_filter(
+              |            list_transform(range($w, length(text) + 1), i ->
+              |              CASE WHEN (list_sum(
+              |                  list_transform(range(0, $w), j ->
+              |                    ascii(substring(text,
+              |                      i - ${w - 1} + j, 1))
+              |                      * ($powsDuck)[j + 1]))
+              |                % $P) % $M = 0 THEN i ELSE -1 END),
+              |            x -> x <> -1)
+              |        ELSE [] END AS cuts
+              |      FROM documents))),
+              |e AS (SELECT lang, unnest(chunks) AS chunk FROM ch),
+              |g AS (SELECT lang, chunk, count(*) AS c FROM e
+              |  WHERE length(chunk) > 0 GROUP BY 1, 2),
+              |r AS (SELECT lang,
+              |    CAST(sum(c) AS BIGINT) AS n_chunks,
+              |    CAST(count(*) AS BIGINT) AS n_distinct,
+              |    CAST(sum(c - 1) AS BIGINT) AS dup_chunks,
+              |    CAST(max(c) AS BIGINT) AS max_copies,
+              |    CAST(sum(length(chunk) * c) AS BIGINT) AS sum_len
+              |  FROM g GROUP BY 1)
+              |SELECT lang, n_chunks, n_distinct, dup_chunks, max_copies,
+              |  CAST((CAST(dup_chunks AS HUGEINT) * 1000000)
+              |    // n_chunks AS BIGINT) AS dup_mass_e6,
+              |  CAST((CAST(sum_len AS HUGEINT) * 1000000)
+              |    // n_chunks AS BIGINT) AS avg_len_e6
+              |FROM r ORDER BY lang ASC NULLS FIRST""".stripMargin))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     dedupSimhash, dedupNgram, dedupEmbed, simAnnLsh, simCentroid, simAnnIvf,
     simAnnSq, simAnnServe, pipelineE2e, dedupComponents, containment,
     dedupSimhashExact, dedupMinhashExact, dedupSubstr, dedupClusterRep,
-    simAnnPq, textDedupEval, simAnnIncremental)
+    simAnnPq, textDedupEval, simAnnIncremental, dedupCdc)
 }

@@ -3268,11 +3268,93 @@ object TimeSeries {
            |FROM bt GROUP BY event_type, n_pairs, phi_e6, intercept_e6
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
+  /** Exact daily-cycle spectrum (round 11): DFT power at 1, 2 and 3
+    * cycles per day over each event type's hour-of-day profile — the
+    * periodicity detector that separates "diurnal traffic" (power
+    * concentrated at k=1) from "shift-change twice-daily" (k=2) or
+    * flat noise, complementing q_ts_period's autocorrelation view with
+    * the frequency-domain one. The trig comes from a LITERAL e6 cosine
+    * table of the 24 angles (the q_ml_ndcg literal-table rule: runtime
+    * cos() can differ in the last ulp between libm and the JVM; a
+    * shared literal table cannot — the table IS the metric's spec,
+    * symmetric by construction). sin(15°·m) = cos-table[(m+18) mod 24].
+    *
+    * Scale: one fact scan → (type, hour-of-day) partial agg — the
+    * exchange carries ≤ |types|·24 rows at any corpus size; the
+    * spectrum arithmetic runs on that census. Power = sx²+sy² stages
+    * through DECIMAL(38,0) (sx ~ events·1e6, the square crosses 2⁶³
+    * immediately at any real volume).
+    *
+    * Determinism (D1/D2/D12): integer counts × literal table entries;
+    * the only division is the final e6 floor, identical on both
+    * engines.
+    */
+  private val dft24 = QueryDef(
+    "q_ts_dft24",
+    (s, d) => {
+      val cosE6 = Seq(1000000L, 965925L, 866025L, 707106L, 500000L,
+        258819L, 0L, -258819L, -500000L, -707106L, -866025L, -965925L,
+        -1000000L, -965925L, -866025L, -707106L, -500000L, -258819L, 0L,
+        258819L, 500000L, 707106L, 866025L, 965925L)
+      val tbl = array(cosE6.map(lit): _*)
+      val h = Tables.events(s, d)
+        .select(col("event_type"),
+          (floorDiv(unix_micros(col("ts")), HourUs) % 24).as("hod"))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("x"))
+      def sxy(k: Int) = Seq(
+        sum(col("x") * element_at(tbl,
+          (pmod(lit(k.toLong) * col("hod"), lit(24L)) + 1).cast("int")))
+          .as(s"sx$k"),
+        sum(col("x") * element_at(tbl,
+          (pmod(lit(k.toLong) * col("hod") + 18, lit(24L)) + 1).cast("int")))
+          .as(s"sy$k"))
+      val aggs = sum(col("x")).as("n_events") +: (1 to 3).flatMap(sxy)
+      h.groupBy(col("event_type"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("event_type") +: col("n_events") +: (1 to 3).map(k =>
+          expr(s"""cast((cast(sx$k as decimal(38,0)) * sx$k
+                  |  + cast(sy$k as decimal(38,0)) * sy$k)
+                  |  div 1000000 as bigint)""".stripMargin)
+            .as(s"p${k}_e6")): _*)
+        .orderBy(ascf("event_type"))
+    },
+    Some("""WITH h AS (SELECT event_type,
+           |    (epoch_us(ts) // 3600000000) % 24 AS hod, count(*) AS x
+           |  FROM events GROUP BY 1, 2),
+           |m AS (SELECT event_type, k,
+           |    CAST(sum(x * ([1000000, 965925, 866025, 707106, 500000,
+           |      258819, 0, -258819, -500000, -707106, -866025, -965925,
+           |      -1000000, -965925, -866025, -707106, -500000, -258819,
+           |      0, 258819, 500000, 707106, 866025, 965925])
+           |      [1 + CAST((k * hod) % 24 AS INT)]) AS BIGINT) AS sx,
+           |    CAST(sum(x * ([1000000, 965925, 866025, 707106, 500000,
+           |      258819, 0, -258819, -500000, -707106, -866025, -965925,
+           |      -1000000, -965925, -866025, -707106, -500000, -258819,
+           |      0, 258819, 500000, 707106, 866025, 965925])
+           |      [1 + CAST((k * hod + 18) % 24 AS INT)]) AS BIGINT) AS sy
+           |  FROM h CROSS JOIN (VALUES (1), (2), (3)) AS kk(k)
+           |  GROUP BY 1, 2),
+           |tot AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS n_events
+           |  FROM h GROUP BY 1),
+           |p AS (SELECT event_type, k,
+           |    CAST((CAST(sx AS HUGEINT) * sx + CAST(sy AS HUGEINT) * sy)
+           |      // 1000000 AS BIGINT) AS pk
+           |  FROM m)
+           |SELECT tot.event_type AS event_type, n_events,
+           |  CAST(max(CASE WHEN k = 1 THEN pk END) AS BIGINT) AS p1_e6,
+           |  CAST(max(CASE WHEN k = 2 THEN pk END) AS BIGINT) AS p2_e6,
+           |  CAST(max(CASE WHEN k = 3 THEN pk END) AS BIGINT) AS p3_e6
+           |FROM tot JOIN p ON tot.event_type = p.event_type
+           |GROUP BY 1, 2
+           |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
     Seq(gapfill, funnelCohort, retention, ewma, ohlc, moving, trend,
       autocorr, changepoint, seasonality, forecast, interp, holt,
       theilSen, attrib, transitions, downsample, evalWape, latency,
       period, crossCorr, movingMedian, tsRate, dtw, anomalyMad, bollinger,
       decompose, growth, dauMau, sax, permEntropy, entropyRate, cusum,
-      pacf, kalman, hurst, macd, survival, holtWinters, newReturning, ar1)
+      pacf, kalman, hurst, macd, survival, holtWinters, newReturning, ar1,
+      dft24)
 }

@@ -416,4 +416,93 @@ class RankingSpec extends SparkSpec {
     assert(shrank == anyDup, "effective mass must shrink iff dups exist")
     Caches.releaseScoped(); Caches.releaseShared()
   }
+
+  test("q_ts_dft24: local table-exact DFT replay matches the graded output") {
+    // recompute the spectrum from a collected (type, hour-of-day)
+    // census with the SAME literal table — pins the key to its spec
+    val cosE6 = Seq(1000000L, 965925L, 866025L, 707106L, 500000L,
+      258819L, 0L, -258819L, -500000L, -707106L, -866025L, -965925L,
+      -1000000L, -965925L, -866025L, -707106L, -500000L, -258819L, 0L,
+      258819L, 500000L, 707106L, 866025L, 965925L)
+    val hod = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hod"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+      .map { case (k, rs) => k -> rs.size.toLong }
+    val want = hod.keys.map(_._1).toSeq.distinct.sorted.map { t =>
+      val xs = (0 until 24).map(n => hod.getOrElse((t, n.toLong), 0L))
+      val ps = (1 to 3).map { k =>
+        val sx = (0 until 24).map(n =>
+          BigInt(xs(n)) * cosE6((k * n) % 24)).sum
+        val sy = (0 until 24).map(n =>
+          BigInt(xs(n)) * cosE6((k * n + 18) % 24)).sum
+        ((sx * sx + sy * sy) / 1000000).toLong
+      }
+      (t, xs.sum, ps(0), ps(1), ps(2))
+    }
+    val got = q("q_ts_dft24").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want, s"DFT mismatch:\n got=$got\nwant=$want")
+    Caches.releaseScoped()
+  }
+
+  test("q_dedup_cdc: local chunker replay and the shift-invariance property") {
+    // 1) replay the Rabin chunker locally on a handful of fixture docs
+    //    and require identical chunk multisets;
+    // 2) pin CDC's reason to exist: inserting a prefix shifts every
+    //    offset but leaves the chunk sequence AFTER the first
+    //    boundary-crossing window identical (fixed-width blocks would
+    //    lose all alignment).
+    val P = 1000003L; val M = 32L; val w = 8
+    val pows = Seq(1L, 131L, 17161L, 248085L, 499039L, 373914L,
+      982590L, 718906L)
+    def chunk(text: String): Seq[String] = {
+      if (text.length < w) return Seq(text).filter(_.nonEmpty)
+      val cuts = (w to text.length).filter { i =>
+        val window = text.substring(i - w, i)
+        val h = window.zipWithIndex
+          .map { case (c, j) => c.toLong * pows(j) }.sum % P
+        h % M == 0
+      }
+      val cf = (0 +: cuts) ++ (if (cuts.nonEmpty && cuts.last == text.length)
+        Seq.empty else Seq(text.length))
+      cf.sliding(2).map { case Seq(a, b) => text.substring(a, b) }
+        .filter(_.nonEmpty).toSeq
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy(col("doc_id")).limit(20).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    // Spark-side chunks for the same 20 docs, via the graded key's lang
+    // census being too coarse — recompute per-lang chunk multisets
+    // locally for ALL docs of one lang and compare against the census
+    val lang = docs.head._1
+    val localAll = Tables.documents(spark, sfDir)
+      .filter(col("lang") === lang).select(col("text")).collect()
+      .flatMap(r => chunk(r.getString(0)))
+    val counts = localAll.groupBy(identity).map(_._2.length.toLong)
+    val wantRow = (localAll.length.toLong, counts.size.toLong,
+      counts.map(_ - 1).sum, counts.max,
+      (BigInt(localAll.map(_.length.toLong).sum) * 1000000 /
+        localAll.length).toLong)
+    val gotRow = q("q_dedup_cdc").collect()
+      .find(_.getString(0) == lang).map(r =>
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(6))).get
+    assert(gotRow == wantRow, s"cdc census mismatch for $lang: " +
+      s"got=$gotRow want=$wantRow")
+    // shift invariance: chunks after the first boundary survive a
+    // prefix insertion verbatim
+    val base = docs.map(_._2).maxBy(_.length)
+    assert(base.length > 100, "fixture docs unexpectedly short")
+    val shifted = "INSERTED-PREFIX " + base
+    val cb = chunk(base); val cs = chunk(shifted)
+    val common = cb.toSet intersect cs.toSet
+    assert(cb.size >= 3 && common.size >= cb.size - 2,
+      s"CDC must keep downstream chunks under an upstream insertion: " +
+        s"base=${cb.size} common=${common.size}")
+    Caches.releaseScoped()
+  }
 }
