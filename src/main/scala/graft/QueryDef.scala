@@ -278,7 +278,8 @@ object Registry {
         ops.Lakehouse.defs ++
         ops.Incremental.defs ++
         ops.Geo.defs ++
-        ops.Ranking.defs
+        ops.Ranking.defs ++
+        ops.Privacy.defs
     // toMap would silently keep only the last entry on a name collision,
     // shrinking the graded surface with no error (ADVICE r01).
     val dup = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }

@@ -1714,9 +1714,121 @@ object Lakehouse {
             |    hive_partitioning = true, filename = true)
             |GROUP BY 1 ORDER BY month ASC NULLS FIRST""".stripMargin))
 
+  private[graft] def evoDest(d: String): String =
+    s"/tmp/graft_lake_export/${corpusTag(d)}/orders_evo"
+
+  /** One schema-evolution export chain per (session, sfDir): a
+    * two-version lake whose SECOND version adds a column (`o_flag` =
+    * o_orderkey mod 97 — a derived attribute backfilled over the whole
+    * table, the most common evolution in practice), exported twice
+    * onto one destination. The first export writes commit 0 under
+    * schema A; the second appends commit 1 carrying the republish
+    * diff AND a new metaData action with schema B — the Delta
+    * protocol's representation of a schema change.
+    */
+  private val evoDests =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def deltaEvoDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    evoDests.computeIfAbsent(s"${graft.Caches.sessionKey(s)}:$d", _ => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_evo_lake").toString + "/orders"
+      val dest = evoDest(d)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dest))
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_trunc("month", col("o_orderdate")).as("o_orderdate"))
+      val v1df = base.filter(pmod(col("o_orderkey"), lit(40)) === 0)
+      val v2df = base
+        .filter(pmod(col("o_orderkey"), lit(40)) === 0 ||
+          pmod(col("o_orderkey"), lit(40)) === 20)
+        .withColumn("o_flag", pmod(col("o_orderkey"), lit(97)))
+      val v1 = graft.sources.Lake.versionedWrite(v1df, "o_orderdate", root)
+      val v2 = graft.sources.Lake.versionedWrite(v2df, "o_orderdate", root)
+      def schemaOf(v: Long) =
+        graft.sources.Lake.versionedReadAt(s, root, v).schema.json
+      graft.sources.Lake.exportVersion(root, dest, Some(v1),
+        Some(schemaOf(v1)))
+      graft.sources.Lake.exportVersion(root, dest, Some(v2),
+        Some(schemaOf(v2)))
+      dest
+    })
+
+  /** Schema evolution FOLLOWED through the log (round 11, the step
+    * after q_lake_delta_log_v2's file chain): commit 1 carries a new
+    * metaData action because the second export added a column, and the
+    * Spark side mounts the table the way a Delta engine does — take
+    * the LATEST metaData in log order, parse its schemaString into the
+    * read schema, replay the chain to the live file set, and open
+    * exactly those files UNDER THE EVOLVED SCHEMA — then censuses
+    * rows, keys and the NEW column per month, with the live file
+    * count, the metaData-action count (pinned 2: commit 0's plus the
+    * evolution's) and the chain length (pinned 2) as output columns.
+    * The DuckDB oracle recomputes the census from the exported
+    * DIRECTORY, whose post-swap files are exactly the evolved v2.
+    * A chain that dropped the metaData action mounts schema A and
+    * crashes on the missing column; a stale-schema replay (commit 0's
+    * metaData) does the same; a metaData action with the wrong
+    * schemaString fails the parse or the census — the hash gate IS
+    * the evolution proof.
+    *
+    * Scale: O(files) log metadata + one pruned scan, like the other
+    * delta keys; the lake build is a fixture cost.
+    *
+    * Determinism: both lake versions are pure functions of `orders`;
+    * the destination is rebuilt from scratch per process.
+    */
+  private val lakeDeltaSchemaEvolution = QueryDef(
+    "q_lake_delta_schema_evolution",
+    (s, d) => {
+      val dest = deltaEvoDir(s, d)
+      import s.implicits._
+      val log = s.read.json(s"$dest/_delta_log/*.json")
+        .withColumn("commit",
+          regexp_extract(input_file_name(), "([0-9]{20})\\.json", 1)
+            .cast("long"))
+      // the mount schema: the latest metaData action in log order
+      val metas = log.filter(col("metaData.schemaString").isNotNull)
+        .select(col("commit"), col("metaData.schemaString").as("ss"))
+        .orderBy(col("commit").desc).collect()
+      val nMeta = metas.length.toLong
+      val mountSchema = org.apache.spark.sql.types.DataType
+        .fromJson(metas.head.getString(1))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val (live, nCommits) = deltaLiveAdds(s, dest)
+      val logFiles = live.groupBy(col("month"))
+        .agg(count(lit(1)).as("n_files"))
+      val files = live.select(col("rel")).as[String].collect()
+        .toSeq.sorted.map(r => s"$dest/$r")
+      val census = s.read.option("basePath", dest).schema(mountSchema)
+        .parquet(files: _*)
+        .groupBy(date_format(col("p_date"), "yyyy-MM-dd").as("month"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sum"),
+          sum(col("o_flag")).as("flag_sum"))
+      census.join(logFiles, Seq("month"), "full")
+        .select(col("month"), col("n_rows"), col("key_sum"),
+          col("flag_sum"), col("n_files"),
+          lit(nMeta).as("n_meta"), lit(nCommits).as("n_commits"))
+        .orderBy(ascf("month"))
+    },
+    Some(s"""SELECT strftime(CAST(p_date AS DATE), '%Y-%m-%d') AS month,
+            |  CAST(count(*) AS BIGINT) AS n_rows,
+            |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+            |  CAST(sum(o_flag) AS BIGINT) AS flag_sum,
+            |  CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
+            |  CAST(2 AS BIGINT) AS n_meta,
+            |  CAST(2 AS BIGINT) AS n_commits
+            |FROM read_parquet('${evoDest(oracleSfDir)}/p_date=*/*.parquet',
+            |    hive_partitioning = true, filename = true)
+            |GROUP BY 1 ORDER BY month ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] = Seq(lakeMerge, joinBucketed, lakeScd2, lakeZorder,
     lakeTimetravel, lakeCdc, lakeVacuum, lakeCompact, lakeScd2Read,
     lakeClone, lakeBloomIndex, lakeZonemap, lakeMorDeletes,
     lakePartitionEvolution, lakeExport, lakeImport, lakeDeltaLog,
-    lakeDeltaLogV2, lakeDeltaCheckpoint)
+    lakeDeltaLogV2, lakeDeltaCheckpoint, lakeDeltaSchemaEvolution)
 }

@@ -423,9 +423,33 @@ object Lake {
         val prevLive = replayDeltaLive(prevCommits)
         val addRels = newRels.toSet -- prevLive
         val removeRels = prevLive -- newRels.toSet
-        if (addRels.nonEmpty || removeRels.nonEmpty)
+        // schema evolution: the chain's effective schema is the LAST
+        // metaData action in log order; when this export's schema
+        // differs, the protocol requires the new commit to carry an
+        // updated metaData action (same table id, new schemaString) —
+        // and the commit must be written even if the file set did not
+        // change, or the evolution would be silently dropped.
+        val metaLines = prevCommits.flatMap { case (_, f) =>
+          new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+            .split('\n').filter(_.contains("\"metaData\":")).toSeq
+        }
+        val prevSchema = metaLines.lastOption
+          .flatMap(extractJsonString(_, "schemaString"))
+        val metaAction =
+          if (prevSchema.contains(sj)) None
+          else {
+            val tableId = metaLines.headOption
+              .flatMap(extractJsonString(_, "id"))
+              .getOrElse(java.util.UUID.nameUUIDFromBytes(
+                newRels.sorted.mkString("\n").getBytes("UTF-8")).toString)
+            val partCols = newRels.sorted.headOption
+              .map(hivePartPairs(_).map(_._1)).getOrElse(Seq.empty)
+            Some(deltaMetaLine(tableId, sj, partCols,
+              System.currentTimeMillis()))
+          }
+        if (addRels.nonEmpty || removeRels.nonEmpty || metaAction.nonEmpty)
           writeDeltaCommit(staged, lastV + 1L,
-            addRels.toSeq.sorted, removeRels.toSeq.sorted)
+            addRels.toSeq.sorted, removeRels.toSeq.sorted, metaAction)
       }
     }
     AtomicDir.publish(staged, dest)
@@ -523,11 +547,16 @@ object Lake {
     val commits = deltaCommitFiles(logDir)
     require(commits.nonEmpty, s"no Delta commits under $destDir")
     val v = commits.last._1
-    val c0 = new String(
-      java.nio.file.Files.readAllBytes(commits.head._2.toPath), "UTF-8")
-      .split('\n').toSeq
-    val header = c0.filter(l =>
-      l.contains("\"protocol\"") || l.contains("\"metaData\""))
+    // protocol from commit 0; metaData is the LATEST across the chain
+    // (a schema-evolution commit supersedes commit 0's metaData, and a
+    // checkpoint that replayed the stale one would mount the old schema)
+    val allLines = commits.map { case (_, f) =>
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .split('\n').toSeq
+    }
+    val header =
+      allLines.head.filter(_.contains("\"protocol\"")).take(1) ++
+        allLines.flatMap(_.filter(_.contains("\"metaData\""))).lastOption
     val lines = header ++ replayDeltaAddLines(commits).values.toSeq.sorted
     val df = spark.read.json(
       spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
@@ -557,7 +586,8 @@ object Lake {
     * never changes them (same table, same schema).
     */
   private def writeDeltaCommit(stagedRoot: java.io.File, v: Long,
-      addRels: Seq[String], removeRels: Seq[String]): Unit = {
+      addRels: Seq[String], removeRels: Seq[String],
+      metaAction: Option[String] = None): Unit = {
     val now = System.currentTimeMillis()
     val removes = removeRels.map { rel =>
       s"""{"remove":{"path":"${escJson(rel)}",""" +
@@ -576,7 +606,8 @@ object Lake {
     logDir.mkdirs()
     java.nio.file.Files.write(
       new java.io.File(logDir, f"$v%020d.json").toPath,
-      (removes ++ adds).mkString("", "\n", "\n").getBytes("UTF-8"))
+      (metaAction.toSeq ++ removes ++ adds).mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
     ()
   }
 
@@ -604,6 +635,20 @@ object Lake {
     * the Hive `k=v` path segments. Everything here is from the PUBLIC
     * Delta transaction-log protocol spec (PROTOCOL.md).
     */
+  /** One Delta `metaData` action line — shared by commit 0 and any
+    * later schema-evolution commit (the protocol carries schema
+    * changes as a NEW metaData action in the changing commit; readers
+    * take the latest one in log order).
+    */
+  private def deltaMetaLine(tableId: String, schemaJson: String,
+      partCols: Seq[String], createdTime: Long): String =
+    s"""{"metaData":{"id":"${escJson(tableId)}",""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":"${escJson(schemaJson)}",""" +
+      partCols.map(c => s""""${escJson(c)}"""")
+        .mkString(""""partitionColumns":[""", ",", "],") +
+      s""""configuration":{},"createdTime":$createdTime}}"""
+
   private def writeDeltaLog(stagedRoot: java.io.File, relPaths: Seq[String],
       schemaJson: String): Unit = {
     def esc(s: String): String = escJson(s)
@@ -616,12 +661,7 @@ object Lake {
     val tableId = java.util.UUID.nameUUIDFromBytes(
       relPaths.sorted.mkString("\n").getBytes("UTF-8")).toString
     val protocol = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-    val metaData =
-      s"""{"metaData":{"id":"$tableId",""" +
-        s""""format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":"${esc(schemaJson)}",""" +
-        partCols.map(c => s""""$c"""").mkString(""""partitionColumns":[""", ",", "],") +
-        s""""configuration":{},"createdTime":$now}}"""
+    val metaData = deltaMetaLine(tableId, schemaJson, partCols, now)
     val adds = relPaths.sorted.map { rel =>
       val f = new java.io.File(stagedRoot, rel)
       val pv = partPairs(rel)

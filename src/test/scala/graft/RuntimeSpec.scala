@@ -785,6 +785,56 @@ class RuntimeSpec extends SparkSpec {
       "re-export of an identical snapshot must not append a commit")
   }
 
+  test("schema evolution appends ONE new metaData action; checkpoint " +
+    "carries the latest schema") {
+    // round 11 (cont.): the Delta protocol represents a schema change
+    // as a new metaData action in the changing commit; readers take
+    // the latest in log order. Export v1 (schema A) then v2 (schema B
+    // = A plus a backfilled column): commit 1 must carry exactly one
+    // metaData action with the SAME table id and the NEW column; a
+    // re-export of v2 must append nothing; and a checkpoint written
+    // after the evolution must carry schema B, not commit 0's A.
+    val dir = Files.createTempDirectory("graft_evo").toString + "/lake"
+    val dest = Files.createTempDirectory("graft_evo_dst").toString + "/out"
+    val ev = Tables.events(spark, sfDir).limit(200)
+    Lake.versionedWrite(ev, "ts", dir)
+    Lake.versionedWrite(ev.withColumn("flag", lit(7L)), "ts", dir)
+    def schemaOf(v: Long) = Lake.versionedReadAt(spark, dir, v).schema.json
+    assert(!schemaOf(1L).contains("flag") && schemaOf(2L).contains("flag"))
+    Lake.exportVersion(dir, dest, Some(1L), Some(schemaOf(1L)))
+    Lake.exportVersion(dir, dest, Some(2L), Some(schemaOf(2L)))
+    def actions(name: String): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dest, s"_delta_log/$name").toPath), "UTF-8")
+        .linesIterator.filter(_.nonEmpty).toSeq
+    val l0 = actions("00000000000000000000.json")
+    val l1 = actions("00000000000000000001.json")
+    val metas1 = l1.filter(_.contains("\"metaData\""))
+    assert(metas1.size == 1, "evolution commit carries exactly one metaData")
+    assert(metas1.head.contains("flag"),
+      "the new metaData must carry the evolved schema")
+    assert(!l1.exists(_.contains("\"protocol\"")),
+      "protocol is never repeated")
+    def idOf(line: String): String =
+      """"id":"([^"]+)"""".r.findFirstMatchIn(line).get.group(1)
+    assert(idOf(metas1.head) ==
+      idOf(l0.find(_.contains("\"metaData\"")).get),
+      "table identity survives the schema change")
+    // idempotent: same version + same schema appends nothing
+    Lake.exportVersion(dir, dest, Some(2L), Some(schemaOf(2L)))
+    assert(!new java.io.File(dest,
+      "_delta_log/00000000000000000002.json").isFile,
+      "re-export after evolution must not append a commit")
+    // a checkpoint must snapshot the LATEST metaData, not commit 0's
+    val ckptV = Lake.writeDeltaCheckpoint(spark, dest)
+    val ckpt = spark.read.parquet(
+      f"$dest/_delta_log/$ckptV%020d.checkpoint.parquet")
+    val ckptMeta = ckpt.filter(col("metaData.id").isNotNull)
+      .select(col("metaData.schemaString")).collect()
+    assert(ckptMeta.length == 1 && ckptMeta(0).getString(0).contains("flag"),
+      "checkpoint must carry the evolved schema")
+  }
+
   test("Delta checkpoint carries the full state; checkpoint + trailing = disk") {
     // round 11: the O(1)-mount entry point. After exports v1, v2, a
     // checkpoint at commit 1, then v3 (commit 2), _last_checkpoint must
