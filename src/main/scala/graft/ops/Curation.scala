@@ -1287,8 +1287,10 @@ object Curation {
     * q_agg_skyline reduce-then-rank layout; a fleet range-partitions
     * the prefix sum).
     *
-    * Determinism (D1/D2): all int64 (c·n ≤ 3e7 at sf0.1, ×1e6 < 2⁵³);
-    * argmax order (gap DESC, cents ASC) is total.
+    * Determinism (D1/D2): the gap algebra (c·n products, n1·n2) runs
+    * in DECIMAL(38,0)/HUGEINT — bare int64 crosses 2⁶³ near 3e9 rows,
+    * far below corpus scale; ks_num pins to DOUBLE (D9), ks_e6 is an
+    * exact BIGINT ≤ 1e6; argmax order (gap DESC, cents ASC) is total.
     */
   private val profileKs = QueryDef(
     "q_profile_ks",
@@ -1307,12 +1309,22 @@ object Curation {
         .withColumn("c1", sum(col("a")).over(w))
         .withColumn("c2", sum(col("b")).over(w))
         .join(broadcast(tot))
+        // c·n products and n1·n2 cross int64 near 3e9 rows — the whole
+        // gap algebra (argmax comparison included) stages through
+        // DECIMAL(38,0); ks_num pins to DOUBLE (D9 — both engines
+        // round the same exact decimal) so the output stays gradeable
+        // and scale-safe, while ks_e6 stays an exact BIGINT ≤ 1e6
         .select(col("cents"), col("n1"), col("n2"),
-          abs(col("c1") * col("n2") - col("c2") * col("n1")).as("gap"))
+          abs(col("c1").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              * col("n2")
+            - col("c2").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              * col("n1")).as("gap"))
         .orderBy(descl("gap"), ascf("cents"))
         .limit(1)
-        .select(col("n1"), col("n2"), col("gap").as("ks_num"),
-          expr("(gap * 1000000) div (n1 * n2)").as("ks_e6"),
+        .select(col("n1"), col("n2"),
+          col("gap").cast("double").as("ks_num"),
+          expr("cast(gap * 1000000 div (cast(n1 as decimal(38,0)) * n2)" +
+            " as bigint)").as("ks_e6"),
           col("cents").as("ks_at_cents"))
         .orderBy(ascf("n1"))
     },
@@ -1333,12 +1345,14 @@ object Curation {
            |t AS (SELECT CAST(sum(g1) AS BIGINT) AS n1,
            |    CAST(sum(1 - g1) AS BIGINT) AS n2 FROM base),
            |g AS (SELECT cents, t.n1, t.n2,
-           |    abs(c1 * t.n2 - c2 * t.n1) AS gap
+           |    abs(CAST(c1 AS HUGEINT) * t.n2
+           |      - CAST(c2 AS HUGEINT) * t.n1) AS gap
            |  FROM cum CROSS JOIN t
            |  ORDER BY gap DESC NULLS LAST, cents ASC NULLS FIRST
            |  LIMIT 1)
-           |SELECT n1, n2, gap AS ks_num,
-           |  CAST((gap * 1000000) // (n1 * n2) AS BIGINT) AS ks_e6,
+           |SELECT n1, n2, CAST(gap AS DOUBLE) AS ks_num,
+           |  CAST((gap * 1000000) // (CAST(n1 AS HUGEINT) * n2)
+           |    AS BIGINT) AS ks_e6,
            |  cents AS ks_at_cents
            |FROM g
            |ORDER BY n1 ASC NULLS FIRST""".stripMargin))

@@ -808,7 +808,11 @@ object Graph {
           .withColumnRenamed("np", "np2"), "p2")
         .crossJoin(broadcast(n))
         .select(col("p1"), col("p2"), col("n_pair"),
-          expr("(n_pair * n_orders * 1000000L) div (np1 * np2)")
+          // the triple product n_pair·n_orders·1e6 crosses int64 once
+          // n_pair·n_orders > 9.2e12 (corpus-scale order counts) —
+          // stage both sides of the division through DECIMAL(38,0)
+          expr("cast(cast(n_pair as decimal(38,0)) * n_orders * 1000000 " +
+            "div (cast(np1 as decimal(38,0)) * np2) as bigint)")
             .as("lift_e6"))
         .orderBy(descl("n_pair"), ascf("p1"), ascf("p2"))
         .limit(20)
@@ -824,7 +828,8 @@ object Graph {
            |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
            |  GROUP BY 1, 2)
            |SELECT p1, p2, n_pair,
-           |  CAST((n_pair * n_orders * 1000000) // (f1.np * f2.np)
+           |  CAST((CAST(n_pair AS HUGEINT) * n_orders * 1000000)
+           |    // (CAST(f1.np AS HUGEINT) * f2.np)
            |    AS BIGINT) AS lift_e6
            |FROM pairs
            |  JOIN freq f1 ON pairs.p1 = f1.p
@@ -1692,13 +1697,20 @@ object Graph {
         .select(col("r_name"), col("n_nations"), col("deg_sum"),
           coalesce(col("e_within"), lit(0L)).as("e_within"))
         .crossJoin(broadcast(m))
+        // 4·m·e_within, deg_sum² and 4·m² all cross int64 once the
+        // graph holds ~1.5e9 edges — the whole t_c algebra stages
+        // through DECIMAL(38,0); div truncates toward zero identically
+        // on both engines for the (possibly negative) numerator
         .withColumn("t_c",
-          lit(4L) * col("m") * col("e_within")
-            - col("deg_sum") * col("deg_sum"))
+          expr("cast(m as decimal(38,0)) * 4 * e_within" +
+            " - cast(deg_sum as decimal(38,0)) * deg_sum"))
         .select(col("r_name"), col("n_nations"), col("deg_sum"),
           col("e_within"),
-          expr("(t_c * 1000000) div (4 * m * m)").as("contrib_e6"),
-          expr("(sum(t_c) over () * 1000000) div (4 * m * m)").as("q_e6"))
+          expr("cast(t_c * 1000000 div (cast(m as decimal(38,0)) * m * 4)" +
+            " as bigint)").as("contrib_e6"),
+          expr("cast(sum(t_c) over () * 1000000" +
+            " div (cast(m as decimal(38,0)) * m * 4) as bigint)")
+            .as("q_e6"))
         .orderBy(ascf("r_name"))
     },
     Some(s"""WITH $UndSql,
@@ -1723,12 +1735,15 @@ object Graph {
            |base AS (SELECT dcs.r_name, dcs.n_nations, dcs.deg_sum,
            |    CAST(coalesce(ein.e_within, 0) AS BIGINT) AS e_within,
            |    m.m,
-           |    4 * m.m * CAST(coalesce(ein.e_within, 0) AS BIGINT)
-           |      - dcs.deg_sum * dcs.deg_sum AS t_c
+           |    4 * CAST(m.m AS HUGEINT)
+           |        * CAST(coalesce(ein.e_within, 0) AS BIGINT)
+           |      - CAST(dcs.deg_sum AS HUGEINT) * dcs.deg_sum AS t_c
            |  FROM dcs LEFT JOIN ein ON dcs.r_name = ein.ra CROSS JOIN m)
            |SELECT r_name, n_nations, deg_sum, e_within,
-           |  CAST((t_c * 1000000) // (4 * m * m) AS BIGINT) AS contrib_e6,
-           |  CAST((sum(t_c) OVER () * 1000000) // (4 * m * m) AS BIGINT)
+           |  CAST((t_c * 1000000) // (4 * CAST(m AS HUGEINT) * m)
+           |    AS BIGINT) AS contrib_e6,
+           |  CAST((sum(t_c) OVER () * 1000000)
+           |      // (4 * CAST(m AS HUGEINT) * m) AS BIGINT)
            |    AS q_e6
            |FROM base ORDER BY r_name ASC NULLS FIRST""".stripMargin))
 

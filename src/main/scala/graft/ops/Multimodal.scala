@@ -1012,8 +1012,10 @@ object Multimodal {
           sum(col("n_runs")).as("runs_total"),
           sum(col("comp_bytes")).as("comp_total"),
           sum(col("decoded_checksum")).as("pixels_checksum"))
-        .withColumn("ratio_e6",
-          expr("(orig_total * 1000000) div comp_total"))
+        // byte totals are corpus-scale at 100 TB binary — stage the e6
+        .withColumn("ratio_e6", expr(
+          "cast(cast(orig_total as decimal(38,0)) * 1000000 " +
+            "div comp_total as bigint)"))
         .orderBy(ascf("width"))
     },
     Some("""WITH d0 AS (SELECT doc_id, text,
@@ -1035,7 +1037,8 @@ object Multimodal {
            |  CAST(sum(n_runs) AS BIGINT) AS runs_total,
            |  CAST(sum(8 + 5 * n_runs) AS BIGINT) AS comp_total,
            |  CAST(sum(ck) AS BIGINT) AS pixels_checksum,
-           |  CAST((sum(orig_bytes) * 1000000) // sum(8 + 5 * n_runs)
+           |  CAST((CAST(sum(orig_bytes) AS HUGEINT) * 1000000)
+           |    // sum(8 + 5 * n_runs)
            |    AS BIGINT) AS ratio_e6
            |FROM f GROUP BY width ORDER BY width ASC NULLS FIRST""".stripMargin))
 
@@ -1078,8 +1081,10 @@ object Multimodal {
           sum(col("coded_bytes")).as("coded_total"),
           sum(col("sample_checksum")).as("samples_checksum"))
         .withColumn("raw_total", col("total_samples") * 2L)
-        .withColumn("ratio_e6",
-          expr("(raw_total * 1000000) div coded_total"))
+        // sample totals are corpus-scale at 100 TB audio — stage the e6
+        .withColumn("ratio_e6", expr(
+          "cast(cast(raw_total as decimal(38,0)) * 1000000 " +
+            "div coded_total as bigint)"))
         .select(col("sample_rate"), col("n_clips"), col("total_samples"),
           col("raw_total"), col("coded_total"), col("ratio_e6"),
           col("samples_checksum"))
@@ -1125,7 +1130,8 @@ object Multimodal {
            |  CAST(sum(n) AS BIGINT) AS total_samples,
            |  CAST(sum(n) * 2 AS BIGINT) AS raw_total,
            |  CAST(sum(coded) AS BIGINT) AS coded_total,
-           |  CAST((sum(n) * 2 * 1000000) // sum(coded) AS BIGINT)
+           |  CAST((CAST(sum(n) AS HUGEINT) * 2 * 1000000) // sum(coded)
+           |    AS BIGINT)
            |    AS ratio_e6,
            |  CAST(sum(ck) AS BIGINT) AS samples_checksum
            |FROM f GROUP BY sample_rate

@@ -1423,7 +1423,9 @@ object Pipeline {
         .select(col("lang"), col("n_spans"), col("n_dup_spans"),
           col("n_dup_grams"),
           coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"),
-          expr("n_dup_spans * 1000000 div n_spans").as("dup_ratio_e6"))
+          // spans are token-grain corpus counts — stage the e6 product
+          expr("cast(cast(n_dup_spans as decimal(38,0)) * 1000000 " +
+            "div n_spans as bigint)").as("dup_ratio_e6"))
         .orderBy(ascf("lang"))
     },
     Some("""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts
@@ -1448,7 +1450,8 @@ object Pipeline {
            |SELECT cen.lang AS lang, n_spans, n_dup_spans, n_dup_grams,
            |  CAST(coalesce(aff.n_docs_affected, 0) AS BIGINT)
            |    AS n_docs_affected,
-           |  n_dup_spans * 1000000 // n_spans AS dup_ratio_e6
+           |  CAST(CAST(n_dup_spans AS HUGEINT) * 1000000 // n_spans
+           |    AS BIGINT) AS dup_ratio_e6
            |FROM cen LEFT JOIN aff ON cen.lang = aff.lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 

@@ -548,7 +548,11 @@ object Text {
         .agg(sum(col("f")).as("n_tokens"),
           count(lit(1)).as("vocab"),
           sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_hapax"))
-        .withColumn("ttr_e6", expr("(vocab * 1000000) div n_tokens"))
+        // DECIMAL staging: vocab is corpus-bounded (degenerately up to
+        // n_tokens), so the e6 product must not ride int64 (ADVICE r10
+        // class — wraps on Spark, errors on DuckDB past ~9.2e12)
+        .withColumn("ttr_e6", expr(
+          "cast(cast(vocab as decimal(38,0)) * 1000000 div n_tokens as bigint)"))
         .orderBy(ascf("lang"))
     },
     Some("""WITH f AS (SELECT lang, w, count(*) AS f
@@ -558,7 +562,8 @@ object Text {
            |SELECT lang, CAST(sum(f) AS BIGINT) AS n_tokens,
            |  count(*) AS vocab,
            |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-           |  CAST((count(*) * 1000000) // sum(f) AS BIGINT) AS ttr_e6
+           |  CAST((CAST(count(*) AS HUGEINT) * 1000000) // sum(f)
+           |    AS BIGINT) AS ttr_e6
            |FROM f GROUP BY lang
            |ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
@@ -1272,7 +1277,10 @@ object Text {
           sum(col("n_chars")).as("n_chars"),
           sum(col("n_bpe")).as("n_bpe_tokens"),
           max(col("n_bpe")).as("max_doc_bpe"),
-          expr("(sum(n_chars) * 1000000) div sum(n_bpe)").as("compress_e6"))
+          // char sums are token-grain corpus totals (~2e13 at 100 TB
+          // per lang) — stage the e6 product through DECIMAL(38,0)
+          expr("cast(cast(sum(n_chars) as decimal(38,0)) * 1000000 " +
+            "div sum(n_bpe) as bigint)").as("compress_e6"))
         .orderBy(ascf("lang"))
     },
     Some {
@@ -1316,7 +1324,8 @@ object Text {
          |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
          |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
          |  max(n_bpe) AS max_doc_bpe,
-         |  CAST((sum(n_chars) * 1000000) // sum(n_bpe) AS BIGINT)
+         |  CAST((CAST(sum(n_chars) AS HUGEINT) * 1000000) // sum(n_bpe)
+         |    AS BIGINT)
          |    AS compress_e6
          |FROM pd GROUP BY lang
          |ORDER BY lang ASC NULLS FIRST""".stripMargin
@@ -2026,7 +2035,9 @@ object Text {
           expr("""cast(cast(n_tokens as decimal(38,0)) * (n_tokens - 1)
                  |  * 1000000 div cast(sum_nn1 as decimal(38,0))
                  |  as bigint)""".stripMargin).as("inv_simpson_e6"),
-          expr("(max_f * 1000000) div n_tokens").as("berger_e6"))
+          // max_f is corpus-bounded (degenerately n_tokens) — stage
+          expr("cast(cast(max_f as decimal(38,0)) * 1000000 " +
+            "div n_tokens as bigint)").as("berger_e6"))
         .orderBy(ascf("lang"))
     },
     Some("""WITH f AS (SELECT lang, w, count(*) AS f
@@ -2044,7 +2055,8 @@ object Text {
            |    AS BIGINT) AS simpson_e6,
            |  CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1) * 1000000
            |    // CAST(sum_nn1 AS HUGEINT) AS BIGINT) AS inv_simpson_e6,
-           |  CAST((max_f * 1000000) // n_tokens AS BIGINT) AS berger_e6
+           |  CAST((CAST(max_f AS HUGEINT) * 1000000) // n_tokens
+           |    AS BIGINT) AS berger_e6
            |FROM m ORDER BY lang ASC NULLS FIRST""".stripMargin))
 
   /** Word burstiness census (round 7): Church–Gale burstiness — mean
@@ -2074,7 +2086,10 @@ object Text {
       val wf = perDoc.groupBy(col("lang"), col("w"))
         .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"))
         .filter(col("df") >= 5)
-        .withColumn("burst_e6", expr("(cf * 1000000) div df"))
+        // a stopword's corpus frequency reaches ~1e12 at 100 TB — the
+        // bare e6 product has single-digit headroom; stage it
+        .withColumn("burst_e6", expr(
+          "cast(cast(cf as decimal(38,0)) * 1000000 div df as bigint)"))
       val win = Window.partitionBy(col("lang"))
         .orderBy(descl("burst_e6"), ascf("w"))
       wf.withColumn("rk", row_number().over(win))
@@ -2093,7 +2108,8 @@ object Text {
            |  FROM pd GROUP BY 1, 2
            |  HAVING count(*) >= 5),
            |r AS (SELECT lang, w, cf, df,
-           |    CAST((cf * 1000000) // df AS BIGINT) AS burst_e6
+           |    CAST((CAST(cf AS HUGEINT) * 1000000) // df AS BIGINT)
+           |      AS burst_e6
            |  FROM wf),
            |t AS (SELECT *, row_number() OVER (PARTITION BY lang
            |    ORDER BY burst_e6 DESC, w ASC) AS rk FROM r)
@@ -2235,9 +2251,13 @@ object Text {
           min(when(col("cum") * 10 >= col("tt") * 9, col("rnk")))
             .as("k90"))
         .select(col("lang"), col("tt").as("n_tokens"), col("n_vocab"),
-          expr("(c5 * 1000000) div tt").as("cov5_e6"),
-          expr("(c10 * 1000000) div tt").as("cov10_e6"),
-          expr("(c20 * 1000000) div tt").as("cov20_e6"),
+          // c5/c10/c20 are corpus token totals — stage the e6 products
+          expr("cast(cast(c5 as decimal(38,0)) * 1000000 div tt as bigint)")
+            .as("cov5_e6"),
+          expr("cast(cast(c10 as decimal(38,0)) * 1000000 div tt as bigint)")
+            .as("cov10_e6"),
+          expr("cast(cast(c20 as decimal(38,0)) * 1000000 div tt as bigint)")
+            .as("cov20_e6"),
           col("k90"))
         .orderBy(ascf("lang"))
     },
@@ -2257,11 +2277,14 @@ object Text {
            |  FROM cnts GROUP BY lang)
            |SELECT lang, tt AS n_tokens,
            |  CAST(count(*) AS BIGINT) AS n_vocab,
-           |  CAST((sum(CASE WHEN rnk <= 5 THEN cnt ELSE 0 END) * 1000000)
+           |  CAST((CAST(sum(CASE WHEN rnk <= 5 THEN cnt ELSE 0 END)
+           |      AS HUGEINT) * 1000000)
            |    // tt AS BIGINT) AS cov5_e6,
-           |  CAST((sum(CASE WHEN rnk <= 10 THEN cnt ELSE 0 END) * 1000000)
+           |  CAST((CAST(sum(CASE WHEN rnk <= 10 THEN cnt ELSE 0 END)
+           |      AS HUGEINT) * 1000000)
            |    // tt AS BIGINT) AS cov10_e6,
-           |  CAST((sum(CASE WHEN rnk <= 20 THEN cnt ELSE 0 END) * 1000000)
+           |  CAST((CAST(sum(CASE WHEN rnk <= 20 THEN cnt ELSE 0 END)
+           |      AS HUGEINT) * 1000000)
            |    // tt AS BIGINT) AS cov20_e6,
            |  CAST(min(CASE WHEN cum * 10 >= tt * 9 THEN rnk END) AS BIGINT)
            |    AS k90
@@ -2396,9 +2419,12 @@ object Text {
           sum(col("rlen")).as("ref_tokens"),
           sum(when(col("t1") < col("rlen"), 1L).otherwise(0L))
             .as("n_brevity"))
-        .withColumn("p1_e6", expr("match_1 * 1000000 div total_1"))
+        // corpus-level clipped matches are token-grain sums — stage
+        .withColumn("p1_e6", expr(
+          "cast(cast(match_1 as decimal(38,0)) * 1000000 div total_1 as bigint)"))
         .withColumn("p2_e6", expr(
-          "CASE WHEN total_2 = 0 THEN 0 ELSE match_2 * 1000000 div total_2 END"))
+          "CASE WHEN total_2 = 0 THEN 0 ELSE cast(cast(match_2 as " +
+            "decimal(38,0)) * 1000000 div total_2 as bigint) END"))
         .select(col("lang"), col("n_pairs"), col("match_1"),
           col("total_1"), col("p1_e6"), col("match_2"), col("total_2"),
           col("p2_e6"), col("ref_tokens"), col("n_brevity"))
@@ -2438,11 +2464,13 @@ object Text {
            |SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs,
            |  CAST(sum(m1) AS BIGINT) AS match_1,
            |  CAST(sum(t1) AS BIGINT) AS total_1,
-           |  CAST(sum(m1) * 1000000 // sum(t1) AS BIGINT) AS p1_e6,
+           |  CAST(CAST(sum(m1) AS HUGEINT) * 1000000 // sum(t1)
+           |    AS BIGINT) AS p1_e6,
            |  CAST(sum(m2) AS BIGINT) AS match_2,
            |  CAST(sum(t2) AS BIGINT) AS total_2,
            |  CAST(CASE WHEN sum(t2) = 0 THEN 0
-           |    ELSE sum(m2) * 1000000 // sum(t2) END AS BIGINT) AS p2_e6,
+           |    ELSE CAST(sum(m2) AS HUGEINT) * 1000000 // sum(t2) END
+           |    AS BIGINT) AS p2_e6,
            |  CAST(sum(rlen) AS BIGINT) AS ref_tokens,
            |  CAST(sum(CASE WHEN t1 < rlen THEN 1 ELSE 0 END) AS BIGINT)
            |    AS n_brevity

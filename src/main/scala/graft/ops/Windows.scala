@@ -860,7 +860,10 @@ object Windows {
       val dd = days
         .withColumn("peak", max(col("rev")).over(w))
         .withColumn("dd", col("peak") - col("rev"))
-        .withColumn("ddr_e6", expr("(dd * 1000000) div peak"))
+        // dd rides daily revenue cents (~4e12/nation-day at 100 TB) —
+        // the bare e6 product has ~2x headroom; stage it
+        .withColumn("ddr_e6", expr(
+          "cast(cast(dd as decimal(38,0)) * 1000000 div peak as bigint)"))
       val nat = broadcast(Tables.nation(s, d)
         .select(col("n_nationkey"), col("n_name")))
       dd.groupBy(col("nk")).agg(
@@ -888,7 +891,8 @@ object Windows {
            |    CAST(count(*) AS BIGINT) AS n_days,
            |    CAST(max(rev) AS BIGINT) AS peak_cents,
            |    CAST(max(peak - rev) AS BIGINT) AS max_dd_cents,
-           |    CAST(max(((peak - rev) * 1000000) // peak) AS BIGINT)
+           |    CAST(max((CAST(peak - rev AS HUGEINT) * 1000000) // peak)
+           |      AS BIGINT)
            |      AS max_ddr_e6,
            |    CAST(sum(CASE WHEN peak > rev THEN 1 ELSE 0 END) AS BIGINT)
            |      AS n_underwater
@@ -1058,8 +1062,11 @@ object Windows {
           max(col("wait")).as("max_wait_s"),
           sum(when(col("wait") > 0, 1L).otherwise(0L)).as("n_delayed"),
           sum(col("svc")).as("total_svc_s"))
-        .withColumn("avg_wait_e6",
-          expr("total_wait_s * 1000000 div n_jobs"))
+        // corpus-summed wait seconds per type cross the e6 cliff well
+        // below 100 TB — stage the numerator
+        .withColumn("avg_wait_e6", expr(
+          "cast(cast(total_wait_s as decimal(38,0)) * 1000000 " +
+            "div n_jobs as bigint)"))
         .orderBy(ascf("event_type"))
     },
     Some("""WITH e AS (SELECT event_type,
@@ -1089,7 +1096,8 @@ object Windows {
            |  CAST(sum(CASE WHEN wait > 0 THEN 1 ELSE 0 END) AS BIGINT)
            |    AS n_delayed,
            |  CAST(sum(svc) AS BIGINT) AS total_svc_s,
-           |  CAST(sum(wait) * 1000000 // count(*) AS BIGINT) AS avg_wait_e6
+           |  CAST(CAST(sum(wait) AS HUGEINT) * 1000000 // count(*)
+           |    AS BIGINT) AS avg_wait_e6
            |FROM wt GROUP BY event_type
            |ORDER BY event_type ASC NULLS FIRST""".stripMargin))
 
