@@ -807,6 +807,10 @@ object Graph {
         .join(freq.withColumnRenamed("p", "p2")
           .withColumnRenamed("np", "np2"), "p2")
         .crossJoin(broadcast(n))
+        // top-20 cut FIRST: the order is (n_pair, p1, p2) only, so the
+        // lift arithmetic runs on 20 rows, not every co-purchased pair
+        .orderBy(descl("n_pair"), ascf("p1"), ascf("p2"))
+        .limit(20)
         .select(col("p1"), col("p2"), col("n_pair"),
           // the triple product n_pair·n_orders·1e6 crosses int64 once
           // n_pair·n_orders > 9.2e12 (corpus-scale order counts) —
@@ -815,7 +819,6 @@ object Graph {
             "div (cast(np1 as decimal(38,0)) * np2) as bigint)")
             .as("lift_e6"))
         .orderBy(descl("n_pair"), ascf("p1"), ascf("p2"))
-        .limit(20)
     },
     Some("""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
            |  FROM lineitem),
@@ -826,18 +829,23 @@ object Graph {
            |pairs AS (SELECT a.p AS p1, b.p AS p2,
            |    CAST(count(*) AS BIGINT) AS n_pair
            |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
-           |  GROUP BY 1, 2)
+           |  GROUP BY 1, 2),
+           |sel AS (SELECT p1, p2, n_pair, f1.np AS np1, f2.np AS np2,
+           |    n_orders
+           |  FROM pairs
+           |    JOIN freq f1 ON pairs.p1 = f1.p
+           |    JOIN freq f2 ON pairs.p2 = f2.p
+           |    CROSS JOIN n
+           |  ORDER BY n_pair DESC NULLS LAST, p1 ASC NULLS FIRST,
+           |    p2 ASC NULLS FIRST
+           |  LIMIT 20)
            |SELECT p1, p2, n_pair,
            |  CAST((CAST(n_pair AS HUGEINT) * n_orders * 1000000)
-           |    // (CAST(f1.np AS HUGEINT) * f2.np)
+           |    // (CAST(np1 AS HUGEINT) * np2)
            |    AS BIGINT) AS lift_e6
-           |FROM pairs
-           |  JOIN freq f1 ON pairs.p1 = f1.p
-           |  JOIN freq f2 ON pairs.p2 = f2.p
-           |  CROSS JOIN n
+           |FROM sel
            |ORDER BY n_pair DESC NULLS LAST, p1 ASC NULLS FIRST,
-           |  p2 ASC NULLS FIRST
-           |LIMIT 20""".stripMargin))
+           |  p2 ASC NULLS FIRST""".stripMargin))
 
   /** Adamic–Adar link prediction (round 7): the common-neighbor score
     * that DISCOUNTS popular intermediaries — each shared neighbor z
