@@ -1857,6 +1857,62 @@ object Curation {
     * counts; per-row weighted tokens floor independently on both
     * engines in the same order.
     */
+  /** Curriculum staging (round 11): order the corpus by a difficulty
+    * score — mean word length in e6 (alpha chars per token, the
+    * q_quality_gopher r2 quantity: longer words ≈ harder text) with
+    * doc_id as the total-order tiebreak — and cut it into 5 equal
+    * curriculum stages. Curriculum learning feeds a model easy→hard;
+    * the cut must be an EXACT global quantile assignment that is
+    * bit-stable across runs and engines or stage boundaries drift
+    * between training jobs. The per-stage census (doc/token volume,
+    * score range, id-checksum) pins exactly WHICH docs land in each
+    * stage, not just how many.
+    *
+    * Scale: the global cut is `Dsl.globalNtile` (range exchange +
+    * broadcast prefix offsets — no single-partition window over the
+    * corpus); the census is a 5-group rollup with partials. The score
+    * is per-doc bounded int64 (chars per doc ≪ 2⁵³/1e6).
+    *
+    * Determinism (D1/D2/D12): integer score; ntile over the total
+    * (score, doc_id) order — exactly DuckDB's `ntile(5)`.
+    */
+  private val mixCurriculum = QueryDef(
+    "q_mix_curriculum",
+    (s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .withColumn("score_e6",
+          expr("((n_chars - (n_toks - 1)) * 1000000) div n_toks"))
+      val staged = graft.Dsl.globalNtile(scored, 5, "stage",
+          Seq(ascf("score_e6"), ascf("doc_id")))
+        .withColumn("stage", col("stage").cast("long"))
+      staged.groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          min(col("score_e6")).as("min_score_e6"),
+          max(col("score_e6")).as("max_score_e6"),
+          sum(col("doc_id")).as("id_checksum"))
+        .orderBy(ascf("stage"))
+    },
+    Some("""WITH sc AS (SELECT doc_id, n_chars,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+           |  FROM documents),
+           |st AS (SELECT doc_id, n_toks,
+           |    ((n_chars - (n_toks - 1)) * 1000000) // n_toks AS score_e6
+           |  FROM sc),
+           |nt AS (SELECT doc_id, n_toks, score_e6,
+           |    CAST(ntile(5) OVER (ORDER BY score_e6 ASC, doc_id ASC)
+           |      AS BIGINT) AS stage
+           |  FROM st)
+           |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           |  CAST(min(score_e6) AS BIGINT) AS min_score_e6,
+           |  CAST(max(score_e6) AS BIGINT) AS max_score_e6,
+           |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+           |FROM nt GROUP BY stage
+           |ORDER BY stage ASC NULLS FIRST""".stripMargin))
+
   private val mixDedupWeight = QueryDef(
     "q_mix_dedup_weight",
     (s, d) => {
@@ -1907,5 +1963,5 @@ object Curation {
     mixUpsample, profileCols, profileSkew, profileDepth, dedupLines, textPii,
     textChunking, profileCorr, profileIqr, profileBenford, profileMad, dedupPriority,
     profileTrimmed, profileKs, profilePsi, erBlocking, mixPlan,
-    mixTokenBudget, mixDedupWeight)
+    mixTokenBudget, mixDedupWeight, mixCurriculum)
 }

@@ -259,6 +259,104 @@ object Privacy {
            |ORDER BY c_nationkey ASC NULLS FIRST,
            |  segment ASC NULLS FIRST""".stripMargin))
 
+  /** Keyed consistent pseudonymization with a referential-integrity
+    * proof: customer keys and order foreign keys are INDEPENDENTLY
+    * mapped through the same keyed hash chain (two mod-prime
+    * xor-shift rounds packed into a 62-bit pseudonym — the q_sketch_kmv
+    * chain with a second lane), the original key is dropped, and the
+    * pseudonymized fact joins the pseudonymized dimension ON THE
+    * PSEUDONYM ONLY. The graded census proves what a GDPR-style
+    * pipeline must prove: the mapping is consistent across tables
+    * (every order matches — an orphan would surface as a NULL-segment
+    * row and break the hash) and injective on the key domain
+    * (n_cust = n_pid per segment; a collision would shrink n_pid and
+    * fan the join out). pid_checksum pins the exact mapping.
+    *
+    * Scale: one shuffle join on the pseudonym (same co-partitioned
+    * shape as the raw-key join — pseudonymization must not change the
+    * join plan, and this proves it doesn't); censuses are partial-agg
+    * rollups. The 62-bit space keeps birthday collisions ~n²/2⁶³ —
+    * ~5e-5 expected at 1e9 customers (and a collision is DETECTED by
+    * the census, not silently absorbed).
+    *
+    * Determinism: pure integer hash both engines mirror exactly.
+    */
+  private val privPseudonym = QueryDef(
+    "q_priv_pseudonym",
+    (s, d) => {
+      val P = 2147483647L
+      def pid(k: String): String = {
+        val g1 = s"((($k % $P) * 15485863 + 101) % $P)"
+        val h1 = s"((($g1 ^ ($g1 div 8192)) * 32452843 + 1009) % $P)"
+        val g2 = s"((($k % $P) * 15485867 + 211) % $P)"
+        val h2 = s"((($g2 ^ ($g2 div 8192)) * 32452867 + 2003) % $P)"
+        s"($h1 * 2147483648L + $h2)"
+      }
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("pid", expr(pid("c_custkey")))
+        .select(col("pid"), col("c_mktsegment"))
+      val fact = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .withColumn("pid", expr(pid("o_custkey")))
+        .select(col("o_orderkey"), col("pid"))
+      val matched = fact.join(dim, Seq("pid"), "left")
+      val custCensus = dim
+        .groupBy(col("c_mktsegment").as("seg2"))
+        .agg(count(lit(1)).as("n_cust"),
+          countDistinct(col("pid")).as("n_pid"),
+          sum(pmod(col("pid"), lit(1000003L))).as("pid_checksum"))
+      matched
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("order_checksum"))
+        .join(custCensus, col("c_mktsegment") === col("seg2"), "full")
+        .select(coalesce(col("c_mktsegment"), col("seg2")).as("segment"),
+          col("n_orders"),
+          col("order_checksum"), col("n_cust"), col("n_pid"),
+          col("pid_checksum"))
+        .orderBy(ascf("segment"))
+    },
+    Some("""WITH dim AS (SELECT c_mktsegment,
+           |    ((xor((((c_custkey % 2147483647) * 15485863 + 101)
+           |          % 2147483647),
+           |        (((c_custkey % 2147483647) * 15485863 + 101)
+           |          % 2147483647) // 8192)
+           |      * 32452843 + 1009) % 2147483647) * 2147483648
+           |    + ((xor((((c_custkey % 2147483647) * 15485867 + 211)
+           |          % 2147483647),
+           |        (((c_custkey % 2147483647) * 15485867 + 211)
+           |          % 2147483647) // 8192)
+           |      * 32452867 + 2003) % 2147483647) AS pid
+           |  FROM customer),
+           |fact AS (SELECT o_orderkey,
+           |    ((xor((((o_custkey % 2147483647) * 15485863 + 101)
+           |          % 2147483647),
+           |        (((o_custkey % 2147483647) * 15485863 + 101)
+           |          % 2147483647) // 8192)
+           |      * 32452843 + 1009) % 2147483647) * 2147483648
+           |    + ((xor((((o_custkey % 2147483647) * 15485867 + 211)
+           |          % 2147483647),
+           |        (((o_custkey % 2147483647) * 15485867 + 211)
+           |          % 2147483647) // 8192)
+           |      * 32452867 + 2003) % 2147483647) AS pid
+           |  FROM orders),
+           |m AS (SELECT fact.o_orderkey, dim.c_mktsegment
+           |  FROM fact LEFT JOIN dim ON fact.pid = dim.pid),
+           |oc AS (SELECT c_mktsegment AS seg1,
+           |    CAST(count(*) AS BIGINT) AS n_orders,
+           |    CAST(sum(o_orderkey) AS BIGINT) AS order_checksum
+           |  FROM m GROUP BY 1),
+           |cc AS (SELECT c_mktsegment AS seg2,
+           |    CAST(count(*) AS BIGINT) AS n_cust,
+           |    CAST(count(DISTINCT pid) AS BIGINT) AS n_pid,
+           |    CAST(sum(pid % 1000003) AS BIGINT) AS pid_checksum
+           |  FROM dim GROUP BY 1)
+           |SELECT coalesce(seg1, seg2) AS segment, n_orders,
+           |  order_checksum, n_cust, n_pid, pid_checksum
+           |FROM oc FULL JOIN cc ON seg1 = seg2
+           |ORDER BY segment ASC NULLS FIRST""".stripMargin))
+
   def defs: Seq[QueryDef] =
-    Seq(privKanon, privLdiv, privClip, privSuppress)
+    Seq(privKanon, privLdiv, privClip, privSuppress, privPseudonym)
 }

@@ -104,6 +104,70 @@ class PrivacySpec extends SparkSpec {
     Caches.releaseScoped(); Caches.releaseShared()
   }
 
+  test("q_priv_pseudonym equals the scalar hash chain; mapping is " +
+    "consistent and injective on the fixture") {
+    val P = 2147483647L
+    def pid(k: Long): Long = {
+      val g1 = ((k % P) * 15485863L + 101L) % P
+      val h1 = ((g1 ^ (g1 / 8192L)) * 32452843L + 1009L) % P
+      val g2 = ((k % P) * 15485867L + 211L) % P
+      val h2 = ((g2 ^ (g2 / 8192L)) * 32452867L + 2003L) % P
+      h1 * 2147483648L + h2
+    }
+    val custPid = customers.map(c => c._1 -> pid(c._1)).toMap
+    // injectivity on the fixture domain
+    assert(custPid.values.toSet.size == custPid.size,
+      "hash chain collided on the fixture key domain")
+    val orders = Tables.orders(spark, sfDir).collect().map { r =>
+      (r.getLong(r.fieldIndex("o_orderkey")),
+        r.getLong(r.fieldIndex("o_custkey")))
+    }.toSeq
+    val segOf = customers.map(c => c._1 -> c._3).toMap
+    val expected = orders.groupBy(o => segOf(o._2)).map { case (seg, os) =>
+      val segCust = customers.filter(_._3 == seg)
+      (seg, os.size.toLong, os.map(_._1).sum,
+        segCust.size.toLong, segCust.size.toLong,
+        segCust.map(c => custPid(c._1) % 1000003L).sum)
+    }.toSet
+    val got = q("q_priv_pseudonym").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == expected,
+      s"pseudonym mismatch: got $got expected $expected")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_mix_curriculum equals a sequential sort-and-cut walk") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val scored = docs.map { case (id, nc, nt) =>
+      (id, nt, (nc - (nt - 1)) * 1000000L / nt)
+    }.sortBy(x => (x._3, x._1))
+    val n = scored.size
+    val q5 = n / 5; val rem = n % 5
+    // ntile: first rem tiles take q5+1 rows
+    val expected = scored.zipWithIndex.map { case ((id, nt, sc), i) =>
+      val stage =
+        if (i < (q5 + 1) * rem) i / (q5 + 1) + 1
+        else rem + (i - (q5 + 1) * rem) / q5 + 1
+      (stage.toLong, id, nt, sc)
+    }.groupBy(_._1).map { case (st, rows) =>
+      (st, rows.size.toLong, rows.map(_._3).sum,
+        rows.map(_._4).min, rows.map(_._4).max, rows.map(_._2).sum)
+    }.toSet
+    val got = q("q_mix_curriculum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == expected,
+      s"curriculum mismatch: got $got expected $expected")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
   test("q_priv_suppress: no small published cell, margins exact, " +
     "no lone suppressed cell") {
     val rows = q("q_priv_suppress").collect()
