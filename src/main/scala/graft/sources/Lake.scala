@@ -435,16 +435,27 @@ object Lake {
         }
         val prevSchema = metaLines.lastOption
           .flatMap(extractJsonString(_, "schemaString"))
+        // partitionColumns are metaData too: a re-layout under an
+        // IDENTICAL schema (month → quarter paths) must also emit a
+        // new metaData action, or readers keep the stale partitioning
+        val newPartCols = newRels.sorted.headOption
+          .map(hivePartPairs(_).map(_._1)).getOrElse(Seq.empty)
+        val prevPartCols = metaLines.lastOption.map { line =>
+          """"partitionColumns":\[([^\]]*)\]""".r
+            .findFirstMatchIn(line)
+            .map(_.group(1).split(',').toSeq.filter(_.nonEmpty)
+              .map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+            .getOrElse(Seq.empty[String])
+        }
         val metaAction =
-          if (prevSchema.contains(sj)) None
+          if (prevSchema.contains(sj) && prevPartCols.contains(newPartCols))
+            None
           else {
             val tableId = metaLines.headOption
               .flatMap(extractJsonString(_, "id"))
               .getOrElse(java.util.UUID.nameUUIDFromBytes(
                 newRels.sorted.mkString("\n").getBytes("UTF-8")).toString)
-            val partCols = newRels.sorted.headOption
-              .map(hivePartPairs(_).map(_._1)).getOrElse(Seq.empty)
-            Some(deltaMetaLine(tableId, sj, partCols,
+            Some(deltaMetaLine(tableId, sj, newPartCols,
               System.currentTimeMillis()))
           }
         if (addRels.nonEmpty || removeRels.nonEmpty || metaAction.nonEmpty)
