@@ -500,6 +500,51 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-11 privacy/curriculum keys plan no corpus-grain global window") {
+    // q_priv_clip's ONE window must stay user_id-partitioned (a bare
+    // window would serialize the whole event stream through one task —
+    // and a contribution cap that needs a global order is the wrong
+    // algorithm); q_mix_curriculum rides Dsl.globalNtile, so its only
+    // empty-partitionSpec windows sit above value-bounded inputs.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case a: AdaptiveSparkPlanExec => bounded(a.executedPlan)
+      case q: QueryStageExec => bounded(q.plan)
+      case r: ReusedExchangeExec => bounded(r.child)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        bounded(m.relation.cachedPlan)
+      case l if l.children.isEmpty => false
+      case other => other.children.forall(bounded)
+    }
+    for (q <- Seq("q_priv_clip", "q_priv_suppress", "q_mix_curriculum")) {
+      val nodes = collectAll(executedPlan(q))
+      val bad = nodes.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) => w
+      }
+      assert(bad.isEmpty,
+        s"$q plans a corpus-grain global window: " +
+          bad.map(_.simpleString(120)).mkString("; "))
+      Caches.releaseScoped()
+    }
+  }
+
+  test("q_priv_pseudonym joins on the pseudonym with no broadcast of " +
+    "the corpus side") {
+    // the pseudonym join must keep the co-partitioned shuffle shape of
+    // the raw-key join: both sides exchange on pid (customer fits a
+    // broadcast at fixture scale, which is also fine — what must NOT
+    // happen is a cartesian or a nested-loop fallback from the hash
+    // expression)
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val nodes = collectAll(executedPlan("q_priv_pseudonym"))
+    assert(!nodes.exists(n => n.isInstanceOf[CartesianProductExec] ||
+      n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "pseudonym join degenerated to cartesian/nested-loop")
+    Caches.releaseScoped()
+  }
+
   test("MT-eval census windows stay lang-partitioned; no cartesian pairing") {
     // round 11: the shared census the BLEU/ROUGE/chrF rollups ride. The
     // pairing window must stay PARTITIONED BY lang (a bare window here
