@@ -335,12 +335,24 @@ object Bench {
       // regressions (count() elided entire join subtrees), so only a
       // same-method, same-sf entry is a valid comparison point — the
       // quarantined legacy entry is tagged "timing":"count"
+      // heap size is part of the method too: a 100 GiB-heap run on this
+      // 128 GiB box measured 2.8x slower overall with a 30-130x cluster
+      // on cache-reliant keys (memory pressure against the external
+      // co-tenant) — comparing across heap sizes manufactures phantom
+      // regressions exactly like comparing across timing methods.
+      // Entries predating the tag all ran at the build.sbt 8g default.
+      val heapGb = math.round(
+        Runtime.getRuntime.maxMemory / 1073741824.0)
+      def sameHeap(l: String): Boolean =
+        if (l.contains("\"heap_gb\":")) l.contains(s""""heap_gb":$heapGb""")
+        else heapGb == 8L
       val prev: Map[String, Double] =
         if (java.nio.file.Files.exists(hist)) {
           import scala.jdk.CollectionConverters._
           java.nio.file.Files.readAllLines(hist).asScala.toSeq.reverse
             .find(l => l.contains("\"sf\":\"" + sfDir + "\"") &&
-              l.contains("\"timing\":\"" + timingMethod + "\"")).map { l =>
+              l.contains("\"timing\":\"" + timingMethod + "\"") &&
+              sameHeap(l)).map { l =>
               """"((?:q|shared)_[a-z0-9_]+)":([0-9.]+)""".r
                 .findAllMatchIn(l)
                 .map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -362,7 +374,7 @@ object Bench {
           "[bench] no >25% per-key warm regressions vs previous run")
       val entry = s"""{"ts_ms":${System.currentTimeMillis()},""" +
         s""""sf":"$sfDir","warm_passes":$warmPassesDone,""" +
-        s""""timing":"$timingMethod",""" +
+        s""""timing":"$timingMethod","heap_gb":$heapGb,""" +
         s""""queries":${jmap((sharedResults ++ warmResults).sortBy(_._1))}}"""
       java.nio.file.Files.write(hist, (entry + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,

@@ -336,7 +336,7 @@ object ScaleProbe {
         // round-11 batch 116: privacy/SDC family + Delta schema evolution
         "q_priv_kanon", "q_priv_ldiv", "q_priv_clip", "q_priv_suppress",
         "q_lake_delta_schema_evolution", "q_priv_pseudonym",
-        "q_mix_curriculum")
+        "q_mix_curriculum", "q_priv_dp_release")
         // round-7 batch 48 (q_geo_dbscan) is deliberately NOT probed:
         // the 10-way-duplicated probe corpus multiplies point density
         // 10×, which is SUPERCRITICAL for the fixture-tuned (ε, minPts)

@@ -1892,7 +1892,10 @@ object Curation {
           sum(col("n_toks")).as("n_tokens"),
           min(col("score_e6")).as("min_score_e6"),
           max(col("score_e6")).as("max_score_e6"),
-          sum(col("doc_id")).as("id_checksum"))
+          // mod-sum checksum (see q_priv_kanon): a raw doc_id sum
+          // crosses int64 at corpus scale with divergent wrap/widen
+          expr("cast(sum(cast(doc_id as decimal(38,0))) % 1000000007" +
+            " as bigint)").as("id_checksum"))
         .orderBy(ascf("stage"))
     },
     Some("""WITH sc AS (SELECT doc_id, n_chars,
@@ -1909,7 +1912,8 @@ object Curation {
            |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
            |  CAST(min(score_e6) AS BIGINT) AS min_score_e6,
            |  CAST(max(score_e6) AS BIGINT) AS max_score_e6,
-           |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+           |  CAST(sum(CAST(doc_id AS HUGEINT)) % 1000000007 AS BIGINT)
+           |    AS id_checksum
            |FROM nt GROUP BY stage
            |ORDER BY stage ASC NULLS FIRST""".stripMargin))
 

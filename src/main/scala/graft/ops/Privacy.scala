@@ -55,7 +55,12 @@ object Privacy {
           min(col("c_custkey")).as("rep_key"))
       classes.groupBy(col("class_size"))
         .agg(count(lit(1)).as("n_classes"),
-          sum(col("rep_key")).as("rep_checksum"))
+          // mod-sum checksum: a raw sum of corpus-scale keys over ~1e9
+          // classes crosses int64, where Spark wraps and DuckDB widens
+          // to HUGEINT — divergent failure modes. The decimal-staged
+          // mod keeps the pin exact and bounded at every scale.
+          expr("cast(sum(cast(rep_key as decimal(38,0))) % 1000000007" +
+            " as bigint)").as("rep_checksum"))
         .withColumn("n_rows", col("class_size") * col("n_classes"))
         .select(col("class_size"), col("n_classes"), col("n_rows"),
           col("rep_checksum"))
@@ -73,7 +78,8 @@ object Privacy {
            |  FROM q GROUP BY 1, 2, 3)
            |SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes,
            |  class_size * CAST(count(*) AS BIGINT) AS n_rows,
-           |  CAST(sum(rep_key) AS BIGINT) AS rep_checksum
+           |  CAST(sum(CAST(rep_key AS HUGEINT)) % 1000000007 AS BIGINT)
+           |    AS rep_checksum
            |FROM cls GROUP BY class_size
            |ORDER BY class_size ASC NULLS FIRST""".stripMargin))
 
@@ -115,7 +121,9 @@ object Privacy {
       cls.groupBy(col("l"))
         .agg(count(lit(1)).as("n_classes"),
           sum(col("n_orders")).as("n_rows"),
-          sum(col("rep_key")).as("rep_checksum"))
+          // mod-sum checksum (see q_priv_kanon)
+          expr("cast(sum(cast(rep_key as decimal(38,0))) % 1000000007" +
+            " as bigint)").as("rep_checksum"))
         .orderBy(ascf("l"))
     },
     Some("""WITH cust AS (SELECT c_custkey, c_nationkey, c_mktsegment,
@@ -137,7 +145,8 @@ object Privacy {
            |  FROM cell GROUP BY 1, 2, 3)
            |SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
            |  CAST(sum(n_orders) AS BIGINT) AS n_rows,
-           |  CAST(sum(rep_key) AS BIGINT) AS rep_checksum
+           |  CAST(sum(CAST(rep_key AS HUGEINT)) % 1000000007 AS BIGINT)
+           |    AS rep_checksum
            |FROM cls GROUP BY l ORDER BY l ASC NULLS FIRST""".stripMargin))
 
   /** Per-user contribution capping (DP prep): keep each user's FIRST
@@ -309,7 +318,9 @@ object Privacy {
       matched
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_orderkey")).as("order_checksum"))
+          // mod-sum checksum (see q_priv_kanon)
+          expr("cast(sum(cast(o_orderkey as decimal(38,0))) % 1000000007" +
+            " as bigint)").as("order_checksum"))
         .join(custCensus, col("c_mktsegment") === col("seg2"), "full")
         .select(coalesce(col("c_mktsegment"), col("seg2")).as("segment"),
           col("n_orders"),
@@ -345,7 +356,8 @@ object Privacy {
            |  FROM fact LEFT JOIN dim ON fact.pid = dim.pid),
            |oc AS (SELECT c_mktsegment AS seg1,
            |    CAST(count(*) AS BIGINT) AS n_orders,
-           |    CAST(sum(o_orderkey) AS BIGINT) AS order_checksum
+           |    CAST(sum(CAST(o_orderkey AS HUGEINT)) % 1000000007
+           |      AS BIGINT) AS order_checksum
            |  FROM m GROUP BY 1),
            |cc AS (SELECT c_mktsegment AS seg2,
            |    CAST(count(*) AS BIGINT) AS n_cust,
@@ -357,6 +369,120 @@ object Privacy {
            |FROM oc FULL JOIN cc ON seg1 = seg2
            |ORDER BY segment ASC NULLS FIRST""".stripMargin))
 
+  /** Differentially-private release DRY-RUN: the geometric mechanism
+    * applied to the contribution-capped per-type event histogram, with
+    * the noise draw made REPRODUCIBLE by seeding the uniform from a
+    * keyed hash of the release cell — exactly how production DP
+    * engines audit a release before shipping it (same pipeline, fixed
+    * seed, so the privacy engineer can diff runs; the production draw
+    * swaps the seed for entropy and nothing else changes).
+    *
+    * Mechanism: two-sided geometric noise = G(u1) − G(u2) with
+    * G(u) = floor((ln u − ln 2³¹)/ln α), α = 9/10 — the discrete
+    * analogue of Laplace; with per-user contribution capped at C = 20
+    * (q_priv_clip's rule) the release satisfies ε = C·ln(1/α) ≈ 2.1
+    * user-level DP when the uniforms are real entropy. u1/u2 come from
+    * the keyed two-round mod-prime chain on the cell id; ln is
+    * DetMath.lnInt (D12 — no libm on the graded surface; the α and 2³¹
+    * constants inline as lnIntScalar literals, bit-identical to the
+    * column tree).
+    *
+    * Scale: the corpus pass is the clip window + rollup; everything
+    * after runs on the ≤5-row cell census (the tiny window sits above
+    * an aggregate — value-bounded per the plan rule).
+    */
+  private val privDpRelease = QueryDef(
+    "q_priv_dp_release",
+    (s, d) => {
+      val C = 20
+      val P = 2147483647L
+      val lnM = graft.functions.DetMath.lnIntScalar(2147483648L)
+      val lnA = graft.functions.DetMath.lnIntScalar(9L) -
+        graft.functions.DetMath.lnIntScalar(10L)
+      val epsE6 = math.floor(C * -lnA * 1000000).toLong
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))
+      val ranked = ev.withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(ascf(col("ts")), ascf("event_id"))))
+      val cells = ranked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum((col("rn") <= C).cast("long")).as("n_capped"))
+        .withColumn("cid", row_number().over(
+          Window.orderBy(ascf("event_type"))).cast("long"))
+      def lane(seedExpr: String): String = {
+        val g1 = s"((($seedExpr) % $P) * 15485863 + 101) % $P"
+        s"((((($g1) ^ (($g1) div 8192)) * 32452843 + 1009) % $P) + 1)"
+      }
+      val noised = cells
+        .withColumn("u1", expr(lane("cid * 2 + 777")))
+        .withColumn("u2", expr(lane("cid * 2 + 778")))
+        .withColumn("g1v", floor(
+          (graft.functions.DetMath.lnInt(col("u1")) - lit(lnM)) / lit(lnA))
+          .cast("long"))
+        .withColumn("g2v", floor(
+          (graft.functions.DetMath.lnInt(col("u2")) - lit(lnM)) / lit(lnA))
+          .cast("long"))
+        .withColumn("noise", col("g1v") - col("g2v"))
+        .withColumn("released",
+          greatest(lit(0L), col("n_capped") + col("noise")))
+      noised.select(col("event_type"), col("n_raw"), col("n_capped"),
+          col("noise"), col("released"), lit(epsE6).as("eps_e6"))
+        .orderBy(ascf("event_type"))
+    },
+    Some {
+      val P = 2147483647L
+      val lnM = graft.functions.DetMath.lnIntScalar(2147483648L)
+      val lnA = graft.functions.DetMath.lnIntScalar(9L) -
+        graft.functions.DetMath.lnIntScalar(10L)
+      val epsE6 = math.floor(20 * -lnA * 1000000).toLong
+      import graft.functions.DetMath.{kSql, mSql, zSql, hornerSql, lnSql}
+      def laneSql(seed: String): String = {
+        val g1 = s"((($seed) % $P) * 15485863 + 101) % $P"
+        s"(((xor(($g1), ($g1) // 8192) * 32452843 + 1009) % $P) + 1)"
+      }
+      s"""WITH r AS (SELECT event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
+         |      AS rn
+         |  FROM events),
+         |cells AS (SELECT event_type,
+         |    CAST(count(*) AS BIGINT) AS n_raw,
+         |    CAST(sum(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_capped
+         |  FROM r GROUP BY event_type),
+         |cid AS (SELECT *, CAST(row_number() OVER
+         |    (ORDER BY event_type ASC NULLS FIRST) AS BIGINT) AS cid
+         |  FROM cells),
+         |us AS (SELECT *, ${laneSql("cid * 2 + 777")} AS u1,
+         |    ${laneSql("cid * 2 + 778")} AS u2 FROM cid),
+         |k1 AS (SELECT *, ${kSql("u1")} AS ka, ${kSql("u2")} AS kb
+         |  FROM us),
+         |m1 AS (SELECT *, ${mSql("u1", "ka")} AS ma,
+         |    ${mSql("u2", "kb")} AS mb FROM k1),
+         |z1 AS (SELECT *, ${zSql("ma")} AS za, ${zSql("mb")} AS zb
+         |  FROM m1),
+         |z2 AS (SELECT *, (za * za) AS za2, (zb * zb) AS zb2 FROM z1),
+         |h1 AS (SELECT *, ${hornerSql("za2")} AS ha,
+         |    ${hornerSql("zb2")} AS hb FROM z2),
+         |ln1 AS (SELECT *, ${lnSql("ka", "za", "ha")} AS lua,
+         |    ${lnSql("kb", "zb", "hb")} AS lub FROM h1),
+         |g AS (SELECT *,
+         |    CAST(floor((lua - CAST('$lnM' AS DOUBLE))
+         |      / CAST('$lnA' AS DOUBLE)) AS BIGINT) AS g1v,
+         |    CAST(floor((lub - CAST('$lnM' AS DOUBLE))
+         |      / CAST('$lnA' AS DOUBLE)) AS BIGINT) AS g2v
+         |  FROM ln1)
+         |SELECT event_type, n_raw, n_capped,
+         |  (g1v - g2v) AS noise,
+         |  greatest(CAST(0 AS BIGINT), n_capped + (g1v - g2v))
+         |    AS released,
+         |  CAST($epsE6 AS BIGINT) AS eps_e6
+         |FROM g ORDER BY event_type ASC NULLS FIRST""".stripMargin
+    })
+
   def defs: Seq[QueryDef] =
-    Seq(privKanon, privLdiv, privClip, privSuppress, privPseudonym)
+    Seq(privKanon, privLdiv, privClip, privSuppress, privPseudonym,
+      privDpRelease)
 }

@@ -36,7 +36,8 @@ class PrivacySpec extends SparkSpec {
       .map { case (_, rows) => (rows.size.toLong, rows.map(_._1).min) }
       .groupBy(_._1)
       .map { case (size, cls) =>
-        (size, cls.size.toLong, size * cls.size, cls.map(_._2).sum)
+        (size, cls.size.toLong, size * cls.size,
+          cls.map(_._2).sum % 1000000007L)
       }.toSet
     val got = q("q_priv_kanon").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -63,7 +64,8 @@ class PrivacySpec extends SparkSpec {
       }
       .groupBy(_._1)
       .map { case (l, cls) =>
-        (l, cls.size.toLong, cls.map(_._2).sum, cls.map(_._3).sum)
+        (l, cls.size.toLong, cls.map(_._2).sum,
+          cls.map(_._3).sum % 1000000007L)
       }.toSet
     val got = q("q_priv_ldiv").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -125,7 +127,7 @@ class PrivacySpec extends SparkSpec {
     val segOf = customers.map(c => c._1 -> c._3).toMap
     val expected = orders.groupBy(o => segOf(o._2)).map { case (seg, os) =>
       val segCust = customers.filter(_._3 == seg)
-      (seg, os.size.toLong, os.map(_._1).sum,
+      (seg, os.size.toLong, os.map(_._1).sum % 1000000007L,
         segCust.size.toLong, segCust.size.toLong,
         segCust.map(c => custPid(c._1) % 1000003L).sum)
     }.toSet
@@ -157,7 +159,8 @@ class PrivacySpec extends SparkSpec {
       (stage.toLong, id, nt, sc)
     }.groupBy(_._1).map { case (st, rows) =>
       (st, rows.size.toLong, rows.map(_._3).sum,
-        rows.map(_._4).min, rows.map(_._4).max, rows.map(_._2).sum)
+        rows.map(_._4).min, rows.map(_._4).max,
+        rows.map(_._2).sum % 1000000007L)
     }.toSet
     val got = q("q_mix_curriculum").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -165,6 +168,36 @@ class PrivacySpec extends SparkSpec {
       .toSet
     assert(got == expected,
       s"curriculum mismatch: got $got expected $expected")
+    Caches.releaseScoped(); Caches.releaseShared()
+  }
+
+  test("q_priv_dp_release noise equals the scalar geometric mechanism") {
+    val P = 2147483647L
+    def lane(seed: Long): Long = {
+      val g1 = ((seed % P) * 15485863L + 101L) % P
+      ((g1 ^ (g1 / 8192L)) * 32452843L + 1009L) % P + 1L
+    }
+    val lnM = functions.DetMath.lnIntScalar(2147483648L)
+    val lnA = functions.DetMath.lnIntScalar(9L) -
+      functions.DetMath.lnIntScalar(10L)
+    def g(u: Long): Long =
+      math.floor((functions.DetMath.lnIntScalar(u) - lnM) / lnA).toLong
+    val rows = q("q_priv_dp_release").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // cid assignment follows the event_type sort order of the output
+    rows.sortBy(_._1).zipWithIndex.foreach { case ((tpe, raw, capped,
+        noise, released), i) =>
+      val cid = i + 1L
+      val expected = g(lane(cid * 2 + 777)) - g(lane(cid * 2 + 778))
+      assert(noise == expected,
+        s"$tpe: noise $noise != scalar mechanism $expected")
+      assert(released == math.max(0L, capped + noise),
+        s"$tpe: released not clamped cap+noise")
+      assert(capped <= raw)
+    }
+    // the mechanism must actually perturb something on 5 cells
+    assert(rows.exists(_._4 != 0L), "all noise draws were zero")
     Caches.releaseScoped(); Caches.releaseShared()
   }
 
