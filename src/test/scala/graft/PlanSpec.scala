@@ -518,7 +518,8 @@ class PlanSpec extends SparkSpec {
       case l if l.children.isEmpty => false
       case other => other.children.forall(bounded)
     }
-    for (q <- Seq("q_priv_clip", "q_priv_suppress", "q_mix_curriculum")) {
+    for (q <- Seq("q_priv_clip", "q_priv_suppress", "q_mix_curriculum",
+        "q_priv_dp_release")) {
       val nodes = collectAll(executedPlan(q))
       val bad = nodes.collect {
         case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) => w
