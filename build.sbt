@@ -38,5 +38,18 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Round 11 (optimization guide §3.1/§9): let the planner pick a
+  // shuffled-hash join when its size conditions are met instead of
+  // defaulting to sort-merge — drops the per-partition sorts on the
+  // mid-size joins throughout the suite (A/B on the 38 hottest keys:
+  // −7% warm total, OPTIMIZATION_r11.md). Scale-neutral: the planner
+  // still decides per join from size estimates; the two keys whose
+  // GRADED plan shape is sort-merge (q_join_bucketed's zero-exchange
+  // bucket join, q_join_skew_aqe's skew-split) pin it back locally.
+  "-Dspark.sql.join.preferSortMergeJoin=false",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // dev-loop seam for config A/B experiments (e.g.
+  // GRAFT_EXP_OPTS="-Dspark.sql.join.preferSortMergeJoin=false"):
+  // empty by default, so the driver's invocation is unchanged
+  sys.env.getOrElse("GRAFT_EXP_OPTS", "").split(" ").filter(_.nonEmpty).toSeq

@@ -220,12 +220,25 @@ object Bench {
     // recurring-workload optimization, transparent to query semantics.
     // Per-query best across the passes is reported; only ok timings
     // enter the minimum.
-    var slowestPassSec = coldSec
     var warmPassesDone = 0
+    // Next-pass cost estimate (round 11): the r10 guard priced every
+    // prospective pass at 1.2× the slowest COMPLETED pass — right after
+    // cold that means 1.2× cold, but a warm pass runs against cached
+    // tables and resident shared relations and has measured 0.67–0.85×
+    // cold in every committed history entry, so the guard skipped ALL
+    // warm passes exactly when the box was contended (this session:
+    // headroom 763 s vs estimate 768 s — 5 s short of a warm value).
+    // The estimate is now 0.9× cold for the FIRST warm pass (still
+    // conservative vs the measured band) and 1.2× the slowest completed
+    // WARM pass after that. The budget itself and the shed-don't-die
+    // behavior are unchanged.
+    var slowestWarmSec = 0.0
+    def nextPassEstimate: Double =
+      if (warmPassesDone == 0) coldSec * 0.9 else slowestWarmSec * 1.2
     // the budget guard applies to the FIRST warm pass too: if the cold
     // pass alone consumed the budget, one more full pass would hand the
     // driver a timeout kill instead of the cold numbers already emitted
-    val warmBudgetOk = wallBudgetSec - elapsedSec >= slowestPassSec * 1.2
+    val warmBudgetOk = wallBudgetSec - elapsedSec >= nextPassEstimate
     if (!skipCache && !warmBudgetOk) System.err.println(
       f"[bench] wall budget: ${elapsedSec}%.0f s elapsed of " +
         f"$wallBudgetSec%.0f s after cold — skipping all warm passes")
@@ -245,17 +258,17 @@ object Bench {
       var stop = false
       while (i <= warmPasses && !stop) {
         val headroom = wallBudgetSec - elapsedSec
-        if (i > 1 && headroom < slowestPassSec * 1.2) {
+        if (i > 1 && headroom < nextPassEstimate) {
           System.err.println(
             f"[bench] wall budget: ${elapsedSec}%.0f s elapsed of " +
-              f"$wallBudgetSec%.0f s, next pass needs ~${slowestPassSec * 1.2}%.0f s " +
+              f"$wallBudgetSec%.0f s, next pass needs ~$nextPassEstimate%.0f s " +
               f"— skipping warm passes $i..$warmPasses")
           stop = true
         } else {
           val t0 = System.nanoTime()
           val r = runAll()
           val passSec = (System.nanoTime() - t0) / 1e9
-          slowestPassSec = math.max(slowestPassSec, passSec)
+          slowestWarmSec = math.max(slowestWarmSec, passSec)
           System.err.println(
             f"[bench] warm pass $i/$warmPasses total ${r.map(_._2).sum}%.3f s, loadavg ${loadavg()}")
           acc = if (acc.isEmpty) r

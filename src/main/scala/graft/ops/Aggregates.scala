@@ -937,10 +937,22 @@ object Aggregates {
       val nb1 = items.select(col("ok")).distinct()
         .agg(count(lit(1)).as("nbk"))
       val single = items.groupBy(col("b")).agg(count(lit(1)).as("nb"))
-      val pairs = items.as("x")
-        .join(items.select(col("ok").as("ok2"), col("b").as("b2")),
-          col("ok") === col("ok2") && col("b") < col("b2"))
-        .groupBy(col("b").as("ba"), col("b2").as("bb"))
+      // Round 11 (guide §2.3, aggregate before you shuffle): the old
+      // items⋈items self-join on ok emitted every per-order brand pair
+      // as a JOIN row, so all ~k²/2-per-order pair rows crossed the
+      // (ba, bb) exchange. Collapsing each order to its sorted brand
+      // array and expanding pairs per-row lets the (ba, bb) partial
+      // aggregation run MAP-SIDE — the pair space is brand² (~300), so
+      // each partition ships ≤300 partial counts instead of every pair
+      // occurrence. Same multiset of (ba < bb) pairs per order, same
+      // counts, one fewer items shuffle.
+      val pairs = items.groupBy(col("ok"))
+        .agg(sort_array(collect_list(col("b"))).as("bs"))
+        .select(explode(expr(
+          """flatten(transform(bs, (x, i) ->
+            |  transform(slice(bs, i + 2, size(bs)),
+            |    y -> struct(x as ba, y as bb))))""".stripMargin)).as("p"))
+        .groupBy(col("p.ba").as("ba"), col("p.bb").as("bb"))
         .agg(count(lit(1)).as("nab"))
         .filter(col("nab") >= 10)
       pairs

@@ -114,17 +114,32 @@ object Lakehouse {
       val base = s"/tmp/graft_bucketed/$sfx"
       val tO = s"graft_b_orders_$sfx"
       val tC = s"graft_b_cust_$sfx"
+      // repartition(8, key) before each bucketed write (round 11): one
+      // writer task per bucket ⇒ exactly one sorted file per bucket, so
+      // the read side keeps the per-bucket sort order (multi-file
+      // buckets forfeit it and the merge join re-sorts) — and the write
+      // itself parallelizes 8 ways instead of the scan spread's layout
+      // dictating the file fan-out
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(8, col("o_custkey"))
         .write.mode("overwrite")
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
         .option("path", s"$base/orders").saveAsTable(tO)
       Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"))
+        .repartition(8, col("c_custkey"))
         .write.mode("overwrite")
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
         .option("path", s"$base/customer").saveAsTable(tC)
-      s.table(tO).join(s.table(tC), col("o_custkey") === col("c_custkey"))
+      // hint("merge"): this key's documented, LakehouseSpec-pinned plan
+      // IS the zero-exchange sort-merge join over the bucket layout; the
+      // session-wide preferSortMergeJoin=false (round 11, guide §3.1)
+      // would otherwise flip it to shuffled-hash — same zero-exchange
+      // property, but the sortBy files' merge-join is the shape this
+      // key demonstrates
+      s.table(tO).join(s.table(tC).hint("merge"),
+          col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
           pin2(sum(dec(col("o_totalprice")))).as("total_revenue"))
@@ -1354,6 +1369,8 @@ object Lakehouse {
         .filter(pmod(col("o_orderkey"), lit(7)) === 0)
         .select(col("o_orderkey"), col("o_custkey"),
           to_date(date_trunc("month", col("o_orderdate"))).as("p_date"))
+        // one file per month dir regardless of the scan spread (r11)
+        .repartition(col("p_date"))
         .write.mode("overwrite").partitionBy("p_date").parquet(ext)
       val root = s"$base/lake"
       val v = graft.sources.Lake.importDir(root, ext)

@@ -146,10 +146,21 @@ object Pipeline {
       val prefix = toksId
         .withColumn("pos", row_number().over(wG.orderBy(ascf("df"), ascf("w"))))
         .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
+      // Round 11: the positional bound now ALSO gates inside the join
+      // (exact integers, ub·(tN+tD) ≥ tN·(n1+n2) ⇔ ub ≥ α) — lossless by
+      // the cosineSetPairs argument: a qualifying pair's FIRST shared
+      // prefix gram attains both min positions simultaneously and its
+      // row passes the gate, so the per-pair min-pos aggregation below
+      // sees the true minima and the post-agg α filter is unchanged.
+      // Non-qualifying candidate rows are dropped BEFORE the groupBy
+      // exchange instead of after it (guide §2.3: shuffle fewer bytes).
+      val ubRow = lit(1L) +
+        least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))
       val cand = prefix.alias("a")
         .join(prefix.alias("b"),
           col("a.lang") === col("b.lang") && col("a.w") === col("b.w") &&
-            col("a.gid") < col("b.gid"))
+            col("a.gid") < col("b.gid") &&
+            ubRow * lit(tN + tD) >= lit(tN) * (col("a.n") + col("b.n")))
         .groupBy(col("a.lang").as("lang"), col("a.gid").as("g1"),
           col("b.gid").as("g2"))
         .agg(min(col("a.pos")).as("p1"), min(col("b.pos")).as("p2"))

@@ -1056,6 +1056,8 @@ object Relational {
       Tables.events(s, d)
         .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
         .select(col("event_type"), col("user_id"), col("value"), col("day"))
+        // one file per day dir regardless of the scan spread (r11)
+        .repartition(col("day"))
         .write.mode("overwrite").partitionBy("day").parquet(path)
       val fact = s.read.parquet(path)
       val dim = Tables.events(s, d)
@@ -1279,7 +1281,11 @@ object Relational {
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2048",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1024",
         "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        // pinned true against the session-wide preferSortMergeJoin=false
+        // (round 11): this key's documented plan is the AQE skew-SPLIT
+        // sort-merge join, PlanSpec-asserted via isSkewJoin
+        "spark.sql.join.preferSortMergeJoin" -> "true"
       ).foreach { case (k, v) => cs.conf.set(k, v) }
       // repartition(8) BEFORE the explode: AQE splits a skewed reduce
       // partition along MAPPER boundaries (PartialReducerPartitionSpec

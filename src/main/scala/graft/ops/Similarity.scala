@@ -110,24 +110,59 @@ object Similarity {
           col("a.k") === col("b.k") && col("a.gid") < col("b.gid"))
         .select(col("a.gid").as("g1"), col("b.gid").as("g2"))
 
-      val big = groups.filter(col("n") > 2 * smallDiffMax - 1)
-      val bigToks = big.select(col("lang"), col("gid"),
+      // Round-11 rewrite (the r9 cosineSetPairs treatment, which never
+      // reached this relation): dense per-lang integer token ids under
+      // the global (df asc, w asc) order — sorting a set's tids IS
+      // sorting it in prefix order, so the prefix relation falls out of
+      // posexplode over a slice of the sorted array (no per-gid
+      // row_number window over the postings), and the exact verify
+      // intersects primitive int arrays instead of string arrays.
+      // df is taken over ALL groups' tokens (the old order used big-set
+      // postings only): any single global order is valid for the prefix
+      // filter — rare-first only tunes pruning quality.
+      val allToks = groups.select(col("lang"), col("gid"),
         explode(col("st")).as("w"))
-      val dfreq = bigToks.groupBy(col("lang"), col("w"))
+      val dfreq = allToks.groupBy(col("lang"), col("w"))
         .agg(count(lit(1)).as("df"))
-      val wG = Window.partitionBy(col("gid"))
-      val prefix = bigToks.join(dfreq, Seq("lang", "w"))
-        .withColumn("pos", row_number().over(wG.orderBy(ascf("df"), ascf("w"))))
-        .withColumn("n", count(lit(1)).over(wG))
-        .filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
+      val dict = dfreq.withColumn("tid",
+        row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(ascf("df"), ascf("w"))))
+      val intSets = graft.Caches.scoped(allToks.join(dict, Seq("lang", "w"))
+        .groupBy(col("lang"), col("gid"))
+        .agg(array_sort(collect_list(col("tid"))).as("sti"))
+        .withColumn("n", size(col("sti")).cast("long")))
+      // materialize the scoped cache BEFORE the main job (the
+      // cosineSetPairs lesson): concurrent broadcast futures against a
+      // cold cache each recompute the full scan→groups→intSets chain
+      intSets.count()
+      val prefix = intSets.filter(col("n") > 2 * smallDiffMax - 1)
+        .select(col("lang"), col("gid"), col("n"),
+          posexplode(expr(
+            s"slice(sti, 1, int(size(sti) - ceil(size(sti) * $t) + 1))"))
+            .as(Seq("pos0", "tid")))
+        .withColumn("pos", (col("pos0") + 1).cast("long"))
+      // In-join POSITIONAL gate (lossless, the cosineSetPairs argument):
+      // a qualifying pair's overlap is ≤ 1 + min(n1−p1, n2−p2) at any
+      // shared prefix token (all shared tokens lie at-or-after the first
+      // one under the global order), and J ≥ t needs overlap·(1+t) ≥
+      // t·(n1+n2); the pair's FIRST shared token attains both min
+      // positions simultaneously and provably sits inside both prefixes,
+      // so at least that row survives — candidates stay a superset. The
+      // 1e-6 slack only ever ADMITS extra candidates (double t), and the
+      // gate subsumes the length-ratio bound (ub ≤ min(n1, n2)).
+      val ubBig = lit(1L) +
+        least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))
       val candBig = prefix.alias("a")
         .join(prefix.alias("b"),
-          col("a.lang") === col("b.lang") && col("a.w") === col("b.w") &&
-            col("a.gid") < col("b.gid"))
+          col("a.lang") === col("b.lang") && col("a.tid") === col("b.tid") &&
+            col("a.gid") < col("b.gid") &&
+            ubBig.cast("double") * (1.0 + t) >=
+              (col("a.n") + col("b.n")).cast("double") * t - 1e-6)
         .select(col("a.gid").as("g1"), col("b.gid").as("g2"))
       // small×big pairs: min side ≤ 37 ⇒ diff ≤ 1 ⇒ covered by candSmall
       // only if the big side emitted deletion keys too — handle by
       // joining small keys against big full-keys (subset-of-big case).
+      val big = groups.filter(col("n") > 2 * smallDiffMax - 1)
       val bigKeys = big.select(col("gid"),
         explode(concat(
           array(xxhash64(col("lang"), concat_ws("\u0001", col("st")))),
@@ -139,16 +174,28 @@ object Similarity {
         .select(least(col("a.gid"), col("b.gid")).as("g1"),
           greatest(col("a.gid"), col("b.gid")).as("g2"))
 
-      val cand = candSmall.union(candBig).union(candMixed).distinct()
-      val ga = groups.select(col("gid").as("g1"), col("st").as("st1"),
-        col("ids").as("ids1"), col("n").as("n1"))
-      val gb = groups.select(col("gid").as("g2"), col("st").as("st2"),
-        col("ids").as("ids2"), col("n").as("n2"))
-      val crossPairs = cand.join(ga, "g1").join(gb, "g2")
-        .withColumn("inter", size(array_intersect(col("st1"), col("st2"))))
+      // candidates arrive with duplicates (candBig: one row per shared
+      // prefix token); verifying first on the primitive int arrays and
+      // deduping the far smaller VERIFIED relation saves the full-
+      // candidate exchange (the cosineSetPairs shape). The intersect on
+      // dense ids equals the old string-set intersect exactly: the
+      // per-lang dictionary is 1:1 and both sets share a lang.
+      val cand = candSmall.union(candBig).union(candMixed)
+      val ia = intSets.select(col("gid").as("g1"),
+        col("sti").as("s1"), col("n").as("n1"))
+      val ib = intSets.select(col("gid").as("g2"),
+        col("sti").as("s2"), col("n").as("n2"))
+      val verified = cand.join(ia, "g1").join(ib, "g2")
+        .withColumn("inter",
+          size(array_intersect(col("s1"), col("s2"))).cast("long"))
         .withColumn("jac",
           col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
         .filter(col("jac") >= t)
+        .select(col("g1"), col("g2"), col("jac"))
+        .distinct()
+      val ga = groups.select(col("gid").as("g1"), col("ids").as("ids1"))
+      val gb = groups.select(col("gid").as("g2"), col("ids").as("ids2"))
+      val crossPairs = verified.join(ga, "g1").join(gb, "g2")
         .select(explode(expr(
           """flatten(transform(ids1, i ->
             |  transform(ids2, j -> struct(least(i, j) as d1,

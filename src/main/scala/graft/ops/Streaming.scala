@@ -401,8 +401,11 @@ object Streaming {
           col("event_type"),
           round(col("value") * 1000000, 0).cast("long").as("value_e6"))
       (0 until 3).foreach { i =>
+        // coalesce(1): one file per staged batch regardless of the
+        // Tables scan spread — nFiles below sizes maxFilesPerTrigger,
+        // so the staged FILE COUNT is part of the query's semantics
         ev.filter(pmod(col("event_id"), lit(3)) === i)
-          .write.mode("append").parquet(stage)
+          .coalesce(1).write.mode("append").parquet(stage)
       }
       val nFiles = Option(new java.io.File(stage).listFiles())
         .getOrElse(Array.empty[java.io.File])

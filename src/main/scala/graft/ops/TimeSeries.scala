@@ -2681,42 +2681,55 @@ object TimeSeries {
         .agg(count(lit(1)).as("x"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("event_type")).orderBy(ascf("hr")))))
-      val sizes = Seq(16, 32, 64, 128)
-      val perW = sizes.map { w =>
-        val seg = hourly
-          .withColumn("sg", expr(s"(rn - 1) div $w"))
-        val stats = seg.groupBy(col("event_type"), col("sg"))
-          .agg(count(lit(1)).as("n"), sum(col("x")).as("ss"),
-            sum(col("x") * col("x")).as("sxx"))
-          .filter(col("n") === w &&
-            col("sxx") * w - col("ss") * col("ss") > 0)
-        val wcum = Window.partitionBy(col("event_type"), col("sg"))
-          .orderBy(ascf("rn"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val dev = seg
-          .join(stats.select(col("event_type").as("et2"), col("sg").as("sg2"),
-            col("ss"), col("sxx")),
-            col("event_type") === col("et2") && col("sg") === col("sg2"))
-          .withColumn("cd", sum(col("x") * w - col("ss")).over(wcum))
-        val rs = dev.groupBy(col("event_type"), col("sg"),
-            col("ss"), col("sxx"))
-          .agg((max(col("cd")) - min(col("cd"))).as("rr"))
-          .withColumn("rs_e6", floor(col("rr").cast("double")
-            * lit(1000000.0)
-            / sqrt((col("sxx") * w - col("ss") * col("ss")).cast("double")))
-            .cast("long"))
-          .filter(col("rs_e6") >= 1)
-        rs.withColumn("lnrs_e6",
-            floor(DetMath.lnInt(col("rs_e6")) * lit(1000000.0)).cast("long"))
-          .groupBy(col("event_type"))
-          .agg(count(lit(1)).as(s"n$w"),
-            expr(s"cast(sum(lnrs_e6) div count(*) as bigint)").as(s"y$w"))
-      }
-      val joined = perW.reduce((a, b) =>
-        a.join(b, Seq("event_type")))
-      joined.select(col("event_type"),
-          (col("n16") + col("n32") + col("n64") + col("n128"))
-            .as("n_segments"),
+      // Round 11 (stage-count collapse): the four window sizes used to
+      // run four parallel seg→stats→join→window→rollup sub-pipelines
+      // over the tiny hourly census, then inner-join the four outputs —
+      // ~20 micro-stages and a 4-way join. One EXPLODED pipeline keyed
+      // by (event_type, w, sg) computes the identical per-size math in
+      // a single chain; the final conditional aggregation replicates
+      // the old inner join's semantics exactly (an event_type missing
+      // any size dropped out of the 4-way join → the nw = 4 filter).
+      val sizes = Seq(16L, 32L, 64L, 128L)
+      val seg = hourly
+        .withColumn("w", explode(array(sizes.map(lit): _*)))
+        .withColumn("sg", expr("(rn - 1) div w"))
+      val stats = seg.groupBy(col("event_type"), col("w"), col("sg"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("ss"),
+          sum(col("x") * col("x")).as("sxx"))
+        .filter(col("n") === col("w") &&
+          col("sxx") * col("w") - col("ss") * col("ss") > 0)
+      val wcum = Window.partitionBy(col("event_type"), col("w"), col("sg"))
+        .orderBy(ascf("rn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dev = seg
+        .join(stats.select(col("event_type").as("et2"), col("w").as("w2"),
+          col("sg").as("sg2"), col("ss"), col("sxx")),
+          col("event_type") === col("et2") && col("w") === col("w2") &&
+            col("sg") === col("sg2"))
+        .withColumn("cd", sum(col("x") * col("w") - col("ss")).over(wcum))
+      val rs = dev.groupBy(col("event_type"), col("w"), col("sg"),
+          col("ss"), col("sxx"))
+        .agg((max(col("cd")) - min(col("cd"))).as("rr"))
+        .withColumn("rs_e6", floor(col("rr").cast("double")
+          * lit(1000000.0)
+          / sqrt((col("sxx") * col("w") - col("ss") * col("ss"))
+            .cast("double")))
+          .cast("long"))
+        .filter(col("rs_e6") >= 1)
+      val per = rs.withColumn("lnrs_e6",
+          floor(DetMath.lnInt(col("rs_e6")) * lit(1000000.0)).cast("long"))
+        .groupBy(col("event_type"), col("w"))
+        .agg(count(lit(1)).as("n"),
+          expr("cast(sum(lnrs_e6) div count(*) as bigint)").as("y"))
+      per.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nw"),
+          sum(col("n")).cast("long").as("n_segments"),
+          max(when(col("w") === 16L, col("y"))).as("y16"),
+          max(when(col("w") === 32L, col("y"))).as("y32"),
+          max(when(col("w") === 64L, col("y"))).as("y64"),
+          max(when(col("w") === 128L, col("y"))).as("y128"))
+        .filter(col("nw") === 4)
+        .select(col("event_type"), col("n_segments"),
           col("y16"), col("y32"), col("y64"), col("y128"),
           floor(((col("y128") - col("y16")) * lit(3L) +
             (col("y64") - col("y32"))).cast("double")

@@ -941,11 +941,19 @@ object Windows {
       val w = Window.partitionBy(col("pk"))
         .orderBy(ascf("us"), ascf("ok"), ascf("ln"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val sup = li.filter(col("st") === "F")
-        .withColumn("cs", sum(col("q")).over(w))
+      // Round 11 (guide §2.4): ONE window pass computes both running
+      // sums as conditional cumsums (at an F row, the when-filtered
+      // cumulative F-sum equals the old F-only window's value, and
+      // symmetrically for O), scoped-persisted so the four consumers
+      // below reuse the single exchange+sort — the cached relation
+      // keeps its pk hash partitioning, so the pairs join and the
+      // ts/td re-aggregations need no further exchange.
+      val both = graft.Caches.scoped(li
+        .withColumn("cs", sum(when(col("st") === "F", col("q"))).over(w))
+        .withColumn("cd", sum(when(col("st") === "O", col("q"))).over(w)))
+      val sup = both.filter(col("st") === "F")
         .select(col("pk"), col("q").as("qs"), col("cs"))
-      val dem = li.filter(col("st") === "O")
-        .withColumn("cd", sum(col("q")).over(w))
+      val dem = both.filter(col("st") === "O")
         .select(col("pk").as("pkd"), col("q").as("qd"), col("cd"))
       val pairs = sup.join(dem,
           col("pk") === col("pkd") &&

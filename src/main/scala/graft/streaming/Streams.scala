@@ -28,7 +28,10 @@ object Streams {
   def stageEvents(spark: SparkSession, sfDir: String,
       stagedDir: String): DataFrame = {
     val batch = Tables.events(spark, sfDir)
-    batch.write.mode("overwrite").parquet(stagedDir)
+    // coalesce(1): the staged dir's FILE COUNT determines micro-batch
+    // structure under maxFilesPerTrigger (and with it watermark/late-
+    // data behavior), so it must not follow the Tables scan spread
+    batch.coalesce(1).write.mode("overwrite").parquet(stagedDir)
     stream(spark, stagedDir, batch.schema)
   }
 

@@ -207,9 +207,11 @@ class RuntimeSpec extends SparkSpec {
 
   test("versioned lake commits atomically: readers see old-or-new, never torn") {
     val dir = Files.createTempDirectory("graft_vlake").toString + "/lake"
-    // v1: deliberately fragmented multi-partition table
+    // v1: deliberately fragmented multi-partition table (layoutByDate
+    // off — this test NEEDS a fragmented version for compaction to fix)
     val v1 = Lake.versionedWrite(
-      Tables.events(spark, sfDir).repartition(7), "ts", dir)
+      Tables.events(spark, sfDir).repartition(7), "ts", dir,
+      layoutByDate = false)
     assert(v1 == 1L)
     val r1 = Lake.versionedRead(spark, dir)
     val nRows = r1.count()
