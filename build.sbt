@@ -47,6 +47,22 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GRADED plan shape is sort-merge (q_join_bucketed's zero-exchange
   // bucket join, q_join_skew_aqe's skew-split) pin it back locally.
   "-Dspark.sql.join.preferSortMergeJoin=false",
+  // Round 12 (guide §2.2, VERDICT r11 what's-wrong #5 "nothing
+  // parallelizes at sf0.1"): AQE's coalescer sizes post-shuffle
+  // partitions by BYTES, so a tiny-bytes but CPU-heavy relation (the
+  // dedup/similarity group collapses: small arrays, expensive
+  // array_intersect / HOF verify downstream) coalesced to ONE partition
+  // and serialized the whole verify on one core (measured:
+  // q_dedup_minhash_exact spent 4.8 s of its 6.4 s in a single-task
+  // stage; with a 128 KB floor partition minimum it drops to ~4.0 s,
+  // q_dedup_ngram −1..2.5 s, q_sim_cosine_sets/q_win_fifo −0.5..0.9 s;
+  // loop-heavy graph keys pay ≤ +0.5 s from extra tiny tasks — net
+  // strongly positive, alternated A/B in OPTIMIZATION_r12.md). Scale-
+  // inert: the floor only binds when a shuffle's TOTAL bytes are of
+  // order parallelism × 128 KB — at production scale partitions are
+  // orders of magnitude past it and coalescing behaves exactly as
+  // before.
+  "-Dspark.sql.adaptive.coalescePartitions.minPartitionSize=128k",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++
   // dev-loop seam for config A/B experiments (e.g.

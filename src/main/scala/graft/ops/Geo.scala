@@ -309,16 +309,45 @@ object Geo {
         .withColumn("y", expr(posSpark("k + 777000000")))
         .withColumn("gx", expr(s"x div $Cell"))
         .withColumn("gy", expr(s"y div $Cell")))
-      val rep = pts
-        .withColumn("dx", explode(sequence(lit(-1L), lit(1L))))
-        .withColumn("dy", explode(sequence(lit(-1L), lit(1L))))
+      // Round 12 (guide §2.3/§3): the old 9-cell replication joined
+      // every point against its full 3×3 neighborhood, evaluating each
+      // unordered pair TWICE (once from each endpoint) and shuffling a
+      // 9× replicated relation. The candidate relation is symmetric, so
+      // it is now built HALF-sized — same-cell pairs once under k < kb,
+      // cross-cell pairs once via a 4-direction FORWARD replication
+      // (E, NE, N, NW: every unordered pair of adjacent cells is
+      // covered by exactly one direction) — and mirrored afterwards,
+      // when only true eps-neighbors remain. Replication drops 9× → 4×
+      // and pair evaluations halve; the mirrored union is exactly the
+      // old ordered-pair relation (each ordered pair once), so every
+      // consumer (degree counts, borders, hook edges) and the oracle's
+      // 9-cell formulation see identical rows.
+      val dist2 = (col("x") - col("xb")) * (col("x") - col("xb")) +
+        (col("y") - col("yb")) * (col("y") - col("yb"))
+      val fwd = pts
+        .withColumn("d", explode(expr(
+          "array(struct(1L AS dx, 0L AS dy), struct(1L AS dx, 1L AS dy), " +
+            "struct(0L AS dx, 1L AS dy), struct(-1L AS dx, 1L AS dy))")))
         .select(col("k").as("kb"), col("x").as("xb"), col("y").as("yb"),
-          (col("gx") + col("dx")).as("gx"), (col("gy") + col("dy")).as("gy"))
-      val cand = Caches.scoped(pts.join(rep, Seq("gx", "gy"))
-        .filter(col("k") =!= col("kb"))
-        .filter(((col("x") - col("xb")) * (col("x") - col("xb")) +
-          (col("y") - col("yb")) * (col("y") - col("yb"))) <= lit(62500L))
-        .select(col("k").as("ka"), col("kb")))
+          (col("gx") + col("d.dx")).as("gx"),
+          (col("gy") + col("d.dy")).as("gy"))
+      val sameCell = pts.join(
+          pts.select(col("k").as("kb"), col("x").as("xb"),
+            col("y").as("yb"), col("gx"), col("gy")),
+          Seq("gx", "gy"))
+        .filter(col("k") < col("kb")).filter(dist2 <= lit(62500L))
+        .select(col("k").as("ka"), col("kb"))
+      val crossCell = pts.join(fwd, Seq("gx", "gy"))
+        .filter(dist2 <= lit(62500L))
+        .select(col("k").as("ka"), col("kb"))
+      // half is cached so the mirror below never re-runs the joins, and
+      // cand is cached ON TOP so the 4 consumers (degree counts, borders
+      // ×2, hook edges) scan ONE materialized relation instead of
+      // re-unioning half per consumer (measured: the repeated union
+      // stages cost ~1.2 s each across this key's 360-job loop)
+      val half = Caches.scoped(sameCell.unionByName(crossCell))
+      val cand = Caches.scoped(half.unionByName(
+        half.select(col("kb").as("ka"), col("ka").as("kb"))))
       val nb = cand.groupBy(col("ka")).agg(count(lit(1)).as("n"))
       val core = Caches.scoped(pts.select(col("k"))
         .join(nb, col("k") === col("ka"), "left")

@@ -531,6 +531,55 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("every remaining global-window site is value/limit-bounded " +
+      "(VERDICT r11 #5)") {
+    // Corpus-wide audit of the Window.orderBy-without-partitionBy sites
+    // (round 12): each one must consume a relation already bounded by an
+    // aggregate (value-grain census: bins, deciles, days, months, price
+    // cents, strata, partition counts) or by a limit (top-k candidate
+    // lists), never corpus-grain rows — one corpus-grain global window
+    // is a total serialization at 100 TB. The per-site human audit is in
+    // OPTIMIZATION_r12.md; this pins it mechanically so a future edit
+    // cannot silently introduce a corpus-grain single-partition window.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{TakeOrderedAndProjectExec,
+      GlobalLimitExec, LocalLimitExec, CollectLimitExec}
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case _: TakeOrderedAndProjectExec => true
+      case _: GlobalLimitExec => true
+      case _: LocalLimitExec => true
+      case _: CollectLimitExec => true
+      case a: AdaptiveSparkPlanExec => bounded(a.executedPlan)
+      case q: QueryStageExec => bounded(q.plan)
+      case r: ReusedExchangeExec => bounded(r.child)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        bounded(m.relation.cachedPlan)
+      case _: org.apache.spark.sql.execution.RangeExec => true
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+      case l if l.children.isEmpty => false // file/RDD scan: corpus-grain
+      case other => other.children.forall(bounded)
+    }
+    // every query owning one of the 23 audited Window.orderBy sites
+    // (site -> key mapping in OPTIMIZATION_r12.md) that is not already
+    // covered by the lake-layout / range-split / r10 / r11 window tests
+    for (q <- Seq("q_sketch_quantile", "q_ml_kmeans", "q_ml_boost",
+        "q_ml_cv_stump", "q_profile_depth", "q_profile_ks", "q_ts_dtw",
+        "q_ts_growth", "q_ts_survival", "q_ts_new_returning",
+        "q_sim_hybrid_rrf", "q_sample_neyman", "q_win_alloc", "q_mr_sort",
+        "q_agg_skyline", "q_agg_mannwhitney", "q_agg_lorenz")) {
+      val nodes = collectAll(executedPlan(q))
+      val bad = nodes.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) => w
+      }
+      assert(bad.isEmpty,
+        s"$q plans a corpus-grain global window: " +
+          bad.map(_.simpleString(120)).mkString("; "))
+      Caches.releaseScoped()
+    }
+  }
+
   test("q_priv_pseudonym joins on the pseudonym with no broadcast of " +
     "the corpus side") {
     // the pseudonym join must keep the co-partitioned shuffle shape of
